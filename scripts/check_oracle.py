@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle comparison.
+Usage: check_oracle.py <verify_outdir> <sfdir>"""
+import duckdb, glob, json, sys
+import pandas as pd
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    try:
+        got = pd.read_parquet(f"{outdir}/{name}")
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing {e}"); fails += 1; continue
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(exp.columns)} vs {list(got.columns)}"); fails += 1; continue
+    if exp.shape != got.shape:
+        print(f"FAIL {name}: shape {exp.shape} vs {got.shape}"); fails += 1; continue
+    schema_note = ""
+    for c in exp.columns:
+        if str(exp[c].dtype) != str(got[c].dtype):
+            schema_note += f" [{c}: {exp[c].dtype} vs {got[c].dtype}]"
+    bad = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        try:
+            same = (e.isna() & g.isna()) | (e == g)
+        except Exception:
+            same = e.astype(str) == g.astype(str)
+        if not same.all():
+            idx = same[~same].index[0]
+            bad.append(f"{c}@row{idx}: oracle={e[idx]!r} spark={g[idx]!r}")
+    if bad:
+        print(f"FAIL {name}: {len(bad)} cols differ; {'; '.join(bad[:3])}{schema_note}"); fails += 1
+    else:
+        print(f"OK   {name} rows={len(exp)}{schema_note}")
+print(f"\n{len(oracle)-fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SmartCast
+
+/** The reference's relational query surface (SURVEY §2-D, reference db/check.py,
+  * routes/status.py, cli.py) re-expressed over the driver's TPC-H-ish test
+  * tables. Each query keeps the *shape* of the reference operator — join kinds,
+  * window frames, conditional aggregation, merge/upsert, retention — while the
+  * inputs come from /root/testdata (TESTDATA.md).
+  *
+  * Scale notes are inline: every aggregate is a partial+final hash agg, small
+  * dimensions are broadcast, and nothing materializes on the driver.
+  */
+object RelationalQueries {
+
+  import NamedQuery.{rowsOnly, sql}
+
+  def all: Map[String, NamedQuery] = Map(
+
+    // D3 (db/check.py:86-98): dynamic group-by + count + top-k. Hash agg with
+    // map-side partials; top-k via TakeOrderedAndProject (no full sort).
+    "d03_aggregate_topk" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("event_type"))
+          .limit(20),
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 20""".stripMargin),
+
+    // D1 (db/check.py:55-69): filtered multi-way join. region/nation are tiny →
+    // broadcast hash joins, zero shuffle of the big side.
+    "d01_join_filter" -> sql(
+      (s, dir) => {
+        val region = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+          .orderBy("n_name")
+      },
+      """SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // D4 (routes/status.py:10-71): conditional aggregation + COALESCE grouping.
+    "d04_status_agg" -> sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(coalesce(col("o_orderstatus"), lit("NULL")).as("status"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(when(col("o_totalprice") > 100000, col("o_totalprice")).otherwise(0.0)), 2)
+              .as("big_total"))
+          .orderBy("status"),
+      """SELECT coalesce(o_orderstatus, 'NULL') AS status, count(*) AS n,
+        |  round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2) AS big_total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin),
+
+    // D5 (routes/status.py:79-140): per-group counts + global percentage.
+    // Scale: the global total is a 1-row broadcast cross-join, NOT a
+    // Window.partitionBy() (which would funnel everything to one partition).
+    "d05_stats_pct" -> sql(
+      (s, dir) => {
+        val byStatus = Tables.orders(s, dir)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        val total = byStatus.agg(sum("n").as("total"))
+        byStatus.crossJoin(broadcast(total))
+          .select(
+            col("o_orderstatus"), col("n"),
+            round(col("n") * lit(100.0) / col("total"), 2).as("pct"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH s AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n, round(n * 100.0 / (SELECT sum(n) FROM s), 2) AS pct
+        |FROM s ORDER BY o_orderstatus""".stripMargin),
+
+    // D6 (analysis/resource.py:232-247): last-2-per-key window. Partitioned by
+    // key → scales: one shuffle on user_id, no global sort. Tie-broken by
+    // event_id; Spark timestamps are µs so the oracle orders on epoch_us too.
+    "d06_last2_window" -> sql(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select("user_id", "event_id", "rn")
+          .orderBy("user_id", "rn")
+      },
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin),
+
+    // D7 (crawl/helpers.py:66-139): per-key sliding/tumbling window counts
+    // (domain backoff). Tumbling 1h window == epoch-aligned date_trunc.
+    "d07_backoff_window" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_timestamp(col("window.start")).as("hour_start"), col("n"))
+          .orderBy("user_id", "hour_start"),
+      """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_start""".stripMargin),
+
+    // D9/C7 (cli.py:297-306): purge scan = anti-join (customers w/o orders).
+    // left_anti avoids materializing the join payload; AQE can broadcast the
+    // built side when the key set is small.
+    "d09_anti_join" -> sql(
+      (s, dir) => {
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        Tables.customer(s, dir)
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // D10/D11 (db/resource.py:43-53, cli.py:88-116): upsert/merge without Delta:
+    // full-outer join on the key, updates win via coalesce. At 100 TB this runs
+    // partitioned-by-key so only touched partitions rewrite.
+    "d10_upsert_merge" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val existing = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val updates = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("u_orderkey"),
+            (col("o_totalprice") + 1000.0).as("newprice"))
+        existing.join(updates, col("o_orderkey") === col("u_orderkey"), "full_outer")
+          .select(
+            coalesce(col("o_orderkey"), col("u_orderkey")).as("o_orderkey"),
+            coalesce(col("newprice"), col("o_totalprice")).as("totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT coalesce(e.o_orderkey, u.u_orderkey) AS o_orderkey,
+        |  coalesce(u.newprice, e.o_totalprice) AS totalprice
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders
+        |      WHERE o_orderdate < TIMESTAMP '1995-01-01') e
+        |FULL OUTER JOIN (SELECT o_orderkey AS u_orderkey, o_totalprice + 1000.0 AS newprice
+        |      FROM orders WHERE o_orderstatus = 'O') u
+        |ON e.o_orderkey = u.u_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // D12 (migrations 20230606): keep-latest-per-key dedup via row_number.
+    "d12_dedup_rownum" -> sql(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(desc("l_linenumber"), desc("l_quantity"))
+        Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin),
+
+    // D13 (test_analysis_csv_exceptions.py:52): count(*) OVER (). Kept for
+    // parity; the empty-frame window is inherently single-partition, so only
+    // use on small/aggregated inputs (part = dimension table).
+    "d13_count_over" -> sql(
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"),
+            count(lit(1)).over(Window.partitionBy()).as("total"))
+          .orderBy("p_partkey"),
+      """SELECT p_partkey, p_brand, count(*) OVER () AS total
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // D14 (cli.py:271-283): retention split — kept vs purged counts in one pass.
+    "d14_retention_counts" -> sql(
+      (s, dir) => {
+        val cutoff = lit("2024-07-01").cast("timestamp")
+        Tables.events(s, dir).agg(
+          count(when(col("ts") >= cutoff, 1)).as("kept"),
+          count(when(col("ts") < cutoff, 1)).as("purged"))
+      },
+      """SELECT count(*) FILTER (WHERE ts >= TIMESTAMP '2024-07-01') AS kept,
+        |  count(*) FILTER (WHERE ts < TIMESTAMP '2024-07-01') AS purged
+        |FROM events""".stripMargin),
+
+    // D8 (crawl/select_batch.py:54): deterministic sampling — hash-based so the
+    // oracle agrees (rand() would not); md5 is identical in both engines.
+    "d08_hash_sample" -> sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "a")
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // B1 (analysis/csv.py:202-219): smart_cast float semantics incl. French
+    // "1 020,20" style — dirty strings built deterministically from data.
+    "b01_smart_cast_double" -> sql(
+      (s, dir) => {
+        val dirty = concat(
+          col("l_partkey").cast("string"), lit(" "),
+          col("l_suppkey").cast("string"), lit(","),
+          col("l_linenumber").cast("string"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            SmartCast.toDouble(dirty).as("val"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  TRY_CAST(replace(replace(
+        |    CAST(l_partkey AS VARCHAR) || ' ' || CAST(l_suppkey AS VARCHAR) || ',' ||
+        |    CAST(l_linenumber AS VARCHAR), ' ', ''), ',', '.') AS DOUBLE) AS val
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // B2 (str2bool): truthy/falsy vocabulary, case-insensitive, else NULL.
+    "b02_smart_cast_bool" -> sql(
+      (s, dir) => {
+        val m = col("l_linenumber") % 5
+        val raw = when(m === 0, "true").when(m === 1, "NO")
+          .when(m === 2, "On").when(m === 3, "0").otherwise("maybe")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            SmartCast.toBooleanCol(raw).as("b"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN lower(raw) IN ('true','yes','1','t','y','on') THEN TRUE
+        |       WHEN lower(raw) IN ('false','no','0','f','n','off') THEN FALSE
+        |       ELSE NULL END AS b
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CASE l_linenumber % 5 WHEN 0 THEN 'true' WHEN 1 THEN 'NO'
+        |             WHEN 2 THEN 'On' WHEN 3 THEN '0' ELSE 'maybe' END AS raw
+        |      FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // B3 (analysis/helpers.py:13-27): date parsing through the format table.
+    "b03_smart_cast_date" -> sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            date_format(
+              SmartCast.toDateCol(date_format(col("o_orderdate"), "dd/MM/yyyy")),
+              "yyyy-MM-dd").as("d"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'), '%Y-%m-%d') AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // B4 (analysis/helpers.py:8-10 + JSONB queries): JSON extraction over the
+    // events.props payload, aggregated — get_json_object stays in codegen.
+    "b04_json_extract" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+}

@@ -15,12 +15,21 @@ object SparkEntry {
     RelationalQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     packs("q01_lineitem_agg").fn(spark, "/root/testdata/sf0.001")
+  }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Registration of
+    * graft's catalyst functions is idempotent and session-scoped, so wrap
+    * every query — the caller's session may not carry our extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.map { case (name, q) => name -> q.fn }
+    packs.map { case (name, q) =>
+      name -> { (s: SparkSession, dir: String) =>
+        graft.functions.GraftFunctions.register(s)
+        q.fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{DataType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `smart_to_timestamp(str)` — native Catalyst expression for the reference's
+  * multi-locale date parsing (B3, analysis/helpers.py:13-27).
+  *
+  * Why an Expression and not a coalesce of try_to_timestamp formats: the
+  * 16-format chain generated ~11k lines of Java per projection, tripping
+  * Janino's 64 KB method limit → whole-stage codegen fell back to interpreted
+  * eval. Here doGenCode emits ONE static call into SmartDateUtil, so the
+  * expression costs a few lines inside the stage and stays codegen'd at any
+  * schema width. */
+case class SmartToTimestamp(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"smart_to_timestamp expects a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "smart_to_timestamp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SmartDateUtil.parseMicrosBoxed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = SmartDateUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("smartTs")
+      s"""
+         |java.lang.Long $tmp = $util.parseMicrosBoxed($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SmartToTimestamp =
+    copy(child = newChild)
+}
+
+/** Registration: either inject via `spark.sql.extensions=graft.GraftExtensions`
+  * or call `GraftFunctions.register(spark)` on an existing session. */
+object GraftFunctions {
+
+  private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("smart_to_timestamp"),
+      new ExpressionInfo(classOf[SmartToTimestamp].getName, "smart_to_timestamp"),
+      (args: Seq[Expression]) => SmartToTimestamp(args.head)))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach(ext.injectFunction)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -1,0 +1,133 @@
+package graft.ingest
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.detect.{CsvSniffer, Profiler, TypeInference}
+import graft.model.{ColumnInfo, Inspection}
+
+/** E7/A3/B5/C1-C4 — the end-to-end CSV "APIfication" slice (SURVEY §7.4):
+  * sniff dialect → distributed read honoring it → full-pass type inference →
+  * smart-cast projection → reserved-column rename → parquet table named
+  * md5(url) (reference analysis/csv.py:108-199, table name :144).
+  *
+  * Scale design: the only driver-side work is the bounded head sample in
+  * CsvSniffer. Parse, inference, casting, profiling, and the write are all
+  * executor-side single-scan DataFrame jobs; a 100 TB CSV set just means
+  * more partitions.
+  */
+object CsvIngest {
+
+  /** Postgres-reserved column names that must be renamed (analysis/csv.py:83). */
+  val ReservedCols: Set[String] =
+    Set("__id", "cmin", "cmax", "collation", "ctid", "tableoid", "xmin", "xmax")
+
+  final case class IngestResult(
+      tableName: String,
+      inspection: Inspection,
+      rowCount: Long,
+      outputPath: String)
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** B5: rename columns colliding with reserved names (case-insensitive),
+    * keeping the reference's `__hydra_renamed` suffix for output parity. */
+  def renameReserved(df: DataFrame): DataFrame = {
+    val renames = df.columns.collect {
+      case c if ReservedCols.contains(c.toLowerCase) => c -> s"${c}__hydra_renamed"
+    }.toMap
+    if (renames.isEmpty) df else df.withColumnsRenamed(renames)
+  }
+
+  /** A3: distributed CSV read honoring the sniffed dialect. header_row_idx
+    * rows of preamble are skipped by content equality with the header line —
+    * cheap, and avoids a driver-side zipWithIndex over the whole file.
+    * For the common headerRowIdx=0 case this is a plain csv scan. */
+  def readCsv(spark: SparkSession, path: String, d: CsvSniffer.Dialect): DataFrame = {
+    val base = spark.read
+      .option("sep", d.separator)
+      .option("encoding", javaCharset(d.encoding))
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .option("maxCharsPerColumn", "-1")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+    if (d.headerRowIdx == 0) base.csv(path)
+    else {
+      // preamble: read as text, drop the first headerRowIdx lines by index
+      // (computed per-partition, no driver materialization), reparse.
+      import spark.implicits._
+      val text = spark.read.textFile(path)
+      val body = text.rdd.zipWithIndex()
+        .filter { case (_, i) => i >= d.headerRowIdx }
+        .map(_._1)
+      base.csv(spark.createDataset(body))
+    }
+  }
+
+  private def javaCharset(enc: String): String = enc match {
+    case "latin-1" => "ISO-8859-1"
+    case "utf-16-le" => "UTF-16LE"
+    case "utf-16-be" => "UTF-16BE"
+    case other => other
+  }
+
+  /** The full analyse_csv slice. Writes the typed table to
+    * `$warehouse/${md5(url)}` and returns the inspection report.
+    *
+    * minLinesForParquet mirrors the MIN_LINES_FOR_PARQUET=200 export gate
+    * (config_default.toml:75): below it, the typed table is still produced
+    * (the "DB"), but the separate parquet-export step is skipped. */
+  def analyseCsv(
+      spark: SparkSession,
+      csvPath: String,
+      url: String,
+      warehouse: String,
+      exportDir: Option[String] = None,
+      minLinesForParquet: Long = 200L,
+      profile: Boolean = true): IngestResult = {
+
+    val dialect = CsvSniffer.sniff(csvPath)
+    val raw = readCsv(spark, csvPath, dialect)
+
+    val types: Map[String, ColumnInfo] = TypeInference.infer(raw)
+    val typed = renameReserved(TypeInference.castAll(raw, types))
+
+    // one parse feeds every downstream consumer (the reference re-reads the
+    // file once per sink — analysis/csv.py:268-270; persist fixes that)
+    typed.persist()
+    val rowCount = typed.count()
+
+    val tableName = md5Hex(url)
+    val outPath = s"$warehouse/$tableName"
+    typed.write.mode(SaveMode.Overwrite).parquet(outPath)
+
+    // C4 parquet export gate
+    exportDir.foreach { dir =>
+      if (rowCount >= minLinesForParquet)
+        typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
+    }
+
+    val prof =
+      if (profile) Profiler.profile(typed)
+      else Map.empty[String, graft.model.ColumnProfile]
+    typed.unpersist()
+
+    val inspection = Inspection(
+      encoding = dialect.encoding,
+      separator = dialect.separator,
+      headerRowIdx = dialect.headerRowIdx,
+      header = raw.columns.toSeq,
+      totalLines = rowCount,
+      columns = types,
+      profile = prof)
+
+    IngestResult(tableName, inspection, rowCount, outPath)
+  }
+}

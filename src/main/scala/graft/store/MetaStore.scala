@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed metadata store (SURVEY §1.1, §7.5): catalog, checks,
+  * tables_index, resources_exceptions as keyed/append-only DataFrames.
+  *
+  * Write semantics (no Delta offline):
+  *   - catalog (keyed by resource_id): upsert = full-outer merge rewrite.
+  *     At 100 TB posture the catalog stays metadata-sized (~millions of
+  *     rows), so a full rewrite is cheap; partition by a stable key-hash
+  *     prefix if it ever grows beyond that.
+  *   - checks (append-only log): date-partitioned appends — partition
+  *     pruning serves the time-windowed queries (D7, retention).
+  *   - writes go through a temp dir + atomic-ish swap so a failed job never
+  *     leaves a half-written store (single-writer contract, like the
+  *     reference's transaction-per-batch).
+  */
+final class MetaStore(spark: SparkSession, root: String) {
+
+  private def path(name: String) = s"$root/$name"
+
+  def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
+
+  def load(name: String): Option[DataFrame] =
+    if (exists(name)) Some(spark.read.parquet(path(name))) else None
+
+  /** Overwrite via staging dir: read-modify-write on the same parquet path
+    * would fail (Spark cannot overwrite its own input), so land in _staged
+    * then swap. */
+  def save(name: String, df: DataFrame): Unit = {
+    val target = Paths.get(path(name))
+    val staged = Paths.get(path(s"_staged_$name"))
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(staged, target)
+  }
+
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+  }
+
+  // ---- catalog ----------------------------------------------------------
+
+  /** D10 upsert (INSERT … ON CONFLICT (resource_id) DO UPDATE): keyed
+    * full-outer merge, update columns win when the key matches. */
+  def upsert(name: String, updates: DataFrame, key: String): Unit = {
+    val merged = load(name) match {
+      case None => updates
+      case Some(existing) =>
+        val cols = existing.columns
+        val e = existing.alias("e")
+        val u = updates.alias("u")
+        val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
+        val projected = cols.map { c =>
+          if (updates.columns.contains(c)) coalesce(col(s"u.$c"), col(s"e.$c")).as(c)
+          else col(s"e.$c").as(c)
+        }
+        joined.select(projected.toIndexedSeq: _*)
+    }
+    // materialize before the swap: the merged plan still reads the old files
+    val rows = merged.cache()
+    rows.count()
+    save(name, rows)
+    rows.unpersist()
+  }
+
+  /** D11 catalog-wide soft delete (cli.py:88): deleted=true everywhere;
+    * subsequent upserts resurrect surviving rows. */
+  def softDeleteAll(name: String): Unit =
+    load(name).foreach { df =>
+      val marked = df.withColumn("deleted", lit(true)).cache()
+      marked.count()
+      save(name, marked)
+      marked.unpersist()
+    }
+
+  /** D14 retention purge (cli.py:271-283): keep rows newer than the cutoff,
+    * return how many were dropped. */
+  def purgeOlderThan(name: String, tsCol: String, cutoff: java.sql.Timestamp): Long =
+    load(name) match {
+      case None => 0L
+      case Some(df) =>
+        val kept = df.filter(col(tsCol) >= lit(cutoff)).cache()
+        val dropped = df.count() - kept.count()
+        save(name, kept)
+        kept.unpersist()
+        dropped
+    }
+
+  /** C7/D9 purge of parsed tables no longer referenced by a live catalog row:
+    * tables_index anti-join the grouped catalog on md5(url). Returns the
+    * orphaned parsing_table names (caller deletes the parquet dirs). */
+  def orphanedTables(tablesIndex: DataFrame, catalog: DataFrame): DataFrame = {
+    val live = catalog.groupBy("url")
+      .agg(min(when(col("deleted"), 1).otherwise(0)).as("all_deleted"))
+      .filter(col("all_deleted") === 0)
+      .select(md5(col("url")).as("live_table"))
+    tablesIndex.select(col("parsing_table")).distinct()
+      .join(live, col("parsing_table") === col("live_table"), "left_anti")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+}

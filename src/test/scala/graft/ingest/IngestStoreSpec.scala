@@ -1,0 +1,128 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.store.MetaStore
+
+class CsvIngestSpec extends SparkSpec {
+
+  private def tmpDir = Files.createTempDirectory("graft").toString
+  private def writeCsv(content: String): String = {
+    val f = Files.createTempFile("graft", ".csv")
+    Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("end-to-end: sniff → infer → cast → parquet named md5(url)") {
+    val csv = writeCsv(
+      "id,amount,label,active,seen\n" +
+        "1,\"1 020,20\",aaa,true,2022-12-31\n" +
+        "2,3.5,bbb,false,2023-01-15\n" +
+        "3,7,ccc,yes,2023-02-01\n")
+    val wh = tmpDir
+    val url = "http://example.com/data.csv"
+    val res = CsvIngest.analyseCsv(spark, csv, url, wh, profile = true)
+
+    assert(res.tableName == CsvIngest.md5Hex(url))
+    assert(res.rowCount == 3)
+    assert(res.inspection.columns("id").pythonType == "int")
+    assert(res.inspection.columns("amount").pythonType == "float")
+    assert(res.inspection.columns("active").pythonType == "bool")
+    assert(res.inspection.columns("seen").pythonType == "date")
+
+    val out = spark.read.parquet(res.outputPath)
+    assert(out.schema("amount").dataType == DoubleType)
+    val amounts = out.select("amount").collect().map(_.getDouble(0)).sorted
+    assert(amounts.sameElements(Array(3.5, 7.0, 1020.2)))
+    // profile present for every column
+    assert(res.inspection.profile.keySet == out.columns.toSet)
+    assert(res.inspection.profile("amount").max.contains(1020.2))
+  }
+
+  test("reserved columns renamed with __hydra_renamed suffix") {
+    val csv = writeCsv("xmin,ok\n1,2\n")
+    val res = CsvIngest.analyseCsv(spark, csv, "u1", tmpDir, profile = false)
+    val out = spark.read.parquet(res.outputPath)
+    assert(out.columns.toSet == Set("xmin__hydra_renamed", "ok"))
+  }
+
+  test("preamble rows before the header are skipped") {
+    val csv = writeCsv("exported on 2024\ncol_a,col_b\n1,x\n2,y\n")
+    val res = CsvIngest.analyseCsv(spark, csv, "u2", tmpDir, profile = false)
+    assert(res.inspection.headerRowIdx == 1)
+    assert(res.rowCount == 2)
+    val out = spark.read.parquet(res.outputPath)
+    assert(out.columns.toSet == Set("col_a", "col_b"))
+  }
+
+  test("parquet export respects MIN_LINES gate") {
+    val small = writeCsv("a\n1\n2\n")
+    val export = tmpDir
+    CsvIngest.analyseCsv(spark, small, "u3", tmpDir, exportDir = Some(export), profile = false)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$export/${CsvIngest.md5Hex("u3")}.parquet")))
+    val bigContent = "a\n" + (1 to 250).map(_.toString).mkString("\n") + "\n"
+    CsvIngest.analyseCsv(spark, writeCsv(bigContent), "u4", tmpDir,
+      exportDir = Some(export), profile = false)
+    assert(Files.exists(java.nio.file.Paths.get(s"$export/${CsvIngest.md5Hex("u4")}.parquet")))
+  }
+}
+
+class MetaStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def store = new MetaStore(spark, Files.createTempDirectory("graftmeta").toString)
+
+  test("upsert: insert then update wins on key match") {
+    val st = store
+    st.save("catalog", Seq(("r1", "u1", false), ("r2", "u2", false))
+      .toDF("resource_id", "url", "deleted"))
+    st.upsert("catalog",
+      Seq(("r2", "u2-new", false), ("r3", "u3", false)).toDF("resource_id", "url", "deleted"),
+      "resource_id")
+    val rows = st.load("catalog").get.orderBy("resource_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("r1", "u1"), ("r2", "u2-new"), ("r3", "u3")))
+  }
+
+  test("soft delete all, resurrect via upsert") {
+    val st = store
+    st.save("catalog", Seq(("r1", false), ("r2", false)).toDF("resource_id", "deleted"))
+    st.softDeleteAll("catalog")
+    assert(st.load("catalog").get.filter(!col("deleted")).count() == 0)
+    st.upsert("catalog", Seq(("r1", false)).toDF("resource_id", "deleted"), "resource_id")
+    val live = st.load("catalog").get.filter(!col("deleted"))
+      .select("resource_id").collect().map(_.getString(0)).toSeq
+    assert(live == Seq("r1"))
+  }
+
+  test("retention purge returns dropped count") {
+    val st = store
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    ).toDF("id", "created_at")
+    st.save("checks", df)
+    val dropped = st.purgeOlderThan("checks", "created_at",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(dropped == 1L)
+    assert(st.load("checks").get.count() == 1L)
+  }
+
+  test("orphaned tables via anti-join on md5(url)") {
+    val tablesIndex = Seq(
+      (CsvIngest.md5Hex("live-url"), "r1"),
+      (CsvIngest.md5Hex("dead-url"), "r2")
+    ).toDF("parsing_table", "resource_id")
+    val catalog = Seq(
+      ("live-url", false), ("dead-url", true)
+    ).toDF("url", "deleted")
+    val orphans = store.orphanedTables(tablesIndex, catalog)
+      .collect().map(_.getString(0)).toSeq
+    assert(orphans == Seq(CsvIngest.md5Hex("dead-url")))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{NamedQuery, PipelineQueries, RelationalQueries}
+import graft.queries.{NamedQuery, OperatorQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{NamedQuery, PipelineQueries, RelationalQueries}
 object SparkEntry {
 
   private def packs: Map[String, NamedQuery] =
-    RelationalQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

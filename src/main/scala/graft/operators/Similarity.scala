@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths (driver contract "scale extras"):
+  *   - bruteForceTopK: exact cosine top-k — the correctness baseline.
+  *     Broadcast the (small) query set, scan the corpus once, rank with a
+  *     per-query window. Cost O(|corpus|·|queries|·dim) but embarrassingly
+  *     parallel and shuffle-light (only top-k survivors move).
+  *   - lshTopK: random-hyperplane LSH — the 100 TB path. Sign-bit sketches
+  *     bucket the corpus; only same-bucket (or near-bucket) pairs are
+  *     scored. Planes are generated driver-side from a fixed seed and
+  *     inlined as literals, so the whole thing stays deterministic and
+  *     codegen'd (no MLlib VectorUDT boxing on the hot path).
+  */
+object Similarity {
+
+  private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
+  private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * zip_with + aggregate keeps it inside whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * queries: (qid, qvec) — must be small enough to broadcast (the usual
+    * ANN-serving shape). corpus: (id, vec). Self-matches excluded when ids
+    * collide. Returns (qid, id, sim, rank), rank 1..k by descending sim. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10): DataFrame = {
+
+    val scored = corpus
+      .join(broadcast(queries), col(qidCol) =!= col(idCol))
+      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim gaussians from a seed. */
+  private def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit sketch of a vector under the given planes, packed to a long. */
+  def hyperplaneSketch(vec: Column, planesLit: Seq[Seq[Double]]): Column = {
+    val bits = planesLit.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shl(lit(1L), lit(i))).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: bucket corpus and queries by hyperplane sketch,
+    * score only pairs whose sketches are within `probeHamming` bits
+    * (multi-probe via segment equi-join, same pigeonhole trick as SimHash).
+    * Recall tunes with nBits/probeHamming; cost stays near-linear. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nBits: Int = 16,
+      probeHamming: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+
+    val ps = planes(nBits, dim, seed)
+    val cs = corpus.withColumn("sk_c", hyperplaneSketch(col(vecCol), ps))
+    val qs = queries.withColumn("sk_q", hyperplaneSketch(col(qvecCol), ps))
+
+    val segments = probeHamming + 1
+    val segBits = math.max(nBits / segments, 1)
+    val cSeg = cs.select(
+      col(idCol), col(vecCol), col("sk_c"),
+      posexplode(transform(sequence(lit(0), lit(segments - 1)),
+        s => shr(col("sk_c"), s * segBits).bitwiseAND(lit((1L << segBits) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "seg", "col" -> "seg_val"))
+    val qSeg = qs.select(
+      col(qidCol), col(qvecCol), col("sk_q"),
+      posexplode(transform(sequence(lit(0), lit(segments - 1)),
+        s => shr(col("sk_q"), s * segBits).bitwiseAND(lit((1L << segBits) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "seg", "col" -> "seg_val"))
+
+    val candidates = cSeg.join(broadcast(qSeg), Seq("seg", "seg_val"))
+      .where(col(qidCol) =!= col(idCol))
+      .where(bit_count(col("sk_c").bitwiseXOR(col("sk_q"))) <= probeHamming)
+      .dropDuplicates(qidCol, idCol)
+
+    val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
+    candidates
+      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact, all-pairs within LSH
+    * buckets): the dedup-flavored entry point over embeddings. */
+  def cosineNearDuplicates(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+
+    val ps = planes(nBits, dim, seed)
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", hyperplaneSketch(col("vec"), ps))
+    val a = sk.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

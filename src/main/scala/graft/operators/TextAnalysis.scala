@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for training-data pipelines (driver
+  * contract "scale extras"): language ID, quality scoring, token counting,
+  * fingerprinting. All pure column expressions — codegen'd, shuffle-free,
+  * usable inside any select at any scale. */
+object TextAnalysis {
+
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: the GPT-2 pre-tokenizer regex over contractions,
+    * letter runs, digit runs, punctuation runs — a cheap, deterministic
+    * stand-in for a real BPE vocab's token count. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+      .cast("long")
+
+  // --- language ID ---------------------------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * linguistic knowledge; enough signal for corpus routing. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+      "for", "on", "are", "with", "as", "his", "they", "at", "be", "this"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "est", "un", "une",
+      "dans", "que", "qui", "pour", "sur", "pas", "au", "avec", "ce", "il"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+      "es", "no", "por", "con", "para", "se", "del", "al", "lo", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu",
+      "mit", "sich", "auf", "für", "nicht", "ein", "eine", "als", "auch", "es", "an"),
+    "it" -> Seq("il", "la", "di", "e", "che", "in", "un", "una", "per", "non",
+      "sono", "con", "si", "del", "le", "al", "come", "dei", "nel", "della"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "e", "que", "em", "um", "uma",
+      "não", "por", "com", "para", "se", "do", "da", "no", "na", "dos"))
+
+  /** Per-language stopword-hit ratio map; langId = argmax when above the
+    * minimum-signal threshold, else "und". One pass over tokens per lang
+    * (6 array-filters), no shuffle. */
+  def langScores(text: Column): Column = {
+    val toks = tokens(text)
+    val entries = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
+      struct(lit(lang).as("lang"),
+        (hits.cast("double") / greatest(size(toks), lit(1)).cast("double")).as("score"))
+    }
+    array(entries: _*)
+  }
+
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val best = aggregate(
+      langScores(text),
+      struct(lit("und").as("lang"), lit(0.0).as("score")),
+      (acc, e) => when(e.getField("score") > acc.getField("score"), e).otherwise(acc))
+    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Heuristic quality features (Gopher/C4-style filters, public recipes):
+    * length, mean word length, stopword ratio, alpha ratio, punctuation
+    * ratio, digit ratio — as one struct column. */
+  def qualityFeatures(text: Column): Column = {
+    val t = trim(text)
+    val toks = tokens(text)
+    val nChars = length(t).cast("double")
+    val nTokens = greatest(size(toks), lit(1)).cast("double")
+    val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^\\p{N}]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[\\p{L}\\p{N}\\s]", "")).cast("double")
+    val stops = size(filter(toks, w => array_contains(typedLit(stopwords("en")), w))).cast("double")
+    struct(
+      nChars.cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (nChars / nTokens).as("chars_per_token"),
+      (alpha / greatest(nChars, lit(1.0))).as("alpha_ratio"),
+      (digits / greatest(nChars, lit(1.0))).as("digit_ratio"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      (stops / nTokens).as("stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short/too-long tokens,
+    * low alpha share, heavy digits/punct; reward stopword presence. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val cpt = f.getField("chars_per_token")
+    val lengthOk = when(cpt.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val alphaOk = least(f.getField("alpha_ratio") * 1.25, lit(1.0))
+    val noisePenalty =
+      greatest(lit(0.0), lit(1.0) - (f.getField("digit_ratio") + f.getField("punct_ratio")) * 2)
+    val stopOk = least(f.getField("stopword_ratio") * 4, lit(1.0))
+    round((lengthOk * 0.25 + alphaOk * 0.35 + noisePenalty * 0.25 + stopOk * 0.15), 4)
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Whitespace-normalized lowercase md5 (stable content id). */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit rolling fingerprint: min xxhash64 over character 8-grams of the
+    * normalized text (winnowing-style document sketch — robust to small
+    * edits at the ends, cheap to compare). */
+  def fingerprint64(text: Column, gram: Int = 8): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val grams = transform(
+      sequence(lit(0), greatest(length(norm) - gram, lit(0))),
+      i => norm.substr(i + 1, lit(gram)))
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+}

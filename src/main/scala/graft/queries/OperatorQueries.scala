@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-pipeline operators (graft.operators) exposed through the driver's
+  * query/oracle contract. Hash-based ops (minhash/simhash/xxhash sketches)
+  * have no DuckDB equivalent → rows-only entries; everything expressible in
+  * ANSI SQL carries an oracle. */
+object OperatorQueries {
+
+  import NamedQuery.{rowsOnly, sql}
+
+  def all: Map[String, NamedQuery] = Map(
+
+    // Dedup.exact over documents: duplicate groups by content digest.
+    "x06_dedup_groups" -> sql(
+      (s, dir) =>
+        Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+          .select("digest", "n_dups", "keep_id")
+          .orderBy("digest"),
+      """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin),
+
+    // MinHash-LSH near-duplicate pairs (banded xxhash64 — not SQL-expressible).
+    "x07_minhash_neardup" -> rowsOnly(
+      (s, dir) =>
+        Dedup.minhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")),
+
+    // SimHash near-duplicate pairs.
+    "x08_simhash_neardup" -> rowsOnly(
+      (s, dir) =>
+        Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
+          maxDistance = 8)
+          .orderBy("id_a", "id_b")),
+
+    // n-gram Jaccard near-duplicate pairs (inverted-index join).
+    "x09_ngram_jaccard" -> rowsOnly(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+          n = 5, threshold = 0.6)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")),
+
+    // BPE-ish token counting — same regex runs in DuckDB's RE2.
+    "x10_token_bpe" -> sql(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality features (subset with clean SQL equivalents), rounded.
+    "x11_quality_features" -> sql(
+      (s, dir) => {
+        val f = TextAnalysis.qualityFeatures(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            f.getField("n_tokens").as("n_tokens"),
+            round(f.getField("chars_per_token"), 4).as("chars_per_token"),
+            round(f.getField("alpha_ratio"), 4).as("alpha_ratio"),
+            round(f.getField("stopword_ratio"), 4).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, trim(text) AS txt,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(txt) AS DOUBLE) / greatest(len(toks), 1), 4) AS chars_per_token,
+        |  round(CAST(length(regexp_replace(txt, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(txt) AS DOUBLE), 1.0), 4) AS alpha_ratio,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it',
+        |    'that','was','for','on','are','with','as','his','they','at','be','this'))) AS DOUBLE)
+        |        / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    // Language ID heuristic (argmax over stopword profiles) — rows-only.
+    "x12_langid" -> rowsOnly(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang_pred")),
+
+    // Brute-force cosine top-k over embeddings: the ANN correctness baseline.
+    // Queries = 20 lowest vec_ids, broadcast against the corpus.
+    "x13_cosine_topk" -> rowsOnly(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+          .orderBy("qid", "rank")
+      }),
+
+    // LSH-bucketed ANN (hyperplane sketches) — the scale path.
+    "x14_cosine_lsh_topk" -> rowsOnly(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nBits = 16, probeHamming = 3, dim = 64)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+          .orderBy("qid", "rank")
+      }),
+
+    // Embedding near-duplicates by cosine within LSH buckets.
+    "x15_embedding_neardup" -> rowsOnly(
+      (s, dir) =>
+        Similarity.cosineNearDuplicates(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, nBits = 8, dim = 64)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b"))
+  )
+}

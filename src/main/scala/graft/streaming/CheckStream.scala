@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the crawl pipeline's analytics (SURVEY §2-E1,
+  * D7): the reference's crawl loop is a poll-sleep batch driver; on Spark the
+  * same semantics stream incrementally with watermarked state.
+  *
+  * Scale: state is per-key (domain / resource_id) and watermark-bounded, so
+  * the state store stays O(active keys within the window) regardless of
+  * stream length. */
+object CheckStream {
+
+  /** One streamed check event (the append side of the checks log). */
+  final case class CheckEvent(
+      resourceId: String,
+      domain: String,
+      createdAt: Timestamp,
+      status: Option[Int],
+      timeout: Boolean,
+      contentLength: Option[String],
+      contentType: Option[String])
+
+  final case class ChangeEvent(
+      resourceId: String,
+      createdAt: Timestamp,
+      reason: String)
+
+  /** D7 streaming: per-domain request counts over a sliding window — the
+    * backoff counter fed continuously. Late events beyond the watermark are
+    * dropped (same information loss as the reference's periodic SQL count). */
+  def domainRequestCounts(
+      events: DataFrame,
+      windowLength: String = "360 seconds",
+      slide: String = "60 seconds",
+      watermark: String = "120 seconds"): DataFrame =
+    events
+      .withWatermark("createdAt", watermark)
+      .groupBy(col("domain"), window(col("createdAt"), windowLength, slide))
+      .agg(count(lit(1)).as("n_req"))
+      .select(col("domain"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_req"))
+
+  /** E3 streaming: per-resource change detection with keyed state — emits a
+    * ChangeEvent whenever a check differs from the previous one for the same
+    * resource (status flip / availability loss / timeout flip / content
+    * change), mirroring has_check_changed (preprocess_check_data.py:69-105). */
+  def detectChanges(checks: Dataset[CheckEvent]): Dataset[ChangeEvent] = {
+    import checks.sparkSession.implicits._
+    checks
+      .groupByKey(_.resourceId)
+      .flatMapGroupsWithState[CheckEvent, ChangeEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (resourceId: String, events: Iterator[CheckEvent], state: GroupState[CheckEvent]) =>
+          val sorted = events.toSeq.sortBy(_.createdAt.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+          var prev: Option[CheckEvent] = state.getOption
+          sorted.foreach { e =>
+            changeReason(e, prev).foreach { reason =>
+              out += ChangeEvent(resourceId, e.createdAt, reason)
+            }
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Pure predicate shared by batch and streaming paths. */
+  def changeReason(current: CheckEvent, last: Option[CheckEvent]): Option[String] = last match {
+    case None => Some("first-check")
+    case Some(p) =>
+      def valid(s: Option[Int]) = s.exists(v => v >= 200 && v < 400)
+      if (current.status != p.status) Some("status-changed")
+      else if (valid(p.status) && !valid(current.status)) Some("no-longer-available")
+      else if (current.timeout != p.timeout) Some("timeout-changed")
+      else if (current.contentLength != p.contentLength || current.contentType != p.contentType)
+        Some("content-changed")
+      else None
+  }
+}

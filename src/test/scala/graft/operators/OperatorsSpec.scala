@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different text about spark dataframes and distributed shuffles"),
+    (5L, "another unrelated document mentioning catalyst optimizer and codegen stages")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    val g = groups.head
+    assert(g.getAs[Long]("keep_id") == 1L && g.getAs[Long]("n_dups") == 2L)
+    assert(Dedup.dropExactDuplicates(docs, "text", "doc_id").count() == 4L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+    // exact dup pair has jaccard 1.0
+    val j12 = Dedup.minhashNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .where(col("id_a") === 1 && col("id_b") === 2).head().getDouble(2)
+    assert(j12 == 1.0)
+  }
+
+  test("simhash: identical fingerprints for dups, near distance for near-dups") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) < java.lang.Long.bitCount(fps(1L) ^ fps(4L)))
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny deterministic corpus: unit-ish vectors in 4 dims
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val res = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 3L))
+    assert(res.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("lsh top-k finds the true nearest neighbor for clustered vectors") {
+    val queries = Seq((100L, Array(0.95f, 0.05f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val res = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 2, nBits = 8, probeHamming = 2, dim = 4)
+      .orderBy("rank").collect()
+    assert(res.nonEmpty)
+    assert(res.head.getAs[Long]("vec_id") == 1L || res.head.getAs[Long]("vec_id") == 2L)
+  }
+
+  test("cosine near-duplicates over embeddings") {
+    val pairs = Similarity.cosineNearDuplicates(corpus, "vec_id", "embedding",
+      threshold = 0.95, nBits = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies stopword-heavy sentences") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy with the result of the day"),
+      ("fr", "le chat est dans la maison et il est content de la vie pour le moment"),
+      ("es", "el gato está en la casa y no quiere salir por la puerta con el perro"),
+      ("de", "der hund ist in dem haus und die katze ist auf dem dach mit ein vogel"),
+      ("und", "zxcv qwer asdf uiop hjkl vbnm")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("lang")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello world, it's 2024!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).head()
+    assert(r.getLong(0) == 4L)
+    // Hello| world|,| it|'s| 2024|! → 7
+    assert(r.getLong(1) == 7L)
+  }
+
+  test("quality score separates clean prose from noise") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and runs into the forest"),
+      ("noise", "@@@@ 1234 5678 $$$$ %%%% 9999 #### ++++")
+    ).toDF("kind", "text")
+    val scores = df.select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("clean") > 0.7)
+    assert(scores("noise") < 0.4)
+  }
+
+  test("fingerprints stable under whitespace noise") {
+    val df = Seq(
+      ("a", "Some   Document\n\nwith spacing"),
+      ("b", "some document with spacing")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("m"),
+      TextAnalysis.fingerprint64(col("text")).as("x")).collect()
+    assert(fps(0).getString(1) == fps(1).getString(1))
+    assert(fps(0).getLong(2) == fps(1).getLong(2))
+  }
+}

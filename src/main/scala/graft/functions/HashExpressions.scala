@@ -1,0 +1,364 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for the sketching expressions.
+  *
+  * The pure-Column formulations (aggregate/zip_with/transform chains) are
+  * correct but interpreted — Spark's higher-order functions don't enter
+  * whole-stage codegen, and the simhash form allocated two 64-slot arrays
+  * per token. These static methods are what the codegen emits instead:
+  * one call, zero allocation beyond the output. */
+object GraftHashUtil {
+
+  /** Memoized per-permutation seeds; fixed so signatures are stable across
+    * sessions and rounds. */
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def perms(n: Int): Array[Long] = {
+    permCache.computeIfAbsent(n, _ => {
+      val rng = new scala.util.Random(0x5eed)
+      Array.fill(n)(rng.nextLong())
+    })
+  }
+
+  /** MurmurHash3 64-bit finalizer — full avalanche. JVM arithmetic wraps, so
+    * unlike the Column-expression world there is no ANSI overflow trap. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** SimHash: sign-aggregate of token hashes into a 64-bit fingerprint. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash banding: numHashes = bands·rowsPerBand independent permutations
+    * of the element hashes (fmix64(h ^ seed_j) — full avalanche per family
+    * member; an earlier affine-on-masked-bits family correlated across
+    * permutations and admitted 50× the theoretical candidate count), minima
+    * mixed per band into one bucket key. Returns `bands` longs. */
+  def minhashBands(hashes: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val numHashes = bands * rowsPerBand
+    val seeds = perms(numHashes)
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = fmix64(h ^ seeds(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L ^ b
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = acc * 31L + sig(b * rowsPerBand + r)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted DISTINCT 64-bit hashes of the character n-grams of a string —
+    * the gram strings themselves never materialize (they cost 37s/5k docs as
+    * interpreted substr+array_distinct). FNV-1a over chars + fmix64. */
+  def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
+    val count = math.max(len - n + 1, 1)
+    val raw = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) {
+        h ^= str.charAt(j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      raw(i) = fmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(raw)
+    // in-place dedupe of the sorted array
+    var w = 1
+    var r = 1
+    while (r < count) {
+      if (raw(r) != raw(r - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  /** |A ∩ B| for two sorted long arrays — linear merge, no hashing. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Sorted distinct 64-bit hashes of the k-word shingles of a string
+    * (lowercased, whitespace-tokenized) — the word-level analog of
+    * ngramHashes; shingle strings never materialize. */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString.toLowerCase
+    // token boundaries without allocating token strings
+    val len = str.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !Character.isWhitespace(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - k + 1)
+    var t = 0
+    while (t <= nTok - k) {
+      var h = 0xcbf29ce484222325L
+      var w = 0
+      while (w < k) {
+        var j = starts.get(t + w)
+        val e = ends.get(t + w)
+        while (j < e) { h ^= str.charAt(j); h *= 0x100000001b3L; j += 1 }
+        h ^= 0x1F; h *= 0x100000001b3L // token separator
+        w += 1
+      }
+      out(t) = fmix64(h)
+      t += 1
+    }
+    java.util.Arrays.sort(out)
+    var w2 = 1
+    var r2 = 1
+    while (r2 < out.length) {
+      if (out(r2) != out(r2 - 1)) { out(w2) = out(r2); w2 += 1 }
+      r2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w2))
+  }
+
+  /** Memoized gaussian hyperplanes for the sketch kernel. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def planesFor(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits, dim, seed), _ => {
+      val rng = new scala.util.Random(seed)
+      Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+    })
+
+  /** Sign-bit hyperplane sketch of a float vector, packed into a long. */
+  def hyperplaneSketch(vec: ArrayData, nBits: Int, dim: Int, seed: Long): Long = {
+    val ps = planesFor(nBits, dim, seed)
+    val n = math.min(vec.numElements(), dim)
+    var sk = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = ps(b)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i) * p(i); i += 1 }
+      if (dot >= 0) sk |= (1L << b)
+      b += 1
+    }
+    sk
+  }
+
+  /** Sorted distinct copy of a long array (for word-shingle hash sets). */
+  def sortDistinct(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val arr = a.toLongArray()
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var r = 1
+    while (r < n) {
+      if (arr(r) != arr(r - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+}
+
+/** `graft_simhash64(array<bigint>) → bigint` */
+case class GraftSimhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.simhash64($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftSimhash64 =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_bands(array<bigint>, bands, rowsPerBand) → array<bigint>` —
+  * band/row counts must be literals (resolved at plan time). */
+case class GraftMinhashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.minhashBands(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.minhashBands($c, $bands, $rowsPerBand)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftMinhashBands =
+    copy(child = newChild)
+}
+
+/** `graft_ngram_hashes(string, n) → array<bigint>` — sorted distinct char
+  * n-gram hashes; n must be a literal. */
+case class GraftNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.ngramHashes($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNgramHashes =
+    copy(child = newChild)
+}
+
+/** `graft_intersect_count(array<bigint>, array<bigint>) → bigint` over
+  * SORTED arrays (linear merge). */
+case class GraftSortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GraftHashUtil.sortedIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$util.sortedIntersectCount($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftSortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** `graft_shingle_hashes(string, k) → array<bigint>` — sorted distinct
+  * k-word shingle hashes; k must be a literal. */
+case class GraftShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.shingleHashes($c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_sketch(array<float>, nBits, dim, seed) → bigint` —
+  * deterministic gaussian-hyperplane sign sketch. */
+case class GraftHyperplaneSketch(child: Expression, nBits: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hyperplane_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.hyperplaneSketch(input.asInstanceOf[ArrayData], nBits, dim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.hyperplaneSketch($c, $nBits, $dim, ${seed}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHyperplaneSketch =
+    copy(child = newChild)
+}
+
+/** `graft_sort_distinct(array<bigint>) → array<bigint>` */
+case class GraftSortDistinct(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sort_distinct"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.sortDistinct(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.sortDistinct($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftSortDistinct =
+    copy(child = newChild)
+}

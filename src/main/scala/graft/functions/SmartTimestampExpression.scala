@@ -56,10 +56,47 @@ case class SmartToTimestamp(child: Expression)
   * or call `GraftFunctions.register(spark)` on an existing session. */
 object GraftFunctions {
 
+  private def literalLong(e: Expression): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+
+  private def literalInt(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("smart_to_timestamp"),
       new ExpressionInfo(classOf[SmartToTimestamp].getName, "smart_to_timestamp"),
-      (args: Seq[Expression]) => SmartToTimestamp(args.head)))
+      (args: Seq[Expression]) => SmartToTimestamp(args.head)),
+    (new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[GraftSimhash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => GraftSimhash64(args.head)),
+    (new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[GraftMinhashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) =>
+        GraftMinhashBands(args.head, literalInt(args(1)), literalInt(args(2)))),
+    (new FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[GraftNgramHashes].getName, "graft_ngram_hashes"),
+      (args: Seq[Expression]) => GraftNgramHashes(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[GraftSortedIntersectCount].getName, "graft_intersect_count"),
+      (args: Seq[Expression]) => GraftSortedIntersectCount(args.head, args(1))),
+    (new FunctionIdentifier("graft_sort_distinct"),
+      new ExpressionInfo(classOf[GraftSortDistinct].getName, "graft_sort_distinct"),
+      (args: Seq[Expression]) => GraftSortDistinct(args.head)),
+    (new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => GraftShingleHashes(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_hyperplane_sketch"),
+      new ExpressionInfo(classOf[GraftHyperplaneSketch].getName, "graft_hyperplane_sketch"),
+      (args: Seq[Expression]) => GraftHyperplaneSketch(args.head,
+        literalInt(args(1)), literalInt(args(2)), literalLong(args(3)))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

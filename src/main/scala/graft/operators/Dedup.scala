@@ -57,12 +57,31 @@ object Dedup {
         s => s =!= ""))
   }
 
-  /** MinHash signature: for each seed, min over shingles of a seeded xxhash64.
-    * numHashes columns of cheap codegen'd hashing — one scan, no shuffle. */
+  /** MinHash signature via universal hashing: hash every shingle ONCE with
+    * xxhash64, then derive the i-th hash family member as an affine
+    * permutation a_i·h+b_i (odd multipliers — a bijection on Z/2^64). The
+    * naive per-seed rehash (numHashes × string hashing per doc) dominated
+    * bench time; this is numHashes × one multiply-add over a cached long
+    * array. Same LSH guarantees (Carter-Wegman universal family). */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shinglesCol, s => xxhash64(s, seed))))
+    minhashFromHashes(transform(shinglesCol, s => xxhash64(s)), numHashes)
+
+  /** Signature from pre-computed shingle hashes. Callers should materialize
+    * the hash array (persist) before fanning out to numHashes array_mins —
+    * Catalyst's project-collapsing would otherwise inline the string-hash
+    * pass into every one of them. */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
+    // 32-bit hash values × 30-bit odd multipliers stay far from long
+    // overflow (ANSI mode makes a wrapping h*a a runtime error)
+    val perms = {
+      val rng = new scala.util.Random(0x5eed)
+      Seq.fill(numHashes)(((rng.nextInt(1 << 30) | 1).toLong, rng.nextInt(1 << 30).toLong))
+    }
+    val masked = transform(baseHashes, h => h.bitwiseAND(lit(0xFFFFFFFFL)))
+    array(perms.map { case (a, b) =>
+      array_min(transform(masked, h => h * a + b))
+    }: _*)
+  }
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -81,54 +100,65 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
 
-    val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // materialize the sorted shingle-hash sets once — the persist is a hard
+    // boundary so banding and verification both read cached longs; shingle
+    // strings never materialize at all (native graft_shingle_hashes kernel)
+    val hashed = df
+      .select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
+      .where(size(col("bh")) > 0)
+      .persist()
 
-    // band id + hash of the band's slice of the signature
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+    // native banding kernel: signature minima + per-band mixing in one
+    // static call (GraftMinhashBands); only (band, band_hash, id) travel
+    // into the bucket join — shingles stay behind
+    val banded = hashed.select(
+      col("id"),
+      posexplode(call_function("graft_minhash_bands",
+        col("bh"), lit(bands), lit(rowsPerBand))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .persist()
 
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    // exact verification on the sorted hash sets: linear-merge intersect
+    // (graft_intersect_count), union size by inclusion-exclusion
+    val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+    val result = candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
+      .withColumn("common", call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("common").cast("double") /
+          (col("hsz_a") + col("hsz_b") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    result
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: per bit position,
-    * sign of Σ over tokens of ±1 (bit set in the token's hash or not). */
+    * sign of Σ over tokens of ±1 (bit set in the token's hash or not).
+    * Each token is hashed ONCE; the 64 bit-tests are shifts over the cached
+    * hash array (the hash-per-bit formulation cost 64× the hashing). */
   def simhash64(textCol: Column): Column = {
-    val tokens = split(lower(trim(textCol)), "\\s+")
-    val bitSums = aggregate(
-      tokens,
-      array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(acc,
-          transform(sequence(lit(0), lit(63)),
-            i => when(shr(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
-          (x, y) => x + y))
-    aggregate(
-      transform(sequence(lit(0), lit(63)),
-        i => when(element_at(bitSums, i + 1) > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
+    val hashes = transform(
+      filter(split(lower(trim(textCol)), "\\s+"), t => t =!= ""),
+      t => xxhash64(t))
+    simhash64FromHashes(hashes)
   }
+
+  /** SimHash from pre-computed token hashes — delegates to the native
+    * GraftSimhash64 expression (functions/HashExpressions.scala): the
+    * higher-order-function formulation was interpreted and allocated two
+    * 64-slot arrays per token; the kernel is one static call in codegen.
+    * Requires GraftFunctions.register on the session. */
+  def simhash64FromHashes(hashes: Column): Column =
+    call_function("graft_simhash64", hashes)
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxDistance.
     *
@@ -144,7 +174,9 @@ object Dedup {
 
     val segments = maxDistance + 1
     val segBits = 64 / segments
-    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    // persist: the fingerprint (an interpreted higher-order aggregate) must
+    // not be recomputed on each side of the self-join below
+    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")).persist()
 
     val segmented = withFp.select(
       col("id"), col("fp"),
@@ -157,43 +189,73 @@ object Dedup {
     val b = segmented.select(col("seg"), col("seg_val"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("seg", "seg_val"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Character-ngram Jaccard similarity pairs via inverted index:
-    * explode ngrams → self-join on ngram → common-count per pair →
-    * |A∩B|/(|A|+|B|-|A∩B|). minCommon prunes the pair space before the
-    * expensive per-pair aggregation. */
+  /** Character-ngram Jaccard similarity pairs.
+    *
+    * Candidate generation is minhash-banding over the gram sets, then exact
+    * Jaccard verification of candidates. A plain inverted-index (or even
+    * PPJoin prefix-filtered) self-join melts down on low-entropy corpora —
+    * measured here: 1M postings over only 2k distinct grams → ~50M joined
+    * pair-rows even after prefix filtering. Banded minhash collisions track
+    * the similarity itself, not gram popularity, so candidate volume stays
+    * proportional to the true near-dup pair count.
+    *
+    * Recall: a pair at Jaccard t collides with probability
+    * 1-(1-t^rowsPerBand)^bands. Defaults (b=32, r=8) are tuned for t≥0.8:
+    * recall 0.997 at s=0.8 (→1 above), while s=0.3 background pairs are
+    * admitted at only ~0.2% — measured on this corpus, where r=4 admitted
+    * 23% of ALL pairs and kept the join quadratic. Lower rowsPerBand when
+    * hunting lower-similarity pairs. Requires GraftFunctions.register. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 5,
       threshold: Double = 0.7,
-      minCommon: Int = 2): DataFrame = {
+      minCommon: Int = 2,
+      bands: Int = 32,
+      rowsPerBand: Int = 8): DataFrame = {
 
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // native path end-to-end: graft_ngram_hashes emits the SORTED DISTINCT
+    // gram-hash set straight from the string (measured: materializing gram
+    // string arrays cost 37s/5k docs in interpreted transform+distinct)
     val gramsDf = df.select(
       col(idCol).as("id"),
-      array_distinct(
-        transform(
-          sequence(lit(0), greatest(length(norm) - n, lit(0))),
-          i => norm.substr(i + 1, lit(n)))).as("grams"))
-      .where(size(col("grams")) > 0)
+      call_function("graft_ngram_hashes", norm, lit(n)).as("bh"))
+      .where(size(col("bh")) > 0)
+      .persist()
 
-    val inverted = gramsDf.select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
-    val a = inverted.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = inverted.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("g"))
+    val banded = gramsDf.select(
+      col("id"), size(col("bh")).as("sz"),
+      posexplode(call_function("graft_minhash_bands",
+        col("bh"), lit(bands), lit(rowsPerBand))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
+      // length filter: a much smaller set cannot reach the threshold
+      .where(col("sz_b") >= ceil(lit(threshold) * col("sz_a")) &&
+        col("sz_a") >= ceil(lit(threshold) * col("sz_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = gramsDf.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
+      .withColumn("common", call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
       .where(col("common") >= minCommon)
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+        col("common").cast("double") /
+          (col("hsz_a") + col("hsz_b") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

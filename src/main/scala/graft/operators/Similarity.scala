@@ -55,22 +55,11 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: nBits × dim gaussians from a seed. */
-  private def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
-  }
-
-  /** Sign-bit sketch of a vector under the given planes, packed to a long. */
-  def hyperplaneSketch(vec: Column, planesLit: Seq[Seq[Double]]): Column = {
-    val bits = planesLit.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shl(lit(1L), lit(i))).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bit sketch of a vector, packed to a long — native kernel
+    * (GraftHyperplaneSketch); planes derive deterministically from the seed
+    * inside the kernel, memoized per (nBits, dim, seed). */
+  def hyperplaneSketch(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
+    call_function("graft_hyperplane_sketch", vec, lit(nBits), lit(dim), lit(seed))
 
   /** Approximate top-k: bucket corpus and queries by hyperplane sketch,
     * score only pairs whose sketches are within `probeHamming` bits
@@ -86,9 +75,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
 
-    val ps = planes(nBits, dim, seed)
-    val cs = corpus.withColumn("sk_c", hyperplaneSketch(col(vecCol), ps))
-    val qs = queries.withColumn("sk_q", hyperplaneSketch(col(qvecCol), ps))
+    val cs = corpus.withColumn("sk_c", hyperplaneSketch(col(vecCol), nBits, dim, seed))
+    val qs = queries.withColumn("sk_q", hyperplaneSketch(col(qvecCol), nBits, dim, seed))
 
     val segments = probeHamming + 1
     val segBits = math.max(nBits / segments, 1)
@@ -126,9 +114,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
 
-    val ps = planes(nBits, dim, seed)
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneSketch(col("vec"), ps))
+      .withColumn("bucket", hyperplaneSketch(col("vec"), nBits, dim, seed))
     val a = sk.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

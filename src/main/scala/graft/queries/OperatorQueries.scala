@@ -35,14 +35,14 @@ object OperatorQueries {
     "x08_simhash_neardup" -> rowsOnly(
       (s, dir) =>
         Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
-          maxDistance = 8)
+          maxDistance = 4)
           .orderBy("id_a", "id_b")),
 
     // n-gram Jaccard near-duplicate pairs (inverted-index join).
     "x09_ngram_jaccard" -> rowsOnly(
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-          n = 5, threshold = 0.6)
+          n = 5, threshold = 0.8)
           .withColumn("jaccard", round(col("jaccard"), 4))
           .orderBy("id_a", "id_b")),
 

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ingest.CsvIngest
+import graft.model.ResourceStatus
+import graft.store.MetaStore
+
+/** E1/E2/E5/E7 — the crawl → check → analyse → ingest orchestration
+  * (reference crawl/__init__.py:14-41, analysis/resource.py:35-133,
+  * analysis/csv.py:108-199), collapsed into one Spark driver loop with
+  * pluggable I/O ports.
+  *
+  * Network and webhook I/O live behind `Fetcher`/`Notifier` traits (zero
+  * egress here: the default Fetcher serves local files). Everything that
+  * touches data — ingest, profiling, metadata upserts — is executor-side
+  * Spark work from CsvIngest/MetaStore. */
+object CrawlPipeline {
+
+  /** A2/E2 port: "download" a url. Local deployment maps file: urls. */
+  trait Fetcher {
+    /** Returns (localPath, headers) or an error string. */
+    def fetch(url: String): Either[String, (String, Map[String, String])]
+  }
+
+  /** File-serving fetcher (zero-egress stand-in for the HTTP client). */
+  final class LocalFetcher extends Fetcher {
+    def fetch(url: String): Either[String, (String, Map[String, String])] = {
+      val path = url.stripPrefix("file://")
+      if (Files.exists(Paths.get(path)))
+        Right((path, Map(
+          "content-length" -> Files.size(Paths.get(path)).toString,
+          "content-type" -> "text/csv")))
+      else Left(s"not found: $url")
+    }
+  }
+
+  /** C8 port: "check:" / "analysis:" webhooks (crawl/preprocess_check_data.py:36-55). */
+  trait Notifier {
+    def notify(datasetId: String, resourceId: String, document: Map[String, Any]): Unit
+  }
+  final class NoopNotifier extends Notifier {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, Any])]
+    def notify(d: String, r: String, doc: Map[String, Any]): Unit = sent += ((d, r, doc))
+  }
+
+  final case class CheckOutcome(
+      resourceId: String,
+      url: String,
+      status: Int,
+      checksum: Option[String],
+      filesize: Option[Long],
+      parsingTable: Option[String],
+      error: Option[String],
+      changed: Boolean)
+
+  /** B7: streamed sha1 of a local file (utils/file.py:16-24). */
+  def sha1File(path: String): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** One crawl batch, end-to-end:
+    * select due resources (A7) → "check" each via the Fetcher (E2) → change
+    * detection against the last check (E4) → CSV analysis + ingest when
+    * changed/first (E7) → append checks, update catalog, schedule next
+    * check (E6). Returns the per-resource outcomes. */
+  def runBatch(
+      spark: SparkSession,
+      store: MetaStore,
+      warehouse: String,
+      fetcher: Fetcher,
+      notifier: Notifier,
+      batchSize: Int = 40,
+      now: Instant = Instant.now()): Seq[CheckOutcome] = {
+
+    import graft.queries.ChecksQueries
+    graft.functions.GraftFunctions.register(spark)
+
+    val catalog = store.load("catalog").getOrElse(return Seq.empty)
+    val checks = store.load("checks")
+
+    val batch = ChecksQueries.selectBatch(catalog, batchSize, Timestamp.from(now))
+      .select("resource_id", "dataset_id", "url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+    val lastByResource: Map[String, (Option[String], Long)] = checks match {
+      case None => Map.empty
+      case Some(df) =>
+        ChecksQueries.dedupLatestPerResource(df)
+          .select("resource_id", "checksum", "id").collect()
+          .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    }
+    val maxCheckId = checks.map(_.agg(max("id")).head().getLong(0)).getOrElse(0L)
+
+    val outcomes = batch.zipWithIndex.map { case ((resourceId, datasetId, url), i) =>
+      fetcher.fetch(url) match {
+        case Left(err) =>
+          notifier.notify(datasetId, resourceId, Map("check:available" -> false, "check:error" -> err))
+          CheckOutcome(resourceId, url, 404, None, None, None, Some(err), changed = false)
+        case Right((path, headers)) =>
+          val checksum = sha1File(path)
+          val size = Files.size(Paths.get(path))
+          val last = lastByResource.get(resourceId)
+          val changed = last.forall(!_._1.contains(checksum)) // first check or checksum diff (E4 tail)
+          val parsingTable =
+            if (changed) {
+              try {
+                val res = CsvIngest.analyseCsv(spark, path, url, warehouse)
+                notifier.notify(datasetId, resourceId, Map(
+                  "analysis:checksum" -> checksum,
+                  "analysis:content-length" -> size,
+                  "analysis:parsing-table" -> res.tableName))
+                Some(res.tableName)
+              } catch {
+                case e: CsvSnifferException => None
+              }
+            } else None
+          CheckOutcome(resourceId, url, 200, Some(checksum), Some(size), parsingTable, None, changed)
+      }
+    }.toSeq
+
+    // append the new check rows (D-partition-friendly schema) in one write
+    import spark.implicits._
+    val createdAt = Timestamp.from(now)
+    val newChecks = outcomes.zipWithIndex.map { case (o, i) =>
+      (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
+        o.status, o.checksum, o.filesize, o.parsingTable, o.error,
+        Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
+    }.toDF("id", "resource_id", "url", "domain", "created_at",
+      "status", "checksum", "filesize", "parsing_table", "error", "next_check_at")
+    store.append("checks", newChecks)
+
+    // catalog: point each resource at its new check, clear status/priority
+    val updates = newChecks
+      .select(col("resource_id"), col("id").as("last_check"), col("next_check_at"))
+      .withColumn("priority", lit(false))
+    store.upsert("catalog", updates, "resource_id")
+
+    outcomes
+  }
+
+  type CsvSnifferException = graft.detect.CsvSniffer.ParseException
+
+  def domainOf(url: String): String =
+    try Option(new java.net.URI(url).getHost).getOrElse("local")
+    catch { case _: Exception => "local" }
+}

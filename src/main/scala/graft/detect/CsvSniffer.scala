@@ -47,11 +47,19 @@ object CsvSniffer {
     Dialect(encoding, sep.toString, headerIdx, header)
   }
 
+  /** Bounded head sample; gzip payloads (magic 1f 8b — reference
+    * utils/file.py:27-31) are transparently decompressed, still bounded. */
   private def headBytes(path: String): Array[Byte] = {
     val p = Paths.get(path)
     val size = math.min(Files.size(p), SampleBytes.toLong).toInt
     val in = Files.newInputStream(p)
-    try in.readNBytes(size) finally in.close()
+    try {
+      val raw = in.readNBytes(size)
+      if (raw.length >= 2 && (raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B) {
+        val gin = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+        try gin.readNBytes(SampleBytes) finally gin.close()
+      } else raw
+    } finally in.close()
   }
 
   /** Encoding: BOM first, then strict-UTF-8 validation, else latin-1

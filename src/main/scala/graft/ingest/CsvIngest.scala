@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.detect.{CsvSniffer, Profiler, TypeInference}
+import graft.detect.{CsvSniffer, Profiler, TypeInference, XlsxReader}
 import graft.model.{ColumnInfo, Inspection}
 
 /** E7/A3/B5/C1-C4 — the end-to-end CSV "APIfication" slice (SURVEY §7.4):
@@ -71,6 +71,78 @@ object CsvIngest {
     }
   }
 
+  /** A2: Spark selects the gzip codec by file extension only; the reference
+    * detects gzip by magic bytes regardless of name (utils/file.py:27-31).
+    * Bridge: link content-gzip files under a .csv.gz name. */
+  private def gzipAwarePath(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val head = {
+      val in = java.nio.file.Files.newInputStream(p)
+      try in.readNBytes(2) finally in.close()
+    }
+    val isGz = head.length >= 2 && (head(0) & 0xFF) == 0x1F && (head(1) & 0xFF) == 0x8B
+    if (!isGz || path.endsWith(".gz")) path
+    else {
+      val linked = java.nio.file.Files.createTempFile("graft", ".csv.gz")
+      java.nio.file.Files.copy(p, linked, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      linked.toString
+    }
+  }
+
+  /** A4: analyse an XLSX workbook through the same inference/cast/persist
+    * slice as CSV — rows come from the JDK-only XlsxReader, header row
+    * detected with the same modal-width + non-numeric heuristic. */
+  def analyseXlsx(
+      spark: SparkSession,
+      xlsxPath: String,
+      url: String,
+      warehouse: String,
+      sheetName: Option[String] = None,
+      exportDir: Option[String] = None,
+      minLinesForParquet: Long = 200L,
+      profile: Boolean = true): IngestResult = {
+
+    val sheet = XlsxReader.read(xlsxPath, sheetName)
+    val nonEmpty = sheet.rows.filter(_.exists(_.nonEmpty))
+    if (nonEmpty.isEmpty)
+      throw new CsvSniffer.ParseException("xlsx-inspection", "list index out of range")
+
+    // header-row heuristic shared with the CSV sniffer contract
+    val headerIdx = nonEmpty.take(10).indexWhere(r =>
+      r.forall(c => c.nonEmpty && !c.forall(ch => ch.isDigit || ch == '.' || ch == '-')))
+    val hIdx = math.max(headerIdx, 0)
+    val header = nonEmpty(hIdx)
+    val body = nonEmpty.drop(hIdx + 1)
+
+    val schema = StructType(header.map(h => StructField(h, StringType)))
+    val rows = body.map(r => org.apache.spark.sql.Row.fromSeq(
+      r.padTo(header.length, "").take(header.length).map(v => if (v.isEmpty) null else v)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+
+    val types = TypeInference.infer(raw)
+    val typed = renameReserved(TypeInference.castAll(raw, types))
+    typed.persist()
+    val rowCount = typed.count()
+
+    val tableName = md5Hex(url)
+    val outPath = s"$warehouse/$tableName"
+    typed.write.mode(SaveMode.Overwrite).parquet(outPath)
+    exportDir.foreach { dir =>
+      if (rowCount >= minLinesForParquet)
+        typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
+    }
+    val prof =
+      if (profile) Profiler.profile(typed)
+      else Map.empty[String, graft.model.ColumnProfile]
+    typed.unpersist()
+
+    IngestResult(tableName,
+      Inspection("utf-8", "", hIdx, header, rowCount, types, prof)
+        .copy(header = header),
+      rowCount, outPath)
+  }
+
   private def javaCharset(enc: String): String = enc match {
     case "latin-1" => "ISO-8859-1"
     case "utf-16-le" => "UTF-16LE"
@@ -94,7 +166,8 @@ object CsvIngest {
       profile: Boolean = true): IngestResult = {
 
     val dialect = CsvSniffer.sniff(csvPath)
-    val raw = readCsv(spark, csvPath, dialect)
+    val readablePath = gzipAwarePath(csvPath)
+    val raw = readCsv(spark, readablePath, dialect)
 
     val types: Map[String, ColumnInfo] = TypeInference.infer(raw)
     val typed = renameReserved(TypeInference.castAll(raw, types))

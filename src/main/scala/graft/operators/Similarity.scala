@@ -104,6 +104,60 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into nCentroids cells; each query probes its
+    * nProbe nearest cells and scores only those vectors.
+    *
+    * The scale shape: corpus cell assignment is one MLlib KMeans transform
+    * (itself distributed); per-query probing is a broadcast join against the
+    * tiny centroid table; candidate scoring touches ~nProbe/nCentroids of
+    * the corpus. Deterministic via the KMeans seed. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val toVec = (c: Column) => array_to_vector(transform(c, x => x.cast("double")))
+    val corpusVec = corpus.withColumn("__features", toVec(col(vecCol)))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .withColumnRenamed("prediction", "cell").drop("__features")
+
+    // tiny centroid table → broadcast; probe = nProbe closest cells per query
+    val centroids = model.clusterCenters.zipWithIndex.toSeq.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidDf = centroids.toDF("cell", "centroid")
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val wProbe = Window.partitionBy(qidCol).orderBy(col("dist"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", l2(col(qvecCol), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+
+    val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact, all-pairs within LSH
     * buckets): the dedup-flavored entry point over embeddings. */
   def cosineNearDuplicates(

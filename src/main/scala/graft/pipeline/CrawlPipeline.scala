@@ -104,6 +104,11 @@ object CrawlPipeline {
           .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
     }
     val maxCheckId = checks.map(_.agg(max("id")).head().getLong(0)).getOrElse(0L)
+    val exceptions: Set[String] = store.load("resources_exceptions")
+      .map(_.select("resource_id").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val newIndexEntries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
 
     val outcomes = batch.zipWithIndex.map { case ((resourceId, datasetId, url), i) =>
       fetcher.fetch(url) match {
@@ -113,12 +118,24 @@ object CrawlPipeline {
         case Right((path, headers)) =>
           val checksum = sha1File(path)
           val size = Files.size(Paths.get(path))
+          val (_, format) = HeaderUtils.detectTabularFromHeaders(headers, url)
           val last = lastByResource.get(resourceId)
           val changed = last.forall(!_._1.contains(checksum)) // first check or checksum diff (E4 tail)
+          if (!HeaderUtils.sizeAllowed(format, size, exceptions.contains(resourceId))) {
+            // size-cap refusal (utils/file.py:48-65 abort; waived for exceptions)
+            CheckOutcome(resourceId, url, 200, Some(checksum), Some(size), None,
+              Some("File too large to download"), changed)
+          } else {
           val parsingTable =
             if (changed) {
               try {
-                val res = CsvIngest.analyseCsv(spark, path, url, warehouse)
+                val res =
+                  if (format == "xlsx" || url.endsWith(".xlsx"))
+                    CsvIngest.analyseXlsx(spark, path, url, warehouse)
+                  else CsvIngest.analyseCsv(spark, path, url, warehouse)
+                // C6: record the parsed table + full inspection report
+                newIndexEntries += ((res.tableName,
+                  graft.model.InspectionJson.toJson(res.inspection), resourceId, url))
                 notifier.notify(datasetId, resourceId, Map(
                   "analysis:checksum" -> checksum,
                   "analysis:content-length" -> size,
@@ -129,6 +146,7 @@ object CrawlPipeline {
               }
             } else None
           CheckOutcome(resourceId, url, 200, Some(checksum), Some(size), parsingTable, None, changed)
+          }
       }
     }.toSeq
 
@@ -142,6 +160,14 @@ object CrawlPipeline {
     }.toDF("id", "resource_id", "url", "domain", "created_at",
       "status", "checksum", "filesize", "parsing_table", "error", "next_check_at")
     store.append("checks", newChecks)
+
+    // C6: tables_index append — one row per freshly parsed table
+    if (newIndexEntries.nonEmpty) {
+      val idx = newIndexEntries.toSeq
+        .toDF("parsing_table", "csv_detective", "resource_id", "url")
+        .withColumn("created_at", lit(createdAt))
+      store.append("tables_index", idx)
+    }
 
     // catalog: point each resource at its new check, clear status/priority
     val updates = newChecks
@@ -157,4 +183,30 @@ object CrawlPipeline {
   def domainOf(url: String): String =
     try Option(new java.net.URI(url).getHost).getOrElse("local")
     catch { case _: Exception => "local" }
+
+  /** E1 — the crawl loop (crawl/__init__.py:14-41): run batches until no
+    * work remains or maxBatches is reached. sleepMs mirrors
+    * SLEEP_BETWEEN_BATCHES (0 in tests). */
+  def runLoop(
+      spark: SparkSession,
+      store: MetaStore,
+      warehouse: String,
+      fetcher: Fetcher,
+      notifier: Notifier,
+      batchSize: Int = 40,
+      maxBatches: Int = 10,
+      sleepMs: Long = 0L,
+      now: () => Instant = () => Instant.now()): Seq[Seq[CheckOutcome]] = {
+    val all = Seq.newBuilder[Seq[CheckOutcome]]
+    var i = 0
+    var done = false
+    while (i < maxBatches && !done) {
+      val outcomes = runBatch(spark, store, warehouse, fetcher, notifier, batchSize, now())
+      all += outcomes
+      done = outcomes.isEmpty
+      if (!done && sleepMs > 0) Thread.sleep(sleepMs)
+      i += 1
+    }
+    all.result()
+  }
 }

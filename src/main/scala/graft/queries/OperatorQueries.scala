@@ -117,6 +117,18 @@ object OperatorQueries {
           .orderBy("qid", "rank")
       }),
 
+    // IVF ANN top-k: KMeans coarse quantizer + nProbe cell probing.
+    "x16_cosine_ivf_topk" -> rowsOnly(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nCentroids = 16, nProbe = 4)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+          .orderBy("qid", "rank")
+      }),
+
     // Embedding near-duplicates by cosine within LSH buckets.
     "x15_embedding_neardup" -> rowsOnly(
       (s, dir) =>

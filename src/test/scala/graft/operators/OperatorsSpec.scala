@@ -141,3 +141,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).getLong(2) == fps(1).getLong(2))
   }
 }
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf top-k finds true neighbors through cell probing") {
+    // two clear clusters + a query near cluster A
+    val rng = new scala.util.Random(3)
+    def jitter(base: Array[Float]) = base.map(v => v + (rng.nextFloat() - 0.5f) * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val corpus = ((1L to 20L).map(i => (i, jitter(a))) ++ (21L to 40L).map(i => (i, jitter(b))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, a)).toDF("qid", "qvec")
+    val res = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, nCentroids = 2, nProbe = 1)
+      .collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getAs[Long]("vec_id") <= 20L)) // all from cluster A
+    assert(res.forall(_.getAs[Double]("sim") > 0.95))
+  }
+}

@@ -53,6 +53,13 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(notifier.sent.count(_._3.contains("analysis:parsing-table")) == 2)
     assert(notifier.sent.exists(_._3.get("check:available").contains(false)))
 
+    // C6: tables_index rows carry the full inspection report as JSON
+    val idx = store.load("tables_index").get
+    assert(idx.count() == 2)
+    val report = idx.filter(col("resource_id") === "r1").head().getAs[String]("csv_detective")
+    for (key <- Seq("\"header\"", "\"columns\"", "\"total_lines\"", "\"profile\"", "\"formats\""))
+      assert(report.contains(key), s"missing $key in $report")
+
     // second crawl at a later due time: checksums unchanged → no re-ingest
     val outcomes2 = CrawlPipeline.runBatch(spark, store, warehouse,
       new CrawlPipeline.LocalFetcher, notifier, batchSize = 10,

@@ -213,6 +213,63 @@ object GraftHashUtil {
     sk
   }
 
+  /** Per-language stopword sets for the native language-ID kernel (public
+    * linguistic knowledge; mirrors TextAnalysis.stopwords). */
+  private val langSets: Array[(String, java.util.HashSet[String])] = {
+    def hs(ws: String*) = { val s = new java.util.HashSet[String](); ws.foreach(s.add); s }
+    Array(
+      "de" -> hs("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit",
+        "sich", "auf", "für", "nicht", "ein", "eine", "als", "auch", "es", "an"),
+      "en" -> hs("the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+        "for", "on", "are", "with", "as", "his", "they", "at", "be", "this"),
+      "es" -> hs("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+        "es", "no", "por", "con", "para", "se", "del", "al", "lo", "como"),
+      "fr" -> hs("le", "la", "les", "de", "des", "du", "et", "est", "un", "une",
+        "dans", "que", "qui", "pour", "sur", "pas", "au", "avec", "ce", "il"),
+      "it" -> hs("il", "la", "di", "e", "che", "in", "un", "una", "per", "non",
+        "sono", "con", "si", "del", "le", "al", "come", "dei", "nel", "della"),
+      "pt" -> hs("o", "a", "os", "as", "de", "e", "que", "em", "um", "uma",
+        "não", "por", "com", "para", "se", "do", "da", "no", "na", "dos"))
+  }
+
+  private val und = UTF8String.fromString("und")
+  private val langNames = langSets.map { case (n, _) => UTF8String.fromString(n) }
+
+  /** Language ID: argmax stopword-hit ratio across the profiles, "und" below
+    * the minimum-signal threshold. One tokenization pass, no allocation per
+    * language. Ties break toward the alphabetically-first language (array
+    * order), matching the column-expression formulation. */
+  def langId(text: UTF8String, minScorePct: Int): UTF8String = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](langSets.length)
+    var nTok = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        nTok += 1
+        var l = 0
+        while (l < langSets.length) {
+          if (langSets(l)._2.contains(tok)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    if (nTok == 0) return und
+    var best = -1
+    var bestCount = -1
+    var l = 0
+    while (l < langSets.length) {
+      if (counts(l) > bestCount) { bestCount = counts(l); best = l }
+      l += 1
+    }
+    if (bestCount * 100 >= minScorePct * nTok && bestCount > 0) langNames(best) else und
+  }
+
   /** Sorted distinct copy of a long array (for word-shingle hash sets). */
   def sortDistinct(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -342,6 +399,25 @@ case class GraftHyperplaneSketch(child: Expression, nBits: Int, dim: Int, seed: 
   }
 
   override protected def withNewChildInternal(newChild: Expression): GraftHyperplaneSketch =
+    copy(child = newChild)
+}
+
+/** `graft_lang_id(string, minScorePct) → string` — native stopword-profile
+  * language ID. */
+case class GraftLangId(child: Expression, minScorePct: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.langId(input.asInstanceOf[UTF8String], minScorePct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.langId($c, $minScorePct)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftLangId =
     copy(child = newChild)
 }
 

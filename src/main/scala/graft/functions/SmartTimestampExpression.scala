@@ -93,6 +93,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => GraftShingleHashes(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[GraftLangId].getName, "graft_lang_id"),
+      (args: Seq[Expression]) => GraftLangId(args.head, literalInt(args(1)))),
     (new FunctionIdentifier("graft_hyperplane_sketch"),
       new ExpressionInfo(classOf[GraftHyperplaneSketch].getName, "graft_hyperplane_sketch"),
       (args: Seq[Expression]) => GraftHyperplaneSketch(args.head,

@@ -54,13 +54,11 @@ object TextAnalysis {
     array(entries: _*)
   }
 
-  def langId(text: Column, minScore: Double = 0.05): Column = {
-    val best = aggregate(
-      langScores(text),
-      struct(lit("und").as("lang"), lit(0.0).as("score")),
-      (acc, e) => when(e.getField("score") > acc.getField("score"), e).otherwise(acc))
-    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** Native kernel (GraftLangId): one tokenization pass, per-language
+    * HashSet lookups — the aggregate-over-langScores form was interpreted.
+    * Requires GraftFunctions.register on the session. */
+  def langId(text: Column, minScore: Double = 0.05): Column =
+    call_function("graft_lang_id", text, lit(math.round(minScore * 100).toInt))
 
   // --- quality scoring -----------------------------------------------------
 

@@ -93,17 +93,33 @@ object OperatorQueries {
           .orderBy("lang_pred")),
 
     // Brute-force cosine top-k over embeddings: the ANN correctness baseline.
-    // Queries = 20 lowest vec_ids, broadcast against the corpus.
-    "x13_cosine_topk" -> rowsOnly(
+    // Queries = 20 lowest vec_ids, broadcast against the corpus. The oracle
+    // reproduces the same double-precision left-to-right dot products —
+    // verified bit-for-bit before rounding at sf0.01.
+    "x13_cosine_topk" -> sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.orderBy("vec_id").limit(20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
           "qid", "qvec", k = 5)
-          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"),
+            col("rank").cast("long").as("rank"))
           .orderBy("qid", "rank")
-      }),
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q JOIN emb e ON e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id, round(sim, 4) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
 
     // LSH-bucketed ANN (hyperplane sketches) — the scale path.
     "x14_cosine_lsh_topk" -> rowsOnly(

@@ -102,6 +102,29 @@ object RelationalQueries {
         |  FROM events) t
         |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin),
 
+    // D2 (db/check.py:71-84): full per-key history, newest first.
+    "d02_ordered_history" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") === 5)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(desc("ts"), desc("event_id")),
+      """SELECT event_id, event_type, value FROM events WHERE user_id = 5
+        |ORDER BY epoch_us(ts) DESC, event_id DESC""".stripMargin),
+
+    // Beyond-reference freebie (SURVEY §2 "available free in Spark"):
+    // hierarchical ROLLUP totals. NULLS FIRST pinned on both sides.
+    "d16_rollup" -> sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
     // D7 (crawl/helpers.py:66-139): per-key sliding/tumbling window counts
     // (domain backoff). Tumbling 1h window == epoch-aligned date_trunc.
     "d07_backoff_window" -> sql(

@@ -28,14 +28,16 @@ object Dedup {
   private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
 
   /** Exact duplicate groups by content digest. One shuffle; digest-first so
-    * wide text never travels — only (digest, id). */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    * wide text never travels — only (digest, id). The ids sample is capped:
+    * an unbounded collect_list on a viral duplicate (millions of copies of
+    * one boilerplate page) would blow a single aggregation buffer at scale. */
+  def exact(df: DataFrame, textCol: String, idCol: String, maxIdsPerGroup: Int = 100): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("digest"))
       .groupBy("digest")
       .agg(
         count(lit(1)).as("n_dups"),
         min(col(idCol)).as("keep_id"),
-        sort_array(collect_list(col(idCol))).as("ids"))
+        slice(sort_array(collect_list(col(idCol))), 1, maxIdsPerGroup).as("ids"))
       .where(col("n_dups") > 1)
 
   /** Keep one row per exact content digest (the dedup "apply" side):
@@ -57,31 +59,15 @@ object Dedup {
         s => s =!= ""))
   }
 
-  /** MinHash signature via universal hashing: hash every shingle ONCE with
-    * xxhash64, then derive the i-th hash family member as an affine
-    * permutation a_i·h+b_i (odd multipliers — a bijection on Z/2^64). The
-    * naive per-seed rehash (numHashes × string hashing per doc) dominated
-    * bench time; this is numHashes × one multiply-add over a cached long
-    * array. Same LSH guarantees (Carter-Wegman universal family). */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    minhashFromHashes(transform(shinglesCol, s => xxhash64(s)), numHashes)
-
-  /** Signature from pre-computed shingle hashes. Callers should materialize
-    * the hash array (persist) before fanning out to numHashes array_mins —
-    * Catalyst's project-collapsing would otherwise inline the string-hash
-    * pass into every one of them. */
-  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
-    // 32-bit hash values × 30-bit odd multipliers stay far from long
-    // overflow (ANSI mode makes a wrapping h*a a runtime error)
-    val perms = {
-      val rng = new scala.util.Random(0x5eed)
-      Seq.fill(numHashes)(((rng.nextInt(1 << 30) | 1).toLong, rng.nextInt(1 << 30).toLong))
-    }
-    val masked = transform(baseHashes, h => h.bitwiseAND(lit(0xFFFFFFFFL)))
-    array(perms.map { case (a, b) =>
-      array_min(transform(masked, h => h * a + b))
-    }: _*)
-  }
+  /** MinHash band keys for a text column — the kernel-backed entry point
+    * (GraftMinhashBands: fmix64(h^seed) family, collision-calibrated in
+    * HashKernelSpec). A pure-Column affine-permutation variant existed
+    * earlier but its family correlated across bands (50× candidate
+    * inflation) — deliberately removed so only the calibrated family ships. */
+  def minhashBandKeys(textCol: Column, shingleSize: Int, bands: Int, rowsPerBand: Int): Column =
+    call_function("graft_minhash_bands",
+      call_function("graft_shingle_hashes", textCol, lit(shingleSize)),
+      lit(bands), lit(rowsPerBand))
 
   /** MinHash-LSH near-duplicate pairs.
     *

@@ -47,7 +47,11 @@ final class MetaStore(spark: SparkSession, root: String) {
   // ---- catalog ----------------------------------------------------------
 
   /** D10 upsert (INSERT … ON CONFLICT (resource_id) DO UPDATE): keyed
-    * full-outer merge, update columns win when the key matches. */
+    * full-outer merge. When an update row matches, its column values win
+    * INCLUDING explicit NULLs — `SET col = excluded.col` semantics; the
+    * reference relies on this to reset `status` to NULL
+    * (preprocess_check_data.py:61). A plain coalesce would silently keep
+    * the stale value. */
   def upsert(name: String, updates: DataFrame, key: String): Unit = {
     val merged = load(name) match {
       case None => updates
@@ -56,8 +60,11 @@ final class MetaStore(spark: SparkSession, root: String) {
         val e = existing.alias("e")
         val u = updates.alias("u")
         val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
+        val updateMatched = col(s"u.$key").isNotNull
         val projected = cols.map { c =>
-          if (updates.columns.contains(c)) coalesce(col(s"u.$c"), col(s"e.$c")).as(c)
+          if (c == key) coalesce(col(s"u.$key"), col(s"e.$key")).as(c)
+          else if (updates.columns.contains(c))
+            when(updateMatched, col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
           else col(s"e.$c").as(c)
         }
         joined.select(projected.toIndexedSeq: _*)

@@ -89,6 +89,17 @@ class MetaStoreSpec extends SparkSpec {
     assert(rows == Seq(("r1", "u1"), ("r2", "u2-new"), ("r3", "u3")))
   }
 
+  test("upsert: an explicit NULL in the update wins (status-reset semantics)") {
+    val st = store
+    st.save("catalog", Seq(("r1", Option("CRAWLING_URL")), ("r2", Option("TO_CHECK")))
+      .toDF("resource_id", "status"))
+    st.upsert("catalog",
+      Seq(("r1", None: Option[String])).toDF("resource_id", "status"), "resource_id")
+    val statuses = st.load("catalog").get.orderBy("resource_id")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(statuses == Seq(("r1", None), ("r2", Some("TO_CHECK"))))
+  }
+
   test("soft delete all, resurrect via upsert") {
     val st = store
     st.save("catalog", Seq(("r1", false), ("r2", false)).toDF("resource_id", "deleted"))

@@ -96,10 +96,15 @@ object CrawlPipeline {
       .select("resource_id", "dataset_id", "url").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
+    // only the BATCH's resources come back to the driver (bounded by
+    // batchSize), never the full check history — the isin filter pushes to
+    // the partitioned parquet scan before the window
+    val batchIds = batch.map(_._1).toSeq
     val lastByResource: Map[String, (Option[String], Long)] = checks match {
       case None => Map.empty
       case Some(df) =>
-        ChecksQueries.dedupLatestPerResource(df)
+        ChecksQueries.dedupLatestPerResource(
+          df.filter(col("resource_id").isin(batchIds: _*)))
           .select("resource_id", "checksum", "id").collect()
           .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
     }
@@ -159,7 +164,11 @@ object CrawlPipeline {
         Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
     }.toDF("id", "resource_id", "url", "domain", "created_at",
       "status", "checksum", "filesize", "parsing_table", "error", "next_check_at")
-    store.append("checks", newChecks)
+    // date-partitioned append: retention purges (D14) and backoff windows
+    // (D7) then prune partitions instead of scanning the whole log
+    store.append("checks",
+      newChecks.withColumn("created_date", to_date(col("created_at"))),
+      partitionBy = Seq("created_date"))
 
     // C6: tables_index append — one row per freshly parsed table
     if (newIndexEntries.nonEmpty) {

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shape tools for the 100 TB posture (driver contract:
+  * "repartition/bucketing for co-located joins, salting for skew").
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+  * salting still matters for (a) skewed AGGREGATIONS and (b) joins whose
+  * skew AQE can't see (e.g. post-explode key storms). Bucketing removes the
+  * shuffle from repeated equi-joins on a stable key entirely.
+  */
+object Skew {
+
+  /** Salted join of a skewed fact side against a dimension: the fact key
+    * gains a random salt in [0, salts); the dim side explodes into all
+    * salts. One hot key then lands on `salts` reducers instead of one.
+    * Equi-join semantics preserved exactly (inner/left joins on the key). */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), rand(42)), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-stage skew-safe aggregation: partial aggregate on (key, salt),
+    * then final aggregate on key. Works for any algebraic aggregate the
+    * caller expresses twice (partial, merge) — counts/sums here as the
+    * common case used by the profile/stats paths. */
+  def saltedCountSum(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as("sum"))
+
+  /** Write both sides bucketed by the join key: subsequent equi-joins on
+    * that key read co-located buckets and skip the exchange entirely —
+    * .explain shows no ShuffleExchange on either side. Uses the session
+    * catalog (saveAsTable is how Spark persists bucketing metadata). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when the physical plan of `df` contains a shuffle exchange —
+    * the assertion primitive for co-location tests. AQE hides exchanges
+    * inside leaf ShuffleQueryStageExec nodes, so the walk must recurse
+    * through adaptive plans and materialized stages explicitly. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def scan(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case _: ShuffleQueryStageExec => true
+      case _: ShuffleExchangeLike => true
+      case q: QueryStageExec => scan(q.plan)
+      case other => other.children.exists(scan)
+    }
+    scan(df.queryExecution.executedPlan)
+  }
+}

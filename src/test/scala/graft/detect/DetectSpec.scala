@@ -100,3 +100,34 @@ class ProfilerSpec extends SparkSpec {
     assert(s.tops.head == ("a", 2L))
   }
 }
+
+class OnePassProfilerSpec extends SparkSpec {
+
+  test("one-pass profile agrees with the two-pass profiler on exact stats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"), (4L, 40.0, null)
+    ).toDF("id", "v", "s")
+    val one = OnePassProfiler.profile(df, topK = 2)
+    val two = Profiler.profile(df, topK = 2)
+    for (c <- Seq("id", "v", "s")) {
+      assert(one(c).min == two(c).min, c)
+      assert(one(c).max == two(c).max, c)
+      assert(one(c).mean == two(c).mean, c)
+      assert(one(c).nbMissingValues == two(c).nbMissingValues, c)
+      assert(one(c).tops.headOption.map(_._1) == two(c).tops.headOption.map(_._1), c)
+      one(c).std.zip(two(c).std).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, c) }
+    }
+    // linear-counting distinct is exact at tiny cardinalities
+    assert(one("s").nbDistinct == 2L && one("v").nbDistinct == 4L)
+  }
+
+  test("one-pass profile: heavy hitters survive across partitions") {
+    import spark.implicits._
+    val df = ((1 to 500).map(_ => "common") ++ (1 to 40).map(i => s"rare$i"))
+      .toDF("s").repartition(8)
+    val p = OnePassProfiler.profile(df, topK = 1, trackCapacity = 16)
+    assert(p("s").tops.head._1 == "common")
+    assert(p("s").tops.head._2 >= 500L - 16L) // MG undercount bounded by capacity
+  }
+}

@@ -70,6 +70,27 @@ object CheckStream {
       }
   }
 
+  /** Continuous ingestion of check events into the MetaStore: each
+    * micro-batch appends to the date-partitioned checks log and re-points
+    * the catalog at the newest check per resource — the streaming form of
+    * CrawlPipeline's tail. foreachBatch gives exactly the batch-side code
+    * reuse Structured Streaming is designed for; idempotence comes from the
+    * (resource_id, created_at) natural key on the append side. */
+  def sinkToStore(
+      checks: Dataset[CheckEvent],
+      store: graft.store.MetaStore,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    checks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CheckEvent], batchId: Long) =>
+        val df = batch.toDF()
+          .withColumn("created_date", to_date(col("createdAt")))
+        store.append("checks_stream", df, partitionBy = Seq("created_date"))
+        ()
+      }
+      .start()
+  }
+
   /** Pure predicate shared by batch and streaming paths. */
   def changeReason(current: CheckEvent, last: Option[CheckEvent]): Option[String] = last match {
     case None => Some("first-check")

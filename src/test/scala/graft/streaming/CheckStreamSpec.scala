@@ -38,6 +38,27 @@ class CheckStreamSpec extends SparkSpec {
       ("r2", "first-check"), ("r2", "content-changed")))
   }
 
+  test("foreachBatch sink appends micro-batches to the date-partitioned store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream").toString
+    val store = new graft.store.MetaStore(spark, s"$root/meta")
+    val input = MemoryStream[CheckEvent]
+    val query = CheckStream.sinkToStore(input.toDS(), store, s"$root/ckpt")
+    input.addData(
+      CheckEvent("r1", "a.fr", ts(0), Some(200), timeout = false, None, None),
+      CheckEvent("r2", "b.fr", ts(1), Some(404), timeout = false, None, None))
+    query.processAllAvailable()
+    input.addData(
+      CheckEvent("r1", "a.fr", ts(5), Some(200), timeout = false, None, None))
+    query.processAllAvailable()
+    query.stop()
+    val out = store.load("checks_stream").get
+    assert(out.count() == 3)
+    assert(out.columns.contains("created_date"))
+    assert(out.where($"resourceId" === "r1").count() == 2)
+  }
+
   test("windowed domain counts aggregate with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Hash-based ops (minhash/simhash/xxhash sketches)
@@ -143,6 +143,19 @@ object OperatorQueries {
           "qid", "qvec", k = 5, nCentroids = 16, nProbe = 4)
           .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
           .orderBy("qid", "rank")
+      }),
+
+    // The composed training-data pipeline: quality -> lang -> exact dedup ->
+    // near dedup -> token accounting, reported as one row.
+    "x17_training_pipeline" -> rowsOnly(
+      (s, dir) => {
+        val (_, r) = TrainingDataPipeline.clean(
+          Tables.documents(s, dir), minQuality = 0.2, nearDupThreshold = 0.8)
+        import s.implicits._
+        Seq((r.input, r.afterQuality, r.afterLang, r.afterExactDedup,
+          r.afterNearDedup, r.totalTokens))
+          .toDF("input", "after_quality", "after_lang", "after_exact_dedup",
+            "after_near_dedup", "total_tokens")
       }),
 
     // Embedding near-duplicates by cosine within LSH buckets.

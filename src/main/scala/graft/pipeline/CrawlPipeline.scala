@@ -109,11 +109,21 @@ object CrawlPipeline {
           .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
     }
     val maxCheckId = checks.map(_.agg(max("id")).head().getLong(0)).getOrElse(0L)
-    val exceptions: Set[String] = store.load("resources_exceptions")
-      .map(_.select("resource_id").collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty)
+    // resources_exceptions: size-cap waiver + requested table_indexes
+    // (C1/D15 — "indexes" recorded in tables_index like the reference's
+    // jsonb column; index name scheme = HeaderUtils.indexName)
+    val exceptionRows: Map[String, String] = store.load("resources_exceptions")
+      .map { df =>
+        val hasIdx = df.columns.contains("table_indexes")
+        df.collect().map { r =>
+          r.getAs[String]("resource_id") ->
+            (if (hasIdx) Option(r.getAs[String]("table_indexes")).getOrElse("") else "")
+        }.toMap
+      }
+      .getOrElse(Map.empty)
+    val exceptions: Set[String] = exceptionRows.keySet
     val newIndexEntries = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, String)]
+      .empty[(String, String, String, String, String)]
 
     val outcomes = batch.zipWithIndex.map { case ((resourceId, datasetId, url), i) =>
       fetcher.fetch(url) match {
@@ -138,9 +148,11 @@ object CrawlPipeline {
                   if (format == "xlsx" || url.endsWith(".xlsx"))
                     CsvIngest.analyseXlsx(spark, path, url, warehouse)
                   else CsvIngest.analyseCsv(spark, path, url, warehouse)
-                // C6: record the parsed table + full inspection report
+                // C6: record the parsed table + full inspection report +
+                // any requested indexes from the exceptions table
                 newIndexEntries += ((res.tableName,
-                  graft.model.InspectionJson.toJson(res.inspection), resourceId, url))
+                  graft.model.InspectionJson.toJson(res.inspection), resourceId, url,
+                  exceptionRows.getOrElse(resourceId, "")))
                 notifier.notify(datasetId, resourceId, Map(
                   "analysis:checksum" -> checksum,
                   "analysis:content-length" -> size,
@@ -173,7 +185,7 @@ object CrawlPipeline {
     // C6: tables_index append — one row per freshly parsed table
     if (newIndexEntries.nonEmpty) {
       val idx = newIndexEntries.toSeq
-        .toDF("parsing_table", "csv_detective", "resource_id", "url")
+        .toDF("parsing_table", "csv_detective", "resource_id", "url", "indexes")
         .withColumn("created_at", lit(createdAt))
       store.append("tables_index", idx)
     }

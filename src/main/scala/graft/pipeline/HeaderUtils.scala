@@ -73,6 +73,27 @@ object HeaderUtils {
     try Option(new java.net.URI(url).getHost).getOrElse("")
     catch { case _: Exception => "" }
 
+  /** B6: slugify for index names (analysis/csv.py:242-243): lowercase,
+    * runs of non-alphanumerics → single '-', trimmed. */
+  def slugify(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+      .replaceAll("[\\p{M}]", "")
+      .toLowerCase
+      .replaceAll("[^a-z0-9]+", "-")
+      .replaceAll("(^-+)|(-+$)", "")
+
+  /** The reference's index naming scheme: {table}_{slug(col)}_idx. */
+  def indexName(tableName: String, colName: String): String =
+    s"${tableName}_${slugify(colName)}_idx"
+
+  /** E2 HEAD-quality check (crawl/helpers.py:47-54): a HEAD response is
+    * useful only with a valid status AND a content-length or last-modified
+    * header (otherwise the crawler falls back to GET). */
+  def hasNiceHead(status: Option[Int], headers: Map[String, String]): Boolean = {
+    val valid = status.exists(s => s != 429 && s >= 200 && s < 400)
+    valid && Seq("content-length", "last-modified").exists(headers.contains)
+  }
+
   /** Per-format ingest size caps in bytes (config_default.toml:52-56),
     * waived for exception resources (analysis/csv.py:138-142). */
   val MaxFilesizeAllowed: Map[String, Long] = Map(

@@ -128,3 +128,19 @@ class XlsxIngestSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 }
+
+class HeaderUtilsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("slugify + index name scheme") {
+    assert(HeaderUtils.slugify("Code Postal") == "code-postal")
+    assert(HeaderUtils.slugify("Prénom_élève!") == "prenom-eleve")
+    assert(HeaderUtils.indexName("abc123", "Code Postal") == "abc123_code-postal_idx")
+  }
+  test("hasNiceHead: needs valid status AND a freshness header") {
+    assert(HeaderUtils.hasNiceHead(Some(200), Map("content-length" -> "10")))
+    assert(HeaderUtils.hasNiceHead(Some(301), Map("last-modified" -> "x")))
+    assert(!HeaderUtils.hasNiceHead(Some(200), Map("server" -> "nginx")))
+    assert(!HeaderUtils.hasNiceHead(Some(404), Map("content-length" -> "10")))
+    assert(!HeaderUtils.hasNiceHead(Some(429), Map("content-length" -> "10")))
+    assert(!HeaderUtils.hasNiceHead(None, Map("content-length" -> "10")))
+  }
+}

@@ -36,8 +36,18 @@ class SkewSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 2000L).map(i => (i, s"r$i")).toDF("id", "rv")
-    spark.sql("DROP TABLE IF EXISTS bkt_left")
-    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    for (t <- Seq("bkt_left", "bkt_right")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a stale location from a previous JVM isn't in this session's
+      // in-memory catalog — remove the directory itself
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Skew.writeBucketed(left, "bkt_left", "id", buckets = 8)
     Skew.writeBucketed(right, "bkt_right", "id", buckets = 8)
     val joined = spark.table("bkt_left").join(spark.table("bkt_right"), Seq("id"))

@@ -73,6 +73,20 @@ class PropertySpec extends AnyFunSuite {
     assert(delays.sliding(2).forall { case Seq(a, b) => !b.isBefore(a); case _ => true })
   }
 
+  test("sniffer total-function: arbitrary bytes either parse or raise the contract errors") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)) { bytes =>
+      val f = java.nio.file.Files.createTempFile("fuzz", ".csv")
+      try {
+        java.nio.file.Files.write(f, bytes)
+        try { graft.detect.CsvSniffer.sniff(f.toString); true }
+        catch { case e: graft.detect.CsvSniffer.ParseException =>
+          e.getMessage.contains("list index out of range") ||
+            e.getMessage.contains("Number of columns is not even")
+        }
+      } finally java.nio.file.Files.deleteIfExists(f)
+    })
+  }
+
   test("shingle/ngram hash sets: permutation-independent cardinality bounds") {
     import org.apache.spark.unsafe.types.UTF8String
     check(Prop.forAll(Gen.alphaLowerStr.suchThat(_.length >= 5)) { s =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Hash-based ops (minhash/simhash/xxhash sketches)
@@ -143,6 +143,26 @@ object OperatorQueries {
           "qid", "qvec", k = 5, nCentroids = 16, nProbe = 4)
           .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
           .orderBy("qid", "rank")
+      }),
+
+    // Multimodal plumbing through the query surface: documents become
+    // binary media blobs (deterministic), flow through the stub codec's
+    // probe + feature extraction, and the pseudo-embeddings feed the same
+    // near-dup machinery as real embeddings would.
+    "x18_multimodal_features" -> rowsOnly(
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+            col("text").cast("binary").as("bytes"),
+            struct(lit(null).cast("string").as("format"),
+              lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+              lit(null).cast("long").as("duration_ms")).as("meta"))
+        val probed = Multimodal.withProbedMeta(Multimodal.repartitionBySize(media, 32))
+        val feats = Multimodal.extractFeatures(probed, dim = 16)
+        feats.select(col("media_id"),
+          round(aggregate(col("embedding"), lit(0.0), (a, v) => a + v.cast("double")), 4)
+            .as("feat_sum"))
+          .orderBy("media_id")
       }),
 
     // The composed training-data pipeline: quality -> lang -> exact dedup ->

@@ -37,20 +37,25 @@ object TrainingDataPipeline {
       keepLangs: Seq[String] = Nil,
       nearDupThreshold: Double = 0.8): (DataFrame, Report) = {
 
-    val input = docs.count()
+    // one pass computes both gate flags; one aggregation counts all three
+    // stage sizes — the naive per-stage count() re-evaluated the quality
+    // regex chain and the language kernel once per stage
+    val flagged = docs
+      .withColumn("__q_ok", TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__lang_ok",
+        if (keepLangs.isEmpty) lit(true)
+        else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
+      .persist()
+    val stageCounts = flagged.agg(
+      count(lit(1)).as("input"),
+      count(when(col("__q_ok"), 1)).as("after_q"),
+      count(when(col("__q_ok") && col("__lang_ok"), 1)).as("after_lang")).head()
+    val input = stageCounts.getLong(0)
+    val afterQuality = stageCounts.getLong(1)
+    val afterLang = stageCounts.getLong(2)
 
-    val quality = docs
-      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
-      .where(col("__q") >= minQuality)
-    val afterQuality = quality.count()
-
-    val lang =
-      if (keepLangs.isEmpty) quality
-      else quality
-        .withColumn("__lang", TextAnalysis.langId(col(textCol)))
-        .where(col("__lang").isin(keepLangs: _*))
-    val afterLang = lang.count()
-
+    val lang = flagged.where(col("__q_ok") && col("__lang_ok"))
+      .drop("__q_ok", "__lang_ok")
     val exact = Dedup.dropExactDuplicates(lang, textCol, idCol)
     // the dedup'd set feeds both the near-dup join and the final filter
     exact.persist()
@@ -64,9 +69,11 @@ object TrainingDataPipeline {
       .withColumn("__n_tokens_bpe", TextAnalysis.tokenCountBpe(col(textCol)))
 
     cleaned.persist()
-    val afterNear = cleaned.count()
-    val totalTokens = cleaned.agg(sum("__n_tokens")).head().getLong(0)
+    val fin = cleaned.agg(count(lit(1)), sum("__n_tokens")).head()
+    val afterNear = fin.getLong(0)
+    val totalTokens = fin.getLong(1)
     exact.unpersist()
+    flagged.unpersist()
 
     (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear, totalTokens))
   }

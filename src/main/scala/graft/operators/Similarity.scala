@@ -125,9 +125,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val toVec = (c: Column) => array_to_vector(transform(c, x => x.cast("double")))
-    val corpusVec = corpus.withColumn("__features", toVec(col(vecCol)))
+    // cache: KMeans.fit passes over the features once per iteration — without
+    // this the array->vector conversion re-runs maxIter times
+    val corpusVec = corpus.withColumn("__features", toVec(col(vecCol))).persist()
     val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .setK(nCentroids).setSeed(seed).setMaxIter(5).setFeaturesCol("__features")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
       .withColumnRenamed("prediction", "cell").drop("__features")

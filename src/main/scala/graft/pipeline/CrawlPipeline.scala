@@ -96,6 +96,17 @@ object CrawlPipeline {
       .select("resource_id", "dataset_id", "url").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
+    // A7 claim step (crawl/select_batch.py:16-31): mark picked rows
+    // CRAWLING_URL so a concurrent selector skips them; reset to NULL in
+    // the final upsert below (update-NULL-wins semantics)
+    import spark.implicits._
+    if (batch.nonEmpty) {
+      store.upsert("catalog",
+        batch.map(b => (b._1, ResourceStatus.CrawlingUrl)).toSeq
+          .toDF("resource_id", "status"),
+        "resource_id")
+    }
+
     // only the BATCH's resources come back to the driver (bounded by
     // batchSize), never the full check history — the isin filter pushes to
     // the partitioned parquet scan before the window
@@ -168,7 +179,6 @@ object CrawlPipeline {
     }.toSeq
 
     // append the new check rows (D-partition-friendly schema) in one write
-    import spark.implicits._
     val createdAt = Timestamp.from(now)
     val newChecks = outcomes.zipWithIndex.map { case (o, i) =>
       (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
@@ -190,10 +200,13 @@ object CrawlPipeline {
       store.append("tables_index", idx)
     }
 
-    // catalog: point each resource at its new check, clear status/priority
+    // catalog: point each resource at its new check, clear status (E3's
+    // "reset so it's not forbidden to be checked again" — an explicit NULL
+    // that the upsert's DO-UPDATE semantics preserves) and priority
     val updates = newChecks
       .select(col("resource_id"), col("id").as("last_check"), col("next_check_at"))
       .withColumn("priority", lit(false))
+      .withColumn("status", lit(null).cast("string"))
     store.upsert("catalog", updates, "resource_id")
 
     outcomes

@@ -60,6 +60,10 @@ class CrawlPipelineSpec extends SparkSpec {
     for (key <- Seq("\"header\"", "\"columns\"", "\"total_lines\"", "\"profile\"", "\"formats\""))
       assert(report.contains(key), s"missing $key in $report")
 
+    // E7/A7 state machine: statuses reset to NULL after the batch (the
+    // CRAWLING_URL claim must not leak and block future selection)
+    assert(cat.filter(col("status").isNotNull).count() == 0)
+
     // second crawl at a later due time: checksums unchanged → no re-ingest
     val outcomes2 = CrawlPipeline.runBatch(spark, store, warehouse,
       new CrawlPipeline.LocalFetcher, notifier, batchSize = 10,

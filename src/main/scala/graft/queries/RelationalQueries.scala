@@ -125,6 +125,17 @@ object RelationalQueries {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
 
+    // Beyond-reference freebie: full CUBE over two dimensions.
+    "d17_cube" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .cube("event_type", "user_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_id")),
+      """SELECT event_type, user_id, count(*) AS n, round(sum("value"), 2) AS total
+        |FROM events GROUP BY CUBE (event_type, user_id)
+        |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin),
+
     // D7 (crawl/helpers.py:66-139): per-key sliding/tumbling window counts
     // (domain backoff). Tumbling 1h window == epoch-aligned date_trunc.
     "d07_backoff_window" -> sql(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop kernels for the sketching expressions.
@@ -270,6 +270,84 @@ object GraftHashUtil {
     if (bestCount * 100 >= minScorePct * nTok && bestCount > 0) langNames(best) else und
   }
 
+  /** xxhash64 (seed 42, Spark's xxhash64 builtin) of each whitespace token of
+    * the lowercased trimmed text, in token order — bit-identical to
+    * `transform(filter(split(lower(trim(text)), "\\s+"), _ =!= ""), xxhash64)`
+    * but one static call instead of an interpreted HOF chain. */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val str = s.trim().toLowerCase.toString
+    val len = str.length
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isJavaRegexWs(str.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isJavaRegexWs(str.charAt(i))) i += 1
+        val tok = UTF8String.fromString(str.substring(start, i))
+        out.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L))
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Java regex `\s` (ASCII whitespace incl. vertical tab) — the split
+    * semantics of the Column formulation being replaced. */
+  @inline private def isJavaRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Dot product of two float vectors in double, left-to-right accumulation —
+    * the same summation order as the interpreted zip_with/aggregate chain and
+    * DuckDB's list_dot_product, so results stay bit-comparable to the oracle.
+    * One fused loop; no per-pair allocation. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** L2 norm of a float vector (double accumulation). */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity — dot/(‖a‖·‖b‖), all in one native pass. Callers on a
+    * many-pairs-per-row path should prefer hoisting `norm` into per-row
+    * columns and dividing a `dot` instead (saves 2/3 of the flops). */
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance between a float vector and a double vector (used for
+    * centroid probing in the IVF quantizer). */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Sorted distinct copy of a long array (for word-shingle hash sets). */
   def sortDistinct(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -419,6 +497,99 @@ case class GraftLangId(child: Expression, minScorePct: Int) extends UnaryExpress
 
   override protected def withNewChildInternal(newChild: Expression): GraftLangId =
     copy(child = newChild)
+}
+
+/** `graft_token_hashes(string) → array<bigint>` — xxhash64 (seed 42) of each
+  * whitespace token of lower(trim(s)), in order. */
+case class GraftTokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.tokenHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.tokenHashes($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_dot(array<float>, array<float>) → double` — fused dot product. */
+case class GraftDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GraftHashUtil.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$util.dot($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDot =
+    copy(left = l, right = r)
+}
+
+/** `graft_norm(array<float>) → double` — L2 norm. */
+case class GraftNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.norm(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.norm($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNorm =
+    copy(child = newChild)
+}
+
+/** `graft_cosine(array<float>, array<float>) → double` — one-pass native
+  * cosine similarity. */
+case class GraftCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GraftHashUtil.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$util.cosine($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftCosine =
+    copy(left = l, right = r)
+}
+
+/** `graft_l2sq(array<float>, array<double>) → double` — squared L2 distance
+  * (centroid probing). */
+case class GraftL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GraftHashUtil.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$util.l2sq($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftL2Sq =
+    copy(left = l, right = r)
 }
 
 /** `graft_sort_distinct(array<bigint>) → array<bigint>` */

@@ -99,7 +99,28 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_hyperplane_sketch"),
       new ExpressionInfo(classOf[GraftHyperplaneSketch].getName, "graft_hyperplane_sketch"),
       (args: Seq[Expression]) => GraftHyperplaneSketch(args.head,
-        literalInt(args(1)), literalInt(args(2)), literalLong(args(3)))))
+        literalInt(args(1)), literalInt(args(2)), literalLong(args(3)))),
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => GraftDot(args.head, args(1))),
+    (new FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[GraftNorm].getName, "graft_norm"),
+      (args: Seq[Expression]) => GraftNorm(args.head)),
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[GraftCosine].getName, "graft_cosine"),
+      (args: Seq[Expression]) => GraftCosine(args.head, args(1))),
+    (new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[GraftL2Sq].getName, "graft_l2sq"),
+      (args: Seq[Expression]) => GraftL2Sq(args.head, args(1))),
+    (new FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[GraftTokenHashes].getName, "graft_token_hashes"),
+      (args: Seq[Expression]) => GraftTokenHashes(args.head)),
+    (new FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[GraftTextStats].getName, "graft_text_stats"),
+      (args: Seq[Expression]) => GraftTextStats(args.head)),
+    (new FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[GraftQualityScore].getName, "graft_quality_score"),
+      (args: Seq[Expression]) => GraftQualityScore(args.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

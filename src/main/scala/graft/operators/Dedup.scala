@@ -27,18 +27,44 @@ object Dedup {
   private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
   private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
 
+  // Intermediate sketch tables (shingle/gram hash sets, fingerprints) are
+  // persisted because the results are lazy — the caller materializes them
+  // after this function returns. releaseCaches() is the matching hook: call
+  // it once the result is materialized so cached sketch tables don't occupy
+  // executor memory for the rest of the job (at 100 TB an unreleased shingle
+  // cache is an OOM, not a nuisance).
+  private val trackedCaches =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Unpersist every sketch table cached by dedup calls so far. */
+  def releaseCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false) }
+    trackedCaches.clear()
+  }
+
   /** Exact duplicate groups by content digest. One shuffle; digest-first so
-    * wide text never travels — only (digest, id). The ids sample is capped:
+    * wide text never travels — only (digest, id). The ids sample is bounded
+    * BEFORE aggregation (row_number within digest, collect only ranks ≤ cap):
     * an unbounded collect_list on a viral duplicate (millions of copies of
-    * one boilerplate page) would blow a single aggregation buffer at scale. */
-  def exact(df: DataFrame, textCol: String, idCol: String, maxIdsPerGroup: Int = 100): DataFrame =
+    * one boilerplate page) would blow a single aggregation buffer at scale —
+    * collect_list skips nulls, so the buffer holds at most maxIdsPerGroup
+    * entries. The window and the groupBy share the digest partitioning, so
+    * no extra shuffle. */
+  def exact(df: DataFrame, textCol: String, idCol: String, maxIdsPerGroup: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("digest").orderBy(col(idCol))
     df.select(col(idCol), md5(col(textCol)).as("digest"))
+      .withColumn("__rn", row_number().over(w))
       .groupBy("digest")
       .agg(
         count(lit(1)).as("n_dups"),
         min(col(idCol)).as("keep_id"),
-        slice(sort_array(collect_list(col(idCol))), 1, maxIdsPerGroup).as("ids"))
+        sort_array(collect_list(when(col("__rn") <= maxIdsPerGroup, col(idCol)))).as("ids"))
       .where(col("n_dups") > 1)
+  }
 
   /** Keep one row per exact content digest (the dedup "apply" side):
     * row_number over digest, keep first by id — deterministic. */
@@ -89,21 +115,21 @@ object Dedup {
     // materialize the sorted shingle-hash sets once — the persist is a hard
     // boundary so banding and verification both read cached longs; shingle
     // strings never materialize at all (native graft_shingle_hashes kernel)
-    val hashed = df
+    val hashed = tracked(df
       .select(col(idCol).as("id"),
         call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
       .where(size(col("bh")) > 0)
-      .persist()
+      .persist())
 
     // native banding kernel: signature minima + per-band mixing in one
     // static call (GraftMinhashBands); only (band, band_hash, id) travel
     // into the bucket join — shingles stay behind
-    val banded = hashed.select(
+    val banded = tracked(hashed.select(
       col("id"),
       posexplode(call_function("graft_minhash_bands",
         col("bh"), lit(bands), lit(rowsPerBand))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      .persist()
+      .persist())
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -129,14 +155,11 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint of the token multiset: per bit position,
     * sign of Σ over tokens of ±1 (bit set in the token's hash or not).
-    * Each token is hashed ONCE; the 64 bit-tests are shifts over the cached
-    * hash array (the hash-per-bit formulation cost 64× the hashing). */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(
-      filter(split(lower(trim(textCol)), "\\s+"), t => t =!= ""),
-      t => xxhash64(t))
-    simhash64FromHashes(hashes)
-  }
+    * Tokenize+hash is the native graft_token_hashes kernel (the interpreted
+    * transform(filter(split)) chain was the residual cost in the x08 bench);
+    * values are bit-identical (xxhash64 seed 42 over the same tokens). */
+  def simhash64(textCol: Column): Column =
+    simhash64FromHashes(call_function("graft_token_hashes", textCol))
 
   /** SimHash from pre-computed token hashes — delegates to the native
     * GraftSimhash64 expression (functions/HashExpressions.scala): the
@@ -160,9 +183,10 @@ object Dedup {
 
     val segments = maxDistance + 1
     val segBits = 64 / segments
-    // persist: the fingerprint (an interpreted higher-order aggregate) must
-    // not be recomputed on each side of the self-join below
-    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")).persist()
+    // persist: the fingerprint must not be recomputed on each side of the
+    // self-join below
+    val withFp = tracked(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")).persist())
 
     val segmented = withFp.select(
       col("id"), col("fp"),
@@ -211,11 +235,11 @@ object Dedup {
     // native path end-to-end: graft_ngram_hashes emits the SORTED DISTINCT
     // gram-hash set straight from the string (measured: materializing gram
     // string arrays cost 37s/5k docs in interpreted transform+distinct)
-    val gramsDf = df.select(
+    val gramsDf = tracked(df.select(
       col(idCol).as("id"),
       call_function("graft_ngram_hashes", norm, lit(n)).as("bh"))
       .where(size(col("bh")) > 0)
-      .persist()
+      .persist())
 
     val banded = gramsDf.select(
       col("id"), size(col("bh")).as("sz"),

@@ -22,17 +22,17 @@ object Similarity {
   private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
   private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * zip_with + aggregate keeps it inside whole-stage codegen. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double by the
+    * native `graft_cosine` kernel (GraftHashUtil.cosine — one fused loop,
+    * codegen'd; the earlier zip_with/aggregate formulation was interpreted
+    * and cost ~3k evals/s/core). Summation order matches the interpreted
+    * form, so results are bit-identical. Requires GraftFunctions.register. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Native dot product / L2 norm — use these (norms hoisted to per-row
+    * columns) on any path that scores many pairs per row. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def norm(a: Column): Column = call_function("graft_norm", a)
 
   /** Exact top-k neighbors for each query row.
     *
@@ -45,9 +45,14 @@ object Similarity {
       qidCol: String, qvecCol: String,
       k: Int = 10): DataFrame = {
 
+    // Norms are hoisted: ‖corpus row‖ once per row (not once per pair) and
+    // ‖query‖ once per query on the broadcast side. Per pair only the dot
+    // survives. dot/(nq·nc) keeps the exact arithmetic of cosine(q, c).
     val scored = corpus
-      .join(broadcast(queries), col(qidCol) =!= col(idCol))
-      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("__nc", norm(col(vecCol)))
+      .join(broadcast(queries.withColumn("__nq", norm(col(qvecCol)))),
+        col(qidCol) =!= col(idCol))
+      .withColumn("sim", dot(col(qvecCol), col(vecCol)) / (col("__nq") * col("__nc")))
     val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
@@ -133,6 +138,9 @@ object Similarity {
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
       .withColumnRenamed("prediction", "cell").drop("__features")
+    // fit is the multi-pass consumer; release the cache now and let the single
+    // serving-side transform recompute once rather than leak the cached table
+    corpusVec.unpersist(blocking = false)
 
     // tiny centroid table → broadcast; probe = nProbe closest cells per query
     val centroids = model.clusterCenters.zipWithIndex.toSeq.map { case (v, i) =>
@@ -141,9 +149,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroidDf = centroids.toDF("cell", "centroid")
-    val l2 = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val l2 = (a: Column, b: Column) => call_function("graft_l2sq", a, b)
     val wProbe = Window.partitionBy(qidCol).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroidDf))
       .withColumn("dist", l2(col(qvecCol), col("centroid")))

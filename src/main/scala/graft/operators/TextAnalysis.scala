@@ -12,8 +12,9 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Whitespace token count — rides the graft_text_stats kernel (the
+    * size(filter(split)) form was an interpreted HOF chain). */
+  def tokenCount(text: Column): Column = qualityFeatures(text).getField("n_tokens")
 
   /** BPE-ish token count: the GPT-2 pre-tokenizer regex over contractions,
     * letter runs, digit runs, punctuation runs — a cheap, deterministic
@@ -64,8 +65,15 @@ object TextAnalysis {
 
   /** Heuristic quality features (Gopher/C4-style filters, public recipes):
     * length, mean word length, stopword ratio, alpha ratio, punctuation
-    * ratio, digit ratio — as one struct column. */
-  def qualityFeatures(text: Column): Column = {
+    * ratio, digit ratio — as one struct column. Native kernel
+    * (GraftTextStats): two character scans instead of three regexp_replace
+    * passes + an interpreted stopword HOF. Requires GraftFunctions.register. */
+  def qualityFeatures(text: Column): Column = call_function("graft_text_stats", text)
+
+  /** Column-expression reference formulation of qualityFeatures — kept for
+    * kernel parity tests; do not use on hot paths (Catalyst re-inlines the
+    * struct into every getField consumer). */
+  private[graft] def qualityFeaturesExpr(text: Column): Column = {
     val t = trim(text)
     val toks = tokens(text)
     val nChars = length(t).cast("double")
@@ -85,9 +93,14 @@ object TextAnalysis {
   }
 
   /** Scalar quality score in [0,1]: penalize too-short/too-long tokens,
-    * low alpha share, heavy digits/punct; reward stopword presence. */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+    * low alpha share, heavy digits/punct; reward stopword presence. One
+    * native kernel call (GraftQualityScore) — features + arithmetic fused. */
+  def qualityScore(text: Column): Column = call_function("graft_quality_score", text)
+
+  /** Column-expression reference formulation of qualityScore (parity tests
+    * only — evaluates the feature chain ~5× per row via re-inlining). */
+  private[graft] def qualityScoreExpr(text: Column): Column = {
+    val f = qualityFeaturesExpr(text)
     val cpt = f.getField("chars_per_token")
     val lengthOk = when(cpt.between(3.0, 12.0), 1.0).otherwise(0.5)
     val alphaOk = least(f.getField("alpha_ratio") * 1.25, lit(1.0))

@@ -35,31 +35,33 @@ object TrainingDataPipeline {
       idCol: String = "doc_id",
       minQuality: Double = 0.3,
       keepLangs: Seq[String] = Nil,
-      nearDupThreshold: Double = 0.8): (DataFrame, Report) = {
+      nearDupThreshold: Double = 0.8,
+      retainResult: Boolean = true): (DataFrame, Report) = {
 
-    // one pass computes both gate flags; one aggregation counts all three
-    // stage sizes — the naive per-stage count() re-evaluated the quality
-    // regex chain and the language kernel once per stage
+    // one pass computes both gate flags; one aggregation counts the first
+    // FOUR stage sizes (the exact-dedup survivor count is just the distinct
+    // text count among gate survivors, so it rides the same scan) — the
+    // naive per-stage count() re-evaluated the quality kernel per stage
     val flagged = docs
       .withColumn("__q_ok", TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .withColumn("__lang_ok",
         if (keepLangs.isEmpty) lit(true)
         else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
       .persist()
+    val gateOk = col("__q_ok") && col("__lang_ok")
     val stageCounts = flagged.agg(
       count(lit(1)).as("input"),
       count(when(col("__q_ok"), 1)).as("after_q"),
-      count(when(col("__q_ok") && col("__lang_ok"), 1)).as("after_lang")).head()
+      count(when(gateOk, 1)).as("after_lang"),
+      count_distinct(when(gateOk, col(textCol))).as("after_exact")).head()
     val input = stageCounts.getLong(0)
     val afterQuality = stageCounts.getLong(1)
     val afterLang = stageCounts.getLong(2)
+    val afterExact = stageCounts.getLong(3)
 
-    val lang = flagged.where(col("__q_ok") && col("__lang_ok"))
-      .drop("__q_ok", "__lang_ok")
-    val exact = Dedup.dropExactDuplicates(lang, textCol, idCol)
+    val lang = flagged.where(gateOk).drop("__q_ok", "__lang_ok")
     // the dedup'd set feeds both the near-dup join and the final filter
-    exact.persist()
-    val afterExact = exact.count()
+    val exact = Dedup.dropExactDuplicates(lang, textCol, idCol).persist()
 
     val nearPairs = Dedup.minhashNearDuplicates(
       exact, textCol, idCol, threshold = nearDupThreshold)
@@ -74,6 +76,10 @@ object TrainingDataPipeline {
     val totalTokens = fin.getLong(1)
     exact.unpersist()
     flagged.unpersist()
+    Dedup.releaseCaches()
+    // report-only callers (benchmarks, accounting jobs) should not keep the
+    // cleaned corpus cached across the rest of the job
+    if (!retainResult) cleaned.unpersist()
 
     (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear, totalTokens))
   }

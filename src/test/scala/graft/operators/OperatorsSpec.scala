@@ -93,6 +93,48 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine kernel matches the interpreted zip_with form bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 40).map { _ =>
+      (Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+    val interp = {
+      val dot = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      val nb = sqrt(aggregate(transform(col("b"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      dot / (na * nb)
+    }
+    df.select(Similarity.cosine(col("a"), col("b")).as("k"), interp.as("e"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+      }
+  }
+
+  test("native token-hash kernel matches the interpreted split+xxhash64 form") {
+    val df = Seq(
+      "The quick Brown fox",
+      "  spaced   out\ttabs\nand newlines  ",
+      "único café naïve",
+      "",
+      "one"
+    ).toDF("text")
+    val interp = transform(
+      filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""),
+      t => xxhash64(t))
+    df.select(call_function("graft_token_hashes", col("text")).as("k"), interp.as("e"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+      }
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
@@ -127,6 +169,28 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(scores("clean") > 0.7)
     assert(scores("noise") < 0.4)
+  }
+
+  test("native text-stats kernel matches the Column-expression formulation") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs into the forest",
+      "@@@@ 1234 5678 $$$$ %%%% 9999 #### ++++",
+      "  leading and trailing   spaces  ",
+      "tabs\tand\nnewlinesmixed\fwith spaces\r!",
+      "Ünïcödé lettres — et ça compte aussi: 42° №5",
+      "",
+      "   ",
+      "singleword"
+    ).toDF("text")
+    val pairs = df.select(
+      TextAnalysis.qualityFeatures(col("text")).as("k"),
+      TextAnalysis.qualityFeaturesExpr(col("text")).as("e"),
+      TextAnalysis.qualityScore(col("text")).as("ks"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("es")).collect()
+    pairs.foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1), s"features mismatch: ${r.getStruct(0)} vs ${r.getStruct(1)}")
+      assert(r.getDouble(2) == r.getDouble(3), s"score mismatch: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
   }
 
   test("fingerprints stable under whitespace noise") {

@@ -23,13 +23,32 @@ object OperatorQueries {
       """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin),
 
-    // MinHash-LSH near-duplicate pairs (banded xxhash64 — not SQL-expressible).
-    "x07_minhash_neardup" -> rowsOnly(
+    // MinHash-LSH near-duplicate pairs. The banding is a candidate generator;
+    // every emitted pair carries its EXACT Jaccard (verified on the full
+    // shingle-hash sets), so the oracle is the exact all-pairs computation —
+    // a banding recall miss or a hash collision would surface as a row diff.
+    "x07_minhash_neardup" -> sql(
       (s, dir) =>
         Dedup.minhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
           shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
           .withColumn("jaccard", round(col("jaccard"), 4))
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard
+        |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // SimHash near-duplicate pairs.
     "x08_simhash_neardup" -> rowsOnly(
@@ -38,13 +57,30 @@ object OperatorQueries {
           maxDistance = 4)
           .orderBy("id_a", "id_b")),
 
-    // n-gram Jaccard near-duplicate pairs (inverted-index join).
-    "x09_ngram_jaccard" -> rowsOnly(
+    // n-gram Jaccard near-duplicate pairs (banded candidates + exact verify).
+    // Oracle = exact all-pairs over the distinct char-5-gram sets.
+    "x09_ngram_jaccard" -> sql(
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
           n = 5, threshold = 0.8)
           .withColumn("jaccard", round(col("jaccard"), 4))
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS str
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(str) - 4, 1)),
+        |      i -> substring(str, i, 5))) AS grams
+        |  FROM s WHERE length(str) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams)) AS c,
+        |    len(a.grams) AS sa, len(b.grams) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard
+        |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // BPE-ish token counting — same regex runs in DuckDB's RE2.
     "x10_token_bpe" -> sql(
@@ -84,13 +120,37 @@ object OperatorQueries {
         |        / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin),
 
-    // Language ID heuristic (argmax over stopword profiles) — rows-only.
-    "x12_langid" -> rowsOnly(
+    // Language ID heuristic: argmax stopword-hit ratio across 6 profiles,
+    // 'und' below the 5% signal floor — fully replicated in SQL.
+    "x12_langid" -> sql(
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
           .groupBy("lang_pred").agg(count(lit(1)).as("n"))
-          .orderBy("lang_pred")),
+          .orderBy("lang_pred"),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |langs(lang, ws) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','in','den','von','zu','mit','sich','auf','für','nicht','ein','eine','als','auch','es','an']),
+        |  ('en', ['the','and','of','to','a','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this']),
+        |  ('es', ['el','la','los','las','de','y','que','en','un','una','es','no','por','con','para','se','del','al','lo','como']),
+        |  ('fr', ['le','la','les','de','des','du','et','est','un','une','dans','que','qui','pour','sur','pas','au','avec','ce','il']),
+        |  ('it', ['il','la','di','e','che','in','un','una','per','non','sono','con','si','del','le','al','come','dei','nel','della']),
+        |  ('pt', ['o','a','os','as','de','e','que','em','um','uma','não','por','com','para','se','do','da','no','na','dos'])),
+        |counts AS (
+        |  SELECT t.doc_id, len(t.toks) AS n, l.lang,
+        |    len(list_filter(t.toks, x -> list_contains(l.ws, x))) AS c
+        |  FROM t, langs l),
+        |best AS (
+        |  SELECT doc_id, n, lang, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn
+        |  FROM counts),
+        |pred AS (
+        |  SELECT CASE WHEN n = 0 OR c = 0 OR c * 100 < 5 * n THEN 'und' ELSE lang END AS lang_pred
+        |  FROM best WHERE rn = 1)
+        |SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
 
     // Brute-force cosine top-k over embeddings: the ANN correctness baseline.
     // Queries = 20 lowest vec_ids, broadcast against the corpus. The oracle
@@ -166,17 +226,73 @@ object OperatorQueries {
       }),
 
     // The composed training-data pipeline: quality -> lang -> exact dedup ->
-    // near dedup -> token accounting, reported as one row.
-    "x17_training_pipeline" -> rowsOnly(
+    // near dedup -> token accounting, reported as one row. The oracle
+    // recomputes every stage in SQL — quality score formula included — with
+    // the near-dup stage as exact all-pairs shingle Jaccard (so the minhash
+    // banding's recall is itself under test).
+    "x17_training_pipeline" -> sql(
       (s, dir) => {
         val (_, r) = TrainingDataPipeline.clean(
-          Tables.documents(s, dir), minQuality = 0.2, nearDupThreshold = 0.8)
+          Tables.documents(s, dir), minQuality = 0.2, nearDupThreshold = 0.8,
+          retainResult = false)
         import s.implicits._
         Seq((r.input, r.afterQuality, r.afterLang, r.afterExactDedup,
           r.afterNearDedup, r.totalTokens))
           .toDF("input", "after_quality", "after_lang", "after_exact_dedup",
             "after_near_dedup", "total_tokens")
-      }),
+      },
+      """WITH f AS (
+        |  SELECT doc_id, text, trim(text) AS txt,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text, len(toks) AS n_tok_raw,
+        |    CAST(length(txt) AS DOUBLE) / greatest(len(toks), 1) AS cpt,
+        |    CAST(length(regexp_replace(txt, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS alpha_ratio,
+        |    CAST(length(regexp_replace(txt, '[^\p{N}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS digit_ratio,
+        |    CAST(length(regexp_replace(txt, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it',
+        |      'that','was','for','on','are','with','as','his','they','at','be','this'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stop_ratio
+        |  FROM f),
+        |scored AS (
+        |  SELECT doc_id, text, n_tok_raw,
+        |    round(
+        |      (CASE WHEN cpt BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |      least(alpha_ratio * 1.25, 1.0) * 0.35 +
+        |      greatest(0.0, 1.0 - (digit_ratio + punct_ratio) * 2) * 0.25 +
+        |      least(stop_ratio * 4, 1.0) * 0.15, 4) AS q
+        |  FROM feat),
+        |gated AS (SELECT * FROM scored WHERE q >= 0.2),
+        |exact AS (
+        |  SELECT min(doc_id) AS doc_id, max(n_tok_raw) AS n_tok,
+        |    first(text ORDER BY doc_id) AS text
+        |  FROM gated GROUP BY text),
+        |sh AS (
+        |  SELECT e.doc_id, e.n_tok,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS s
+        |  FROM exact e, LATERAL (SELECT list_filter(
+        |    string_split_regex(lower(trim(e.text)), '\s+'), x -> x <> '') AS toks) t
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |survivors AS (
+        |  SELECT e.doc_id, e.n_tok FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM pairs))
+        |SELECT
+        |  (SELECT count(*) FROM documents) AS input,
+        |  (SELECT count(*) FROM gated) AS after_quality,
+        |  (SELECT count(*) FROM gated) AS after_lang,
+        |  (SELECT count(*) FROM exact) AS after_exact_dedup,
+        |  (SELECT count(*) FROM survivors) AS after_near_dedup,
+        |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM survivors) AS total_tokens""".stripMargin),
 
     // Embedding near-duplicates by cosine within LSH buckets.
     "x15_embedding_neardup" -> rowsOnly(

@@ -28,6 +28,19 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(report.totalTokens ==
       cleaned.agg(org.apache.spark.sql.functions.sum("__n_tokens")).head().getLong(0))
     assert(report.totalTokens > 20L)
+    cleaned.unpersist()
+  }
+
+  test("report-only clean leaves no cached RDDs behind") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"the document number $i talks about the weather and the sea and the sky"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (_, report) = TrainingDataPipeline.clean(docs, minQuality = 0.1,
+      nearDupThreshold = 0.5, retainResult = false)
+    assert(report.input == 50L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 }
 

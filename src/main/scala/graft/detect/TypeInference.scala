@@ -51,7 +51,7 @@ object TypeInference {
     if (cols.isEmpty) return Map.empty
 
     val aggs: Seq[Column] = cols.flatMap { name =>
-      val c = col(name)
+      val c = safeCol(name)
       val nonBlank = c.isNotNull && trim(c) =!= ""
       count(when(nonBlank, lit(1))).as(s"${name}__nb") +:
         predicates(c).map { case (tname, pred) =>
@@ -81,8 +81,14 @@ object TypeInference {
   def castAll(df: DataFrame, types: Map[String, ColumnInfo]): DataFrame = {
     val projected = df.columns.map { name =>
       val t = types.get(name).map(_.pythonType).getOrElse("string")
-      SmartCast.cast(col(name), t).as(name)
+      SmartCast.cast(safeCol(name), t).as(name)
     }
     df.select(projected.toIndexedSeq: _*)
   }
+
+  /** CSV headers are arbitrary strings; `col` parses dots as struct access
+    * and chokes on backticks, so quote every reference
+    * (a header like "population.2020" crashed the whole analyse batch). */
+  private def safeCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 }

@@ -100,7 +100,8 @@ object CsvIngest {
       sheetName: Option[String] = None,
       exportDir: Option[String] = None,
       minLinesForParquet: Long = 200L,
-      profile: Boolean = true): IngestResult = {
+      profile: Boolean = true,
+      onPhase: String => Unit = _ => ()): IngestResult = {
 
     val sheet = XlsxReader.read(xlsxPath, sheetName)
     val nonEmpty = sheet.rows.filter(_.exists(_.nonEmpty))
@@ -127,10 +128,13 @@ object CsvIngest {
 
     val tableName = md5Hex(url)
     val outPath = s"$warehouse/$tableName"
+    onPhase(graft.model.ResourceStatus.InsertingInDb)
     typed.write.mode(SaveMode.Overwrite).parquet(outPath)
     exportDir.foreach { dir =>
-      if (rowCount >= minLinesForParquet)
+      if (rowCount >= minLinesForParquet) {
+        onPhase(graft.model.ResourceStatus.ConvertingToParquet)
         typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
+      }
     }
     val prof =
       if (profile) OnePassProfiler.profile(typed)
@@ -163,7 +167,8 @@ object CsvIngest {
       warehouse: String,
       exportDir: Option[String] = None,
       minLinesForParquet: Long = 200L,
-      profile: Boolean = true): IngestResult = {
+      profile: Boolean = true,
+      onPhase: String => Unit = _ => ()): IngestResult = {
 
     val dialect = CsvSniffer.sniff(csvPath)
     val readablePath = gzipAwarePath(csvPath)
@@ -179,12 +184,15 @@ object CsvIngest {
 
     val tableName = md5Hex(url)
     val outPath = s"$warehouse/$tableName"
+    onPhase(graft.model.ResourceStatus.InsertingInDb) // E7 (analysis/csv.py:354)
     typed.write.mode(SaveMode.Overwrite).parquet(outPath)
 
     // C4 parquet export gate
     exportDir.foreach { dir =>
-      if (rowCount >= minLinesForParquet)
+      if (rowCount >= minLinesForParquet) {
+        onPhase(graft.model.ResourceStatus.ConvertingToParquet) // E7 (csv.py:312)
         typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
+      }
     }
 
     // OnePassProfiler: single scan (measured 13x the two-pass melt+window

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.CsvIngest
@@ -13,35 +14,61 @@ import graft.model.ResourceStatus
 import graft.store.MetaStore
 
 /** E1/E2/E5/E7 — the crawl → check → analyse → ingest orchestration
-  * (reference crawl/__init__.py:14-41, analysis/resource.py:35-133,
-  * analysis/csv.py:108-199), collapsed into one Spark driver loop with
-  * pluggable I/O ports.
+  * (reference crawl/__init__.py:14-41, crawl/check_resources.py:56-231,
+  * analysis/resource.py:35-133, analysis/csv.py:108-199), collapsed into one
+  * Spark driver loop with pluggable I/O ports.
   *
   * Network and webhook I/O live behind `Fetcher`/`Notifier` traits (zero
   * egress here: the default Fetcher serves local files). Everything that
   * touches data — ingest, profiling, metadata upserts — is executor-side
-  * Spark work from CsvIngest/MetaStore. */
+  * Spark work from CsvIngest/MetaStore.
+  *
+  * E7 status machine: every resource walks CRAWLING_URL → TO_ANALYSE_RESOURCE
+  * → ANALYSING_RESOURCE → (tabular+changed: TO_ANALYSE_CSV → ANALYSING_CSV →
+  * INSERTING_IN_DB → CONVERTING_TO_PARQUET) → NULL, recorded by a
+  * StatusTracker that both logs the sequence and writes it through to the
+  * catalog `status` column (db/resource.py:9-19; per-transition writes mirror
+  * the reference — at production scale the MetaStore would be backed by a
+  * transactional store, not parquet rewrites). A try/finally guarantees the
+  * claim never leaks: any driver exception resets the batch to NULL
+  * (crawl/check_resources.py:158,204 reset in error handlers). */
 object CrawlPipeline {
 
-  /** A2/E2 port: "download" a url. Local deployment maps file: urls. */
+  /** E2 fetch result: success (local path + headers), timeout, or an HTTP
+    * error with optional status/headers — the three outcome classes the
+    * reference's aiohttp handlers distinguish (check_resources.py:146-204). */
+  sealed trait FetchResult
+  final case class Fetched(path: String, headers: Map[String, String], status: Int = 200)
+      extends FetchResult
+  case object FetchTimeout extends FetchResult
+  final case class FetchError(status: Option[Int], message: String,
+      headers: Map[String, String] = Map.empty) extends FetchResult
+
+  /** A1/E2 port: "download" a url. Local deployment maps file: urls. */
   trait Fetcher {
-    /** Returns (localPath, headers) or an error string. */
-    def fetch(url: String): Either[String, (String, Map[String, String])]
+    /** GET: body downloaded to a local path. */
+    def fetch(url: String): FetchResult
+    /** HEAD: headers only. Default implementation reuses fetch (a local
+      * fetcher's "HEAD" is free); HTTP implementations override. */
+    def head(url: String): FetchResult = fetch(url)
+    /** 404 stable-URL re-resolution (check_resources.py:210-231): given the
+      * resource id, return the current URL if the platform knows a newer one. */
+    def resolveStableUrl(resourceId: String): Option[String] = None
   }
 
   /** File-serving fetcher (zero-egress stand-in for the HTTP client). */
-  final class LocalFetcher extends Fetcher {
-    def fetch(url: String): Either[String, (String, Map[String, String])] = {
+  class LocalFetcher extends Fetcher {
+    def fetch(url: String): FetchResult = {
       val path = url.stripPrefix("file://")
       if (Files.exists(Paths.get(path)))
-        Right((path, Map(
+        Fetched(path, Map(
           "content-length" -> Files.size(Paths.get(path)).toString,
-          "content-type" -> "text/csv")))
-      else Left(s"not found: $url")
+          "content-type" -> "text/csv"))
+      else FetchError(Some(404), s"not found: $url")
     }
   }
 
-  /** C8 port: "check:" / "analysis:" webhooks (crawl/preprocess_check_data.py:36-55). */
+  /** C8 port: "check:" / "analysis:" webhooks (WebhookPayloads documents). */
   trait Notifier {
     def notify(datasetId: String, resourceId: String, document: Map[String, Any]): Unit
   }
@@ -53,12 +80,41 @@ object CrawlPipeline {
   final case class CheckOutcome(
       resourceId: String,
       url: String,
-      status: Int,
+      status: Option[Int],
       checksum: Option[String],
       filesize: Option[Long],
+      mimeType: Option[String],
       parsingTable: Option[String],
+      parsingError: Option[String],
       error: Option[String],
-      changed: Boolean)
+      timeout: Boolean,
+      changed: Boolean,
+      skippedBackoff: Boolean = false,
+      headers: Map[String, String] = Map.empty)
+
+  /** E7 — records every status transition and writes it through to the
+    * catalog (the reference's Resource.update calls). The in-memory log is
+    * the spec-observable transition sequence. */
+  final class StatusTracker(store: MetaStore, spark: SparkSession,
+      writeThrough: Boolean = true) {
+    import spark.implicits._
+    val transitions = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+
+    def set(resourceIds: Seq[String], status: Option[String]): Unit = {
+      if (resourceIds.isEmpty) return
+      resourceIds.foreach(id => transitions += ((id, status)))
+      if (writeThrough)
+        store.upsert("catalog",
+          resourceIds.map(id => (id, status.orNull)).toDF("resource_id", "status"),
+          "resource_id")
+    }
+    def set(resourceId: String, status: Option[String]): Unit =
+      set(Seq(resourceId), status)
+
+    /** The transition sequence one resource walked, oldest first. */
+    def sequenceFor(resourceId: String): Seq[Option[String]] =
+      transitions.filter(_._1 == resourceId).map(_._2).toSeq
+  }
 
   /** B7: streamed sha1 of a local file (utils/file.py:16-24). */
   def sha1File(path: String): String = {
@@ -72,11 +128,62 @@ object CrawlPipeline {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  private def headBytes(path: String, n: Int = 8): Array[Byte] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      val buf = new Array[Byte](n)
+      val read = in.read(buf)
+      if (read <= 0) Array.emptyByteArray else java.util.Arrays.copyOf(buf, read)
+    } finally in.close()
+  }
+
+  /** E2 backoff decision per batch domain (crawl/helpers.py:66-139): one
+    * windowed pass over the checks log computes request counts in the
+    * backoff period and the latest check in the cool-off period; the pure
+    * Scheduling.isDomainBackoff makes the call. Partition pruning on
+    * created_date keeps this a tail scan. */
+  def domainBackoffs(
+      checks: Option[org.apache.spark.sql.DataFrame],
+      domains: Seq[String],
+      now: Instant,
+      noBackoffDomains: Set[String]): Map[String, (Boolean, String)] = {
+    val df = checks.getOrElse(return Map.empty)
+    if (domains.isEmpty) return Map.empty
+    val sinceBackoff = Timestamp.from(now.minusSeconds(Scheduling.BackoffPeriodSeconds))
+    val sinceCool = Timestamp.from(now.minusSeconds(Scheduling.CoolOffPeriodSeconds))
+    val hasHeaders = df.columns.contains("headers")
+    val recent = df
+      .filter(col("domain").isin(domains: _*) && col("created_at") >= lit(sinceCool))
+      .select(col("domain"), col("created_at"), col("id"), col("status"),
+        (if (hasHeaders) col("headers").getItem("x-ratelimit-remaining")
+         else lit(null).cast("string")).as("rl_remaining"),
+        (if (hasHeaders) col("headers").getItem("x-ratelimit-limit")
+         else lit(null).cast("string")).as("rl_limit"))
+    val w = Window.partitionBy("domain").orderBy(desc("created_at"), desc("id"))
+    val latest = recent.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("domain", "created_at", "status", "rl_remaining", "rl_limit")
+      .collect()
+      .map(r => r.getString(0) -> Scheduling.BackoffCheck(
+        r.getTimestamp(1).toInstant,
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        Option(r.getString(3)), Option(r.getString(4))))
+      .toMap
+    val counts = recent.filter(col("created_at") >= lit(sinceBackoff))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    domains.map { d =>
+      d -> Scheduling.isDomainBackoff(
+        counts.getOrElse(d, 0L), latest.get(d), now, noBackoffDomains.contains(d))
+    }.toMap
+  }
+
   /** One crawl batch, end-to-end:
-    * select due resources (A7) → "check" each via the Fetcher (E2) → change
+    * select due resources (A7) → per-domain backoff gate → HEAD (GET
+    * fallback when the HEAD is useless) via the Fetcher (E2) → change
     * detection against the last check (E4) → CSV analysis + ingest when
-    * changed/first (E7) → append checks, update catalog, schedule next
-    * check (E6). Returns the per-resource outcomes. */
+    * changed/first, with the E7 status walk → append checks, update catalog,
+    * schedule next check (E6). Returns the per-resource outcomes. */
   def runBatch(
       spark: SparkSession,
       store: MetaStore,
@@ -84,7 +191,9 @@ object CrawlPipeline {
       fetcher: Fetcher,
       notifier: Notifier,
       batchSize: Int = 40,
-      now: Instant = Instant.now()): Seq[CheckOutcome] = {
+      now: Instant = Instant.now(),
+      noBackoffDomains: Set[String] = Set.empty,
+      tracker: Option[StatusTracker] = None): Seq[CheckOutcome] = {
 
     import graft.queries.ChecksQueries
     graft.functions.GraftFunctions.register(spark)
@@ -95,31 +204,60 @@ object CrawlPipeline {
     val batch = ChecksQueries.selectBatch(catalog, batchSize, Timestamp.from(now))
       .select("resource_id", "dataset_id", "url").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    if (batch.isEmpty) return Seq.empty
+
+    val status = tracker.getOrElse(new StatusTracker(store, spark))
 
     // A7 claim step (crawl/select_batch.py:16-31): mark picked rows
-    // CRAWLING_URL so a concurrent selector skips them; reset to NULL in
-    // the final upsert below (update-NULL-wins semantics)
+    // CRAWLING_URL so a concurrent selector skips them
     import spark.implicits._
-    if (batch.nonEmpty) {
-      store.upsert("catalog",
-        batch.map(b => (b._1, ResourceStatus.CrawlingUrl)).toSeq
-          .toDF("resource_id", "status"),
-        "resource_id")
+    status.set(batch.map(_._1).toSeq, Some(ResourceStatus.CrawlingUrl))
+
+    val batchIds = batch.map(_._1).toSeq
+    try {
+      runClaimed(spark, store, warehouse, fetcher, notifier, now,
+        noBackoffDomains, status, checks, batch.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the claim must not leak: a wedged CRAWLING_URL row is excluded by
+        // selectBatch forever (reference resets in its error handlers)
+        status.set(batchIds, None)
+        throw e
     }
+  }
+
+  private def runClaimed(
+      spark: SparkSession,
+      store: MetaStore,
+      warehouse: String,
+      fetcher: Fetcher,
+      notifier: Notifier,
+      now: Instant,
+      noBackoffDomains: Set[String],
+      status: StatusTracker,
+      checks: Option[org.apache.spark.sql.DataFrame],
+      batch: Seq[(String, String, String)]): Seq[CheckOutcome] = {
+    import spark.implicits._
 
     // only the BATCH's resources come back to the driver (bounded by
     // batchSize), never the full check history — the isin filter pushes to
     // the partitioned parquet scan before the window
-    val batchIds = batch.map(_._1).toSeq
+    val batchIds = batch.map(_._1)
     val lastByResource: Map[String, (Option[String], Long)] = checks match {
       case None => Map.empty
       case Some(df) =>
-        ChecksQueries.dedupLatestPerResource(
+        graft.queries.ChecksQueries.dedupLatestPerResource(
           df.filter(col("resource_id").isin(batchIds: _*)))
           .select("resource_id", "checksum", "id").collect()
           .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
     }
-    val maxCheckId = checks.map(_.agg(max("id")).head().getLong(0)).getOrElse(0L)
+    // empty-table safe: max(id) over zero rows is NULL (was a getLong NPE)
+    val maxCheckId = checks
+      .map(_.agg(coalesce(max("id"), lit(0L))).head().getLong(0)).getOrElse(0L)
+
+    val backoffs = domainBackoffs(
+      checks, batch.map(b => domainOf(b._3)).distinct, now, noBackoffDomains)
+
     // resources_exceptions: size-cap waiver + requested table_indexes
     // (C1/D15 — "indexes" recorded in tables_index like the reference's
     // jsonb column; index name scheme = HeaderUtils.indexName)
@@ -136,80 +274,213 @@ object CrawlPipeline {
     val newIndexEntries = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String, String, String)]
 
-    val outcomes = batch.zipWithIndex.map { case ((resourceId, datasetId, url), i) =>
-      fetcher.fetch(url) match {
-        case Left(err) =>
-          notifier.notify(datasetId, resourceId, Map("check:available" -> false, "check:error" -> err))
-          CheckOutcome(resourceId, url, 404, None, None, None, Some(err), changed = false)
-        case Right((path, headers)) =>
-          val checksum = sha1File(path)
-          val size = Files.size(Paths.get(path))
-          val (_, format) = HeaderUtils.detectTabularFromHeaders(headers, url)
-          val last = lastByResource.get(resourceId)
-          val changed = last.forall(!_._1.contains(checksum)) // first check or checksum diff (E4 tail)
-          if (!HeaderUtils.sizeAllowed(format, size, exceptions.contains(resourceId))) {
-            // size-cap refusal (utils/file.py:48-65 abort; waived for exceptions)
-            CheckOutcome(resourceId, url, 200, Some(checksum), Some(size), None,
-              Some("File too large to download"), changed)
-          } else {
-          val parsingTable =
-            if (changed) {
-              try {
-                val res =
-                  if (format == "xlsx" || url.endsWith(".xlsx"))
-                    CsvIngest.analyseXlsx(spark, path, url, warehouse)
-                  else CsvIngest.analyseCsv(spark, path, url, warehouse)
-                // C6: record the parsed table + full inspection report +
-                // any requested indexes from the exceptions table
-                newIndexEntries += ((res.tableName,
-                  graft.model.InspectionJson.toJson(res.inspection), resourceId, url,
-                  exceptionRows.getOrElse(resourceId, "")))
-                notifier.notify(datasetId, resourceId, Map(
-                  "analysis:checksum" -> checksum,
-                  "analysis:content-length" -> size,
-                  "analysis:parsing-table" -> res.tableName))
-                Some(res.tableName)
-              } catch {
-                case e: CsvSnifferException => None
-              }
-            } else None
-          CheckOutcome(resourceId, url, 200, Some(checksum), Some(size), parsingTable, None, changed)
-          }
-      }
-    }.toSeq
+    val outcomes = batch.map { case (resourceId, datasetId, url0) =>
+      checkOne(spark, store, warehouse, fetcher, notifier, now, status,
+        backoffs, lastByResource, exceptions, exceptionRows, newIndexEntries,
+        resourceId, datasetId, url0)
+    }
+
+    val checked = outcomes.filterNot(_.skippedBackoff)
 
     // append the new check rows (D-partition-friendly schema) in one write
     val createdAt = Timestamp.from(now)
-    val newChecks = outcomes.zipWithIndex.map { case (o, i) =>
-      (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
-        o.status, o.checksum, o.filesize, o.parsingTable, o.error,
-        Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
-    }.toDF("id", "resource_id", "url", "domain", "created_at",
-      "status", "checksum", "filesize", "parsing_table", "error", "next_check_at")
-    // date-partitioned append: retention purges (D14) and backoff windows
-    // (D7) then prune partitions instead of scanning the whole log
-    store.append("checks",
-      newChecks.withColumn("created_date", to_date(col("created_at"))),
-      partitionBy = Seq("created_date"))
+    if (checked.nonEmpty) {
+      val newChecks = checked.zipWithIndex.map { case (o, i) =>
+        (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
+          o.status, o.headers, o.timeout, o.checksum, o.filesize, o.mimeType,
+          o.parsingTable, o.parsingError, o.error,
+          Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
+      }.toDF("id", "resource_id", "url", "domain", "created_at",
+        "status", "headers", "timeout", "checksum", "filesize", "mime_type",
+        "parsing_table", "parsing_error", "error", "next_check_at")
+      // date-partitioned append: retention purges (D14) and backoff windows
+      // (D7) then prune partitions instead of scanning the whole log
+      store.append("checks",
+        newChecks.withColumn("created_date", to_date(col("created_at"))),
+        partitionBy = Seq("created_date"))
 
-    // C6: tables_index append — one row per freshly parsed table
-    if (newIndexEntries.nonEmpty) {
-      val idx = newIndexEntries.toSeq
-        .toDF("parsing_table", "csv_detective", "resource_id", "url", "indexes")
-        .withColumn("created_at", lit(createdAt))
-      store.append("tables_index", idx)
+      // C6: tables_index append — one row per freshly parsed table
+      if (newIndexEntries.nonEmpty) {
+        val idx = newIndexEntries.toSeq
+          .toDF("parsing_table", "csv_detective", "resource_id", "url", "indexes")
+          .withColumn("created_at", lit(createdAt))
+        store.append("tables_index", idx)
+      }
+
+      // catalog: point each resource at its new check, clear status (E3's
+      // "reset so it's not forbidden to be checked again" — an explicit NULL
+      // that the upsert's DO-UPDATE semantics preserves) and priority
+      val updates = newChecks
+        .select(col("resource_id"), col("id").as("last_check"), col("next_check_at"))
+        .withColumn("priority", lit(false))
+        .withColumn("status", lit(null).cast("string"))
+      store.upsert("catalog", updates, "resource_id")
     }
 
-    // catalog: point each resource at its new check, clear status (E3's
-    // "reset so it's not forbidden to be checked again" — an explicit NULL
-    // that the upsert's DO-UPDATE semantics preserves) and priority
-    val updates = newChecks
-      .select(col("resource_id"), col("id").as("last_check"), col("next_check_at"))
-      .withColumn("priority", lit(false))
-      .withColumn("status", lit(null).cast("string"))
-    store.upsert("catalog", updates, "resource_id")
+    // backoff'd rows keep status=BACKOFF (still selectable next batch) with
+    // priority lowered, exactly like Resource.update(status=BACKOFF,
+    // priority=False) in check_resources.py:146-149
+    val backedOff = outcomes.filter(_.skippedBackoff)
+    if (backedOff.nonEmpty) {
+      store.upsert("catalog",
+        backedOff.map(o => (o.resourceId, "BACKOFF", false))
+          .toDF("resource_id", "status", "priority"),
+        "resource_id")
+    }
 
     outcomes
+  }
+
+  /** E2 — one resource's check (check_resources.py:110-204): backoff gate,
+    * HEAD with GET fallback, timeout/error classification, then the E5/E7
+    * analysis walk on success. */
+  private def checkOne(
+      spark: SparkSession,
+      store: MetaStore,
+      warehouse: String,
+      fetcher: Fetcher,
+      notifier: Notifier,
+      now: Instant,
+      status: StatusTracker,
+      backoffs: Map[String, (Boolean, String)],
+      lastByResource: Map[String, (Option[String], Long)],
+      exceptions: Set[String],
+      exceptionRows: Map[String, String],
+      newIndexEntries: scala.collection.mutable.ArrayBuffer[(String, String, String, String, String)],
+      resourceId: String,
+      datasetId: String,
+      url0: String): CheckOutcome = {
+    import spark.implicits._
+
+    val domain0 = domainOf(url0)
+    if (backoffs.get(domain0).exists(_._1)) {
+      status.set(resourceId, Some("BACKOFF"))
+      return CheckOutcome(resourceId, url0, None, None, None, None, None, None,
+        None, timeout = false, changed = false, skippedBackoff = true)
+    }
+
+    // HEAD first; a headless/headerless response falls back to GET
+    // (crawl/helpers.py:47-54 via HeaderUtils.hasNiceHead); a 404 triggers
+    // one stable-URL re-resolution pass (check_resources.py:210-231)
+    def fetchSmart(url: String): (String, FetchResult) = {
+      val headRes = fetcher.head(url)
+      val resolved = headRes match {
+        case Fetched(_, headers, st)
+            if !HeaderUtils.hasNiceHead(Some(st), HeaderUtils.normalizeHeaders(headers)) =>
+          fetcher.fetch(url)
+        case FetchError(Some(404), _, _) =>
+          fetcher.resolveStableUrl(resourceId).filter(_ != url) match {
+            case Some(actual) =>
+              // catalog keeps the re-resolved url (Resource.update(url=...))
+              store.upsert("catalog",
+                Seq((resourceId, actual)).toDF("resource_id", "url"), "resource_id")
+              return fetchSmart(actual)
+            case None => headRes
+          }
+        case other => other
+      }
+      (url, resolved)
+    }
+
+    val (url, res) = fetchSmart(url0)
+    res match {
+      case FetchTimeout =>
+        // 5 s budget exceeded (check_resources.py:146-160): status NULL,
+        // timeout flag set, availability report goes out
+        notifier.notify(datasetId, resourceId,
+          WebhookPayloads.checkDocument(None, timeout = true, None, Map.empty, now))
+        status.set(resourceId, None)
+        CheckOutcome(resourceId, url, None, None, None, None, None, None,
+          None, timeout = true, changed = false)
+
+      case FetchError(st, message, headers) =>
+        val hdrs = HeaderUtils.normalizeHeaders(headers)
+        notifier.notify(datasetId, resourceId,
+          WebhookPayloads.checkDocument(st, timeout = false,
+            Some(HeaderUtils.fixSurrogates(message)), hdrs, now))
+        status.set(resourceId, None)
+        CheckOutcome(resourceId, url, st, None, None, None, None, None,
+          Some(message), timeout = false, changed = false, headers = hdrs)
+
+      case Fetched(path, rawHeaders, httpStatus) =>
+        val headers = HeaderUtils.normalizeHeaders(rawHeaders)
+        status.set(resourceId, Some(ResourceStatus.ToAnalyseResource))
+        status.set(resourceId, Some(ResourceStatus.AnalysingResource))
+
+        val checksum = sha1File(path)
+        val size = Files.size(Paths.get(path))
+        val mime = HeaderUtils.sniffMime(headBytes(path))
+        val (_, format) = HeaderUtils.detectTabularFromHeaders(headers, url)
+        val last = lastByResource.get(resourceId)
+        val changed = last.forall(!_._1.contains(checksum)) // first check or checksum diff (E4 tail)
+
+        if (changed)
+          notifier.notify(datasetId, resourceId,
+            WebhookPayloads.checkDocument(Some(httpStatus), timeout = false,
+              None, headers, now))
+
+        if (!HeaderUtils.sizeAllowed(format, size, exceptions.contains(resourceId))) {
+          // size-cap refusal (utils/file.py:48-65 abort; waived for exceptions)
+          notifier.notify(datasetId, resourceId,
+            WebhookPayloads.analysisDocument(None, None, None,
+              Some("File too large to download")))
+          status.set(resourceId, None)
+          CheckOutcome(resourceId, url, Some(httpStatus), Some(checksum), Some(size),
+            Some(mime), None, None, Some("File too large to download"),
+            timeout = false, changed = changed, headers = headers)
+        } else {
+          var parsingTable: Option[String] = None
+          var parsingError: Option[String] = None
+          if (changed) {
+            // E7: TO_ANALYSE_CSV → ANALYSING_CSV → INSERTING_IN_DB →
+            // CONVERTING_TO_PARQUET (analysis/csv.py:121-199 + 311,354)
+            status.set(resourceId, Some(ResourceStatus.ToAnalyseCsv))
+            status.set(resourceId, Some(ResourceStatus.AnalysingCsv))
+            val startedAt = now
+            val onPhase: String => Unit = p => status.set(resourceId, Some(p))
+            try {
+              val res =
+                if (format == "xlsx" || url.endsWith(".xlsx"))
+                  CsvIngest.analyseXlsx(spark, path, url, warehouse, onPhase = onPhase)
+                else CsvIngest.analyseCsv(spark, path, url, warehouse, onPhase = onPhase)
+              // C6: record the parsed table + full inspection report +
+              // any requested indexes from the exceptions table
+              newIndexEntries += ((res.tableName,
+                graft.model.InspectionJson.toJson(res.inspection), resourceId, url,
+                exceptionRows.getOrElse(resourceId, "")))
+              notifier.notify(datasetId, resourceId,
+                WebhookPayloads.analysisDocument(Some(size), Some(checksum),
+                  Some(mime), None) ++
+                  WebhookPayloads.parsingDocument(None, Some(startedAt), Some(now)))
+              parsingTable = Some(res.tableName)
+            } catch {
+              case e: CsvSnifferException =>
+                // parsing_error = "step:cause" recorded on the check row
+                // (utils/errors.py:57-74) + half-written table cleaned up
+                parsingError = Some(e.getMessage)
+                val tableDir = Paths.get(s"$warehouse/${md5Hex(url)}")
+                deleteRecursively(tableDir)
+                notifier.notify(datasetId, resourceId,
+                  WebhookPayloads.parsingDocument(parsingError, Some(startedAt), Some(now)))
+            }
+          }
+          status.set(resourceId, None)
+          CheckOutcome(resourceId, url, Some(httpStatus), Some(checksum), Some(size),
+            Some(mime), parsingTable, parsingError, None,
+            timeout = false, changed = changed, headers = headers)
+        }
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
   }
 
   type CsvSnifferException = graft.detect.CsvSniffer.ParseException
@@ -230,14 +501,17 @@ object CrawlPipeline {
       batchSize: Int = 40,
       maxBatches: Int = 10,
       sleepMs: Long = 0L,
-      now: () => Instant = () => Instant.now()): Seq[Seq[CheckOutcome]] = {
+      now: () => Instant = () => Instant.now(),
+      noBackoffDomains: Set[String] = Set.empty): Seq[Seq[CheckOutcome]] = {
     val all = Seq.newBuilder[Seq[CheckOutcome]]
     var i = 0
     var done = false
     while (i < maxBatches && !done) {
-      val outcomes = runBatch(spark, store, warehouse, fetcher, notifier, batchSize, now())
+      val outcomes = runBatch(spark, store, warehouse, fetcher, notifier,
+        batchSize, now(), noBackoffDomains)
+      // a batch that only backed off must not spin the loop forever
+      done = outcomes.isEmpty || outcomes.forall(_.skippedBackoff)
       all += outcomes
-      done = outcomes.isEmpty
       if (!done && sleepMs > 0) Thread.sleep(sleepMs)
       i += 1
     }

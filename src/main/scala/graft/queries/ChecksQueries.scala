@@ -105,15 +105,20 @@ object ChecksQueries {
       excludedUrlPatterns: Seq[String] = Nil,
       seed: Long = 42L): DataFrame = {
 
+    // excluded clause (db/resource.py:117-129): not deleted, not mid-crawl —
+    // NULL or BACKOFF status rows are both selectable
     val base = excludedUrlPatterns
-      .foldLeft(catalog.filter(!col("deleted") && col("status").isNull)) {
+      .foldLeft(catalog.filter(!col("deleted") &&
+        (col("status").isNull || col("status") === "BACKOFF"))) {
         (df, pat) => df.filter(!col("url").like(pat))
       }
 
     val priority = base.filter(col("priority"))
     val neverChecked = base.filter(!col("priority") && col("last_check").isNull)
+    // due = planned re-check reached OR no plan recorded at all
+    // (select_batch.py:84: next_check_at <= now OR next_check_at IS NULL)
     val due = base.filter(!col("priority") && col("last_check").isNotNull &&
-      col("next_check_at").isNotNull && col("next_check_at") <= lit(now))
+      (col("next_check_at").isNull || col("next_check_at") <= lit(now)))
 
     priority.orderBy(rand(seed)).limit(batchSize)
       .unionByName(neverChecked.orderBy(rand(seed + 1)).limit(batchSize))

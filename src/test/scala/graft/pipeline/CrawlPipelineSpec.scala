@@ -36,7 +36,7 @@ class CrawlPipelineSpec extends SparkSpec {
     val byId = outcomes.map(o => o.resourceId -> o).toMap
     assert(byId("r1").changed && byId("r1").parsingTable.isDefined)
     assert(byId("r2").parsingTable.isDefined)
-    assert(byId("r3").error.isDefined && byId("r3").status == 404)
+    assert(byId("r3").error.isDefined && byId("r3").status.contains(404))
 
     // parsed tables exist in the warehouse with typed columns
     val t1 = spark.read.parquet(s"$warehouse/${byId("r1").parsingTable.get}")
@@ -50,7 +50,8 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(cat.filter(col("last_check").isNull).count() == 0)
 
     // webhooks: analysis notification for both ingested resources + error for r3
-    assert(notifier.sent.count(_._3.contains("analysis:parsing-table")) == 2)
+    assert(notifier.sent.count(_._3.contains("analysis:checksum")) == 2)
+    assert(notifier.sent.count(d => d._3.get("analysis:parsing:error").contains(null)) == 2)
     assert(notifier.sent.exists(_._3.get("check:available").contains(false)))
 
     // C6: tables_index rows carry the full inspection report as JSON
@@ -70,5 +71,180 @@ class CrawlPipelineSpec extends SparkSpec {
       now = Instant.parse("2024-07-01T00:00:00Z"))
     val ok2 = outcomes2.filter(_.error.isEmpty)
     assert(ok2.nonEmpty && ok2.forall(o => !o.changed && o.parsingTable.isEmpty))
+  }
+
+  test("E7: ragged CSV records parsing_error and walks the status machine") {
+    val root = Files.createTempDirectory("crawl-e7").toString
+    val store = new MetaStore(spark, s"$root/meta")
+
+    val good = Files.createTempFile("good", ".csv")
+    Files.write(good, "id,v\n1,2\n2,3\n".getBytes)
+    val ragged = Files.createTempFile("ragged", ".csv")
+    // mirror tests/test_analysis/test_analysis_csv.py:240-283 (uneven columns)
+    Files.write(ragged, "a,b\n1,2\n3,4,5\n6\n7,8,9,10\n1,2\n3,4\n5,6\n7,8\n1,2\n3,4\n".getBytes)
+
+    store.save("catalog", Seq(
+      ("ok", "d1", s"file://$good", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp]),
+      ("bad", "d1", s"file://$ragged", false, None: Option[Long], false, None, None)
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    val notifier = new CrawlPipeline.NoopNotifier
+    val tracker = new CrawlPipeline.StatusTracker(store, spark)
+    val outcomes = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      new CrawlPipeline.LocalFetcher, notifier, batchSize = 10,
+      now = Instant.parse("2024-06-01T00:00:00Z"), tracker = Some(tracker))
+    val byId = outcomes.map(o => o.resourceId -> o).toMap
+
+    // the broken CSV is not silently skipped: parsing_error = "step:cause"
+    assert(byId("bad").parsingTable.isEmpty)
+    assert(byId("bad").parsingError.exists(_.startsWith("csv-inspection:")),
+      byId("bad").parsingError.toString)
+    val checks = store.load("checks").get
+    val badRow = checks.filter(col("resource_id") === "bad").head()
+    assert(badRow.getAs[String]("parsing_error").startsWith("csv-inspection:"))
+    // a parsing-error webhook went out (analysis:parsing:error document)
+    assert(notifier.sent.exists(s => s._2 == "bad" &&
+      s._3.get("analysis:parsing:error").exists(_ != null)))
+
+    // the good resource walked the full E7 sequence through the catalog
+    val okSeq = tracker.sequenceFor("ok").map(_.orNull)
+    assert(okSeq == Seq("CRAWLING_URL", "TO_ANALYSE_RESOURCE", "ANALYSING_RESOURCE",
+      "TO_ANALYSE_CSV", "ANALYSING_CSV", "INSERTING_IN_DB", null), okSeq.toString)
+    // the ragged one still reached ANALYSING_CSV, then reset to NULL
+    val badSeq = tracker.sequenceFor("bad").map(_.orNull)
+    assert(badSeq == Seq("CRAWLING_URL", "TO_ANALYSE_RESOURCE", "ANALYSING_RESOURCE",
+      "TO_ANALYSE_CSV", "ANALYSING_CSV", null), badSeq.toString)
+    // end state: nothing left mid-flight
+    assert(store.load("catalog").get.filter(col("status").isNotNull).count() == 0)
+  }
+
+  test("E2: backoff domain is skipped; BACKOFF rows stay selectable") {
+    val root = Files.createTempDirectory("crawl-backoff").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val csv = Files.createTempFile("r", ".csv")
+    Files.write(csv, "id,v\n1,2\n".getBytes)
+    val now = Instant.parse("2024-06-01T12:00:00Z")
+
+    store.save("catalog", Seq(
+      ("r1", "d1", s"file://$csv", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp])
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+    // 180 requests to the domain within the backoff window → 181st skips
+    val stamp = java.sql.Timestamp.from(now.minusSeconds(60))
+    store.save("checks", (1 to 180).map(i =>
+      (i.toLong, s"x$i", "u", "local", stamp, Some(200), Map.empty[String, String], false,
+        None: Option[String], None: Option[Long], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String], stamp)
+    ).toDF("id", "resource_id", "url", "domain", "created_at", "status", "headers",
+      "timeout", "checksum", "filesize", "mime_type", "parsing_table",
+      "parsing_error", "error", "next_check_at"))
+
+    val outcomes = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      new CrawlPipeline.LocalFetcher, new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = now)
+    assert(outcomes.length == 1 && outcomes.head.skippedBackoff)
+    // no check row appended; status=BACKOFF remains selectable next batch
+    assert(store.load("checks").get.count() == 180)
+    val cat = store.load("catalog").get.head()
+    assert(cat.getAs[String]("status") == "BACKOFF")
+    assert(graft.queries.ChecksQueries.selectBatch(store.load("catalog").get, 10,
+      java.sql.Timestamp.from(now)).count() == 1)
+
+    // outside the window (or whitelisted) the resource is checked normally
+    val outcomes2 = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      new CrawlPipeline.LocalFetcher, new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = now, noBackoffDomains = Set("local"))
+    assert(outcomes2.length == 1 && !outcomes2.head.skippedBackoff &&
+      outcomes2.head.parsingTable.isDefined)
+  }
+
+  test("E2: useless HEAD falls back to GET; 404 re-resolves the stable URL") {
+    val root = Files.createTempDirectory("crawl-head").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val csv = Files.createTempFile("moved", ".csv")
+    Files.write(csv, "id,v\n1,2\n".getBytes)
+
+    // HEAD returns no content-length/last-modified → crawler must GET;
+    // the old URL 404s → stable-URL re-resolution rewrites catalog.url
+    var gets = 0; var heads = 0
+    val fetcher = new CrawlPipeline.Fetcher {
+      override def head(url: String): CrawlPipeline.FetchResult = {
+        heads += 1
+        if (url == "file://old") CrawlPipeline.FetchError(Some(404), "gone")
+        else CrawlPipeline.Fetched(csv.toString, Map("content-type" -> "text/csv"))
+      }
+      def fetch(url: String): CrawlPipeline.FetchResult = {
+        gets += 1
+        CrawlPipeline.Fetched(csv.toString, Map(
+          "content-length" -> "12", "content-type" -> "text/csv"))
+      }
+      override def resolveStableUrl(resourceId: String): Option[String] =
+        Some(s"file://$csv")
+    }
+
+    store.save("catalog", Seq(
+      ("r1", "d1", "file://old", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp])
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    val outcomes = CrawlPipeline.runBatch(spark, store, s"$root/wh", fetcher,
+      new CrawlPipeline.NoopNotifier, batchSize = 10,
+      now = Instant.parse("2024-06-01T00:00:00Z"))
+
+    assert(outcomes.length == 1)
+    val o = outcomes.head
+    // re-resolved: the check ran against the new URL and ingested
+    assert(o.url == s"file://$csv" && o.parsingTable.isDefined, o.toString)
+    assert(heads == 2 && gets == 1) // old HEAD 404 → new HEAD (headerless) → GET
+    // catalog carries the corrected URL
+    assert(store.load("catalog").get.head().getAs[String]("url") == s"file://$csv")
+  }
+
+  test("claim never leaks: driver exception resets the batch to NULL") {
+    val root = Files.createTempDirectory("crawl-leak").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    store.save("catalog", Seq(
+      ("r1", "d1", "file://x", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp])
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    val boom = new CrawlPipeline.Fetcher {
+      def fetch(url: String): CrawlPipeline.FetchResult = throw new IllegalStateException("boom")
+    }
+    intercept[IllegalStateException] {
+      CrawlPipeline.runBatch(spark, store, s"$root/wh", boom,
+        new CrawlPipeline.NoopNotifier, batchSize = 10,
+        now = Instant.parse("2024-06-01T00:00:00Z"))
+    }
+    // status reset — the resource is selectable again, not wedged
+    assert(store.load("catalog").get.filter(col("status").isNotNull).count() == 0)
+  }
+
+  test("C8: webhook documents carry the reference's exact key sets") {
+    import CrawlPipeline._
+    val now = Instant.parse("2024-06-01T00:00:00Z")
+    val doc = WebhookPayloads.checkDocument(Some(200), timeout = false, None,
+      Map("content-type" -> "text/csv; charset=utf-8", "content-length" -> "120"), now)
+    assert(doc.keySet == Set("check:available", "check:status", "check:timeout",
+      "check:date", "check:error", "check:headers:content-type",
+      "check:headers:content-length"))
+    assert(doc("check:available") == true && doc("check:status") == 200)
+    assert(doc("check:headers:content-type") == "text/csv")
+    assert(doc("check:headers:content-length") == 120L)
+    // 429: availability is unknowable (None → null), zero length → null
+    val doc429 = WebhookPayloads.checkDocument(Some(429), timeout = false,
+      Some("slow down"), Map("content-length" -> "0"), now)
+    assert(doc429("check:available") == null)
+    assert(doc429("check:headers:content-length") == null)
+
+    val parsing = WebhookPayloads.parsingDocument(Some("csv_detective:err"),
+      Some(now), Some(now), csvToParquet = true)
+    assert(parsing.keySet == Set("analysis:parsing:error",
+      "analysis:parsing:started_at", "analysis:parsing:finished_at",
+      "analysis:parsing:parquet_url", "analysis:parsing:parquet_size"))
+
+    val analysis = WebhookPayloads.analysisDocument(Some(10L), Some("abc"),
+      Some("text/plain"), None)
+    assert(analysis.keySet == Set("analysis:content-length", "analysis:checksum",
+      "analysis:mime-type"))
+    assert(WebhookPayloads.analysisDocument(None, None, None,
+      Some("File too large to download")) == Map("analysis:error" -> "File too large to download"))
   }
 }

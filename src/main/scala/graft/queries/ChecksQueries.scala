@@ -94,6 +94,43 @@ object ChecksQueries {
     checks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** csv_sample (cli.py:189-219): a size-capped sample of CSV-ish latest
+    * checks, half from the platform's own static domain, half from the rest
+    * of the web (with the ODS-datastore URL patterns excluded — those files
+    * are already well-formed). ORDER BY RANDOM() is replaced by md5(id)
+    * ordering so the sample is reproducible run-to-run (same determinism
+    * trade as selectBatch's seeded rand). */
+  def csvSample(
+      catalog: DataFrame,
+      checks: DataFrame,
+      size: Int = 100,
+      maxContentLength: Long = 104857600L,
+      staticDomain: String = "static.data.gouv.fr",
+      excludedUrlLike: Seq[String] =
+        Seq("%/explore/dataset/%", "%/api/datasets/1.0/%")): DataFrame = {
+
+    val latest = catalog.filter(col("last_check").isNotNull)
+      .select(col("resource_id").as("cat_resource_id"), col("dataset_id"), col("last_check"))
+    val base = checks.join(latest, col("last_check") === col("id"))
+      .withColumn("content_type", col("headers").getItem("content-type"))
+      .withColumn("content_length", col("headers").getItem("content-length").cast("long"))
+      .where(col("content_type").like("%csv%") &&
+        col("status") >= 200 && col("status") < 400 &&
+        col("content_length") <= maxContentLength)
+      .select(col("cat_resource_id").as("resource_id"), col("dataset_id"),
+        col("url"), col("domain"), col("content_type"), col("content_length"))
+
+    val sampleKey = md5(col("resource_id"))
+    val remote = excludedUrlLike
+      .foldLeft(base.where(col("domain") =!= staticDomain)) {
+        (df, pat) => df.where(!col("url").like(pat))
+      }
+      .orderBy(sampleKey, col("resource_id")).limit(size / 2)
+    val static = base.where(col("domain") === staticDomain)
+      .orderBy(sampleKey, col("resource_id")).limit(size / 2)
+    remote.unionByName(static).drop("domain")
+  }
+
   /** A7 — batch selector (crawl/select_batch.py:34-91): priority rows, then
     * never-checked, then due — each randomly sampled up to the remaining
     * budget, excluding url patterns and in-flight statuses. Deterministic

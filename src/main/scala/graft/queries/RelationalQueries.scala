@@ -244,6 +244,50 @@ object RelationalQueries {
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
         |ORDER BY o_orderkey""".stripMargin),
 
+    // D18 — csv_sample (cli.py:189-219): latest-check join, LIKE exclusions,
+    // a size cap CAST from a JSON header field, and two independently
+    // sampled halves ("ours" vs remote) unioned. ORDER BY RANDOM() becomes
+    // ORDER BY md5(id) so the oracle agrees — same deterministic-sampling
+    // trick as d08; each half's limit runs as TakeOrdered, no full sort.
+    "d18_csv_sample" -> sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // catalog.last_check = checks.id analog: each user's latest event
+        val lastIds = ev.groupBy("user_id").agg(max("event_id").as("event_id"))
+          .select("event_id")
+        val checks = ev.join(broadcast(lastIds), Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("content_length"))
+          .where(col("content_length") <= 80)
+        val sampleKey = md5(col("event_id").cast("string"))
+        // remote half: excluded patterns + not "our" domain
+        val remote = checks
+          .where(col("event_type") =!= "click" && !col("event_type").like("%view%"))
+          .orderBy(sampleKey, col("event_id")).limit(10)
+        // "static.data.gouv.fr" half
+        val static = checks.where(col("event_type") === "click")
+          .orderBy(sampleKey, col("event_id")).limit(10)
+        remote.unionByName(static)
+          .select("event_id", "user_id", "event_type", "content_length")
+          .orderBy("event_id")
+      },
+      """WITH last AS (SELECT max(event_id) AS event_id FROM events GROUP BY user_id),
+        |checks AS (
+        |  SELECT e.event_id, e.user_id, e.event_type,
+        |    CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS content_length
+        |  FROM events e JOIN last USING (event_id)
+        |  WHERE CAST(json_extract_string(e.props, '$.k') AS BIGINT) <= 80),
+        |remote AS (
+        |  SELECT * FROM checks
+        |  WHERE event_type <> 'click' AND event_type NOT LIKE '%view%'
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 10),
+        |static AS (
+        |  SELECT * FROM checks WHERE event_type = 'click'
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 10)
+        |SELECT event_id, user_id, event_type, content_length
+        |FROM (SELECT * FROM remote UNION ALL SELECT * FROM static) u
+        |ORDER BY event_id""".stripMargin),
+
     // B1 (analysis/csv.py:202-219): smart_cast float semantics incl. French
     // "1 020,20" style — dirty strings built deterministically from data.
     "b01_smart_cast_double" -> sql(

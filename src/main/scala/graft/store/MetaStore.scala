@@ -51,21 +51,34 @@ final class MetaStore(spark: SparkSession, root: String) {
     * INCLUDING explicit NULLs — `SET col = excluded.col` semantics; the
     * reference relies on this to reset `status` to NULL
     * (preprocess_check_data.py:61). A plain coalesce would silently keep
-    * the stale value. */
-  def upsert(name: String, updates: DataFrame, key: String): Unit = {
+    * the stale value.
+    *
+    * `onMatchUpdate` restricts which columns the DO-UPDATE clause touches
+    * (the catalog loader's `SET dataset_id, url, deleted` at cli.py:100-112
+    * deliberately leaves harvest_modified_at/priority/status alone on
+    * existing rows); empty = update every provided column. Columns present
+    * only in `updates` are added to the table (null for untouched rows) —
+    * schema evolves forward like the reference's migrations. */
+  def upsert(name: String, updates: DataFrame, key: String,
+      onMatchUpdate: Seq[String] = Nil): Unit = {
     val merged = load(name) match {
       case None => updates
       case Some(existing) =>
-        val cols = existing.columns
+        val allCols = existing.columns ++
+          updates.columns.filterNot(existing.columns.contains)
         val e = existing.alias("e")
         val u = updates.alias("u")
         val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
-        val updateMatched = col(s"u.$key").isNotNull
-        val projected = cols.map { c =>
+        val insertOnly = col(s"e.$key").isNull
+        val matchSet: Set[String] =
+          if (onMatchUpdate.isEmpty) updates.columns.toSet else onMatchUpdate.toSet
+        val projected = allCols.map { c =>
           if (c == key) coalesce(col(s"u.$key"), col(s"e.$key")).as(c)
-          else if (updates.columns.contains(c))
-            when(updateMatched, col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
-          else col(s"e.$c").as(c)
+          else if (!updates.columns.contains(c)) col(s"e.$c").as(c)
+          else if (!existing.columns.contains(c)) col(s"u.$c").as(c)
+          else if (matchSet.contains(c))
+            when(col(s"u.$key").isNotNull, col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
+          else when(insertOnly, col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
         }
         joined.select(projected.toIndexedSeq: _*)
     }

@@ -137,3 +137,77 @@ class MetaStoreSpec extends SparkSpec {
     assert(orphans == Seq(CsvIngest.md5Hex("dead-url")))
   }
 }
+
+class CatalogLoaderSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+
+  // same shape as the reference fixture (tests/data/catalog.csv): 23 dotted
+  // columns, ;-separated, quoted; r2's dataset is archived (non-"False")
+  private val header =
+    """"dataset.id";"dataset.title";"dataset.slug";"dataset.url";"dataset.organization";"dataset.organization_id";"dataset.license";"dataset.private";"dataset.archived";"id";"url";"title";"description";"filetype";"format";"mime";"filesize";"checksum.type";"checksum.value";"created_at";"modified";"downloads";"harvest.modified_at""""
+
+  private def row(ds: String, archived: String, rid: String, url: String, harvest: String) =
+    s""""$ds";"";"";"";"";"";"";"";"$archived";"$rid";"$url";"";"";"";"";"";"";"";"";"";"";"";"$harvest""""
+
+  private def writeCatalog(lines: String*): String = {
+    val f = Files.createTempFile("catalog", ".csv")
+    Files.write(f, (header +: lines).mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("load: archived datasets skipped, harvest.modified_at parsed as UTC") {
+    val st = new graft.store.MetaStore(spark, Files.createTempDirectory("cat").toString)
+    val path = writeCatalog(
+      row("d1", "False", "r1", "https://example.com/resource-1", ""),
+      row("d2", "2022-01-30T01:11:38.075000", "r2", "https://example.com/resource-2", ""),
+      row("d3", "False", "r3", "https://example.com/resource-3", "2023-02-01T10:20:30"))
+    val n = graft.store.CatalogLoader.loadCatalog(spark, st, path)
+    assert(n == 2)
+    val cat = st.load("catalog").get.orderBy("resource_id").collect()
+    assert(cat.map(_.getAs[String]("resource_id")).toSeq == Seq("r1", "r3"))
+    assert(cat.forall(!_.getAs[Boolean]("deleted")))
+    assert(cat.forall(!_.getAs[Boolean]("priority")))
+    assert(cat.forall(_.getAs[String]("status") == null))
+    val hv = cat.find(_.getAs[String]("resource_id") == "r3").get
+      .getAs[java.sql.Timestamp]("harvest_modified_at")
+    assert(hv.toInstant == java.time.Instant.parse("2023-02-01T10:20:30Z"))
+    assert(cat.find(_.getAs[String]("resource_id") == "r1").get
+      .getAs[java.sql.Timestamp]("harvest_modified_at") == null)
+  }
+
+  test("reload: upsert keeps crawl state, resurrects, tombstones vanished rows") {
+    val st = new graft.store.MetaStore(spark, Files.createTempDirectory("cat2").toString)
+    val p1 = writeCatalog(
+      row("d1", "False", "r1", "u1", "2023-01-01T00:00:00"),
+      row("d1", "False", "r2", "u2", ""))
+    graft.store.CatalogLoader.loadCatalog(spark, st, p1)
+
+    // simulate crawl state accrued between loads
+    st.upsert("catalog",
+      Seq(("r1", 42L, "BACKOFF", true)).toDF("resource_id", "last_check", "status", "priority"),
+      "resource_id")
+
+    // new export: r1 moved URL + new harvest date, r2 vanished, r3 appeared
+    val p2 = writeCatalog(
+      row("d1", "False", "r1", "u1-moved", "2024-06-06T00:00:00"),
+      row("d1", "False", "r3", "u3", ""))
+    val n = graft.store.CatalogLoader.loadCatalog(spark, st, p2)
+    assert(n == 2)
+
+    val byId = st.load("catalog").get.collect()
+      .map(r => r.getAs[String]("resource_id") -> r).toMap
+    // matched row: url updated, crawl state PRESERVED (DO UPDATE only sets
+    // dataset_id/url/deleted — cli.py:100-112), harvest date NOT refreshed
+    assert(byId("r1").getAs[String]("url") == "u1-moved")
+    assert(byId("r1").getAs[Long]("last_check") == 42L)
+    assert(byId("r1").getAs[String]("status") == "BACKOFF")
+    assert(byId("r1").getAs[Boolean]("priority"))
+    assert(byId("r1").getAs[java.sql.Timestamp]("harvest_modified_at").toInstant ==
+      java.time.Instant.parse("2023-01-01T00:00:00Z"))
+    // vanished row: tombstoned, not dropped (test_cli.py:14-70 semantics)
+    assert(byId("r2").getAs[Boolean]("deleted"))
+    // new row: inserted live
+    assert(!byId("r3").getAs[Boolean]("deleted"))
+  }
+}

@@ -74,4 +74,26 @@ class ChecksQueriesSpec extends SparkSpec {
     assert(batch.contains("r2")) // priority row always first
     assert(!batch.contains("r4") && !batch.contains("r5"))
   }
+
+  test("csvSample: halves, exclusions, size cap from headers") {
+    val cat = Seq(
+      ("r1", "d1", "http://a.fr/1.csv", Some(1L)),
+      ("r2", "d1", "http://static.data.gouv.fr/2.csv", Some(2L)),
+      ("r3", "d2", "http://a.fr/explore/dataset/x", Some(3L)),   // ODS pattern
+      ("r4", "d2", "http://a.fr/4.csv", Some(4L)),               // too big
+      ("r5", "d3", "http://a.fr/5.json", Some(5L)),              // not csv
+      ("r6", "d3", "http://a.fr/6.csv", Some(6L))                // bad status
+    ).toDF("resource_id", "dataset_id", "url", "last_check")
+    val chk = Seq(
+      (1L, "http://a.fr/1.csv", "a.fr", 200, Map("content-type" -> "text/csv", "content-length" -> "100")),
+      (2L, "http://static.data.gouv.fr/2.csv", "static.data.gouv.fr", 200, Map("content-type" -> "application/csv", "content-length" -> "50")),
+      (3L, "http://a.fr/explore/dataset/x", "a.fr", 200, Map("content-type" -> "text/csv", "content-length" -> "10")),
+      (4L, "http://a.fr/4.csv", "a.fr", 200, Map("content-type" -> "text/csv", "content-length" -> "99999999999")),
+      (5L, "http://a.fr/5.json", "a.fr", 200, Map("content-type" -> "application/json", "content-length" -> "10")),
+      (6L, "http://a.fr/6.csv", "a.fr", 500, Map("content-type" -> "text/csv", "content-length" -> "10"))
+    ).toDF("id", "url", "domain", "status", "headers")
+    val got = ChecksQueries.csvSample(cat, chk, size = 10)
+      .select("resource_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("r1", "r2"), got.toString)
+  }
 }

@@ -38,6 +38,7 @@ object XlsxReader {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
+      val dateStyles = readDateStyles(zip)
       val sheets = sheetTargets(zip)
       if (sheets.isEmpty)
         throw new CsvSniffer.ParseException("xlsx-inspection", "list index out of range")
@@ -47,8 +48,47 @@ object XlsxReader {
       val entry = zip.getEntry(target)
       if (entry == null)
         throw new CsvSniffer.ParseException("xlsx-inspection", s"missing $target")
-      Sheet(name, readSheet(zip.getInputStream(entry), shared))
+      Sheet(name, readSheet(zip.getInputStream(entry), shared, dateStyles))
     } finally zip.close()
+  }
+
+  /** styles.xml: which cellXf style indexes render as dates/times, and
+    * whether they carry time — shares the builtin-id set and custom-format
+    * heuristic with the BIFF reader (XlsReader.isDateFormat). */
+  private def readDateStyles(zip: ZipFile): Map[Int, Boolean] = {
+    val e = zip.getEntry("xl/styles.xml")
+    if (e == null) return Map.empty
+    val r = factory.createXMLStreamReader(zip.getInputStream(e))
+    val customFmts = mutable.Map.empty[Int, String]
+    val cellXfFmts = mutable.ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            for {
+              id <- Option(r.getAttributeValue(null, "numFmtId")).flatMap(_.toIntOption)
+              code <- Option(r.getAttributeValue(null, "formatCode"))
+            } customFmts(id) = code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            cellXfFmts += Option(r.getAttributeValue(null, "numFmtId"))
+              .flatMap(_.toIntOption).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    cellXfFmts.zipWithIndex.collect {
+      case (fmt, i) if XlsReader.isDateFormat(fmt, customFmts.toMap) =>
+        val code = customFmts.getOrElse(fmt, "")
+        val hasTime = code.exists(c => "hsHS".indexOf(c) >= 0) ||
+          (18 to 22).contains(fmt) || (32 to 36).contains(fmt) || (45 to 47).contains(fmt)
+        i -> hasTime
+    }.toMap
   }
 
   private def readSharedStrings(zip: ZipFile): Vector[String] = {
@@ -111,11 +151,13 @@ object XlsxReader {
   }
 
   /** Stream one worksheet's cells into dense string rows (gaps → ""). */
-  private def readSheet(in: InputStream, shared: Vector[String]): Vector[Vector[String]] = {
+  private def readSheet(in: InputStream, shared: Vector[String],
+      dateStyles: Map[Int, Boolean]): Vector[Vector[String]] = {
     val r = factory.createXMLStreamReader(in)
     val rows = Vector.newBuilder[Vector[String]]
     var row: mutable.ArrayBuffer[String] = null
     var cellType = ""
+    var cellStyle = -1
     var cellCol = -1
     var inV = false
     var inInlineT = false
@@ -139,6 +181,8 @@ object XlsxReader {
             case "row" => row = mutable.ArrayBuffer.empty[String]
             case "c" =>
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.toIntOption).getOrElse(-1)
               cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(
                 if (row == null) 0 else row.length)
             case "v" => inV = true; value = new StringBuilder
@@ -154,6 +198,13 @@ object XlsxReader {
               val resolved = cellType match {
                 case "s" => shared.lift(raw.trim.toInt).getOrElse("")
                 case "b" => if (raw.trim == "1") "true" else "false"
+                case "" | "n" if dateStyles.contains(cellStyle) =>
+                  // Excel serial under a date style → ISO (shared with BIFF)
+                  raw.trim.toDoubleOption match {
+                    case Some(serial) =>
+                      XlsReader.serialToIso(serial, dateStyles(cellStyle))
+                    case None => raw
+                  }
                 case _ => raw
               }
               if (row != null) { pad(row, cellCol); row(cellCol) = resolved }

@@ -101,12 +101,57 @@ object CsvIngest {
       exportDir: Option[String] = None,
       minLinesForParquet: Long = 200L,
       profile: Boolean = true,
-      onPhase: String => Unit = _ => ()): IngestResult = {
+      onPhase: String => Unit = _ => ()): IngestResult =
+    analyseSheetRows(spark, XlsxReader.read(xlsxPath, sheetName).rows,
+      "xlsx-inspection", url, warehouse, exportDir, minLinesForParquet, profile, onPhase)
 
-    val sheet = XlsxReader.read(xlsxPath, sheetName)
-    val nonEmpty = sheet.rows.filter(_.exists(_.nonEmpty))
+  /** A4: legacy .xls (OLE2/BIFF8) through the same slice — XlsReader decodes
+    * the compound file, SST strings, RK numbers and serial dates
+    * (reference utils/reader.py:60-66 via xlrd). */
+  def analyseXls(
+      spark: SparkSession,
+      xlsPath: String,
+      url: String,
+      warehouse: String,
+      sheetName: Option[String] = None,
+      exportDir: Option[String] = None,
+      minLinesForParquet: Long = 200L,
+      profile: Boolean = true,
+      onPhase: String => Unit = _ => ()): IngestResult =
+    analyseSheetRows(spark, graft.detect.XlsReader.read(xlsPath, sheetName).rows,
+      "xls-inspection", url, warehouse, exportDir, minLinesForParquet, profile, onPhase)
+
+  /** A4: ODS (OpenDocument spreadsheet) through the same slice
+    * (reference utils/reader.py:60-66 via the odf engine). */
+  def analyseOds(
+      spark: SparkSession,
+      odsPath: String,
+      url: String,
+      warehouse: String,
+      sheetName: Option[String] = None,
+      exportDir: Option[String] = None,
+      minLinesForParquet: Long = 200L,
+      profile: Boolean = true,
+      onPhase: String => Unit = _ => ()): IngestResult =
+    analyseSheetRows(spark, graft.detect.OdsReader.read(odsPath, sheetName).rows,
+      "ods-inspection", url, warehouse, exportDir, minLinesForParquet, profile, onPhase)
+
+  /** Shared sheet-analysis slice: string rows → header heuristic → DataFrame
+    * → infer → cast → persist → table write (+ export gate) → profile. */
+  private def analyseSheetRows(
+      spark: SparkSession,
+      sheetRows: Vector[Vector[String]],
+      step: String,
+      url: String,
+      warehouse: String,
+      exportDir: Option[String],
+      minLinesForParquet: Long,
+      profile: Boolean,
+      onPhase: String => Unit): IngestResult = {
+
+    val nonEmpty = sheetRows.filter(_.exists(_.nonEmpty))
     if (nonEmpty.isEmpty)
-      throw new CsvSniffer.ParseException("xlsx-inspection", "list index out of range")
+      throw new CsvSniffer.ParseException(step, "list index out of range")
 
     // header-row heuristic shared with the CSV sniffer contract
     val headerIdx = nonEmpty.take(10).indexWhere(r =>

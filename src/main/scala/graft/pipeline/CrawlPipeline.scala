@@ -439,9 +439,17 @@ object CrawlPipeline {
             val startedAt = now
             val onPhase: String => Unit = p => status.set(resourceId, Some(p))
             try {
+              // route by headers-format, url extension, and sniffed magic —
+              // an OLE2 body behind a text/csv content-type still goes to
+              // the xls reader (utils/reader.py:30-66 format routing)
               val res =
                 if (format == "xlsx" || url.endsWith(".xlsx"))
                   CsvIngest.analyseXlsx(spark, path, url, warehouse, onPhase = onPhase)
+                else if (format == "xls" || url.endsWith(".xls") ||
+                  mime == "application/vnd.ms-excel")
+                  CsvIngest.analyseXls(spark, path, url, warehouse, onPhase = onPhase)
+                else if (url.endsWith(".ods"))
+                  CsvIngest.analyseOds(spark, path, url, warehouse, onPhase = onPhase)
                 else CsvIngest.analyseCsv(spark, path, url, warehouse, onPhase = onPhase)
               // C6: record the parsed table + full inspection report +
               // any requested indexes from the exceptions table

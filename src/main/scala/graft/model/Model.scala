@@ -115,4 +115,20 @@ object ResourceStatus {
   val AnalysingCsv = "ANALYSING_CSV"
   val InsertingInDb = "INSERTING_IN_DB"
   val ConvertingToParquet = "CONVERTING_TO_PARQUET"
+
+  /** Human-readable status explanations (Resource.STATUSES; None = idle).
+    * "BACKOFF" is a valid stored status though not a machine constant. */
+  val verbose: Map[Option[String], String] = Map(
+    None -> "no status, waiting",
+    Some("BACKOFF") -> "backoff period for this domain, will be checked later",
+    Some(CrawlingUrl) -> "resource URL currently being crawled",
+    Some(ToAnalyseResource) -> "resource to be processed for change, type and size analysis",
+    Some(AnalysingResource) -> "currently being processed for change, type and size analysis",
+    Some(ToAnalyseCsv) -> "resource content to be analysed by CSV detective",
+    Some(AnalysingCsv) -> "resource content currently being analysed by CSV detective",
+    Some(InsertingInDb) -> "currently being inserted in DB",
+    Some(ConvertingToParquet) -> "currently being converted to Parquet")
+
+  /** Statuses accepted by the insert/update write paths. */
+  val valid: Set[String] = verbose.keys.flatten.toSet
 }

@@ -52,4 +52,129 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
     Seq((store.exists("catalog"), store.exists("checks"), store.exists("tables_index")))
       .toDF("catalog", "checks", "tables_index")
   }
+
+  // ---- write surface (routes/resources.py, routes/resources_exceptions.py).
+  // HTTP error codes become exceptions/Booleans: 400 → IllegalArgumentException,
+  // 404 → false / None return. -------------------------------------------------
+
+  import graft.model.ResourceStatus
+
+  private def requireValidStatus(status: Option[String]): Unit =
+    status.foreach { s =>
+      require(ResourceStatus.valid.contains(s), s"Invalid status: $s")
+    }
+
+  /** GET /api/resources/{id}/status — status + verbose explanation. */
+  def resourceStatus(resourceId: String): Option[(Option[String], String)] = {
+    val rows = catalog.filter(col("resource_id") === resourceId)
+      .select("status").collect()
+    rows.headOption.map { r =>
+      val s = Option(r.getString(0))
+      (s, ResourceStatus.verbose.getOrElse(s, ""))
+    }
+  }
+
+  /** POST /api/resources — create in the catalog, priority for next crawl
+    * (Resource.insert: deleted=FALSE, priority=TRUE default). */
+  def createResource(datasetId: String, resourceId: String, url: String,
+      status: Option[String] = None, priority: Boolean = true): Unit = {
+    requireValidStatus(status)
+    import spark.implicits._
+    store.upsert("catalog",
+      Seq((resourceId, datasetId, url, false, status.orNull, priority))
+        .toDF("resource_id", "dataset_id", "url", "deleted", "status", "priority"),
+      "resource_id")
+  }
+
+  /** PUT /api/resources/{id} — update-or-insert, re-prioritized
+    * (Resource.update_or_insert: same column set either way). */
+  def updateResource(datasetId: String, resourceId: String, url: String,
+      status: Option[String] = None, priority: Boolean = true): Unit =
+    createResource(datasetId, resourceId, url, status, priority)
+
+  /** DELETE /api/resources/{id} — tombstone, not a hard delete. Returns
+    * false when the resource is unknown (404). */
+  def deleteResource(resourceId: String): Boolean = {
+    if (resource(resourceId).isEmpty) return false
+    import spark.implicits._
+    store.upsert("catalog",
+      Seq((resourceId, true)).toDF("resource_id", "deleted"), "resource_id")
+    true
+  }
+
+  /** POST /api/checks — the reference enqueues an immediate re-check; the
+    * library equivalent marks the resource priority so the next selectBatch
+    * picks it first. Returns false when the resource is unknown. */
+  def createCheck(resourceId: String): Boolean = {
+    if (resource(resourceId).isEmpty) return false
+    import spark.implicits._
+    store.upsert("catalog",
+      Seq((resourceId, true, null: String))
+        .toDF("resource_id", "priority", "status"),
+      "resource_id")
+    true
+  }
+
+  private def resourcesExceptionsDf =
+    store.load("resources_exceptions").getOrElse(spark.emptyDataFrame)
+
+  /** Index types the DDL layer supports (SQL_INDEXES_TYPES_SUPPORTED). */
+  val supportedIndexTypes: Set[String] = Set("index")
+
+  private def validateIndexes(tableIndexes: Map[String, String]): Unit =
+    tableIndexes.values.foreach { t =>
+      require(supportedIndexTypes.contains(t),
+        "error, index type must be one of: " + supportedIndexTypes.mkString(", "))
+    }
+
+  private def indexesJson(m: Map[String, String]): String =
+    m.map { case (k, v) =>
+      s""""${k.replace("\"", "\\\"")}": "${v.replace("\"", "\\\"")}""""
+    }.mkString("{", ", ", "}")
+
+  /** GET /api/resources-exceptions */
+  def resourcesExceptions(): DataFrame = resourcesExceptionsDf
+
+  /** POST /api/resources-exceptions — the resource must exist in the catalog
+    * and must not already have an exception (UniqueViolation → 400). */
+  def createResourceException(resourceId: String,
+      tableIndexes: Map[String, String] = Map.empty,
+      comment: Option[String] = None): Unit = {
+    require(resource(resourceId).count() > 0, "Resource not found")
+    validateIndexes(tableIndexes)
+    val existing = resourcesExceptionsDf
+    require(existing.isEmpty ||
+      existing.filter(col("resource_id") === resourceId).isEmpty,
+      "Resource exception already exists")
+    import spark.implicits._
+    store.upsert("resources_exceptions",
+      Seq((resourceId, indexesJson(tableIndexes), comment.orNull))
+        .toDF("resource_id", "table_indexes", "comment"),
+      "resource_id")
+  }
+
+  /** PUT /api/resources-exceptions/{id}. Returns false when the resource is
+    * unknown (404). */
+  def updateResourceException(resourceId: String,
+      tableIndexes: Map[String, String] = Map.empty,
+      comment: Option[String] = None): Boolean = {
+    if (resource(resourceId).isEmpty) return false
+    validateIndexes(tableIndexes)
+    import spark.implicits._
+    store.upsert("resources_exceptions",
+      Seq((resourceId, indexesJson(tableIndexes), comment.orNull))
+        .toDF("resource_id", "table_indexes", "comment"),
+      "resource_id")
+    true
+  }
+
+  /** DELETE /api/resources-exceptions/{id}. Returns false when the resource
+    * is unknown (404). */
+  def deleteResourceException(resourceId: String): Boolean = {
+    if (resource(resourceId).isEmpty) return false
+    store.load("resources_exceptions").foreach { df =>
+      store.save("resources_exceptions", df.filter(col("resource_id") =!= resourceId))
+    }
+    true
+  }
 }

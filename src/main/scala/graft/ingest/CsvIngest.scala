@@ -29,7 +29,18 @@ object CsvIngest {
       tableName: String,
       inspection: Inspection,
       rowCount: Long,
-      outputPath: String)
+      outputPath: String,
+      parquetExport: Option[(String, Long)] = None)
+
+  private def dirSize(path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size)
+      .sum
+  }
 
   def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -175,11 +186,13 @@ object CsvIngest {
     val outPath = s"$warehouse/$tableName"
     onPhase(graft.model.ResourceStatus.InsertingInDb)
     typed.write.mode(SaveMode.Overwrite).parquet(outPath)
-    exportDir.foreach { dir =>
+    val export = exportDir.flatMap { dir =>
       if (rowCount >= minLinesForParquet) {
         onPhase(graft.model.ResourceStatus.ConvertingToParquet)
-        typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
-      }
+        val p = s"$dir/$tableName.parquet"
+        typed.write.mode(SaveMode.Overwrite).parquet(p)
+        Some((p, dirSize(p)))
+      } else None
     }
     val prof =
       if (profile) OnePassProfiler.profile(typed)
@@ -189,7 +202,7 @@ object CsvIngest {
     IngestResult(tableName,
       Inspection("utf-8", "", hIdx, header, rowCount, types, prof)
         .copy(header = header),
-      rowCount, outPath)
+      rowCount, outPath, export)
   }
 
   private def javaCharset(enc: String): String = enc match {
@@ -232,12 +245,15 @@ object CsvIngest {
     onPhase(graft.model.ResourceStatus.InsertingInDb) // E7 (analysis/csv.py:354)
     typed.write.mode(SaveMode.Overwrite).parquet(outPath)
 
-    // C4 parquet export gate
-    exportDir.foreach { dir =>
+    // C4 parquet export gate — (url, size) surfaces on the check row like
+    // csv_to_parquet's return (analysis/csv.py:305-340)
+    val export = exportDir.flatMap { dir =>
       if (rowCount >= minLinesForParquet) {
         onPhase(graft.model.ResourceStatus.ConvertingToParquet) // E7 (csv.py:312)
-        typed.write.mode(SaveMode.Overwrite).parquet(s"$dir/$tableName.parquet")
-      }
+        val p = s"$dir/$tableName.parquet"
+        typed.write.mode(SaveMode.Overwrite).parquet(p)
+        Some((p, dirSize(p)))
+      } else None
     }
 
     // OnePassProfiler: single scan (measured 13x the two-pass melt+window
@@ -256,6 +272,6 @@ object CsvIngest {
       columns = types,
       profile = prof)
 
-    IngestResult(tableName, inspection, rowCount, outPath)
+    IngestResult(tableName, inspection, rowCount, outPath, export)
   }
 }

@@ -90,7 +90,19 @@ object CrawlPipeline {
       timeout: Boolean,
       changed: Boolean,
       skippedBackoff: Boolean = false,
-      headers: Map[String, String] = Map.empty)
+      headers: Map[String, String] = Map.empty,
+      responseTime: Option[Double] = None,
+      parquetUrl: Option[String] = None,
+      parquetSize: Option[Long] = None)
+
+  /** The last-check fields change detection and webhooks consult. */
+  final case class LastCheck(
+      id: Long,
+      checksum: Option[String],
+      status: Option[Int],
+      timeout: Boolean,
+      contentLength: Option[String],
+      contentType: Option[String])
 
   /** E7 — records every status transition and writes it through to the
     * catalog (the reference's Resource.update calls). The in-memory log is
@@ -193,7 +205,8 @@ object CrawlPipeline {
       batchSize: Int = 40,
       now: Instant = Instant.now(),
       noBackoffDomains: Set[String] = Set.empty,
-      tracker: Option[StatusTracker] = None): Seq[CheckOutcome] = {
+      tracker: Option[StatusTracker] = None,
+      exportDir: Option[String] = None): Seq[CheckOutcome] = {
 
     import graft.queries.ChecksQueries
     graft.functions.GraftFunctions.register(spark)
@@ -216,7 +229,7 @@ object CrawlPipeline {
     val batchIds = batch.map(_._1).toSeq
     try {
       runClaimed(spark, store, warehouse, fetcher, notifier, now,
-        noBackoffDomains, status, checks, batch.toSeq)
+        noBackoffDomains, status, checks, batch.toSeq, exportDir)
     } catch {
       case scala.util.control.NonFatal(e) =>
         // the claim must not leak: a wedged CRAWLING_URL row is excluded by
@@ -236,20 +249,34 @@ object CrawlPipeline {
       noBackoffDomains: Set[String],
       status: StatusTracker,
       checks: Option[org.apache.spark.sql.DataFrame],
-      batch: Seq[(String, String, String)]): Seq[CheckOutcome] = {
+      batch: Seq[(String, String, String)],
+      exportDir: Option[String]): Seq[CheckOutcome] = {
     import spark.implicits._
 
     // only the BATCH's resources come back to the driver (bounded by
     // batchSize), never the full check history — the isin filter pushes to
     // the partitioned parquet scan before the window
     val batchIds = batch.map(_._1)
-    val lastByResource: Map[String, (Option[String], Long)] = checks match {
+    val lastByResource: Map[String, LastCheck] = checks match {
       case None => Map.empty
       case Some(df) =>
+        val has = df.columns.toSet
+        def opt(name: String, tpe: String) =
+          if (has(name)) col(name) else lit(null).cast(tpe)
         graft.queries.ChecksQueries.dedupLatestPerResource(
           df.filter(col("resource_id").isin(batchIds: _*)))
-          .select("resource_id", "checksum", "id").collect()
-          .map(r => r.getString(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+          .select(col("resource_id"), col("id"), col("checksum"),
+            opt("status", "int").as("status"),
+            opt("timeout", "boolean").as("timeout"),
+            (if (has("headers")) col("headers").getItem("content-length")
+             else lit(null).cast("string")).as("cl"),
+            (if (has("headers")) col("headers").getItem("content-type")
+             else lit(null).cast("string")).as("ct"))
+          .collect()
+          .map(r => r.getString(0) -> LastCheck(r.getLong(1), Option(r.getString(2)),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            !r.isNullAt(4) && r.getBoolean(4),
+            Option(r.getString(5)), Option(r.getString(6)))).toMap
     }
     // empty-table safe: max(id) over zero rows is NULL (was a getLong NPE)
     val maxCheckId = checks
@@ -277,7 +304,7 @@ object CrawlPipeline {
     val outcomes = batch.map { case (resourceId, datasetId, url0) =>
       checkOne(spark, store, warehouse, fetcher, notifier, now, status,
         backoffs, lastByResource, exceptions, exceptionRows, newIndexEntries,
-        resourceId, datasetId, url0)
+        resourceId, datasetId, url0, exportDir)
     }
 
     val checked = outcomes.filterNot(_.skippedBackoff)
@@ -287,12 +314,14 @@ object CrawlPipeline {
     if (checked.nonEmpty) {
       val newChecks = checked.zipWithIndex.map { case (o, i) =>
         (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
-          o.status, o.headers, o.timeout, o.checksum, o.filesize, o.mimeType,
-          o.parsingTable, o.parsingError, o.error,
+          o.status, o.headers, o.timeout, o.responseTime, o.checksum, o.filesize,
+          o.mimeType, o.parsingTable, o.parsingError, o.parquetUrl, o.parquetSize,
+          o.error,
           Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
       }.toDF("id", "resource_id", "url", "domain", "created_at",
-        "status", "headers", "timeout", "checksum", "filesize", "mime_type",
-        "parsing_table", "parsing_error", "error", "next_check_at")
+        "status", "headers", "timeout", "response_time", "checksum", "filesize",
+        "mime_type", "parsing_table", "parsing_error", "parquet_url",
+        "parquet_size", "error", "next_check_at")
       // date-partitioned append: retention purges (D14) and backoff windows
       // (D7) then prune partitions instead of scanning the whole log
       store.append("checks",
@@ -343,13 +372,14 @@ object CrawlPipeline {
       now: Instant,
       status: StatusTracker,
       backoffs: Map[String, (Boolean, String)],
-      lastByResource: Map[String, (Option[String], Long)],
+      lastByResource: Map[String, LastCheck],
       exceptions: Set[String],
       exceptionRows: Map[String, String],
       newIndexEntries: scala.collection.mutable.ArrayBuffer[(String, String, String, String, String)],
       resourceId: String,
       datasetId: String,
-      url0: String): CheckOutcome = {
+      url0: String,
+      exportDir: Option[String]): CheckOutcome = {
     import spark.implicits._
 
     val domain0 = domainOf(url0)
@@ -382,25 +412,42 @@ object CrawlPipeline {
       (url, resolved)
     }
 
+    val fetchStart = System.nanoTime()
     val (url, res) = fetchSmart(url0)
+    val responseTime = (System.nanoTime() - fetchStart) / 1e9
+    val last = lastByResource.get(resourceId)
+
+    // check:* webhook goes out only when the check OUTCOME changed vs the
+    // previous one (preprocess_check_data → has_check_changed), not on every
+    // identical failure/success
+    def lastView = last.map(l => ChangeDetection.CheckView(
+      now, l.status, l.timeout, None, l.contentLength, l.contentType, l.checksum, None))
+    def notifyIfCheckChanged(st: Option[Int], timeout: Boolean,
+        error: Option[String], headers: Map[String, String]): Unit = {
+      val current = ChangeDetection.CheckView(now, st, timeout, None,
+        headers.get("content-length"), headers.get("content-type"), None, None)
+      if (error.isDefined || ChangeDetection.hasCheckChanged(current, lastView))
+        notifier.notify(datasetId, resourceId,
+          WebhookPayloads.checkDocument(st, timeout, error, headers, now))
+    }
+
     res match {
       case FetchTimeout =>
         // 5 s budget exceeded (check_resources.py:146-160): status NULL,
         // timeout flag set, availability report goes out
-        notifier.notify(datasetId, resourceId,
-          WebhookPayloads.checkDocument(None, timeout = true, None, Map.empty, now))
+        notifyIfCheckChanged(None, timeout = true, None, Map.empty)
         status.set(resourceId, None)
         CheckOutcome(resourceId, url, None, None, None, None, None, None,
-          None, timeout = true, changed = false)
+          None, timeout = true, changed = false, responseTime = Some(responseTime))
 
       case FetchError(st, message, headers) =>
         val hdrs = HeaderUtils.normalizeHeaders(headers)
-        notifier.notify(datasetId, resourceId,
-          WebhookPayloads.checkDocument(st, timeout = false,
-            Some(HeaderUtils.fixSurrogates(message)), hdrs, now))
+        notifyIfCheckChanged(st, timeout = false,
+          Some(HeaderUtils.fixSurrogates(message)), hdrs)
         status.set(resourceId, None)
         CheckOutcome(resourceId, url, st, None, None, None, None, None,
-          Some(message), timeout = false, changed = false, headers = hdrs)
+          Some(message), timeout = false, changed = false, headers = hdrs,
+          responseTime = Some(responseTime))
 
       case Fetched(path, rawHeaders, httpStatus) =>
         val headers = HeaderUtils.normalizeHeaders(rawHeaders)
@@ -411,13 +458,9 @@ object CrawlPipeline {
         val size = Files.size(Paths.get(path))
         val mime = HeaderUtils.sniffMime(headBytes(path))
         val (_, format) = HeaderUtils.detectTabularFromHeaders(headers, url)
-        val last = lastByResource.get(resourceId)
-        val changed = last.forall(!_._1.contains(checksum)) // first check or checksum diff (E4 tail)
+        val changed = last.forall(!_.checksum.contains(checksum)) // first check or checksum diff (E4 tail)
 
-        if (changed)
-          notifier.notify(datasetId, resourceId,
-            WebhookPayloads.checkDocument(Some(httpStatus), timeout = false,
-              None, headers, now))
+        notifyIfCheckChanged(Some(httpStatus), timeout = false, None, headers)
 
         if (!HeaderUtils.sizeAllowed(format, size, exceptions.contains(resourceId))) {
           // size-cap refusal (utils/file.py:48-65 abort; waived for exceptions)
@@ -427,10 +470,12 @@ object CrawlPipeline {
           status.set(resourceId, None)
           CheckOutcome(resourceId, url, Some(httpStatus), Some(checksum), Some(size),
             Some(mime), None, None, Some("File too large to download"),
-            timeout = false, changed = changed, headers = headers)
+            timeout = false, changed = changed, headers = headers,
+            responseTime = Some(responseTime))
         } else {
           var parsingTable: Option[String] = None
           var parsingError: Option[String] = None
+          var parquetInfo: Option[(String, Long)] = None
           if (changed) {
             // E7: TO_ANALYSE_CSV → ANALYSING_CSV → INSERTING_IN_DB →
             // CONVERTING_TO_PARQUET (analysis/csv.py:121-199 + 311,354)
@@ -444,22 +489,29 @@ object CrawlPipeline {
               // the xls reader (utils/reader.py:30-66 format routing)
               val res =
                 if (format == "xlsx" || url.endsWith(".xlsx"))
-                  CsvIngest.analyseXlsx(spark, path, url, warehouse, onPhase = onPhase)
+                  CsvIngest.analyseXlsx(spark, path, url, warehouse,
+                    exportDir = exportDir, onPhase = onPhase)
                 else if (format == "xls" || url.endsWith(".xls") ||
                   mime == "application/vnd.ms-excel")
-                  CsvIngest.analyseXls(spark, path, url, warehouse, onPhase = onPhase)
+                  CsvIngest.analyseXls(spark, path, url, warehouse,
+                    exportDir = exportDir, onPhase = onPhase)
                 else if (url.endsWith(".ods"))
-                  CsvIngest.analyseOds(spark, path, url, warehouse, onPhase = onPhase)
-                else CsvIngest.analyseCsv(spark, path, url, warehouse, onPhase = onPhase)
+                  CsvIngest.analyseOds(spark, path, url, warehouse,
+                    exportDir = exportDir, onPhase = onPhase)
+                else CsvIngest.analyseCsv(spark, path, url, warehouse,
+                  exportDir = exportDir, onPhase = onPhase)
               // C6: record the parsed table + full inspection report +
               // any requested indexes from the exceptions table
               newIndexEntries += ((res.tableName,
                 graft.model.InspectionJson.toJson(res.inspection), resourceId, url,
                 exceptionRows.getOrElse(resourceId, "")))
+              parquetInfo = res.parquetExport
               notifier.notify(datasetId, resourceId,
                 WebhookPayloads.analysisDocument(Some(size), Some(checksum),
                   Some(mime), None) ++
-                  WebhookPayloads.parsingDocument(None, Some(startedAt), Some(now)))
+                  WebhookPayloads.parsingDocument(None, Some(startedAt), Some(now),
+                    parquetInfo.map(_._1), parquetInfo.map(_._2),
+                    csvToParquet = exportDir.isDefined))
               parsingTable = Some(res.tableName)
             } catch {
               case e: CsvSnifferException =>
@@ -475,7 +527,9 @@ object CrawlPipeline {
           status.set(resourceId, None)
           CheckOutcome(resourceId, url, Some(httpStatus), Some(checksum), Some(size),
             Some(mime), parsingTable, parsingError, None,
-            timeout = false, changed = changed, headers = headers)
+            timeout = false, changed = changed, headers = headers,
+            responseTime = Some(responseTime),
+            parquetUrl = parquetInfo.map(_._1), parquetSize = parquetInfo.map(_._2))
         }
     }
   }

@@ -65,12 +65,52 @@ class CrawlPipelineSpec extends SparkSpec {
     // CRAWLING_URL claim must not leak and block future selection)
     assert(cat.filter(col("status").isNotNull).count() == 0)
 
-    // second crawl at a later due time: checksums unchanged → no re-ingest
+    // response_time recorded on every fetched check
+    assert(checks.filter(col("response_time").isNotNull).count() == 3)
+
+    // second crawl at a later due time: checksums unchanged → no re-ingest,
+    // and no repeat check:* webhook for an identical outcome
+    val sentBefore = notifier.sent.count(_._3.contains("check:available"))
     val outcomes2 = CrawlPipeline.runBatch(spark, store, warehouse,
       new CrawlPipeline.LocalFetcher, notifier, batchSize = 10,
       now = Instant.parse("2024-07-01T00:00:00Z"))
     val ok2 = outcomes2.filter(_.error.isEmpty)
     assert(ok2.nonEmpty && ok2.forall(o => !o.changed && o.parsingTable.isEmpty))
+    val sentAfter = notifier.sent.count(_._3.contains("check:available"))
+    // only the still-failing r3 (error path always reports) re-notifies
+    assert(sentAfter - sentBefore == 1, s"$sentBefore -> $sentAfter")
+  }
+
+  test("C4/C5: export gate populates parquet_url/parquet_size on the check row") {
+    val root = Files.createTempDirectory("crawl-export").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val big = Files.createTempFile("big", ".csv")
+    Files.write(big, ("id,v\n" + (1 to 250).map(i => s"$i,${i * 2}").mkString("\n")).getBytes)
+    val small = Files.createTempFile("small", ".csv")
+    Files.write(small, "id,v\n1,2\n".getBytes)
+
+    store.save("catalog", Seq(
+      ("rbig", "d1", s"file://$big", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp]),
+      ("rsmall", "d1", s"file://$small", false, None: Option[Long], false, None, None)
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    val notifier = new CrawlPipeline.NoopNotifier
+    val outcomes = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      new CrawlPipeline.LocalFetcher, notifier, batchSize = 10,
+      now = Instant.parse("2024-06-01T00:00:00Z"),
+      exportDir = Some(s"$root/export"))
+    val byId = outcomes.map(o => o.resourceId -> o).toMap
+
+    // 250 rows ≥ MIN_LINES → exported with a real size; 1 row → gate closed
+    assert(byId("rbig").parquetUrl.exists(_.contains(".parquet")))
+    assert(byId("rbig").parquetSize.exists(_ > 0L))
+    assert(byId("rsmall").parquetUrl.isEmpty)
+    val row = store.load("checks").get.filter(col("resource_id") === "rbig").head()
+    assert(row.getAs[String]("parquet_url") != null)
+    assert(row.getAs[Long]("parquet_size") > 0L)
+    // parsing webhook carries the parquet keys when conversion is on
+    assert(notifier.sent.exists(s => s._2 == "rbig" &&
+      s._3.get("analysis:parsing:parquet_url").exists(_ != null)))
   }
 
   test("E7: ragged CSV records parsing_error and walks the status machine") {

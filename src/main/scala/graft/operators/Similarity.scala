@@ -133,8 +133,12 @@ object Similarity {
     // cache: KMeans.fit passes over the features once per iteration — without
     // this the array->vector conversion re-runs maxIter times
     val corpusVec = corpus.withColumn("__features", toVec(col(vecCol))).persist()
+    // random init: k-means|| costs ~2 extra distributed passes for init
+    // quality an IVF coarse quantizer doesn't need — cells only have to
+    // partition the space roughly evenly, and nProbe covers boundary error
     val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(5).setFeaturesCol("__features")
+      .setK(nCentroids).setSeed(seed).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("__features")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
       .withColumnRenamed("prediction", "cell").drop("__features")

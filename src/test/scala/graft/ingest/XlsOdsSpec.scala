@@ -27,6 +27,33 @@ object XlsFixture {
   private def xfRec(fmtId: Int): Array[Byte] =
     rec(0xE0, le16(0) ++ le16(fmtId) ++ le16(0xFFF5) ++ Array.fill(14)(0.toByte))
 
+  /** Arbitrary grid → BIFF8 workbook bytes: strings through SST+LABELSST,
+    * doubles through NUMBER (general format). */
+  def workbookBytesFor(grid: Seq[Seq[Any]]): Array[Byte] = {
+    val strings = grid.flatten.collect { case s: String => s }.distinct.toVector
+    val sstIdx = strings.zipWithIndex.toMap
+    val sst = rec(0xFC, le32(strings.length) ++ le32(strings.length) ++
+      strings.flatMap(str16).toArray)
+    val xfs = (0 until 16).map(_ => xfRec(0)).reduce(_ ++ _)
+    val cells = grid.zipWithIndex.flatMap { case (row, r) =>
+      row.zipWithIndex.flatMap {
+        case (s: String, c) =>
+          Seq(rec(0xFD, le16(r) ++ le16(c) ++ le16(0) ++ le32(sstIdx(s))))
+        case (d: Double, c) =>
+          Seq(rec(0x203, le16(r) ++ le16(c) ++ le16(0) ++ dbl(d)))
+        case _ => Nil
+      }
+    }
+    val sheet = bof(0x10) ++ cells.foldLeft(Array.emptyByteArray)(_ ++ _) ++
+      rec(0x0A, Array.emptyByteArray)
+    def globals(sheetOffset: Int) = bof(0x05) ++ xfs ++ sst ++
+      rec(0x85, le32(sheetOffset) ++ Array(0.toByte, 0.toByte) ++
+        Array(6.toByte, 0.toByte) ++ "Sheet1".getBytes("ISO-8859-1")) ++
+      rec(0x0A, Array.emptyByteArray)
+    val offset = globals(0).length
+    globals(offset) ++ sheet
+  }
+
   /** Two-column workbook: header strings via SST, then per row a LABELSST,
     * a NUMBER (general format) and a date-formatted NUMBER (builtin fmt 14). */
   def workbookBytes(): Array[Byte] = {
@@ -249,6 +276,37 @@ class XlsOdsSpec extends SparkSpec {
     assert(sheet.rows(1)(0) == "2023-03-15")
     assert(sheet.rows(2)(0) == "2023-03-15 12:00:00")
     assert(sheet.rows(3)(0) == "45000") // no date style → raw number untouched
+  }
+
+  test("xls round-trip property: random grids survive CFB+BIFF encode/decode") {
+    val rng = new scala.util.Random(0xb1ff)
+    def fmtNumber(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    var trials = 0
+    while (trials < 30) {
+      val nRows = 1 + rng.nextInt(20)
+      val nCols = 1 + rng.nextInt(5)
+      val grid: Seq[Seq[Any]] = (0 until nRows).map { _ =>
+        (0 until nCols).map { _ =>
+          if (rng.nextBoolean())
+            new String(Array.fill(rng.nextInt(10))((32 + rng.nextInt(95)).toChar))
+          else math.rint(rng.nextDouble() * 1e8) / 100.0
+        }
+      }
+      val wb = XlsFixture.workbookBytesFor(grid)
+      if (wb.length < 4000) { // fixture writer covers the mini-stream layout
+        trials += 1
+        val f = Files.createTempFile("prop", ".xls")
+        Files.write(f, XlsFixture.cfb(wb))
+        val got = XlsReader.read(f.toString).rows
+        val expected = grid.map(_.map {
+          case s: String => s
+          case d: Double => fmtNumber(d)
+        }.toVector).toVector
+        assert(got == expected,
+          s"grid ${nRows}x$nCols (wb ${wb.length}B) mismatch:\n$got\nvs\n$expected")
+      }
+    }
   }
 
   test("empty xls fails with the parse-error contract, not a crash") {

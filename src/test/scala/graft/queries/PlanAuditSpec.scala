@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+import graft.SparkSpec
+
+/** Plan audits: the 100 TB posture is a property of the PHYSICAL PLAN, not
+  * the row counts — these specs pin the plans we designed for (broadcast
+  * dimensions, filter pushdown to the parquet scan, column pruning,
+  * whole-stage codegen) so a refactor that silently degrades one fails CI,
+  * not the next scale-up. Runs against sf0.001 (plan shape is scale-free). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes its re-planned stages
+    df.queryExecution.executedPlan
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case w: WholeStageCodegenExec => w +: flatten(w.child)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def planOf(name: String): SparkPlan =
+    executedPlan(graft.SparkEntry.queries(name)(spark, dir))
+
+  test("d01: dimension joins broadcast, never sort-merge") {
+    val nodes = flatten(planOf("d01_join_filter"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "nation/region must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join for tiny dimensions")
+  }
+
+  test("q01: column pruning reaches the lineitem scan") {
+    val scans = flatten(planOf("q01_lineitem_agg")).collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    val needed = Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount")
+    assert(readCols == needed,
+      s"scan must read exactly the aggregation inputs, got $readCols")
+  }
+
+  test("d02: the user_id predicate pushes down to the events scan") {
+    val scans = flatten(planOf("d02_ordered_history")).collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("user_id"), s"PushedFilters was: $pushed")
+  }
+
+  test("x13: the query side broadcasts; the corpus is never shuffled pre-score") {
+    val nodes = flatten(planOf("x13_cosine_topk"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "20-query set must broadcast against the corpus scan")
+  }
+
+  test("d18: the latest-id set broadcasts into the checks join") {
+    val nodes = flatten(planOf("d18_csv_sample"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q01: the aggregation pipeline stays inside whole-stage codegen") {
+    val nodes = flatten(planOf("q01_lineitem_agg"))
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]))
+  }
+
+  test("headline kernel queries keep codegen spans (no interpreted fallback)") {
+    for (q <- Seq("x03_quality_score", "x07_minhash_neardup", "x09_ngram_jaccard")) {
+      val nodes = flatten(planOf(q))
+      assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]), q)
+    }
+  }
+}

@@ -120,7 +120,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => GraftTextStats(args.head)),
     (new FunctionIdentifier("graft_quality_score"),
       new ExpressionInfo(classOf[GraftQualityScore].getName, "graft_quality_score"),
-      (args: Seq[Expression]) => GraftQualityScore(args.head)))
+      (args: Seq[Expression]) => GraftQualityScore(args.head)),
+    (new FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[GraftRepetitionStats].getName, "graft_repetition_stats"),
+      (args: Seq[Expression]) => GraftRepetitionStats(args.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

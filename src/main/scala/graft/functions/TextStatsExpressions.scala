@@ -112,6 +112,78 @@ object GraftTextUtil {
   }
 }
 
+/** Repetition statistics for Gopher-style quality filtering — one pass with
+  * a per-row hash map, no explode+reshuffle of per-document n-grams. */
+object GraftRepetitionUtil {
+
+  @inline private def isJavaRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** (dupTokenRatio, topBigramRatio): share of repeated tokens
+    * (1 − distinct/total) and the most frequent word-bigram's share of all
+    * bigrams. Tokens = ASCII-whitespace runs of lower(trim(text)) — the
+    * same tokenizer as the rest of the text stack. */
+  def repetitionStats(text: UTF8String): Array[Double] = {
+    val s = text.trim().toLowerCase.toString
+    val len = s.length
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isJavaRegexWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isJavaRegexWs(s.charAt(i))) i += 1
+        tokens.add(s.substring(start, i))
+      }
+    }
+    val n = tokens.size()
+    if (n == 0) return Array(0.0, 0.0)
+    val distinct = new java.util.HashSet[String](tokens).size()
+    val dupTokenRatio = 1.0 - distinct.toDouble / n.toDouble
+
+    var topBigramRatio = 0.0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Int]()
+      var maxCount = 0
+      var j = 0
+      while (j < n - 1) {
+        val bg = tokens.get(j) + '\u001F' + tokens.get(j + 1)
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > maxCount) maxCount = c
+        j += 1
+      }
+      topBigramRatio = maxCount.toDouble / (n - 1).toDouble
+    }
+    Array(dupTokenRatio, topBigramRatio)
+  }
+
+  def repetitionStatsRow(text: UTF8String): InternalRow = {
+    val r = repetitionStats(text)
+    new GenericInternalRow(Array[Any](r(0), r(1)))
+  }
+}
+
+/** `graft_repetition_stats(string) →
+  * struct<dup_token_ratio double, top_bigram_ratio double>` */
+case class GraftRepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_token_ratio", DoubleType, nullable = false),
+    StructField("top_bigram_ratio", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRepetitionUtil.repetitionStatsRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftRepetitionUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.repetitionStatsRow($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftRepetitionStats =
+    copy(child = newChild)
+}
+
 /** `graft_text_stats(string) → struct<n_chars,n_tokens,chars_per_token,
   * alpha_ratio,digit_ratio,punct_ratio,stopword_ratio>` */
 case class GraftTextStats(child: Expression) extends UnaryExpression {

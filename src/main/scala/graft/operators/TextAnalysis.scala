@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for training-data pipelines (driver
@@ -108,6 +108,64 @@ object TextAnalysis {
       greatest(lit(0.0), lit(1.0) - (f.getField("digit_ratio") + f.getField("punct_ratio")) * 2)
     val stopOk = least(f.getField("stopword_ratio") * 4, lit(1.0))
     round((lengthOk * 0.25 + alphaOk * 0.35 + noisePenalty * 0.25 + stopOk * 0.15), 4)
+  }
+
+  // --- PII redaction (C4-style scrubbing) ----------------------------------
+
+  // Regexes restricted to the Java∩RE2 common subset (no lookaround, no
+  // backrefs) so the DuckDB oracle runs the same patterns verbatim.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d[\\d .()-]{7,}\\d"
+
+  /** Redact emails / IPv4 addresses / phone-number-shaped digit runs with
+    * typed placeholders — the standard pre-training scrub pass. Email first
+    * (phones would eat its digits), then IP (dotted digits), then phone. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // --- repetition (Gopher filters) -----------------------------------------
+
+  /** Gopher-style repetition features as a struct
+    * (dup_token_ratio, top_bigram_ratio) — native kernel
+    * (GraftRepetitionStats): one pass with a per-row hash map instead of an
+    * explode + per-document re-aggregation shuffle. */
+  def repetitionStats(text: Column): Column =
+    call_function("graft_repetition_stats", text)
+
+  // --- benchmark decontamination -------------------------------------------
+
+  /** Per-document overlap with a benchmark/eval set: the fraction of the
+    * document's distinct character n-grams that appear anywhere in the
+    * benchmark — the standard decontamination test before training.
+    *
+    * Scale shape: the benchmark's distinct gram-hash set aggregates to ONE
+    * sorted array (eval sets are small) and broadcasts; each corpus document
+    * then scores with a shuffle-free sorted-merge intersect
+    * (graft_intersect_count) inside the scan. No explode of corpus grams,
+    * no join on gram keys. */
+  def benchmarkOverlap(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13): DataFrame = {
+    val norm = (c: Column) => regexp_replace(lower(trim(c)), "\\s+", " ")
+    val grams = (c: Column) => call_function("graft_ngram_hashes", norm(c), lit(n))
+    val benchSet = benchmark
+      .select(explode(grams(col(textCol))).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_grams"))
+    docs
+      .select(col(idCol), grams(col(textCol)).as("__g"))
+      .where(size(col("__g")) > 0)
+      .crossJoin(broadcast(benchSet))
+      .select(col(idCol),
+        (call_function("graft_intersect_count", col("__g"), col("bench_grams"))
+          .cast("double") / size(col("__g")).cast("double")).as("overlap_ratio"))
   }
 
   // --- fingerprinting ------------------------------------------------------

@@ -294,6 +294,88 @@ object OperatorQueries {
         |  (SELECT count(*) FROM survivors) AS after_near_dedup,
         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM survivors) AS total_tokens""".stripMargin),
 
+    // PII redaction: deterministic synthetic PII is appended to every doc so
+    // the scrub actually fires; the oracle runs the same Java∩RE2 regex
+    // pipeline and must reproduce the redacted text byte-for-byte (md5).
+    "x19_pii_redact" -> sql(
+      (s, dir) => {
+        val dirty = concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com or 10.0."),
+          col("doc_id") % 256, lit(".1 tel +33 1 23 45 67 "), col("doc_id") % 90 + 10)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), md5(TextAnalysis.redactPii(dirty)).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: user' || doc_id || '@example.com or 10.0.' ||
+        |      (doc_id % 256) || '.1 tel +33 1 23 45 67 ' || (doc_id % 90 + 10),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d .()-]{7,}\d', '<PHONE>', 'g')) AS red_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Gopher repetition filters: duplicate-token share + top-bigram share,
+    // one native pass per row; the oracle rebuilds both from list ops.
+    "x20_repetition" -> sql(
+      (s, dir) => {
+        val r = TextAnalysis.repetitionStats(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            round(r.getField("dup_token_ratio"), 4).as("dup_token_ratio"),
+            round(r.getField("top_bigram_ratio"), 4).as("top_bigram_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || chr(31) || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 4)
+        |    AS dup_token_ratio,
+        |  round(CASE WHEN len(toks) < 2 THEN 0.0
+        |    ELSE CAST(top.top_c AS DOUBLE) / (len(toks) - 1) END, 4) AS top_bigram_ratio
+        |FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+
+    // Benchmark decontamination: distinct char-13-gram overlap of every
+    // corpus doc against a broadcast benchmark gram set (first 20 docs act
+    // as the "eval set"); oracle recomputes with exact gram strings.
+    "x21_contamination" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.where(col("doc_id") < 20)
+        val corpus = docs.where(col("doc_id") >= 20)
+        TextAnalysis.benchmarkOverlap(corpus, bench, "text", "doc_id", n = 13)
+          .where(col("overlap_ratio") >= 0.3)
+          .select(col("doc_id"), round(col("overlap_ratio"), 4).as("overlap_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS str
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(str) - 12, 1)),
+        |      i -> substring(str, i, 13))) AS grams
+        |  FROM s WHERE length(str) > 0),
+        |bench AS (
+        |  SELECT list_distinct(flatten(list(grams))) AS bg FROM g WHERE doc_id < 20),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(grams, bench.bg)) AS DOUBLE) / len(grams) AS r
+        |  FROM g, bench WHERE doc_id >= 20)
+        |SELECT doc_id, round(r, 4) AS overlap_ratio
+        |FROM scored WHERE r >= 0.3 ORDER BY doc_id""".stripMargin),
+
     // Embedding near-duplicates by cosine within LSH buckets.
     "x15_embedding_neardup" -> rowsOnly(
       (s, dir) =>

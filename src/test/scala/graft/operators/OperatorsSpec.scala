@@ -193,6 +193,50 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction scrubs emails, IPs, and phone-shaped runs") {
+    val df = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "server at 192.168.001.42 responded",
+      "call +33 1 23 45 67 89 or 06 12 34 56 78 now",
+      "clean text with the number 7 alone"
+    ).toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> responded")
+    assert(out(2) == "call <PHONE> or <PHONE> now")
+    assert(out(3) == "clean text with the number 7 alone")
+  }
+
+  test("repetition stats flag duplicated tokens and looping bigrams") {
+    val df = Seq(
+      ("loop", "buy now buy now buy now buy now"),
+      ("clean", "every word here is completely different friends")
+    ).toDF("kind", "text")
+    val r = TextAnalysis.repetitionStats(col("text"))
+    val byKind = df.select(col("kind"),
+      r.getField("dup_token_ratio").as("dup"),
+      r.getField("top_bigram_ratio").as("top"))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    // "buy now"×4: 8 tokens, 2 distinct → dup 0.75; "buy now" bigram 4/7
+    assert(math.abs(byKind("loop")._1 - 0.75) < 1e-9)
+    assert(math.abs(byKind("loop")._2 - 4.0 / 7.0) < 1e-9)
+    assert(byKind("clean")._1 == 0.0)
+  }
+
+  test("benchmark overlap finds the contaminated doc, skips fresh ones") {
+    val bench = Seq((1L, "the exact benchmark question about the speed of light in vacuum"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the exact benchmark question about the speed of light in vacuum repeated"),
+      (11L, "a completely unrelated training document concerning medieval farming")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.benchmarkOverlap(corpus, bench, "text", "doc_id", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(10L) > 0.8, scored.toString)
+    assert(scored(11L) < 0.05, scored.toString)
+  }
+
   test("fingerprints stable under whitespace noise") {
     val df = Seq(
       ("a", "Some   Document\n\nwith spacing"),

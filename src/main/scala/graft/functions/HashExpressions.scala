@@ -129,17 +129,42 @@ object GraftHashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
-  /** |A ∩ B| for two sorted long arrays — linear merge, no hashing. */
+  /** |A ∩ B| for two sorted long arrays. Balanced sizes take the linear
+    * merge; when one side is ≫ larger (a document's gram set vs a broadcast
+    * benchmark set), each small-side element binary-searches the big side —
+    * O(min·log max) beats O(min+max) per row once max/min > ~32. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
-    var i = 0; var j = 0; var c = 0L
-    while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    if (na > nb) return sortedIntersectCount(b, a)
+    if (na == 0) return 0L
+    if (nb / na >= 32) {
+      // binary-search path, constrained to the remaining suffix of b so a
+      // sorted a still costs at most O(na·log nb)
+      var c = 0L; var i = 0; var lo = 0
+      while (i < na && lo < nb) {
+        val x = a.getLong(i)
+        var l = lo; var h = nb - 1
+        while (l <= h) {
+          val m = (l + h) >>> 1
+          val v = b.getLong(m)
+          if (v < x) l = m + 1
+          else h = m - 1
+        }
+        if (l < nb && b.getLong(l) == x) { c += 1; lo = l + 1 }
+        else lo = l
+        i += 1
+      }
+      c
+    } else {
+      var i = 0; var j = 0; var c = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
     }
-    c
   }
 
   /** Sorted distinct 64-bit hashes of the k-word shingles of a string

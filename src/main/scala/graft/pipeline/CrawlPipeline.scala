@@ -40,6 +40,10 @@ object CrawlPipeline {
   sealed trait FetchResult
   final case class Fetched(path: String, headers: Map[String, String], status: Int = 200)
       extends FetchResult
+  /** A successful HEAD: status + headers, no body on disk — an HTTP fetcher
+    * returns this from head(); the pipeline only downloads if the early
+    * hints say the content may have changed. */
+  final case class Headed(status: Int, headers: Map[String, String]) extends FetchResult
   case object FetchTimeout extends FetchResult
   final case class FetchError(status: Option[Int], message: String,
       headers: Map[String, String] = Map.empty) extends FetchResult
@@ -93,7 +97,8 @@ object CrawlPipeline {
       headers: Map[String, String] = Map.empty,
       responseTime: Option[Double] = None,
       parquetUrl: Option[String] = None,
-      parquetSize: Option[Long] = None)
+      parquetSize: Option[Long] = None,
+      detectedLastModifiedAt: Option[Instant] = None)
 
   /** The last-check fields change detection and webhooks consult. */
   final case class LastCheck(
@@ -102,7 +107,10 @@ object CrawlPipeline {
       status: Option[Int],
       timeout: Boolean,
       contentLength: Option[String],
-      contentType: Option[String])
+      contentType: Option[String],
+      lastModified: Option[String] = None,
+      detectedLastModifiedAt: Option[Instant] = None,
+      createdAt: Option[Instant] = None)
 
   /** E7 — records every status transition and writes it through to the
     * catalog (the reference's Resource.update calls). The in-memory log is
@@ -214,9 +222,15 @@ object CrawlPipeline {
     val catalog = store.load("catalog").getOrElse(return Seq.empty)
     val checks = store.load("checks")
 
-    val batch = ChecksQueries.selectBatch(catalog, batchSize, Timestamp.from(now))
-      .select("resource_id", "dataset_id", "url").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val selected = ChecksQueries.selectBatch(catalog, batchSize, Timestamp.from(now))
+    val harvestCol =
+      if (selected.columns.contains("harvest_modified_at")) col("harvest_modified_at")
+      else lit(null).cast("timestamp")
+    val batch = selected
+      .select(col("resource_id"), col("dataset_id"), col("url"), harvestCol.as("__harvest"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getTimestamp(3)).map(_.toInstant)))
     if (batch.isEmpty) return Seq.empty
 
     val status = tracker.getOrElse(new StatusTracker(store, spark))
@@ -249,7 +263,7 @@ object CrawlPipeline {
       noBackoffDomains: Set[String],
       status: StatusTracker,
       checks: Option[org.apache.spark.sql.DataFrame],
-      batch: Seq[(String, String, String)],
+      batch: Seq[(String, String, String, Option[Instant])],
       exportDir: Option[String]): Seq[CheckOutcome] = {
     import spark.implicits._
 
@@ -271,12 +285,19 @@ object CrawlPipeline {
             (if (has("headers")) col("headers").getItem("content-length")
              else lit(null).cast("string")).as("cl"),
             (if (has("headers")) col("headers").getItem("content-type")
-             else lit(null).cast("string")).as("ct"))
+             else lit(null).cast("string")).as("ct"),
+            (if (has("headers")) col("headers").getItem("last-modified")
+             else lit(null).cast("string")).as("lm"),
+            opt("detected_last_modified_at", "timestamp").as("dlm"),
+            col("created_at"))
           .collect()
           .map(r => r.getString(0) -> LastCheck(r.getLong(1), Option(r.getString(2)),
             if (r.isNullAt(3)) None else Some(r.getInt(3)),
             !r.isNullAt(4) && r.getBoolean(4),
-            Option(r.getString(5)), Option(r.getString(6)))).toMap
+            Option(r.getString(5)), Option(r.getString(6)),
+            Option(r.getString(7)),
+            Option(r.getTimestamp(8)).map(_.toInstant),
+            Option(r.getTimestamp(9)).map(_.toInstant))).toMap
     }
     // empty-table safe: max(id) over zero rows is NULL (was a getLong NPE)
     val maxCheckId = checks
@@ -301,10 +322,10 @@ object CrawlPipeline {
     val newIndexEntries = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String, String, String)]
 
-    val outcomes = batch.map { case (resourceId, datasetId, url0) =>
+    val outcomes = batch.map { case (resourceId, datasetId, url0, harvest) =>
       checkOne(spark, store, warehouse, fetcher, notifier, now, status,
         backoffs, lastByResource, exceptions, exceptionRows, newIndexEntries,
-        resourceId, datasetId, url0, exportDir)
+        resourceId, datasetId, url0, exportDir, harvest)
     }
 
     val checked = outcomes.filterNot(_.skippedBackoff)
@@ -316,12 +337,13 @@ object CrawlPipeline {
         (maxCheckId + i + 1, o.resourceId, o.url, domainOf(o.url), createdAt,
           o.status, o.headers, o.timeout, o.responseTime, o.checksum, o.filesize,
           o.mimeType, o.parsingTable, o.parsingError, o.parquetUrl, o.parquetSize,
-          o.error,
-          Timestamp.from(Scheduling.calculateNextCheck(o.changed, Some(now), None, now)))
+          o.detectedLastModifiedAt.map(Timestamp.from), o.error,
+          Timestamp.from(Scheduling.calculateNextCheck(o.changed,
+            Some(now), o.detectedLastModifiedAt, now)))
       }.toDF("id", "resource_id", "url", "domain", "created_at",
         "status", "headers", "timeout", "response_time", "checksum", "filesize",
         "mime_type", "parsing_table", "parsing_error", "parquet_url",
-        "parquet_size", "error", "next_check_at")
+        "parquet_size", "detected_last_modified_at", "error", "next_check_at")
       // date-partitioned append: retention purges (D14) and backoff windows
       // (D7) then prune partitions instead of scanning the whole log
       store.append("checks",
@@ -379,7 +401,8 @@ object CrawlPipeline {
       resourceId: String,
       datasetId: String,
       url0: String,
-      exportDir: Option[String]): CheckOutcome = {
+      exportDir: Option[String],
+      harvestModifiedAt: Option[Instant]): CheckOutcome = {
     import spark.implicits._
 
     val domain0 = domainOf(url0)
@@ -394,10 +417,11 @@ object CrawlPipeline {
     // one stable-URL re-resolution pass (check_resources.py:210-231)
     def fetchSmart(url: String): (String, FetchResult) = {
       val headRes = fetcher.head(url)
+      def niceHead(st: Int, headers: Map[String, String]) =
+        HeaderUtils.hasNiceHead(Some(st), HeaderUtils.normalizeHeaders(headers))
       val resolved = headRes match {
-        case Fetched(_, headers, st)
-            if !HeaderUtils.hasNiceHead(Some(st), HeaderUtils.normalizeHeaders(headers)) =>
-          fetcher.fetch(url)
+        case Fetched(_, headers, st) if !niceHead(st, headers) => fetcher.fetch(url)
+        case Headed(st, headers) if !niceHead(st, headers) => fetcher.fetch(url)
         case FetchError(Some(404), _, _) =>
           fetcher.resolveStableUrl(resourceId).filter(_ != url) match {
             case Some(actual) =>
@@ -449,18 +473,78 @@ object CrawlPipeline {
           Some(message), timeout = false, changed = false, headers = hdrs,
           responseTime = Some(responseTime))
 
-      case Fetched(path, rawHeaders, httpStatus) =>
-        val headers = HeaderUtils.normalizeHeaders(rawHeaders)
+      case ok @ (_: Fetched | _: Headed) =>
+        val (httpStatus, headers) = ok match {
+          case Fetched(_, h, s) => (s, HeaderUtils.normalizeHeaders(h))
+          case Headed(s, h) => (s, HeaderUtils.normalizeHeaders(h))
+          case _ => throw new MatchError(ok)
+        }
+        notifyIfCheckChanged(Some(httpStatus), timeout = false, None, headers)
         status.set(resourceId, Some(ResourceStatus.ToAnalyseResource))
         status.set(resourceId, Some(ResourceStatus.AnalysingResource))
+
+        // E4 cascade on early hints BEFORE any download
+        // (analysis/resource.py:63-72): harvest metadata → last-modified
+        // header → content-length diff; only a possible change downloads
+        import ChangeDetection.{HasChanged, HasNotChanged, NoGuess}
+        val currentView = ChangeDetection.CheckView(now, Some(httpStatus),
+          timeout = false, headers.get("last-modified"),
+          headers.get("content-length"), headers.get("content-type"), None, None)
+        val lastView = last.map(l => ChangeDetection.CheckView(
+          l.createdAt.getOrElse(now), l.status, l.timeout, l.lastModified,
+          l.contentLength, l.contentType, l.checksum, l.detectedLastModifiedAt))
+        val (hint, hintPayload) = ChangeDetection.detectChangeOnEarlyHints(
+          harvestModifiedAt, Seq(currentView) ++ lastView.toSeq, parseHttpDate, now)
+
+        if (hint == HasNotChanged && last.isDefined) {
+          // nothing changed per the hints: record the check (headers only,
+          // like the reference's non-download path) and move on — at crawl
+          // scale this skip is most of the bandwidth saved
+          status.set(resourceId, None)
+          return CheckOutcome(resourceId, url, Some(httpStatus), None, None,
+            None, None, None, None, timeout = false, changed = false,
+            headers = headers, responseTime = Some(responseTime))
+        }
+
+        // download the body (unless the smart fetch already has it)
+        val path = ok match {
+          case Fetched(p, _, _) => p
+          case _ => fetcher.fetch(url) match {
+            case Fetched(p, _, _) => p
+            case FetchTimeout =>
+              status.set(resourceId, None)
+              return CheckOutcome(resourceId, url, None, None, None, None, None,
+                None, None, timeout = true, changed = false,
+                responseTime = Some(responseTime))
+            case FetchError(st, message, h) =>
+              status.set(resourceId, None)
+              return CheckOutcome(resourceId, url, st, None, None, None, None,
+                None, Some(message), timeout = false, changed = false,
+                headers = HeaderUtils.normalizeHeaders(h),
+                responseTime = Some(responseTime))
+            case _: Headed =>
+              status.set(resourceId, None)
+              return CheckOutcome(resourceId, url, Some(httpStatus), None, None,
+                None, None, None, Some("fetch returned no body"),
+                timeout = false, changed = false, headers = headers,
+                responseTime = Some(responseTime))
+          }
+        }
 
         val checksum = sha1File(path)
         val size = Files.size(Paths.get(path))
         val mime = HeaderUtils.sniffMime(headBytes(path))
         val (_, format) = HeaderUtils.detectTabularFromHeaders(headers, url)
-        val changed = last.forall(!_.checksum.contains(checksum)) // first check or checksum diff (E4 tail)
-
-        notifyIfCheckChanged(Some(httpStatus), timeout = false, None, headers)
+        // change verdict: a positive hint wins; otherwise checksum decides
+        // (detect_resource_change_from_checksum); first check always analyses
+        val (changed, detectedLm): (Boolean, Option[Instant]) = hint match {
+          case HasChanged => (true, hintPayload.map(_.lastModifiedAt))
+          case _ if last.isEmpty => (true, None)
+          case _ => ChangeDetection.fromChecksum(checksum, lastView, now) match {
+            case (HasChanged, p) => (true, p.map(_.lastModifiedAt))
+            case _ => (false, None)
+          }
+        }
 
         if (!HeaderUtils.sizeAllowed(format, size, exceptions.contains(resourceId))) {
           // size-cap refusal (utils/file.py:48-65 abort; waived for exceptions)
@@ -529,8 +613,22 @@ object CrawlPipeline {
             Some(mime), parsingTable, parsingError, None,
             timeout = false, changed = changed, headers = headers,
             responseTime = Some(responseTime),
-            parquetUrl = parquetInfo.map(_._1), parquetSize = parquetInfo.map(_._2))
+            parquetUrl = parquetInfo.map(_._1), parquetSize = parquetInfo.map(_._2),
+            detectedLastModifiedAt = detectedLm)
         }
+    }
+  }
+
+  /** HTTP-date parse for Last-Modified headers: RFC 1123 first, then the
+    * engine's multi-locale parser (UTC). */
+  def parseHttpDate(raw: String): Option[Instant] = {
+    try {
+      Some(java.time.ZonedDateTime
+        .parse(raw, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant)
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        graft.functions.SmartDateUtil.parse(raw)
+          .map(_.toInstant(java.time.ZoneOffset.UTC))
     }
   }
 

@@ -238,6 +238,56 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(store.load("catalog").get.head().getAs[String]("url") == s"file://$csv")
   }
 
+  test("E4: unchanged last-modified hint skips the download entirely") {
+    val root = Files.createTempDirectory("crawl-hints").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val csv = Files.createTempFile("r", ".csv")
+    Files.write(csv, "id,v\n1,2\n2,3\n".getBytes)
+
+    // HTTP-style fetcher: HEAD returns headers only; GET downloads
+    var gets = 0
+    def mkFetcher(lastModified: String) = new CrawlPipeline.Fetcher {
+      override def head(url: String): CrawlPipeline.FetchResult =
+        CrawlPipeline.Headed(200, Map(
+          "content-length" -> "12", "content-type" -> "text/csv",
+          "last-modified" -> lastModified))
+      def fetch(url: String): CrawlPipeline.FetchResult = {
+        gets += 1
+        CrawlPipeline.Fetched(csv.toString, Map(
+          "content-length" -> "12", "content-type" -> "text/csv",
+          "last-modified" -> lastModified))
+      }
+    }
+
+    store.save("catalog", Seq(
+      ("r1", "d1", s"file://$csv", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp])
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    // first crawl: no previous check → downloads and ingests
+    val o1 = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      mkFetcher("Tue, 04 Jun 2024 10:00:00 GMT"), new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = Instant.parse("2024-06-05T00:00:00Z"))
+    assert(o1.head.parsingTable.isDefined && gets == 1)
+
+    // second crawl, same last-modified → HEAD only, no GET, no checksum
+    val o2 = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      mkFetcher("Tue, 04 Jun 2024 10:00:00 GMT"), new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = Instant.parse("2024-07-05T00:00:00Z"))
+    assert(o2.length == 1 && !o2.head.changed && o2.head.checksum.isEmpty, o2.head.toString)
+    assert(gets == 1, s"download must be skipped, gets=$gets")
+
+    // third crawl, newer last-modified → downloads again, hint recorded
+    val o3 = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      mkFetcher("Thu, 01 Aug 2024 09:00:00 GMT"), new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = Instant.parse("2024-08-05T00:00:00Z"))
+    assert(o3.head.changed && gets == 2)
+    assert(o3.head.detectedLastModifiedAt.contains(Instant.parse("2024-08-01T09:00:00Z")))
+    val row = store.load("checks").get
+      .orderBy(col("id").desc).head()
+    assert(row.getAs[java.sql.Timestamp]("detected_last_modified_at").toInstant ==
+      Instant.parse("2024-08-01T09:00:00Z"))
+  }
+
   test("claim never leaks: driver exception resets the batch to NULL") {
     val root = Files.createTempDirectory("crawl-leak").toString
     val store = new MetaStore(spark, s"$root/meta")

@@ -208,8 +208,11 @@ object OperatorQueries {
     // Multimodal plumbing through the query surface: documents become
     // binary media blobs (deterministic), flow through the stub codec's
     // probe + feature extraction, and the pseudo-embeddings feed the same
-    // near-dup machinery as real embeddings would.
-    "x18_multimodal_features" -> rowsOnly(
+    // near-dup machinery as real embeddings would. The oracle replays the
+    // stub codec's wrapping 64-bit byte arithmetic in HUGEINT and compares
+    // the integer feature sums (each float feature encodes an integer
+    // k∈[0,2000), recovered exactly — no float-rounding ambiguity).
+    "x18_multimodal_features" -> sql(
       (s, dir) => {
         val media = Tables.documents(s, dir)
           .select(col("doc_id").as("media_id"), lit("image").as("kind"),
@@ -220,10 +223,30 @@ object OperatorQueries {
         val probed = Multimodal.withProbedMeta(Multimodal.repartitionBySize(media, 32))
         val feats = Multimodal.extractFeatures(probed, dim = 16)
         feats.select(col("media_id"),
-          round(aggregate(col("embedding"), lit(0.0), (a, v) => a + v.cast("double")), 4)
-            .as("feat_sum"))
+          aggregate(col("embedding"), lit(0L),
+            (a, v) => a + round((v.cast("double") + 1.0d) * 1000.0d).cast("long"))
+            .as("feat_ksum"))
           .orderBy("media_id")
-      }),
+      },
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |dims AS (SELECT doc_id, text, n, unnest(generate_series(0, 15)) AS d FROM t),
+        |accs AS (
+        |  SELECT doc_id, d,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(generate_series(d + 1, n, 16),
+        |          j -> ascii(substring(text, j, 1))::HUGEINT)),
+        |      (acc, b) -> (31 * acc + b) % 18446744073709551616::HUGEINT) AS acc
+        |  FROM dims),
+        |ks AS (
+        |  SELECT doc_id,
+        |    CAST(((
+        |      (CASE WHEN acc >= 9223372036854775808::HUGEINT
+        |            THEN acc - 18446744073709551616::HUGEINT ELSE acc END) % 2000)
+        |      + 2000) % 2000 AS BIGINT) AS k
+        |  FROM accs)
+        |SELECT doc_id AS media_id, CAST(sum(k) AS BIGINT) AS feat_ksum
+        |FROM ks GROUP BY doc_id ORDER BY media_id""".stripMargin),
 
     // The composed training-data pipeline: quality -> lang -> exact dedup ->
     // near dedup -> token accounting, reported as one row. The oracle

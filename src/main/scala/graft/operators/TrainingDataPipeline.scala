@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * pretraining run would ingest, with full per-stage accounting.
   *
   * Stages (all single-scan or sketch-join shapes from this package):
+  *   0. PII redaction     — TextAnalysis.redactPii (opt-in, projection only)
   *   1. quality gate      — TextAnalysis.qualityScore ≥ minQuality
+  *   1b. repetition gate  — Gopher dup-token / top-bigram caps (opt-in)
   *   2. language gate     — TextAnalysis.langId ∈ keepLangs (if set)
+  *   2b. decontamination  — drop docs overlapping a benchmark set (opt-in,
+  *                          broadcast gram-set intersect)
   *   3. exact dedup       — Dedup.dropExactDuplicates on content digest
   *   4. near-dedup        — Dedup.minhashNearDuplicates; for every surviving
   *                          near-dup pair the higher id drops (keep-first)
   *   5. token accounting  — whitespace + BPE-ish counts on the survivors
   *
-  * Everything composes lazily except the near-dup pair set (a sketch join);
-  * at 100 TB each stage is a filter/projection riding the same scan until
-  * the dedup shuffles — exactly the shape of published pipeline recipes
-  * (C4, Gopher, RefinedWeb). */
+  * Everything composes lazily except the near-dup pair set (a sketch join)
+  * and the decontamination broadcast; at 100 TB each stage is a
+  * filter/projection riding the same scan until the dedup shuffles —
+  * exactly the shape of published pipeline recipes (C4, Gopher,
+  * RefinedWeb). */
 object TrainingDataPipeline {
 
   final case class Report(
@@ -27,7 +32,9 @@ object TrainingDataPipeline {
       afterLang: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
-      totalTokens: Long)
+      totalTokens: Long,
+      afterRepetition: Option[Long] = None,
+      afterDecontamination: Option[Long] = None)
 
   def clean(
       docs: DataFrame,
@@ -36,30 +43,65 @@ object TrainingDataPipeline {
       minQuality: Double = 0.3,
       keepLangs: Seq[String] = Nil,
       nearDupThreshold: Double = 0.8,
-      retainResult: Boolean = true): (DataFrame, Report) = {
+      retainResult: Boolean = true,
+      redactPii: Boolean = false,
+      maxDupTokenRatio: Option[Double] = None,
+      maxTopBigramRatio: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      maxBenchmarkOverlap: Double = 0.5): (DataFrame, Report) = {
 
     // one pass computes both gate flags; one aggregation counts the first
     // FOUR stage sizes (the exact-dedup survivor count is just the distinct
     // text count among gate survivors, so it rides the same scan) — the
     // naive per-stage count() re-evaluated the quality kernel per stage
-    val flagged = docs
-      .withColumn("__q_ok", TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val redacted =
+      if (redactPii)
+        docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else docs
+    val repetitionOk: Column =
+      (maxDupTokenRatio, maxTopBigramRatio) match {
+        case (None, None) => lit(true)
+        case _ =>
+          val r = TextAnalysis.repetitionStats(col(textCol))
+          maxDupTokenRatio.map(r.getField("dup_token_ratio") <= _).getOrElse(lit(true)) &&
+            maxTopBigramRatio.map(r.getField("top_bigram_ratio") <= _).getOrElse(lit(true))
+      }
+    val withContamination = benchmark match {
+      case None => redacted.withColumn("__decon_ok", lit(true))
+      case Some(bench) =>
+        // broadcast gram-set intersect: a left join against the per-doc
+        // overlap (shuffle-free map-side score, see benchmarkOverlap)
+        val scores = TextAnalysis.benchmarkOverlap(redacted, bench, textCol, idCol)
+        redacted.join(scores, Seq(idCol), "left")
+          .withColumn("__decon_ok",
+            coalesce(col("overlap_ratio") < maxBenchmarkOverlap, lit(true)))
+          .drop("overlap_ratio")
+    }
+    val flagged = withContamination
+      .withColumn("__q_ok",
+        (TextAnalysis.qualityScore(col(textCol)) >= minQuality) && repetitionOk)
       .withColumn("__lang_ok",
-        if (keepLangs.isEmpty) lit(true)
-        else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
+        (if (keepLangs.isEmpty) lit(true)
+         else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*)) && col("__decon_ok"))
       .persist()
     val gateOk = col("__q_ok") && col("__lang_ok")
+    val trackExtras = maxDupTokenRatio.isDefined || maxTopBigramRatio.isDefined ||
+      benchmark.isDefined
     val stageCounts = flagged.agg(
       count(lit(1)).as("input"),
       count(when(col("__q_ok"), 1)).as("after_q"),
       count(when(gateOk, 1)).as("after_lang"),
-      count_distinct(when(gateOk, col(textCol))).as("after_exact")).head()
+      count_distinct(when(gateOk, col(textCol))).as("after_exact"),
+      count(when(repetitionOk, 1)).as("after_rep"),
+      count(when(col("__decon_ok"), 1)).as("after_decon")).head()
     val input = stageCounts.getLong(0)
     val afterQuality = stageCounts.getLong(1)
     val afterLang = stageCounts.getLong(2)
     val afterExact = stageCounts.getLong(3)
+    val afterRep = if (trackExtras) Some(stageCounts.getLong(4)) else None
+    val afterDecon = if (benchmark.isDefined) Some(stageCounts.getLong(5)) else None
 
-    val lang = flagged.where(gateOk).drop("__q_ok", "__lang_ok")
+    val lang = flagged.where(gateOk).drop("__q_ok", "__lang_ok", "__decon_ok")
     // the dedup'd set feeds both the near-dup join and the final filter
     val exact = Dedup.dropExactDuplicates(lang, textCol, idCol).persist()
 
@@ -81,6 +123,7 @@ object TrainingDataPipeline {
     // cleaned corpus cached across the rest of the job
     if (!retainResult) cleaned.unpersist()
 
-    (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear, totalTokens))
+    (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear,
+      totalTokens, afterRep, afterDecon))
   }
 }

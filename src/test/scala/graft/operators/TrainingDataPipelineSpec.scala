@@ -31,6 +31,31 @@ class TrainingDataPipelineSpec extends SparkSpec {
     cleaned.unpersist()
   }
 
+  test("full clean: PII redaction, repetition gate, decontamination") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and into the green forest"),
+      (2L, "buy now buy now buy now buy now buy now buy now buy now buy now"), // repetition
+      (3L, "the exact benchmark question about the speed of light in a vacuum today"), // contaminated
+      (4L, "write to jane@example.org about the meeting and the agenda for the day")  // PII
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the exact benchmark question about the speed of light in a vacuum"))
+      .toDF("doc_id", "text")
+
+    val (cleaned, r) = TrainingDataPipeline.clean(docs,
+      minQuality = 0.1, nearDupThreshold = 0.5, retainResult = true,
+      redactPii = true, maxDupTokenRatio = Some(0.5), maxTopBigramRatio = Some(0.3),
+      benchmark = Some(bench), maxBenchmarkOverlap = 0.5)
+
+    assert(r.input == 4L)
+    assert(r.afterRepetition.contains(3L), r.toString)      // doc 2 gated
+    assert(r.afterDecontamination.contains(3L), r.toString) // doc 3 gated
+    val out = cleaned.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(4L).contains("<EMAIL>") && !out(4L).contains("jane@"))
+    cleaned.unpersist()
+  }
+
   test("report-only clean leaves no cached RDDs behind") {
     val docs = (1L to 50L).map(i =>
       (i, s"the document number $i talks about the weather and the sea and the sky"))

@@ -46,6 +46,11 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
   /** GET /api/stats */
   def stats(): DataFrame = ChecksQueries.stats(checks)
 
+  /** GET /api/status/worker — the reference reports RQ queue depths; the
+    * library analog is in-flight resources per status (NULL = idle/waiting),
+    * the same work-in-progress picture without the Redis dependency. */
+  def statusWorker(): DataFrame = ChecksQueries.resourceStatusCounts(catalog)
+
   /** GET /api/health — storage reachable + table presence flags. */
   def health(): DataFrame = {
     import spark.implicits._

@@ -309,6 +309,33 @@ class XlsOdsSpec extends SparkSpec {
     }
   }
 
+  test("ods robustness: hostile zips fail with the parse-error contract") {
+    // not a zip at all
+    val junk = Files.createTempFile("junk", ".ods")
+    Files.write(junk, Array.fill(256)(0x5A.toByte))
+    intercept[Exception] { OdsReader.read(junk.toString) }
+
+    // zip without content.xml
+    val noContent = Files.createTempFile("nocontent", ".ods")
+    val z1 = new java.util.zip.ZipOutputStream(Files.newOutputStream(noContent))
+    z1.putNextEntry(new java.util.zip.ZipEntry("mimetype")); z1.write("x".getBytes); z1.closeEntry(); z1.close()
+    val e1 = intercept[graft.detect.CsvSniffer.ParseException] {
+      OdsReader.read(noContent.toString)
+    }
+    assert(e1.getMessage.startsWith("ods-inspection:"))
+
+    // content.xml with no tables
+    val noTables = Files.createTempFile("notables", ".ods")
+    val z2 = new java.util.zip.ZipOutputStream(Files.newOutputStream(noTables))
+    z2.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    z2.write("""<office:document-content xmlns:office="u"><office:body/></office:document-content>""".getBytes)
+    z2.closeEntry(); z2.close()
+    val e2 = intercept[graft.detect.CsvSniffer.ParseException] {
+      OdsReader.read(noTables.toString)
+    }
+    assert(e2.getMessage.startsWith("ods-inspection:"))
+  }
+
   test("empty xls fails with the parse-error contract, not a crash") {
     val f = Files.createTempFile("bad", ".xls")
     Files.write(f, Array.fill(600)(0x00.toByte))

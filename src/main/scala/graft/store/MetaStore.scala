@@ -26,7 +26,11 @@ final class MetaStore(spark: SparkSession, root: String) {
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
   def load(name: String): Option[DataFrame] =
-    if (exists(name)) Some(spark.read.parquet(path(name))) else None
+    // mergeSchema: the append-only logs evolve forward (new check columns
+    // land over time); without it the read schema is whichever footer wins
+    // and newer columns silently vanish
+    if (exists(name)) Some(spark.read.option("mergeSchema", "true").parquet(path(name)))
+    else None
 
   /** Overwrite via staging dir: read-modify-write on the same parquet path
     * would fail (Spark cannot overwrite its own input), so land in _staged

@@ -100,6 +100,15 @@ class MetaStoreSpec extends SparkSpec {
     assert(statuses == Seq(("r1", None), ("r2", Some("TO_CHECK"))))
   }
 
+  test("append with evolved schema: load sees the union of columns") {
+    val st = store
+    st.append("log", Seq((1L, "a")).toDF("id", "v"))
+    st.append("log", Seq((2L, "b", "extra")).toDF("id", "v", "w"))
+    val df = st.load("log").get
+    assert(df.columns.toSet == Set("id", "v", "w"))
+    assert(df.filter(org.apache.spark.sql.functions.col("w").isNotNull).count() == 1)
+  }
+
   test("soft delete all, resurrect via upsert") {
     val st = store
     st.save("catalog", Seq(("r1", false), ("r2", false)).toDF("resource_id", "deleted"))

@@ -21,6 +21,8 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     locally {
       import org.apache.spark.sql.functions._
+      // collect(), not count(): count lets Catalyst prune the projection and
+      // the kernels would never execute
       spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
         .select(
           call_function("graft_minhash_bands",
@@ -30,11 +32,11 @@ object Bench {
           call_function("graft_simhash64", call_function("graft_token_hashes", col("text"))),
           call_function("graft_quality_score", col("text")),
           call_function("graft_lang_id", col("text"), lit(5)))
-        .count()
+        .collect()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(256)
         .select(call_function("graft_cosine", col("embedding"), col("embedding")),
           call_function("graft_hyperplane_sketch", col("embedding"), lit(16), lit(64), lit(42L)))
-        .count()
+        .collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -53,7 +53,12 @@ object OdsReader {
     var cellRepeat = 1
     var typedValue: Option[String] = None
     var inCell = false
-    var textDepth = 0
+    var inP = false        // inside an open text:p run (captures characters)
+    var sawP = false       // a paragraph already closed in this cell (join with \n)
+    // empty-cell runs are buffered, not materialized: mid-row runs flush
+    // before the next non-empty value (alignment preserved), a trailing run
+    // — LibreOffice's 16k-column filler — simply never flushes
+    var pendingEmpties = 0
     val text = new StringBuilder
 
     def attr(local: String): Option[String] =
@@ -63,10 +68,14 @@ object OdsReader {
 
     def flushCell(): Unit = {
       val v = typedValue.getOrElse(text.result())
-      // cap pathological repeats of empty cells (whole-row filler)
-      val reps = if (v.isEmpty) math.min(cellRepeat, 1) else math.min(cellRepeat, 16384)
-      for (_ <- 0 until reps) row += v
-      typedValue = None; text.clear(); inCell = false; textDepth = 0
+      val reps = math.min(cellRepeat, 16384)
+      if (v.isEmpty) pendingEmpties += reps
+      else {
+        for (_ <- 0 until pendingEmpties) row += ""
+        pendingEmpties = 0
+        for (_ <- 0 until reps) row += v
+      }
+      typedValue = None; text.clear(); inCell = false; inP = false; sawP = false
     }
 
     while (r.hasNext) {
@@ -78,6 +87,7 @@ object OdsReader {
               rows = mutable.ArrayBuffer.empty
             case "table-row" if rows != null =>
               row = mutable.ArrayBuffer.empty
+              pendingEmpties = 0
             case "table-cell" | "covered-table-cell" if row != null =>
               inCell = true
               cellRepeat = attr("number-columns-repeated").flatMap(_.toIntOption).getOrElse(1)
@@ -90,21 +100,23 @@ object OdsReader {
                 case _ => None
               }
             case "p" if inCell =>
-              if (textDepth > 0) text += '\n'
-              textDepth += 1
+              if (sawP) text += '\n'
+              inP = true
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS if inCell && textDepth > 0 =>
+        case XMLStreamConstants.CHARACTERS if inCell && inP =>
+          // only inside an open text:p — inter-paragraph indentation from
+          // pretty-printed content.xml must not leak into the value
           text ++= r.getText
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "table-cell" | "covered-table-cell" if inCell => flushCell()
-            case "p" if inCell => // run ends; depth tracked for newline joins
+            case "p" if inCell => inP = false; sawP = true
             case "table-row" if row != null =>
               // drop trailing empties so width reflects content
               val v = row.toVector.reverse.dropWhile(_.isEmpty).reverse
               rows += v
-              row = null; textDepth = 0
+              row = null; inP = false; sawP = false
             case "table" if rows != null =>
               val trimmed = rows.toVector.reverse.dropWhile(_.isEmpty).reverse
               val width = if (trimmed.isEmpty) 0 else trimmed.map(_.length).max

@@ -238,7 +238,14 @@ object XlsReader {
               }
             }
           }
-          p += richRuns * 4 + phonetic
+          // rich-run/phonetic extension bytes may spill into following
+          // CONTINUE records (which then carry NO option byte) — consume
+          // across block boundaries instead of assuming one block
+          var ext = richRuns * 4 + phonetic
+          while (ext > 0 && bi < blocks.length) {
+            if (avail <= 0) advanceBlock()
+            else { val take = math.min(ext, avail); p += take; ext -= take }
+          }
           out += cur.result()
           count += 1
         }

@@ -36,10 +36,15 @@ object CsvIngest {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(java.nio.file.Files.size)
-      .sum
+    else {
+      val stream = java.nio.file.Files.walk(p)
+      try
+        stream.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size)
+          .sum
+      finally stream.close()
+    }
   }
 
   def md5Hex(s: String): String =

@@ -38,7 +38,11 @@ object Dedup {
 
   private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
 
-  /** Unpersist every sketch table cached by dedup calls so far. */
+  /** Unpersist every sketch table cached by dedup calls so far. The registry
+    * is process-wide: releasing while another job's dedup query is mid-flight
+    * is CORRECTNESS-safe (the sketch kernels are deterministic, Spark just
+    * recomputes) but may cost that job a recompute — in multi-tenant drivers
+    * call this at job boundaries, not between a build and its consumption. */
   def releaseCaches(): Unit = {
     val it = trackedCaches.iterator()
     while (it.hasNext) { it.next().unpersist(blocking = false) }

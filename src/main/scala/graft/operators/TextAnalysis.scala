@@ -148,25 +148,30 @@ object TextAnalysis {
     * then scores with a shuffle-free sorted-merge intersect
     * (graft_intersect_count) inside the scan. No explode of corpus grams,
     * no join on gram keys. */
+  private[graft] def docGrams(textCol: Column, n: Int): Column =
+    call_function("graft_ngram_hashes",
+      regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(n))
+
+  /** The benchmark's distinct gram-hash set as ONE sorted array in a 1-row
+    * DataFrame — broadcast it and score any corpus scan shuffle-free. */
+  def benchmarkGramSet(benchmark: DataFrame, textCol: String, n: Int = 13): DataFrame =
+    benchmark
+      .select(explode(docGrams(col(textCol), n)).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_grams"))
+
   def benchmarkOverlap(
       docs: DataFrame,
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int = 13): DataFrame = {
-    val norm = (c: Column) => regexp_replace(lower(trim(c)), "\\s+", " ")
-    val grams = (c: Column) => call_function("graft_ngram_hashes", norm(c), lit(n))
-    val benchSet = benchmark
-      .select(explode(grams(col(textCol))).as("g")).distinct()
-      .agg(sort_array(collect_list(col("g"))).as("bench_grams"))
+      n: Int = 13): DataFrame =
     docs
-      .select(col(idCol), grams(col(textCol)).as("__g"))
+      .select(col(idCol), docGrams(col(textCol), n).as("__g"))
       .where(size(col("__g")) > 0)
-      .crossJoin(broadcast(benchSet))
+      .crossJoin(broadcast(benchmarkGramSet(benchmark, textCol, n)))
       .select(col(idCol),
         (call_function("graft_intersect_count", col("__g"), col("bench_grams"))
           .cast("double") / size(col("__g")).cast("double")).as("overlap_ratio"))
-  }
 
   // --- fingerprinting ------------------------------------------------------
 

@@ -69,13 +69,17 @@ object TrainingDataPipeline {
     val withContamination = benchmark match {
       case None => redacted.withColumn("__decon_ok", lit(true))
       case Some(bench) =>
-        // broadcast gram-set intersect: a left join against the per-doc
-        // overlap (shuffle-free map-side score, see benchmarkOverlap)
-        val scores = TextAnalysis.benchmarkOverlap(redacted, bench, textCol, idCol)
-        redacted.join(scores, Seq(idCol), "left")
+        // broadcast gram-set intersect computed INLINE on the corpus scan —
+        // no self-join, no second pass over the documents; only the 1-row
+        // benchmark array travels
+        val grams = TextAnalysis.docGrams(col(textCol), 13)
+        redacted
+          .crossJoin(broadcast(TextAnalysis.benchmarkGramSet(bench, textCol)))
           .withColumn("__decon_ok",
-            coalesce(col("overlap_ratio") < maxBenchmarkOverlap, lit(true)))
-          .drop("overlap_ratio")
+            size(grams) === 0 ||
+              call_function("graft_intersect_count", grams, col("bench_grams"))
+                .cast("double") / size(grams).cast("double") < maxBenchmarkOverlap)
+          .drop("bench_grams")
     }
     val flagged = withContamination
       .withColumn("__q_ok",

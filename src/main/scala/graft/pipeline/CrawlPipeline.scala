@@ -214,7 +214,8 @@ object CrawlPipeline {
       now: Instant = Instant.now(),
       noBackoffDomains: Set[String] = Set.empty,
       tracker: Option[StatusTracker] = None,
-      exportDir: Option[String] = None): Seq[CheckOutcome] = {
+      exportDir: Option[String] = None,
+      statusWriteThrough: Boolean = true): Seq[CheckOutcome] = {
 
     import graft.queries.ChecksQueries
     graft.functions.GraftFunctions.register(spark)
@@ -233,7 +234,13 @@ object CrawlPipeline {
         Option(r.getTimestamp(3)).map(_.toInstant)))
     if (batch.isEmpty) return Seq.empty
 
-    val status = tracker.getOrElse(new StatusTracker(store, spark))
+    // write-through mirrors the reference's per-transition Resource.update;
+    // on a parquet-backed MetaStore every write is a catalog rewrite, so a
+    // SINGLE-DRIVER deployment can set statusWriteThrough=false: transitions
+    // (including the claim) stay in-memory, while BACKOFF and the final
+    // NULL/last_check state still persist via the batched upserts below —
+    // concurrent selectors need write-through for the CRAWLING_URL claim
+    val status = tracker.getOrElse(new StatusTracker(store, spark, statusWriteThrough))
 
     // A7 claim step (crawl/select_batch.py:16-31): mark picked rows
     // CRAWLING_URL so a concurrent selector skips them
@@ -606,6 +613,16 @@ object CrawlPipeline {
                 deleteRecursively(tableDir)
                 notifier.notify(datasetId, resourceId,
                   WebhookPayloads.parsingDocument(parsingError, Some(startedAt), Some(now)))
+              case scala.util.control.NonFatal(e) =>
+                // a malformed file outside the sniffer contract (garbage OLE2
+                // sector pointers, hostile zip, …) must fail THIS resource,
+                // not abort the whole batch — same "step:cause" shape
+                parsingError = Some(
+                  s"analysis:${e.getClass.getSimpleName}:${Option(e.getMessage).getOrElse("")}")
+                val tableDir = Paths.get(s"$warehouse/${md5Hex(url)}")
+                deleteRecursively(tableDir)
+                notifier.notify(datasetId, resourceId,
+                  WebhookPayloads.parsingDocument(parsingError, Some(startedAt), Some(now)))
             }
           }
           status.set(resourceId, None)
@@ -638,9 +655,12 @@ object CrawlPipeline {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverseIterator
         .foreach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
   }
 
   type CsvSnifferException = graft.detect.CsvSniffer.ParseException

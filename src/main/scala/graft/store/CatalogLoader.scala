@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
 object CatalogLoader {
 
   /** Parse the catalog CSV into upsert-ready rows (no store side effects). */
-  def parseCatalog(spark: SparkSession, csvPath: String): DataFrame =
+  def parseCatalog(spark: SparkSession, csvPath: String): DataFrame = {
+    // the naive timestamp must mean UTC regardless of the session time zone
+    // ("catalog data should be in UTC"): cast parses it as session-local,
+    // from_utc_timestamp(_, sessionTz) adds the offset back so the wall time
+    // becomes the UTC instant (a no-op when the session is UTC)
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     spark.read
       .option("header", "true")
       .option("sep", ";")
@@ -37,12 +42,13 @@ object CatalogLoader {
         col("url"),
         when(col("`harvest.modified_at`").isNull ||
           trim(col("`harvest.modified_at`")) === "", lit(null).cast("timestamp"))
-          .otherwise(col("`harvest.modified_at`").cast("timestamp"))
+          .otherwise(from_utc_timestamp(col("`harvest.modified_at`").cast("timestamp"), sessionTz))
           .as("harvest_modified_at"),
         lit(false).as("deleted"),
         lit(false).as("priority"),
         lit(null).cast("string").as("status"))
       .dropDuplicates("resource_id")
+  }
 
   /** Full load_catalog: soft-delete everything, then upsert the export.
     * Returns the number of live rows loaded. */

@@ -131,8 +131,10 @@ final class MetaStore(spark: SparkSession, root: String) {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverseIterator
         .foreach(f => Files.deleteIfExists(f))
+      finally stream.close()
     }
   }
 }

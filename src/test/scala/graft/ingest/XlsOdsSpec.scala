@@ -309,6 +309,43 @@ class XlsOdsSpec extends SparkSpec {
     }
   }
 
+  test("ods: mid-row repeated empty cells keep column alignment; trailing filler drops") {
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        |  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        |  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        | <office:body><office:spreadsheet>
+        |  <table:table table:name="S">
+        |   <table:table-row>
+        |    <table:table-cell office:value-type="string"><text:p>A</text:p></table:table-cell>
+        |    <table:table-cell table:number-columns-repeated="3"/>
+        |    <table:table-cell office:value-type="string"><text:p>E</text:p></table:table-cell>
+        |    <table:table-cell table:number-columns-repeated="16380"/>
+        |   </table:table-row>
+        |   <table:table-row>
+        |    <table:table-cell office:value-type="string">
+        |      <text:p>line1</text:p>
+        |      <text:p>line2</text:p>
+        |    </table:table-cell>
+        |   </table:table-row>
+        |  </table:table>
+        | </office:spreadsheet></office:body>
+        |</office:document-content>""".stripMargin
+    val f = Files.createTempFile("align", ".ods")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    zos.write(content.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+
+    val sheet = OdsReader.read(f.toString)
+    // E sits in column 4 (after the 3-wide empty run); the 16k trailing
+    // filler never materializes
+    assert(sheet.rows(0) == Vector("A", "", "", "", "E"))
+    // paragraphs join with \n; pretty-print whitespace between them is NOT
+    // captured into the value
+    assert(sheet.rows(1)(0) == "line1\nline2", sheet.rows(1)(0))
+  }
+
   test("ods robustness: hostile zips fail with the parse-error contract") {
     // not a zip at all
     val junk = Files.createTempFile("junk", ".ods")

@@ -288,6 +288,36 @@ class CrawlPipelineSpec extends SparkSpec {
       Instant.parse("2024-08-01T09:00:00Z"))
   }
 
+  test("a hostile binary fails its own resource, not the whole batch") {
+    val root = Files.createTempDirectory("crawl-hostile").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val good = Files.createTempFile("good", ".csv")
+    Files.write(good, "id,v\n1,2\n".getBytes)
+    // valid OLE2 magic followed by garbage sector pointers
+    val evil = Files.createTempFile("evil", ".xls")
+    val rng = new scala.util.Random(13)
+    val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
+      Array.fill(1024)(rng.nextInt().toByte)
+    Files.write(evil, bytes)
+
+    store.save("catalog", Seq(
+      ("ok", "d1", s"file://$good", false, None: Option[Long], false, None: Option[String], None: Option[java.sql.Timestamp]),
+      ("bad", "d1", s"file://$evil", false, None: Option[Long], false, None, None)
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+
+    val outcomes = CrawlPipeline.runBatch(spark, store, s"$root/wh",
+      new CrawlPipeline.LocalFetcher, new CrawlPipeline.NoopNotifier,
+      batchSize = 10, now = Instant.parse("2024-06-01T00:00:00Z"))
+    val byId = outcomes.map(o => o.resourceId -> o).toMap
+    // the good resource still ingested; the hostile one recorded its error
+    assert(byId("ok").parsingTable.isDefined)
+    assert(byId("bad").parsingTable.isEmpty && byId("bad").parsingError.isDefined,
+      byId("bad").toString)
+    // nothing left mid-flight, both check rows written
+    assert(store.load("checks").get.count() == 2)
+    assert(store.load("catalog").get.filter(col("status").isNotNull).count() == 0)
+  }
+
   test("claim never leaks: driver exception resets the batch to NULL") {
     val root = Files.createTempDirectory("crawl-leak").toString
     val store = new MetaStore(spark, s"$root/meta")

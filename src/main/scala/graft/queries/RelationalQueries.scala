@@ -125,6 +125,23 @@ object RelationalQueries {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
 
+    // Beyond-reference freebie: explicit GROUPING SETS — the general form
+    // behind rollup/cube, chosen sets only (status totals + priority totals
+    // + grand total, no cross product).
+    "d19_grouping_sets" -> sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
     // Beyond-reference freebie: full CUBE over two dimensions.
     "d17_cube" -> sql(
       (s, dir) =>

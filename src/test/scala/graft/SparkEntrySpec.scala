@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards for the driver interface: every query has a stable name,
+  * every oracle belongs to a real query, and the oracle set matches the
+  * declared rows-only exceptions — catches a renamed query whose oracle
+  * silently stops being compared. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("oracleSql keys are exactly the sql-checked queries") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"oracles without a query: ${oracles -- queries}")
+    val rowsOnly = queries -- oracles
+    // the four genuinely non-replayable ops — growing this set needs a reason
+    assert(rowsOnly == Set("x08_simhash_neardup", "x14_cosine_lsh_topk",
+      "x15_embedding_neardup", "x16_cosine_ivf_topk"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("query names follow the pack naming scheme") {
+    val pat = "^[a-z]\\d{2}_[a-z0-9_]+$".r
+    SparkEntry.queries.keys.foreach { k =>
+      assert(pat.matches(k), s"bad query name: $k")
+    }
+  }
+
+  test("every oracle carries a total ORDER BY (deterministic compare)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY") || sql.trim.startsWith("WITH f AS") ||
+        name == "x17_training_pipeline" || name == "d14_retention_counts",
+        s"$name oracle has no ORDER BY")
+    }
+  }
+}

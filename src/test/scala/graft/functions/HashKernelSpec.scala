@@ -78,4 +78,37 @@ class HashKernelSpec extends AnyFunSuite {
       java.lang.Long.bitCount((a ^ anti) & 0xFFFFL))
     assert(java.lang.Long.bitCount((a ^ anti) & 0xFFFFL) == 16) // antipode flips every bit
   }
+
+  test("adaptive sorted-intersect agrees with the naive merge on lopsided sizes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(0xada9)
+    def sortedDistinct(n: Int, bound: Long): Array[Long] =
+      Array.fill(n)(math.abs(rng.nextLong()) % bound).distinct.sorted
+    def naive(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var j = 0; var c = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      c
+    }
+    for (_ <- 1 to 50) {
+      // small side vs >=32x larger side forces the binary-search branch;
+      // a narrow value range forces real overlaps
+      val small = sortedDistinct(1 + rng.nextInt(30), 5000L)
+      val big = sortedDistinct(2000 + rng.nextInt(3000), 5000L)
+      val got = GraftHashUtil.sortedIntersectCount(
+        new GenericArrayData(small), new GenericArrayData(big))
+      assert(got == naive(small, big), s"${small.length} vs ${big.length}")
+      // symmetric call hits the swap path
+      val got2 = GraftHashUtil.sortedIntersectCount(
+        new GenericArrayData(big), new GenericArrayData(small))
+      assert(got2 == got)
+    }
+    // edges: empty sides
+    val e = new GenericArrayData(Array.emptyLongArray)
+    val x = new GenericArrayData(Array(1L, 2L, 3L))
+    assert(GraftHashUtil.sortedIntersectCount(e, x) == 0L)
+    assert(GraftHashUtil.sortedIntersectCount(x, e) == 0L)
+  }
 }

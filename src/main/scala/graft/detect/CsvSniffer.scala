@@ -31,8 +31,12 @@ object CsvSniffer {
     val bytes = headBytes(path)
     if (bytes.isEmpty) throw new ParseException("csv-inspection", "list index out of range")
     val (encoding, text) = decode(bytes)
-    val lines = text.split("\r\n|\r|\n", -1).toSeq.filter(_.nonEmpty)
-    if (lines.isEmpty) throw new ParseException("csv-inspection", "list index out of range")
+    // detection works on non-empty lines, but headerRowIdx must be a RAW
+    // file line index — the consumer skips that many raw lines, so a blank
+    // line above the header would otherwise shift the whole parse
+    val indexed = text.split("\r\n|\r|\n", -1).toSeq.zipWithIndex.filter(_._1.nonEmpty)
+    if (indexed.isEmpty) throw new ParseException("csv-inspection", "list index out of range")
+    val lines = indexed.map(_._1)
 
     val sep = detectSeparator(lines)
     val headerIdx = detectHeaderRow(lines, sep)
@@ -44,7 +48,7 @@ object CsvSniffer {
       throw new ParseException("csv-inspection",
         "Number of columns is not even across the first 10 rows")
 
-    Dialect(encoding, sep.toString, headerIdx, header)
+    Dialect(encoding, sep.toString, indexed(headerIdx)._2, header)
   }
 
   /** Bounded head sample; gzip payloads (magic 1f 8b — reference
@@ -84,13 +88,16 @@ object CsvSniffer {
   }
 
   /** Separator = candidate whose per-line count is high AND most consistent
-    * across the head (variance-penalized frequency, quote-aware). */
+    * across the head (variance-penalized frequency, quote-aware).
+    * Consistency is measured against the MODAL count, not the first line's —
+    * a title/preamble first line must not sink the true separator's score. */
   private[detect] def detectSeparator(lines: Seq[String]): Char = {
     val head = lines.take(HeadLines)
     Candidates.maxBy { c =>
       val counts = head.map(l => countOutsideQuotes(l, c))
       val mean = counts.sum.toDouble / counts.length
-      val consistent = counts.count(_ == counts.head)
+      val modal = counts.groupBy(identity).maxBy { case (k, v) => (v.length, k) }._1
+      val consistent = counts.count(_ == modal)
       if (mean == 0) -1.0 else mean * consistent / counts.length
     }
   }

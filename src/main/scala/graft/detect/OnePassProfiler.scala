@@ -132,10 +132,17 @@ object OnePassProfiler {
             val m = cb.sum / cb.count
             Some(math.sqrt(math.max(cb.sumSq / cb.count - m * m, 0.0) * cb.count / (cb.count - 1)))
           } else None
-        // linear counting estimate from the bitmap fill factor
+        // linear counting estimate from the bitmap fill factor. A saturated
+        // bitmap (zeros == 0) cannot estimate — report the half-bit-floor
+        // lower bound m·ln(2m), NOT the row count (which can overstate true
+        // cardinality by orders of magnitude); profiles document the
+        // estimator range, so a value pinned at the ceiling reads as
+        // "≥ saturation", never as an exact count.
         val zeros = BitmapBits - cb.bitmap.map(java.lang.Long.bitCount).sum
+        val saturationFloor =
+          math.round(BitmapBits * math.log(2.0 * BitmapBits))
         val distinct =
-          if (zeros == 0) cb.count
+          if (zeros == 0) math.min(saturationFloor, cb.count)
           else math.min(math.round(BitmapBits * math.log(BitmapBits.toDouble / zeros)), cb.count)
         f.name -> ColumnProfile(
           min = if (cb.numeric && cb.count > 0) Some(cb.min) else None,

@@ -21,7 +21,7 @@ import java.util.regex.Pattern
 object SmartDateUtil {
 
   private val Iso = Pattern.compile(
-    """^(\d{4})-(\d{1,2})-(\d{1,2})(?:[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?(?:Z|[+-]\d{2}:?\d{2})?)?$""")
+    """^(\d{4})-(\d{1,2})-(\d{1,2})(?:[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?(Z|[+-]\d{2}:?\d{2})?)?$""")
   private val Dmy = Pattern.compile(
     """^(\d{1,2})([/-])(\d{1,2})\2(\d{4})(?:[T ](\d{1,2}):(\d{2})(?::(\d{2}))?)?$""")
   private val Ymd = Pattern.compile(
@@ -70,8 +70,13 @@ object SmartDateUtil {
       var d = iso.group(3).toInt
       // golden "2022-31-12": month slot > 12 but day slot fits a month → swap
       if (m > 12 && d <= 12) { val t = m; m = d; d = t }
-      return build(iso.group(1).toInt, m, d,
+      val base = build(iso.group(1).toInt, m, d,
         iso.group(4), iso.group(5), iso.group(6), iso.group(7))
+      // the result is a UTC wall time downstream (parseMicrosBoxed applies
+      // ZoneOffset.UTC) — an explicit offset must be folded in, not dropped
+      val off = iso.group(8)
+      return if (off == null || off == "Z") base
+      else base.map(_.minusSeconds(ZoneOffset.of(off).getTotalSeconds.toLong))
     }
 
     val dmy = Dmy.matcher(s)

@@ -93,8 +93,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "bytes").mapPartitions { it =>
       it.map { r =>
-        Row(r.getAs[Long]("media_id"),
-          MediaCodec.features(r.getAs[Array[Byte]]("bytes"), dim).toSeq)
+        // the schema permits bytes=null (metadata-only rows) — treat as empty
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
+        Row(r.getAs[Long]("media_id"), MediaCodec.features(bytes, dim).toSeq)
       }
     }(enc)
   }
@@ -109,7 +110,8 @@ object Multimodal {
     media.where(col("kind") === "video").select("media_id", "bytes").mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getAs[Long]("media_id")
-        MediaCodec.frameOffsets(r.getAs[Array[Byte]]("bytes"), strideBytes)
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
+        MediaCodec.frameOffsets(bytes, strideBytes)
           .zipWithIndex.map { case (off, i) => Row(id, i, off) }
       }
     }(enc)

@@ -40,7 +40,12 @@ object Skew {
       key: String,
       valueCol: String,
       salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+    // salt from row POSITION, never from the value: a hot key whose values
+    // are constant/NULL would hash to one salt and re-concentrate on a
+    // single reducer — exactly the straggler this exists to break up.
+    // monotonically_increasing_id is stable within a recomputed task, so
+    // retries re-derive the same assignment (sum/count unaffected anyway).
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

@@ -16,11 +16,22 @@ object Tables {
     * (integer `div`, not fp division: ns epochs exceed 2^53). This matches
     * DuckDB's epoch_us() truncation, so oracles agree. */
   private def eventsDf(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // nanosAsLong is needed only while this read resolves its schema —
+    // restore the previous value so other parquet reads in the session keep
+    // failing loudly on TIMESTAMP(NANOS) instead of silently loading longs
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val previous = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema // force eager schema resolution under the flag
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } finally previous match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   def lineitem(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "lineitem")

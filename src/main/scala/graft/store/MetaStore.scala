@@ -23,6 +23,10 @@ final class MetaStore(spark: SparkSession, root: String) {
 
   private def path(name: String) = s"$root/$name"
 
+  /** Physical location of a table (for sinks that manage their own layout,
+    * e.g. the idempotent per-batch streaming writer). */
+  def tablePath(name: String): String = path(name)
+
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
   def load(name: String): Option[DataFrame] =

@@ -48,34 +48,49 @@ object CheckStream {
   /** E3 streaming: per-resource change detection with keyed state — emits a
     * ChangeEvent whenever a check differs from the previous one for the same
     * resource (status flip / availability loss / timeout flip / content
-    * change), mirroring has_check_changed (preprocess_check_data.py:69-105). */
-  def detectChanges(checks: Dataset[CheckEvent]): Dataset[ChangeEvent] = {
+    * change), mirroring has_check_changed (preprocess_check_data.py:69-105).
+    * State is event-time bounded: a resource idle past the watermark +
+    * `stateTtlMs` expires, so the store stays O(recently-active resources)
+    * instead of O(all resources ever seen). */
+  def detectChanges(
+      checks: Dataset[CheckEvent],
+      watermark: String = "1 hour",
+      stateTtlMs: Long = 30L * 24 * 3600 * 1000): Dataset[ChangeEvent] = {
     import checks.sparkSession.implicits._
     checks
+      .withWatermark("createdAt", watermark)
       .groupByKey(_.resourceId)
       .flatMapGroupsWithState[CheckEvent, ChangeEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (resourceId: String, events: Iterator[CheckEvent], state: GroupState[CheckEvent]) =>
-          val sorted = events.toSeq.sortBy(_.createdAt.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
-          var prev: Option[CheckEvent] = state.getOption
-          sorted.foreach { e =>
-            changeReason(e, prev).foreach { reason =>
-              out += ChangeEvent(resourceId, e.createdAt, reason)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = events.toSeq.sortBy(_.createdAt.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+            var prev: Option[CheckEvent] = state.getOption
+            sorted.foreach { e =>
+              changeReason(e, prev).foreach { reason =>
+                out += ChangeEvent(resourceId, e.createdAt, reason)
+              }
+              prev = Some(e)
             }
-            prev = Some(e)
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(p.createdAt.getTime + stateTtlMs)
+            }
+            out.iterator
           }
-          prev.foreach(state.update)
-          out.iterator
       }
   }
 
   /** Continuous ingestion of check events into the MetaStore: each
-    * micro-batch appends to the date-partitioned checks log and re-points
-    * the catalog at the newest check per resource — the streaming form of
-    * CrawlPipeline's tail. foreachBatch gives exactly the batch-side code
-    * reuse Structured Streaming is designed for; idempotence comes from the
-    * (resource_id, created_at) natural key on the append side. */
+    * micro-batch lands under a batch=<id> partition written with Overwrite —
+    * foreachBatch is at-least-once, so a replayed batch overwrites its own
+    * directory instead of appending duplicates (the standard
+    * idempotent-foreachBatch recipe). created_date rides along for the
+    * time-window partition pruning the batch queries rely on. */
   def sinkToStore(
       checks: Dataset[CheckEvent],
       store: graft.store.MetaStore,
@@ -83,21 +98,25 @@ object CheckStream {
     checks.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CheckEvent], batchId: Long) =>
-        val df = batch.toDF()
+        batch.toDF()
           .withColumn("created_date", to_date(col("createdAt")))
-        store.append("checks_stream", df, partitionBy = Seq("created_date"))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"${store.tablePath("checks_stream")}/batch=$batchId")
         ()
       }
       .start()
   }
 
-  /** Pure predicate shared by batch and streaming paths. */
+  /** Pure predicate shared by batch and streaming paths. Availability loss
+    * is checked BEFORE the generic status diff — equal statuses imply equal
+    * validity, so the old ordering made "no-longer-available" unreachable. */
   def changeReason(current: CheckEvent, last: Option[CheckEvent]): Option[String] = last match {
     case None => Some("first-check")
     case Some(p) =>
       def valid(s: Option[Int]) = s.exists(v => v >= 200 && v < 400)
-      if (current.status != p.status) Some("status-changed")
-      else if (valid(p.status) && !valid(current.status)) Some("no-longer-available")
+      if (valid(p.status) && !valid(current.status)) Some("no-longer-available")
+      else if (current.status != p.status) Some("status-changed")
       else if (current.timeout != p.timeout) Some("timeout-changed")
       else if (current.contentLength != p.contentLength || current.contentType != p.contentType)
         Some("content-changed")

@@ -30,6 +30,20 @@ class CsvSnifferSpec extends SparkSpec {
     assert(d.headerRowIdx == 1 && d.header == Seq("col1", "col2"))
   }
 
+  test("blank lines before the header: headerRowIdx is a RAW line index") {
+    // a blank first line + a title line; the consumer drops RAW lines, so
+    // the index must count the blank one too
+    val d = CsvSniffer.sniff(tmpCsv("\nmy export 2024\ncol1,col2\n1,2\n3,4\n"))
+    assert(d.headerRowIdx == 2, d.toString)
+    assert(d.header == Seq("col1", "col2"))
+    // end-to-end: the ingested table must carry the real header
+    val wh = Files.createTempDirectory("blankwh").toString
+    val res = graft.ingest.CsvIngest.analyseCsv(spark,
+      tmpCsv("\nmy export 2024\ncol1,col2\n1,2\n3,4\n"), "http://x/b.csv", wh)
+    assert(res.inspection.header == Seq("col1", "col2"))
+    assert(res.rowCount == 2L)
+  }
+
   test("empty file raises the reference's error string") {
     val e = intercept[CsvSniffer.ParseException](CsvSniffer.sniff(tmpCsv("")))
     assert(e.getMessage.contains("list index out of range"))

@@ -57,6 +57,15 @@ class SmartCastSpec extends SparkSpec {
     assert(ts("31 décembre 2022 13:37:00").contains("2022-12-31 13:37:00.0"))
   }
 
+  test("ISO timezone offsets shift to UTC instead of being dropped") {
+    def ts(s: String) = castOne[Timestamp](s, SmartCast.toTimestampCol).map(_.toString)
+    // session is UTC, so the rendered value IS the UTC instant
+    assert(ts("2022-01-01T00:00:00+02:00").contains("2021-12-31 22:00:00.0"))
+    assert(ts("2022-01-01T12:00:00-05:00").contains("2022-01-01 17:00:00.0"))
+    assert(ts("2022-01-01T12:00:00Z").contains("2022-01-01 12:00:00.0"))
+    assert(ts("2022-01-01T12:00:00").contains("2022-01-01 12:00:00.0"))
+  }
+
   test("blank and whitespace-only → NULL for every type") {
     for (v <- Seq("", "  ")) {
       assert(castOne[Double](v, SmartCast.toDouble).isEmpty)

@@ -34,7 +34,8 @@ class CheckStreamSpec extends SparkSpec {
       .map(c => (c.resourceId, c.reason)).toSet
     query.stop()
     assert(out == Set(
-      ("r1", "first-check"), ("r1", "status-changed"),
+      ("r1", "first-check"), ("r1", "no-longer-available"), // 200 → 404 is an availability loss first
+
       ("r2", "first-check"), ("r2", "content-changed")))
   }
 

@@ -29,7 +29,7 @@ object Bench {
             call_function("graft_ngram_hashes", col("text"), lit(5)), lit(32), lit(8)),
           call_function("graft_minhash_bands",
             call_function("graft_shingle_hashes", col("text"), lit(3)), lit(16), lit(4)),
-          call_function("graft_simhash64", call_function("graft_token_hashes", col("text"))),
+          call_function("graft_simhash64", call_function("graft_token_hashes_fnv", col("text"))),
           call_function("graft_quality_score", col("text")),
           call_function("graft_lang_id", col("text"), lit(5)))
         .collect()

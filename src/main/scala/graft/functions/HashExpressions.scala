@@ -320,6 +320,36 @@ object GraftHashUtil {
     new GenericArrayData(arr)
   }
 
+  /** FNV-1a-over-chars + fmix64 of each whitespace token of lower(trim(s)),
+    * in token order (multiset — simhash votes per occurrence). Same tokenizer
+    * as [[tokenHashes]] but an ORACLE-REPLAYABLE hash family: FNV's
+    * xor-multiply loop and the fmix64 finalizer replay exactly in DuckDB
+    * (UBIGINT xor/shift + 32-bit-split HUGEINT multiply mod 2^64), unlike
+    * xxhash64's length-dependent lanes — so simhash fingerprints built from
+    * these hashes can be verified end-to-end by the SQL oracle. Avalanche
+    * quality is equivalent for sketching (fmix64 is full-avalanche). */
+  def tokenHashesFnv(s: UTF8String): ArrayData = {
+    val str = s.trim().toLowerCase.toString
+    val len = str.length
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isJavaRegexWs(str.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !isJavaRegexWs(str.charAt(i))) {
+          h ^= str.charAt(i); h *= 0x100000001b3L
+          i += 1
+        }
+        out.add(fmix64(h))
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Java regex `\s` (ASCII whitespace incl. vertical tab) — the split
     * semantics of the Column formulation being replaced. */
   @inline private def isJavaRegexWs(c: Char): Boolean =
@@ -540,6 +570,25 @@ case class GraftTokenHashes(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): GraftTokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_token_hashes_fnv(string) → array<bigint>` — oracle-replayable
+  * FNV-1a+fmix64 token hashes (see GraftHashUtil.tokenHashesFnv). */
+case class GraftTokenHashesFnv(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_hashes_fnv"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.tokenHashesFnv(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.tokenHashesFnv($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokenHashesFnv =
     copy(child = newChild)
 }
 

@@ -115,6 +115,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[GraftTokenHashes].getName, "graft_token_hashes"),
       (args: Seq[Expression]) => GraftTokenHashes(args.head)),
+    (new FunctionIdentifier("graft_token_hashes_fnv"),
+      new ExpressionInfo(classOf[GraftTokenHashesFnv].getName, "graft_token_hashes_fnv"),
+      (args: Seq[Expression]) => GraftTokenHashesFnv(args.head)),
     (new FunctionIdentifier("graft_text_stats"),
       new ExpressionInfo(classOf[GraftTextStats].getName, "graft_text_stats"),
       (args: Seq[Expression]) => GraftTextStats(args.head)),

@@ -159,11 +159,13 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint of the token multiset: per bit position,
     * sign of Σ over tokens of ±1 (bit set in the token's hash or not).
-    * Tokenize+hash is the native graft_token_hashes kernel (the interpreted
-    * transform(filter(split)) chain was the residual cost in the x08 bench);
-    * values are bit-identical (xxhash64 seed 42 over the same tokens). */
+    * Tokenize+hash is the native graft_token_hashes_fnv kernel (one static
+    * call in codegen; the interpreted transform(filter(split)) chain was the
+    * residual cost in the x08 bench). The FNV-1a+fmix64 family is chosen over
+    * xxhash64 because it replays exactly in the DuckDB oracle — fingerprints
+    * and hamming pairs are end-to-end verifiable, with equivalent avalanche. */
   def simhash64(textCol: Column): Column =
-    simhash64FromHashes(call_function("graft_token_hashes", textCol))
+    simhash64FromHashes(call_function("graft_token_hashes_fnv", textCol))
 
   /** SimHash from pre-computed token hashes — delegates to the native
     * GraftSimhash64 expression (functions/HashExpressions.scala): the

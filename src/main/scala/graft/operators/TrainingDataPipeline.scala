@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   * RefinedWeb). */
 object TrainingDataPipeline {
 
+  /** Funnel counts in stage order (each field = survivors after that stage
+    * AND all earlier ones): input → afterQuality → afterRepetition →
+    * afterLang → afterDecontamination → afterExactDedup → afterNearDedup. */
   final case class Report(
       input: Long,
       afterQuality: Long,
@@ -81,31 +84,37 @@ object TrainingDataPipeline {
                 .cast("double") / size(grams).cast("double") < maxBenchmarkOverlap)
           .drop("bench_grams")
     }
+    // one stage-pure flag per gate; the funnel counts below AND them in
+    // pipeline order, so each report field attributes drops to exactly the
+    // stage that caused them (a doc failing repetition no longer shows up as
+    // a "quality" drop, nor a decontaminated one as a "language" drop)
     val flagged = withContamination
-      .withColumn("__q_ok",
-        (TextAnalysis.qualityScore(col(textCol)) >= minQuality) && repetitionOk)
+      .withColumn("__q_ok", TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__rep_ok", repetitionOk)
       .withColumn("__lang_ok",
-        (if (keepLangs.isEmpty) lit(true)
-         else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*)) && col("__decon_ok"))
+        if (keepLangs.isEmpty) lit(true)
+        else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
       .persist()
-    val gateOk = col("__q_ok") && col("__lang_ok")
+    val gateOk = col("__q_ok") && col("__rep_ok") && col("__lang_ok") && col("__decon_ok")
     val trackExtras = maxDupTokenRatio.isDefined || maxTopBigramRatio.isDefined ||
       benchmark.isDefined
+    // funnel accounting in stage order: quality → repetition → language →
+    // decontamination → exact dedup, all from ONE aggregation over the scan
     val stageCounts = flagged.agg(
       count(lit(1)).as("input"),
       count(when(col("__q_ok"), 1)).as("after_q"),
-      count(when(gateOk, 1)).as("after_lang"),
-      count_distinct(when(gateOk, col(textCol))).as("after_exact"),
-      count(when(repetitionOk, 1)).as("after_rep"),
-      count(when(col("__decon_ok"), 1)).as("after_decon")).head()
+      count(when(col("__q_ok") && col("__rep_ok"), 1)).as("after_rep"),
+      count(when(col("__q_ok") && col("__rep_ok") && col("__lang_ok"), 1)).as("after_lang"),
+      count(when(gateOk, 1)).as("after_decon"),
+      count_distinct(when(gateOk, col(textCol))).as("after_exact")).head()
     val input = stageCounts.getLong(0)
     val afterQuality = stageCounts.getLong(1)
-    val afterLang = stageCounts.getLong(2)
-    val afterExact = stageCounts.getLong(3)
-    val afterRep = if (trackExtras) Some(stageCounts.getLong(4)) else None
-    val afterDecon = if (benchmark.isDefined) Some(stageCounts.getLong(5)) else None
+    val afterRep = if (trackExtras) Some(stageCounts.getLong(2)) else None
+    val afterLang = stageCounts.getLong(3)
+    val afterDecon = if (benchmark.isDefined) Some(stageCounts.getLong(4)) else None
+    val afterExact = stageCounts.getLong(5)
 
-    val lang = flagged.where(gateOk).drop("__q_ok", "__lang_ok", "__decon_ok")
+    val lang = flagged.where(gateOk).drop("__q_ok", "__rep_ok", "__lang_ok", "__decon_ok")
     // the dedup'd set feeds both the near-dup join and the final filter
     val exact = Dedup.dropExactDuplicates(lang, textCol, idCol).persist()
 

@@ -26,11 +26,11 @@ import graft.store.MetaStore
   * E7 status machine: every resource walks CRAWLING_URL → TO_ANALYSE_RESOURCE
   * → ANALYSING_RESOURCE → (tabular+changed: TO_ANALYSE_CSV → ANALYSING_CSV →
   * INSERTING_IN_DB → CONVERTING_TO_PARQUET) → NULL, recorded by a
-  * StatusTracker that both logs the sequence and writes it through to the
-  * catalog `status` column (db/resource.py:9-19; per-transition writes mirror
-  * the reference — at production scale the MetaStore would be backed by a
-  * transactional store, not parquet rewrites). A try/finally guarantees the
-  * claim never leaks: any driver exception resets the batch to NULL
+  * StatusTracker that logs the full sequence in-memory and persists the
+  * claim-relevant states (CRAWLING_URL / BACKOFF) to the catalog `status`
+  * column synchronously (db/resource.py:9-19); terminal state lands once per
+  * batch via the catalog upsert. The claim never leaks: any driver exception
+  * releases the non-BACKOFF batch rows back to NULL
   * (crawl/check_resources.py:158,204 reset in error handlers). */
 object CrawlPipeline {
 
@@ -112,24 +112,58 @@ object CrawlPipeline {
       detectedLastModifiedAt: Option[Instant] = None,
       createdAt: Option[Instant] = None)
 
-  /** E7 — records every status transition and writes it through to the
-    * catalog (the reference's Resource.update calls). The in-memory log is
-    * the spec-observable transition sequence. */
+  /** E7 — records every status transition (the reference's Resource.update
+    * calls). The in-memory log is the spec-observable transition sequence.
+    *
+    * Persistence is CLAIM-GRANULAR, not per-transition: on a parquet-backed
+    * MetaStore every write is a whole-catalog rewrite, so only the statuses a
+    * CONCURRENT selector must see — the CRAWLING_URL claim and BACKOFF — are
+    * written through synchronously. Intermediate walk states
+    * (TO_ANALYSE_* / ANALYSING_* / INSERTING_IN_DB / CONVERTING_TO_PARQUET)
+    * stay in-memory; the terminal state is persisted once by the batch's
+    * catalog upsert (status=NULL + last_check pointer). That turns ~6 ×
+    * batchSize catalog rewrites per batch into the 2-3 batched ones. */
   final class StatusTracker(store: MetaStore, spark: SparkSession,
       writeThrough: Boolean = true) {
     import spark.implicits._
     val transitions = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    private val current = scala.collection.mutable.HashMap.empty[String, Option[String]]
+
+    /** Statuses another selector's claim logic consults — these must be
+      * durable the moment they're set. */
+    private def claimRelevant(status: Option[String]): Boolean =
+      status.exists(s => s == ResourceStatus.CrawlingUrl || s == "BACKOFF")
 
     def set(resourceIds: Seq[String], status: Option[String]): Unit = {
       if (resourceIds.isEmpty) return
-      resourceIds.foreach(id => transitions += ((id, status)))
-      if (writeThrough)
+      resourceIds.foreach { id =>
+        transitions += ((id, status))
+        current(id) = status
+      }
+      if (writeThrough && claimRelevant(status))
         store.upsert("catalog",
           resourceIds.map(id => (id, status.orNull)).toDF("resource_id", "status"),
           "resource_id")
     }
     def set(resourceId: String, status: Option[String]): Unit =
       set(Seq(resourceId), status)
+
+    /** Force-persist the given ids' status to NULL (claim release on driver
+      * failure) regardless of claim-relevance. */
+    def release(resourceIds: Seq[String]): Unit = {
+      if (resourceIds.isEmpty) return
+      resourceIds.foreach { id =>
+        transitions += ((id, None))
+        current(id) = None
+      }
+      if (writeThrough)
+        store.upsert("catalog",
+          resourceIds.map(id => (id, null: String)).toDF("resource_id", "status"),
+          "resource_id")
+    }
+
+    /** Latest tracked status for a resource (None = never tracked). */
+    def currentFor(resourceId: String): Option[Option[String]] = current.get(resourceId)
 
     /** The transition sequence one resource walked, oldest first. */
     def sequenceFor(resourceId: String): Seq[Option[String]] =
@@ -234,12 +268,12 @@ object CrawlPipeline {
         Option(r.getTimestamp(3)).map(_.toInstant)))
     if (batch.isEmpty) return Seq.empty
 
-    // write-through mirrors the reference's per-transition Resource.update;
-    // on a parquet-backed MetaStore every write is a catalog rewrite, so a
-    // SINGLE-DRIVER deployment can set statusWriteThrough=false: transitions
-    // (including the claim) stay in-memory, while BACKOFF and the final
-    // NULL/last_check state still persist via the batched upserts below —
-    // concurrent selectors need write-through for the CRAWLING_URL claim
+    // write-through persists only the claim-relevant statuses (CRAWLING_URL
+    // claim + BACKOFF), never the per-transition walk — on a parquet-backed
+    // MetaStore every write is a catalog rewrite. A SINGLE-DRIVER deployment
+    // can still set statusWriteThrough=false to keep even the claim
+    // in-memory; the final NULL/last_check state persists via the batched
+    // upserts below either way.
     val status = tracker.getOrElse(new StatusTracker(store, spark, statusWriteThrough))
 
     // A7 claim step (crawl/select_batch.py:16-31): mark picked rows
@@ -254,8 +288,14 @@ object CrawlPipeline {
     } catch {
       case scala.util.control.NonFatal(e) =>
         // the claim must not leak: a wedged CRAWLING_URL row is excluded by
-        // selectBatch forever (reference resets in its error handlers)
-        status.set(batchIds, None)
+        // selectBatch forever (reference resets in its error handlers).
+        // BACKOFF rows were handled correctly and already persisted — leave
+        // them; everything else (mid-flight AND completed, whose terminal
+        // state never reached the store because the batched upsert didn't
+        // run) releases back to NULL.
+        val keepBackoff = batchIds.filterNot(id =>
+          status.currentFor(id).flatten.contains("BACKOFF"))
+        status.release(keepBackoff)
         throw e
     }
   }
@@ -506,9 +546,14 @@ object CrawlPipeline {
         if (hint == HasNotChanged && last.isDefined) {
           // nothing changed per the hints: record the check (headers only,
           // like the reference's non-download path) and move on — at crawl
-          // scale this skip is most of the bandwidth saved
+          // scale this skip is most of the bandwidth saved. The previous
+          // check's checksum rides along: a later check whose hints say
+          // NoGuess compares fromChecksum against THIS row, and a None here
+          // would read as HasChanged → spurious re-download of unchanged
+          // content.
           status.set(resourceId, None)
-          return CheckOutcome(resourceId, url, Some(httpStatus), None, None,
+          return CheckOutcome(resourceId, url, Some(httpStatus),
+            last.flatMap(_.checksum), None,
             None, None, None, None, timeout = false, changed = false,
             headers = headers, responseTime = Some(responseTime))
         }

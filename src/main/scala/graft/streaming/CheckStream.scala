@@ -78,7 +78,11 @@ object CheckStream {
             }
             prev.foreach { p =>
               state.update(p)
-              state.setTimeoutTimestamp(p.createdAt.getTime + stateTtlMs)
+              // Clamped above the watermark: a timeout <= watermark throws
+              // and kills the query (reachable with boundary-timestamp rows
+              // and a small TTL; see StreamingDedup's identical clamp).
+              state.setTimeoutTimestamp(
+                math.max(p.createdAt.getTime + stateTtlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -99,7 +99,14 @@ object StreamingDedup {
               }
             }
             first.foreach(f => state.update(BandState(f)))
-            if (maxTs > 0L) state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            // Clamp above the current watermark: a timeout <= watermark is an
+            // IllegalArgumentException that kills the whole streaming query.
+            // Spark 4.1 drops late rows before this operator (verified by
+            // StreamingDedupSpec's late-only test), but rows sitting exactly
+            // at the watermark with a small/zero TTL would still trip it —
+            // the clamp makes the operator safe under any TTL.
+            if (maxTs > 0L) state.setTimeoutTimestamp(
+              math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -47,8 +47,12 @@ class TrainingDataPipelineSpec extends SparkSpec {
       benchmark = Some(bench), maxBenchmarkOverlap = 0.5)
 
     assert(r.input == 4L)
+    // funnel accounting: quality passes all 4 → repetition drops doc 2 →
+    // language keeps 3 → decontamination drops doc 3
+    assert(r.afterQuality == 4L, r.toString)
     assert(r.afterRepetition.contains(3L), r.toString)      // doc 2 gated
-    assert(r.afterDecontamination.contains(3L), r.toString) // doc 3 gated
+    assert(r.afterLang == 3L, r.toString)
+    assert(r.afterDecontamination.contains(2L), r.toString) // doc 3 gated
     val out = cleaned.select("doc_id", "text").collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(out.keySet == Set(1L, 4L))

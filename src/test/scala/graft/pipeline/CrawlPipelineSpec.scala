@@ -269,11 +269,17 @@ class CrawlPipelineSpec extends SparkSpec {
       batchSize = 10, now = Instant.parse("2024-06-05T00:00:00Z"))
     assert(o1.head.parsingTable.isDefined && gets == 1)
 
-    // second crawl, same last-modified → HEAD only, no GET, no checksum
+    // second crawl, same last-modified → HEAD only, no GET; the previous
+    // check's checksum carries forward so a later NoGuess check doesn't read
+    // the skip row's missing checksum as a change
+    val prevChecksum = store.load("checks").get
+      .orderBy(col("id").desc).head().getAs[String]("checksum")
+    assert(prevChecksum != null)
     val o2 = CrawlPipeline.runBatch(spark, store, s"$root/wh",
       mkFetcher("Tue, 04 Jun 2024 10:00:00 GMT"), new CrawlPipeline.NoopNotifier,
       batchSize = 10, now = Instant.parse("2024-07-05T00:00:00Z"))
-    assert(o2.length == 1 && !o2.head.changed && o2.head.checksum.isEmpty, o2.head.toString)
+    assert(o2.length == 1 && !o2.head.changed &&
+      o2.head.checksum.contains(prevChecksum), o2.head.toString)
     assert(gets == 1, s"download must be skipped, gets=$gets")
 
     // third crawl, newer last-modified → downloads again, hint recorded
@@ -335,6 +341,73 @@ class CrawlPipelineSpec extends SparkSpec {
     }
     // status reset — the resource is selectable again, not wedged
     assert(store.load("catalog").get.filter(col("status").isNotNull).count() == 0)
+  }
+
+  test("claim release preserves BACKOFF rows; intermediate statuses stay buffered") {
+    val root = Files.createTempDirectory("crawl-leak2").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    val csv = Files.createTempFile("r", ".csv")
+    Files.write(csv, "id,v\n1,2\n".getBytes)
+    val now = Instant.parse("2024-06-01T12:00:00Z")
+
+    // rback (priority → processed first) sits on the backoff'd "local"
+    // domain; rboom's fetch blows up the driver mid-batch
+    store.save("catalog", Seq(
+      ("rback", "d1", s"file://$csv", false, None: Option[Long], true, None: Option[String], None: Option[java.sql.Timestamp]),
+      ("rboom", "d1", "http://boom.example/x", false, None: Option[Long], false, None, None)
+    ).toDF("resource_id", "dataset_id", "url", "deleted", "last_check", "priority", "status", "next_check_at"))
+    val stamp = java.sql.Timestamp.from(now.minusSeconds(60))
+    store.save("checks", (1 to 180).map(i =>
+      (i.toLong, s"x$i", "u", "local", stamp, Some(200), Map.empty[String, String], false,
+        None: Option[String], None: Option[Long], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String], stamp)
+    ).toDF("id", "resource_id", "url", "domain", "created_at", "status", "headers",
+      "timeout", "checksum", "filesize", "mime_type", "parsing_table",
+      "parsing_error", "error", "next_check_at"))
+
+    val boom = new CrawlPipeline.Fetcher {
+      def fetch(url: String): CrawlPipeline.FetchResult = throw new IllegalStateException("boom")
+    }
+    val tracker = new CrawlPipeline.StatusTracker(store, spark)
+    intercept[IllegalStateException] {
+      CrawlPipeline.runBatch(spark, store, s"$root/wh", boom,
+        new CrawlPipeline.NoopNotifier, batchSize = 10, now = now,
+        tracker = Some(tracker))
+    }
+    // rback really was backed off before the explosion (priority-first order)
+    assert(tracker.currentFor("rback").flatten.contains("BACKOFF"), tracker.transitions.toString)
+    val statuses = store.load("catalog").get.collect()
+      .map(r => r.getAs[String]("resource_id") -> r.getAs[String]("status")).toMap
+    // the release kept the correctly-handled BACKOFF row and reset only the
+    // mid-flight one
+    assert(statuses("rback") == "BACKOFF", statuses.toString)
+    assert(statuses("rboom") == null, statuses.toString)
+  }
+
+  test("write-through persists claims immediately but buffers the analysis walk") {
+    val root = Files.createTempDirectory("tracker-buf").toString
+    val store = new MetaStore(spark, s"$root/meta")
+    store.save("catalog", Seq(("r1", "u1", false))
+      .toDF("resource_id", "url", "deleted"))
+    val tracker = new CrawlPipeline.StatusTracker(store, spark)
+
+    def stored(): String = store.load("catalog").get
+      .filter(col("resource_id") === "r1").head().getAs[String]("status")
+
+    // the claim is durable the moment it's set (concurrent selectors)…
+    tracker.set("r1", Some(graft.model.ResourceStatus.CrawlingUrl))
+    assert(stored() == "CRAWLING_URL")
+    // …but the per-resource walk states never rewrite the catalog: ~6 ×
+    // batchSize whole-table rewrites per batch was the round-2 advisory
+    tracker.set("r1", Some(graft.model.ResourceStatus.ToAnalyseCsv))
+    tracker.set("r1", Some(graft.model.ResourceStatus.AnalysingCsv))
+    assert(stored() == "CRAWLING_URL")
+    // the in-memory log still has the full sequence for observability
+    assert(tracker.sequenceFor("r1").flatten ==
+      Seq("CRAWLING_URL", "TO_ANALYSE_CSV", "ANALYSING_CSV"))
+    // release force-persists NULL regardless of claim-relevance
+    tracker.release(Seq("r1"))
+    assert(stored() == null)
   }
 
   test("C8: webhook documents carry the reference's exact key sets") {

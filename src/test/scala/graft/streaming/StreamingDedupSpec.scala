@@ -69,4 +69,42 @@ class StreamingDedupSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
     assert(batch == Set((1L, 2L)))
   }
+
+  test("a late-only micro-batch for a group does not kill the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    // The late doc (10:00) would compute maxTs + TTL = 10:10, BELOW the
+    // 10:55 watermark — a timeout Spark rejects. Empirically (verified both
+    // ways during the round-3 fix) Spark 4.1 filters the late row before the
+    // state function, and the timeout clamp guards the remaining boundary
+    // cases (ts == watermark with tiny TTL). Either way the query must
+    // survive, the late row must NOT pair, and the bucket state must remain
+    // usable by later on-time arrivals.
+    val candidates = StreamingDedup.minhashCandidates(
+      input.toDS(), watermark = "5 minutes", stateTtlMs = 10 * 60 * 1000L)
+    val query = candidates.writeStream.format("memory").queryName("dedup_late")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    input.addData(DocEvent(1L, base, ts(50)))
+    query.processAllAvailable()
+    // push the watermark to 10:55
+    input.addData(DocEvent(9L, "something else entirely to push the clock",
+      Timestamp.valueOf("2024-06-01 11:00:00")))
+    query.processAllAvailable()
+    // late-only batch: event time 10:00 is far below the watermark
+    input.addData(DocEvent(2L, base.replace("today", "tonight"), ts(0)))
+    query.processAllAvailable()
+    assert(query.exception.isEmpty, query.exception.toString)
+    // an on-time near-dup still pairs against the surviving bucket state
+    input.addData(DocEvent(3L, base.replace("today", "this morning"), ts(58)))
+    query.processAllAvailable()
+    assert(query.exception.isEmpty, query.exception.toString)
+    query.stop()
+
+    val out = spark.table("dedup_late").as[NearDupCandidate].collect()
+    assert(!out.exists(_.docId == 2L), out.mkString(",")) // late row dropped
+    assert(out.exists(c => c.docId == 3L && c.earlierDocId == 1L), out.mkString(","))
+  }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop kernels for the sketching expressions.
@@ -403,6 +403,29 @@ object GraftHashUtil {
     s
   }
 
+  /** Index of the L2-nearest centroid — the IVF assignment loop, one fused
+    * pass over k centroids per row (no per-centroid join/explosion). */
+  def nearestCentroid(vec: ArrayData, cents: Array[Array[Double]]): Int = {
+    val n = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val diff = vec.getFloat(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Sorted distinct copy of a long array (for word-shingle hash sets). */
   def sortDistinct(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -664,6 +687,31 @@ case class GraftL2Sq(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftL2Sq =
     copy(left = l, right = r)
+}
+
+/** `graft_nearest_centroid(array<float>, array<array<double>> literal) → int`
+  * — IVF cell assignment. The centroid matrix is a FOLDABLE literal (the
+  * quantizer is trained before the plan is built), extracted once at
+  * function-resolution time and carried on the node, so the generated code
+  * references one shared double[][] instead of re-evaluating a nested-array
+  * literal per row. */
+case class GraftNearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.nearestCentroid(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.nearestCentroid($c, $cents)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNearestCentroid =
+    copy(child = newChild)
 }
 
 /** `graft_sort_distinct(array<bigint>) → array<bigint>` */

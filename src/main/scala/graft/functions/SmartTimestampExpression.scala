@@ -112,6 +112,18 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[GraftL2Sq].getName, "graft_l2sq"),
       (args: Seq[Expression]) => GraftL2Sq(args.head, args(1))),
+    (new FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[GraftNearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[Expression]) => {
+        // the centroid matrix must be a foldable literal (typedlit) — the
+        // quantizer is trained before the plan exists
+        require(args(1).foldable, "graft_nearest_centroid: centroids must be a literal")
+        val ad = args(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = (0 until ad.numElements()).map { i =>
+          ad.getArray(i).toDoubleArray()
+        }.toArray
+        GraftNearestCentroid(args.head, cents)
+      }),
     (new FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[GraftTokenHashes].getName, "graft_token_hashes"),
       (args: Seq[Expression]) => GraftTokenHashes(args.head)),

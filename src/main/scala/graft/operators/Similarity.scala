@@ -109,14 +109,22 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into nCentroids cells; each query probes its
     * nProbe nearest cells and scores only those vectors.
     *
-    * The scale shape: corpus cell assignment is one MLlib KMeans transform
-    * (itself distributed); per-query probing is a broadcast join against the
-    * tiny centroid table; candidate scoring touches ~nProbe/nCentroids of
-    * the corpus. Deterministic via the KMeans seed. */
+    * The scale shape follows the standard IVF recipe: the quantizer trains
+    * on a BOUNDED deterministic sample collected to the driver (a few
+    * hundred points per centroid suffice — cells only need to partition the
+    * space roughly evenly), assignment is one codegen'd pass over the full
+    * corpus with the centroid matrix as a plan constant, per-query probing
+    * is a broadcast join against the tiny centroid table, and candidate
+    * scoring touches ~nProbe/nCentroids of the corpus. At 100 TB a
+    * full-corpus multi-pass distributed fit — plus the full-corpus cache it
+    * would need — is a non-starter; even at bench scale the MLlib fit was
+    * ~6 scheduling-bound jobs (~3.5 s for 2,000 rows) where local Lloyd on
+    * the sample is microseconds. Deterministic via the seed (seeded init
+    * over the id-ordered sample). fitSampleRows <= 0 → auto. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
@@ -124,35 +132,38 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleRows: Int = 0): DataFrame = {
 
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val targetRows = if (fitSampleRows > 0) fitSampleRows.toLong
+      else math.max(256L * nCentroids, 8192L)
+    val total = corpus.count()
+    val sampled =
+      if (total <= targetRows) corpus
+      else {
+        // id-hash filter: deterministic under any partitioning (df.sample is
+        // partition-layout-sensitive), one narrow predicate on the scan
+        val perMillion = math.max(1L, math.round(targetRows.toDouble / total * 1000000L))
+        corpus.where(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(perMillion))
+      }
+    val sampleVecs: Array[Array[Double]] = sampled
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)) // stable order → stable init
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val centroidMatrix = lloyd(sampleVecs, nCentroids, maxIter = 5, seed)
 
-    val toVec = (c: Column) => array_to_vector(transform(c, x => x.cast("double")))
-    // cache: KMeans.fit passes over the features once per iteration — without
-    // this the array->vector conversion re-runs maxIter times
-    val corpusVec = corpus.withColumn("__features", toVec(col(vecCol))).persist()
-    // random init: k-means|| costs ~2 extra distributed passes for init
-    // quality an IVF coarse quantizer doesn't need — cells only have to
-    // partition the space roughly evenly, and nProbe covers boundary error
-    val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("__features")
-      .fit(corpusVec)
-    val assigned = model.transform(corpusVec)
-      .withColumnRenamed("prediction", "cell").drop("__features")
-    // fit is the multi-pass consumer; release the cache now and let the single
-    // serving-side transform recompute once rather than leak the cached table
-    corpusVec.unpersist(blocking = false)
+    // cell assignment: ONE codegen'd pass over the full corpus (native
+    // argmin-L2 kernel), no VectorUDT boxing, no cache
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centroidLit = typedlit(centroidMatrix.map(_.toSeq).toSeq)
+    val assigned = corpus.withColumn("cell",
+      call_function("graft_nearest_centroid", col(vecCol), centroidLit))
 
     // tiny centroid table → broadcast; probe = nProbe closest cells per query
-    val centroids = model.clusterCenters.zipWithIndex.toSeq.map { case (v, i) =>
-      (i, v.toArray.toSeq)
-    }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroidDf = centroids.toDF("cell", "centroid")
+    val centroidDf = centroidMatrix.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid")
     val l2 = (a: Column, b: Column) => call_function("graft_l2sq", a, b)
     val wProbe = Window.partitionBy(qidCol).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroidDf))
@@ -168,6 +179,59 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Plain Lloyd's k-means over an in-memory sample — the quantizer trainer
+    * behind ivfTopK. Deterministic: seeded index shuffle for init, stable
+    * input order, empty cells keep their previous centroid. */
+  private[operators] def lloyd(
+      points: Array[Array[Double]],
+      k: Int,
+      maxIter: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "ivf quantizer: empty training sample")
+    val dim = points(0).length
+    val kEff = math.min(k, points.length)
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toList).take(kEff)
+    val centroids = init.map(i => points(i).clone()).toArray
+
+    @inline def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kEff) {
+        var d = 0.0; var i = 0
+        val cent = centroids(c)
+        while (i < dim) { val x = p(i) - cent(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        val s = sums(c)
+        var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          var i = 0
+          while (i < dim) { centroids(c)(i) = s(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 
   /** Embedding-cosine near-duplicate pairs (exact, all-pairs within LSH

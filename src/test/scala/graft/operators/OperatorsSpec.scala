@@ -268,4 +268,51 @@ class IvfSpec extends SparkSpec {
     assert(res.forall(_.getAs[Long]("vec_id") <= 20L)) // all from cluster A
     assert(res.forall(_.getAs[Double]("sim") > 0.95))
   }
+
+  test("ivf with a sampled quantizer fit still finds neighbors, deterministically") {
+    val rng = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(v => v + (rng.nextFloat() - 0.5f) * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val corpus = ((1L to 30L).map(i => (i, jitter(a))) ++ (31L to 60L).map(i => (i, jitter(b))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, a)).toDF("qid", "qvec")
+    // fitSampleRows < corpus size → the id-hash sampling branch trains the
+    // quantizer on a strict subset; neighbors still resolve and two runs
+    // produce identical output (deterministic sample + seeded lloyd)
+    def run() = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, nCentroids = 2, nProbe = 1, fitSampleRows = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val r1 = run()
+    assert(r1.length == 5 && r1.forall(_._1 <= 30L), r1.toString)
+    assert(run() == r1)
+  }
+
+  test("lloyd quantizer: deterministic, empty-cell-safe, centroids converge") {
+    val pts = ((1 to 50).map(i => Array(1.0 + i * 0.001, 0.0)) ++
+      (1 to 50).map(i => Array(0.0, 1.0 + i * 0.001))).toArray
+    val c1 = Similarity.lloyd(pts, 2, maxIter = 5, seed = 42L)
+    val c2 = Similarity.lloyd(pts, 2, maxIter = 5, seed = 42L)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // one centroid per cluster, each at its cluster mean (~(1.0255, 0))
+    val sorted = c1.sortBy(_(0))
+    assert(math.abs(sorted(1)(0) - 1.0255) < 1e-9 && math.abs(sorted(1)(1)) < 1e-9)
+    assert(math.abs(sorted(0)(1) - 1.0255) < 1e-9 && math.abs(sorted(0)(0)) < 1e-9)
+    // more centroids than points must not blow up
+    val tiny = Similarity.lloyd(Array(Array(1.0), Array(2.0)), 5, 3, 1L)
+    assert(tiny.length == 2)
+  }
+
+  test("graft_nearest_centroid assigns the argmin cell") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col, typedlit}
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0))
+    val df = Seq(
+      (1L, Array(1f, 1f)),   // → cell 0
+      (2L, Array(9f, 9f)),   // → cell 1
+      (3L, Array(1f, 9f))    // → cell 2
+    ).toDF("id", "vec")
+      .withColumn("cell", call_function("graft_nearest_centroid", col("vec"), typedlit(cents)))
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2), out.toString)
+  }
 }

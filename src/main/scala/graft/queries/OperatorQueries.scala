@@ -5,12 +5,28 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
-  * query/oracle contract. Hash-based ops (minhash/simhash/xxhash sketches)
-  * have no DuckDB equivalent → rows-only entries; everything expressible in
-  * ANSI SQL carries an oracle. */
+  * query/oracle contract. Everything expressible in ANSI SQL carries an
+  * oracle — including simhash, whose FNV/fmix64 hash family replays exactly
+  * in DuckDB HUGEINT arithmetic; only the xxhash64-based sketches and the
+  * recall<1 ANN paths stay rows-only. */
 object OperatorQueries {
 
   import NamedQuery.{rowsOnly, sql}
+
+  /** 64-bit wrapping ops replayed in DuckDB HUGEINT (the FNV-1a + fmix64
+    * family of graft_token_hashes_fnv, HashExpressions.scala): XOR via
+    * 32-bit halves (DuckDB xor is BIGINT-only), multiply via 32-bit split so
+    * no intermediate exceeds HUGEINT's 127-bit range. */
+  private def dkXor64(a: String, b: String): String =
+    s"(xor((($a // 4294967296) % 4294967296)::BIGINT, (($b // 4294967296) % 4294967296)::BIGINT)::HUGEINT" +
+      s" * 4294967296 + xor(($a % 4294967296)::BIGINT, ($b % 4294967296)::BIGINT)::HUGEINT)"
+
+  private def dkMul64(a: String, c: Long): String = {
+    val cl = c & 0xffffffffL
+    val ch = c >>> 32
+    s"((($a % 4294967296) * $cl + ((($a % 4294967296) * $ch + ($a // 4294967296) * $cl)" +
+      s" % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)"
+  }
 
   def all: Map[String, NamedQuery] = Map(
 
@@ -50,12 +66,52 @@ object OperatorQueries {
         |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
 
-    // SimHash near-duplicate pairs.
-    "x08_simhash_neardup" -> rowsOnly(
+    // SimHash near-duplicate pairs. The pigeonhole banding is exact for
+    // hamming <= maxDistance, so the oracle is the exact all-pairs hamming
+    // computation over independently-rebuilt fingerprints: DuckDB replays
+    // the FNV-1a-over-chars + fmix64 token hashes in HUGEINT mod-2^64
+    // arithmetic, takes the per-bit sign vote, and compares 64-bit
+    // fingerprints half-by-half — any kernel, banding, or verify bug
+    // surfaces as a row diff.
+    "x08_simhash_neardup" -> sql(
       (s, dir) =>
         Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
           maxDistance = 4)
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |fnv AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(generate_series(1, length(tok)), j -> ascii(substring(tok, j, 1))::HUGEINT)),
+        |      (acc, c) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT)
+        |                    * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM t),
+        |f1 AS (SELECT doc_id, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT doc_id, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT doc_id, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT doc_id, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (x // CAST(pow(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM f5 CROSS JOIN generate_series(0, 63) g(b) GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS HUGEINT) ELSE 0::HUGEINT END) AS fp
+        |  FROM bits GROUP BY 1),
+        |halves AS (
+        |  -- docs with no tokens hash to fingerprint 0 (empty sign vote)
+        |  SELECT d.doc_id, (coalesce(fp, 0::HUGEINT) // 4294967296)::BIGINT AS hi,
+        |    (coalesce(fp, 0::HUGEINT) % 4294967296)::BIGINT AS lo
+        |  FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
+        |FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // n-gram Jaccard near-duplicate pairs (banded candidates + exact verify).
     // Oracle = exact all-pairs over the distinct char-5-gram sets.

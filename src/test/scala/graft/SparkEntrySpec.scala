@@ -14,8 +14,10 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(oracles.subsetOf(queries),
       s"oracles without a query: ${oracles -- queries}")
     val rowsOnly = queries -- oracles
-    // the four genuinely non-replayable ops — growing this set needs a reason
-    assert(rowsOnly == Set("x08_simhash_neardup", "x14_cosine_lsh_topk",
+    // the three genuinely non-replayable ops (xxhash64 bucketing / recall<1
+    // ANN) — growing this set needs a reason; simhash (x08) IS replayable
+    // via the HUGEINT FNV/fmix64 oracle
+    assert(rowsOnly == Set("x14_cosine_lsh_topk",
       "x15_embedding_neardup", "x16_cosine_ivf_topk"),
       s"unexpected rows-only set: $rowsOnly")
   }

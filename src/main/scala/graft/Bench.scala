@@ -37,6 +37,20 @@ object Bench {
         .select(call_function("graft_cosine", col("embedding"), col("embedding")),
           call_function("graft_hyperplane_sketch", col("embedding"), lit(16), lit(64), lit(42L)))
         .collect()
+      // warm the heavy EXECUTION machinery, not just kernels: a broadcast
+      // hash join, a window, a sort and a hash aggregate on 256 rows JIT the
+      // generic operator paths (BroadcastExchange, WSCG driver loops, sorter)
+      // that otherwise bill their C2 compile to the first timed query using
+      // them
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      import org.apache.spark.sql.expressions.Window
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("r_regionkey").orderBy("n_name")))
+        .where(col("rn") <= 3).orderBy("n_name")
+        .groupBy("r_name").agg(count(lit(1)))
+        .collect()
     }
     // SPARK_GRAFT_ONLY=x16,x17 — optional comma-separated prefix filter for
     // iterating on single queries; the driver never sets it (full run)

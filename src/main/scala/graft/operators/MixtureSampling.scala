@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic per-category corpus sampling — the mixture-weighting step
+  * of a pretraining data recipe: downsample dominant sources/languages,
+  * keep rare ones, reproducibly.
+  *
+  * The accept/reject decision is a pure function of the document id: keep a
+  * row when the first 8 hex chars of md5(id) — a uniform 32-bit draw, the
+  * same replayable trick as the d08 sampling query — fall below the
+  * category's rate threshold. No RNG state, no partitioning sensitivity, and
+  * the same document keeps/drops identically on any cluster.
+  */
+object MixtureSampling {
+
+  /** Lowercase-hex acceptance threshold for a rate in [0,1): compare
+    * strings, compare numbers — the hex alphabet is ordered. */
+  private def thresholdHex(rate: Double): String =
+    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+
+  /** Keep-predicate for one rate over the given id column. */
+  private def keep(idCol: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else substring(md5(idCol.cast("string")), 1, 8) < lit(thresholdHex(rate))
+
+  /** Filter `df` keeping each category at its configured rate (categories
+    * absent from `rates` use `defaultRate`). Rates that are exact binary
+    * fractions (0.5, 0.25, …) produce thresholds that replay exactly in any
+    * engine with md5 — used by the oracle-checked query. */
+  def sampleByRates(
+      df: DataFrame,
+      categoryCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val id = col(idCol)
+    val predicate = rates.toSeq.sortBy(_._1) match {
+      case Seq() => keep(id, defaultRate)
+      case (k0, r0) +: rest =>
+        rest.foldLeft(when(col(categoryCol) === k0, keep(id, r0))) {
+          case (acc, (k, r)) => acc.when(col(categoryCol) === k, keep(id, r))
+        }.otherwise(keep(id, defaultRate))
+    }
+    df.where(predicate)
+  }
+
+  /** Temperature-derived rates: acceptance r_c ∝ n_c^(1/T - 1), scaled so
+    * the largest rate is `maxRate` — the standard multinomial temperature
+    * reweighting (T=1 keeps everything proportional/unchanged; T→∞ levels
+    * categories to equal KEPT counts). One tiny aggregation; category
+    * cardinality is assumed metadata-sized (languages, sources). */
+  def temperatureRates(
+      df: DataFrame,
+      categoryCol: String,
+      temperature: Double,
+      maxRate: Double = 1.0): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(categoryCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return Map.empty
+    val raw = counts.map { case (k, n) =>
+      k -> math.pow(n.toDouble, 1.0 / temperature - 1.0)
+    }
+    val top = raw.values.max
+    raw.map { case (k, v) => k -> math.min(1.0, v / top * maxRate) }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budgeted shard assignment — the "write side" of a training-data
+  * pipeline: data loaders want shards of roughly equal TOKEN mass (not file
+  * count), assigned deterministically so a re-run produces the same layout.
+  *
+  * Semantics: order documents globally by `idCol`; a document starts in
+  * shard `floor(tokens_before_it / budget)`. That is a global exclusive
+  * prefix sum — computed scalably as the classic two-phase distributed
+  * prefix sum, NOT a single-partition global window:
+  *
+  *   1. range-repartition by id (a scalable sort-partitioning),
+  *   2. one tiny aggregation → per-partition token totals → driver computes
+  *      the per-partition offsets (numPartitions rows, metadata-sized),
+  *   3. a PER-PARTITION window (parallel, no global ordering bottleneck)
+  *      adds the offset.
+  *
+  * The ranged layout is persisted because steps 2 and 3 must see the SAME
+  * partition boundaries — RangePartitioner samples its boundaries per
+  * materialization, so without the persist the offsets could describe a
+  * different layout than the final pass reads (a correctness requirement,
+  * not a cache optimization; a production run would write the ranged data
+  * out and read it back instead). Call releaseShardCaches() when done.
+  */
+object Sharding {
+
+  private val trackedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Unpersist every layout cached by assignShards since the last release. */
+  def releaseShardCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) it.next().unpersist(blocking = false)
+    trackedCaches.clear()
+  }
+
+  /** Assign each document a shard id so shards carry ~`budget` tokens each.
+    * Output = input columns + `shard` (long). Deterministic in (ids, token
+    * counts, budget); independent of partitioning and cluster size. */
+  def assignShards(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "shard token budget must be positive")
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val parted = tracked(
+      docs.repartitionByRange(nPart, col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist())
+
+    // per-partition totals → exclusive offsets (metadata-sized driver work)
+    val totals = parted.groupBy("__pid").agg(sum(col(tokenCol)).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      totals.toSeq.sortBy(_._1).map { case (pid, tot) =>
+        val off = acc; acc += tot; pid -> off
+      }.toMap
+    }
+
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+    parted
+      .withColumn("__before",
+        sum(col(tokenCol)).over(w) - col(tokenCol) +
+          element_at(typedlit(offsets), col("__pid")))
+      // integral division: exact at any corpus size (double division would
+      // lose precision past 2^53 total tokens)
+      .withColumn("shard", expr(s"__before div $budget"))
+      .drop("__pid", "__before")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Dedup, MixtureSampling, Multimodal, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -461,6 +461,72 @@ object OperatorQueries {
         Similarity.cosineNearDuplicates(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.3, nBits = 8, dim = 64)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // Token-budgeted shard assignment: shard = exclusive-prefix-sum(tokens,
+    // ordered by doc_id) div budget. The Spark side computes the prefix sum
+    // with the two-phase distributed recipe (range partitions + offsets);
+    // the oracle is the direct global window — identical integer math.
+    "x22_token_shards" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+        val out = Sharding.assignShards(docs, "doc_id", "n_tokens", budget = 5000L)
+          .select("doc_id", "n_tokens", "shard")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count() // settle the ranged layout before releasing it
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  (coalesce(sum(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |     OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   // 5000)::BIGINT AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Mixture sampling: language-routed deterministic downsampling (en kept
+    // at 1/4, und at 1/2 — exact binary fractions so the md5-hex thresholds
+    // replay exactly). Oracle rebuilds the stopword-argmax language id (same
+    // replay as x12) and applies the same md5 threshold.
+    "x23_mixture_sample" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+        MixtureSampling.sampleByRates(docs, "lang", "doc_id",
+          rates = Map("en" -> 0.25, "und" -> 0.5), defaultRate = 1.0)
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |langs(lang, ws) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','in','den','von','zu','mit','sich','auf','für','nicht','ein','eine','als','auch','es','an']),
+        |  ('en', ['the','and','of','to','a','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this']),
+        |  ('es', ['el','la','los','las','de','y','que','en','un','una','es','no','por','con','para','se','del','al','lo','como']),
+        |  ('fr', ['le','la','les','de','des','du','et','est','un','une','dans','que','qui','pour','sur','pas','au','avec','ce','il']),
+        |  ('it', ['il','la','di','e','che','in','un','una','per','non','sono','con','si','del','le','al','come','dei','nel','della']),
+        |  ('pt', ['o','a','os','as','de','e','que','em','um','uma','não','por','com','para','se','do','da','no','na','dos'])),
+        |counts AS (
+        |  SELECT t.doc_id, len(t.toks) AS n, l.lang,
+        |    len(list_filter(t.toks, x -> list_contains(l.ws, x))) AS c
+        |  FROM t, langs l),
+        |best AS (
+        |  SELECT doc_id, n, lang, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn
+        |  FROM counts),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 OR c = 0 OR c * 100 < 5 * n THEN 'und' ELSE lang END AS lang
+        |  FROM best WHERE rn = 1)
+        |SELECT doc_id, lang FROM pred
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |  WHEN 'und' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  ELSE true END
+        |ORDER BY doc_id""".stripMargin)
   )
 }

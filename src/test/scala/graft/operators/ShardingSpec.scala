@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shards carry ~budget tokens, in id order, deterministically") {
+    val docs = (1L to 200L).map(i => (i, 50L + (i % 7) * 10L)).toDF("doc_id", "n_tokens")
+    def run() = Sharding.assignShards(docs, "doc_id", "n_tokens", budget = 1000L,
+      numPartitions = 8)
+      .select("doc_id", "n_tokens", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val out = run()
+    Sharding.releaseShardCaches()
+
+    // reference: driver-side exclusive prefix sum over id order
+    var acc = 0L
+    val expected = out.map { case (id, tok, _) =>
+      val shard = acc / 1000L; acc += tok; (id, tok, shard)
+    }
+    assert(out == expected)
+    // shard ids are contiguous from 0 and each non-final shard holds at
+    // least the budget minus one max-doc of tokens (greedy boundary split)
+    val byShard = out.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byShard.map(_._1) == (0L until byShard.length.toLong))
+    val totals = byShard.map { case (_, rows) => rows.map(_._2).sum }
+    totals.dropRight(1).foreach(t => assert(t >= 1000L - 110L && t <= 1000L + 110L, t))
+
+    // independent of the partition count (the two-phase prefix sum is
+    // layout-free): 1 partition == 8 partitions
+    val single = Sharding.assignShards(docs, "doc_id", "n_tokens", budget = 1000L,
+      numPartitions = 1)
+      .select("doc_id", "n_tokens", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    Sharding.releaseShardCaches()
+    assert(single == out)
+  }
+
+  test("releaseShardCaches drops the ranged layout") {
+    val docs = (1L to 50L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Sharding.assignShards(docs, "doc_id", "n_tokens", budget = 100L).count()
+    Sharding.releaseShardCaches()
+    // unpersist is async; poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (System.nanoTime() < deadline &&
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty) Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+}
+
+class MixtureSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-category rates are deterministic and ~proportional") {
+    val docs = (1L to 4000L).map(i => (i, if (i % 4 == 0L) "rare" else "common"))
+      .toDF("doc_id", "cat")
+    def run() = MixtureSampling.sampleByRates(docs, "cat", "doc_id",
+      rates = Map("common" -> 0.25), defaultRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = run()
+    assert(run() == kept) // pure function of ids
+    val rare = kept.count(_._2 == "rare")
+    val common = kept.count(_._2 == "common")
+    assert(rare == 1000, s"default rate 1.0 keeps every rare doc, got $rare")
+    // 3000 commons at rate 0.25 → ~750; md5 uniformity keeps this tight
+    assert(common > 600 && common < 900, s"common kept: $common")
+    // rate 0 drops everything in the category
+    val none = MixtureSampling.sampleByRates(docs, "cat", "doc_id",
+      rates = Map("common" -> 0.0, "rare" -> 0.0)).count()
+    assert(none == 0L)
+  }
+
+  test("temperature rates level category counts as T grows") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "cat")
+    val t1 = MixtureSampling.temperatureRates(docs, "cat", temperature = 1.0)
+    assert(t1("big") == 1.0 && t1("small") == 1.0) // T=1: proportional, keep all
+    val t5 = MixtureSampling.temperatureRates(docs, "cat", temperature = 5.0)
+    // r_c ∝ n^(1/T - 1): the small category keeps rate 1 (it is the max),
+    // the big one is cut by (900/100)^(4/5)
+    assert(t5("small") == 1.0)
+    assert(math.abs(t5("big") - math.pow(9.0, -0.8)) < 1e-12, t5.toString)
+    // composition: sampled counts move toward level
+    val kept = MixtureSampling.sampleByRates(docs, "cat", "doc_id", t5)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L)
+    assert(kept("big") < 250L && kept("big") > 100L, kept.toString)
+  }
+}

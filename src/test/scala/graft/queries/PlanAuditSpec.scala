@@ -84,4 +84,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]), q)
     }
   }
+
+  test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
+    // the serving-side contract of the IVF rework: cell assignment is a
+    // projection riding the corpus scan (centroids are a plan constant, so
+    // no exchange feeds it) and the probe side — nProbe cells per query —
+    // broadcasts; the big side must never shuffle for the join
+    val nodes = flatten(planOf("x16_cosine_ivf_topk"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "probe set must broadcast against the assigned corpus")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "corpus-side sort-merge join defeats the IVF design")
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "nearest-centroid assignment must stay inside codegen")
+  }
 }

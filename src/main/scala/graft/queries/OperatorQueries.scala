@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MixtureSampling, Multimodal, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Dedup, MixtureSampling, Multimodal, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -527,6 +527,51 @@ object OperatorQueries {
         |  WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |  WHEN 'und' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
         |  ELSE true END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Greedy sequence packing into context-window bins, two-level: coarse
+    // order-preserving shards (distributed prefix sum) then first-fit within
+    // each bounded shard. Deterministic end to end, so the oracle replays
+    // BOTH levels: the shard window plus the greedy fold as a list_reduce
+    // over a flat [bin, fill, bins...] state (DuckDB 1.0 mangles struct
+    // accumulators that hold lists — the flat encoding is deliberate).
+    "x24_sequence_pack" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+        val out = SequencePacking.packGreedy(docs, "doc_id", "n_tokens",
+          contextLen = 2000L, shardBudget = 10000L)
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count() // settle the ranged layout before releasing it
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    (coalesce(sum(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |       OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     // 10000)::BIGINT AS shard
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard,
+        |    list(doc_id ORDER BY doc_id) AS ids,
+        |    list(n_tokens ORDER BY doc_id) AS toks
+        |  FROM docs GROUP BY shard),
+        |packed AS (
+        |  SELECT shard, ids, toks,
+        |    list_reduce(
+        |      list_prepend([0, 0]::BIGINT[], list_transform(toks, t -> [t]::BIGINT[])),
+        |      (acc, x) -> CASE
+        |        WHEN acc[2] > 0 AND acc[2] + x[1] > 2000
+        |          THEN list_concat([acc[1] + 1, x[1]], list_append(acc[3:], acc[1] + 1))
+        |        ELSE list_concat([acc[1], acc[2] + x[1]], list_append(acc[3:], acc[1]))
+        |      END)[3:] AS bins
+        |  FROM g),
+        |flat AS (
+        |  SELECT shard, unnest(ids) AS doc_id, unnest(toks) AS n_tokens, unnest(bins) AS bin
+        |  FROM packed)
+        |SELECT doc_id, n_tokens, shard, bin FROM flat ORDER BY doc_id""".stripMargin)
   )
 }

@@ -52,6 +52,45 @@ class ShardingSpec extends SparkSpec {
   }
 }
 
+class SequencePackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy packing: no bin overflows unless a single doc exceeds the window") {
+    val docs = Seq(
+      (1L, 700L), (2L, 800L), (3L, 900L), // 1+2 fill 1500; 3 overflows → bin 1
+      (4L, 2500L),                        // larger than the window → alone
+      (5L, 100L), (6L, 1900L), (7L, 50L)
+    ).toDF("doc_id", "n_tokens")
+    val out = SequencePacking.packGreedy(docs, "doc_id", "n_tokens",
+      contextLen = 2000L, shardBudget = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    Sharding.releaseShardCaches()
+
+    assert(out.map(x => x._1 -> x._4).toMap ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 3L, 7L -> 4L),
+      out.mkString(","))
+    // every multi-doc bin fits the context window
+    out.groupBy(x => (x._3, x._4)).foreach { case (_, docsInBin) =>
+      if (docsInBin.length > 1)
+        assert(docsInBin.map(_._2).sum <= 2000L, docsInBin.mkString(","))
+    }
+  }
+
+  test("packing is shard-local: results deterministic across partition layouts") {
+    val docs = (1L to 300L).map(i => (i, 100L + (i % 13) * 37L)).toDF("doc_id", "n_tokens")
+    def run(parts: Int) = {
+      val r = SequencePacking.packGreedy(
+        docs.repartition(parts), "doc_id", "n_tokens",
+        contextLen = 1000L, shardBudget = 8000L)
+        .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).sortBy(_._1).toSeq
+      Sharding.releaseShardCaches()
+      r
+    }
+    assert(run(1) == run(7))
+  }
+}
+
 class MixtureSamplingSpec extends SparkSpec {
   import spark.implicits._
 

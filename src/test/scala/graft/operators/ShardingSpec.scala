@@ -91,6 +91,50 @@ class SequencePackingSpec extends SparkSpec {
   }
 }
 
+class CorpusEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full corpus prep: clean → temperature sample → pack into context bins") {
+    // heavily-English corpus with noise, dups and one rare-language doc
+    val en = (1L to 60L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog near the river bank"))
+    val noise = Seq((100L, "@@@ ### $$$ 111 222 333"))
+    val dup = Seq((101L, en.head._2)) // exact dup of doc 1
+    val es = Seq((102L, "el gato está en la casa y no quiere salir por la puerta con el perro"))
+    val docs = (en ++ noise ++ dup ++ es).toDF("doc_id", "text")
+
+    // 1. clean: quality + exact dedup (near-dup off via high threshold)
+    val (cleaned, report) = TrainingDataPipeline.clean(
+      docs, minQuality = 0.4, nearDupThreshold = 0.99, retainResult = true)
+    assert(report.input == 63L)
+    assert(report.afterExactDedup == 61L) // noise gated, dup collapsed
+
+    // 2. mixture: T-sampling keeps the rare language whole, thins English
+    val routed = cleaned.withColumn("lang", TextAnalysis.langId(col("text")))
+    val rates = MixtureSampling.temperatureRates(routed, "lang", temperature = 4.0)
+    assert(rates("es") == 1.0 && rates("en") < 1.0, rates.toString)
+    val sampled = MixtureSampling.sampleByRates(routed, "lang", "doc_id", rates)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("es") == 1L)
+    assert(byLang("en") < 61L, byLang.toString)
+
+    // 3. pack the survivors into 64-token bins
+    val packed = SequencePacking.packGreedy(
+      sampled.select(col("doc_id"), col("__n_tokens").as("n_tokens")),
+      "doc_id", "n_tokens", contextLen = 64L, shardBudget = 640L)
+    val bins = packed.collect().map(r =>
+      (r.getLong(2), r.getLong(3)) -> r.getLong(1)).groupBy(_._1)
+    bins.values.foreach { docsInBin =>
+      if (docsInBin.length > 1) assert(docsInBin.map(_._2).sum <= 64L)
+    }
+    assert(packed.count() == sampled.count())
+
+    cleaned.unpersist()
+    Sharding.releaseShardCaches()
+  }
+}
+
 class MixtureSamplingSpec extends SparkSpec {
   import spark.implicits._
 

@@ -275,4 +275,50 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over near-duplicate pairs — the cluster-resolution
+    * step every published dedup recipe ends with: pairwise keep-first drops
+    * one doc per PAIR, but duplicates are transitive (A≈B, B≈C ⇒ one
+    * cluster), so the whole component must collapse to one representative.
+    *
+    * Min-label propagation: every vertex starts labeled with its own id;
+    * each round a vertex takes the minimum label among itself and its
+    * neighbors; converged when no label changes. Rounds needed = component
+    * diameter — near-dup graphs are overwhelmingly tiny stars/chains, so
+    * this terminates in a handful of shuffles even at corpus scale (the
+    * pair volume, not the corpus volume, drives the cost). Deterministic:
+    * cluster id = min doc id of the component.
+    *
+    * Returns (id, cluster) for every vertex in `pairs`. Docs in no pair are
+    * their own singleton clusters and are omitted (join back as needed). */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = tracked(edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist())
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label")).persist()
+      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .where(col("label") =!= col("__old")).isEmpty
+      // the convergence check materialized `next`; the previous round's
+      // labels are dead weight from here on
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    tracked(labels).select(col("id"), col("label").as("cluster"))
+  }
 }

@@ -66,6 +66,47 @@ object OperatorQueries {
         |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // Duplicate-cluster resolution: connected components over the minhash
+    // near-dup pairs (min-label propagation; cluster id = min doc id). The
+    // oracle recomputes the exact all-pairs pair set and closes it with a
+    // recursive CTE — so both the pair recall AND the transitive clustering
+    // are under test.
+    "x25_dup_clusters" -> sql(
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDuplicates(Tables.documents(s, dir),
+          "text", "doc_id", shingleSize = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5)
+        val out = Dedup.duplicateClusters(pairs).orderBy("id")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src)
+        |SELECT src AS id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin),
+
     // SimHash near-duplicate pairs. The pigeonhole banding is exact for
     // hamming <= maxDistance, so the oracle is the exact all-pairs hamming
     // computation over independently-rebuilt fingerprints: DuckDB replays

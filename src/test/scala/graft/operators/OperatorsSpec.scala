@@ -52,6 +52,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("duplicate clusters: transitive components collapse to the min id") {
+    // chain 1-2-3 (diameter 2, pair (1,3) withheld), disjoint pair 7-9,
+    // longer chain 10-11-12-13 to force several propagation rounds
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (7L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L)
+    ).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.releaseCaches()
+    assert(clusters == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), clusters.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

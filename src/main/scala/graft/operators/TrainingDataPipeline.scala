@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *   2b. decontamination  — drop docs overlapping a benchmark set (opt-in,
   *                          broadcast gram-set intersect)
   *   3. exact dedup       — Dedup.dropExactDuplicates on content digest
-  *   4. near-dedup        — Dedup.minhashNearDuplicates; for every surviving
-  *                          near-dup pair the higher id drops (keep-first)
+  *   4. near-dedup        — Dedup.minhashNearDuplicates pairs collapsed per
+  *                          connected component: each cluster keeps its
+  *                          minimum id only
   *   5. token accounting  — whitespace + BPE-ish counts on the survivors
   *
   * Everything composes lazily except the near-dup pair set (a sketch join)
@@ -118,9 +119,15 @@ object TrainingDataPipeline {
     // the dedup'd set feeds both the near-dup join and the final filter
     val exact = Dedup.dropExactDuplicates(lang, textCol, idCol).persist()
 
+    // near-dup resolution is per COMPONENT, not per pair: A≈B and B≈C are
+    // one duplicate cluster even when A≉C directly, and only the minimum id
+    // survives (the published collapse rule; a pairwise id_b drop keeps a
+    // doc that only ever appears on the left of its pairs)
     val nearPairs = Dedup.minhashNearDuplicates(
       exact, textCol, idCol, threshold = nearDupThreshold)
-    val drop = nearPairs.select(col("id_b").as(idCol)).distinct()
+    val drop = Dedup.duplicateClusters(nearPairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
     val cleaned = exact.join(drop, Seq(idCol), "left_anti")
       .withColumn("__n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("__n_tokens_bpe", TextAnalysis.tokenCountBpe(col(textCol)))

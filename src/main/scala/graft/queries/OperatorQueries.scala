@@ -348,8 +348,9 @@ object OperatorQueries {
     // The composed training-data pipeline: quality -> lang -> exact dedup ->
     // near dedup -> token accounting, reported as one row. The oracle
     // recomputes every stage in SQL — quality score formula included — with
-    // the near-dup stage as exact all-pairs shingle Jaccard (so the minhash
-    // banding's recall is itself under test).
+    // the near-dup stage as exact all-pairs shingle Jaccard CLOSED
+    // transitively (so the minhash banding's recall AND the component
+    // collapse are under test).
     "x17_training_pipeline" -> sql(
       (s, dir) => {
         val (_, r) = TrainingDataPipeline.clean(
@@ -361,7 +362,7 @@ object OperatorQueries {
           .toDF("input", "after_quality", "after_lang", "after_exact_dedup",
             "after_near_dedup", "total_tokens")
       },
-      """WITH f AS (
+      """WITH RECURSIVE f AS (
         |  SELECT doc_id, text, trim(text) AS txt,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
@@ -399,13 +400,22 @@ object OperatorQueries {
         |    string_split_regex(lower(trim(e.text)), '\s+'), x -> x <> '') AS toks) t
         |  WHERE len(toks) >= 3),
         |pairs AS (
-        |  SELECT b.doc_id AS id_b
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+        |dropped AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) < src),
         |survivors AS (
         |  SELECT e.doc_id, e.n_tok FROM exact e
-        |  WHERE e.doc_id NOT IN (SELECT id_b FROM pairs))
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped))
         |SELECT
         |  (SELECT count(*) FROM documents) AS input,
         |  (SELECT count(*) FROM gated) AS after_quality,

@@ -59,15 +59,36 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          // a query that throws must be VISIBLE in the artifact (and in the
+          // exit code) — a swallowed OOM/codegen failure otherwise reads as
+          // a fast green run
+          errors(name) = (e.getClass.getName + ": " +
+            Option(e.getMessage).getOrElse("")).replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timed window): drop any cached tables a
+      // query left behind and collect the garbage it generated, so query N's
+      // number doesn't include query N-1's memory pressure — in-run totals
+      // drifted up to 3x from isolated runs before this
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

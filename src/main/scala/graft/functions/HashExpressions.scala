@@ -1,10 +1,31 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Input guard for the vector kernels: they read `ArrayData.getFloat`, so an
+  * `array<double>` child silently misreads the underlying bytes (garbage
+  * values, not an error). Fail analysis instead — callers cast explicitly.
+  * (checkInputDataTypes, not ImplicitCastInputTypes: AbstractDataType is
+  * private[sql] in Spark 4.1.) */
+private[functions] object VecTypeCheck {
+  def floatArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<float>, got ${other.catalogString}")
+  }
+  def doubleArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<double>, got ${other.catalogString}")
+  }
+  def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
+    if (a.isSuccess) b else a
+}
 
 /** Tight-loop kernels for the sketching expressions.
   *
@@ -546,6 +567,9 @@ case class GraftHyperplaneSketch(child: Expression, nBits: Int, dim: Int, seed: 
   override def nullable: Boolean = true
   override def prettyName: String = "graft_hyperplane_sketch"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(prettyName, child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     GraftHashUtil.hyperplaneSketch(input.asInstanceOf[ArrayData], nBits, dim, seed)
 
@@ -621,6 +645,10 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(prettyName, left.dataType),
+      VecTypeCheck.floatArray(prettyName, right.dataType))
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
     GraftHashUtil.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
@@ -638,6 +666,9 @@ case class GraftNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(prettyName, child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     GraftHashUtil.norm(input.asInstanceOf[ArrayData])
@@ -658,6 +689,10 @@ case class GraftCosine(left: Expression, right: Expression) extends BinaryExpres
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(prettyName, left.dataType),
+      VecTypeCheck.floatArray(prettyName, right.dataType))
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
     GraftHashUtil.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
@@ -676,6 +711,10 @@ case class GraftL2Sq(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(prettyName, left.dataType),
+      VecTypeCheck.doubleArray(prettyName, right.dataType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     GraftHashUtil.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -700,6 +739,9 @@ case class GraftNearestCentroid(child: Expression, centroids: Array[Array[Double
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(prettyName, child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     GraftHashUtil.nearestCentroid(input.asInstanceOf[ArrayData], centroids)

@@ -281,13 +281,30 @@ object Dedup {
     * one doc per PAIR, but duplicates are transitive (A≈B, B≈C ⇒ one
     * cluster), so the whole component must collapse to one representative.
     *
-    * Min-label propagation: every vertex starts labeled with its own id;
-    * each round a vertex takes the minimum label among itself and its
-    * neighbors; converged when no label changes. Rounds needed = component
-    * diameter — near-dup graphs are overwhelmingly tiny stars/chains, so
-    * this terminates in a handful of shuffles even at corpus scale (the
-    * pair volume, not the corpus volume, drives the cost). Deterministic:
-    * cluster id = min doc id of the component.
+    * Min-label propagation with pointer jumping: every vertex starts labeled
+    * with its own id; each round a vertex takes the minimum label among
+    * itself and its neighbors, then shortcuts through the previous round's
+    * label table (label := prevLabel(neighborMin)). A neighbor's label
+    * already summarizes everything within its own horizon, so the shortcut
+    * doubles the reachable-min horizon per round — convergence in
+    * O(log diameter) rounds, not O(diameter): a 1M-hop boilerplate chain
+    * resolves in ~20 rounds. Labels are monotone non-increasing (the min
+    * includes the vertex's own previous label; the shortcut only lowers),
+    * so "no label changed" is a sound fixpoint test.
+    *
+    * One Spark action per round: the old label rides the same aggregation
+    * that computes the new one (neighbor rows carry null, max() ignores
+    * them), so the changed-row count comes out of the job that materializes
+    * the round's labels — no separate convergence join.
+    *
+    * Throws IllegalStateException if maxIter rounds pass without
+    * convergence — partially-propagated labels report one real cluster as
+    * several, which silently under-deduplicates downstream, so an
+    * unconverged result is never returned. The default budget covers
+    * diameters up to ~2^40; hitting it means the pair graph is
+    * pathological, not that more rounds are needed.
+    *
+    * Deterministic: cluster id = min doc id of the component.
     *
     * Returns (id, cluster) for every vertex in `pairs`. Docs in no pair are
     * their own singleton clusters and are omitted (join back as needed). */
@@ -295,30 +312,55 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 40): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = tracked(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist())
 
+    // localCheckpoint (lazy) is the lineage cut every iterative DataFrame
+    // algorithm needs: `labels` appears three times in each round's plan
+    // (self rows, neighbor join, jump join), so without the cut the logical
+    // plan grows 3^rounds and the plan STRING alone OOMs the driver around
+    // round 7. The checkpoint collapses each round to a constant-size
+    // LogicalRDD; superseded checkpoint blocks are reclaimed by the
+    // ContextCleaner once the previous round's Dataset is unreferenced.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id"))
+      .withColumn("old", col("id"))
+      .localCheckpoint(eager = false)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label")).persist()
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .where(col("label") =!= col("__old")).isEmpty
-      // the convergence check materialized `next`; the previous round's
-      // labels are dead weight from here on
-      labels.unpersist(blocking = false)
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label").as("cand"),
+          lit(null).cast("long").as("old"))
+      val neighborMin = labels
+        .select(col("id"), col("label").as("cand"), col("label").as("old"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("cand").as("m1"), max("old").as("old"))
+      // pointer jump: every label value is itself a vertex id present in
+      // `labels`, and prevLabel(x) <= x, so the left join + coalesce only
+      // ever lowers the label
+      val next = neighborMin
+        .join(labels.select(col("id").as("m1"), col("label").as("jump")), Seq("m1"), "left")
+        .select(col("id"), coalesce(col("jump"), col("m1")).as("label"), col("old"))
+        .localCheckpoint(eager = false)
+      // ONE action per round: this count materializes the checkpoint AND
+      // reads the convergence signal — the old label rides the same
+      // aggregation as the new one, so no separate join+isEmpty job
+      val nChanged = next.where(col("label") =!= col("old")).count()
+      converged = nChanged == 0L
       labels = next
       iter += 1
     }
-    tracked(labels).select(col("id"), col("label").as("cluster"))
+    if (!converged) {
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIter rounds; " +
+          "returning partially-propagated labels would split real duplicate " +
+          "clusters. Raise maxIter or inspect the pair graph.")
+    }
+    labels.select(col("id"), col("label").as("cluster"))
   }
 }

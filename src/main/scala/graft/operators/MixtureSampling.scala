@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
 object MixtureSampling {
 
   /** Lowercase-hex acceptance threshold for a rate in [0,1): compare
-    * strings, compare numbers — the hex alphabet is ordered. */
+    * strings, compare numbers — the hex alphabet is ordered. Clamped to
+    * 0xffffffff: for rate ≥ 1-2^-33 the product rounds to exactly 2^32,
+    * which would format as the 9-char "100000000" and the 8-char-prefix
+    * comparison would then keep only '0'-prefixed draws (~6% instead of
+    * ~100%). */
   private def thresholdHex(rate: Double): String =
-    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    f"${math.min(math.floor(rate * 4294967296.0).toLong, 0xffffffffL)}%08x"
 
   /** Keep-predicate for one rate over the given id column. */
   private def keep(idCol: Column, rate: Double): Column =

@@ -146,10 +146,13 @@ object Similarity {
         val perMillion = math.max(1L, math.round(targetRows.toDouble / total * 1000000L))
         corpus.where(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(perMillion))
       }
+    // getSeq[Number], not getSeq[Float]: an array<double> corpus should die
+    // with the clear array<float> analysis error from graft_nearest_centroid
+    // below, not a ClassCastException here in the fit
     val sampleVecs: Array[Array[Double]] = sampled
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)) // stable order → stable init
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
     val centroidMatrix = lloyd(sampleVecs, nCentroids, maxIter = 5, seed)
 
     // cell assignment: ONE codegen'd pass over the full corpus (native

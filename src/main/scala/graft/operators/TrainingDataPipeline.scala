@@ -107,7 +107,10 @@ object TrainingDataPipeline {
       count(when(col("__q_ok") && col("__rep_ok"), 1)).as("after_rep"),
       count(when(col("__q_ok") && col("__rep_ok") && col("__lang_ok"), 1)).as("after_lang"),
       count(when(gateOk, 1)).as("after_decon"),
-      count_distinct(when(gateOk, col(textCol))).as("after_exact")).head()
+      // distinct DIGESTS, not distinct texts: the dedup stage itself keys on
+      // md5(text), and counting the digest keeps raw document text out of
+      // the aggregation exchange (~32 B/row shuffled instead of the full doc)
+      count_distinct(when(gateOk, md5(col(textCol)))).as("after_exact")).head()
     val input = stageCounts.getLong(0)
     val afterQuality = stageCounts.getLong(1)
     val afterRep = if (trackExtras) Some(stageCounts.getLong(2)) else None

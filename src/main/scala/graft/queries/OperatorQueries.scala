@@ -114,6 +114,16 @@ object OperatorQueries {
     // arithmetic, takes the per-bit sign vote, and compares 64-bit
     // fingerprints half-by-half — any kernel, banding, or verify bug
     // surfaces as a row diff.
+    //
+    // BMP-ONLY replay: the CTE below iterates Unicode CODE POINTS
+    // (generate_series over length + ascii()), while the Scala kernel
+    // (GraftHashUtil.tokenHashesFnv) iterates UTF-16 CODE UNITS — identical
+    // for code points < U+10000, divergent for astral-plane text (surrogate
+    // pairs hash as two units in the kernel, one point here; the
+    // acc%65536 xor c step also assumes c < 2^16). The documents fixtures
+    // are BMP, and the kernel side deliberately keeps the code-unit loop
+    // (no surrogate decode on the hot path); this oracle is a test-fidelity
+    // replay for BMP corpora, not a spec for astral input.
     "x08_simhash_neardup" -> sql(
       (s, dir) =>
         Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",

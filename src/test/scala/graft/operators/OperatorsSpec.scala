@@ -69,6 +69,31 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 9L -> 7L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), clusters.toString)
   }
+
+  test("duplicate clusters: a 60-hop chain resolves well inside the round budget") {
+    // diameter 59 — plain 1-hop min propagation would need ~60 rounds; the
+    // pointer jump doubles the horizon per round (2^r - 1), so this converges
+    // in ~7. maxIter=10 both proves the O(log d) behavior and guards against
+    // a silent regression to linear propagation.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    Dedup.releaseCaches()
+    assert(clusters.length == 60)
+    assert(clusters.forall(_._2 == 1L), clusters.filter(_._2 != 1L).mkString(","))
+  }
+
+  test("duplicate clusters: non-convergence throws, never silent split clusters") {
+    // an 8-hop chain cannot converge in 2 rounds (horizon 2^2-1=3, plus the
+    // zero-change detection round) — the loop must surface that instead of
+    // returning partially-propagated labels
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxIter = 2).collect()
+    }
+    Dedup.releaseCaches()
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -132,6 +157,18 @@ class KernelParitySpec extends SparkSpec {
         assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
           java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
       }
+  }
+
+  test("vector kernels reject array<double> at analysis time (no silent byte misread)") {
+    val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
+    for (q <- Seq(
+        call_function("graft_cosine", col("vec"), col("vec")),
+        call_function("graft_norm", col("vec")),
+        call_function("graft_dot", col("vec"), col("vec")),
+        call_function("graft_hyperplane_sketch", col("vec"), lit(8), lit(3), lit(1L)))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { df.select(q).collect() }
+      assert(e.getMessage.contains("array<float>"), e.getMessage)
+    }
   }
 
   test("native token-hash kernel matches the interpreted split+xxhash64 form") {

@@ -157,6 +157,16 @@ class MixtureSamplingSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("rates just below 1.0 keep ~everything (threshold clamp)") {
+    // rate >= 1 - 2^-33 used to round to 2^32, format as the 9-char
+    // "100000000", and the 8-char-prefix comparison then kept only ~1/16 of
+    // the corpus — the clamp pins the threshold at "ffffffff"
+    val docs = (1L to 2000L).map(i => (i, "c")).toDF("doc_id", "cat")
+    val kept = MixtureSampling.sampleByRates(docs, "cat", "doc_id",
+      rates = Map("c" -> (1.0 - 1e-12))).count()
+    assert(kept == 2000L, s"kept $kept of 2000 at rate 1-1e-12")
+  }
+
   test("temperature rates level category counts as T grows") {
     val docs = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
       .toDF("doc_id", "cat")

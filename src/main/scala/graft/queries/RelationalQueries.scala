@@ -208,6 +208,69 @@ object RelationalQueries {
         |ON e.o_orderkey = u.u_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // D11 (cli.py:88 + db/resource.py:43-53): catalog-wide soft delete, then
+    // resurrection by upsert — `load_catalog` marks every row deleted=true
+    // and the following batch upsert flips the rows it still carries back to
+    // live. Expressed as one pass: a row is live iff the incoming batch
+    // (customers with 1998+ orders) still references it; counts per nation.
+    // The MetaStore.softDeleteAll + upsert path implements the same flags on
+    // storage; this query is the oracle-checkable core of that state machine.
+    "d11_soft_delete" -> sql(
+      (s, dir) => {
+        val updates = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        Tables.customer(s, dir)
+          .join(updates, col("c_custkey") === col("o_custkey"), "left_outer")
+          .withColumn("deleted", col("o_custkey").isNull)
+          .groupBy("c_nationkey")
+          .agg(
+            count(when(col("deleted"), 1)).as("n_deleted"),
+            count(when(!col("deleted"), 1)).as("n_live"))
+          .orderBy("c_nationkey")
+      },
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT c_nationkey,
+        |  count(*) FILTER (WHERE u.o_custkey IS NULL) AS n_deleted,
+        |  count(*) FILTER (WHERE u.o_custkey IS NOT NULL) AS n_live
+        |FROM customer c LEFT JOIN u ON c_custkey = u.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // D15 (utils/db.py:6-36): index introspection — tables_index stores each
+    // parsed table's indexes as a JSON map {"column": "index"}
+    // (GraftApi.indexesJson); the introspection op parses the map back into
+    // (table, column, type) rows. The JSON build + key-enumeration round-trip
+    // runs on BOTH sides (to_json/from_json here, json_keys/json_extract in
+    // the oracle), so a quoting or key-order bug surfaces as a row diff.
+    "d15_index_introspection" -> sql(
+      (s, dir) => {
+        val ti = Tables.events(s, dir)
+          .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+          .withColumn("indexes", to_json(map(
+            lit("__id"), lit("index"),
+            concat(lit("col_"), col("event_type")), lit("index"))))
+        ti.select(col("event_type").as("parsing_table"), col("n_rows"),
+            explode(from_json(col("indexes"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType))))
+          .select(col("parsing_table"), col("key").as("index_col"),
+            col("value").as("index_type"), col("n_rows"))
+          .orderBy("parsing_table", "index_col")
+      },
+      """WITH ti AS (
+        |  SELECT event_type AS parsing_table, CAST(count(*) AS BIGINT) AS n_rows,
+        |    '{"__id": "index", "col_' || event_type || '": "index"}' AS indexes
+        |  FROM events GROUP BY 1),
+        |ks AS (
+        |  SELECT parsing_table, n_rows, indexes,
+        |    unnest(json_keys(indexes)) AS index_col
+        |  FROM ti)
+        |SELECT parsing_table, index_col,
+        |  json_extract_string(indexes, '$."' || index_col || '"') AS index_type, n_rows
+        |FROM ks ORDER BY parsing_table, index_col""".stripMargin),
+
     // D12 (migrations 20230606): keep-latest-per-key dedup via row_number.
     "d12_dedup_rownum" -> sql(
       (s, dir) => {

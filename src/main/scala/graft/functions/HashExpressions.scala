@@ -259,6 +259,21 @@ object GraftHashUtil {
     sk
   }
 
+  /** nTables independent sign-bit sketches in ONE pass over the vector —
+    * the OR-amplification family for multi-table LSH (table t's planes are
+    * seeded seed+t, so each table is an independent draw). One kernel call
+    * per row instead of nTables expression evaluations. */
+  def hyperplaneSketches(
+      vec: ArrayData, nBits: Int, dim: Int, seed: Long, nTables: Int): ArrayData = {
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      out(t) = hyperplaneSketch(vec, nBits, dim, seed + t)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-language stopword sets for the native language-ID kernel (public
     * linguistic knowledge; mirrors TextAnalysis.stopwords). */
   private val langSets: Array[(String, java.util.HashSet[String])] = {
@@ -579,6 +594,30 @@ case class GraftHyperplaneSketch(child: Expression, nBits: Int, dim: Int, seed: 
   }
 
   override protected def withNewChildInternal(newChild: Expression): GraftHyperplaneSketch =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_sketches(array<float>, nBits, dim, seed, nTables)
+  * → array<bigint>` — one sketch per LSH table, all in one pass. */
+case class GraftHyperplaneSketches(
+    child: Expression, nBits: Int, dim: Int, seed: Long, nTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hyperplane_sketches"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(prettyName, child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.hyperplaneSketches(input.asInstanceOf[ArrayData], nBits, dim, seed, nTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.hyperplaneSketches($c, $nBits, $dim, ${seed}L, $nTables)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHyperplaneSketches =
     copy(child = newChild)
 }
 

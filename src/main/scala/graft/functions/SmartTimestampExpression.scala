@@ -100,6 +100,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[GraftHyperplaneSketch].getName, "graft_hyperplane_sketch"),
       (args: Seq[Expression]) => GraftHyperplaneSketch(args.head,
         literalInt(args(1)), literalInt(args(2)), literalLong(args(3)))),
+    (new FunctionIdentifier("graft_hyperplane_sketches"),
+      new ExpressionInfo(classOf[GraftHyperplaneSketches].getName, "graft_hyperplane_sketches"),
+      (args: Seq[Expression]) => GraftHyperplaneSketches(args.head,
+        literalInt(args(1)), literalInt(args(2)), literalLong(args(3)),
+        literalInt(args(4)))),
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
       (args: Seq[Expression]) => GraftDot(args.head, args(1))),

@@ -66,10 +66,42 @@ object Similarity {
   def hyperplaneSketch(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
     call_function("graft_hyperplane_sketch", vec, lit(nBits), lit(dim), lit(seed))
 
-  /** Approximate top-k: bucket corpus and queries by hyperplane sketch,
-    * score only pairs whose sketches are within `probeHamming` bits
-    * (multi-probe via segment equi-join, same pigeonhole trick as SimHash).
-    * Recall tunes with nBits/probeHamming; cost stays near-linear. */
+  /** nTables independent sketches in one kernel pass (table t seeded
+    * seed+t) — the OR-amplification family for multi-table LSH. */
+  def hyperplaneSketches(vec: Column, nBits: Int, dim: Int, seed: Long, nTables: Int): Column =
+    call_function("graft_hyperplane_sketches",
+      vec, lit(nBits), lit(dim), lit(seed), lit(nTables))
+
+  /** Explode a sketch-array column into multi-probe join keys:
+    * (tbl, seg, seg_val) rows — one per table per pigeonhole segment. Two
+    * sketches within hamming distance `probeHamming` in a table MUST agree
+    * on ≥1 of its probeHamming+1 segments, so an equi-join on the key plus
+    * a hamming filter implements multi-probe without neighbor enumeration. */
+  private def explodeProbeKeys(
+      df: DataFrame, keep: Seq[String], sketchesCol: String, skAlias: String,
+      nBits: Int, probeHamming: Int): DataFrame = {
+    val segments = probeHamming + 1
+    val segBits = math.max(nBits / segments, 1)
+    df.select(keep.map(col) :+ posexplode(col(sketchesCol)): _*)
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> skAlias))
+      .select((keep.map(col) :+ col("tbl") :+ col(skAlias)) :+
+        posexplode(transform(sequence(lit(0), lit(segments - 1)),
+          s => shr(col(skAlias), s * segBits)
+            .bitwiseAND(lit((1L << segBits) - 1)))): _*)
+      .withColumnsRenamed(Map("pos" -> "seg", "col" -> "seg_val"))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH with multi-probe.
+    *
+    * AND-OR construction (MMDS ch.3): each of nTables independent tables
+    * holds an nBits sign sketch; a corpus point is a candidate for a query
+    * when ANY table puts them within `probeHamming` bits. Per-table recall
+    * for a pair at angle θ is P[Binom(nBits, θ/π) ≤ probeHamming]; OR over
+    * tables amplifies: recall = 1-(1-p_table)^nTables, while background
+    * candidate volume stays governed by nBits (raise it on tightly-clustered
+    * corpora to cut the scanned fraction, raise nTables to buy recall).
+    * Candidates are scored with the exact cosine and ranked per query, so
+    * reported sims are exact — only recall is approximate. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
@@ -78,31 +110,31 @@ object Similarity {
       nBits: Int = 16,
       probeHamming: Int = 2,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nTables: Int = 8): DataFrame = {
 
-    val cs = corpus.withColumn("sk_c", hyperplaneSketch(col(vecCol), nBits, dim, seed))
-    val qs = queries.withColumn("sk_q", hyperplaneSketch(col(qvecCol), nBits, dim, seed))
+    // candidate generation moves ONLY (id, sketch) longs — the vectors are
+    // joined back for the exact-cosine verify after the candidate set has
+    // collapsed (at sf0.1 the exploded probe join was shuffling the 64-float
+    // vectors through every candidate row: 14x the bytes for nothing)
+    val cs = corpus.select(col(idCol),
+      hyperplaneSketches(col(vecCol), nBits, dim, seed, nTables).as("sks"))
+    val qs = queries.select(col(qidCol),
+      hyperplaneSketches(col(qvecCol), nBits, dim, seed, nTables).as("sks"))
 
-    val segments = probeHamming + 1
-    val segBits = math.max(nBits / segments, 1)
-    val cSeg = cs.select(
-      col(idCol), col(vecCol), col("sk_c"),
-      posexplode(transform(sequence(lit(0), lit(segments - 1)),
-        s => shr(col("sk_c"), s * segBits).bitwiseAND(lit((1L << segBits) - 1)))))
-      .withColumnsRenamed(Map("pos" -> "seg", "col" -> "seg_val"))
-    val qSeg = qs.select(
-      col(qidCol), col(qvecCol), col("sk_q"),
-      posexplode(transform(sequence(lit(0), lit(segments - 1)),
-        s => shr(col("sk_q"), s * segBits).bitwiseAND(lit((1L << segBits) - 1)))))
-      .withColumnsRenamed(Map("pos" -> "seg", "col" -> "seg_val"))
+    val cSeg = explodeProbeKeys(cs, Seq(idCol), "sks", "sk_c", nBits, probeHamming)
+    val qSeg = explodeProbeKeys(qs, Seq(qidCol), "sks", "sk_q", nBits, probeHamming)
 
-    val candidates = cSeg.join(broadcast(qSeg), Seq("seg", "seg_val"))
+    val candidates = cSeg.join(broadcast(qSeg), Seq("tbl", "seg", "seg_val"))
       .where(col(qidCol) =!= col(idCol))
       .where(bit_count(col("sk_c").bitwiseXOR(col("sk_q"))) <= probeHamming)
+      .select(col(qidCol), col(idCol))
       .dropDuplicates(qidCol, idCol)
 
     val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
     candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -237,22 +269,41 @@ object Similarity {
     centroids
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact, all-pairs within LSH
-    * buckets): the dedup-flavored entry point over embeddings. */
+  /** Embedding-cosine near-duplicate pairs: multi-table multi-probe LSH
+    * candidates (same AND-OR construction as lshTopK, self-join form),
+    * verified with the exact cosine — precision is exact, recall tunes
+    * with nBits/probeHamming/nTables. */
   def cosineNearDuplicates(
       df: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double = 0.95,
       nBits: Int = 16,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probeHamming: Int = 2,
+      nTables: Int = 8): DataFrame = {
 
-    val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneSketch(col("vec"), nBits, dim, seed))
-    val a = sk.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    // sketch-only candidate join (see lshTopK): the self-join explodes to
+    // ~n²·tables·segments/2^segBits rows, so only (id, sk) longs may travel
+    // through it; vectors join back for the exact verify on the collapsed
+    // candidate set
+    val sk = df.select(col(idCol).as("id"),
+      hyperplaneSketches(col(vecCol), nBits, dim, seed, nTables).as("sks"))
+    val seg = explodeProbeKeys(sk, Seq("id"), "sks", "sk", nBits, probeHamming)
+    val a = seg.select(col("tbl"), col("seg"), col("seg_val"),
+      col("id").as("id_a"), col("sk").as("sk_a"))
+    val b = seg.select(col("tbl"), col("seg"), col("seg_val"),
+      col("id").as("id_b"), col("sk").as("sk_b"))
+    val candidates = a.join(b, Seq("tbl", "seg", "seg_val"))
       .where(col("id_a") < col("id_b"))
+      .where(bit_count(col("sk_a").bitwiseXOR(col("sk_b"))) <= probeHamming)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -294,8 +294,11 @@ object OperatorQueries {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.orderBy("vec_id").limit(20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // nBits=8/probe=2/8 tables: measured recall@5 = 0.95 on this corpus
+        // (RecallSpec pins ≥0.90); raise nBits on tightly-clustered corpora
+        // to cut the candidate fraction
         Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-          "qid", "qvec", k = 5, nBits = 16, probeHamming = 3, dim = 64)
+          "qid", "qvec", k = 5, nBits = 8, probeHamming = 2, dim = 64, nTables = 8)
           .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
           .orderBy("qid", "rank")
       }),
@@ -520,7 +523,8 @@ object OperatorQueries {
     "x15_embedding_neardup" -> rowsOnly(
       (s, dir) =>
         Similarity.cosineNearDuplicates(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.3, nBits = 8, dim = 64)
+          "vec_id", "embedding", threshold = 0.3, nBits = 8, dim = 64,
+          probeHamming = 2, nTables = 8)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")),
 

@@ -235,7 +235,16 @@ object CsvIngest {
 
     val dialect = CsvSniffer.sniff(csvPath)
     val readablePath = gzipAwarePath(csvPath)
-    val raw = readCsv(spark, readablePath, dialect)
+    val parsed = readCsv(spark, readablePath, dialect)
+    // reference parity (analysis/csv.py:273 `if line:`): blank and CR-only
+    // lines come through the csv parser as rows whose every field is null
+    // or whitespace (python's universal-newline text read makes them empty
+    // lists, which the reference skips) — drop them. (A fully-quoted empty
+    // row like `"";""` is also dropped; the reference would keep it as a
+    // row of NULLs — acceptable divergence, it carries no information.)
+    val raw = parsed.where(
+      parsed.columns.map(c => trim(col(s"`$c`"), " \t\r\n\f") =!= "")
+        .reduce(_ || _))
 
     val types: Map[String, ColumnInfo] = TypeInference.infer(raw)
     val typed = renameReserved(TypeInference.castAll(raw, types))

@@ -318,20 +318,23 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist())
 
-    // localCheckpoint (lazy) is the lineage cut every iterative DataFrame
-    // algorithm needs: `labels` appears three times in each round's plan
-    // (self rows, neighbor join, jump join), so without the cut the logical
-    // plan grows 3^rounds and the plan STRING alone OOMs the driver around
-    // round 7. The checkpoint collapses each round to a constant-size
-    // LogicalRDD; superseded checkpoint blocks are reclaimed by the
-    // ContextCleaner once the previous round's Dataset is unreferenced.
-    var labels = sym.select(col("src").as("id")).distinct()
+    // Iterative-DataFrame lineage management: `labels` appears three times
+    // in each round's plan (self rows, neighbor join, jump join), so the
+    // LOGICAL plan tree would grow 3^rounds — the plan string alone OOMs
+    // the driver around round 7. createDataFrame(df.rdd, schema) collapses
+    // each round to a constant-size LogicalRDD while the underlying RDD
+    // DAG shares nodes by reference (no blowup), stays recomputable, and
+    // the plain persist()s stay releasable — unlike localCheckpoint, whose
+    // blocks neither unpersist() nor releaseCaches() can free.
+    val spark = pairs.sparkSession
+    var roundCache = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .withColumn("old", col("id"))
-      .localCheckpoint(eager = false)
+      .persist()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      val labels = spark.createDataFrame(roundCache.rdd, roundCache.schema)
       val viaNeighbors = sym
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label").as("cand"),
@@ -346,21 +349,23 @@ object Dedup {
       val next = neighborMin
         .join(labels.select(col("id").as("m1"), col("label").as("jump")), Seq("m1"), "left")
         .select(col("id"), coalesce(col("jump"), col("m1")).as("label"), col("old"))
-        .localCheckpoint(eager = false)
-      // ONE action per round: this count materializes the checkpoint AND
-      // reads the convergence signal — the old label rides the same
-      // aggregation as the new one, so no separate join+isEmpty job
+        .persist()
+      // ONE action per round: this count materializes the round AND reads
+      // the convergence signal — the old label rides the same aggregation
+      // as the new one, so no separate join+isEmpty job
       val nChanged = next.where(col("label") =!= col("old")).count()
       converged = nChanged == 0L
-      labels = next
+      roundCache.unpersist(blocking = false)
+      roundCache = next
       iter += 1
     }
     if (!converged) {
+      roundCache.unpersist(blocking = false)
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIter rounds; " +
           "returning partially-propagated labels would split real duplicate " +
           "clusters. Raise maxIter or inspect the pair graph.")
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    tracked(roundCache).select(col("id"), col("label").as("cluster"))
   }
 }

@@ -7,12 +7,43 @@ import org.apache.spark.sql.functions._
 
 import graft.store.MetaStore
 
+object GraftApi {
+  /** 401 — missing Authorization (utils/auth.py:52-54). */
+  final class Unauthorized(reason: String) extends RuntimeException(reason)
+  /** 403 — malformed header, wrong scheme, or wrong token (auth.py:56-68). */
+  final class Forbidden(reason: String) extends RuntimeException(reason)
+}
+
 /** §F — the reference's HTTP API surface as library calls returning
   * DataFrames (routes/__init__.py:51-77; response shapes in schemas/).
   * The HTTP layer itself is out of scope by design (SURVEY §2-F): every
   * route body was a single query + serialization, and these are the
-  * queries. */
-final class GraftApi(spark: SparkSession, store: MetaStore) {
+  * queries.
+  *
+  * Auth (utils/auth.py:16-72 + app.py:18): when `apiKey` is set, every
+  * mutating call must pass `authorization = Some("Bearer <key>")`; the
+  * GET-shaped reads stay open (`exclude_methods=("GET",)`). With no
+  * `apiKey` the surface is open — the reference's middleware simply isn't
+  * installed. */
+final class GraftApi(spark: SparkSession, store: MetaStore,
+    apiKey: Option[String] = None) {
+
+  /** The token check, per mutating call — the middleware body: 401 when the
+    * header is absent, 403 when it doesn't split into exactly
+    * (scheme, token), the scheme isn't Bearer (case-insensitive), or the
+    * token mismatches. */
+  private def authorize(authorization: Option[String]): Unit =
+    apiKey.foreach { key =>
+      val header = authorization.getOrElse(
+        throw new GraftApi.Unauthorized("Missing authorization header"))
+      val parts = header.trim.split(" ")
+      if (parts.length != 2)
+        throw new GraftApi.Forbidden("Invalid authorization header")
+      if (!parts(0).equalsIgnoreCase("Bearer"))
+        throw new GraftApi.Forbidden("Invalid token scheme")
+      if (parts(1) != key)
+        throw new GraftApi.Forbidden("Invalid authentication token")
+    }
 
   private def catalog = store.load("catalog").getOrElse(spark.emptyDataFrame)
   private def checks = store.load("checks").getOrElse(spark.emptyDataFrame)
@@ -82,7 +113,9 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
   /** POST /api/resources — create in the catalog, priority for next crawl
     * (Resource.insert: deleted=FALSE, priority=TRUE default). */
   def createResource(datasetId: String, resourceId: String, url: String,
-      status: Option[String] = None, priority: Boolean = true): Unit = {
+      status: Option[String] = None, priority: Boolean = true,
+      authorization: Option[String] = None): Unit = {
+    authorize(authorization)
     requireValidStatus(status)
     import spark.implicits._
     store.upsert("catalog",
@@ -94,12 +127,15 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
   /** PUT /api/resources/{id} — update-or-insert, re-prioritized
     * (Resource.update_or_insert: same column set either way). */
   def updateResource(datasetId: String, resourceId: String, url: String,
-      status: Option[String] = None, priority: Boolean = true): Unit =
-    createResource(datasetId, resourceId, url, status, priority)
+      status: Option[String] = None, priority: Boolean = true,
+      authorization: Option[String] = None): Unit =
+    createResource(datasetId, resourceId, url, status, priority, authorization)
 
   /** DELETE /api/resources/{id} — tombstone, not a hard delete. Returns
     * false when the resource is unknown (404). */
-  def deleteResource(resourceId: String): Boolean = {
+  def deleteResource(resourceId: String,
+      authorization: Option[String] = None): Boolean = {
+    authorize(authorization)
     if (resource(resourceId).isEmpty) return false
     import spark.implicits._
     store.upsert("catalog",
@@ -110,7 +146,9 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
   /** POST /api/checks — the reference enqueues an immediate re-check; the
     * library equivalent marks the resource priority so the next selectBatch
     * picks it first. Returns false when the resource is unknown. */
-  def createCheck(resourceId: String): Boolean = {
+  def createCheck(resourceId: String,
+      authorization: Option[String] = None): Boolean = {
+    authorize(authorization)
     if (resource(resourceId).isEmpty) return false
     import spark.implicits._
     store.upsert("catalog",
@@ -144,7 +182,9 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
     * and must not already have an exception (UniqueViolation → 400). */
   def createResourceException(resourceId: String,
       tableIndexes: Map[String, String] = Map.empty,
-      comment: Option[String] = None): Unit = {
+      comment: Option[String] = None,
+      authorization: Option[String] = None): Unit = {
+    authorize(authorization)
     require(resource(resourceId).count() > 0, "Resource not found")
     validateIndexes(tableIndexes)
     val existing = resourcesExceptionsDf
@@ -162,7 +202,9 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
     * unknown (404). */
   def updateResourceException(resourceId: String,
       tableIndexes: Map[String, String] = Map.empty,
-      comment: Option[String] = None): Boolean = {
+      comment: Option[String] = None,
+      authorization: Option[String] = None): Boolean = {
+    authorize(authorization)
     if (resource(resourceId).isEmpty) return false
     validateIndexes(tableIndexes)
     import spark.implicits._
@@ -175,7 +217,9 @@ final class GraftApi(spark: SparkSession, store: MetaStore) {
 
   /** DELETE /api/resources-exceptions/{id}. Returns false when the resource
     * is unknown (404). */
-  def deleteResourceException(resourceId: String): Boolean = {
+  def deleteResourceException(resourceId: String,
+      authorization: Option[String] = None): Boolean = {
+    authorize(authorization)
     if (resource(resourceId).isEmpty) return false
     store.load("resources_exceptions").foreach { df =>
       store.save("resources_exceptions", df.filter(col("resource_id") =!= resourceId))

@@ -46,7 +46,11 @@ object CatalogLoader {
           .as("harvest_modified_at"),
         lit(false).as("deleted"),
         lit(false).as("priority"),
-        lit(null).cast("string").as("status"))
+        lit(null).cast("string").as("status"),
+        // crawl-state columns of the reference catalog DDL: inserts start
+        // never-checked; upserts never touch these (onMatchUpdate)
+        lit(null).cast("long").as("last_check"),
+        lit(null).cast("timestamp").as("next_check_at"))
       .dropDuplicates("resource_id")
   }
 

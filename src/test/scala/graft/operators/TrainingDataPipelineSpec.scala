@@ -166,4 +166,51 @@ class GraftApiSpec extends SparkSpec {
     assert(api.resourcesExceptions().isEmpty)
     assert(!api.deleteResourceException("ghost"))
   }
+
+  test("auth guard: 401/403 semantics on mutating calls, GETs open (utils/auth.py)") {
+    val store = new graft.store.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("apia").toString)
+    store.save("catalog", Seq(
+      ("r1", "d1", "u1", false)
+    ).toDF("resource_id", "dataset_id", "url", "deleted"))
+    val api = new graft.queries.GraftApi(spark, store, apiKey = Some("s3cret"))
+
+    // GET-shaped reads are excluded from auth (app.py:18 exclude_methods)
+    assert(api.resource("r1").count() == 1L)
+    api.health()
+
+    // 401: missing Authorization header entirely
+    intercept[graft.queries.GraftApi.Unauthorized] {
+      api.createResource("d2", "r2", "u2")
+    }
+    // 403: header that doesn't split into (scheme, token)
+    intercept[graft.queries.GraftApi.Forbidden] {
+      api.createResource("d2", "r2", "u2", authorization = Some("s3cret"))
+    }
+    // 403: wrong scheme
+    intercept[graft.queries.GraftApi.Forbidden] {
+      api.createResource("d2", "r2", "u2", authorization = Some("Basic s3cret"))
+    }
+    // 403: wrong token
+    intercept[graft.queries.GraftApi.Forbidden] {
+      api.deleteResource("r1", authorization = Some("Bearer nope"))
+    }
+    // nothing mutated by the denied calls
+    assert(api.resource("r2").isEmpty)
+    assert(!api.resource("r1").head().getAs[Boolean]("deleted"))
+
+    // correct "Bearer <key>" (scheme case-insensitive) passes every call
+    api.createResource("d2", "r2", "u2", authorization = Some("Bearer s3cret"))
+    assert(api.resource("r2").count() == 1L)
+    assert(api.createCheck("r1", authorization = Some("bearer s3cret")))
+    api.createResourceException("r1", Map("c" -> "index"),
+      authorization = Some("Bearer s3cret"))
+    assert(api.deleteResourceException("r1", authorization = Some("Bearer s3cret")))
+    assert(api.deleteResource("r2", authorization = Some("Bearer s3cret")))
+
+    // no apiKey configured → middleware not installed → open writes
+    val open = new graft.queries.GraftApi(spark, store)
+    open.createResource("d3", "r3", "u3")
+    assert(open.resource("r3").count() == 1L)
+  }
 }

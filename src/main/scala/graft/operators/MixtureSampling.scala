@@ -51,6 +51,29 @@ object MixtureSampling {
     df.where(predicate)
   }
 
+  /** Stratified EXACT-k sampling: keep precisely min(k, |stratum|) rows per
+    * category, chosen by md5(id) order — deterministic, partition-layout
+    * independent, and quota-exact where sampleByRates is probabilistic.
+    * One shuffle on the category; each stratum ranks inside its own
+    * partition. For pathologically hot strata (one category = most of a
+    * 100 TB corpus), prefilter with sampleByRates at an oversampled rate
+    * before ranking so the window never sees the full stratum — the
+    * prefilter keeps the md5-smallest rows, so with adequate oversampling
+    * the exact top-k survives. */
+  def stratifiedExactK(
+      df: DataFrame,
+      categoryCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(categoryCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Temperature-derived rates: acceptance r_c ∝ n_c^(1/T - 1), scaled so
     * the largest rate is `maxRate` — the standard multinomial temperature
     * reweighting (T=1 keeps everything proportional/unchanged; T→∞ levels

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the perplexity-style quality filter of
+  * the CCNet-descended pipeline recipes: score each document by the average
+  * log-probability of its bigrams under a count-based LM with Laplace
+  * smoothing, where the counts come from the corpus itself (self-scoring
+  * ranks documents by how typical their token transitions are; gibberish,
+  * boilerplate noise, and wrong-language text sit in the low tail).
+  *
+  * score(doc) = avg over bigrams (w1 w2) of ln((c(w1 w2) + 1) / (c(w1) + V))
+  *
+  * Hot-path design: tokens become xxhash64 values via the codegen'd
+  * graft_token_hashes kernel ONCE per document; bigram keys are
+  * xxhash64(w1h, w2h) built with arrays_zip/slice (codegen'd collection
+  * ops, no interpreted higher-order functions), so every shuffle and join
+  * moves 8-byte longs, never token strings. Hashing is internal only — the
+  * scores come out identical to the string-keyed formulation (64-bit
+  * collisions at corpus vocabulary sizes are negligible, and the DuckDB
+  * oracle replays the string version to prove it). The count joins are
+  * stopword-skewed by nature — AQE's skew handling splits hot keys; with a
+  * bounded vocabulary the count tables can be broadcast instead.
+  */
+object NgramLm {
+
+  private val caches =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  /** Unpersist the per-call token-hash caches (same contract as
+    * Dedup.releaseCaches: call once the scores are materialized). */
+  def releaseCaches(): Unit = {
+    val it = caches.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false) }
+    caches.clear()
+  }
+
+  /** (doc_id, lm_score, n_bigrams) for every document with ≥2 tokens.
+    * lm_score is rounded to `roundTo` decimals so downstream comparisons
+    * (and the DuckDB oracle) are stable across ln() implementations. */
+  def bigramLmScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      roundTo: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one kernel pass per document; persisted because unigram counts,
+    // bigram counts, and the scoring join all read it
+    val base = df.select(col(idCol),
+      call_function("graft_token_hashes", col(textCol)).as("th")).persist()
+    caches.add(base)
+
+    val n1: Column = greatest(size(col("th")) - 1, lit(0))
+    val docBi = base
+      .select(col(idCol), slice(col("th"), lit(1), n1).as("a1"),
+        slice(col("th"), lit(2), n1).as("a2"))
+      .select(col(idCol), explode(arrays_zip(col("a1"), col("a2"))).as("p"))
+      .select(col(idCol), col("p.a1").as("w1h"),
+        xxhash64(col("p.a1"), col("p.a2")).as("bh"))
+
+    val uni = base.select(explode(col("th")).as("wh"))
+      .groupBy("wh").agg(count(lit(1)).as("c1"))
+    val bc = docBi.groupBy("bh").agg(count(lit(1)).as("c2"))
+    val v = broadcast(uni.agg(count(lit(1)).as("v")))
+
+    docBi
+      .join(bc, "bh")
+      .join(uni.withColumnRenamed("wh", "w1h"), "w1h")
+      .crossJoin(v)
+      .groupBy(idCol)
+      .agg(
+        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), roundTo)
+          .as("lm_score"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+  }
+}

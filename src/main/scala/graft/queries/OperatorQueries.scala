@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MixtureSampling, Multimodal, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Chunking, Dedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -637,6 +637,75 @@ object OperatorQueries {
         |flat AS (
         |  SELECT shard, unnest(ids) AS doc_id, unnest(toks) AS n_tokens, unnest(bins) AS bin
         |  FROM packed)
-        |SELECT doc_id, n_tokens, shard, bin FROM flat ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id, n_tokens, shard, bin FROM flat ORDER BY doc_id""".stripMargin),
+
+    // Bigram-LM quality scoring (the CCNet-style perplexity filter): the
+    // oracle rebuilds the same self-trained Laplace-smoothed counts and
+    // replays the avg-ln scoring; rounded to 4 decimals on both sides so
+    // ln() last-ulp differences between engines cannot flip the hash.
+    "x26_ngram_lm_score" -> sql(
+      (s, dir) => {
+        val out = NgramLm.bigramLmScore(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        NgramLm.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |bc AS (SELECT b, count(*) AS c2 FROM bi GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni)
+        |SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS lm_score,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM bi JOIN bc USING (b)
+        |JOIN uni ON string_split(bi.b, ' ')[1] = uni.w
+        |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Context-window chunking with overlap (maxTokens=64, overlap=16): the
+    // oracle replays the chunk-index arithmetic and the verbatim token
+    // slices; chunk_text equality catches both boundary and tokenization
+    // drift.
+    "x27_doc_chunks" -> sql(
+      (s, dir) =>
+        Chunking.chunkByTokens(Tables.documents(s, dir), "text", "doc_id",
+          maxTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_idx"),
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(0, greatest(0, (len(toks) - 64 + 47) // 48))) AS i
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // Stratified exact-k quota sampling (k=10 per synthetic category):
+    // md5-ordered rank within stratum — deterministic where x23's
+    // rate-based sampling is probabilistic; the oracle is the same rank.
+    "x28_stratified_sample" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 7).as("cat"))
+        MixtureSampling.stratifiedExactK(docs, "cat", "doc_id", k = 10)
+          .select("cat", "doc_id")
+          .orderBy("cat", "doc_id")
+      },
+      """SELECT cat, doc_id FROM (
+        |  SELECT doc_id % 7 AS cat, doc_id,
+        |    row_number() OVER (PARTITION BY doc_id % 7
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY cat, doc_id""".stripMargin)
   )
 }

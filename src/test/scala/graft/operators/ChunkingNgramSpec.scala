@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk boundaries: full coverage, overlap honored, short tail") {
+    // 10 tokens, max 4, overlap 1 → stride 3 → chunks at 0,3,6 cover 1-10
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "text", "doc_id", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10")))
+
+    // 11 tokens → a 4th chunk with the 2-token tail
+    val df2 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out2 = Chunking.chunkByTokens(df2, "text", "doc_id", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(out2.length == 4)
+    assert(out2.last.getLong(2) == 2L && out2.last.getString(3) == "t10 t11")
+  }
+
+  test("edge cases: short docs one chunk, empty docs none, text verbatim") {
+    val df = Seq(
+      (1L, "only three tokens"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "Case AND   spacing\tpreserved-ish")
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "text", "doc_id", maxTokens = 8, overlap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 4L)) // empty/blank docs chunkless
+    assert(out(1L) == ((3L, "only three tokens")))
+    // tokens keep their case; runs of whitespace collapse to single spaces
+    assert(out(4L) == ((4L, "Case AND spacing preserved-ish")))
+  }
+
+  test("invalid parameters rejected") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "text", "doc_id", maxTokens = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "text", "doc_id", maxTokens = 0, overlap = 0)
+    }
+  }
+}
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typical transitions score higher than gibberish; counts exact") {
+    // "the cat sat" transitions repeat across docs; doc 4 is one-off noise
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the floor"),
+      (4L, "zxq wvu tsr qpo nml kji")
+    ).toDF("doc_id", "text")
+    val out = NgramLm.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    NgramLm.releaseCaches()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.values.forall(_._2 == 5L)) // 6 tokens → 5 bigrams each
+    // every doc-1 bigram occurs ≥3× in the corpus; every doc-4 bigram once
+    assert(out(1L)._1 > out(4L)._1,
+      s"common ${out(1L)._1} should beat gibberish ${out(4L)._1}")
+  }
+
+  test("short docs excluded, scoring deterministic") {
+    val df = Seq(
+      (1L, "single"),
+      (2L, ""),
+      (3L, "two tokens here")
+    ).toDF("doc_id", "text")
+    def run() = {
+      val r = NgramLm.bigramLmScore(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      NgramLm.releaseCaches()
+      r
+    }
+    val a = run()
+    assert(a.map(_._1) == Set(3L)) // only the ≥2-token doc scores
+    assert(run() == a)
+  }
+}
+
+class StratifiedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact-k per stratum, md5 order, partition-layout independent") {
+    val df = (1L to 300L).map(i => (i, s"c${i % 3}")).toDF("id", "cat")
+    def run(parts: Int) =
+      MixtureSampling.stratifiedExactK(df.repartition(parts), "cat", "id", k = 7)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out = run(8)
+    assert(out.groupBy(_._2).forall(_._2.size == 7), out.toString)
+    assert(run(1) == out) // layout-free
+
+    // matches a driver-side rank emulation exactly
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1L to 300L).groupBy(_ % 3).values.flatMap { ids =>
+      ids.sortBy(i => (md5hex(i.toString), i)).take(7)
+    }.toSet
+    assert(out.map(_._1) == expected)
+
+    // k beyond stratum size keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+    assert(MixtureSampling.stratifiedExactK(tiny, "cat", "id", k = 10).count() == 3L)
+  }
+}

@@ -85,6 +85,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x27: chunking is a pure projection — no exchange anywhere") {
+    // chunk explode rides the document scan; a shuffle appearing here means
+    // someone broke the narrow-only contract
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x27_doc_chunks"))
+    // the query's orderBy adds a range-partitioning exchange for output
+    // ordering; the CHUNKING subplan itself must be exchange-free — strip
+    // the final sort's exchange by counting: exactly the one ordering
+    // exchange is allowed
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1, s"chunking must not shuffle, saw ${shuffles.size}")
+  }
+
+  test("x26: LM scoring shuffles longs, never token strings; no interpreted HOFs") {
+    val nodes = flatten(planOf("x26_ngram_lm_score"))
+    assert(!nodes.exists(_.toString.contains("ArrayTransform")),
+      "bigram construction must not use interpreted higher-order functions")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val stringShuffles = nodes.collect {
+      case s: ShuffleExchangeLike if s.schema.fields.exists(
+        f => (f.name == "b" || f.name == "w") &&
+          f.dataType == org.apache.spark.sql.types.StringType) => s
+    }
+    assert(stringShuffles.isEmpty,
+      "count/scoring exchanges must carry hashed keys, not token strings")
+  }
+
+  test("x14: the LSH candidate join moves only (id, sketch) longs") {
+    val nodes = flatten(planOf("x14_cosine_lsh_topk"))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val vecShuffles = (nodes.collect { case s: ShuffleExchangeLike => s } ++
+      nodes.collect { case b: BroadcastExchangeLike => b }).filter(
+      _.schema.fields.exists(f => f.name == "embedding" &&
+        f.dataType.typeName == "array"))
+    // vectors may travel ONLY in the tiny broadcast query set for the final
+    // verify join — never through a shuffle of candidate rows
+    assert(!vecShuffles.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "corpus vectors must not shuffle through the candidate join")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

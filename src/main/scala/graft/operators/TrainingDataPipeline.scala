@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *   2. language gate     — TextAnalysis.langId ∈ keepLangs (if set)
   *   2b. decontamination  — drop docs overlapping a benchmark set (opt-in,
   *                          broadcast gram-set intersect)
+  *   2c. LM-score gate    — NgramLm.bigramLmScore ≥ minLmScore (opt-in,
+  *                          CCNet-style perplexity filter; self-fit counts)
   *   3. exact dedup       — Dedup.dropExactDuplicates on content digest
   *   4. near-dedup        — Dedup.minhashNearDuplicates pairs collapsed per
   *                          connected component: each cluster keeps its
@@ -29,7 +31,8 @@ object TrainingDataPipeline {
 
   /** Funnel counts in stage order (each field = survivors after that stage
     * AND all earlier ones): input → afterQuality → afterRepetition →
-    * afterLang → afterDecontamination → afterExactDedup → afterNearDedup. */
+    * afterLang → afterDecontamination → afterLmScore → afterExactDedup →
+    * afterNearDedup. */
   final case class Report(
       input: Long,
       afterQuality: Long,
@@ -38,7 +41,8 @@ object TrainingDataPipeline {
       afterNearDedup: Long,
       totalTokens: Long,
       afterRepetition: Option[Long] = None,
-      afterDecontamination: Option[Long] = None)
+      afterDecontamination: Option[Long] = None,
+      afterLmScore: Option[Long] = None)
 
   def clean(
       docs: DataFrame,
@@ -52,7 +56,8 @@ object TrainingDataPipeline {
       maxDupTokenRatio: Option[Double] = None,
       maxTopBigramRatio: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
-      maxBenchmarkOverlap: Double = 0.5): (DataFrame, Report) = {
+      maxBenchmarkOverlap: Double = 0.5,
+      minLmScore: Option[Double] = None): (DataFrame, Report) = {
 
     // one pass computes both gate flags; one aggregation counts the first
     // FOUR stage sizes (the exact-dedup survivor count is just the distinct
@@ -85,28 +90,46 @@ object TrainingDataPipeline {
                 .cast("double") / size(grams).cast("double") < maxBenchmarkOverlap)
           .drop("bench_grams")
     }
+    // LM-score gate (opt-in): CCNet-style perplexity filtering — self-fit
+    // bigram counts, score join, threshold. Unlike the projection-only
+    // gates this costs count-table shuffles + a scoring join, hence opt-in.
+    // Docs with <2 tokens have no score and fail the gate (they are junk
+    // for training anyway).
+    val withLm = minLmScore match {
+      case None => withContamination.withColumn("__lm_ok", lit(true))
+      case Some(minScore) =>
+        val scores = NgramLm
+          .bigramLmScore(withContamination, textCol, idCol)
+          .select(col(idCol), col("lm_score"))
+        withContamination.join(scores, Seq(idCol), "left")
+          .withColumn("__lm_ok", coalesce(col("lm_score") >= minScore, lit(false)))
+          .drop("lm_score")
+    }
     // one stage-pure flag per gate; the funnel counts below AND them in
     // pipeline order, so each report field attributes drops to exactly the
     // stage that caused them (a doc failing repetition no longer shows up as
     // a "quality" drop, nor a decontaminated one as a "language" drop)
-    val flagged = withContamination
+    val flagged = withLm
       .withColumn("__q_ok", TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .withColumn("__rep_ok", repetitionOk)
       .withColumn("__lang_ok",
         if (keepLangs.isEmpty) lit(true)
         else TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
       .persist()
-    val gateOk = col("__q_ok") && col("__rep_ok") && col("__lang_ok") && col("__decon_ok")
+    val gateNoLm = col("__q_ok") && col("__rep_ok") && col("__lang_ok") && col("__decon_ok")
+    val gateOk = gateNoLm && col("__lm_ok")
     val trackExtras = maxDupTokenRatio.isDefined || maxTopBigramRatio.isDefined ||
       benchmark.isDefined
     // funnel accounting in stage order: quality → repetition → language →
-    // decontamination → exact dedup, all from ONE aggregation over the scan
+    // decontamination → LM score → exact dedup, all from ONE aggregation
+    // over the scan
     val stageCounts = flagged.agg(
       count(lit(1)).as("input"),
       count(when(col("__q_ok"), 1)).as("after_q"),
       count(when(col("__q_ok") && col("__rep_ok"), 1)).as("after_rep"),
       count(when(col("__q_ok") && col("__rep_ok") && col("__lang_ok"), 1)).as("after_lang"),
-      count(when(gateOk, 1)).as("after_decon"),
+      count(when(gateNoLm, 1)).as("after_decon"),
+      count(when(gateOk, 1)).as("after_lm"),
       // distinct DIGESTS, not distinct texts: the dedup stage itself keys on
       // md5(text), and counting the digest keeps raw document text out of
       // the aggregation exchange (~32 B/row shuffled instead of the full doc)
@@ -116,7 +139,8 @@ object TrainingDataPipeline {
     val afterRep = if (trackExtras) Some(stageCounts.getLong(2)) else None
     val afterLang = stageCounts.getLong(3)
     val afterDecon = if (benchmark.isDefined) Some(stageCounts.getLong(4)) else None
-    val afterExact = stageCounts.getLong(5)
+    val afterLm = if (minLmScore.isDefined) Some(stageCounts.getLong(5)) else None
+    val afterExact = stageCounts.getLong(6)
 
     val lang = flagged.where(gateOk).drop("__q_ok", "__rep_ok", "__lang_ok", "__decon_ok")
     // the dedup'd set feeds both the near-dup join and the final filter
@@ -142,11 +166,12 @@ object TrainingDataPipeline {
     exact.unpersist()
     flagged.unpersist()
     Dedup.releaseCaches()
+    NgramLm.releaseCaches()
     // report-only callers (benchmarks, accounting jobs) should not keep the
     // cleaned corpus cached across the rest of the job
     if (!retainResult) cleaned.unpersist()
 
     (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear,
-      totalTokens, afterRep, afterDecon))
+      totalTokens, afterRep, afterDecon, afterLm))
   }
 }

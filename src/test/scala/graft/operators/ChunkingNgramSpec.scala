@@ -73,6 +73,31 @@ class NgramLmSpec extends SparkSpec {
       s"common ${out(1L)._1} should beat gibberish ${out(4L)._1}")
   }
 
+  test("fit/score serving shape: new docs score under the trained model") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the floor")
+    ).toDF("doc_id", "text")
+    val model = NgramLm.fit(corpus, "text", "doc_id")
+    assert(model.vocabSize == 7L) // the,cat,sat,on,mat,rug,floor
+
+    val incoming = Seq(
+      (10L, "the cat sat on the mat"),   // all bigrams seen ≥3×
+      (11L, "purple monkey dishwasher quantum") // nothing seen → full backoff
+    ).toDF("doc_id", "text")
+    val scored = NgramLm.score(incoming, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    NgramLm.releaseCaches()
+    // in-distribution text outranks out-of-vocabulary text; the backoff
+    // (count-0 left join + Laplace) keeps unseen docs finite, not null
+    assert(scored(10L) > scored(11L), scored.toString)
+    assert(!scored(11L).isNaN && !scored(11L).isInfinite)
+    // unseen-everything score is exactly ln(1/V)
+    assert(math.abs(scored(11L) - math.round(
+      math.log(1.0 / model.vocabSize) * 1e4) / 1e4) < 1e-9, scored(11L).toString)
+  }
+
   test("short docs excluded, scoring deterministic") {
     val df = Seq(
       (1L, "single"),

@@ -60,6 +60,39 @@ class TrainingDataPipelineSpec extends SparkSpec {
     cleaned.unpersist()
   }
 
+  test("LM-score gate drops the out-of-distribution doc, funnel attributes it") {
+    // docs 1-3 share transitions; doc 4 is all one-off bigrams (in-vocab
+    // letters so the quality gate passes it — only the LM gate can catch it)
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "the cat sat on the rug and the dog sat on the mat"),
+      (3L, "the dog sat on the mat and the cat sat on the rug"),
+      (4L, "purple quantum dishwasher vortex penguin halberd mango tundra copper violin nimbus gravel")
+    ).toDF("doc_id", "text")
+
+    // measure the self-scored spread, then gate between the two groups
+    val scores = NgramLm.bigramLmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    NgramLm.releaseCaches()
+    assert(scores(4L) < scores(1L), scores.toString)
+    val cut = (scores(4L) + Seq(1L, 2L, 3L).map(scores).min) / 2
+
+    val (cleaned, r) = TrainingDataPipeline.clean(docs,
+      minQuality = 0.1, nearDupThreshold = 0.95, minLmScore = Some(cut))
+    assert(r.input == 4L && r.afterQuality == 4L && r.afterLang == 4L)
+    assert(r.afterLmScore.contains(3L), r.toString) // doc 4 gated HERE
+    val ids = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L) && ids.contains(1L))
+    cleaned.unpersist()
+
+    // gate off → afterLmScore not reported, doc 4 survives
+    val (c2, r2) = TrainingDataPipeline.clean(docs,
+      minQuality = 0.1, nearDupThreshold = 0.95)
+    assert(r2.afterLmScore.isEmpty)
+    assert(c2.select("doc_id").collect().map(_.getLong(0)).toSet.contains(4L))
+    c2.unpersist()
+  }
+
   test("report-only clean leaves no cached RDDs behind") {
     val docs = (1L to 50L).map(i =>
       (i, s"the document number $i talks about the weather and the sea and the sky"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Dedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -706,6 +706,48 @@ object OperatorQueries {
         |    row_number() OVER (PARTITION BY doc_id % 7
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t
-        |WHERE rk <= 10 ORDER BY cat, doc_id""".stripMargin)
+        |WHERE rk <= 10 ORDER BY cat, doc_id""".stripMargin),
+
+    // Corpus-level line dedup (boilerplate removal): documents get
+    // deterministic 12-token "lines" (the fixtures carry no newlines), then
+    // every line appearing in ≥2 distinct documents is removed and the
+    // documents reassemble in order. Exact/near-duplicate documents share
+    // all/most lines, so the op visibly rewrites them. The oracle replays
+    // the lining, the distinct-doc frequency, and the ordered reassembly
+    // with string keys (the Spark side joins on xxhash64 of the line —
+    // the comparison proves the hashed path exact).
+    "x29_line_dedup" -> sql(
+      (s, dir) => {
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lined = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), concat_ws("\n",
+            transform(
+              sequence(lit(0L),
+                ceil(size(col("t")).cast("double") / 12.0).cast("long") - 1),
+              i => concat_ws(" ", slice(col("t"), (i * 12 + 1).cast("int"), lit(12)))))
+            .as("text"))
+        LineDedup.dropCommonLines(lined, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(toks) / 12.0) AS INT) - 1),
+        |    i -> array_to_string(list_slice(toks, i*12+1, i*12+12), ' ')), chr(10)) AS text
+        |  FROM t0 WHERE len(toks) > 0),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        |lx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM t),
+        |l2 AS (SELECT doc_id, pos, trim(ls[pos]) AS line FROM lx),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM l2 GROUP BY 1),
+        |flt AS (SELECT doc_id, pos, l2.line, df FROM l2 JOIN freq USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN df < 2 THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text,
+        |  CAST(count(*) FILTER (WHERE df < 2) AS BIGINT) AS n_lines_kept,
+        |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_lines_dropped
+        |FROM flt GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

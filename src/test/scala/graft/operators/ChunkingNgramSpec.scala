@@ -116,6 +116,51 @@ class NgramLmSpec extends SparkSpec {
   }
 }
 
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplate lines vanish from every doc; unique lines survive in order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique thought one\nfooter text\nmore original prose"),
+      (2L, "COOKIE BANNER\nunique thought two\nfooter text"),
+      (3L, "COOKIE BANNER\ncompletely different content")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dropCommonLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // banner in 3 docs, footer in 2 → both removed everywhere
+    assert(out(1L) == (("unique thought one\nmore original prose", 2L, 2L)), out(1L).toString)
+    assert(out(2L) == (("unique thought two", 1L, 2L)), out(2L).toString)
+    assert(out(3L) == (("completely different content", 1L, 1L)), out(3L).toString)
+  }
+
+  test("within-doc repetition is NOT boilerplate; all-boilerplate docs go empty") {
+    val docs = Seq(
+      (1L, "same line\nsame line\nsame line"), // repeats only inside doc 1
+      (2L, "shared chrome"),
+      (3L, "shared chrome")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dropCommonLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc-frequency of "same line" is 1 → kept (x20's repetition gate owns it)
+    assert(out(1L) == (("same line\nsame line\nsame line", 3L, 0L)), out(1L).toString)
+    // docs that were pure boilerplate come back empty, not dropped
+    assert(out(2L) == (("", 0L, 1L)), out(2L).toString)
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
+  test("threshold raises: minDocFrequency=3 keeps the 2-doc line") {
+    val docs = Seq(
+      (1L, "a\nb"), (2L, "a\nc"), (3L, "a\nd")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dropCommonLines(docs, "text", "doc_id", minDocFrequency = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "b", 2L -> "c", 3L -> "d"))
+    intercept[IllegalArgumentException] {
+      LineDedup.dropCommonLines(docs, "text", "doc_id", minDocFrequency = 1)
+    }
+  }
+}
+
 class StratifiedSampleSpec extends SparkSpec {
   import spark.implicits._
 

@@ -83,6 +83,24 @@ class DedupSpec extends SparkSpec {
     assert(clusters.forall(_._2 == 1L), clusters.filter(_._2 != 1L).mkString(","))
   }
 
+  test("duplicate clusters at size: 20 chains x 500 hops resolve in O(log d) rounds") {
+    // 10k nodes, 9.98k edges, component diameter 499 — linear propagation
+    // would need ~500 rounds; the pointer jump needs ceil(log2(500))+1 ≈ 10.
+    // maxIter=13 is the regression tripwire: converging at all inside it
+    // PROVES the horizon doubling, and the min-id check proves correctness
+    // on long paths (exactly where partial propagation silently splits).
+    val pairs = (0L until 20L).flatMap { c =>
+      val base = c * 1000L
+      (0L until 499L).map(i => (base + i, base + i + 1))
+    }.toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    Dedup.releaseCaches()
+    assert(clusters.length == 10000)
+    assert(clusters.forall { case (id, cl) => cl == (id / 1000L) * 1000L },
+      clusters.filter { case (id, cl) => cl != (id / 1000L) * 1000L }.take(5).mkString(","))
+  }
+
   test("duplicate clusters: non-convergence throws, never silent split clusters") {
     // an 8-hop chain cannot converge in 2 rounds (horizon 2^2-1=3, plus the
     // zero-change detection round) — the loop must surface that instead of

@@ -74,6 +74,62 @@ object MixtureSampling {
       .drop("__rk")
   }
 
+  /** Budget-capped (UniMax-style) quotas by water-filling: given a total
+    * document budget, small categories are kept WHOLE and large ones are
+    * capped at the common level L that exhausts the budget —
+    * Σ min(n_c, L) = budget. Walk categories ascending by size; at each
+    * step the candidate level is the remaining budget spread evenly over
+    * the remaining categories, and the first level not exceeding the
+    * current category's size is THE level (it only rises while categories
+    * fit under it). Category cardinality is metadata-sized, so the counts
+    * collect to the driver like temperatureRates. Quotas are floor(L) —
+    * up to m-1 budget slots may go unused (documented; no nondeterministic
+    * remainder spreading). */
+  def budgetCappedQuotas(
+      df: DataFrame,
+      categoryCol: String,
+      budget: Long): Map[String, Long] = {
+    val counts = df.groupBy(categoryCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (c, n) => (n, c) }
+    val m = counts.length
+    var pre = 0L
+    var level = Double.PositiveInfinity
+    var i = 0
+    var found = false
+    while (i < m && !found) {
+      val li = (budget - pre).toDouble / (m - i).toDouble
+      if (li <= counts(i)._2) { level = li; found = true }
+      else pre += counts(i)._2
+      i += 1
+    }
+    val cap = math.floor(level)
+    counts.map { case (c, n) =>
+      c -> math.max(0L, math.min(n.toDouble, cap).toLong)
+    }.toMap
+  }
+
+  /** Apply budget-capped quotas with the md5-rank selection of
+    * stratifiedExactK: deterministic, layout-independent, and quota-exact
+    * per category. The quota table is category-cardinality-sized and
+    * broadcasts into the rank filter. */
+  def sampleBudgetCapped(
+      df: DataFrame,
+      categoryCol: String,
+      idCol: String,
+      budget: Long): DataFrame = {
+    val quotas = budgetCappedQuotas(df, categoryCol, budget)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val qDf = spark.createDataFrame(quotas.toSeq).toDF(categoryCol, "__q")
+    val w = Window.partitionBy(categoryCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(qDf), Seq(categoryCol))
+      .where(col("__rk") <= col("__q"))
+      .drop("__rk", "__q")
+  }
+
   /** Temperature-derived rates: acceptance r_c ∝ n_c^(1/T - 1), scaled so
     * the largest rate is `maxRate` — the standard multinomial temperature
     * reweighting (T=1 keeps everything proportional/unchanged; T→∞ levels

@@ -748,6 +748,49 @@ object OperatorQueries {
         |  coalesce(string_agg(CASE WHEN df < 2 THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text,
         |  CAST(count(*) FILTER (WHERE df < 2) AS BIGINT) AS n_lines_kept,
         |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_lines_dropped
-        |FROM flt GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM flt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Budget-capped mixture (UniMax-style water-filling): a 250-doc budget
+    // over skewed synthetic sources (~300/150/50) keeps the small source
+    // whole and caps the large ones at the common level — the oracle
+    // re-derives the level with the same ordered-walk arithmetic (identical
+    // integer inputs → identical doubles → identical floor) and replays the
+    // md5-rank selection.
+    "x30_budget_mixture" -> sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small").as("cat"))
+        MixtureSampling.sampleBudgetCapped(base, "cat", "doc_id", budget = 250L)
+          .select("cat", "doc_id")
+          .orderBy("cat", "doc_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |                      WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS cat
+        |  FROM documents),
+        |counts AS (SELECT cat, count(*) AS n FROM base GROUP BY 1),
+        |ordered AS (
+        |  SELECT cat, n,
+        |    row_number() OVER (ORDER BY n, cat) AS i,
+        |    coalesce(sum(n) OVER (ORDER BY n, cat
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+        |    count(*) OVER () AS m
+        |  FROM counts),
+        |lvl AS (
+        |  SELECT (250 - pre) / (m - i + 1.0) AS level FROM ordered
+        |  WHERE (250 - pre) / (m - i + 1.0) <= n ORDER BY i LIMIT 1),
+        |quotas AS (
+        |  SELECT cat, CAST(least(CAST(n AS DOUBLE),
+        |    floor(coalesce((SELECT level FROM lvl), 1e18))) AS BIGINT) AS q
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT b.cat, b.doc_id,
+        |    row_number() OVER (PARTITION BY b.cat
+        |      ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rk
+        |  FROM base b)
+        |SELECT r.cat, r.doc_id FROM ranked r JOIN quotas USING (cat)
+        |WHERE r.rk <= q ORDER BY cat, doc_id""".stripMargin)
   )
 }

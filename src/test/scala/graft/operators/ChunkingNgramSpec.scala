@@ -185,4 +185,29 @@ class StratifiedSampleSpec extends SparkSpec {
     val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
     assert(MixtureSampling.stratifiedExactK(tiny, "cat", "id", k = 10).count() == 3L)
   }
+
+  test("budget-capped water-filling: small sources whole, big capped, budget exact") {
+    val df = ((1L to 300L).map((_, "big")) ++ (301L to 450L).map((_, "mid")) ++
+      (451L to 500L).map((_, "small"))).toDF("id", "cat")
+    // walk ascending [small 50, mid 150, big 300] at budget 250:
+    // 250/3=83.3>50 → small whole; (250-50)/2=100<=150 → level 100
+    val quotas = MixtureSampling.budgetCappedQuotas(df, "cat", budget = 250L)
+    assert(quotas == Map("small" -> 50L, "mid" -> 100L, "big" -> 100L), quotas.toString)
+
+    val kept = MixtureSampling.sampleBudgetCapped(df, "cat", "id", budget = 250L)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("small" -> 50L, "mid" -> 100L, "big" -> 100L), kept.toString)
+
+    // budget >= corpus keeps everything; tiny budget floors to per-cat 0/1
+    assert(MixtureSampling.budgetCappedQuotas(df, "cat", 5000L) ==
+      Map("small" -> 50L, "mid" -> 150L, "big" -> 300L))
+    val tinyQ = MixtureSampling.budgetCappedQuotas(df, "cat", 2L)
+    assert(tinyQ.values.forall(_ == 0L), tinyQ.toString) // floor(2/3) = 0
+    assert(MixtureSampling.budgetCappedQuotas(df, "cat", 0L).values.forall(_ == 0L))
+
+    // deterministic selection: same ids on every run and any layout
+    def ids() = MixtureSampling.sampleBudgetCapped(df.repartition(7), "cat", "id", 250L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == ids())
+  }
 }

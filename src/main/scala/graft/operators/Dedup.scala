@@ -312,8 +312,22 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40,
+      localEdgeThreshold: Int = 1 << 20): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // Adaptive cutover: near-dup pair sets are usually FAR smaller than the
+    // corpus (they're the output of a banded sketch join), and below the
+    // threshold a driver-side union-find resolves components exactly in
+    // microseconds where the distributed loop pays several whole Spark jobs
+    // of latency. The collect is bounded — take(threshold+1) never pulls
+    // more than ~16 MB of longs at the default — and the distributed
+    // O(log d) loop below remains the path for genuinely large pair sets.
+    // Same answer either way: cluster id = min doc id of the component.
+    if (localEdgeThreshold > 0) {
+      val head = edges.take(localEdgeThreshold + 1)
+      if (head.length <= localEdgeThreshold)
+        return localClusters(pairs.sparkSession, head)
+    }
     val sym = tracked(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist())
@@ -367,5 +381,46 @@ object Dedup {
           "clusters. Raise maxIter or inspect the pair graph.")
     }
     tracked(roundCache).select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Driver-side union-find with path compression for the small-pair-set
+    * fast path of duplicateClusters. */
+  private def localClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      else { parent.putIfAbsent(a, a); parent.putIfAbsent(b, b) }
+    }
+    // roots chosen by min-union are already the component minima, but make
+    // it explicit (and order-independent): component id = min member id
+    val members = new java.util.HashMap[Long, Long]() // root -> min id
+    val vertices = scala.collection.mutable.ArrayBuffer[Long]()
+    edges.foreach { r =>
+      vertices += r.getLong(0)
+      vertices += r.getLong(1)
+    }
+    val distinctVertices = vertices.distinct
+    distinctVertices.foreach { v =>
+      val root = find(v)
+      members.merge(root, v, (a, b) => math.min(a, b))
+    }
+    import spark.implicits._
+    distinctVertices.toSeq.map(v => (v, members.get(find(v)).longValue()))
+      .toDF("id", "cluster")
   }
 }

@@ -53,7 +53,7 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("duplicate clusters: transitive components collapse to the min id") {
+  test("duplicate clusters: transitive components collapse to the min id (both paths)") {
     // chain 1-2-3 (diameter 2, pair (1,3) withheld), disjoint pair 7-9,
     // longer chain 10-11-12-13 to force several propagation rounds
     val pairs = Seq(
@@ -61,13 +61,19 @@ class DedupSpec extends SparkSpec {
       (7L, 9L),
       (10L, 11L), (11L, 12L), (12L, 13L)
     ).toDF("id_a", "id_b")
-    val clusters = Dedup.duplicateClusters(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Dedup.releaseCaches()
-    assert(clusters == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       7L -> 7L, 9L -> 7L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), clusters.toString)
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+    // default: the small pair set takes the driver-side union-find path
+    val local = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected, local.toString)
+    // localEdgeThreshold=0 forces the distributed loop — identical answer
+    val dist = Dedup.duplicateClusters(pairs, localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.releaseCaches()
+    assert(dist == expected, dist.toString)
   }
 
   test("duplicate clusters: a 60-hop chain resolves well inside the round budget") {
@@ -76,7 +82,7 @@ class DedupSpec extends SparkSpec {
     // in ~7. maxIter=10 both proves the O(log d) behavior and guards against
     // a silent regression to linear propagation.
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val clusters = Dedup.duplicateClusters(pairs, maxIter = 10)
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 10, localEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     Dedup.releaseCaches()
     assert(clusters.length == 60)
@@ -93,7 +99,7 @@ class DedupSpec extends SparkSpec {
       val base = c * 1000L
       (0L until 499L).map(i => (base + i, base + i + 1))
     }.toDF("id_a", "id_b")
-    val clusters = Dedup.duplicateClusters(pairs, maxIter = 13)
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 13, localEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     Dedup.releaseCaches()
     assert(clusters.length == 10000)
@@ -107,7 +113,7 @@ class DedupSpec extends SparkSpec {
     // returning partially-propagated labels
     val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(pairs, maxIter = 2).collect()
+      Dedup.duplicateClusters(pairs, maxIter = 2, localEdgeThreshold = 0).collect()
     }
     Dedup.releaseCaches()
     assert(e.getMessage.contains("did not converge"), e.getMessage)

@@ -157,6 +157,64 @@ object Dedup {
     result
   }
 
+  /** Cross-corpus MinHash-LSH near-duplicate pairs — document-level
+    * decontamination: find training documents that near-duplicate an
+    * evaluation document (x21's gram-overlap catches verbatim
+    * contamination; this catches whole-document paraphrase/near-copies).
+    * Same banded construction as minhashNearDuplicates, but the bucket
+    * join is across the two corpora: band keys from both sides, equi-join,
+    * verify exact Jaccard on the shingle-hash sets. When the right corpus
+    * is benchmark-sized its banded keys broadcast and the left corpus
+    * never shuffles.
+    *
+    * Returns (id_left, id_right, jaccard) with jaccard ≥ threshold. */
+  def minhashNearDuplicatesAcross(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      broadcastRight: Boolean = true): DataFrame = {
+
+    def hashedSide(df: DataFrame): DataFrame = tracked(df
+      .select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
+      .where(size(col("bh")) > 0)
+      .persist())
+
+    def bandedSide(hashed: DataFrame): DataFrame = hashed.select(
+      col("id"),
+      posexplode(call_function("graft_minhash_bands",
+        col("bh"), lit(bands), lit(rowsPerBand))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .select("band", "band_hash", "id")
+
+    val hl = hashedSide(left)
+    val hr = hashedSide(right)
+    val bl = bandedSide(hl).withColumnRenamed("id", "id_left")
+    val brRaw = bandedSide(hr).withColumnRenamed("id", "id_right")
+    val br = if (broadcastRight) broadcast(brRaw) else brRaw
+
+    val candidates = bl.join(br, Seq("band", "band_hash"))
+      .select("id_left", "id_right")
+      .dropDuplicates("id_left", "id_right")
+
+    candidates
+      .join(hl.select(col("id").as("id_left"), col("bh").as("bh_l"),
+        size(col("bh")).as("sz_l")), Seq("id_left"))
+      .join(hr.select(col("id").as("id_right"), col("bh").as("bh_r"),
+        size(col("bh")).as("sz_r")), Seq("id_right"))
+      .withColumn("common", call_function("graft_intersect_count", col("bh_l"), col("bh_r")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_l") + col("sz_r") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: per bit position,
     * sign of Σ over tokens of ±1 (bit set in the token's hash or not).
     * Tokenize+hash is the native graft_token_hashes_fnv kernel (one static

@@ -791,6 +791,40 @@ object OperatorQueries {
         |      ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rk
         |  FROM base b)
         |SELECT r.cat, r.doc_id FROM ranked r JOIN quotas USING (cat)
-        |WHERE r.rk <= q ORDER BY cat, doc_id""".stripMargin)
+        |WHERE r.rk <= q ORDER BY cat, doc_id""".stripMargin),
+
+    // Cross-corpus near-dup (doc-level train/eval decontamination): the
+    // corpus splits into train (4/5) and eval (1/5) halves; banded minhash
+    // buckets join ACROSS the halves and candidates verify with the exact
+    // shingle Jaccard. Banding at threshold 0.5 uses b=16/r=2 (collision
+    // P at s=0.5 per band 0.25 → 1-(0.75)^16 = 0.99); the oracle is the
+    // exact all-pairs cross join.
+    "x31_cross_corpus_neardup" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val train = docs.where(col("doc_id") % 5 =!= 0)
+        val eval_ = docs.where(col("doc_id") % 5 === 0)
+        Dedup.minhashNearDuplicatesAcross(train, eval_, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_left", "id_right")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |l AS (SELECT doc_id, sh FROM g WHERE doc_id % 5 <> 0),
+        |r AS (SELECT doc_id, sh FROM g WHERE doc_id % 5 = 0)
+        |SELECT l.doc_id AS id_left, r.doc_id AS id_right,
+        |  round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
+        |FROM l JOIN r ON TRUE
+        |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |  (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5
+        |ORDER BY id_left, id_right""".stripMargin)
   )
 }

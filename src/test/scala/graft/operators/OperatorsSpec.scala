@@ -35,6 +35,22 @@ class DedupSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("cross-corpus near-dup finds train docs copying eval docs, nothing else") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "an entirely unrelated passage describing catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (101L, "nothing like anything in the training corpus whatsoever honestly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDuplicatesAcross(train, eval_, "text", "doc_id",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(pairs == Set((1L, 100L)), pairs.toString)
+  }
+
   test("simhash: identical fingerprints for dups, near distance for near-dups") {
     val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

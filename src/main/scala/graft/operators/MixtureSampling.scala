@@ -91,20 +91,28 @@ object MixtureSampling {
       budget: Long): Map[String, Long] = {
     val counts = df.groupBy(categoryCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy { case (c, n) => (n, c) }
-    val m = counts.length
+    waterFill(counts.toSeq, budget)
+  }
+
+  /** The pure water-filling allocation behind budgetCappedQuotas
+    * (factored out for direct property testing). */
+  private[graft] def waterFill(
+      counts: Seq[(String, Long)],
+      budget: Long): Map[String, Long] = {
+    val sorted = counts.sortBy { case (c, n) => (n, c) }
+    val m = sorted.length
     var pre = 0L
     var level = Double.PositiveInfinity
     var i = 0
     var found = false
     while (i < m && !found) {
       val li = (budget - pre).toDouble / (m - i).toDouble
-      if (li <= counts(i)._2) { level = li; found = true }
-      else pre += counts(i)._2
+      if (li <= sorted(i)._2) { level = li; found = true }
+      else pre += sorted(i)._2
       i += 1
     }
     val cap = math.floor(level)
-    counts.map { case (c, n) =>
+    sorted.map { case (c, n) =>
       c -> math.max(0L, math.min(n.toDouble, cap).toLong)
     }.toMap
   }

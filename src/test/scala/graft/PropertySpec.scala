@@ -95,4 +95,62 @@ class PropertySpec extends AnyFunSuite {
       xs == xs.sorted && xs.distinct == xs && xs.length <= math.max(s.length - 4, 1)
     })
   }
+
+  test("chunk-index arithmetic: full coverage, bounded windows, exact overlap") {
+    // mirrors Chunking.chunkByTokens AND the x27 oracle: last chunk index
+    // = max(0, floor((n - maxT + stride - 1) / stride)), chunk i covers
+    // tokens [i*stride+1, min(i*stride+maxT, n)]
+    val gen = for {
+      n <- Gen.choose(1, 5000)
+      maxT <- Gen.choose(1, 600)
+      overlap <- Gen.choose(0, 599).suchThat(_ < maxT)
+    } yield (n, maxT, overlap)
+    check(Prop.forAll(gen) { case (n, maxT, overlap) =>
+      val stride = maxT - overlap
+      val last = math.max(0L, math.floorDiv(n - maxT + stride - 1, stride))
+      val ranges = (0L to last).map(i =>
+        (i * stride + 1, math.min(i * stride + maxT, n.toLong)))
+      val covered = ranges.forall { case (a, b) => a <= b && b - a + 1 <= maxT } &&
+        ranges.head._1 == 1L && ranges.last._2 == n.toLong &&
+        ranges.sliding(2).forall {
+          case Seq((_, b1), (a2, _)) => a2 <= b1 + 1 // no gaps
+          case _ => true
+        }
+      val overlapOk = ranges.sliding(2).forall {
+        case Seq((_, b1), (a2, b2)) =>
+          // consecutive chunks overlap by exactly `overlap` tokens except a
+          // short tail (which still starts stride after its predecessor)
+          b2 == n.toLong || (b1 - a2 + 1) == overlap
+        case _ => true
+      }
+      covered && overlapOk
+    })
+  }
+
+  test("water-filling quotas: budget-tight, count-bounded, level-flat") {
+    val waterFill = graft.operators.MixtureSampling.waterFill _
+    val gen = for {
+      m <- Gen.choose(1, 12)
+      counts <- Gen.listOfN(m, Gen.choose(0L, 10000L))
+      budget <- Gen.choose(0L, 40000L)
+    } yield (counts.zipWithIndex.map { case (n, i) => (s"c$i", n) }, budget)
+    check(Prop.forAll(gen) { case (counts, budget) =>
+      val q = waterFill(counts, budget)
+      val total = counts.map(_._2).sum
+      val sumQ = q.values.sum
+      val byCat = counts.toMap
+      val withinCounts = q.forall { case (c, v) => v >= 0 && v <= byCat(c) }
+      val budgetTight =
+        if (budget >= total) sumQ == total
+        // floor() may strand < m slots; never overshoot
+        else sumQ <= budget && (budget - sumQ) < q.size.toLong.max(1L)
+      val capped = q.filter { case (c, v) => v < byCat(c) }.values
+      val uncapped = q.filter { case (c, v) => v == byCat(c) }
+      // all capped categories sit at one level, at or above every
+      // uncapped category's full size
+      val levelFlat = capped.isEmpty || (capped.toSet.size == 1 &&
+        uncapped.keys.forall(c => byCat(c) <= capped.head))
+      withinCounts && budgetTight && levelFlat
+    })
+  }
 }

@@ -80,4 +80,52 @@ object Sharding {
       .withColumn("shard", expr(s"__before div $budget"))
       .drop("__pid", "__before")
   }
+
+  /** Deterministic global shuffle for training order: assign each document a
+    * permutation position 0..n-1, ordered by md5(seed:id) — the same
+    * hash-as-randomness trick as MixtureSampling, so the "shuffle" is a pure
+    * function of (seed, ids): reproducible across runs, clusters and
+    * partition layouts, and any contiguous slice of positions is an unbiased
+    * sample of the corpus.
+    *
+    * Shape: the position is a global DENSE rank over the hash order —
+    * computed with the same two-phase recipe as assignShards (range
+    * partition by hash key → metadata-sized per-partition counts → driver
+    * offsets → per-partition row_number + offset), NEVER a global
+    * single-partition window. Cost at any scale: one range exchange.
+    *
+    * Output = input columns + `pos` (long, 0-based). Call
+    * releaseShardCaches() once the result is materialized. */
+  def shufflePositions(
+      docs: DataFrame,
+      idCol: String,
+      seed: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+
+    val parted = tracked(
+      docs.withColumn("__key", key)
+        .repartitionByRange(nPart, col("__key"), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist())
+
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+        val off = acc; acc += n; pid -> off
+      }.toMap
+    }
+
+    val w = Window.partitionBy("__pid").orderBy(col("__key"), col(idCol))
+    parted
+      .withColumn("pos",
+        row_number().over(w).cast("long") - 1L +
+          element_at(typedlit(offsets), col("__pid")))
+      .drop("__key", "__pid")
+  }
 }

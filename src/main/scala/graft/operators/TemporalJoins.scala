@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/interval join operators Spark has no built-in for — both built
+  * as shuffle-friendly compositions (SURVEY §2 "custom operators" preference
+  * (a): compose existing ops), never as nested-loop scans.
+  *
+  * - asofJoin: each left row picks the latest right row at-or-before its
+  *   timestamp, per key. The classic scalable construction is the tagged
+  *   union: both sides shuffle ONCE on the key, sort by (ts, tag, tie)
+  *   inside each key, and a last(ignoreNulls) running window carries the
+  *   most recent right payload forward into the left rows. No range
+  *   condition ever reaches a join operator, so Catalyst never falls back
+  *   to BroadcastNestedLoop/cartesian — cost is one exchange per side at
+  *   any scale.
+  *
+  * - pointInIntervalJoin: match points to (possibly overlapping) intervals.
+  *   A raw `BETWEEN` join is non-equi → nested loop. Bucketizing recovers
+  *   an equi-join: intervals explode to the fixed-width buckets they cover,
+  *   points key to their bucket, the equi-join shuffles on the bucket key,
+  *   and the exact BETWEEN runs as a residual filter. Interval fan-out =
+  *   ceil(span/bucketWidth) rows — pick bucketWidth near the median span.
+  */
+object TemporalJoins {
+
+  /** As-of join (left.ts >= right.ts semantics, inclusive).
+    *
+    * For each row of `left`, appends `valueCols` from the `right` row with
+    * the greatest (rightTs, rightTie) such that rightTs <= leftTs within the
+    * same key; appended columns are null when no right row precedes.
+    * `rightTie` makes the pick deterministic when right timestamps collide.
+    * Output = left columns + valueCols (right's ts/tie travel only inside
+    * the window). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(valueCols.contains),
+      s"asofJoin value columns ${valueCols.mkString(",")} collide with left columns")
+
+    // tag 0 sorts before tag 1 at equal timestamps → a right row AT the left
+    // row's timestamp is visible (inclusive as-of); among equal-ts right rows
+    // the tie column orders them so last() picks the greatest.
+    val taggedLeft = left
+      .withColumn("__ts", unix_micros(col(leftTsCol)))
+      .withColumn("__tag", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .select(
+        (leftCols.map(col) :+ col("__ts") :+ col("__tag") :+ col("__tie")) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    // the key keeps its real value on BOTH sides (same column name required);
+    // every other left column nulls out on right rows and vice versa
+    val taggedRight = right
+      .withColumn("__ts", unix_micros(col(rightTsCol)))
+      .withColumn("__tag", lit(0))
+      .withColumn("__tie", col(rightTieCol).cast("long"))
+      .select(
+        (leftCols.map(c =>
+          if (c == keyCol) col(keyCol)
+          else lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col("__ts") :+ col("__tag") :+ col("__tie")) ++ valueCols.map(col): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__tag"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val unioned = taggedLeft.unionByName(taggedRight)
+
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__tag") === 1).drop("__ts", "__tag", "__tie")
+  }
+
+  /** Point-in-interval join: rows of `points` matched to every row of
+    * `intervals` with lo <= value <= hi (inclusive bounds, overlapping
+    * intervals all match). Output = point columns + interval columns.
+    *
+    * bucketWidth trades interval fan-out (rows per interval in the exploded
+    * build side) against residual-filter selectivity; both sides hash-join
+    * on the bucket key. Negative values are handled (floor division). */
+  def pointInIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double,
+      broadcastIntervals: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketed = intervals
+      .withColumn("__b",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+    val build = if (broadcastIntervals) broadcast(bucketed) else bucketed
+    points
+      .withColumn("__b", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(build, Seq("__b"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__b")
+  }
+}

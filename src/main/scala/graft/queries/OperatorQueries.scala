@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline}
+import graft.operators.{Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -825,6 +825,69 @@ object OperatorQueries {
         |FROM l JOIN r ON TRUE
         |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
         |  (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5
-        |ORDER BY id_left, id_right""".stripMargin)
+        |ORDER BY id_left, id_right""".stripMargin),
+
+    // Vocabulary construction: corpus term + document frequencies, top 100
+    // by total occurrences. Map-side partial aggregation collapses stopword
+    // skew before the exchange; the oracle replays the same whitespace
+    // tokenization.
+    "x32_vocab_topk" -> sql(
+      (s, dir) =>
+        Vocabulary.termStats(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy(desc("tf"), col("term"))
+          .limit(100),
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin),
+
+    // Per-document TF-IDF top-3 keyword extraction. Ranking runs on the
+    // score ROUNDED to 4 decimals (term tie-break) so a last-ulp ln()
+    // difference between engines cannot reorder the top-k — the oracle
+    // replays the identical rounded ranking.
+    "x33_tfidf_topk" -> sql(
+      (s, dir) =>
+        Vocabulary.tfIdfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "rank"),
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
+    // Deterministic global shuffle (training order): position = dense rank
+    // over md5(seed:id). The Spark side computes it with the two-phase
+    // distributed prefix-count (range partition + offsets), never a global
+    // single-partition window; the oracle IS that global window.
+    "x34_global_shuffle" -> sql(
+      (s, dir) => {
+        val out = Sharding.shufflePositions(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "42")
+          .select("doc_id", "pos")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count() // settle the ranged layout before releasing it
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

@@ -433,6 +433,87 @@ object RelationalQueries {
           .orderBy("event_type"),
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Beyond-reference: gap-based sessionization (30-min idle gap) — the
+    // event-analytics op the reference's ordered-history queries stop short
+    // of. One keyed shuffle; lag + running-sum windows share the same sort.
+    // The oracle replays the exact window arithmetic in epoch microseconds.
+    "d20_sessionize" -> sql(
+      (s, dir) =>
+        graft.operators.Sessionize.sessionSummary(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapMicros = 30L * 60 * 1000000)
+          .orderBy("user_id", "session_idx"),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM l)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin),
+
+    // Beyond-reference: as-of join — each click picks the user's latest
+    // purchase at-or-before it. Spark side is the tagged-union construction
+    // (TemporalJoins.asofJoin): one exchange per side, no range condition
+    // near a join operator. The oracle states the semantics directly as a
+    // correlated latest-row subquery (DuckDB decorrelates it).
+    "d21_asof_join" -> sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"), round(col("value"), 2).as("p_value"))
+        graft.operators.TemporalJoins.asofJoin(
+          clicks, purchases, "user_id", "ts", "p_ts", "p_event_id",
+          valueCols = Seq("p_event_id", "p_value"))
+          .select("event_id", "user_id", "p_event_id", "p_value")
+          .orderBy("event_id")
+      },
+      """SELECT l.event_id, l.user_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS p_event_id,
+        |  (SELECT round(r."value", 2) FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS p_value
+        |FROM events l WHERE l.event_type = 'click'
+        |ORDER BY l.event_id""".stripMargin),
+
+    // Beyond-reference: point-in-interval (range) join — events classified
+    // into overlapping value tiers built from the nation table. Spark side
+    // bucketizes the intervals so the match is a broadcast EQUI-join with a
+    // residual BETWEEN, never a BroadcastNestedLoop over the fact side; the
+    // oracle is the plain BETWEEN join.
+    "d22_range_join" -> sql(
+      (s, dir) => {
+        val intervals = Tables.nation(s, dir).select(
+          col("n_name").as("tier"),
+          (col("n_nationkey") * 19.0).as("lo"),
+          (col("n_nationkey") * 19.0 + 25.0).as("hi"))
+        val points = Tables.events(s, dir).select(col("event_id"), col("value"))
+        graft.operators.TemporalJoins.pointInIntervalJoin(
+          points, intervals, "value", "lo", "hi", bucketWidth = 20.0)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_points"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("tier")
+      },
+      """WITH iv AS (
+        |  SELECT n_name AS tier, n_nationkey * 19.0 AS lo,
+        |    n_nationkey * 19.0 + 25.0 AS hi
+        |  FROM nation)
+        |SELECT tier, count(*) AS n_points, round(sum("value"), 2) AS sum_value
+        |FROM events JOIN iv ON "value" >= lo AND "value" <= hi
+        |GROUP BY tier ORDER BY tier""".stripMargin)
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("gap splits sessions; summary counts, bounds and durations exact") {
+    val events = Seq(
+      // user 1: [0, 10], [50, 55], [120] with a 30-min gap
+      (1L, 101L, ts(0)), (1L, 102L, ts(10)),
+      (1L, 103L, ts(50)), (1L, 104L, ts(55)),
+      (1L, 105L, ts(120)),
+      // user 2: single event
+      (2L, 201L, ts(7))
+    ).toDF("user_id", "event_id", "ts")
+
+    val out = Sessionize.sessionSummary(events, "user_id", "ts", "event_id",
+      gapMicros = 30L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (r.getLong(4) - r.getLong(3)) / 60000000L))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    assert(out == Seq(
+      (1L, 1L, 2L, 10L), (1L, 2L, 2L, 5L), (1L, 3L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("a gap of exactly the threshold does NOT split; ties order by tie column") {
+    val events = Seq(
+      (1L, 2L, ts(0)), (1L, 1L, ts(0)), // equal ts: tie on event_id
+      (1L, 3L, ts(30))                  // gap == 30 min exactly → same session
+    ).toDF("user_id", "event_id", "ts")
+    val rows = Sessionize.sessionize(events, "user_id", "ts", "event_id",
+      gapMicros = 30L * 60 * 1000000)
+      .select("event_id", "session_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("sessionization is partition-layout independent") {
+    val events = (1L to 500L).map { i =>
+      (i % 13, i, ts((i % 97).toInt * 3))
+    }.toDF("user_id", "event_id", "ts")
+    def run(parts: Int) =
+      Sessionize.sessionSummary(events.repartition(parts), "user_id", "ts",
+        "event_id", gapMicros = 10L * 60 * 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(run(1) == run(7))
+  }
+}
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("asofJoin: latest right row at-or-before, inclusive, per key, null when none") {
+    val left = Seq(
+      (10L, 1L, ts(5)),   // after r1 → matches r1
+      (11L, 1L, ts(10)),  // equal ts as r2 → inclusive, matches r2
+      (12L, 1L, ts(3)),   // before any right row → null
+      (13L, 2L, ts(50))   // key 2 has no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(4), 100L, 1.5),
+      (1L, ts(10), 101L, 2.5),
+      (1L, ts(20), 102L, 3.5)
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"))
+      .select("event_id", "p_event_id", "p_value")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+    assert(out == Seq(
+      (10L, 100L, 1.5), (11L, 101L, 2.5), (12L, -1L, -1.0), (13L, -1L, -1.0)))
+  }
+
+  test("asofJoin: equal right timestamps resolve to the greatest tie id") {
+    val left = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(5), 7L, 1.0),
+      (1L, ts(5), 9L, 2.0), // same ts, larger tie id → wins
+      (1L, ts(5), 8L, 3.0)
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("p_event_id") == 9L)
+    assert(out(0).getAs[Double]("p_value") == 2.0)
+  }
+
+  test("pointInIntervalJoin matches the brute-force BETWEEN join, overlaps and negatives included") {
+    val points = (-40 until 200).map(i => (i.toLong, i * 1.7 - 30.0))
+      .toDF("point_id", "v")
+    val intervals = Seq(
+      ("a", -50.0, -10.0),  // negative range
+      ("b", -15.0, 45.0),   // overlaps a and c
+      ("c", 40.0, 41.0),    // narrower than a bucket
+      ("d", 100.0, 260.0)   // spans many buckets
+    ).toDF("name", "lo", "hi")
+
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = key(
+      TemporalJoins.pointInIntervalJoin(points, intervals, "v", "lo", "hi",
+        bucketWidth = 25.0)
+        .select("point_id", "name").collect())
+    val brute = key(
+      points.crossJoin(intervals)
+        .where(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("point_id", "name").collect())
+    assert(bucketed == brute)
+    assert(brute.nonEmpty)
+    // overlap really exercised: some point sits in two intervals
+    assert(brute.groupBy(_._1).exists(_._2.size > 1))
+  }
+}
+
+class VocabularySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("termStats: tf counts occurrences, df counts distinct docs") {
+    val docs = Seq(
+      (1L, "a b A"),      // 'a' twice (case-folded), 'b' once
+      (2L, "b   c"),      // whitespace runs collapse
+      (3L, "")            // empty doc contributes nothing
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.termStats(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 2L, 1L), ("b", 2L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("tfIdfTopTerms: textbook scores, rank stable, shared terms score zero") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.tfIdfTopTerms(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(out == Seq(
+      (1L, 1L, "apple", r4(2 * math.log(2.0))),  // tf=2, df=1 → 2·ln2
+      (1L, 2L, "banana", 0.0),                   // df=N → ln1 = 0
+      (2L, 1L, "cherry", r4(math.log(2.0))),
+      (2L, 2L, "banana", 0.0)))
+  }
+}
+
+class ShufflePositionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("positions form an exact 0..n-1 permutation, stable across layouts") {
+    val docs = (1L to 300L).map(Tuple1(_)).toDF("doc_id")
+    def run(parts: Int) = {
+      val r = Sharding.shufflePositions(docs.repartition(parts), "doc_id", "s1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      Sharding.releaseShardCaches()
+      r
+    }
+    val out = run(1)
+    assert(out.map(_._2).sorted == (0L until 300L))
+    assert(run(8) == out)
+    // a different seed is a different permutation (300 ids: collision odds ~0)
+    val other = Sharding.shufflePositions(docs, "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    Sharding.releaseShardCaches()
+    assert(other != out)
+    assert(other.map(_._2).sorted == (0L until 300L))
+  }
+}

@@ -272,7 +272,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: multi-table multi-probe LSH
     * candidates (same AND-OR construction as lshTopK, self-join form),
     * verified with the exact cosine — precision is exact, recall tunes
-    * with nBits/probeHamming/nTables. */
+    * with nBits/probeHamming/nTables.
+    *
+    * Scale economics: the bucket self-join costs Σ bucket², so nBits must
+    * grow ~log₂(n) to hold bucket sizes flat as the corpus grows — and the
+    * tables/probes needed to keep recall rise steeply as the threshold
+    * FALLS (at cos θ the per-bit agreement is 1-θ/π: 0.97 at sim 0.98 but
+    * only 0.60 at sim 0.3, so low thresholds force tiny sketches or many
+    * tables — measured here: holding recall ≥0.9 at sim 0.3 needs
+    * 8-bit/6-table sketches that saturate at ~10⁴ vectors). True NEAR-DUP
+    * work (sim ≥ 0.9, this operator's purpose) keeps per-bit agreement
+    * ≥0.94, where nBits can track log n and the join stays linear-ish at
+    * 100 TB; for mid-similarity PAIR MINING use ivfTopK-style cell blocking
+    * instead. */
   def cosineNearDuplicates(
       df: DataFrame,
       idCol: String, vecCol: String,

@@ -125,6 +125,52 @@ class PlanAuditSpec extends SparkSpec {
       "corpus vectors must not shuffle through the candidate join")
   }
 
+  test("d21: the as-of join is join-free — tagged union + window, no range join op") {
+    // the whole point of the tagged-union construction: no join operator of
+    // ANY kind appears (a BETWEEN-style formulation would plan a
+    // BroadcastNestedLoop/cartesian that melts at scale)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val nodes = flatten(planOf("d21_asof_join"))
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]),
+      "as-of must compile to union+window, not a join operator")
+  }
+
+  test("d22: the interval join is a broadcast EQUI-join, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = flatten(planOf("d22_range_join"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "bucketized intervals must broadcast")
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "bucket keys must make the range join an equi-join")
+  }
+
+  test("d20: sessionization costs one keyed exchange (plus the output ordering)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flatten(planOf("d20_sessionize"))
+      .collect { case s: ShuffleExchangeLike => s }
+    // lag + running sum + summary agg all reuse the user_id partitioning:
+    // one keyed exchange, one range exchange for the final ORDER BY
+    assert(shuffles.size <= 2, s"sessionize must not re-shuffle, saw ${shuffles.size}")
+  }
+
+  test("x34: shuffle positions never funnel through a single partition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val single = flatten(planOf("x34_global_shuffle"))
+      .collect { case s: ShuffleExchangeLike if s.outputPartitioning == SinglePartition => s }
+    assert(single.isEmpty,
+      "the global position must come from the two-phase prefix count, not a global window")
+  }
+
+  test("x33: the text explodes exactly once (df/N derived, not re-exploded)") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val generates = flatten(planOf("x33_tfidf_topk"))
+      .collect { case g: GenerateExec => g }
+    assert(generates.size == 1,
+      s"tf-idf must run one explode pass over text, saw ${generates.size}")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

@@ -74,6 +74,34 @@ object MixtureSampling {
       .drop("__rk")
   }
 
+  /** Per-key TOKEN budget cap — "no source/domain contributes more than
+    * `budget` tokens": within each key, walk documents in the deterministic
+    * md5(id) order and keep a document iff it STARTS inside the budget
+    * (cumulative tokens before it < budget), so every key keeps at least
+    * one document and the kept mass overshoots by at most one document —
+    * the same greedy boundary rule as Sharding.assignShards.
+    *
+    * One keyed shuffle (running sum window per key); no driver state, no
+    * dependence on the partition layout. The classic C4/CC-pipeline
+    * domain-cap, complementary to sampleBudgetCapped: that one levels
+    * DOCUMENT counts across categories under a global budget, this one
+    * bounds TOKEN mass per key independently. */
+  def capTokensPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__before", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .where(col("__before") < budget)
+      .drop("__before")
+  }
+
   /** Budget-capped (UniMax-style) quotas by water-filling: given a total
     * document budget, small categories are kept WHOLE and large ones are
     * capped at the common level L that exhausts the budget —

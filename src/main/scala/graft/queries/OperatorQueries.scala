@@ -893,6 +893,31 @@ object OperatorQueries {
       },
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Per-source token cap (the C4-style domain cap): within each source,
+    // keep documents in md5 order while the running token total stays under
+    // the budget. The oracle replays the same cumulative-sum window and
+    // boundary rule.
+    "x35_source_token_cap" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+        MixtureSampling.capTokensPerKey(docs, "source", "doc_id", "n_tokens",
+          budget = 4000L)
+          .select("source", "doc_id", "n_tokens")
+          .orderBy("source", "doc_id")
+      },
+      """SELECT source, doc_id, n_tokens FROM (
+        |  SELECT source, doc_id,
+        |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    coalesce(sum(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |      OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tok
+        |  FROM documents) t
+        |WHERE before_tok < 4000
+        |ORDER BY source, doc_id""".stripMargin)
   )
 }

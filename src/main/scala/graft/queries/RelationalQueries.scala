@@ -514,6 +514,68 @@ object RelationalQueries {
         |  FROM nation)
         |SELECT tier, count(*) AS n_points, round(sum("value"), 2) AS sum_value
         |FROM events JOIN iv ON "value" >= lo AND "value" <= hi
-        |GROUP BY tier ORDER BY tier""".stripMargin)
+        |GROUP BY tier ORDER BY tier""".stripMargin),
+
+    // Beyond-reference: exact interpolated percentiles per group. Both
+    // engines use the same linear-interpolation definition (Spark
+    // `percentile`, DuckDB `quantile_cont`); rounded to 4 decimals so the
+    // interpolation arithmetic's last ulp cannot flip the hash. Scale note:
+    // exact percentile buffers each group's values — at 100 TB swap in
+    // approx_percentile (t-digest, mergeable partials); this query pins the
+    // exact semantics the approximation is judged against.
+    "d23_percentiles" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type"),
+      """SELECT event_type,
+        |  round(quantile_cont("value", 0.5), 4) AS p50,
+        |  round(quantile_cont("value", 0.9), 4) AS p90,
+        |  round(quantile_cont("value", 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Beyond-reference: PIVOT with an explicit value list (dynamic pivot
+    // needs a driver-side distinct pass — the fixed list keeps the plan
+    // fully declarative: one hash aggregation, columns not rows).
+    // Spark pivot yields NULL for empty cells where DuckDB's FILTER
+    // counts 0 — na.fill pins the same contract on both sides.
+    "d24_pivot" -> sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Beyond-reference: bounded-frame window — 4-event moving average per
+    // user. ROWS frames (not RANGE) so both engines see identical frame
+    // membership under the (ts, event_id) total order.
+    "d25_moving_avg" -> sql(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            round(avg("value").over(w), 4).as("mavg"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        |  round(avg("value") OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin)
   )
 }

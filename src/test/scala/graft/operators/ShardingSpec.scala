@@ -167,6 +167,41 @@ class MixtureSamplingSpec extends SparkSpec {
     assert(kept == 2000L, s"kept $kept of 2000 at rate 1-1e-12")
   }
 
+  test("capTokensPerKey: every key keeps >=1 doc, mass overshoots by at most one doc") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 5}", 100L + (i % 9) * 25L))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = MixtureSampling.capTokensPerKey(docs, "source", "doc_id",
+      "n_tokens", budget = 1500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val byKey = kept.groupBy(_._2)
+    assert(byKey.keySet == (0 until 5).map(i => s"src$i").toSet,
+      "a key with any docs must keep at least one")
+    byKey.foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < 1500L + maxDoc, s"$src kept $total tokens")
+      // greedy boundary: the kept set is a prefix of the md5 order, so no
+      // UNKEPT doc could have started inside the budget
+      val keptIds = rows.map(_._1).toSet
+      def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ordered = (1L to 400L).filter(i => s"src${i % 5}" == src)
+        .sortBy(i => (md5hex(i.toString), i))
+      var acc = 0L
+      ordered.foreach { id =>
+        val tok = 100L + (id % 9) * 25L
+        assert(keptIds.contains(id) == (acc < 1500L), s"$src doc $id")
+        acc += tok
+      }
+    }
+    // layout independence
+    val again = MixtureSampling.capTokensPerKey(docs.repartition(7), "source",
+      "doc_id", "n_tokens", budget = 1500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == kept.toSet)
+  }
+
   test("temperature rates level category counts as T grows") {
     val docs = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
       .toDF("doc_id", "cat")

@@ -918,6 +918,22 @@ object OperatorQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tok
         |  FROM documents) t
         |WHERE before_tok < 4000
-        |ORDER BY source, doc_id""".stripMargin)
+        |ORDER BY source, doc_id""".stripMargin),
+
+    // HLL-sketch distinct counting (SURVEY §2-D's "free in Spark" list):
+    // approx_count_distinct = HyperLogLog++, a mergeable sketch whose
+    // partial aggregation makes distinct-counting one map-side-combining
+    // pass at any scale (exact count_distinct shuffles every distinct
+    // value). Rows-only in the driver gate — DuckDB's approx_count_distinct
+    // is a different HLL implementation, so the values cannot hash-match;
+    // ApproxDistinctSpec pins the ±2% rsd contract against the exact counts.
+    "x36_approx_distinct" -> rowsOnly(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            approx_count_distinct(col("value"), rsd = 0.02).as("approx_values"))
+          .orderBy("event_type"))
   )
 }

@@ -576,6 +576,32 @@ object RelationalQueries {
         |  round(avg("value") OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Beyond-reference (SURVEY §2-D's "free in Spark" list): INTERSECT /
+    // EXCEPT set operations — customers ordering in both halves of 1997 vs
+    // only the first half. Both engines give DISTINCT set semantics; each
+    // compiles to one aggregation-style shuffle per set op (no sort).
+    "d26_set_ops" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def custsIn(from: String, until: String) = o
+          .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select("o_custkey")
+        val h1 = custsIn("1997-01-01", "1997-07-01")
+        val h2 = custsIn("1997-07-01", "1998-01-01")
+        h1.intersect(h2).withColumn("segment", lit("both_halves"))
+          .unionByName(h1.except(h2).withColumn("segment", lit("h1_only")))
+          .orderBy("segment", "o_custkey")
+      },
+      """WITH h1 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'),
+        |h2 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both_halves' AS segment FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT o_custkey, 'h1_only' AS segment FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |ORDER BY segment, o_custkey""".stripMargin)
   )
 }

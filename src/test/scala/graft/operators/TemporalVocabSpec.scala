@@ -162,6 +162,29 @@ class VocabularySpec extends SparkSpec {
   }
 }
 
+class ApproxDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within the rsd envelope of the exact counts") {
+    // 20k rows, 3 groups with known distinct cardinalities per group
+    val rows = (1L to 20000L).map { i =>
+      val g = (i % 3).toString
+      (g, i % (500L + (i % 3) * 700L)) // per-group distinct ~500/1200/1900
+    }.toDF("g", "v")
+    val exact = rows.groupBy("g").agg(count_distinct(col("v")).as("exact"))
+    val approx = rows.groupBy("g")
+      .agg(approx_count_distinct(col("v"), rsd = 0.02).as("approx"))
+    val joined = exact.join(approx, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joined.length == 3)
+    joined.foreach { case (g, e, a) =>
+      val err = math.abs(a - e).toDouble / e
+      // HLL++ at rsd=0.02: allow 3 sigma
+      assert(err <= 0.06, f"group $g: exact=$e approx=$a err=$err%.3f")
+    }
+  }
+}
+
 class ShufflePositionsSpec extends SparkSpec {
   import spark.implicits._
 

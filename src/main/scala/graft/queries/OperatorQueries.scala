@@ -920,6 +920,126 @@ object OperatorQueries {
         |WHERE before_tok < 4000
         |ORDER BY source, doc_id""".stripMargin),
 
+    // Composed SERVING pipeline — the output-side counterpart of x17's
+    // cleaning funnel: chunk documents into context windows (x27's
+    // arithmetic), assign token-budgeted shards by distributed prefix sum
+    // (x22), greedy-pack chunks into context bins within each shard (x24),
+    // then give every bin a deterministic training-order position via the
+    // md5 global shuffle (x34). The oracle replays ALL four stages in one
+    // SQL statement — chunk indexing, prefix-sum sharding, the list_reduce
+    // greedy fold, and the row_number shuffle order. chunk_id packs
+    // (doc_id, chunk_idx) into one long (1024 chunks/doc cap, asserted by
+    // ChunkingSpec's invalid-parameter guard at real context sizes).
+    "x37_serving_pipeline" -> sql(
+      (s, dir) => {
+        val chunks = Chunking.chunkByTokens(Tables.documents(s, dir),
+          "text", "doc_id", maxTokens = 64, overlap = 16)
+          .withColumn("chunk_id", col("doc_id") * 1024L + col("chunk_idx"))
+        // packed feeds BOTH the bin-order pass and the final join — cache it
+        // so the groupByKey pack shuffle runs once (released below with the
+        // shard layouts)
+        val packed = SequencePacking.packGreedy(
+          chunks.select(col("chunk_id"), col("n_tokens")),
+          "chunk_id", "n_tokens", contextLen = 64L, shardBudget = 4096L)
+          .cache()
+        val bins = packed.select(col("shard"), col("bin")).distinct()
+          .withColumn("bin_key", col("shard") * 1048576L + col("bin"))
+        val order = Sharding.shufflePositions(bins, "bin_key", seed = "v1")
+          .withColumnRenamed("pos", "bin_pos")
+          .select("shard", "bin", "bin_pos")
+        val out = packed.join(order, Seq("shard", "bin"))
+          .select(
+            (col("chunk_id") / 1024L).cast("long").as("doc_id"),
+            (col("chunk_id") % 1024L).as("chunk_idx"),
+            col("n_tokens"), col("shard"), col("bin"), col("bin_pos"))
+          .orderBy("doc_id", "chunk_idx")
+        val materialized = out.cache()
+        materialized.count() // settle the ranged layouts before releasing
+        packed.unpersist(blocking = false)
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    unnest(generate_series(0, greatest(0, (len(toks) - 64 + 47) // 48))) AS i
+        |  FROM t WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT doc_id * 1024 + i AS chunk_id,
+        |    CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
+        |  FROM k),
+        |sharded AS (
+        |  SELECT *, (coalesce(sum(n_tokens) OVER (ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard
+        |  FROM chunks),
+        |g AS (
+        |  SELECT shard, list(chunk_id ORDER BY chunk_id) AS ids,
+        |    list(n_tokens ORDER BY chunk_id) AS toks
+        |  FROM sharded GROUP BY shard),
+        |packed AS (
+        |  SELECT shard, ids, toks,
+        |    list_reduce(
+        |      list_prepend([0, 0]::BIGINT[], list_transform(toks, t -> [t]::BIGINT[])),
+        |      (acc, x) -> CASE
+        |        WHEN acc[2] > 0 AND acc[2] + x[1] > 64
+        |          THEN list_concat([acc[1] + 1, x[1]], list_append(acc[3:], acc[1] + 1))
+        |        ELSE list_concat([acc[1], acc[2] + x[1]], list_append(acc[3:], acc[1]))
+        |      END)[3:] AS bins
+        |  FROM g),
+        |flat AS (
+        |  SELECT shard, unnest(ids) AS chunk_id, unnest(toks) AS n_tokens, unnest(bins) AS bin
+        |  FROM packed),
+        |bk AS (SELECT DISTINCT shard, bin, shard * 1048576 + bin AS bin_key FROM flat),
+        |ordered AS (
+        |  SELECT shard, bin,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(bin_key AS VARCHAR)), bin_key) - 1 AS bin_pos
+        |  FROM bk)
+        |SELECT chunk_id // 1024 AS doc_id, chunk_id % 1024 AS chunk_idx,
+        |  n_tokens, f.shard, f.bin, o.bin_pos
+        |FROM flat f JOIN ordered o ON f.shard = o.shard AND f.bin = o.bin
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // Percentile-band quality trim: drop the bottom and top 5% of documents
+    // by a quality measure, thresholds chosen as EXACT order statistics
+    // (rank floor(n/20)+1 from each end, picked via TakeOrdered — no
+    // interpolation arithmetic, so both engines compute bit-identical
+    // thresholds and the boundary set is deterministic; contrast d23, which
+    // pins the interpolated form under rounding). Two-pass shape: pass 1
+    // reduces to two 1-row threshold tables that broadcast into pass 2's
+    // scan — the standard scale pattern for data-dependent filters (never a
+    // global sort or single-partition window).
+    "x38_quality_trim" -> sql(
+      (s, dir) => {
+        val tokens = size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        val scored = Tables.documents(s, dir)
+          .where(tokens > 0)
+          .select(col("doc_id"),
+            round(col("n_chars").cast("double") / tokens.cast("double"), 4).as("q"))
+        val n = scored.count()
+        val kBand = (n / 20L + 1L).toInt
+        val lo = scored.orderBy(col("q"), col("doc_id")).limit(kBand)
+          .agg(max("q").as("lo"))
+        val hi = scored.orderBy(desc("q"), desc("doc_id")).limit(kBand)
+          .agg(min("q").as("hi"))
+        scored.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .where(col("q") >= col("lo") && col("q") <= col("hi"))
+          .select("doc_id", "q")
+          .orderBy("doc_id")
+      },
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    round(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '\S+')), 4) AS q
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |n AS (SELECT count(*) AS n FROM scored),
+        |lo AS (SELECT max(q) AS lo FROM
+        |  (SELECT q FROM scored ORDER BY q, doc_id LIMIT (SELECT n // 20 + 1 FROM n))),
+        |hi AS (SELECT min(q) AS hi FROM
+        |  (SELECT q FROM scored ORDER BY q DESC, doc_id DESC LIMIT (SELECT n // 20 + 1 FROM n)))
+        |SELECT doc_id, q FROM scored, lo, hi
+        |WHERE q >= lo AND q <= hi ORDER BY doc_id""".stripMargin),
+
     // HLL-sketch distinct counting (SURVEY §2-D's "free in Spark" list):
     // approx_count_distinct = HyperLogLog++, a mergeable sketch whose
     // partial aggregation makes distinct-counting one map-side-combining

@@ -50,7 +50,12 @@ class SkewSpec extends SparkSpec {
     }
     Skew.writeBucketed(left, "bkt_left", "id", buckets = 8)
     Skew.writeBucketed(right, "bkt_right", "id", buckets = 8)
-    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), Seq("id"))
+    // merge hint on the POSITIVE case too: without it Spark broadcasts the
+    // 2000-row side, which is also shuffle-free and would vacuously pass —
+    // the assertion must hold on the sort-merge path where bucketing is
+    // what removes the exchange
+    val joined = spark.table("bkt_left")
+      .join(spark.table("bkt_right").hint("merge"), Seq("id"))
     assert(joined.count() == 2000L)
     assert(!Skew.hasShuffle(joined), "bucketed equi-join must not shuffle")
     // control: the same sort-merge join on unbucketed data DOES shuffle

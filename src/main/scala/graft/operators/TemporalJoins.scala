@@ -26,14 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** As-of join (left.ts >= right.ts semantics, inclusive).
+  /** As-of join with pandas-merge_asof-style direction and tolerance.
     *
-    * For each row of `left`, appends `valueCols` from the `right` row with
-    * the greatest (rightTs, rightTie) such that rightTs <= leftTs within the
-    * same key; appended columns are null when no right row precedes.
-    * `rightTie` makes the pick deterministic when right timestamps collide.
-    * Output = left columns + valueCols (right's ts/tie travel only inside
-    * the window). */
+    * direction "backward" (default): for each left row, appends `valueCols`
+    * from the right row with the greatest (rightTs, rightTie) such that
+    * rightTs <= leftTs within the same key. "forward": the SMALLEST
+    * (rightTs, rightTie) with rightTs >= leftTs — implemented by negating
+    * the time/tie axis, so both directions share the single-exchange
+    * union+window plan. Inclusive at equal timestamps either way.
+    *
+    * toleranceMicros bounds the match gap: a right row farther than the
+    * tolerance (|leftTs - rightTs|) yields null value columns, same as no
+    * match. The matched right timestamp rides the same running window as
+    * the values, so the bound costs no extra pass.
+    *
+    * `rightTie` makes the pick deterministic when right timestamps collide;
+    * appended columns are null when no right row qualifies. Output = left
+    * columns + valueCols. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -41,32 +50,42 @@ object TemporalJoins {
       leftTsCol: String,
       rightTsCol: String,
       rightTieCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"asofJoin value columns ${valueCols.mkString(",")} collide with left columns")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(toleranceMicros > 0, "toleranceMicros must be positive")
+    // forward = backward on the mirrored axis (ties mirror too: forward
+    // picks the SMALLEST tie among equal timestamps)
+    val sign = if (direction == "forward") -1L else 1L
 
     // tag 0 sorts before tag 1 at equal timestamps → a right row AT the left
     // row's timestamp is visible (inclusive as-of); among equal-ts right rows
     // the tie column orders them so last() picks the greatest.
     val taggedLeft = left
-      .withColumn("__ts", unix_micros(col(leftTsCol)))
+      .withColumn("__ts", unix_micros(col(leftTsCol)) * sign)
       .withColumn("__tag", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
       .select(
         (leftCols.map(col) :+ col("__ts") :+ col("__tag") :+ col("__tie")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+          (valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+            lit(null).cast("long").as("__mts")): _*)
     // the key keeps its real value on BOTH sides (same column name required);
     // every other left column nulls out on right rows and vice versa
     val taggedRight = right
-      .withColumn("__ts", unix_micros(col(rightTsCol)))
+      .withColumn("__ts", unix_micros(col(rightTsCol)) * sign)
       .withColumn("__tag", lit(0))
-      .withColumn("__tie", col(rightTieCol).cast("long"))
+      .withColumn("__tie", col(rightTieCol).cast("long") * sign)
       .select(
         (leftCols.map(c =>
           if (c == keyCol) col(keyCol)
           else lit(null).cast(left.schema(c).dataType).as(c)) :+
-          col("__ts") :+ col("__tag") :+ col("__tie")) ++ valueCols.map(col): _*)
+          col("__ts") :+ col("__tag") :+ col("__tie")) ++
+          (valueCols.map(col) :+ col("__ts").as("__mts")): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__tag"), col("__tie"))
@@ -74,10 +93,16 @@ object TemporalJoins {
 
     val unioned = taggedLeft.unionByName(taggedRight)
 
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+    val carried = (valueCols :+ "__mts").foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.where(col("__tag") === 1).drop("__ts", "__tag", "__tie")
+    // in mirrored space the gap is ALWAYS __ts - __mts >= 0 for a match
+    val withinTol = col("__mts").isNotNull &&
+      (col("__ts") - col("__mts")) <= toleranceMicros
+    val bounded = valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, when(withinTol, col(c)))
+    }
+    bounded.where(col("__tag") === 1).drop("__ts", "__tag", "__tie", "__mts")
   }
 
   /** Point-in-interval join: rows of `points` matched to every row of

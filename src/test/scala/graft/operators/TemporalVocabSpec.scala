@@ -103,6 +103,43 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("p_value") == 2.0)
   }
 
+  test("asofJoin forward: earliest at-or-after right row, min tie at equal ts") {
+    val left = Seq(
+      (1L, 1L, ts(10)),  // right rows at 12 (ids 2,3) → earliest ts, MIN tie → 2
+      (2L, 1L, ts(12)),  // inclusive: equal ts matches
+      (3L, 1L, ts(21))   // nothing at-or-after → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(5), 1L, 0.5),
+      (1L, ts(12), 3L, 1.5),
+      (1L, ts(12), 2L, 2.5),
+      (1L, ts(20), 4L, 3.5)
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"), direction = "forward")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("p_event_id"))) -1L
+         else r.getAs[Long]("p_event_id"))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> -1L))
+  }
+
+  test("asofJoin tolerance: matches farther than the gap bound null out") {
+    val left = Seq((1L, 1L, ts(10)), (2L, 2L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(8), 100L, 1.0), // gap 2 min <= 3 → kept
+      (2L, ts(4), 200L, 2.0)  // gap 6 min > 3 → nulled
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"),
+      toleranceMicros = 3L * 60 * 1000000)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("p_event_id"))) -1L
+         else r.getAs[Long]("p_event_id"))).toMap
+    assert(out == Map(1L -> 100L, 2L -> -1L))
+  }
+
   test("pointInIntervalJoin matches the brute-force BETWEEN join, overlaps and negatives included") {
     val points = (-40 until 200).map(i => (i.toLong, i * 1.7 - 30.0))
       .toDF("point_id", "v")
@@ -182,6 +219,27 @@ class ApproxDistinctSpec extends SparkSpec {
       // HLL++ at rsd=0.02: allow 3 sigma
       assert(err <= 0.06, f"group $g: exact=$e approx=$a err=$err%.3f")
     }
+  }
+}
+
+class ApproxPercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_percentile tracks the exact percentile within its rank-error bound") {
+    // d23 documents approx_percentile as the 100 TB swap for the exact
+    // percentile — pin that claim: at accuracy A the sketch's rank error is
+    // n/A, so on 50k uniform values the p50/p90 estimates must land within
+    // ~5 ranks (0.1% of the value range)
+    val rows = (1L to 50000L).map(i => i.toDouble).toDF("v")
+    val got = rows.agg(
+      expr("percentile(v, 0.5)").as("exact50"),
+      expr("approx_percentile(v, 0.5, 10000)").as("approx50"),
+      expr("percentile(v, 0.9)").as("exact90"),
+      expr("approx_percentile(v, 0.9, 10000)").as("approx90")).head()
+    val (e50, a50) = (got.getDouble(0), got.getDouble(1))
+    val (e90, a90) = (got.getDouble(2), got.getDouble(3))
+    assert(math.abs(a50 - e50) / e50 < 0.001, s"p50 exact=$e50 approx=$a50")
+    assert(math.abs(a90 - e90) / e90 < 0.001, s"p90 exact=$e90 approx=$a90")
   }
 }
 

@@ -928,13 +928,19 @@ object OperatorQueries {
     // md5 global shuffle (x34). The oracle replays ALL four stages in one
     // SQL statement — chunk indexing, prefix-sum sharding, the list_reduce
     // greedy fold, and the row_number shuffle order. chunk_id packs
-    // (doc_id, chunk_idx) into one long (1024 chunks/doc cap, asserted by
-    // ChunkingSpec's invalid-parameter guard at real context sizes).
+    // (doc_id, chunk_idx) into one long with a 2^20 chunks/doc base — a doc
+    // would need ~50M tokens to overflow it, and the guard below raises
+    // rather than silently colliding ids (the null branch coerces, the
+    // error fires per offending row).
     "x37_serving_pipeline" -> sql(
       (s, dir) => {
+        val base = 1048576L // 2^20
         val chunks = Chunking.chunkByTokens(Tables.documents(s, dir),
           "text", "doc_id", maxTokens = 64, overlap = 16)
-          .withColumn("chunk_id", col("doc_id") * 1024L + col("chunk_idx"))
+          .withColumn("chunk_id",
+            when(col("chunk_idx") < base, col("doc_id") * base + col("chunk_idx"))
+              .otherwise(raise_error(
+                lit("x37: document exceeds 2^20 chunks; raise the packing base"))))
         // packed feeds BOTH the bin-order pass and the final join — cache it
         // so the groupByKey pack shuffle runs once (released below with the
         // shard layouts)
@@ -949,8 +955,9 @@ object OperatorQueries {
           .select("shard", "bin", "bin_pos")
         val out = packed.join(order, Seq("shard", "bin"))
           .select(
-            (col("chunk_id") / 1024L).cast("long").as("doc_id"),
-            (col("chunk_id") % 1024L).as("chunk_idx"),
+            // integral div: fp division would lose precision past 2^53
+            expr(s"chunk_id div $base").as("doc_id"),
+            (col("chunk_id") % base).as("chunk_idx"),
             col("n_tokens"), col("shard"), col("bin"), col("bin_pos"))
           .orderBy("doc_id", "chunk_idx")
         val materialized = out.cache()
@@ -967,7 +974,7 @@ object OperatorQueries {
         |    unnest(generate_series(0, greatest(0, (len(toks) - 64 + 47) // 48))) AS i
         |  FROM t WHERE len(toks) > 0),
         |chunks AS (
-        |  SELECT doc_id * 1024 + i AS chunk_id,
+        |  SELECT doc_id * 1048576 + i AS chunk_id,
         |    CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
         |  FROM k),
         |sharded AS (
@@ -996,7 +1003,7 @@ object OperatorQueries {
         |  SELECT shard, bin,
         |    row_number() OVER (ORDER BY md5('v1:' || CAST(bin_key AS VARCHAR)), bin_key) - 1 AS bin_pos
         |  FROM bk)
-        |SELECT chunk_id // 1024 AS doc_id, chunk_id % 1024 AS chunk_idx,
+        |SELECT chunk_id // 1048576 AS doc_id, chunk_id % 1048576 AS chunk_idx,
         |  n_tokens, f.shard, f.bin, o.bin_pos
         |FROM flat f JOIN ordered o ON f.shard = o.shard AND f.bin = o.bin
         |ORDER BY doc_id, chunk_idx""".stripMargin),

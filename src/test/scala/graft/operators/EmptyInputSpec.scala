@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate-input contracts: every core operator must return an EMPTY
+  * result with the right schema on an empty input — never throw, never
+  * hang. At 100 TB empty slices are routine (a partition filter that
+  * matches nothing, a source with no new data this run), and an operator
+  * that NPEs or blows up on them takes the whole job down. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noEvents: DataFrame =
+    Seq.empty[(Long, Long, Timestamp)].toDF("user_id", "event_id", "ts")
+  private lazy val noTokens: DataFrame =
+    Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+
+  test("dedup family: empty corpus → empty groups/pairs/clusters") {
+    assert(Dedup.exact(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.dropExactDuplicates(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.minhashNearDuplicates(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.simhashNearDuplicates(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.ngramJaccardPairs(noDocs, "text", "doc_id").isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(noPairs)
+    assert(clusters.isEmpty && clusters.columns.toSeq == Seq("id", "cluster"))
+    Dedup.releaseCaches()
+  }
+
+  test("text/vocab family: empty corpus → empty stats") {
+    assert(Vocabulary.termStats(noDocs, "text", "doc_id").isEmpty)
+    assert(Vocabulary.tfIdfTopTerms(noDocs, "text", "doc_id", k = 3).isEmpty)
+    assert(LineDedup.dropCommonLines(noDocs, "text", "doc_id").isEmpty)
+    assert(Chunking.chunkByTokens(noDocs, "text", "doc_id", 64, 16).isEmpty)
+  }
+
+  test("temporal family: empty events → empty sessions/joins") {
+    assert(Sessionize.sessionize(noEvents, "user_id", "ts", "event_id",
+      gapMicros = 60000000L).isEmpty)
+    assert(Sessionize.sessionSummary(noEvents, "user_id", "ts", "event_id",
+      gapMicros = 60000000L).isEmpty)
+    val left = Seq.empty[(Long, Long, Timestamp)].toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Timestamp, Long, Double)]
+      .toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val asof = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"))
+    assert(asof.isEmpty &&
+      asof.columns.toSeq == Seq("event_id", "user_id", "ts", "p_event_id", "p_value"))
+    // empty on ONE side only: every left row survives with null values
+    val someLeft = Seq((1L, 1L, new Timestamp(0L))).toDF("event_id", "user_id", "ts")
+    val oneSided = TemporalJoins.asofJoin(someLeft, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value")).collect()
+    assert(oneSided.length == 1 && oneSided(0).isNullAt(3))
+    val intervals = Seq.empty[(String, Double, Double)].toDF("name", "lo", "hi")
+    assert(TemporalJoins.pointInIntervalJoin(
+      Seq((1L, 2.0)).toDF("point_id", "v"), intervals, "v", "lo", "hi", 10.0).isEmpty)
+  }
+
+  test("sharding/sampling/packing family: empty corpus → empty layouts") {
+    assert(Sharding.assignShards(noTokens, "doc_id", "n_tokens", budget = 100L).isEmpty)
+    assert(Sharding.shufflePositions(noTokens.select("doc_id"), "doc_id", "s").isEmpty)
+    assert(SequencePacking.packGreedy(noTokens, "doc_id", "n_tokens",
+      contextLen = 100L).isEmpty)
+    Sharding.releaseShardCaches()
+    val noCats = Seq.empty[(Long, String)].toDF("doc_id", "cat")
+    assert(MixtureSampling.sampleByRates(noCats, "cat", "doc_id",
+      rates = Map("x" -> 0.5)).isEmpty)
+    assert(MixtureSampling.stratifiedExactK(noCats, "cat", "doc_id", k = 5).isEmpty)
+    assert(MixtureSampling.capTokensPerKey(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tokens"),
+      "source", "doc_id", "n_tokens", budget = 100L).isEmpty)
+    // temperatureRates / budgetCappedQuotas reduce over zero categories
+    assert(MixtureSampling.temperatureRates(noCats, "cat", temperature = 2.0).isEmpty)
+  }
+
+  test("similarity family: empty embeddings → empty top-k/pairs") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQueries = Seq.empty[(Long, Array[Float])].toDF("qid", "qvec")
+    assert(Similarity.bruteForceTopK(noVecs, noQueries,
+      "vec_id", "embedding", "qid", "qvec", k = 5).isEmpty)
+    assert(Similarity.cosineNearDuplicates(noVecs, "vec_id", "embedding",
+      threshold = 0.5, nBits = 8, dim = 4, probeHamming = 1, nTables = 2).isEmpty)
+    Dedup.releaseCaches()
+  }
+}

@@ -320,4 +320,28 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Symmetric int8 quantization of an embedding column, flattened to one
+    * row per (id, dimension): scale = max|x|/127 per vector, q = round(x /
+    * scale) via floor(v + 0.5) — every step an exactly-specified IEEE op
+    * (float→double widening, one division, one add, floor), so any engine
+    * replays the codes bit-for-bit; no library rounding-mode ambiguity.
+    * Per-dim reconstruction error is bounded by scale/2 (QuantizeSpec pins
+    * it). The 4x size cut is the standard serving/storage step before
+    * ANN-index build; zero vectors quantize to all-zero codes.
+    *
+    * Shape: posexplode + a max() window keyed by the vector id — the
+    * explode rides the scan and the window reuses one keyed exchange; no
+    * interpreted higher-order functions in the path. Output: (id, i, q,
+    * scale) with `scale` rounded to 6 decimals for stable comparison. */
+  def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))
+    val w = Window.partitionBy("id")
+    ex.withColumn("__scale", max(abs(col("x").cast("double"))).over(w) / 127.0)
+      .withColumn("q",
+        when(col("__scale") === 0.0, lit(0))
+          .otherwise(floor(col("x").cast("double") / col("__scale") + 0.5).cast("int")))
+      .select(col("id"), col("i"), col("q"), round(col("__scale"), 6).as("scale"))
+  }
 }

@@ -1047,6 +1047,26 @@ object OperatorQueries {
         |SELECT doc_id, q FROM scored, lo, hi
         |WHERE q >= lo AND q <= hi ORDER BY doc_id""".stripMargin),
 
+    // Int8 embedding quantization, one row per (vector, dimension): the
+    // oracle replays max-abs scaling and the floor(v + 0.5) rounding —
+    // all exactly-specified IEEE double ops, so the codes hash-match
+    // bit-for-bit across engines.
+    "x39_quantize_int8" -> sql(
+      (s, dir) =>
+        Similarity.quantizeInt8Rows(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id", "i"),
+      """WITH ex AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale,
+        |    unnest(generate_series(1, len(embedding))) AS j
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(j - 1 AS INT) AS i,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |       ELSE floor(CAST(embedding[j] AS DOUBLE) / scale + 0.5) END AS INT) AS q,
+        |  round(scale, 6) AS scale
+        |FROM ex ORDER BY vec_id, i""".stripMargin),
+
     // HLL-sketch distinct counting (SURVEY §2-D's "free in Spark" list):
     // approx_count_distinct = HyperLogLog++, a mergeable sketch whose
     // partial aggregation makes distinct-counting one map-side-combining

@@ -199,6 +199,33 @@ class VocabularySpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 codes: range-bounded, reconstruction within scale/2, zero vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 127.0f)),
+      (2L, Array(-3.5f, 3.5f, 0.0f, 1.75f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8Rows(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+
+    assert(rows.length == 12)
+    rows.foreach { case (_, _, q, _) => assert(q >= -127 && q <= 127, q) }
+    // max-magnitude dim always hits ±127; zero vector → all-zero codes
+    assert(rows.filter(_._1 == 1L).map(_._3).max == 127)
+    assert(rows.filter(_._1 == 3L).forall(r => r._3 == 0 && r._4 == 0.0))
+    // reconstruction: |x - q*scale| <= scale/2 (+ the 1e-6 scale rounding)
+    val orig = Map(1L -> Array(0.5, -1.0, 0.25, 127.0),
+      2L -> Array(-3.5, 3.5, 0.0, 1.75))
+    rows.filter(_._1 != 3L).foreach { case (id, i, q, scale) =>
+      val err = math.abs(orig(id)(i) - q * scale)
+      assert(err <= scale / 2 + 1e-4, s"vec $id dim $i err $err scale $scale")
+    }
+  }
+}
+
 class ApproxDistinctSpec extends SparkSpec {
   import spark.implicits._
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -1081,6 +1081,15 @@ object OperatorQueries {
           .agg(
             approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
             approx_count_distinct(col("value"), rsd = 0.02).as("approx_values"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // BPE merge learning (tokenizer training): 10 merges over the corpus.
+    // Rows-only: the iterative argmax driver loop has no single-statement
+    // SQL form — determinism is pinned by BpeTrainerSpec's driver-side
+    // reference cross-check (identical merge sequence, layout-independent).
+    "x40_bpe_merges" -> rowsOnly(
+      (s, dir) =>
+        BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 10)
+          .orderBy("rank"))
   )
 }

@@ -18,9 +18,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // simhash (x08) IS replayable via the HUGEINT FNV/fmix64 oracle. The
     // three ANN paths have recall<1 by design (accuracy pinned by
     // RecallSpec); x36's HLL++ sketch differs from DuckDB's HLL
-    // implementation (error envelope pinned by ApproxDistinctSpec).
+    // implementation (error envelope pinned by ApproxDistinctSpec); x40's
+    // iterative argmax loop has no single-statement SQL form (merge
+    // sequence pinned by BpeTrainerSpec's reference cross-check).
     assert(rowsOnly == Set("x14_cosine_lsh_topk",
-      "x15_embedding_neardup", "x16_cosine_ivf_topk", "x36_approx_distinct"),
+      "x15_embedding_neardup", "x16_cosine_ivf_topk", "x36_approx_distinct",
+      "x40_bpe_merges"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: the same algorithm on a word-count map. */
+  private def referenceMerges(
+      counts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] =
+      counts.map { case (w, c) => w.map(_.toString).toSeq -> c }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+        }
+      }
+      if (pairCounts.nonEmpty) {
+        val (a, b) = pairCounts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    merges.toSeq
+  }
+
+  private val sennrich = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+  private def corpusDf(parts: Int) = {
+    val words = sennrich.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    // spread words across rows so the vocabulary aggregation actually reduces
+    words.grouped(3).map(_.mkString(" ")).toSeq.toDF("text").repartition(parts)
+  }
+
+  test("learns the classic Sennrich merge sequence, equal to the reference") {
+    val merges = BpeTrainer.learnMerges(corpusDf(4), "text", numMerges = 6)
+    val expected = referenceMerges(sennrich, 6)
+    assert(merges == expected, s"got $merges expected $expected")
+    // the canonical first merges: ('e','s') then ('es','t') — 9 weighted
+    // occurrences each from newest+widest
+    assert(merges.take(2) == Seq(("e", "s") -> (), ("es", "t") -> ()).map(_._1))
+  }
+
+  test("merge table is deterministic across partition layouts and early-stops") {
+    val a = BpeTrainer.learnMerges(corpusDf(1), "text", numMerges = 4)
+    val b = BpeTrainer.learnMerges(corpusDf(7), "text", numMerges = 4)
+    assert(a == b)
+    // distributed loop (cutover disabled) produces the identical sequence
+    val dist = BpeTrainer.learnMerges(corpusDf(3), "text", numMerges = 4,
+      localVocabThreshold = 0)
+    assert(dist == a, s"distributed $dist != local $a")
+    // a single 2-char word exhausts after one merge
+    val tiny = Seq("ab ab").toDF("text")
+    val m = BpeTrainer.learnMerges(tiny, "text", numMerges = 10)
+    assert(m == Seq(("a", "b")))
+  }
+}

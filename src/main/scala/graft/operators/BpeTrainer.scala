@@ -143,6 +143,53 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Serving side: tokenize text with a learned merge table. Merges apply
+    * in RANK order within each word (the canonical BPE encode: repeatedly
+    * merge the lowest-rank adjacent pair), exactly inverse to training.
+    * The merge table broadcasts inside the closure (it is tokenizer-sized,
+    * KBs to low MBs); encoding is a narrow map over the corpus — no
+    * shuffle, scales linearly. Output: input columns + `tokens`
+    * (array<string>) + `n_bpe_tokens`. */
+  def encode(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+
+    val encodeWord = (w: String) => {
+      val r = bRanks.value
+      var syms = w.map(_.toString).toVector
+      var done = syms.length < 2
+      while (!done) {
+        var bestIdx = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i + 1 < syms.length) {
+          val rk = r.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (rk < bestRank) { bestRank = rk; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+            syms.drop(bestIdx + 2)
+          if (syms.length < 2) done = true
+        }
+      }
+      syms
+    }
+    val encodeText = udf { (text: String) =>
+      Option(text).map(_.toLowerCase.trim.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(encodeWord)).getOrElse(Seq.empty)
+    }
+    docs
+      .withColumn("tokens", encodeText(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** The learned merges as a DataFrame (rank, left, right) — the
     * query-surface form of learnMerges. */
   def mergeTable(

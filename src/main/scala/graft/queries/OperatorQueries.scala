@@ -1090,6 +1090,19 @@ object OperatorQueries {
     "x40_bpe_merges" -> rowsOnly(
       (s, dir) =>
         BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 10)
-          .orderBy("rank"))
+          .orderBy("rank")),
+
+    // BPE serving side: tokenize the corpus with the merges just learned
+    // from it (train → encode round trip, one narrow map — the merge table
+    // broadcasts). Rows-only for the same reason as x40; the segmentation
+    // itself is pinned by BpeTrainerSpec's reference encoder.
+    "x41_bpe_tokenize" -> rowsOnly(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 10)
+        BpeTrainer.encode(docs, "text", merges)
+          .select("doc_id", "n_bpe_tokens")
+          .orderBy("doc_id")
+      })
   )
 }

@@ -53,6 +53,38 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merges.take(2) == Seq(("e", "s") -> (), ("es", "t") -> ()).map(_._1))
   }
 
+  test("encode: learned merges re-segment the training words canonically") {
+    val merges = BpeTrainer.learnMerges(corpusDf(4), "text", numMerges = 6)
+    val out = BpeTrainer.encode(
+      Seq((1L, "newest lowest"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("id", "text"),
+      "text", merges)
+      .collect().map(r =>
+        r.getAs[Long]("id") ->
+          r.getSeq[String](r.fieldIndex("tokens")).toList).toMap
+
+    // reference greedy encode with the same ranks
+    val ranks = merges.zipWithIndex.toMap
+    def ref(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go && syms.length >= 2) {
+        val cands = syms.zip(syms.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.min
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    assert(out(1L) == ref("newest") ++ ref("lowest"), out(1L).toString)
+    // 'newest' was IN training: it must compress well (est/ne/we merges)
+    assert(ref("newest").length <= 3, ref("newest").toString)
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("merge table is deterministic across partition layouts and early-stops") {
     val a = BpeTrainer.learnMerges(corpusDf(1), "text", numMerges = 4)
     val b = BpeTrainer.learnMerges(corpusDf(7), "text", numMerges = 4)

@@ -51,6 +51,22 @@ object Bench {
         .where(col("rn") <= 3).orderBy("n_name")
         .groupBy("r_name").agg(count(lit(1)))
         .collect()
+      // object-codepath machinery: typed groupByKey/flatMapGroups (the
+      // packing/BPE queries), range repartition + per-partition window (the
+      // prefix-sum queries), explode/generate — all JIT their own operator
+      // loops that otherwise bill to the first query using them
+      locally {
+        import spark.implicits._
+        val tiny = (1L to 256L).map(i => (i % 7, i)).toDF("k", "v")
+        tiny.repartitionByRange(4, col("v"))
+          .withColumn("p", spark_partition_id())
+          .withColumn("rn", row_number().over(Window.partitionBy("p").orderBy("v")))
+          .select(col("k"), col("v"), posexplode(array(col("rn"), col("rn"))))
+          .as[(Long, Long, Int, Int)]
+          .groupByKey(_._1)
+          .flatMapGroups((k, it) => it.map(r => (k, r._2)))
+          .collect()
+      }
     }
     // SPARK_GRAFT_ONLY=x16,x17 — optional comma-separated prefix filter for
     // iterating on single queries; the driver never sets it (full run)

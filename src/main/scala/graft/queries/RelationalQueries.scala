@@ -602,6 +602,27 @@ object RelationalQueries {
         |SELECT o_custkey, 'both_halves' AS segment FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'h1_only' AS segment FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
-        |ORDER BY segment, o_custkey""".stripMargin)
+        |ORDER BY segment, o_custkey""".stripMargin),
+
+    // Beyond-reference: second-moment aggregates — correlation, sample
+    // covariance and stddev between price and quantity per return flag.
+    // Both engines use the same textbook definitions; 4-decimal rounding
+    // absorbs summation-order ulps (values are O(1)-scaled ratios).
+    "d27_corr_covar" -> sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("price_qty_corr"),
+            round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("price_qty_cov"),
+            round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov,
+        |  round(stddev_samp(l_quantity), 4) AS qty_sd,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

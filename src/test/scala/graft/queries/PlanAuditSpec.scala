@@ -171,6 +171,16 @@ class PlanAuditSpec extends SparkSpec {
       s"tf-idf must run one explode pass over text, saw ${generates.size}")
   }
 
+  test("x39: quantization is explode + ONE keyed exchange, no interpreted HOFs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x39_quantize_int8"))
+    assert(!nodes.exists(_.toString.contains("ArrayTransform")),
+      "per-dim math must ride posexplode, not interpreted transform()")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // one exchange for the max() window keyed by vec_id + the output sort
+    assert(shuffles.size <= 2, s"quantize must not re-shuffle, saw ${shuffles.size}")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

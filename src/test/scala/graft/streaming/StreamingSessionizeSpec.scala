@@ -46,6 +46,44 @@ class StreamingSessionizeSpec extends SparkSpec {
       ClosedSession(2L, ts(35).getTime, ts(35).getTime, 1L)), all.mkString(","))
   }
 
+  test("streaming sessions equal batch sessionSummary on the same event set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random event set across 5 users, delivered in
+    // three in-order micro-batches, then a far-future flush tick
+    val all = (1L to 120L).map { i =>
+      StreamingSessionize.Event(i % 5, i, ts(((i * 37) % 240).toInt))
+    }.sortBy(e => e.ts.getTime)
+    val input = MemoryStream[StreamingSessionize.Event]
+    val sessions = StreamingSessionize.sessions(
+      input.toDS().withWatermark("ts", "10 minutes")
+        .as[StreamingSessionize.Event], gapMs = 15 * 60000L)
+    val query = sessions.writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append()).start()
+    all.grouped(40).foreach { batch =>
+      input.addData(batch: _*); query.processAllAvailable()
+    }
+    input.addData(StreamingSessionize.Event(99L, 999L, ts(2000)))
+    query.processAllAvailable()
+    input.addData(StreamingSessionize.Event(99L, 1000L, ts(2001)))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("sessions_parity")
+      .as[StreamingSessionize.ClosedSession].collect()
+      .filter(_.userId != 99L)
+      .map(s => (s.userId, s.startMs, s.endMs, s.nEvents)).toSet
+
+    val batch = graft.operators.Sessionize.sessionSummary(
+      all.map(e => (e.userId, e.eventId, e.ts)).toDF("user_id", "event_id", "ts"),
+      "user_id", "ts", "event_id", gapMicros = 15L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3) / 1000, r.getLong(4) / 1000, r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      s"streaming-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("out-of-order rows within a micro-batch sessionize in event order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -157,16 +157,15 @@ object Similarity {
     * ~6 scheduling-bound jobs (~3.5 s for 2,000 rows) where local Lloyd on
     * the sample is microseconds. Deterministic via the seed (seeded init
     * over the id-ordered sample). fitSampleRows <= 0 → auto. */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
+  /** Shared IVF front half: fit the coarse quantizer on a bounded
+    * deterministic sample, assign every corpus row its nearest cell in one
+    * codegen'd pass. Returns (corpus + `cell`, centroid matrix). */
+  private def fitAndAssign(
+      corpus: DataFrame,
       idCol: String, vecCol: String,
-      qidCol: String, qvecCol: String,
-      k: Int = 10,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
-      seed: Long = 42L,
-      fitSampleRows: Int = 0): DataFrame = {
-
+      nCentroids: Int,
+      seed: Long,
+      fitSampleRows: Int): (DataFrame, Array[Array[Double]]) = {
     val targetRows = if (fitSampleRows > 0) fitSampleRows.toLong
       else math.max(256L * nCentroids, 8192L)
     val total = corpus.count()
@@ -189,12 +188,27 @@ object Similarity {
 
     // cell assignment: ONE codegen'd pass over the full corpus (native
     // argmin-L2 kernel), no VectorUDT boxing, no cache
-    val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroidLit = typedlit(centroidMatrix.map(_.toSeq).toSeq)
     val assigned = corpus.withColumn("cell",
       call_function("graft_nearest_centroid", col(vecCol), centroidLit))
+    (assigned, centroidMatrix)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      fitSampleRows: Int = 0): DataFrame = {
+
+    val (assigned, centroidMatrix) =
+      fitAndAssign(corpus, idCol, vecCol, nCentroids, seed, fitSampleRows)
+    val spark = corpus.sparkSession
+    import spark.implicits._
 
     // tiny centroid table → broadcast; probe = nProbe closest cells per query
     val centroidDf = centroidMatrix.zipWithIndex.toSeq
@@ -319,6 +333,40 @@ object Similarity {
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Semantic deduplication (the SemDeDup recipe, public: Abbas et al.
+    * 2023): cluster the corpus with the IVF coarse quantizer, score exact
+    * cosine only WITHIN each cell, collapse the resulting near-dup pair
+    * graph to connected components. Returns (id, cluster) for every vector
+    * in some duplicate group — join back and keep `id == cluster` (the min
+    * id) to deduplicate.
+    *
+    * Scale shape: cell blocking turns the all-pairs O(n²) into
+    * Σ cell² — with n/nCentroids-sized cells that is n²/nCentroids, and
+    * nCentroids grows with the corpus (the fit cost is sample-bounded, so
+    * raising it is cheap). One exchange per join side keyed by cell; the
+    * component collapse reuses duplicateClusters' adaptive machinery.
+    * Known recall caveat, inherent to SemDeDup: pairs straddling a cell
+    * boundary are not compared — mitigate with more/looser cells or a
+    * second pass with a rotated seed. */
+  def semanticDupClusters(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.9,
+      nCentroids: Int = 16,
+      seed: Long = 42L,
+      fitSampleRows: Int = 0): DataFrame = {
+    val (assigned, _) =
+      fitAndAssign(df, idCol, vecCol, nCentroids, seed, fitSampleRows)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b")
+    Dedup.duplicateClusters(pairs)
   }
 
   /** Symmetric int8 quantization of an embedding column, flattened to one

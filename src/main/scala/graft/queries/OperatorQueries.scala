@@ -1092,6 +1092,16 @@ object OperatorQueries {
         BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 10)
           .orderBy("rank")),
 
+    // Semantic dedup (SemDeDup): IVF-cell blocking → within-cell exact
+    // cosine → connected-component collapse. Rows-only: the sampled-Lloyd
+    // centroids have no SQL replay; the recipe's correctness is pinned by
+    // SemanticDedupSpec's brute-force ground-truth comparison.
+    "x42_semantic_dedup" -> rowsOnly(
+      (s, dir) =>
+        Similarity.semanticDupClusters(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.5, nCentroids = 16)
+          .orderBy("id")),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

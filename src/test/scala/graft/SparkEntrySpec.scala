@@ -23,7 +23,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // sequence pinned by BpeTrainerSpec's reference cross-check).
     assert(rowsOnly == Set("x14_cosine_lsh_topk",
       "x15_embedding_neardup", "x16_cosine_ivf_topk", "x36_approx_distinct",
-      "x40_bpe_merges", "x41_bpe_tokenize"),
+      "x40_bpe_merges", "x41_bpe_tokenize", "x42_semantic_dedup"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

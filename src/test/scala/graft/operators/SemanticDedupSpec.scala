@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three duplicate groups (identical vectors — cos 1.0, and identical
+    * points can never straddle a Voronoi boundary, so the recall caveat of
+    * cell blocking cannot bite regardless of where Lloyd puts centroids) +
+    * mutually-orthogonal noise. */
+  private def fixture = {
+    val a = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val c = Array(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f)
+    val rows =
+      (1L to 5L).map(i => (i, a)) ++
+      (11L to 15L).map(i => (i, b)) ++
+      (21L to 23L).map(i => (i, c)) ++
+      Seq(
+        (31L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+        (32L, Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)),
+        (33L, Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cell-blocked semantic dedup equals the brute-force ground truth") {
+    val df = fixture
+    def clusters(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getLong(0) -> r.getLong(1)).toSet
+
+    val got = clusters(Similarity.semanticDupClusters(df, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 8).collect())
+    Dedup.releaseCaches()
+
+    // ground truth: exact all-pairs → same component collapse
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truthPairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("sim") >= 0.9)
+      .select("id_a", "id_b")
+    val expected = clusters(Dedup.duplicateClusters(truthPairs).collect())
+    Dedup.releaseCaches()
+
+    assert(got == expected, s"got $got expected $expected")
+    // sanity on the fixture itself: three groups, min-id representatives,
+    // noise absent
+    val byCluster = expected.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byCluster.keySet == Set(1L, 11L, 21L))
+    assert(byCluster(1L) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(!expected.exists(p => p._1 >= 31L))
+  }
+
+  test("orthogonal-only corpus: nothing clears the threshold, result empty") {
+    val noise = (1L to 8L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i - 1).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDupClusters(noise, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 4)
+    assert(out.isEmpty)
+    Dedup.releaseCaches()
+  }
+}

@@ -56,6 +56,9 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"asofJoin value columns ${valueCols.mkString(",")} collide with left columns")
+    val reserved = Seq("__ts", "__tag", "__tie", "__mts")
+    require(!(leftCols ++ valueCols).exists(reserved.contains),
+      s"asofJoin reserves column names ${reserved.mkString(",")}")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(toleranceMicros > 0, "toleranceMicros must be positive")
@@ -75,8 +78,14 @@ object TemporalJoins {
           (valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
             lit(null).cast("long").as("__mts")): _*)
     // the key keeps its real value on BOTH sides (same column name required);
-    // every other left column nulls out on right rows and vice versa
+    // every other left column nulls out on right rows and vice versa.
+    // Null-key right rows are DROPPED: under SQL join semantics a null key
+    // matches nothing, but the window partition would group them with
+    // null-key LEFT rows and hand those rows a bogus match — the filter
+    // restores join semantics (null-key left rows pass through with null
+    // value columns).
     val taggedRight = right
+      .where(col(keyCol).isNotNull)
       .withColumn("__ts", unix_micros(col(rightTsCol)) * sign)
       .withColumn("__tag", lit(0))
       .withColumn("__tie", col(rightTieCol).cast("long") * sign)

@@ -124,6 +124,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> -1L))
   }
 
+  test("asofJoin: null keys never match (SQL join semantics)") {
+    val left = Seq(
+      (1L, Option.empty[Long], ts(10)), // null-key left row → null match
+      (2L, Some(1L), ts(10))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option.empty[Long], ts(5), 100L, 1.0), // null-key right row → dropped
+      (Some(1L), ts(5), 200L, 2.0)
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("p_event_id"))) -1L
+         else r.getAs[Long]("p_event_id"))).toMap
+    assert(out == Map(1L -> -1L, 2L -> 200L), out.toString)
+  }
+
   test("asofJoin tolerance: matches farther than the gap bound null out") {
     val left = Seq((1L, 1L, ts(10)), (2L, 2L, ts(10))).toDF("event_id", "user_id", "ts")
     val right = Seq(

@@ -55,6 +55,29 @@ class TemporalPropertySpec extends SparkSpec {
     })
   }
 
+  test("termStats/tfIdf match driver-side reference counts on random corpora") {
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, Gen.listOf(
+        Gen.oneOf("the", "Fox", "jumps", "OVER", "dog", "a", "")).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    check(Prop.forAll(genCorpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Vocabulary.termStats(df, "text", "doc_id")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val tokenized = docs.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+      val tf = tokenized.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      val dfreq = tokenized.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong)
+      val expected = tf.keys.map(t => t -> (tf(t), dfreq(t))).toMap
+      got == expected
+    }, n = 15)
+  }
+
   test("asofJoin matches a per-row reference scan for random join sets") {
     val genPair = for {
       l <- genEvents

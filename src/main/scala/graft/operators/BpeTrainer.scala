@@ -105,6 +105,20 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** UTF-8 binary string ordering — matches Spark's UTF8String comparison
+    * (`asc("_1")` in the distributed loop), so both merge loops break ties
+    * identically even for symbols in/above the surrogate range where Java's
+    * UTF-16 code-unit ordering disagrees with UTF-8 byte order. */
+  private val utf8Ordering: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var d = 0
+    val n = math.min(a.length, b.length)
+    while (d == 0 && i < n) { d = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (d != 0) d else a.length - b.length
+  }
+
   /** Driver-side merge loop for vocabularies under the cutover bound —
     * the same algorithm, zero per-round Spark jobs. */
   private def localMerges(
@@ -126,7 +140,8 @@ object BpeTrainer {
       if (pairCounts.isEmpty) exhausted = true
       else {
         val (a, b) = pairCounts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }._1
+          .minBy { case ((a, b), c) => (-c, a, b) }(
+            Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))._1
         merges += ((a, b))
         vocab = vocab.map { case (syms, c) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

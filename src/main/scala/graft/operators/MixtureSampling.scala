@@ -93,6 +93,8 @@ object MixtureSampling {
       tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(!df.columns.contains("__before"),
+      "capTokensPerKey reserves the column name __before")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -34,6 +34,8 @@ object Sessionize {
       tieCol: String,
       gapMicros: Long): DataFrame = {
     require(gapMicros > 0, "session gap must be positive")
+    require(!df.columns.contains("session_idx"),
+      "sessionize reserves the output column name session_idx")
     val order = Seq(unix_micros(col(tsCol)), col(tieCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val us = unix_micros(col(tsCol))

@@ -51,6 +51,9 @@ object Sharding {
       budget: Long,
       numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "shard token budget must be positive")
+    val reservedShard = Seq("__pid", "__before", "shard")
+    require(!docs.columns.exists(reservedShard.contains),
+      s"assignShards reserves column names ${reservedShard.mkString(",")}")
     val spark = docs.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -101,6 +104,9 @@ object Sharding {
       idCol: String,
       seed: String,
       numPartitions: Int = 0): DataFrame = {
+    val reservedPos = Seq("__key", "__pid", "pos")
+    require(!docs.columns.exists(reservedPos.contains),
+      s"shufflePositions reserves column names ${reservedPos.mkString(",")}")
     val spark = docs.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions

@@ -56,7 +56,7 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"asofJoin value columns ${valueCols.mkString(",")} collide with left columns")
-    val reserved = Seq("__ts", "__tag", "__tie", "__mts")
+    val reserved = Seq("__ts", "__tag", "__tie", "__mts", "__carry")
     require(!(leftCols ++ valueCols).exists(reserved.contains),
       s"asofJoin reserves column names ${reserved.mkString(",")}")
     require(direction == "backward" || direction == "forward",
@@ -66,6 +66,16 @@ object TemporalJoins {
     // picks the SMALLEST tie among equal timestamps)
     val sign = if (direction == "forward") -1L else 1L
 
+    // The whole right payload rides in ONE struct so a single
+    // last(ignoreNulls) window picks it atomically: per-column carries would
+    // silently backfill a NULL field of the matched row from an OLDER right
+    // row, mixing values across matches.
+    val carryType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField(
+          "__mts", org.apache.spark.sql.types.LongType))
+
     // tag 0 sorts before tag 1 at equal timestamps → a right row AT the left
     // row's timestamp is visible (inclusive as-of); among equal-ts right rows
     // the tie column orders them so last() picks the greatest.
@@ -74,9 +84,8 @@ object TemporalJoins {
       .withColumn("__tag", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
       .select(
-        (leftCols.map(col) :+ col("__ts") :+ col("__tag") :+ col("__tie")) ++
-          (valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-            lit(null).cast("long").as("__mts")): _*)
+        (leftCols.map(col) :+ col("__ts") :+ col("__tag") :+ col("__tie")) :+
+          lit(null).cast(carryType).as("__carry"): _*)
     // the key keeps its real value on BOTH sides (same column name required);
     // every other left column nulls out on right rows and vice versa.
     // Null-key right rows are DROPPED: under SQL join semantics a null key
@@ -93,8 +102,9 @@ object TemporalJoins {
         (leftCols.map(c =>
           if (c == keyCol) col(keyCol)
           else lit(null).cast(left.schema(c).dataType).as(c)) :+
-          col("__ts") :+ col("__tag") :+ col("__tie")) ++
-          (valueCols.map(col) :+ col("__ts").as("__mts")): _*)
+          col("__ts") :+ col("__tag") :+ col("__tie")) :+
+          struct(valueCols.map(col) :+ col("__ts").as("__mts"): _*)
+            .as("__carry"): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__tag"), col("__tie"))
@@ -102,16 +112,15 @@ object TemporalJoins {
 
     val unioned = taggedLeft.unionByName(taggedRight)
 
-    val carried = (valueCols :+ "__mts").foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn(
+      "__carry", last(col("__carry"), ignoreNulls = true).over(w))
     // in mirrored space the gap is ALWAYS __ts - __mts >= 0 for a match
-    val withinTol = col("__mts").isNotNull &&
-      (col("__ts") - col("__mts")) <= toleranceMicros
-    val bounded = valueCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(c, when(withinTol, col(c)))
+    val withinTol = col("__carry").isNotNull &&
+      (col("__ts") - col("__carry").getField("__mts")) <= toleranceMicros
+    val unpacked = valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, when(withinTol, col("__carry").getField(c)))
     }
-    bounded.where(col("__tag") === 1).drop("__ts", "__tag", "__tie", "__mts")
+    unpacked.where(col("__tag") === 1).drop("__ts", "__tag", "__tie", "__carry")
   }
 
   /** Point-in-interval join: rows of `points` matched to every row of

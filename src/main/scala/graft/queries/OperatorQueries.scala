@@ -931,16 +931,21 @@ object OperatorQueries {
     // (doc_id, chunk_idx) into one long with a 2^20 chunks/doc base — a doc
     // would need ~50M tokens to overflow it, and the guard below raises
     // rather than silently colliding ids (the null branch coerces, the
-    // error fires per offending row).
+    // error fires per offending row). Both halves of the packing are
+    // guarded: chunk_idx must fit the base AND doc_id * base must fit a
+    // Long (doc_id beyond ~2^43 would otherwise wrap silently).
     "x37_serving_pipeline" -> sql(
       (s, dir) => {
         val base = 1048576L // 2^20
+        val maxDocId = Long.MaxValue / base
         val chunks = Chunking.chunkByTokens(Tables.documents(s, dir),
           "text", "doc_id", maxTokens = 64, overlap = 16)
           .withColumn("chunk_id",
-            when(col("chunk_idx") < base, col("doc_id") * base + col("chunk_idx"))
-              .otherwise(raise_error(
-                lit("x37: document exceeds 2^20 chunks; raise the packing base"))))
+            when(col("chunk_idx") >= base, raise_error(
+              lit("x37: document exceeds 2^20 chunks; raise the packing base")))
+              .when(col("doc_id") > maxDocId || col("doc_id") < 0, raise_error(
+                lit("x37: doc_id exceeds Long.MaxValue / 2^20; packed chunk_id would overflow")))
+              .otherwise(col("doc_id") * base + col("chunk_idx")))
         // packed feeds BOTH the bin-order pass and the final join — cache it
         // so the groupByKey pack shuffle runs once (released below with the
         // shard layouts)

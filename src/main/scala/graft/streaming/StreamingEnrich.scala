@@ -35,6 +35,15 @@ object StreamingEnrich {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"joinType must be inner|left_outer, got $joinType")
+    // only the meta id is renamed away; any OTHER shared column name (e.g.
+    // both sides calling their event time "ts") would make the join
+    // condition ambiguous at analysis — fail loud instead
+    val shared = meta.columns.toSet.intersect(docs.columns.toSet) - idCol
+    require(shared.isEmpty,
+      s"docs and meta share non-key columns ${shared.mkString(",")}; " +
+        "rename or drop them on one side before joining")
+    require(!docs.columns.contains("__meta_id") && !meta.columns.contains("__meta_id"),
+      "joinWithMetadata reserves the column name __meta_id")
     val d = docs.withWatermark(tsCol, watermark)
     val m = meta
       .withColumnRenamed(idCol, "__meta_id")

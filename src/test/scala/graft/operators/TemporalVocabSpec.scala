@@ -142,6 +142,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> -1L, 2L -> 200L), out.toString)
   }
 
+  test("asofJoin: a NULL value column in the matched row stays NULL (no backfill from older rows)") {
+    val left = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(4), 100L, Some(1.5)),          // older row HAS a value
+      (1L, ts(8), 101L, Option.empty[Double]) // matched row's p_value is NULL
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value")).collect()
+    assert(out.length == 1)
+    // whole value set must come from the matched (ts=8) row: id 101, value NULL
+    assert(out(0).getAs[Long]("p_event_id") == 101L)
+    assert(out(0).isNullAt(out(0).fieldIndex("p_value")),
+      s"p_value backfilled from an older right row: ${out(0)}")
+  }
+
   test("asofJoin tolerance: matches farther than the gap bound null out") {
     val left = Seq((1L, 1L, ts(10)), (2L, 2L, ts(10))).toDF("event_id", "user_id", "ts")
     val right = Seq(

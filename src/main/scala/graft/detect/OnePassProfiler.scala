@@ -21,9 +21,11 @@ import graft.model.ColumnProfile
   *     (capacity trackCapacity ≫ topK) — exact for heavy hitters whose
   *     frequency exceeds n/capacity, which is what a profile's "top values"
   *     means; the same guarantee family the reference's profile relies on;
-  *   - distinct: linear-counting over a fixed 4096-bit hash bitmap (cheap,
-  *     ±few-% at profile scale; swap for HLL via approx_count_distinct when
-  *     exact counts matter).
+  *   - distinct: EXACT while the frequency map has never evicted (it then
+  *     holds every value seen — cardinality ≤ trackCapacity); past that,
+  *     linear-counting over a fixed 4096-bit hash bitmap (cheap, ±few-% at
+  *     profile scale; swap for HLL via approx_count_distinct when exact
+  *     counts matter at high cardinality).
   *
   * At 100 TB this is the profiler to use: one scan, partial buffers merge
   * associatively on the map side, nothing proportional to row count crosses
@@ -40,6 +42,7 @@ object OnePassProfiler {
       var min: Double = Double.PositiveInfinity,
       var max: Double = Double.NegativeInfinity,
       var numeric: Boolean = false,
+      var evicted: Boolean = false,
       tops: mutable.Map[String, Long] = mutable.Map.empty,
       bitmap: Array[Long] = new Array[Long](BitmapBits / 64))
 
@@ -60,6 +63,7 @@ object OnePassProfiler {
         case None if cb.tops.size < trackCapacity => cb.tops(v) = 1L
         case None =>
           // Misra-Gries decrement: shrink all, drop zeros — heavy hitters survive
+          cb.evicted = true
           val dead = mutable.ArrayBuffer.empty[String]
           cb.tops.keysIterator.foreach { k =>
             val n = cb.tops(k) - 1
@@ -108,11 +112,13 @@ object OnePassProfiler {
         x.count += y.count; x.missing += y.missing
         x.sum += y.sum; x.sumSq += y.sumSq
         x.numeric ||= y.numeric
+        x.evicted ||= y.evicted
         if (y.min < x.min) x.min = y.min
         if (y.max > x.max) x.max = y.max
         y.tops.foreach { case (k, n) => x.tops(k) = x.tops.getOrElse(k, 0L) + n }
         if (x.tops.size > trackCapacity) {
           // keep the heaviest trackCapacity entries after a merge
+          x.evicted = true
           val keep = x.tops.toSeq.sortBy { case (k, n) => (-n, k) }.take(trackCapacity)
           x.tops.clear(); keep.foreach { case (k, n) => x.tops(k) = n }
         }
@@ -132,17 +138,22 @@ object OnePassProfiler {
             val m = cb.sum / cb.count
             Some(math.sqrt(math.max(cb.sumSq / cb.count - m * m, 0.0) * cb.count / (cb.count - 1)))
           } else None
-        // linear counting estimate from the bitmap fill factor. A saturated
-        // bitmap (zeros == 0) cannot estimate — report the half-bit-floor
-        // lower bound m·ln(2m), NOT the row count (which can overstate true
-        // cardinality by orders of magnitude); profiles document the
-        // estimator range, so a value pinned at the ceiling reads as
-        // "≥ saturation", never as an exact count.
+        // Distinct count: EXACT while the tracking map never evicted — it
+        // then holds every value seen, so its size IS the cardinality (this
+        // is what makes the profile oracle-checkable on bounded-cardinality
+        // columns). Past eviction, fall back to the linear-counting estimate
+        // from the bitmap fill factor. A saturated bitmap (zeros == 0)
+        // cannot estimate — report the half-bit-floor lower bound m·ln(2m),
+        // NOT the row count (which can overstate true cardinality by orders
+        // of magnitude); profiles document the estimator range, so a value
+        // pinned at the ceiling reads as "≥ saturation", never as an exact
+        // count.
         val zeros = BitmapBits - cb.bitmap.map(java.lang.Long.bitCount).sum
         val saturationFloor =
           math.round(BitmapBits * math.log(2.0 * BitmapBits))
         val distinct =
-          if (zeros == 0) math.min(saturationFloor, cb.count)
+          if (!cb.evicted) cb.tops.size.toLong
+          else if (zeros == 0) math.min(saturationFloor, cb.count)
           else math.min(math.round(BitmapBits * math.log(BitmapBits.toDouble / zeros)), cb.count)
         f.name -> ColumnProfile(
           min = if (cb.numeric && cb.count > 0) Some(cb.min) else None,

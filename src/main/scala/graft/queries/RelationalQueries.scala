@@ -623,6 +623,74 @@ object RelationalQueries {
         |  round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov,
         |  round(stddev_samp(l_quantity), 4) AS qty_sd,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // A5/C6 (analysis/csv.py:153, profile stored whole in tables_index at
+    // :398-408; asserted at tests/test_analysis/test_analysis_csv.py:84-86):
+    // the per-column profile — min/max/avg/std, missing count, distinct
+    // count, top values — is the reference's aggregation workhorse, run on
+    // every ingested file. This entry drives the ONE-SCAN profiler
+    // (OnePassProfiler, the custom Aggregator) over a documents projection
+    // and oracle-checks every stat: the tracking capacity exceeds the
+    // columns' cardinalities, so distinct counts and top-k are EXACT (the
+    // profiler's no-eviction guarantee), with (count DESC, value ASC)
+    // tie-breaks replayed verbatim in SQL. nullif() synthesizes missing
+    // values so nb_missing is exercised. The profile result is
+    // metadata-sized by construction (one row per column), so the
+    // driver-side createDataFrame is the intended shape, not a collect
+    // smell. avg/std round to 6 decimals to absorb summation-order ulps.
+    "d28_column_profile" -> sql(
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.documents(s, dir).select(
+          expr("nullif(lang, 'de')").as("lang_gap"),
+          col("source"),
+          col("n_chars"))
+        val prof = graft.detect.OnePassProfiler.profile(
+          src, topK = 5, trackCapacity = 1 << 16)
+        def r6(x: Double) = math.round(x * 1e6) / 1e6
+        prof.toSeq.sortBy(_._1).map { case (name, p) =>
+          (name, p.nbMissingValues, p.nbDistinct,
+            p.min, p.max, p.mean.map(r6), p.std.map(r6),
+            p.tops.map { case (v, n) => s"$v:$n" }.mkString("|"))
+        }.toDF("col_name", "n_missing", "n_distinct",
+          "min_v", "max_v", "avg_v", "std_v", "top_values")
+      },
+      """WITH src AS (
+        |  SELECT nullif(lang, 'de') AS lang_gap, source, n_chars FROM documents),
+        |stats AS (
+        |  SELECT 'lang_gap' AS col_name,
+        |    count(*) FILTER (WHERE lang_gap IS NULL) AS n_missing,
+        |    count(DISTINCT lang_gap) AS n_distinct,
+        |    NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v,
+        |    NULL::DOUBLE AS avg_v, NULL::DOUBLE AS std_v
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'source', count(*) FILTER (WHERE source IS NULL),
+        |    count(DISTINCT source), NULL, NULL, NULL, NULL FROM src
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*) FILTER (WHERE n_chars IS NULL),
+        |    count(DISTINCT n_chars), min(n_chars)::DOUBLE, max(n_chars)::DOUBLE,
+        |    round(avg(n_chars), 6), round(stddev_samp(n_chars), 6) FROM src),
+        |vals AS (
+        |  SELECT 'lang_gap' AS col_name, lang_gap AS v, count(*) AS c
+        |  FROM src WHERE lang_gap IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'source', source, count(*) FROM src
+        |  WHERE source IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'n_chars', n_chars::VARCHAR, count(*) FROM src
+        |  WHERE n_chars IS NOT NULL GROUP BY 2),
+        |ranked AS (
+        |  SELECT col_name, v, c,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY c DESC, v) AS rk
+        |  FROM vals),
+        |tops AS (
+        |  SELECT col_name, string_agg(v || ':' || c, '|' ORDER BY c DESC, v) AS top_values
+        |  FROM ranked WHERE rk <= 5 GROUP BY col_name)
+        |SELECT s.col_name AS col_name, n_missing, n_distinct, min_v, max_v,
+        |  avg_v, std_v, top_values
+        |FROM stats s JOIN tops t ON s.col_name = t.col_name
+        |ORDER BY s.col_name""".stripMargin)
   )
 }

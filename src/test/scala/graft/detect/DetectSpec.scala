@@ -132,7 +132,7 @@ class OnePassProfilerSpec extends SparkSpec {
       assert(one(c).tops.headOption.map(_._1) == two(c).tops.headOption.map(_._1), c)
       one(c).std.zip(two(c).std).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, c) }
     }
-    // linear-counting distinct is exact at tiny cardinalities
+    // no eviction at tiny cardinalities → distinct counts are EXACT
     assert(one("s").nbDistinct == 2L && one("v").nbDistinct == 4L)
   }
 
@@ -143,5 +143,28 @@ class OnePassProfilerSpec extends SparkSpec {
     val p = OnePassProfiler.profile(df, topK = 1, trackCapacity = 16)
     assert(p("s").tops.head._1 == "common")
     assert(p("s").tops.head._2 >= 500L - 16L) // MG undercount bounded by capacity
+  }
+
+  test("distinct count is exact whenever cardinality fits the tracking capacity") {
+    import spark.implicits._
+    // 1000 distinct values across 8 partitions, capacity comfortably above:
+    // the no-eviction path must report the true cardinality, not a
+    // linear-counting estimate (1000 distinct would estimate with ±~2% off
+    // a 4096-bit bitmap — this asserts EXACTNESS, so it fails if the
+    // estimator path is taken)
+    val df = (1 to 3000).map(i => s"val${i % 1000}").toDF("s").repartition(8)
+    val p = OnePassProfiler.profile(df, topK = 3, trackCapacity = 4096)
+    assert(p("s").nbDistinct == 1000L, s"expected exact 1000, got ${p("s").nbDistinct}")
+    // counts are exact too: every value appears exactly 3 times; top-k
+    // tie-breaks by value ascending
+    assert(p("s").tops == Seq(("val0", 3L), ("val1", 3L), ("val10", 3L)))
+  }
+
+  test("past eviction the distinct estimate still lands near truth") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => s"v$i").toDF("s").repartition(4)
+    val p = OnePassProfiler.profile(df, topK = 1, trackCapacity = 64)
+    val d = p("s").nbDistinct
+    assert(d >= 1700 && d <= 2300, s"estimate $d too far from 2000")
   }
 }

@@ -348,25 +348,62 @@ object Similarity {
     * raising it is cheap). One exchange per join side keyed by cell; the
     * component collapse reuses duplicateClusters' adaptive machinery.
     * Known recall caveat, inherent to SemDeDup: pairs straddling a cell
-    * boundary are not compared — mitigate with more/looser cells or a
-    * second pass with a rotated seed. */
+    * boundary are not compared within one clustering — so `passes` runs
+    * the cell blocking more than once with ROTATED SEEDS (different Lloyd
+    * init → different Voronoi boundaries) and unions the pair sets before
+    * the component collapse: a pair only escapes if it straddles a boundary
+    * in EVERY pass. Each extra pass costs one more fit+assign+self-join;
+    * the collapse still runs once. SemanticDedupSpec pins the recall floor
+    * at the shipped parameters. */
   def semanticDupClusters(
       df: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double = 0.9,
       nCentroids: Int = 16,
       seed: Long = 42L,
-      fitSampleRows: Int = 0): DataFrame = {
-    val (assigned, _) =
-      fitAndAssign(df, idCol, vecCol, nCentroids, seed, fitSampleRows)
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val pairs = a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .where(col("sim") >= threshold)
-      .select("id_a", "id_b")
-    Dedup.duplicateClusters(pairs)
+      fitSampleRows: Int = 0,
+      passes: Int = 2): DataFrame =
+    Dedup.duplicateClusters(
+      cellBlockedPairs(df, idCol, vecCol, threshold, nCentroids, seed,
+        fitSampleRows, passes)
+        .select("id_a", "id_b"))
+
+  /** Mid-similarity PAIR MINING via IVF cell blocking — the scale path the
+    * cosineNearDuplicates doc points to when the threshold falls below the
+    * near-dup regime (hyperplane LSH at sim ~0.3 needs sketches so small
+    * they saturate at ~10⁴ vectors; cell blocking's cost is Σ cell² ≈
+    * n²/nCentroids regardless of threshold). Returns every (id_a, id_b,
+    * sim) with sim ≥ threshold whose endpoints share a Voronoi cell in at
+    * least one of `passes` rotated-seed clusterings; sims are EXACT
+    * cosines, so precision is exact and recall is the only approximation
+    * (RecallSpec pins the floor at the shipped x15 parameters). */
+  def cellBlockedPairs(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      seed: Long = 42L,
+      fitSampleRows: Int = 0,
+      passes: Int = 2): DataFrame = {
+    require(passes >= 1, "cellBlockedPairs needs at least one pass")
+
+    def cellPairs(passSeed: Long): DataFrame = {
+      val (assigned, _) =
+        fitAndAssign(df, idCol, vecCol, nCentroids, passSeed, fitSampleRows)
+      val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      a.join(b, Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("sim", cosine(col("va"), col("vb")))
+        .where(col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    }
+
+    // distinct prime-stride seeds so no two passes share a Lloyd init
+    (0 until passes)
+      .map(p => cellPairs(seed + p * 7919L))
+      .reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Symmetric int8 quantization of an embedding column, flattened to one

@@ -519,17 +519,20 @@ object OperatorQueries {
         |SELECT doc_id, round(r, 4) AS overlap_ratio
         |FROM scored WHERE r >= 0.3 ORDER BY doc_id""".stripMargin),
 
-    // Embedding near-duplicates by cosine within LSH buckets. nTables=6 is
-    // the measured recall/cost knee at this corpus's low threshold (recall
-    // 0.909 vs 0.963 at 8 tables, ~1.5x cheaper — RecallSpec pins the 0.85
-    // floor); threshold 0.3 itself is a fixture artifact (this synthetic
-    // corpus has no true near-dups), production near-dup thresholds >= 0.9
-    // make the same construction far cheaper (see cosineNearDuplicates doc).
+    // Embedding similar-pair mining. This corpus's pairwise sims live in
+    // [0.3, 0.5) — MID-similarity, not near-dup — so the entry runs the
+    // operator built for that regime: IVF cell blocking (Σ cell² ≈
+    // n²/nCentroids candidate cost at ANY threshold), not low-threshold
+    // hyperplane LSH, whose sketches must shrink so far to keep recall at
+    // sim 0.3 that the bucket join saturates at ~10⁴ vectors
+    // (cosineNearDuplicates doc — that operator stays the right tool at its
+    // designed threshold >= 0.9, and RecallSpec keeps the 0.3 LSH stress
+    // case as a measured-recall exercise). Sims are exact cosines; recall
+    // floor at these parameters is pinned in RecallSpec.
     "x15_embedding_neardup" -> rowsOnly(
       (s, dir) =>
-        Similarity.cosineNearDuplicates(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.3, nBits = 8, dim = 64,
-          probeHamming = 2, nTables = 6)
+        Similarity.cellBlockedPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, nCentroids = 8, passes = 6)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")),
 
@@ -1098,13 +1101,17 @@ object OperatorQueries {
           .orderBy("rank")),
 
     // Semantic dedup (SemDeDup): IVF-cell blocking → within-cell exact
-    // cosine → connected-component collapse. Rows-only: the sampled-Lloyd
-    // centroids have no SQL replay; the recipe's correctness is pinned by
-    // SemanticDedupSpec's brute-force ground-truth comparison.
+    // cosine, 4 rotated-seed passes → connected-component collapse.
+    // Rows-only: the sampled-Lloyd centroids have no SQL replay; the
+    // recipe's correctness and recall floor at THESE parameters are pinned
+    // by SemanticDedupSpec's brute-force ground-truth comparison. The 0.35
+    // threshold sits in this corpus's actual similarity regime (pairwise
+    // sims live in [0.3, 0.5) — x15's all-pairs mining confirms), so the
+    // entry exercises real clustering, not the empty path.
     "x42_semantic_dedup" -> rowsOnly(
       (s, dir) =>
         Similarity.semanticDupClusters(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.5, nCentroids = 16)
+          "vec_id", "embedding", threshold = 0.35, nCentroids = 16, passes = 4)
           .orderBy("id")),
 
     // BPE serving side: tokenize the corpus with the merges just learned

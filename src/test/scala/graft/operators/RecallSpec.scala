@@ -80,21 +80,26 @@ class RecallSpec extends SparkSpec {
     assert(recall8 >= 0.75, f"ivf recall@5 at nProbe=8 $recall8%.3f below pinned 0.75")
   }
 
-  test("x15 cosineNearDuplicates: perfect precision, pinned recall on true pairs") {
-    // exact ground truth: all pairs with cosine >= threshold (500 vectors →
-    // 125k candidate pairs, one codegen'd pass)
-    val threshold = 0.3
+  /** Exact all-pairs ground truth at sim >= threshold (500 vectors →
+    * 125k candidate pairs, one codegen'd pass). */
+  private def truePairs(threshold: Double): Set[(Long, Long)] = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val truth = a.crossJoin(b).where(col("id_a") < col("id_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
 
-    // nTables=6 = the SparkEntry x15 parameters (measured recall 0.909 here;
-    // 8 tables bought 0.963 at ~1.5x the sf0.1 bucket-join cost — the pin
-    // below is the floor for the shipped setting)
+  test("cosineNearDuplicates LSH stress case: low-threshold recall holds at small scale") {
+    // hyperplane LSH at sim 0.3 is OUTSIDE its design regime (the operator
+    // doc directs mid-sim mining to cell blocking; the x15 entry ships that
+    // path) — this keeps the low-threshold setting as a measured stress
+    // exercise: at ~10³ vectors the saturating 8-bit/6-table construction
+    // still clears 0.85 recall with exact-precision verification
+    val threshold = 0.3
+    val truth = truePairs(threshold)
     val found = Similarity.cosineNearDuplicates(emb, "vec_id", "embedding",
       threshold = threshold, nBits = 8, dim = 64, probeHamming = 2, nTables = 6)
       .select("id_a", "id_b").collect()
@@ -104,7 +109,23 @@ class RecallSpec extends SparkSpec {
     // exact cosine) — pin it anyway so a verify-stage regression is loud
     assert(found.subsetOf(truth), s"false positives: ${(found -- truth).take(5)}")
     val recall = if (truth.isEmpty) 1.0 else found.size.toDouble / truth.size
-    info(f"neardup recall = $recall%.3f (${found.size}/${truth.size} pairs)")
-    assert(recall >= 0.85, f"neardup recall $recall%.3f below pinned 0.85")
+    info(f"lsh neardup recall = $recall%.3f (${found.size}/${truth.size} pairs)")
+    assert(recall >= 0.85, f"lsh neardup recall $recall%.3f below pinned 0.85")
+  }
+
+  test("x15 cellBlockedPairs: perfect precision, pinned pair recall at the shipped parameters") {
+    val threshold = 0.3
+    val truth = truePairs(threshold)
+    // measured on this fixture: 0.784 at nc=8/4 passes, 0.890 at nc=8/6
+    // passes (the shipped setting) — pinned a few points under
+    val found = Similarity.cellBlockedPairs(emb, "vec_id", "embedding",
+      threshold = threshold, nCentroids = 8, passes = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(found.subsetOf(truth), s"false positives: ${(found -- truth).take(5)}")
+    val recall = if (truth.isEmpty) 1.0 else found.size.toDouble / truth.size
+    info(f"cell-blocked pair recall = $recall%.3f (${found.size}/${truth.size} pairs)")
+    assert(recall >= 0.85, f"cell-blocked pair recall $recall%.3f below pinned 0.85")
   }
 }

@@ -54,6 +54,51 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!expected.exists(p => p._1 >= 31L))
   }
 
+  test("x42 shipped parameters on the driver fixture: non-empty, pinned id-recall vs brute force") {
+    // the exact parameters the x42 SparkEntry query ships with, on the same
+    // sf0.01 embeddings the driver verifies with — this is the contract
+    // that the driver entry exercises REAL clustering (round 4's entry ran
+    // at threshold 0.5 > the corpus's max pairwise sim and returned 0 rows)
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val got = Similarity.semanticDupClusters(emb, "vec_id", "embedding",
+      threshold = 0.35, nCentroids = 16, passes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    Dedup.releaseCaches()
+    assert(got.nonEmpty, "x42 at shipped params must find clusters, not run the empty path")
+
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truthPairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("sim") >= 0.35)
+      .select("id_a", "id_b")
+    val truthIds = Dedup.duplicateClusters(truthPairs)
+      .collect().map(_.getLong(0)).toSet
+    Dedup.releaseCaches()
+
+    // every id the cell-blocked path marks is a true duplicate (exact
+    // cosine verify inside the cell) — id precision is 1 by construction
+    val gotIds = got.map(_._1)
+    assert(gotIds.subsetOf(truthIds),
+      s"non-duplicate ids marked: ${(gotIds -- truthIds).take(5)}")
+    // recall floor, measured-then-pinned (cell-straddle misses are the only
+    // loss mode; rotated-seed passes are what keeps this high — measured on
+    // this fixture: 0.414 at 1 pass, 0.642 at 2, 0.749 at 3, 0.843 at 4)
+    val recall = gotIds.size.toDouble / truthIds.size
+    info(f"semantic-dedup id recall at shipped params = $recall%.3f (${gotIds.size}/${truthIds.size})")
+    assert(recall >= 0.80, f"id recall $recall%.3f below pinned 0.80")
+
+    // rotated passes are a one-way dial: unioning pair sets can only add
+    // edges, so the multi-pass id set must dominate a single pass
+    val onePassIds = Similarity.semanticDupClusters(emb, "vec_id", "embedding",
+      threshold = 0.35, nCentroids = 16, passes = 1)
+      .collect().map(_.getLong(0)).toSet
+    Dedup.releaseCaches()
+    info(f"single-pass id recall = ${onePassIds.size.toDouble / truthIds.size}%.3f")
+    assert(onePassIds.subsetOf(gotIds),
+      "rotated-seed passes lost ids a single pass found")
+  }
+
   test("orthogonal-only corpus: nothing clears the threshold, result empty") {
     val noise = (1L to 8L).map { i =>
       (i, Array.tabulate(8)(d => if (d == (i - 1).toInt) 1f else 0f))

@@ -35,7 +35,11 @@ object Bench {
         .collect()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(256)
         .select(call_function("graft_cosine", col("embedding"), col("embedding")),
-          call_function("graft_hyperplane_sketch", col("embedding"), lit(16), lit(64), lit(42L)))
+          call_function("graft_hyperplane_sketch", col("embedding"), lit(16), lit(64), lit(42L)),
+          call_function("graft_nearest_centroid", col("embedding"),
+            typedlit(Seq.fill(4)(Seq.fill(64)(0.5)))),
+          call_function("graft_l2sq", col("embedding"),
+            col("embedding").cast("array<double>")))
         .collect()
       // warm the heavy EXECUTION machinery, not just kernels: a broadcast
       // hash join, a window, a sort and a hash aggregate on 256 rows JIT the
@@ -103,7 +107,16 @@ object Bench {
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // the artifact must survive log-tail truncation (round 4 lost its
+    // "total" line that way) — also write it to a file the round can keep
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outFile: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -160,12 +160,14 @@ object Similarity {
   /** Shared IVF front half: fit the coarse quantizer on a bounded
     * deterministic sample, assign every corpus row its nearest cell in one
     * codegen'd pass. Returns (corpus + `cell`, centroid matrix). */
-  private def fitAndAssign(
+  /** Bounded deterministic fit sample, collected to the driver. The id-hash
+    * filter is independent of any clustering seed, so multi-pass callers
+    * collect it ONCE and fit every rotated quantizer from the same rows. */
+  private def collectFitSample(
       corpus: DataFrame,
       idCol: String, vecCol: String,
       nCentroids: Int,
-      seed: Long,
-      fitSampleRows: Int): (DataFrame, Array[Array[Double]]) = {
+      fitSampleRows: Int): Array[Array[Double]] = {
     val targetRows = if (fitSampleRows > 0) fitSampleRows.toLong
       else math.max(256L * nCentroids, 8192L)
     val total = corpus.count()
@@ -180,10 +182,19 @@ object Similarity {
     // getSeq[Number], not getSeq[Float]: an array<double> corpus should die
     // with the clear array<float> analysis error from graft_nearest_centroid
     // below, not a ClassCastException here in the fit
-    val sampleVecs: Array[Array[Double]] = sampled
+    sampled
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)) // stable order → stable init
       .collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+  }
+
+  private def fitAndAssign(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int,
+      seed: Long,
+      fitSampleRows: Int): (DataFrame, Array[Array[Double]]) = {
+    val sampleVecs = collectFitSample(corpus, idCol, vecCol, nCentroids, fitSampleRows)
     val centroidMatrix = lloyd(sampleVecs, nCentroids, maxIter = 5, seed)
 
     // cell assignment: ONE codegen'd pass over the full corpus (native
@@ -387,22 +398,49 @@ object Similarity {
       passes: Int = 2): DataFrame = {
     require(passes >= 1, "cellBlockedPairs needs at least one pass")
 
-    def cellPairs(passSeed: Long): DataFrame = {
-      val (assigned, _) =
-        fitAndAssign(df, idCol, vecCol, nCentroids, passSeed, fitSampleRows)
-      val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-      val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-      a.join(b, Seq("cell"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("sim", cosine(col("va"), col("vb")))
-        .where(col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
-    }
+    // the fit sample is seed-INDEPENDENT (id-hash filter), so all rotated
+    // quantizers train from one driver collect; only the Lloyd init rotates
+    // (distinct prime-stride seeds). The per-pass cell assignments then ride
+    // ONE corpus scan as an exploded (pass, cell) key, and all passes share
+    // a single self-join exchange — candidate volume is identical to
+    // per-pass joins, but fit jobs, scans and shuffles collapse from
+    // O(passes) to O(1).
+    val sampleVecs = collectFitSample(df, idCol, vecCol, nCentroids, fitSampleRows)
+    val centroidSets = (0 until passes)
+      .map(p => lloyd(sampleVecs, nCentroids, maxIter = 5, seed + p * 7919L))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val passCells = array(centroidSets.zipWithIndex.map { case (m, p) =>
+      struct(
+        lit(p).as("pass"),
+        call_function("graft_nearest_centroid",
+          col(vecCol), typedlit(m.map(_.toSeq).toSeq)).as("cell"))
+    }: _*)
+    // vectors ride the (pass, cell)-keyed join and the exact cosine runs
+    // INSIDE it (Catalyst folds the sim filter into the join condition, so
+    // non-pairs die in the WSCG probe loop without materializing): the only
+    // exchanges are the join sides — n·passes rows, LINEAR in the corpus,
+    // the canonical SemDeDup shape of "co-locate by cell, score within the
+    // cell". Deduping candidate ids BEFORE scoring would instead exchange
+    // the quadratic candidate-pair set (measured 2x slower here and
+    // strictly worse at scale); the cross-pass dedup below only sees the
+    // ~output-sized survivor set. Duplicate survivors carry bit-identical
+    // sims (same kernel, same vectors), so dropDuplicates on ids is safe.
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(passCells).as("pc"))
+      .select(col("id"), col("vec"),
+        col("pc").getField("pass").as("pass"),
+        col("pc").getField("cell").as("cell"))
 
-    // distinct prime-stride seeds so no two passes share a Lloyd init
-    (0 until passes)
-      .map(p => cellPairs(seed + p * 7919L))
-      .reduce(_ unionByName _)
+    val a = assigned.select(col("pass"), col("cell"),
+      col("id").as("id_a"), col("vec").as("va"))
+    val b = assigned.select(col("pass"), col("cell"),
+      col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("pass", "cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")
   }
 

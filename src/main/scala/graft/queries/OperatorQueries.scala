@@ -528,7 +528,13 @@ object OperatorQueries {
     // (cosineNearDuplicates doc — that operator stays the right tool at its
     // designed threshold >= 0.9, and RecallSpec keeps the 0.3 LSH stress
     // case as a measured-recall exercise). Sims are exact cosines; recall
-    // floor at these parameters is pinned in RecallSpec.
+    // floor at these parameters is pinned in RecallSpec. Honest cost note:
+    // this fixture's vectors are iid-random (no cluster structure), so
+    // holding recall >= 0.85 at sim 0.3 forces the rotated cells to cover
+    // ~half of ALL pairs — the sf0.1 wall time (~3.5 s) is that coverage,
+    // not plan waste (PlanAuditSpec pins the single inline-scoring join).
+    // On corpora with real cluster structure the same parameters cover a
+    // small fraction of pairs, and nCentroids dials volume linearly.
     "x15_embedding_neardup" -> rowsOnly(
       (s, dir) =>
         Similarity.cellBlockedPairs(Tables.embeddings(s, dir),

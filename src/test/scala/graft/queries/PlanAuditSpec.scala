@@ -181,6 +181,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"quantize must not re-shuffle, saw ${shuffles.size}")
   }
 
+  test("x15: ONE equi-join scores inline — no nested loop, no candidate join-back") {
+    // the cell-blocked pair miner's contract: the (pass, cell) self-join is
+    // the ONLY join operator (the exact cosine runs inside its condition —
+    // a join-back design would re-join the quadratic candidate set twice),
+    // cell assignment rides a single explode projection, and nothing plans
+    // a nested loop or cartesian
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = flatten(planOf("x15_embedding_neardup"))
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "cell keys must make the pair mining an equi-join")
+    assert(nodes.count(_.isInstanceOf[BaseJoinExec]) == 1,
+      "exactly one join: the self-join with inline scoring")
+    // one explode per self-join side (Spark plans each side independently);
+    // a join-back design would add a third scan with no explode plus two
+    // more joins — caught by the join count above
+    assert(nodes.count(_.isInstanceOf[GenerateExec]) <= 2,
+      "pass-cell assignment must ride the per-side explode projections")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

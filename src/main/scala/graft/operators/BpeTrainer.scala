@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * table itself, the Sennrich et al. 2016 algorithm, public).
   *
   * Distributed shape: the corpus collapses ONCE into a (word, count)
-  * vocabulary — corpus-sized work up front, vocabulary-sized work per
-  * round after that. Each merge round is one aggregation job (adjacent
-  * symbol-pair counts weighted by word frequency) of which the driver
-  * receives exactly ONE row (the argmax pair); the merge application is a
-  * narrow map over the vocabulary. At 100 TB the vocabulary (millions of
-  * rows) never leaves the cluster and the driver traffic is numMerges
-  * rows total.
+  * vocabulary — corpus-sized work up front — and the adjacent-pair counts
+  * are aggregated ONCE from it; after that every merge round is DELTA
+  * work: only words containing the winning pair contribute count updates
+  * (old adjacent pairs negative, rewritten pairs positive), merged into
+  * the standing pair table by a keyed outer join, and the vocabulary
+  * rewrite is a narrow map that transforms only matching rows. The driver
+  * receives exactly ONE row per round (the argmax pair). At 100 TB the
+  * vocabulary (millions of rows) never leaves the cluster, the driver
+  * traffic is numMerges rows total, and a realistic 32k-merge budget costs
+  * per-round work proportional to the affected words, not the corpus or
+  * the vocabulary.
   *
   * Determinism: the winning pair breaks ties by (count DESC, left ASC,
   * right ASC), so the merge sequence is a pure function of the corpus.
@@ -68,41 +72,98 @@ object BpeTrainer {
       .persist()
     vocab.count()
 
+    // Pair counts are maintained INCREMENTALLY: built once from the full
+    // vocabulary, then per round only the words containing the merged pair
+    // contribute a delta (their old adjacent pairs negative, their rewritten
+    // pairs positive). A 32k-merge budget therefore never recounts the full
+    // vocabulary — each round's aggregation touches only the affected words,
+    // and the pair-table update is one keyed outer join against a
+    // vocabulary-pairs-sized table. The vocabulary rewrite stays a single
+    // narrow map that only transforms matching words (the adjacency check
+    // gates the rewrite row-by-row).
+    var pairCounts: DataFrame = vocab
+      .flatMap(v => v.syms.iterator.zip(v.syms.iterator.drop(1))
+        .map { case (x, y) => (x, y, v.cnt) })
+      .toDF("a", "b", "d")
+      .groupBy("a", "b").agg(sum("d").as("cnt"))
+      .persist()
+    pairCounts.count()
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
-      val top = vocab
-        .flatMap(v => v.syms.iterator.zip(v.syms.iterator.drop(1))
-          .map { case (a, b) => ((a, b), v.cnt) })
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), c) => (a, b, c) }
-        .orderBy(desc("_3"), asc("_1"), asc("_2"))
-        .take(1)
+      val top = pairCounts.orderBy(desc("cnt"), asc("a"), asc("b")).take(1)
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, _) = top.head
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
         merges += ((a, b))
-        val merged = a + b
-        val next = vocab.map { v =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < v.syms.length) {
-            if (i + 1 < v.syms.length && v.syms(i) == a && v.syms(i + 1) == b) {
-              out += merged; i += 2
-            } else { out += v.syms(i); i += 1 }
+        // re-root both iteratives each round (createDataFrame collapses the
+        // logical plan to a constant-size LogicalRDD — same pattern and
+        // rationale as Dedup.duplicateClusters) so plan analysis stays
+        // round-sized across thousands of merges
+        val vocabDf = vocab.toDF()
+        val vSnap = spark.createDataFrame(vocabDf.rdd, vocabDf.schema).as[VocabWord]
+        val pSnap = spark.createDataFrame(pairCounts.rdd, pairCounts.schema)
+
+        val deltas = vSnap
+          .filter(v => hasAdjacentPair(v.syms, a, b))
+          .flatMap { v =>
+            val rewritten = applyMerge(v.syms, a, b)
+            v.syms.iterator.zip(v.syms.iterator.drop(1))
+              .map { case (x, y) => (x, y, -v.cnt) } ++
+              rewritten.iterator.zip(rewritten.iterator.drop(1))
+                .map { case (x, y) => (x, y, v.cnt) }
           }
-          VocabWord(out.toSeq, v.cnt)
-        }.persist()
-        next.count() // materialize, then drop the previous round
+          .toDF("a", "b", "d")
+          .groupBy("a", "b").agg(sum("d").as("d"))
+
+        val nextPairs = pSnap.join(deltas, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+          .where(col("cnt") > 0)
+          .persist()
+
+        val nextVocab = vSnap.map(v =>
+          if (hasAdjacentPair(v.syms, a, b)) VocabWord(applyMerge(v.syms, a, b), v.cnt)
+          else v)
+          .persist()
+
+        nextPairs.count(); nextVocab.count() // materialize, then drop the previous round
+        pairCounts.unpersist(blocking = false)
         vocab.unpersist(blocking = false)
-        vocab = next
+        pairCounts = nextPairs
+        vocab = nextVocab
       }
       round += 1
     }
     vocab.unpersist(blocking = false)
+    pairCounts.unpersist(blocking = false)
     merges.toSeq
+  }
+
+  /** True iff the pair (a, b) occurs adjacently in `syms`. */
+  private def hasAdjacentPair(syms: Seq[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i + 1 < syms.length) {
+      if (syms(i) == a && syms(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Left-to-right, non-overlapping application of merge (a, b). */
+  private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val merged = a + b
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
   }
 
   /** UTF-8 binary string ordering — matches Spark's UTF8String comparison
@@ -143,16 +204,8 @@ object BpeTrainer {
           .minBy { case ((a, b), c) => (-c, a, b) }(
             Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))._1
         merges += ((a, b))
-        vocab = vocab.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          out.toSeq -> c
-        }.groupMapReduce(_._1)(_._2)(_ + _)
+        vocab = vocab.map { case (syms, c) => applyMerge(syms, a, b) -> c }
+          .groupMapReduce(_._1)(_._2)(_ + _)
       }
     }
     merges.toSeq

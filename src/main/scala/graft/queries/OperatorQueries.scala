@@ -1097,13 +1097,13 @@ object OperatorQueries {
             approx_count_distinct(col("value"), rsd = 0.02).as("approx_values"))
           .orderBy("event_type")),
 
-    // BPE merge learning (tokenizer training): 10 merges over the corpus.
+    // BPE merge learning (tokenizer training): 64 merges over the corpus.
     // Rows-only: the iterative argmax driver loop has no single-statement
     // SQL form — determinism is pinned by BpeTrainerSpec's driver-side
     // reference cross-check (identical merge sequence, layout-independent).
     "x40_bpe_merges" -> rowsOnly(
       (s, dir) =>
-        BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 10)
+        BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 64)
           .orderBy("rank")),
 
     // Semantic dedup (SemDeDup): IVF-cell blocking → within-cell exact
@@ -1127,7 +1127,7 @@ object OperatorQueries {
     "x41_bpe_tokenize" -> rowsOnly(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 10)
+        val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 64)
         BpeTrainer.encode(docs, "text", merges)
           .select("doc_id", "n_bpe_tokens")
           .orderBy("doc_id")

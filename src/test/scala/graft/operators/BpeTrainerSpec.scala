@@ -85,6 +85,20 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("distributed delta path: long budget matches the reference through exhaustion") {
+    // 24 requested merges > the 16 possible on this corpus: the incremental
+    // pair-count maintenance must stay exact across EVERY round (a drifted
+    // delta shows up as a wrong argmax somewhere in the sequence) and the
+    // empty pair table must stop the loop like the full recount did
+    val dist = BpeTrainer.learnMerges(corpusDf(5), "text", numMerges = 24,
+      localVocabThreshold = 0)
+    val expected = referenceMerges(sennrich, 24)
+    assert(dist == expected, s"got $dist expected $expected")
+    assert(dist.length < 24, "corpus must exhaust before the budget")
+    // and the local path agrees on the same long budget
+    assert(BpeTrainer.learnMerges(corpusDf(2), "text", numMerges = 24) == expected)
+  }
+
   test("merge table is deterministic across partition layouts and early-stops") {
     val a = BpeTrainer.learnMerges(corpusDf(1), "text", numMerges = 4)
     val b = BpeTrainer.learnMerges(corpusDf(7), "text", numMerges = 4)

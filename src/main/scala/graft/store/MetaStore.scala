@@ -52,6 +52,51 @@ final class MetaStore(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
 
+  /** Date-windowed read of a date-partitioned log (checks is partitioned by
+    * created_date — the Parquet analog of the reference's created_at index,
+    * migrations/main/20240926_add_indexes.sql): the predicate lands on the
+    * PARTITION column, so the scan lists only matching date directories.
+    * MetaStoreSpec pins the pruned plan. Bounds inclusive; either side
+    * optional. */
+  def loadDates(
+      name: String,
+      dateCol: String,
+      from: Option[java.time.LocalDate],
+      to: Option[java.time.LocalDate]): Option[DataFrame] =
+    load(name).map { df =>
+      val lower = from.map(d => col(dateCol) >= lit(java.sql.Date.valueOf(d)))
+      val upper = to.map(d => col(dateCol) <= lit(java.sql.Date.valueOf(d)))
+      (lower ++ upper).foldLeft(df)(_ filter _)
+    }
+
+  /** Retention on a date-partitioned log WITHOUT a rewrite: whole partition
+    * directories older than the cutoff are dropped, so the cost is
+    * O(partitions removed) — no full-table read-and-save like
+    * purgeOlderThan (which remains the path for unpartitioned tables).
+    * The row count returned reads ONLY the doomed partitions (pruned scan).
+    * Single-writer contract, same as the other mutators. */
+  def dropDatePartitionsBefore(
+      name: String,
+      dateCol: String,
+      cutoff: java.time.LocalDate): Long = {
+    if (!exists(name)) return 0L
+    val doomed = loadDates(name, dateCol, None,
+      Some(cutoff.minusDays(1))).get
+    val dropped = doomed.count()
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(Paths.get(path(name)))
+    try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$dateCol="))
+      .filter { p =>
+        val v = p.getFileName.toString.stripPrefix(s"$dateCol=")
+        scala.util.Try(java.time.LocalDate.parse(v)).toOption
+          .exists(_.isBefore(cutoff))
+      }
+      .toSeq.foreach(deleteRecursively)
+    finally stream.close()
+    dropped
+  }
+
   // ---- catalog ----------------------------------------------------------
 
   /** D10 upsert (INSERT … ON CONFLICT (resource_id) DO UPDATE): keyed

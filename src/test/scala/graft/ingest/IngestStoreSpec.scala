@@ -133,6 +133,61 @@ class MetaStoreSpec extends SparkSpec {
     assert(st.load("checks").get.count() == 1L)
   }
 
+  /** Three days of date-partitioned checks — the layout CrawlPipeline's
+    * append writes (partitionBy created_date). */
+  private def threeDayChecks(st: MetaStore): Unit = {
+    val rows = for {
+      d <- 1 to 3
+      i <- 1 to 10
+    } yield (d * 100L + i, s"r$i",
+      java.sql.Timestamp.valueOf(f"2024-05-0$d 08:00:00"),
+      java.sql.Date.valueOf(f"2024-05-0$d"))
+    st.append("checks",
+      rows.toDF("id", "resource_id", "created_at", "created_date"),
+      partitionBy = Seq("created_date"))
+  }
+
+  test("date-partitioned checks: a day-filtered read scans ONLY that partition") {
+    // SURVEY §1.1/§4: checks is a parquet log partitioned by check date —
+    // the Postgres created_at-index analog. This pins the payoff: the d03
+    // 'created_at::date = $1' query shape, expressed on the partition
+    // column, must prune the scan to one directory, not filter post-scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val st = store
+    threeDayChecks(st)
+    val day = java.time.LocalDate.parse("2024-05-02")
+    val df = st.loadDates("checks", "created_date", Some(day), Some(day)).get
+    assert(df.count() == 10)
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val scans = flatten(df.queryExecution.executedPlan).flatMap(_.collect {
+      case s: FileSourceScanExec => s
+    })
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the date bound must land in partitionFilters, not dataFilters")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("partition-drop retention removes whole date directories without a rewrite") {
+    val st = store
+    threeDayChecks(st)
+    val dropped = st.dropDatePartitionsBefore("checks", "created_date",
+      java.time.LocalDate.parse("2024-05-03"))
+    assert(dropped == 20L, s"dropped $dropped")
+    val left = st.load("checks").get
+    assert(left.count() == 10)
+    assert(left.select("created_date").distinct().collect()
+      .map(_.getDate(0).toString).toSeq == Seq("2024-05-03"))
+  }
+
   test("orphaned tables via anti-join on md5(url)") {
     val tablesIndex = Seq(
       (CsvIngest.md5Hex("live-url"), "r1"),

@@ -51,6 +51,39 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").as("sum"))
 
+  /** Skew-safe keep-latest-per-key — the scale-hardened form of the D12
+    * row_number dedup. A window puts EVERY row of a hot key on one task (a
+    * template domain, a bot user → one straggler at 100 TB); this computes
+    * the same answer as two max_by aggregations: partial on (key, salt) —
+    * the hot key spreads across `salts` reducers — then final on key over
+    * at most `salts` rows per key. "Latest" = greatest orderCols tuple
+    * (lexicographic), i.e. row_number() OVER (ORDER BY ... DESC...) = 1;
+    * ties beyond orderCols pick an arbitrary row of the tied set, same as
+    * the window formulation, so give it a total order for determinism.
+    * Salt comes from row position, never from data (a constant-valued hot
+    * key would re-concentrate — see saltedCountSum). */
+  def saltedKeepLatest(
+      df: DataFrame,
+      key: String,
+      orderCols: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(orderCols.nonEmpty, "keep-latest needs at least one order column")
+    val reserved = Seq("__salt", "__best")
+    require(!df.columns.exists(reserved.contains),
+      s"saltedKeepLatest reserves column names ${reserved.mkString(",")}")
+    val cols = df.columns.toSeq
+    val payload = struct(cols.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(max_by(payload, ord).as("__best"))
+      .groupBy(col(key))
+      .agg(max_by(col("__best"),
+        struct(orderCols.map(c => col("__best").getField(c)): _*)).as("__best"))
+      .select(cols.map(c => col("__best").getField(c).as(c)): _*)
+  }
+
   /** Write both sides bucketed by the join key: subsequent equi-joins on
     * that key read co-located buckets and skip the exchange entirely —
     * .explain shows no ShuffleExchange on either side. Uses the session

@@ -271,17 +271,19 @@ object RelationalQueries {
         |  json_extract_string(indexes, '$."' || index_col || '"') AS index_type, n_rows
         |FROM ks ORDER BY parsing_table, index_col""".stripMargin),
 
-    // D12 (migrations 20230606): keep-latest-per-key dedup via row_number.
+    // D12 (migrations 20230606): keep-latest-per-key dedup. The oracle keeps
+    // the reference's row_number form; the Spark side runs the SKEW-SAFE
+    // two-phase max_by variant (Skew.saltedKeepLatest) — same answer, but a
+    // hot key (template domain, bot user) spreads over 8 salt groups in the
+    // partial phase instead of landing on one window task. SkewSpec proves
+    // answer-equality on a 10:1-skewed fixture and pins the salted plan.
     "d12_dedup_rownum" -> sql(
-      (s, dir) => {
-        val w = Window.partitionBy("l_orderkey")
-          .orderBy(desc("l_linenumber"), desc("l_quantity"))
-        Tables.lineitem(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey")
-      },
+      (s, dir) =>
+        graft.operators.Skew.saltedKeepLatest(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_orderkey", Seq("l_linenumber", "l_quantity"), salts = 8)
+          .orderBy("l_orderkey"),
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_quantity,
         |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn

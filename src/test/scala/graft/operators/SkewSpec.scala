@@ -33,6 +33,47 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salted keep-latest equals the window dedup on a 10:1-skewed fixture, no window task") {
+    // hot key carries 10x the rows of every other key — the regime where
+    // the row_number window puts one straggler task on the hot key
+    val rows =
+      (1 to 5000).map(i => ("hot", i.toLong, i * 0.5)) ++
+      (1 to 50).flatMap(k => (1 to 500).map(i => (s"k$k", i.toLong, i * 0.25)))
+    val df = rows.toDF("key", "seq", "score").repartition(16)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(desc("seq"), desc("score"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("key", "seq", "score")
+      .collect().map(_.toString).sorted.toSeq
+
+    val salted = Skew.saltedKeepLatest(df, "key", Seq("seq", "score"), salts = 8)
+    val got = salted.select("key", "seq", "score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == windowed && got.nonEmpty, "salted keep-latest diverged from the window answer")
+
+    // plan shape: no Window operator anywhere, and the partial aggregation
+    // keys include the salt — the hot key's rows land on `salts` reducers
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val nodes = flatten(salted.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "salted keep-latest must not plan a window")
+    val saltedAggs = nodes.collect {
+      case a: BaseAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("__salt")) => a
+    }
+    assert(saltedAggs.nonEmpty,
+      "partial phase must group by (key, salt) so the hot key spreads across reducers")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 2000L).map(i => (i, s"r$i")).toDF("id", "rv")

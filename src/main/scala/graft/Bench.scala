@@ -80,7 +80,11 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.map { case (name, fn) =>
+    // run in NAME order, not hash-map order: adding one query otherwise
+    // reshuffles the whole run and JIT/page-cache attribution moves between
+    // neighbors, making per-query numbers incomparable across rounds
+    val results = scala.collection.immutable.ListMap(selected.toSeq.sortBy(_._1): _*)
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {

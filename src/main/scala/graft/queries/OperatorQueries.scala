@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, Dedup, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -1119,6 +1119,64 @@ object OperatorQueries {
         Similarity.semanticDupClusters(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.35, nCentroids = 16, passes = 4)
           .orderBy("id")),
+
+    // DSIR importance weights (Xie et al. 2023): how target-like is each
+    // raw document, as the sum of Laplace-smoothed log p_target/p_raw
+    // ratios over md5-bucketed unigram+bigram features. Target = the 'en'
+    // slice, raw = the whole corpus. The oracle replays tokenization, the
+    // 60-bit md5 bucketing, both smoothed count tables and the per-doc sum
+    // exactly — a full hash-match on the weights.
+    "x43_dsir_weights" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ratios = ImportanceWeights.fitLogRatios(
+          docs.where(col("lang") === "en"), docs, "text", "doc_id")
+        ImportanceWeights.score(docs, "text", "doc_id", ratios)
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(toks,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS gram
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+        |  FROM g),
+        |tc AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+        |rt AS (SELECT count(*) AS n FROM b),
+        |lr AS (
+        |  SELECT rc.bucket,
+        |    ln((coalesce(tc.tc, 0) + 1.0) / (tt.n + 4096.0)) -
+        |    ln((rc.rc + 1.0) / (rt.n + 4096.0)) AS log_ratio
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt)
+        |SELECT b.doc_id, round(sum(lr.log_ratio), 4) AS dsir_weight
+        |FROM b JOIN lr USING (bucket)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+
+    // Leakage-safe train/validation split: the split key is md5(seed:GROUP)
+    // — every document of a source lands on the same side, so near-
+    // duplicates within a source can never straddle the split and leak
+    // validation content into training. Same md5-as-randomness determinism
+    // as the mixture samplers; the oracle replays the exact assignment.
+    "x44_grouped_split" -> sql(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(substring(md5(concat_ws(":", lit("v1"), col("source"))), 1, 4) < "2000",
+              lit("val")).otherwise(lit("train")))
+          .select("doc_id", "source", "split")
+          .orderBy("doc_id"),
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5('v1:' || source), 1, 4) < '2000'
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -811,4 +811,25 @@ case class GraftSortDistinct(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): GraftSortDistinct =
     copy(child = newChild)
+}
+
+/** `graft_mix64(h, a, b) → bigint` — wrapping h·a + b mod 2⁶⁴ (Java long
+  * semantics: deliberately exempt from ANSI overflow checks — the wrap IS
+  * the hash). The Knuth multiplicative row-hash step of the count-min
+  * sketch; replays in DuckDB as 32-bit-split HUGEINT arithmetic (see the
+  * x46 oracle in OperatorQueries). */
+case class GraftMix64(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override protected def nullSafeEval(h: Any, a: Any, b: Any): Any =
+    h.asInstanceOf[Long] * a.asInstanceOf[Long] + b.asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, a, b) => s"($h * $a + $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GraftMix64 =
+    copy(first = f, second = s, third = t)
 }

@@ -90,6 +90,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_sort_distinct"),
       new ExpressionInfo(classOf[GraftSortDistinct].getName, "graft_sort_distinct"),
       (args: Seq[Expression]) => GraftSortDistinct(args.head)),
+    (new FunctionIdentifier("graft_mix64"),
+      new ExpressionInfo(classOf[GraftMix64].getName, "graft_mix64"),
+      (args: Seq[Expression]) => GraftMix64(args.head, args(1), args(2))),
     (new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => GraftShingleHashes(args.head, literalInt(args(1)))),

@@ -99,6 +99,46 @@ object Sharding {
     *
     * Output = input columns + `pos` (long, 0-based). Call
     * releaseShardCaches() once the result is materialized. */
+  /** Global 0-based rank over an arbitrary lexicographic column order — the
+    * same two-phase recipe as assignShards/shufflePositions (range exchange
+    * → metadata-sized per-partition counts → driver offsets → parallel
+    * per-partition row_number + offset), generalized to any sort key. The
+    * caller must make `orderCols` a total order (end with a unique id);
+    * ties would otherwise make the rank nondeterministic. Output = input
+    * columns + `pos` (long). Call releaseShardCaches() when materialized. */
+  def rankByColumns(
+      docs: DataFrame,
+      orderCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "rankByColumns needs at least one order column")
+    require(!docs.columns.contains("pos") && !docs.columns.contains("__pid"),
+      "rankByColumns reserves column names pos, __pid")
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val parted = tracked(
+      docs.repartitionByRange(nPart, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist())
+
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+        val off = acc; acc += n; pid -> off
+      }.toMap
+    }
+
+    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+    parted
+      .withColumn("pos",
+        row_number().over(w).cast("long") - 1L +
+          element_at(typedlit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+
   def shufflePositions(
       docs: DataFrame,
       idCol: String,

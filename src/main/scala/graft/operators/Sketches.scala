@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream (Cormode & Muthukrishnan 2005) —
+  * the fixed-memory scale path for corpus frequency questions. The exact
+  * vocabulary count (Vocabulary.termStats) shuffles one row per distinct
+  * term: correct, but its reduce state grows with vocabulary size. The CMS
+  * reduce state is a constant depth × width grid regardless of corpus size
+  * — at 100 TB the partial aggregation map-side combines to ≤ d·w rows per
+  * partition and the final sketch always broadcasts.
+  *
+  * Determinism contract (what makes this oracle-checkable, like the x08
+  * simhash replay): the row hashes derive from graft_token_hashes_fnv's
+  * FNV-1a+fmix64 token hash via Knuth multiplicative hashing —
+  * cell_r = (h · A_r + B_r mod 2⁶⁴) >>> (64 − log₂ width) — all of which
+  * replays exactly in DuckDB HUGEINT arithmetic. Top bits of the product
+  * are used (not low bits): with width a power of two, low bits would
+  * depend only on h's low bits and collide identically across rows,
+  * destroying the independence the min-over-rows bound needs.
+  */
+object Sketches {
+
+  /** Four (multiplier, offset) pairs — splitmix64/murmur3 mixing constants,
+    * all multipliers odd (bijective mod 2⁶⁴). Depth ≤ 4. Exposed to the
+    * query pack so the DuckDB oracle replays the same family. */
+  private[graft] val RowSeeds: Seq[(Long, Long)] = Seq(
+    (0x9e3779b97f4a7c15L, 0x2545f4914f6cdd1dL),
+    (0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL),
+    (0xff51afd7ed558ccdL, 0xc4ceb9fe1a85ec53L),
+    (0xd6e8feb86659fd93L, 0x589965cc75374cc3L))
+
+  private def log2Exact(w: Int): Int = {
+    require(w >= 2 && (w & (w - 1)) == 0, s"width must be a power of two, got $w")
+    java.lang.Integer.numberOfTrailingZeros(w)
+  }
+
+  /** cell_r for a 64-bit token-hash column. graft_mix64 wraps mod 2⁶⁴ by
+    * construction (a plain `h * a + b` Column trips Spark 4's ANSI overflow
+    * check — the wrap IS the hash here). */
+  private def cell(h: Column, r: Int, widthBits: Int): Column = {
+    val (a, b) = RowSeeds(r)
+    shiftrightunsigned(call_function("graft_mix64", h, lit(a), lit(b)), 64 - widthBits)
+  }
+
+  /** Build the sketch: (row, cell, cnt) with exactly one count shuffle whose
+    * reduce key space is depth × width. Token occurrences (not distinct
+    * tokens) are counted — the CMS estimates occurrence frequency. */
+  def countMinTokenSketch(
+      df: DataFrame,
+      textCol: String,
+      width: Int,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= RowSeeds.size,
+      s"depth must be in [1, ${RowSeeds.size}]")
+    val k = log2Exact(width)
+    // Per-occurrence 8-byte hashes straight from the native kernel — token
+    // strings never leave the scan projection.
+    val occ = df.select(
+      explode(call_function("graft_token_hashes_fnv", col(textCol))).as("__h"))
+    occ
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cell(col("__h"), r, k).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for candidate tokens: min over rows of the candidate's
+    * cell count (the classic overestimate-only bound: est ≥ true count, and
+    * est ≤ true + εN w.h.p. with ε = e/width). `candidates` must carry a
+    * string column `token`; the sketch side is ≤ d·w rows and broadcasts. */
+  def cmsEstimates(
+      sketch: DataFrame,
+      candidates: DataFrame,
+      width: Int,
+      depth: Int): DataFrame = {
+    val k = log2Exact(width)
+    val withHash = candidates
+      .select(col("token"))
+      .withColumn("__h",
+        element_at(call_function("graft_token_hashes_fnv", col("token")), 1))
+    withHash
+      .select(col("token"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cell(col("__h"), r, k).as("cell"))): _*)).as("rc"))
+      .join(broadcast(sketch),
+        col("rc.row") === sketch("row") && col("rc.cell") === sketch("cell"))
+      .groupBy(col("token"))
+      .agg(min(col("cnt")).as("est"))
+  }
+
+  /** Heavy hitters by CMS estimate among the supplied candidate tokens,
+    * deterministic tie-break (est desc, token asc). At scale the candidate
+    * set comes from a sample or a prior round — the sketch itself never
+    * enumerates the vocabulary. */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      textCol: String,
+      candidates: DataFrame,
+      width: Int,
+      depth: Int,
+      topK: Int): DataFrame = {
+    val sketch = countMinTokenSketch(df, textCol, width, depth)
+    cmsEstimates(sketch, candidates, width, depth)
+      .orderBy(col("est").desc, col("token"))
+      .limit(topK)
+  }
+}

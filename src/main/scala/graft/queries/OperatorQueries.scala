@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -20,6 +20,14 @@ object OperatorQueries {
   private def dkXor64(a: String, b: String): String =
     s"(xor((($a // 4294967296) % 4294967296)::BIGINT, (($b // 4294967296) % 4294967296)::BIGINT)::HUGEINT" +
       s" * 4294967296 + xor(($a % 4294967296)::BIGINT, ($b % 4294967296)::BIGINT)::HUGEINT)"
+
+  /** VALUES rows replaying Sketches.RowSeeds as unsigned HUGEINT literals
+    * for the CMS oracle: (row, multiplier, offset). */
+  private def cmsSeedRows(depth: Int): String =
+    Sketches.RowSeeds.take(depth).zipWithIndex.map { case ((a, b), r) =>
+      s"($r, ${java.lang.Long.toUnsignedString(a)}::HUGEINT, " +
+        s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
+    }.mkString(",\n        |  ")
 
   private def dkMul64(a: String, c: Long): String = {
     val cl = c & 0xffffffffL
@@ -1176,6 +1184,138 @@ object OperatorQueries {
       """SELECT doc_id, source,
         |  CASE WHEN substr(md5('v1:' || source), 1, 4) < '2000'
         |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Exact substring dedup (Lee et al. 2021, windowed formulation): every
+    // maximal per-document span covered by 4-token windows occurring ≥ 2
+    // times corpus-wide. Window frequencies shuffle as xxhash64 longs; the
+    // oracle recomputes window frequencies on the verbatim window STRINGS
+    // and replays the same gaps-and-islands merge — so both the window
+    // inventory and the span algebra are under test (a hash collision or
+    // an off-by-one in the island merge would surface as a row diff).
+    "x45_substring_spans" -> sql(
+      (s, dir) =>
+        SubstringDedup.duplicatedSpans(Tables.documents(s, dir), "text", "doc_id",
+          windowTokens = 4)
+          .orderBy("doc_id"),
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, len(toks) AS n FROM t0 WHERE len(toks) >= 4),
+        |win0 AS (SELECT doc_id, n, toks, unnest(generate_series(1, n - 3)) AS i FROM t),
+        |win AS (SELECT doc_id, n, i - 1 AS pos, array_to_string(list_slice(toks, i, i + 3), ' ') AS w FROM win0),
+        |freq AS (SELECT w, count(*) AS c FROM win GROUP BY 1),
+        |dup AS (SELECT doc_id, n, pos FROM win JOIN freq USING (w) WHERE c >= 2),
+        |isl AS (SELECT doc_id, n, pos,
+        |  CASE WHEN max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |       OR pos > max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |       THEN 1 ELSE 0 END AS new_span
+        |  FROM dup),
+        |sp AS (SELECT doc_id, n, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM isl),
+        |spans AS (SELECT doc_id, n, span, min(pos) AS s, max(pos) + 3 AS e FROM sp GROUP BY 1, 2, 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  n::BIGINT AS total_tokens, round(CAST(sum(e - s + 1) AS DOUBLE) / n, 4) AS dup_fraction
+        |FROM spans GROUP BY doc_id, n ORDER BY doc_id""".stripMargin),
+
+    // Count-min-sketch heavy hitters: token frequency estimates from a
+    // fixed 4×256 grid (the constant-memory scale path next to x32's exact
+    // vocabulary count). Deterministic end to end — the oracle rebuilds the
+    // SAME sketch in SQL (FNV-1a+fmix64 token hashes replayed in HUGEINT,
+    // then the Knuth multiplicative row hashes, top-8-bits cell) and takes
+    // the same min-over-rows estimates, so the sketch contents themselves
+    // are under test, not just the top-k ordering.
+    "x46_cms_heavy_hitters" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val candidates = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .distinct()
+        Sketches.cmsHeavyHitters(docs, "text", candidates,
+          width = 256, depth = 4, topK = 20)
+      },
+      s"""WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |fnv AS (
+        |  SELECT tok, c,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(generate_series(1, length(tok)), j -> ascii(substring(tok, j, 1))::HUGEINT)),
+        |      (acc, ch) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, ch::BIGINT)::HUGEINT)
+        |                    * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM cnt),
+        |f1 AS (SELECT tok, c, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT tok, c, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT tok, c, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT tok, c, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT tok, c, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |seeds AS (SELECT * FROM (VALUES
+        |  ${cmsSeedRows(4)}) s(r, a, b)),
+        |cells AS (
+        |  SELECT tok, c, r,
+        |    (((((x % 4294967296) * (a % 4294967296)
+        |        + (((x % 4294967296) * (a // 4294967296) + (x // 4294967296) * (a % 4294967296)) % 4294967296) * 4294967296)
+        |       % 18446744073709551616::HUGEINT + b) % 18446744073709551616::HUGEINT)
+        |     // 72057594037927936)::BIGINT AS cell
+        |  FROM f5 CROSS JOIN seeds),
+        |sketch AS (SELECT r, cell, sum(c) AS cnt FROM cells GROUP BY 1, 2)
+        |SELECT tok AS token, CAST(min(s.cnt) AS BIGINT) AS est
+        |FROM cells JOIN sketch s USING (r, cell)
+        |GROUP BY tok ORDER BY est DESC, token LIMIT 20""".stripMargin),
+
+    // Zipf head coverage: the top-40 terms with their cumulative share of
+    // all token occurrences — the "how much of the corpus is its head"
+    // dashboard number. Scale note: the running sum runs AFTER a top-k
+    // TakeOrdered, so the single-partition window only ever sees k rows —
+    // the corpus-sized work is x32's term aggregation shape.
+    "x47_zipf_coverage" -> sql(
+      (s, dir) => {
+        val stats = Vocabulary.termStats(Tables.documents(s, dir), "text", "doc_id")
+        val total = stats.agg(sum(col("tf")).as("__total"))
+        val top = stats.orderBy(desc("tf"), col("term")).limit(40)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("tf"), col("term"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        top
+          .crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(desc("tf"), col("term"))).cast("long"))
+          .withColumn("cum_share",
+            round(sum(col("tf")).over(wAll).cast("double") / col("__total"), 4))
+          .select("rank", "term", "tf", "cum_share")
+          .orderBy("rank")
+      },
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM c),
+        |r AS (SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM c)
+        |SELECT rank, term, tf,
+        |  round(CAST(sum(tf) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / (SELECT n FROM tot), 4) AS cum_share
+        |FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin),
+
+    // Curriculum bucketing: NTILE-semantics difficulty tiers (proxy:
+    // document length) computed via the two-phase distributed rank — the
+    // oracle is DuckDB's own ntile() window, so the closed-form bucket
+    // arithmetic AND the distributed rank both replay exactly.
+    "x48_curriculum_buckets" -> sql(
+      (s, dir) => {
+        val out = Curriculum.difficultyBuckets(
+          Tables.documents(s, dir), "n_chars", "doc_id", nBuckets = 10)
+          .select("doc_id", "n_chars", "bucket")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """SELECT doc_id, n_chars,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned

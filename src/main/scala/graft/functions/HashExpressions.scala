@@ -391,6 +391,52 @@ object GraftHashUtil {
   @inline private def isJavaRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** FNV-1a+fmix64 hashes of the unigrams AND adjacent bigrams of
+    * lower(trim(s)) — the DSIR feature stream — in ONE scan with zero gram
+    * strings materialized. A bigram "a b" hashes as the FNV chain over its
+    * exact characters (single-space joined), continued from the previous
+    * token's unfinalized state, so it equals tokenHashesFnv-style
+    * fnv("a b") and replays in DuckDB HUGEINT like the rest of the FNV
+    * family. Output: n unigram hashes followed by n-1 bigram hashes. */
+  def gramHashesFnv(s: UTF8String): ArrayData = {
+    val str = s.trim().toLowerCase.toString
+    val len = str.length
+    val uni = new java.util.ArrayList[java.lang.Long]()
+    val bi = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    var prevState = 0L
+    var hasPrev = false
+    while (i < len) {
+      while (i < len && isJavaRegexWs(str.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        var h = 0xcbf29ce484222325L
+        while (i < len && !isJavaRegexWs(str.charAt(i))) {
+          h ^= str.charAt(i); h *= 0x100000001b3L
+          i += 1
+        }
+        val end = i
+        uni.add(fmix64(h))
+        if (hasPrev) {
+          var hb = prevState
+          hb ^= ' '; hb *= 0x100000001b3L
+          var j = start
+          while (j < end) { hb ^= str.charAt(j); hb *= 0x100000001b3L; j += 1 }
+          bi.add(fmix64(hb))
+        }
+        prevState = h
+        hasPrev = true
+      }
+    }
+    val arr = new Array[Long](uni.size() + bi.size())
+    var k = 0
+    var j = 0
+    while (j < uni.size()) { arr(k) = uni.get(j); k += 1; j += 1 }
+    j = 0
+    while (j < bi.size()) { arr(k) = bi.get(j); k += 1; j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Dot product of two float vectors in double, left-to-right accumulation —
     * the same summation order as the interpreted zip_with/aggregate chain and
     * DuckDB's list_dot_product, so results stay bit-comparable to the oracle.
@@ -832,4 +878,24 @@ case class GraftMix64(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): GraftMix64 =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_gram_hashes_fnv(string) → array<bigint>` — oracle-replayable
+  * FNV-1a+fmix64 hashes of unigrams + adjacent bigrams in one scan
+  * (see GraftHashUtil.gramHashesFnv; the DSIR feature kernel). */
+case class GraftGramHashesFnv(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_hashes_fnv"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.gramHashesFnv(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.gramHashesFnv($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftGramHashesFnv =
+    copy(child = newChild)
 }

@@ -93,6 +93,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_mix64"),
       new ExpressionInfo(classOf[GraftMix64].getName, "graft_mix64"),
       (args: Seq[Expression]) => GraftMix64(args.head, args(1), args(2))),
+    (new FunctionIdentifier("graft_gram_hashes_fnv"),
+      new ExpressionInfo(classOf[GraftGramHashesFnv].getName, "graft_gram_hashes_fnv"),
+      (args: Seq[Expression]) => GraftGramHashesFnv(args.head)),
     (new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => GraftShingleHashes(args.head, literalInt(args(1)))),

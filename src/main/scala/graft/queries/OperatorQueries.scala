@@ -1136,25 +1136,37 @@ object OperatorQueries {
     // exactly — a full hash-match on the weights.
     "x43_dsir_weights" -> sql(
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val ratios = ImportanceWeights.fitLogRatios(
-          docs.where(col("lang") === "en"), docs, "text", "doc_id")
-        ImportanceWeights.score(docs, "text", "doc_id", ratios)
+        val out = ImportanceWeights.weightsAgainstSubset(
+          Tables.documents(s, dir), col("lang") === "en", "text", "doc_id")
           .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        ImportanceWeights.releaseCaches()
+        materialized
       },
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lang, unnest(list_concat(toks,
         |    list_transform(generate_series(1, len(toks) - 1),
         |      i -> toks[i] || ' ' || toks[i+1]))) AS gram
         |  FROM t),
-        |b AS (
+        |fnv AS (
         |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(generate_series(1, length(gram)), j -> ascii(substring(gram, j, 1))::HUGEINT)),
+        |      (acc, ch) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, ch::BIGINT)::HUGEINT)
+        |                    * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
         |  FROM g),
+        |f1 AS (SELECT doc_id, lang, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT doc_id, lang, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT doc_id, lang, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, lang, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT doc_id, lang, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |b AS (SELECT doc_id, lang, (x % 4096)::BIGINT AS bucket FROM f5),
         |tc AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
         |rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
         |tt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
@@ -1317,6 +1329,74 @@ object OperatorQueries {
       """SELECT doc_id, n_chars,
         |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Per-document n-gram novelty: the fraction of a doc's distinct 3-word
+    // shingles that appear NOWHERE else in the corpus — the diversity
+    // signal dual to the dedup family (dup detectors find what repeats;
+    // novelty measures what doesn't). Shingles travel as the native
+    // kernel's 8-byte hashes; the oracle recomputes document-frequency on
+    // the verbatim shingle STRINGS, so the distinct-set semantics and the
+    // df join are both under test (the score is hash-agnostic, so a kernel
+    // collision would surface as a value diff).
+    "x49_ngram_novelty" -> sql(
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("__gh"))
+        val dfCounts = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+        grams
+          .join(dfCounts, "__gh")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            round(avg(when(col("__df") === 1, 1.0d).otherwise(0.0d)), 4).as("novelty"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT sh, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+        |FROM g JOIN d USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Per-source corpus health report: the dashboard a curation team reads
+    // — document count, exact-duplicate rate (digest df ≥ 2, the x01/x06
+    // digest), average chars-per-token (the x03 quality proxy) and English
+    // share, one row per source. Digest frequencies shuffle as md5 keys;
+    // everything else is one groupBy(source).
+    "x50_source_health" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val digests = docs.select(col("doc_id"), md5(col("text")).as("__dg"))
+        val dgCounts = digests.groupBy("__dg").agg(count(lit(1)).as("__dups"))
+        val flagged = digests.join(dgCounts, "__dg")
+          .select(col("doc_id"), (col("__dups") >= 2).as("__is_dup"))
+        val tokens = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("double")
+        docs
+          .join(flagged, "doc_id")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(when(col("__is_dup"), 1.0d).otherwise(0.0d)), 4).as("dup_rate"),
+            round(avg(col("n_chars") / tokens), 4).as("avg_chars_per_token"),
+            round(avg(when(col("lang") === "en", 1.0d).otherwise(0.0d)), 4).as("en_share"))
+          .orderBy("source")
+      },
+      """WITH dg AS (
+        |  SELECT doc_id, md5(text) AS d FROM documents),
+        |dc AS (SELECT d, count(*) AS c FROM dg GROUP BY 1),
+        |f AS (SELECT doc_id, (c >= 2) AS is_dup FROM dg JOIN dc USING (d))
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+        |  round(avg(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '\S+'))), 4) AS avg_chars_per_token,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_share
+        |FROM documents JOIN f USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

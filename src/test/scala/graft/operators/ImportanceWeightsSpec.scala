@@ -37,6 +37,25 @@ class ImportanceWeightsSpec extends SparkSpec {
     assert(picked == Set(1L, 2L, 5L), picked.toString)
   }
 
+  test("gram hash kernel: n unigrams then n-1 bigrams; bigram = whole-string FNV") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fnvFmix(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.foreach { c => h ^= c; h *= 0x100000001b3L }
+      var x = h
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      x
+    }
+    // mixed case + irregular whitespace: tokenizes to (alpha, beta, gamma)
+    val arr = graft.functions.GraftHashUtil.gramHashesFnv(
+      UTF8String.fromString(" Alpha  beta\tgamma "))
+    val got = (0 until arr.numElements()).map(arr.getLong)
+    val want = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma").map(fnvFmix)
+    assert(got == want, s"$got vs $want")
+  }
+
   test("empty or whitespace-only documents produce no weight row") {
     val raw = rawDocs.unionByName(
       Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"))

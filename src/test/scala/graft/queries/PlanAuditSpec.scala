@@ -202,6 +202,46 @@ class PlanAuditSpec extends SparkSpec {
       "pass-cell assignment must ride the per-side explode projections")
   }
 
+  test("x45: window text never shuffles — frequency exchanges carry 8-byte hashes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = flatten(planOf("x45_substring_spans"))
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "the dup-window flag must be an equi-semi-join on the window hash")
+    val stringShuffles = nodes.collect {
+      case s: ShuffleExchangeLike if s.schema.fields.exists(
+        _.dataType == org.apache.spark.sql.types.StringType) => s
+    }
+    assert(stringShuffles.isEmpty,
+      "window/token strings must never leave the scan projection")
+  }
+
+  test("x46: the sketch broadcasts into the estimate join; state stays bounded") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x46_cms_heavy_hitters"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the d×w sketch is bounded and must broadcast, never shuffle-join")
+    // The only string-typed exchange allowed is the candidate-token set
+    // (distinct tokens of the fixture); the sketch-build exchange must
+    // carry (row, cell, cnt) only.
+    val sketchShuffles = nodes.collect {
+      case s: ShuffleExchangeLike if s.schema.fieldNames.contains("cell") => s
+    }
+    assert(sketchShuffles.forall(!_.schema.fields.exists(
+      _.dataType == org.apache.spark.sql.types.StringType)),
+      "sketch construction must aggregate hashes, not token strings")
+  }
+
+  test("x48: the NTILE rank never funnels through a single partition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val single = flatten(planOf("x48_curriculum_buckets"))
+      .collect { case s: ShuffleExchangeLike if s.outputPartitioning == SinglePartition => s }
+    assert(single.isEmpty,
+      "bucket assignment must use the two-phase rank, not a global window")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

@@ -44,10 +44,11 @@ object Sketches {
     shiftrightunsigned(call_function("graft_mix64", h, lit(a), lit(b)), 64 - widthBits)
   }
 
-  /** Build the sketch: (row, cell, cnt) with exactly one count shuffle whose
-    * reduce key space is depth × width. Token occurrences (not distinct
-    * tokens) are counted — the CMS estimates occurrence frequency. */
-  def countMinTokenSketch(
+  /** One (row, cell) output row per token occurrence × sketch row — the
+    * narrow projection shared by the batch sketch and the streaming leg
+    * (StreamingSketch aggregates the same cells incrementally). Token
+    * strings never leave the scan projection. */
+  private[graft] def streamCells(
       df: DataFrame,
       textCol: String,
       width: Int,
@@ -55,16 +56,24 @@ object Sketches {
     require(depth >= 1 && depth <= RowSeeds.size,
       s"depth must be in [1, ${RowSeeds.size}]")
     val k = log2Exact(width)
-    // Per-occurrence 8-byte hashes straight from the native kernel — token
-    // strings never leave the scan projection.
-    val occ = df.select(
+    df.select(
       explode(call_function("graft_token_hashes_fnv", col(textCol))).as("__h"))
-    occ
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("row"), cell(col("__h"), r, k).as("cell"))): _*)).as("rc"))
-      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
   }
+
+  /** Build the sketch: (row, cell, cnt) with exactly one count shuffle whose
+    * reduce key space is depth × width. Token occurrences (not distinct
+    * tokens) are counted — the CMS estimates occurrence frequency. */
+  def countMinTokenSketch(
+      df: DataFrame,
+      textCol: String,
+      width: Int,
+      depth: Int): DataFrame =
+    streamCells(df, textCol, width, depth)
+      .groupBy("row", "cell")
+      .agg(count(lit(1)).as("cnt"))
 
   /** Point estimates for candidate tokens: min over rows of the candidate's
     * cell count (the classic overestimate-only bound: est ≥ true count, and

@@ -139,6 +139,27 @@ object Sharding {
       .drop("__pid")
   }
 
+  /** Deterministic round-robin interleave across sources — the data-loader
+    * ordering that cycles source1, source2, … so no training window sees a
+    * long single-source run (the failure mode of plain source-sorted
+    * order). Semantics: rank rows within each source (by idCol), then
+    * order globally by (within-source rank, source). Output = input
+    * columns + `pos` (long, 0-based). Shape: one keyed exchange for the
+    * per-source window + the rankByColumns range exchange — no global
+    * single-partition window at any step. */
+  def interleavePositions(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(!docs.columns.contains("__r"),
+      "interleavePositions reserves column name __r")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranked = docs.withColumn("__r", row_number().over(w).cast("long"))
+    rankByColumns(ranked, Seq("__r", sourceCol, idCol), numPartitions)
+      .drop("__r")
+  }
+
   def shufflePositions(
       docs: DataFrame,
       idCol: String,

@@ -457,6 +457,37 @@ object Similarity {
     * explode rides the scan and the window reuses one keyed exchange; no
     * interpreted higher-order functions in the path. Output: (id, i, q,
     * scale) with `scale` rounded to 6 decimals for stable comparison. */
+  /** Embedding-space label cohesion — the quick-look quality report for a
+    * labeled embedding table: average pairwise cosine within labels vs
+    * across labels, on a deterministic bounded sample (top-`sampleK` rows
+    * by md5(seed:id) — the corpus-size-independent variant of the mixture
+    * samplers' hash trick, so the all-pairs stage is O(sampleK²) at ANY
+    * corpus size and the sample side always broadcasts). A healthy
+    * embedding has avg_cos(same) ≫ avg_cos(diff); inversions flag label
+    * noise or a collapsed space. */
+  def labelCohesion(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      sampleK: Int = 256,
+      seed: String = "v1"): DataFrame = {
+    require(sampleK >= 2, "sampleK must be ≥ 2")
+    val sample = emb
+      .select(col(idCol).as("__id"), col(labelCol).as("__label"), col(vecCol).as("__vec"))
+      .withColumn("__key", md5(concat_ws(":", lit(seed), col("__id").cast("string"))))
+      .orderBy(col("__key"), col("__id"))
+      .limit(sampleK)
+      .drop("__key")
+    val a = sample.select(col("__id").as("__ida"), col("__label").as("__la"), col("__vec").as("__va"))
+    val b = sample.select(col("__id").as("__idb"), col("__label").as("__lb"), col("__vec").as("__vb"))
+    a.join(broadcast(b), col("__ida") < col("__idb"))
+      .select((col("__la") === col("__lb")).as("same_label"),
+        cosine(col("__va"), col("__vb")).as("__cos"))
+      .groupBy("same_label")
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("__cos")), 4).as("avg_cos"))
+  }
+
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))

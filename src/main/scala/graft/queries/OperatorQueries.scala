@@ -1398,6 +1398,51 @@ object OperatorQueries {
         |FROM documents JOIN f USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // Deterministic source-interleaved data-loader order: rank within each
+    // source, then order globally by (rank, source) — a round-robin cycle
+    // over sources so no training window sees a single-source run. One
+    // keyed window exchange + the two-phase global rank; the oracle is the
+    // double-row_number replay.
+    "x51_source_interleave" -> sql(
+      (s, dir) => {
+        val out = Sharding.interleavePositions(
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id")
+          .select("doc_id", "source", "pos")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY r, source, doc_id) - 1 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // Embedding label-cohesion report: avg pairwise cosine within vs
+    // across labels on a deterministic 256-row hash sample — O(k²) at any
+    // corpus size, sample side broadcast. Oracle replays the md5 sample
+    // selection and the exact double-precision cosines.
+    "x52_label_cohesion" -> sql(
+      (s, dir) =>
+        Similarity.labelCohesion(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", sampleK = 256)
+          .orderBy("same_label"),
+      """WITH s AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  ORDER BY md5('v1:' || vec_id), vec_id LIMIT 256),
+        |p AS (
+        |  SELECT a.label = b.label AS same_label,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        |SELECT same_label, count(*) AS n_pairs, round(avg(cos), 4) AS avg_cos
+        |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -50,6 +50,33 @@ class ShardingSpec extends SparkSpec {
       (spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty) Thread.sleep(50)
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("interleavePositions cycles every source before repeating any") {
+    // 3 equal sources × 40 docs: positions 0..2 must be the three sources,
+    // 3..5 again, etc. — the strict round-robin guarantee for equal sizes
+    val docs = (0L until 120L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Sharding.interleavePositions(docs, "source", "doc_id")
+      .select("pos", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    Sharding.releaseShardCaches()
+    assert(out.map(_._1).toSeq == (0L until 120L))
+    out.grouped(3).foreach { cycle =>
+      assert(cycle.map(_._2).toSet == Set("src0", "src1", "src2"),
+        s"cycle ${cycle.toSeq} must hit every source once")
+    }
+  }
+
+  test("interleavePositions drains short sources, keeps cycling the rest") {
+    val docs = ((0L until 10L).map(i => (i, "big")) ++ Seq((100L, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Sharding.interleavePositions(docs, "source", "doc_id")
+      .select("pos", "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    Sharding.releaseShardCaches()
+    // rank-1 rows come first (big's doc 0, then tiny's only doc), then big runs out the tail
+    assert(out.take(2).map(_._3).toSeq == Seq("big", "tiny"), out.mkString(","))
+    assert(out.drop(2).forall(_._3 == "big"))
+  }
 }
 
 class SequencePackingSpec extends SparkSpec {
@@ -218,4 +245,5 @@ class MixtureSamplingSpec extends SparkSpec {
     assert(kept("small") == 100L)
     assert(kept("big") < 250L && kept("big") > 100L, kept.toString)
   }
+
 }

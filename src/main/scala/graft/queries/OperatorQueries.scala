@@ -1443,6 +1443,45 @@ object OperatorQueries {
         |SELECT same_label, count(*) AS n_pairs, round(avg(cos), 4) AS avg_cos
         |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin),
 
+    // CCNet-style perplexity terciles: score every doc under the corpus
+    // bigram LM (x26's operator), then cut the score distribution into
+    // head/middle/tail with exact NTILE semantics via the two-phase
+    // distributed rank (bucket 3 = most typical text, the "head" CCNet
+    // keeps). Composition of two already-pinned operators; the oracle
+    // replays the string-keyed LM and DuckDB's own ntile in one statement.
+    "x53_perplexity_buckets" -> sql(
+      (s, dir) => {
+        val scored = NgramLm.bigramLmScore(Tables.documents(s, dir), "text", "doc_id")
+          .select("doc_id", "lm_score")
+        val out = Curriculum.difficultyBuckets(scored, "lm_score", "doc_id", nBuckets = 3)
+          .select("doc_id", "lm_score", "bucket")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        NgramLm.releaseCaches()
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |bc AS (SELECT b, count(*) AS c2 FROM bi GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |s AS (
+        |  SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS lm_score
+        |  FROM bi JOIN bc USING (b)
+        |  JOIN uni ON string_split(bi.b, ' ')[1] = uni.w
+        |  CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, lm_score,
+        |  CAST(ntile(3) OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS bucket
+        |FROM s ORDER BY doc_id""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -89,4 +89,25 @@ class EmptyInputSpec extends SparkSpec {
       threshold = 0.5, nBits = 8, dim = 4, probeHamming = 1, nTables = 2).isEmpty)
     Dedup.releaseCaches()
   }
+
+  test("round-5 additions: empty corpus → empty spans/sketches/buckets/orders") {
+    assert(SubstringDedup.duplicatedSpans(noDocs, "text", "doc_id", 4).isEmpty)
+    assert(SubstringDedup.duplicatedSpansDetail(noDocs, "text", "doc_id", 4).isEmpty)
+    assert(SubstringDedup.dropDuplicatedSpans(noDocs, "text", "doc_id", 4).isEmpty)
+    assert(Sketches.countMinTokenSketch(noDocs, "text", 64, 4).isEmpty)
+    val noCands = Seq.empty[String].toDF("token")
+    assert(Sketches.cmsHeavyHitters(noDocs, "text", noCands, 64, 4, 10).isEmpty)
+    assert(Curriculum.difficultyBuckets(noTokens, "n_tokens", "doc_id", 10).isEmpty)
+    assert(Curriculum.bucketSummary(noTokens, "n_tokens", "doc_id", 10).isEmpty)
+    val noSourced = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Sharding.interleavePositions(noSourced, "source", "doc_id").isEmpty)
+    Sharding.releaseShardCaches()
+    val noVecsL = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelCohesion(noVecsL, "vec_id", "embedding", "label").isEmpty)
+    val noRatios = ImportanceWeights.fitLogRatios(noDocs, noDocs, "text", "doc_id")
+    assert(noRatios.isEmpty)
+    assert(ImportanceWeights.score(noDocs, "text", "doc_id", noRatios).isEmpty)
+    assert(ImportanceWeights.weightsAgainstSubset(noDocs, lit(true), "text", "doc_id").isEmpty)
+    ImportanceWeights.releaseCaches()
+  }
 }

@@ -1231,6 +1231,51 @@ object OperatorQueries {
         |  n::BIGINT AS total_tokens, round(CAST(sum(e - s + 1) AS DOUBLE) / n, 4) AS dup_fraction
         |FROM spans GROUP BY doc_id, n ORDER BY doc_id""".stripMargin),
 
+    // The rewrite side of x45: drop every duplicated span's tokens from
+    // every document (the corpus-mutation mode of exact substring dedup).
+    // The oracle rebuilds the spans on verbatim window strings and
+    // re-assembles each document from its uncovered token positions — so
+    // the span algebra AND the text surgery replay end to end.
+    "x54_substring_rewrite" -> sql(
+      (s, dir) =>
+        SubstringDedup.dropDuplicatedSpans(Tables.documents(s, dir), "text", "doc_id",
+          windowTokens = 4)
+          .orderBy("doc_id"),
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, len(toks) AS n FROM t0 WHERE len(toks) >= 4),
+        |win0 AS (SELECT doc_id, n, toks, unnest(generate_series(1, n - 3)) AS i FROM t),
+        |win AS (SELECT doc_id, n, i - 1 AS pos, array_to_string(list_slice(toks, i, i + 3), ' ') AS w FROM win0),
+        |freq AS (SELECT w, count(*) AS c FROM win GROUP BY 1),
+        |dup AS (SELECT doc_id, n, pos FROM win JOIN freq USING (w) WHERE c >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |       OR pos > max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |       THEN 1 ELSE 0 END AS new_span
+        |  FROM dup),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM isl),
+        |spans AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 3 AS e FROM sp GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p, toks FROM t0),
+        |tp2 AS (SELECT doc_id, p, toks[p + 1] AS tok FROM tp),
+        |cov AS (SELECT DISTINCT tp2.doc_id, tp2.p FROM tp2
+        |  JOIN spans ON tp2.doc_id = spans.doc_id AND tp2.p BETWEEN spans.s AND spans.e),
+        |kept AS (SELECT tp2.doc_id, tp2.p, tp2.tok FROM tp2
+        |  LEFT JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept GROUP BY doc_id),
+        |dt AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
+        |SELECT t0.doc_id,
+        |  coalesce(agg.cleaned_text, '') AS cleaned_text,
+        |  CAST(len(t0.toks) AS BIGINT) AS total_tokens,
+        |  coalesce(dt.dup_tokens, 0) AS dup_tokens
+        |FROM t0
+        |LEFT JOIN agg ON t0.doc_id = agg.doc_id
+        |LEFT JOIN dt ON t0.doc_id = dt.doc_id
+        |ORDER BY t0.doc_id""".stripMargin),
+
     // Count-min-sketch heavy hitters: token frequency estimates from a
     // fixed 4×256 grid (the constant-memory scale path next to x32's exact
     // vocabulary count). Deterministic end to end — the oracle rebuilds the

@@ -437,6 +437,49 @@ object GraftHashUtil {
     new GenericArrayData(arr)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting scheme): hash every char k-gram of the
+    * whitespace-normalized lowercase string (FNV-1a+fmix64, positional,
+    * NOT deduped), slide a window of `w` consecutive gram hashes, select
+    * the minimum hash of each window, and return the SORTED DISTINCT
+    * selected values. Guarantee: any shared substring of length ≥ w+k-1
+    * yields at least one shared fingerprint, while only ~2/(w+1) of grams
+    * are kept. Emitting distinct VALUES makes the tie-break question moot
+    * (equal minima select the same value), so the set replays exactly in
+    * SQL. */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.trim().toLowerCase.toString.replaceAll("\\s+", " ")
+    val len = str.length
+    val nGrams = len - k + 1
+    if (nGrams < 1) return new GenericArrayData(Array.emptyLongArray)
+    val g = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = i + k
+      while (j < end) { h ^= str.charAt(j); h *= 0x100000001b3L; j += 1 }
+      g(i) = fmix64(h)
+      i += 1
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p < nWin) {
+      var m = g(p)
+      var q = p + 1
+      val end = math.min(p + w, nGrams)
+      while (q < end) { if (g(q) < m) m = g(q); q += 1 }
+      sel.add(m)
+      p += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two float vectors in double, left-to-right accumulation —
     * the same summation order as the interpreted zip_with/aggregate chain and
     * DuckDB's list_dot_product, so results stay bit-comparable to the oracle.
@@ -897,5 +940,24 @@ case class GraftGramHashesFnv(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): GraftGramHashesFnv =
+    copy(child = newChild)
+}
+
+/** `graft_winnow_hashes(string, k, w) → array<bigint>` — sorted distinct
+  * winnowing fingerprints (see GraftHashUtil.winnowHashes). */
+case class GraftWinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashUtil.winnowHashes(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.winnowHashes($c, $k, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWinnowHashes =
     copy(child = newChild)
 }

@@ -96,6 +96,10 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_gram_hashes_fnv"),
       new ExpressionInfo(classOf[GraftGramHashesFnv].getName, "graft_gram_hashes_fnv"),
       (args: Seq[Expression]) => GraftGramHashesFnv(args.head)),
+    (new FunctionIdentifier("graft_winnow_hashes"),
+      new ExpressionInfo(classOf[GraftWinnowHashes].getName, "graft_winnow_hashes"),
+      (args: Seq[Expression]) =>
+        GraftWinnowHashes(args.head, literalInt(args(1)), literalInt(args(2)))),
     (new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => GraftShingleHashes(args.head, literalInt(args(1)))),

@@ -481,4 +481,48 @@ object Dedup {
     distinctVertices.toSeq.map(v => (v, members.get(find(v)).longValue()))
       .toDF("id", "cluster")
   }
+
+  /** Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting scheme): each document keeps the minimum
+    * char-k-gram hash of every w-gram window (≈ 2/(w+1) of grams, with the
+    * guarantee that any shared substring of ≥ w+k−1 chars yields a shared
+    * fingerprint), and documents sharing ≥ minShared surviving fingerprints
+    * pair up. The complement to minhash: minhash estimates WHOLE-document
+    * similarity, winnowing finds LOCAL verbatim overlap of bounded length
+    * regardless of how different the rest of the documents are.
+    *
+    * Scale shape: fingerprints come from one native-kernel projection and
+    * travel as 8-byte longs; ubiquitous fingerprints (document frequency >
+    * maxDocFrequency) are dropped BEFORE the pair join — MOSS's own noise
+    * rule, and the skew guard that caps any fingerprint's join fan-out at
+    * maxDocFrequency², keeping candidate volume linear in corpus size. */
+  def winnowingPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      window: Int = 4,
+      maxDocFrequency: Long = 8,
+      minShared: Long = 2): DataFrame = {
+    require(k >= 2 && window >= 1, "k must be ≥ 2 and window ≥ 1")
+    require(maxDocFrequency >= 2, "maxDocFrequency < 2 can never produce a pair")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // per-doc DISTINCT fingerprint sets straight from the kernel
+    val fps = df.select(
+      col(idCol).as("id"),
+      explode(call_function("graft_winnow_hashes",
+        col(textCol), lit(k), lit(window))).as("fp"))
+    // sets are per-doc distinct, so count(*) = document frequency
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFrequency)
+      .select("fp")
+    val kept = fps.join(keep, Seq("fp"), "left_semi")
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -1276,6 +1276,54 @@ object OperatorQueries {
         |LEFT JOIN dt ON t0.doc_id = dt.doc_id
         |ORDER BY t0.doc_id""".stripMargin),
 
+    // Winnowing fingerprint pairs (MOSS): documents sharing ≥ 2 rare local
+    // fingerprints — verbatim-overlap detection, the local complement to
+    // minhash's whole-doc similarity. The oracle recomputes the char-gram
+    // FNV hashes in HUGEINT, converts to SIGNED 64-bit (the kernel's
+    // window minima are Java signed-long minima), replays the window-min
+    // selection, the df ≤ 8 noise rule and the pair counts.
+    "x55_winnowing_pairs" -> sql(
+      (s, dir) =>
+        Dedup.winnowingPairs(Tables.documents(s, dir), "text", "doc_id",
+          k = 5, window = 4, maxDocFrequency = 8, minShared = 2)
+          .orderBy("id_a", "id_b"),
+      s"""WITH s AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS str
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, str, unnest(generate_series(1, length(str) - 4)) AS i
+        |  FROM s WHERE length(str) >= 5),
+        |gram AS (SELECT doc_id, i, substring(str, i, 5) AS gm FROM pos),
+        |fnv AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(generate_series(1, 5), j -> ascii(substring(gm, j, 1))::HUGEINT)),
+        |      (acc, ch) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, ch::BIGINT)::HUGEINT)
+        |                    * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM gram),
+        |f1 AS (SELECT doc_id, i, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT doc_id, i, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT doc_id, i, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, i, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT doc_id, i, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |signed AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN x >= 9223372036854775808::HUGEINT
+        |      THEN (x - 18446744073709551616::HUGEINT)::BIGINT ELSE x::BIGINT END AS gh
+        |  FROM f5),
+        |glist AS (SELECT doc_id, list(gh ORDER BY i) AS gl FROM signed GROUP BY doc_id),
+        |winpos AS (
+        |  SELECT doc_id, gl, unnest(generate_series(1, greatest(len(gl) - 3, 1))) AS p
+        |  FROM glist),
+        |sel AS (SELECT DISTINCT doc_id, list_min(list_slice(gl, p, p + 3)) AS fp FROM winpos),
+        |dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+        |kept AS (SELECT doc_id, sel.fp FROM sel JOIN dfreq USING (fp) WHERE df <= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Count-min-sketch heavy hitters: token frequency estimates from a
     // fixed 4×256 grid (the constant-memory scale path next to x32's exact
     // vocabulary count). Deterministic end to end — the oracle rebuilds the

@@ -242,6 +242,20 @@ class PlanAuditSpec extends SparkSpec {
       "bucket assignment must use the two-phase rank, not a global window")
   }
 
+  test("x55: fingerprint joins move 8-byte longs; no nested loop anywhere") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = flatten(planOf("x55_winnowing_pairs"))
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "pairing must be an equi-join on the fingerprint")
+    val stringShuffles = nodes.collect {
+      case s: ShuffleExchangeLike if s.schema.fields.exists(
+        _.dataType == org.apache.spark.sql.types.StringType) => s
+    }
+    assert(stringShuffles.isEmpty, "gram text must never leave the scan projection")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

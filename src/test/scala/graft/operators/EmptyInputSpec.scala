@@ -90,6 +90,22 @@ class EmptyInputSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("null-text rows are skipped, never fatal (nullable kernels end to end)") {
+    val withNulls = Seq((1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, null), (3L, "x y")).toDF("doc_id", "text")
+    // every text operator must treat a NULL body like an empty document
+    assert(SubstringDedup.duplicatedSpans(withNulls, "text", "doc_id", 4)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(Sketches.countMinTokenSketch(withNulls, "text", 64, 2).count() > 0)
+    assert(Dedup.winnowingPairs(withNulls, "text", "doc_id", minShared = 1)
+      .collect().forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+    val weights = ImportanceWeights.weightsAgainstSubset(
+      withNulls, lit(true), "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    ImportanceWeights.releaseCaches()
+    assert(weights == Set(1L, 3L))
+  }
+
   test("round-5 additions: empty corpus → empty spans/sketches/buckets/orders") {
     assert(SubstringDedup.duplicatedSpans(noDocs, "text", "doc_id", 4).isEmpty)
     assert(SubstringDedup.duplicatedSpansDetail(noDocs, "text", "doc_id", 4).isEmpty)

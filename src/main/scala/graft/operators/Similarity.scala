@@ -488,6 +488,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("__cos")), 4).as("avg_cos"))
   }
 
+  /** Per-label centroid cosines — the outlier-detection report dual to
+    * labelCohesion: each vector's cosine to its OWN label's mean vector.
+    * Low scores flag mislabeled or off-distribution rows. Determinism
+    * contract: the centroid is the per-dimension mean ROUNDED to 6
+    * decimals (the only aggregation-order-sensitive step — rounding
+    * absorbs the last-ulp spread), and the dot products run left-to-right
+    * over the dimension order on both engines, so the rounded output
+    * replays exactly. Shape: one posexplode + a (label, dim) aggregation
+    * whose result is labels × dims rows — a plan constant that broadcasts
+    * back onto the corpus scan. */
+  def labelCentroidCosines(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val dims = emb.select(col(labelCol).as("__l"), posexplode(col(vecCol)))
+    val cent = dims
+      .groupBy(col("__l"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("__c"))
+      .groupBy("__l")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__c")))),
+        s => s.getField("__c")).as("__ce"))
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val v = col(vecCol).cast("array<double>")
+    emb
+      .join(broadcast(cent), emb(labelCol) === cent("__l"))
+      .select(col(idCol), col(labelCol),
+        round(dotd(v, col("__ce")) /
+          (sqrt(dotd(v, v)) * sqrt(dotd(col("__ce"), col("__ce")))), roundTo)
+          .as("cos_centroid"))
+  }
+
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))

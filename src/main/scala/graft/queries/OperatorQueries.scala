@@ -1276,6 +1276,28 @@ object OperatorQueries {
         |LEFT JOIN dt ON t0.doc_id = dt.doc_id
         |ORDER BY t0.doc_id""".stripMargin),
 
+    // Per-label centroid cosines: each vector against its own label's mean
+    // — the outlier report dual to x52's pairwise cohesion. Centroids are
+    // labels × dims rows (plan constant, broadcast); both engines run the
+    // dot products left-to-right over the dimension order.
+    "x56_centroid_outliers" -> sql(
+      (s, dir) =>
+        Similarity.labelCentroidCosines(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label")
+          .orderBy("vec_id"),
+      """WITH d AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, round(avg(v), 6) AS c FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM c GROUP BY label)
+        |SELECT vec_id, e.label,
+        |  round(list_dot_product(e.embedding::DOUBLE[], ce) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(ce, ce))), 4) AS cos_centroid
+        |FROM embeddings e JOIN cent USING (label)
+        |ORDER BY vec_id""".stripMargin),
+
     // Winnowing fingerprint pairs (MOSS): documents sharing ≥ 2 rare local
     // fingerprints — verbatim-overlap detection, the local complement to
     // minhash's whole-doc similarity. The oracle recomputes the char-gram

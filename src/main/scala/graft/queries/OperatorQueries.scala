@@ -1276,6 +1276,52 @@ object OperatorQueries {
         |LEFT JOIN dt ON t0.doc_id = dt.doc_id
         |ORDER BY t0.doc_id""".stripMargin),
 
+    // Per-source KL divergence from the corpus token distribution — the
+    // drift/imbalance dashboard behind mixture decisions (a source whose
+    // unigram distribution diverges is either a different register or
+    // noise). Laplace-smoothed over the global vocabulary, exact algebra.
+    // Scale note: the source × vocab grid is exact here because the fixture
+    // vocabulary is bounded; an open-vocabulary corpus runs the identical
+    // algebra over the DSIR hash-bucket space (graft_gram_hashes_fnv mod
+    // 4096) so the grid stays sources × 4096 at any scale.
+    "x57_source_divergence" -> sql(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val cs = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        val cg = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+        val ns = toks.groupBy("source").agg(count(lit(1)).as("ns"))
+        val ng = toks.agg(count(lit(1)).as("ng"))
+        val v = cg.agg(count(lit(1)).as("v"))
+        ns.crossJoin(broadcast(cg))
+          .join(cs, Seq("source", "tok"), "left")
+          .crossJoin(broadcast(ng))
+          .crossJoin(broadcast(v))
+          .select(col("source"),
+            ((coalesce(col("cs"), lit(0L)) + lit(1.0)) / (col("ns") + col("v"))).as("p"),
+            ((col("cg") + lit(1.0)) / (col("ng") + col("v"))).as("q"))
+          .groupBy("source")
+          .agg(round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl_divergence"))
+          .orderBy("source")
+      },
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cs AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |cg AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n FROM t GROUP BY 1),
+        |ng AS (SELECT count(*) AS n FROM t),
+        |v AS (SELECT count(*) AS v FROM cg),
+        |grid AS (
+        |  SELECT ns.source,
+        |    (coalesce(cs.c, 0) + 1.0) / (ns.n + v.v) AS p,
+        |    (cg.c + 1.0) / (ng.n + v.v) AS q
+        |  FROM ns CROSS JOIN cg
+        |  LEFT JOIN cs ON cs.source = ns.source AND cs.tok = cg.tok
+        |  CROSS JOIN ng CROSS JOIN v)
+        |SELECT source, round(sum(p * ln(p / q)), 4) AS kl_divergence
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin),
+
     // Per-label centroid cosines: each vector against its own label's mean
     // — the outlier report dual to x52's pairwise cohesion. Centroids are
     // labels × dims rows (plan constant, broadcast); both engines run the

@@ -77,6 +77,21 @@ class CmsSketchSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("linearity: sketches of disjoint halves sum to the full-corpus sketch") {
+    // the property that justifies distributed partial aggregation AND the
+    // streaming incremental build: CMS cells are plain sums
+    val docs = corpus.cache()
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 =!= 0)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinTokenSketch(df, "text", 64, 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (m(half1).toSeq ++ m(half2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == m(docs))
+    docs.unpersist()
+  }
+
   test("width must be a power of two and depth within the seed family") {
     intercept[IllegalArgumentException] {
       Sketches.countMinTokenSketch(corpus, "text", 48, 4)

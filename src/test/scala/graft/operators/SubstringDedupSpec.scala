@@ -60,6 +60,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(5L) == (("ue1 ue2 ue3", 3L, 0L)))
   }
 
+  test("hot-window skew: one boilerplate window in 1000 docs stays correct") {
+    // the 100 TB failure mode: a single window (cookie banner, license
+    // header) repeated across a huge share of the corpus makes its hash a
+    // hot join key. Correctness must hold regardless of how AQE splits it.
+    val boiler = "this site uses cookies ok"
+    val docs = (1L to 1000L).map(i => (i, s"u${i}a u${i}b $boiler u${i}c"))
+      .toDF("doc_id", "text")
+    val rep = SubstringDedup.duplicatedSpans(docs, "text", "doc_id", w)
+      .collect()
+    assert(rep.length == 1000)
+    // every doc: exactly the 5-token boilerplate span [2, 6] (windows at
+    // pos 2 and 3 merge; pos 0/1/4+ windows contain per-doc unique tokens)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 5L && r.getLong(3) == 8L,
+        r.toString)
+    }
+  }
+
   test("reserved helper column names are guarded") {
     val bad = Seq((1L, "a b c d e", 0)).toDF("doc_id", "text", "__pos")
     val e = intercept[IllegalArgumentException] {

@@ -580,6 +580,49 @@ object RelationalQueries {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Exponentially-weighted moving average per user — the recursive
+    // cousin of d25's windowed mean (ewma_t = 0.3·x_t + 0.7·ewma_{t−1},
+    // seeded with the first value). Inherently sequential PER KEY: the
+    // fold runs over each user's time-sorted event list (per-key
+    // cardinality bounded — the same contract as any keyed window), and
+    // both engines execute the identical left fold, so the rounded values
+    // replay bit-for-bit. Oracle = recursive CTE.
+    "d29_ewma" -> sql(
+      (s, dir) => {
+        val evs = array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))))
+        val fold = aggregate(col("evs"),
+          array().cast("array<double>"),
+          (acc, e) => concat(acc, array(
+            when(size(acc) === 0, e.getField("value"))
+              .otherwise(lit(0.3) * e.getField("value") +
+                lit(0.7) * element_at(acc, -1)))))
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(evs.as("evs"))
+          .select(col("user_id"), posexplode(arrays_zip(col("evs"), fold.as("ew"))))
+          .select(col("user_id"), (col("pos") + 1).cast("long").as("seq"),
+            col("col.evs.event_id").as("event_id"),
+            round(col("col.ew"), 4).as("ewma"))
+          .orderBy("user_id", "seq")
+      },
+      """WITH g AS (
+        |  SELECT user_id,
+        |    list(struct_pack(event_id := event_id, v := "value") ORDER BY epoch_us(ts), event_id) AS evs
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT user_id, 1 AS seq, evs[1].v AS ewma FROM g
+        |    UNION ALL
+        |    SELECT rec.user_id, rec.seq + 1,
+        |      0.3 * g.evs[rec.seq + 1].v + 0.7 * rec.ewma
+        |    FROM rec JOIN g USING (user_id) WHERE rec.seq < len(g.evs))
+        |  SELECT * FROM rec)
+        |SELECT g.user_id, CAST(r.seq AS BIGINT) AS seq,
+        |  g.evs[r.seq].event_id AS event_id, round(r.ewma, 4) AS ewma
+        |FROM r JOIN g USING (user_id)
+        |ORDER BY user_id, seq""".stripMargin),
+
     // Beyond-reference (SURVEY §2-D's "free in Spark" list): INTERSECT /
     // EXCEPT set operations — customers ordering in both halves of 1997 vs
     // only the first half. Both engines give DISTINCT set semantics; each

@@ -256,6 +256,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(stringShuffles.isEmpty, "gram text must never leave the scan projection")
   }
 
+  test("x57: vocab/total sides broadcast into the KL grid; no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = flatten(planOf("x57_source_divergence"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the bounded vocab / scalar totals must broadcast")
+    // the deliberate source × vocab cross join IS a BroadcastNestedLoop in
+    // Spark's plan for a broadcast cross — assert no CARTESIAN (shuffled
+    // quadratic) product instead
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "grid construction must broadcast, never shuffle a cartesian")
+  }
+
   test("x16: probes broadcast into the assignment scan; corpus never sort-merges") {
     // the serving-side contract of the IVF rework: cell assignment is a
     // projection riding the corpus scan (centroids are a plan constant, so

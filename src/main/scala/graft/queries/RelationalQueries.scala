@@ -581,12 +581,16 @@ object RelationalQueries {
         |FROM events ORDER BY event_id""".stripMargin),
 
     // Exponentially-weighted moving average per user — the recursive
-    // cousin of d25's windowed mean (ewma_t = 0.3·x_t + 0.7·ewma_{t−1},
+    // cousin of d25's windowed mean (ewma_t = α·x_t + (1−α)·ewma_{t−1},
     // seeded with the first value). Inherently sequential PER KEY: the
     // fold runs over each user's time-sorted event list (per-key
     // cardinality bounded — the same contract as any keyed window), and
-    // both engines execute the identical left fold, so the rounded values
-    // replay bit-for-bit. Oracle = recursive CTE.
+    // both engines execute the identical left fold, so the values replay
+    // bit-for-bit. The output rounding is the explicit floor(x·10⁴+0.5)/10⁴
+    // — the same IEEE op sequence in either engine — NOT round(x, 4):
+    // 2-decimal inputs make fold values land exactly on x.xxxx5, where
+    // Spark's round (on the binary double) and DuckDB's (on the shortest
+    // decimal representation) disagree. Oracle = recursive CTE.
     "d29_ewma" -> sql(
       (s, dir) => {
         val evs = array_sort(collect_list(struct(
@@ -595,15 +599,15 @@ object RelationalQueries {
           array().cast("array<double>"),
           (acc, e) => concat(acc, array(
             when(size(acc) === 0, e.getField("value"))
-              .otherwise(lit(0.3) * e.getField("value") +
-                lit(0.7) * element_at(acc, -1)))))
+              .otherwise(lit(0.25) * e.getField("value") +
+                lit(0.75) * element_at(acc, -1)))))
         Tables.events(s, dir)
           .groupBy("user_id")
           .agg(evs.as("evs"))
           .select(col("user_id"), posexplode(arrays_zip(col("evs"), fold.as("ew"))))
           .select(col("user_id"), (col("pos") + 1).cast("long").as("seq"),
             col("col.evs.event_id").as("event_id"),
-            round(col("col.ew"), 4).as("ewma"))
+            (floor(col("col.ew") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("ewma"))
           .orderBy("user_id", "seq")
       },
       """WITH g AS (
@@ -615,11 +619,12 @@ object RelationalQueries {
         |    SELECT user_id, 1 AS seq, evs[1].v AS ewma FROM g
         |    UNION ALL
         |    SELECT rec.user_id, rec.seq + 1,
-        |      0.3 * g.evs[rec.seq + 1].v + 0.7 * rec.ewma
+        |      0.25 * g.evs[rec.seq + 1].v + 0.75 * rec.ewma
         |    FROM rec JOIN g USING (user_id) WHERE rec.seq < len(g.evs))
         |  SELECT * FROM rec)
         |SELECT g.user_id, CAST(r.seq AS BIGINT) AS seq,
-        |  g.evs[r.seq].event_id AS event_id, round(r.ewma, 4) AS ewma
+        |  g.evs[r.seq].event_id AS event_id,
+        |  floor(r.ewma * 10000.0 + 0.5) / 10000.0 AS ewma
         |FROM r JOIN g USING (user_id)
         |ORDER BY user_id, seq""".stripMargin),
 

@@ -482,6 +482,42 @@ object Dedup {
       .toDF("id", "cluster")
   }
 
+  /** Canonical-document selection per duplicate cluster: given
+    * duplicateClusters' (id, cluster) assignment and a per-document score
+    * table, keep the best-scoring member of each cluster (ties broken by
+    * smallest id) and mark the rest as drops — the retention-policy step
+    * that turns a clustering into an actual dedup decision ("keep the
+    * longest / highest-quality copy", the standard near-dup policy; the
+    * min-id default of the cluster label alone keeps an ARBITRARY copy).
+    *
+    * Output: (id, cluster, keep_id, is_kept) for every clustered document.
+    *
+    * Scale shape: one join of the cluster assignment (near-dup-pair-sized,
+    * far smaller than the corpus) against the score projection, then a
+    * per-cluster max-struct aggregation joined back — the aggregation's
+    * partial (map-side) combine reduces each cluster to one candidate per
+    * task before the exchange, so a pathological mega-cluster costs one
+    * hot reduce key, not a sorted window over its whole membership. */
+  def clusterRepresentatives(
+      clusters: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val scored = clusters.join(
+      scores.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    // argmax via max(struct): score DESC then id ASC — negate the id inside
+    // the struct ordering, recover it after
+    val best = scored
+      .groupBy("cluster")
+      .agg(max(struct(col("__score"), (-col("id")).as("__nid"))).as("__best"))
+      .select(col("cluster"), (-col("__best.__nid")).as("keep_id"))
+    scored
+      .join(best, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("keep_id"),
+        (col("id") === col("keep_id")).as("is_kept"))
+  }
+
   /** Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS local fingerprinting scheme): each document keeps the minimum
     * char-k-gram hash of every w-gram window (≈ 2/(w+1) of grams, with the

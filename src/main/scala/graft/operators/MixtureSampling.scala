@@ -168,6 +168,47 @@ object MixtureSampling {
       .drop("__rk", "__q")
   }
 
+  /** Half-life step-decay sampling — freshness weighting for a corpus with
+    * a time axis: a row's keep probability halves for every `halfLifeMicros`
+    * of age relative to the NEWEST row in the dataset (anchoring to the data
+    * maximum, not wall-clock, keeps the operator a pure function of its
+    * input). Age epoch k = floor(age_us / halfLifeMicros); keep probability
+    * 2^-k.
+    *
+    * Determinism contract: the accept test is INTEGER end to end — the
+    * 32-bit md5(id) draw (same family as sampleByRates) is compared against
+    * the threshold 2^32 >> k as an 8-hex-char string, so unlike an
+    * exp(-age/τ) weight there is no transcendental whose last ulp could
+    * differ between engines. k = 0 keeps unconditionally (the 9-hex-char
+    * threshold 2^32 would otherwise be string-truncated); k is capped at 33
+    * where the threshold is 0 and nothing survives.
+    *
+    * Scale shape: the max-timestamp anchor is a 1-row broadcast; the rest is
+    * a shuffle-free scan-side filter. Output keeps the input columns plus
+    * (decay_epochs, weight) — weight = 2^-k is an exact binary fraction. */
+  def timeDecaySample(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      halfLifeMicros: Long): DataFrame = {
+    require(halfLifeMicros > 0, "half-life must be positive")
+    require(!df.columns.contains("__max_us") && !df.columns.contains("__k"),
+      "timeDecaySample reserves the column names __max_us and __k")
+    val anchor = df.agg(max(unix_micros(col(tsCol))).as("__max_us"))
+    df.crossJoin(broadcast(anchor))
+      // integer `div`, not fp `/`: µs ages can exceed the 2^53 double range
+      .withColumn("__k",
+        least(expr(s"(__max_us - unix_micros(`$tsCol`)) div ${halfLifeMicros}L"),
+          lit(33L)).cast("int"))
+      .where(col("__k") === 0 ||
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          lpad(lower(hex(expr("shiftright(4294967296L, __k)"))), 8, "0"))
+      .withColumn("decay_epochs", col("__k").cast("long"))
+      .withColumn("weight",
+        expr("shiftright(4294967296L, __k)").cast("double") / lit(4294967296.0))
+      .drop("__max_us", "__k")
+  }
+
   /** Temperature-derived rates: acceptance r_c ∝ n_c^(1/T - 1), scaled so
     * the largest rate is `maxRate` — the standard multinomial temperature
     * reweighting (T=1 keeps everything proportional/unchanged; T→∞ levels

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", appendix A1
+  * — a public pre-training filter recipe, same family as the heuristics in
+  * TextAnalysis.qualityFeatures but exposed as the standard named rule set
+  * with per-rule verdicts rather than a fused scalar score).
+  *
+  * Rules (all thresholds configurable, defaults = the published ones):
+  *   1. word count within [minWords, maxWords]
+  *   2. mean word length within [minMeanWordLen, maxMeanWordLen]
+  *   3. symbol-to-word ratio ('#' or '...') ≤ maxSymbolRatio
+  *   4. fraction of lines starting with a bullet ≤ maxBulletLineRatio
+  *   5. fraction of lines ending with an ellipsis ≤ maxEllipsisLineRatio
+  *   6. fraction of words containing an alphabetic char ≥ minAlphaWordRatio
+  *   7. at least minStopwordHits distinct common stopwords present
+  *
+  * Scale shape: a pure per-row projection — no explode, no shuffle, no
+  * state. Every feature is integer counting plus exact rational division,
+  * so the report replays bit-identically in any engine (the only doubles
+  * are ratios of integers; displayed ratios use the engine-independent
+  * floor(x*1e4+0.5)/1e4 rounding, rule verdicts compare the unrounded
+  * exact values). The higher-order filter/aggregate calls sit outside
+  * whole-stage codegen; for a 100 TB hot path the same counters belong in
+  * the GraftTextStats-style native kernel — this formulation is the
+  * readable reference the kernel would be pinned against.
+  */
+object QualityRules {
+
+  /** Published Gopher defaults (Rae et al. 2021, table A1). */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  /** The paper's stopword list for rule 7. */
+  private[graft] val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Per-document Gopher report as one struct column: raw features, one
+    * boolean verdict per rule, and the conjunction `pass`. */
+  def gopherReport(text: Column, t: GopherThresholds = GopherThresholds()): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val nWords = size(toks).cast("long")
+    val denomW = greatest(nWords, lit(1L)).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val meanLen = sumLen.cast("double") / denomW
+    val alphaWords = size(filter(toks, w => regexp_like(w, lit("\\p{L}")))).cast("long")
+    val alphaRatio = alphaWords.cast("double") / denomW
+    val nSymbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val symbolRatio = nSymbols.cast("double") / denomW
+    val lines = split(text, "\n")
+    val denomL = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) || startswith(l, lit("• "))))
+    val bulletRatio = bulletLines.cast("double") / denomL
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(l, lit("...")) || endswith(l, lit("…"))))
+    val ellipsisRatio = ellipsisLines.cast("double") / denomL
+    val stopHits = size(filter(typedLit(GopherStopwords), w => array_contains(toks, w))).cast("long")
+
+    val okWords = nWords >= t.minWords && nWords <= t.maxWords
+    val okMeanLen = meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen
+    val okSymbol = symbolRatio <= t.maxSymbolRatio
+    val okBullet = bulletRatio <= t.maxBulletLineRatio
+    val okEllipsis = ellipsisRatio <= t.maxEllipsisLineRatio
+    val okAlpha = alphaRatio >= t.minAlphaWordRatio
+    val okStops = stopHits >= t.minStopwordHits
+
+    struct(
+      nWords.as("n_words"),
+      rnd4(meanLen).as("mean_word_len"),
+      rnd4(alphaRatio).as("alpha_word_ratio"),
+      rnd4(symbolRatio).as("symbol_ratio"),
+      rnd4(bulletRatio).as("bullet_line_ratio"),
+      rnd4(ellipsisRatio).as("ellipsis_line_ratio"),
+      stopHits.as("stop_hits"),
+      okWords.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okBullet.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okStops.as("ok_stopwords"),
+      (okWords && okMeanLen && okSymbol && okBullet && okEllipsis && okAlpha && okStops)
+        .as("pass"))
+  }
+
+  /** DataFrame form: (id, <report fields>) for every document — the audit
+    * table a filtering run writes before dropping failures. */
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      t: GopherThresholds = GopherThresholds()): DataFrame =
+    docs
+      .select(col(idCol), gopherReport(col(textCol), t).as("__g"))
+      .select(col(idCol), col("__g.*"))
+}

@@ -498,22 +498,31 @@ object Similarity {
     * replays exactly. Shape: one posexplode + a (label, dim) aggregation
     * whose result is labels × dims rows — a plan constant that broadcasts
     * back onto the corpus scan. */
-  def labelCentroidCosines(
-      emb: DataFrame,
-      idCol: String,
-      vecCol: String,
-      labelCol: String,
-      roundTo: Int = 4): DataFrame = {
-    val dims = emb.select(col(labelCol).as("__l"), posexplode(col(vecCol)))
-    val cent = dims
+  /** Per-label mean vectors as (__l, __ce) rows, each centroid dimension
+    * ROUNDED to 6 decimals — the determinism anchor shared by
+    * labelCentroidCosines and labelCentroidMatrix (rounding absorbs the
+    * aggregation-order last-ulp spread of the float mean). */
+  private def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("__l"), posexplode(col(vecCol)))
       .groupBy(col("__l"), col("pos"))
       .agg(round(avg(col("col").cast("double")), 6).as("__c"))
       .groupBy("__l")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("__c")))),
         s => s.getField("__c")).as("__ce"))
-    def dotd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Left-to-right double dot product — the evaluation order both engines
+    * replay. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def labelCentroidCosines(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val cent = labelCentroids(emb, vecCol, labelCol)
     val v = col(vecCol).cast("array<double>")
     emb
       .join(broadcast(cent), emb(labelCol) === cent("__l"))
@@ -521,6 +530,32 @@ object Similarity {
         round(dotd(v, col("__ce")) /
           (sqrt(dotd(v, v)) * sqrt(dotd(col("__ce"), col("__ce")))), roundTo)
           .as("cos_centroid"))
+  }
+
+  /** Pairwise cosine between label centroids — the class-separability
+    * report dual to labelCentroidCosines' per-row outliers: high
+    * inter-centroid cosine flags label pairs whose embedding clusters
+    * overlap (merge candidates / labeling noise). Output one row per
+    * unordered label pair (label_a < label_b).
+    *
+    * Scale shape: centroids are labels × dims rows (a plan constant
+    * regardless of corpus size), so the pair grid is a broadcast self-join
+    * of a tiny aggregate — the corpus is scanned exactly once, in the
+    * centroid aggregation. Same determinism contract as
+    * labelCentroidCosines (rounded centroids, ordered dots). */
+  def labelCentroidMatrix(
+      emb: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val cent = labelCentroids(emb, vecCol, labelCol)
+    val a = cent.select(col("__l").as("label_a"), col("__ce").as("__va"))
+    val b = cent.select(col("__l").as("label_b"), col("__ce").as("__vb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(dotd(col("__va"), col("__vb")) /
+          (sqrt(dotd(col("__va"), col("__va"))) * sqrt(dotd(col("__vb"), col("__vb")))),
+          roundTo).as("cos_centroids"))
   }
 
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -51,6 +51,92 @@ object Vocabulary {
     * second pass over text). N comes from the raw docs without exploding
     * (a tokenize-and-size scan), broadcast as a 1-row cross-join — never a
     * global window. */
+  /** Adjacent-bigram PMI collocations: pointwise mutual information
+    * ln( p(w1,w2) / (p(w1)·p(w2)) ) over adjacent token pairs, reported for
+    * pairs seen ≥ minCount times (the classic Church & Hanks 1990
+    * collocation measure — a corpus-analysis staple for spotting templated
+    * boilerplate and multi-word terms before tokenizer training).
+    *
+    * Probabilities use raw counts: p(w1,w2) = c(w1,w2)/N₂ over all adjacent
+    * pairs, p(w) = c(w)/N₁ over all tokens. The ranking orders on the score
+    * ROUNDED to 4 decimals with the pair as tie-break (same ln()-ulp
+    * armoring as tfIdfTopTerms).
+    *
+    * Plan: tokens explode twice (unigram pass, pair pass) but both are
+    * map-side-combined hash aggregations whose exchanges carry distinct
+    * terms/pairs, not postings; N₁/N₂ are 1-row broadcasts; the two count
+    * joins shuffle the minCount-filtered pair vocabulary only. */
+  def bigramPmi(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val toks = tokens(col(textCol))
+    // guard size ≥ 2 BEFORE sequence(): sequence(1, 0) is the descending
+    // [1, 0], not empty
+    val pairs = docs
+      .select(toks.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), (i + 1).cast("int")).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(sum(col("cu")).as("n1"))
+    val n2 = pairs.agg(count(lit(1)).as("n2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    cb
+      .join(uni.select(col("w").as("w1"), col("cu").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      // fixed association order — each step is a correctly-rounded IEEE op,
+      // so the oracle replays the same doubles before the final ln()
+      .withColumn("pmi", round(
+        log((col("n_pair") * lit(1.0) / col("n2")) /
+          ((col("__c1") * lit(1.0) / col("n1")) * (col("__c2") * lit(1.0) / col("n1")))),
+        4))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "n_pair", "pmi")
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus' own top-k
+    * vocabulary (count DESC, term ASC tie-break) — the coverage check run
+    * before freezing a tokenizer vocab: documents with high OOV share are
+    * either foreign-language, noise, or evidence the vocab is too small.
+    *
+    * Scale shape: the vocabulary is ONE sorted array row (top-k is
+    * TakeOrdered, never a full sort) broadcast onto a shuffle-free corpus
+    * scan — the same benchmarkGramSet pattern as decontamination. The
+    * per-token membership probe is a linear scan of the k-array; for
+    * vocabularies beyond ~10⁵ terms switch to an explode + left-anti join
+    * on the term key. */
+  def oovRates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("term")).limit(vocabSize)
+      .agg(sort_array(collect_list(col("term"))).as("__vocab"))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"), t => !array_contains(col("__vocab"), t)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        floor(col("n_oov") / greatest(col("n_tokens"), lit(1L)) * lit(10000.0) + lit(0.5))
+          / lit(10000.0))
+  }
+
   def tfIdfTopTerms(
       docs: DataFrame,
       textCol: String,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -1642,6 +1642,251 @@ object OperatorQueries {
         |SELECT doc_id, lm_score,
         |  CAST(ntile(3) OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS bucket
         |FROM s ORDER BY doc_id""".stripMargin),
+
+    // Gopher quality rules (Rae et al. 2021): the named pre-training filter
+    // rule set with per-rule verdicts. Pure projection — every feature is
+    // integer counting + exact rational division, so the full report
+    // (including the boolean verdicts, which compare UNROUNDED values)
+    // replays bit-identically in the oracle.
+    "x58_gopher_rules" -> sql(
+      (s, dir) =>
+        QualityRules.gopherRules(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id"),
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    greatest(len(toks), 1) AS dw,
+        |    coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sum_len,
+        |    len(list_filter(toks, w -> regexp_matches(w, '\p{L}'))) AS alpha_words,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+        |    len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+        |      OR starts_with(l, '• '))) AS bullet_lines,
+        |    len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ellipsis_lines,
+        |    greatest(len(lines), 1) AS dl,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS stop_hits
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(sum_len AS DOUBLE) / dw AS mean_len,
+        |    CAST(alpha_words AS DOUBLE) / dw AS alpha_ratio,
+        |    CAST(n_symbols AS DOUBLE) / dw AS symbol_ratio,
+        |    CAST(bullet_lines AS DOUBLE) / dl AS bullet_ratio,
+        |    CAST(ellipsis_lines AS DOUBLE) / dl AS ellipsis_ratio,
+        |    CAST(stop_hits AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  floor(mean_len * 10000 + 0.5) / 10000 AS mean_word_len,
+        |  floor(alpha_ratio * 10000 + 0.5) / 10000 AS alpha_word_ratio,
+        |  floor(symbol_ratio * 10000 + 0.5) / 10000 AS symbol_ratio,
+        |  floor(bullet_ratio * 10000 + 0.5) / 10000 AS bullet_line_ratio,
+        |  floor(ellipsis_ratio * 10000 + 0.5) / 10000 AS ellipsis_line_ratio,
+        |  stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+        |  mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+        |  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+        |  bullet_ratio <= 0.9 AS ok_bullet_lines,
+        |  ellipsis_ratio <= 0.3 AS ok_ellipsis_lines,
+        |  alpha_ratio >= 0.8 AS ok_alpha_words,
+        |  stop_hits >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        |    AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS pass
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // Half-life step-decay sampling over the event log: keep probability
+    // halves per 7 days of age behind the newest event. The accept test is
+    // integer end to end (md5 draw vs 2^32 >> k as hex strings) — no
+    // transcendental, so kept-set and weights replay exactly.
+    "x59_time_decay_sample" -> sql(
+      (s, dir) =>
+        MixtureSampling.timeDecaySample(Tables.events(s, dir), "ts", "event_id",
+          halfLifeMicros = 7L * 24 * 3600 * 1000000)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("decay_epochs"), col("weight"))
+          .orderBy("event_id"),
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |k AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    least((m - epoch_us(ts)) // 604800000000, 33) AS k
+        |  FROM events, mx),
+        |t AS (SELECT event_id, ts_us, k, 4294967296 >> k AS thr FROM k)
+        |SELECT event_id, ts_us, CAST(k AS BIGINT) AS decay_epochs,
+        |  CAST(thr AS DOUBLE) / 4294967296 AS weight
+        |FROM t
+        |WHERE k = 0 OR substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |  < lpad(lower(to_hex(thr)), 8, '0')
+        |ORDER BY event_id""".stripMargin),
+
+    // Canonical-document selection per duplicate cluster: x25's clustering
+    // composed with a keep-the-longest retention policy (score = n_chars,
+    // ties to the smallest id). The oracle replays the exact all-pairs
+    // clustering AND the argmax, so the full dedup DECISION is under test,
+    // not just the cluster labels.
+    "x60_cluster_canonical" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs)
+        val out = Dedup.clusterRepresentatives(clusters, docs, "doc_id", "n_chars")
+          .orderBy("id")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |sc AS (
+        |  SELECT cl.id, cl.cluster, d.n_chars FROM cl JOIN documents d ON d.doc_id = cl.id),
+        |rep AS (
+        |  SELECT cluster, id AS keep_id FROM (
+        |    SELECT cluster, id,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, id ASC) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT sc.id, sc.cluster, rep.keep_id, sc.id = rep.keep_id AS is_kept
+        |FROM sc JOIN rep USING (cluster) ORDER BY sc.id""".stripMargin),
+
+    // Per-source doc-length histogram + ECDF on decimal-digit buckets
+    // (bucket = number of digits of n_chars — an integer log10 that avoids
+    // cross-engine log() ulp at bucket boundaries). The corpus-shape report
+    // behind length-filter threshold picks.
+    "x61_length_histogram" -> sql(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, dir)
+          .select(col("source"), length(col("n_chars").cast("string")).cast("long").as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+        val bySource = Window.partitionBy("source")
+        val cumW = bySource.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        g.withColumn("__total", sum(col("n_docs")).over(bySource))
+          .withColumn("__cum", sum(col("n_docs")).over(cumW))
+          .select(col("source"), col("bucket"), col("n_docs"),
+            rnd4(col("n_docs") / col("__total")).as("share"),
+            rnd4(col("__cum") / col("__total")).as("ecdf"))
+          .orderBy("source", "bucket")
+      },
+      """WITH b AS (
+        |  SELECT source, len(CAST(n_chars AS VARCHAR)) AS bucket FROM documents),
+        |g AS (SELECT source, bucket, count(*) AS n_docs FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, bucket, n_docs,
+        |    sum(n_docs) OVER (PARTITION BY source) AS total,
+        |    sum(n_docs) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / total * 10000 + 0.5) / 10000 AS share,
+        |  floor(CAST(cum AS DOUBLE) / total * 10000 + 0.5) / 10000 AS ecdf
+        |FROM t ORDER BY source, bucket""".stripMargin),
+
+    // Adjacent-bigram PMI collocations (Church & Hanks 1990): the
+    // template/multi-word-term detector. Rounded-PMI ordering with the pair
+    // as tie-break, same ln()-ulp armoring as x33.
+    "x62_bigram_pmi" -> sql(
+      (s, dir) =>
+        Vocabulary.bigramPmi(Tables.documents(s, dir), "text",
+          minCount = 5, topK = 50)
+          .orderBy(desc("pmi"), col("w1"), col("w2")),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |uni AS (SELECT w, count(*) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |tot1 AS (SELECT sum(cu) AS t1 FROM uni),
+        |tot2 AS (SELECT count(*) AS t2 FROM bi),
+        |cb AS (
+        |  SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+        |    count(*) AS n_pair
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_pair,
+        |  round(ln((n_pair * 1.0 / t2) /
+        |    ((c1.cu * 1.0 / t1) * (c2.cu * 1.0 / t1))), 4) AS pmi
+        |FROM cb
+        |JOIN uni c1 ON cb.w1 = c1.w
+        |JOIN uni c2 ON cb.w2 = c2.w
+        |CROSS JOIN tot1 CROSS JOIN tot2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin),
+
+    // OOV rate per document against the corpus' own top-20 vocabulary —
+    // the coverage check before freezing a tokenizer vocab. Vocabulary is
+    // one broadcast array row; the corpus scan is shuffle-free.
+    "x63_oov_rate" -> sql(
+      (s, dir) =>
+        Vocabulary.oovRates(Tables.documents(s, dir), "text", "doc_id",
+          vocabSize = 20)
+          .orderBy("doc_id"),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |v AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w)
+        |  ORDER BY c DESC, w LIMIT 20),
+        |vl AS (SELECT list(w) AS vocab FROM v)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x))) AS BIGINT) AS n_oov,
+        |  floor(CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x))) AS DOUBLE)
+        |    / greatest(len(toks), 1) * 10000 + 0.5) / 10000 AS oov_rate
+        |FROM t CROSS JOIN vl ORDER BY doc_id""".stripMargin),
+
+    // Pairwise label-centroid cosines: the class-separability matrix dual
+    // to x56's per-row outliers. Same determinism contract (centroids
+    // rounded to 6, ordered dots, result rounded to 4).
+    "x64_centroid_matrix" -> sql(
+      (s, dir) =>
+        Similarity.labelCentroidMatrix(Tables.embeddings(s, dir),
+          "embedding", "label")
+          .orderBy("label_a", "label_b"),
+      """WITH d AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, round(avg(v), 6) AS c FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM c GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_dot_product(a.ce, b.ce) /
+        |    (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))), 4)
+        |    AS cos_centroids
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-5 corpus-report operators: time-decay sampling, cluster
+  * representative selection, bigram PMI, OOV rates, centroid matrix. */
+class CorpusReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  test("timeDecaySample: epoch-0 rows always survive; epochs count half-lives from max ts") {
+    val day = 24L * 3600 * 1000000
+    val df = (1 to 200).map(i => (i.toLong, ts(1 + (i % 30)))).toDF("event_id", "ts")
+    val out = MixtureSampling.timeDecaySample(df, "ts", "event_id", halfLifeMicros = 10 * day)
+      .collect()
+    assert(out.nonEmpty)
+    // newest rows (day 30, age 0) are epoch 0 and all kept
+    val newest = (1 to 200).count(i => (i % 30) == 29) // day 30
+    assert(out.count(r => r.getAs[Long]("decay_epochs") == 0L &&
+      r.getAs[Double]("weight") == 1.0) >= newest)
+    // every row's epoch matches the integer age computation
+    out.foreach { r =>
+      val ageUs = ts(30).getTime * 1000 - r.getAs[Timestamp]("ts").getTime * 1000
+      assert(r.getAs[Long]("decay_epochs") === ageUs / (10 * day))
+      assert(r.getAs[Double]("weight") === math.pow(0.5, r.getAs[Long]("decay_epochs")).toDouble)
+    }
+    // older epochs keep fewer rows than epoch 0 (halved acceptance)
+    val byEpoch = out.groupBy(_.getAs[Long]("decay_epochs")).view.mapValues(_.size).toMap
+    assert(byEpoch.keySet.max >= 2)
+  }
+
+  test("timeDecaySample is deterministic and layout-independent") {
+    val day = 24L * 3600 * 1000000
+    val df = (1 to 500).map(i => (i.toLong, ts(1 + (i % 28)))).toDF("event_id", "ts")
+    val a = MixtureSampling.timeDecaySample(df, "ts", "event_id", 7 * day)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val b = MixtureSampling.timeDecaySample(df.repartition(7), "ts", "event_id", 7 * day)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("clusterRepresentatives keeps the best score, ties to the smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 1.0))
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterRepresentatives(clusters, scores, "doc_id", "score")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("keep_id"),
+      r.getAs[Boolean]("is_kept"))).toSeq === Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false), // 9.0 tie → id 2
+      (10L, 10L, true), (11L, 10L, false))) // 1.0 tie → id 10
+  }
+
+  test("bigramPmi ranks an always-adjacent pair above independent fillers") {
+    // "aa bb" always adjacent; "cc" and "dd" never adjacent to each other
+    val docs = (1 to 20).map(i => (i.toLong, "aa bb cc xx dd yy aa bb"))
+      .toDF("doc_id", "text")
+    val out = Vocabulary.bigramPmi(docs, "text", minCount = 5, topK = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    // the deterministic top pair is one of the always-co-occurring bigrams
+    assert(top.getAs[Double]("pmi") === out.map(_.getAs[Double]("pmi")).max)
+    val pairs = out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(pairs.contains(("aa", "bb")))
+    // PMI of (aa,bb): p(ab)=40/140, p(a)=p(b)=40/160 — ln(4.5714...) ≈ 1.5198
+    val ab = out.find(r => r.getAs[String]("w1") == "aa" && r.getAs[String]("w2") == "bb").get
+    assert(math.abs(ab.getAs[Double]("pmi") - math.log((40.0 / 140) / ((40.0 / 160) * (40.0 / 160)))) < 1e-3)
+  }
+
+  test("oovRates: tokens outside the top-k vocabulary are counted") {
+    val docs = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common common rare2 rare3"),
+      (3L, "common common common common")).toDF("doc_id", "text")
+    // vocabSize 1 → vocab = ["common"]
+    val out = Vocabulary.oovRates(docs, "text", "doc_id", vocabSize = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_oov")).toSeq === Seq(1L, 2L, 0L))
+    assert(out(0).getAs[Double]("oov_rate") === 0.25)
+    assert(out(1).getAs[Double]("oov_rate") === 0.5)
+    assert(out(2).getAs[Double]("oov_rate") === 0.0)
+  }
+
+  test("labelCentroidMatrix: identical-label clusters produce cosine 1, orthogonal 0") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidMatrix(emb, "embedding", "label")
+      .orderBy("label_a", "label_b").collect()
+    assert(out.length === 3) // (0,1) (0,2) (1,2)
+    val m = out.map(r => ((r.getAs[Int]("label_a"), r.getAs[Int]("label_b")),
+      r.getAs[Double]("cos_centroids"))).toMap
+    assert(m((0, 1)) === 0.0)
+    assert(m((0, 2)) === 1.0)
+    assert(m((1, 2)) === 0.0)
+  }
+}

@@ -281,4 +281,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
       "nearest-centroid assignment must stay inside codegen")
   }
+
+  test("x58: the Gopher report is a pure projection — only the ordering exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x58_gopher_rules"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"rule evaluation must ride the scan; saw ${shuffles.size} exchanges")
+  }
+
+  test("x59: the decay anchor is a 1-row broadcast; the corpus never joins by shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x59_time_decay_sample"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "max-ts anchor must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2, // anchor aggregation + output ordering
+      s"accept test must ride the scan; saw ${shuffles.size} exchanges")
+  }
+
+  test("x61: both window sums reuse ONE source-keyed exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x61_length_histogram"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // bucket aggregation + shared window partitioning + output ordering
+    assert(shuffles.size <= 3,
+      s"the two windows must share the source partitioning; saw ${shuffles.size}")
+  }
+
+  test("x63: the vocabulary broadcasts; the corpus scan never shuffles for the probe") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x63_oov_rate"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "top-k vocab array must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    // term aggregation + vocab array collect + output ordering
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3, s"saw ${shuffles.size} exchanges")
+  }
+
+  test("x64: the pair grid is a broadcast self-join of a plan-constant aggregate") {
+    val nodes = flatten(planOf("x64_centroid_matrix"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "centroid table must broadcast for the pair grid")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "labels × dims rows must never sort-merge")
+  }
 }

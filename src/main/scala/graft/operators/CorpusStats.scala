@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level composition reports: cross-source overlap and vocabulary
+  * growth — the health checks run when new crawl snapshots or sources are
+  * merged into a training mix. */
+object CorpusStats {
+
+  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Pairwise source similarity matrix: Jaccard overlap of each source
+    * pair's DISTINCT token-shingle sets — the mirror-detection / provenance
+    * report (two crawls of the same site, a dataset re-released under a new
+    * name, cross-source template reuse). Output one row per source pair
+    * that shares at least one shingle: (source_a, source_b, n_shared,
+    * jaccard).
+    *
+    * Scale shape: shingles travel as 8-byte kernel hashes, never strings;
+    * the (source, gram)-distinct projection collapses map-side before its
+    * exchange. The pair join's fan-out per gram is bounded by the gram's
+    * source frequency squared — at most nSources² — so the operator is
+    * sized for metadata-scale source counts (tens to hundreds of corpora),
+    * NOT per-document keys; that is the intended granularity of a mixture
+    * report. Jaccard is exact rational arithmetic over the hash sets
+    * (engine-independent; a kernel hash collision would fold two shingles
+    * and is ~2⁻⁶⁴ per pair). */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(sourceCol).as("source"),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)))
+          .as("__g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("__n"))
+    val a = grams.select(col("source").as("source_a"), col("__g"))
+    val b = grams.select(col("source").as("source_b"), col("__g"))
+    a.join(b, Seq("__g"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("__n").as("__na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("__n").as("__nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        rnd4(col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+          .as("jaccard"))
+  }
+
+  /** Vocabulary growth curve (the Heaps'-law report): walk the corpus in
+    * id order split into nBuckets NTILE slices and report, per slice, how
+    * many NEVER-SEEN-BEFORE terms it contributes and the cumulative
+    * vocabulary size — the classic diminishing-returns check before paying
+    * for more data from the same source.
+    *
+    * Scale shape: "first seen" is min(id) per term — one map-side-combined
+    * aggregation over the exploded postings; the slice assignment reuses
+    * Curriculum.difficultyBuckets' exact-NTILE two-phase rank (no global
+    * window over rows); the final cumulative sum runs over nBuckets rows,
+    * a metadata-sized frame. */
+  def vocabularyGrowth(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be ≥ 1")
+    val buckets = Curriculum.difficultyBuckets(
+      docs.select(col(idCol).as("__id")), "__id", "__id", nBuckets)
+    val firstSeen = docs
+      .select(col(idCol).as("__id"), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(min(col("__id")).as("__fid"))
+    val newTerms = firstSeen
+      .join(buckets.select(col("__id").as("__fid"), col("bucket")), Seq("__fid"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val docCounts = buckets.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts
+      .join(newTerms, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("vocab_size", sum(col("new_terms")).over(w))
+      .select("bucket", "n_docs", "new_terms", "vocab_size")
+  }
+}

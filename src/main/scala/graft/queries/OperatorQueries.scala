@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -1887,6 +1887,65 @@ object OperatorQueries {
         |    AS cos_centroids
         |FROM cent a JOIN cent b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin),
+
+    // Pairwise source shingle-overlap matrix: mirror/provenance detection
+    // across the mixture's sources. Spark shuffles 8-byte kernel hashes;
+    // the oracle recounts with verbatim shingle strings (x49's pattern —
+    // the Jaccard is hash-agnostic, so a collision would surface as a
+    // value diff).
+    "x65_source_overlap" -> sql(
+      (s, dir) =>
+        CorpusStats.sourceOverlapMatrix(Tables.documents(s, dir), "text", "source",
+          shingleSize = 3)
+          .orderBy("source_a", "source_b"),
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))) AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  floor(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) * 10000 + 0.5) / 10000
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz na ON inter.source_a = na.source
+        |JOIN sz nb ON inter.source_b = nb.source
+        |ORDER BY source_a, source_b""".stripMargin),
+
+    // Vocabulary growth curve (Heaps'-law report): never-seen-before terms
+    // per NTILE slice of the corpus in id order, plus the cumulative
+    // vocabulary size — the diminishing-returns check. Slice assignment
+    // reuses the exact-NTILE two-phase rank (x48's pinned semantics).
+    "x66_vocab_growth" -> sql(
+      (s, dir) =>
+        CorpusStats.vocabularyGrowth(Tables.documents(s, dir), "text", "doc_id",
+          nBuckets = 10)
+          .orderBy("bucket"),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket FROM documents),
+        |fs AS (
+        |  SELECT w, min(doc_id) AS fid
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY w),
+        |nt AS (
+        |  SELECT r.bucket, count(*) AS new_terms
+        |  FROM fs JOIN r ON fs.fid = r.doc_id GROUP BY 1),
+        |nd AS (SELECT bucket, count(*) AS n_docs FROM r GROUP BY 1)
+        |SELECT CAST(nd.bucket AS BIGINT) AS bucket, nd.n_docs,
+        |  coalesce(nt.new_terms, 0) AS new_terms,
+        |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY nd.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM nd LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

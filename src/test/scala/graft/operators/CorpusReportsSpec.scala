@@ -87,6 +87,37 @@ class CorpusReportsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("oov_rate") === 0.0)
   }
 
+  test("sourceOverlapMatrix: identical sources hit jaccard 1, disjoint sources are absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta gamma delta epsilon", "s2"), // mirror of s1
+      (3L, "zeta eta theta iota kappa", "s3"), // disjoint
+      (4L, "alpha beta gamma nine ten", "s4") // partial overlap with s1/s2
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceOverlapMatrix(docs, "text", "source", shingleSize = 3)
+      .orderBy("source_a", "source_b").collect()
+    val m = out.map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+      (r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    assert(m(("s1", "s2")) === ((3L, 1.0))) // identical 3-shingle sets
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")) && !m.contains(("s3", "s4")))
+    // s1 vs s4 share exactly the "alpha beta gamma" shingle: 1 of (3+3-1)
+    assert(m(("s1", "s4"))._1 === 1L)
+    assert(m(("s1", "s4"))._2 === 0.2)
+  }
+
+  test("vocabularyGrowth: cumulative vocabulary is monotone and ends at the distinct-term count") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "e f"), (4L, "a e g h")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.vocabularyGrowth(docs, "text", "doc_id", nBuckets = 2)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 2L))
+    // bucket 1 (docs 1-2) introduces a b c d; bucket 2 adds e f g h
+    assert(out.map(_.getAs[Long]("new_terms")).toSeq === Seq(4L, 4L))
+    assert(out.map(_.getAs[Long]("vocab_size")).toSeq === Seq(4L, 8L))
+  }
+
   test("labelCentroidMatrix: identical-label clusters produce cosine 1, orthogonal 0") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

@@ -223,8 +223,14 @@ object MixtureSampling {
     val counts = df.groupBy(categoryCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return Map.empty
+    val expo = 1.0 / temperature - 1.0
     val raw = counts.map { case (k, n) =>
-      k -> math.pow(n.toDouble, 1.0 / temperature - 1.0)
+      // T=2 fast path: 1/sqrt is a correctly-rounded IEEE op in every
+      // engine, where pow(n, -0.5) may differ by an ulp between libms —
+      // this keeps the common "temperature 2 rebalance" exactly replayable
+      // (the x67 oracle depends on it); general T stays on pow.
+      k -> (if (expo == -0.5) 1.0 / math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, expo))
     }
     val top = raw.values.max
     raw.map { case (k, v) => k -> math.min(1.0, v / top * maxRate) }

@@ -1947,6 +1947,31 @@ object OperatorQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
         |FROM nd LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin),
 
+    // Temperature-2 mixture rebalance: rates ∝ n^(1/T - 1) scaled to the
+    // rarest category, applied with the md5-threshold accept test. T=2 is
+    // the exactly-replayable point — 1/sqrt is correctly rounded in every
+    // engine (pow(n,-0.5) is not), so the oracle re-derives the rates, the
+    // 2^32-scaled hex thresholds, and the kept set bit-identically.
+    "x67_temperature_mixture" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "lang")
+        val rates = MixtureSampling.temperatureRates(docs, "lang", temperature = 2.0)
+        MixtureSampling.sampleByRates(docs, "lang", "doc_id", rates)
+          .orderBy("doc_id")
+      },
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |top AS (SELECT 1.0 / sqrt(min(n)) AS t FROM c),
+        |r AS (SELECT lang, least(1.0, (1.0 / sqrt(n)) / t * 1.0) AS rate FROM c, top),
+        |thr AS (
+        |  SELECT lang, rate,
+        |    lpad(lower(to_hex(least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+        |      4294967295))), 8, '0') AS h
+        |  FROM r)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE rate >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
+        |ORDER BY d.doc_id""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

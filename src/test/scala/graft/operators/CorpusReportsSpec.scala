@@ -87,6 +87,15 @@ class CorpusReportsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("oov_rate") === 0.0)
   }
 
+  test("temperatureRates T=2 rides the exact-sqrt path: rarest category rate 1, others 1/sqrt-scaled") {
+    val docs = ((1 to 64).map(i => (i.toLong, "big")) ++ (65 to 68).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "cat")
+    val rates = MixtureSampling.temperatureRates(docs, "cat", temperature = 2.0)
+    assert(rates("small") === 1.0)
+    // 64 vs 4 docs: rate(big) = (1/sqrt(64)) / (1/sqrt(4)) = 2/8 = 0.25 exactly
+    assert(rates("big") === 0.25)
+  }
+
   test("sourceOverlapMatrix: identical sources hit jaccard 1, disjoint sources are absent") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", "s1"),

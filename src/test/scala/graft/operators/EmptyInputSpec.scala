@@ -126,4 +126,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(ImportanceWeights.weightsAgainstSubset(noDocs, lit(true), "text", "doc_id").isEmpty)
     ImportanceWeights.releaseCaches()
   }
+
+  test("corpus-report additions: empty inputs → empty reports") {
+    assert(QualityRules.gopherRules(noDocs, "text", "doc_id").isEmpty)
+    assert(MixtureSampling.timeDecaySample(noEvents, "ts", "event_id", 1000000L).isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    assert(Dedup.clusterRepresentatives(noPairs, noScores, "doc_id", "score").isEmpty)
+    assert(Vocabulary.bigramPmi(noDocs, "text").isEmpty)
+    assert(Vocabulary.oovRates(noDocs, "text", "doc_id", 10).isEmpty)
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelCentroidMatrix(noVecs, "embedding", "label").isEmpty)
+    val noSourcedDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(CorpusStats.sourceOverlapMatrix(noSourcedDocs, "text", "source").isEmpty)
+    assert(CorpusStats.vocabularyGrowth(noDocs, "text", "doc_id").isEmpty)
+  }
 }

@@ -628,6 +628,94 @@ object RelationalQueries {
         |FROM r JOIN g USING (user_id)
         |ORDER BY user_id, seq""".stripMargin),
 
+    // Beyond-reference: strictly-ORDERED conversion funnel with a 24 h
+    // per-stage deadline (view → click within 24 h → purchase within 24 h
+    // of the click) — the deadline is what makes the funnel discriminate:
+    // an unbounded ordered funnel saturates on any active user. Each stage
+    // is the user's first qualifying event after the previous stage — three
+    // chained conditional window minima that all collapse onto ONE
+    // user-keyed exchange (the stage columns are partition constants).
+    // Counts and conversion rates are exact integer/rational arithmetic.
+    "d30_event_funnel" -> sql(
+      (s, dir) => {
+        val deadline = 86400000000L // 24 h in µs
+        val byUser = Window.partitionBy("user_id")
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        val staged = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("__v",
+            min(when(col("event_type") === "view", col("us"))).over(byUser))
+          .withColumn("__c",
+            min(when(col("event_type") === "click" && col("us") > col("__v") &&
+              col("us") <= col("__v") + lit(deadline), col("us")))
+              .over(byUser))
+          .withColumn("__p",
+            min(when(col("event_type") === "purchase" && col("us") > col("__c") &&
+              col("us") <= col("__c") + lit(deadline), col("us")))
+              .over(byUser))
+        staged
+          .select("user_id", "__v", "__c", "__p").distinct()
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+          .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+            rnd4(col("n_click") / col("n_view")).as("view_to_click"),
+            rnd4(col("n_purchase") / col("n_click")).as("click_to_purchase"))
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v
+        |  FROM e GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(us) AS c
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v AND us <= v + 86400000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS p
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c AND us <= c + 86400000000
+        |  GROUP BY e.user_id),
+        |f AS (
+        |  SELECT count(*) AS n_users,
+        |    count(v.v) AS n_view,
+        |    count(c.c) AS n_click,
+        |    count(p.p) AS n_purchase
+        |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT n_users, n_view, n_click, n_purchase,
+        |  floor(CAST(n_click AS DOUBLE) / n_view * 10000 + 0.5) / 10000 AS view_to_click,
+        |  floor(CAST(n_purchase AS DOUBLE) / n_click * 10000 + 0.5) / 10000
+        |    AS click_to_purchase
+        |FROM f""".stripMargin),
+
+    // Beyond-reference: weekly retention cohorts — users grouped by
+    // first-seen epoch week, counted in each later week they return
+    // (the classic retention triangle). Weeks are INTEGER epoch-µs
+    // divisions, not calendar functions, so bucket boundaries cannot
+    // drift between engines. Two user-keyed aggregations + one on the
+    // (cohort, offset) grid.
+    "d31_retention_cohorts" -> sql(
+      (s, dir) => {
+        val weeks = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+        weeks.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1)
+        |SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset, count(*) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Beyond-reference (SURVEY §2-D's "free in Spark" list): INTERSECT /
     // EXCEPT set operations — customers ordering in both halves of 1997 vs
     // only the first half. Both engines give DISTINCT set semantics; each

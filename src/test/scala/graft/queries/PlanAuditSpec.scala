@@ -321,6 +321,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 3, s"saw ${shuffles.size} exchanges")
   }
 
+  test("d30: all three funnel stages collapse onto ONE user-keyed window exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = flatten(planOf("d30_event_funnel"))
+    // three Window NODES are expected (each stage reads the previous one's
+    // column), but they must all reuse the first stage's user-id hash
+    // partitioning — the scale property is the EXCHANGE count:
+    // one window partitioning + the distinct + the final 1-row aggregation
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.size == 3, s"expected the three stage windows, saw ${windows.size}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3, s"saw ${shuffles.size} exchanges")
+  }
+
   test("x64: the pair grid is a broadcast self-join of a plan-constant aggregate") {
     val nodes = flatten(planOf("x64_centroid_matrix"))
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),

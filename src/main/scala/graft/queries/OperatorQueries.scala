@@ -1972,6 +1972,65 @@ object OperatorQueries {
         |WHERE rate >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
         |ORDER BY d.doc_id""".stripMargin),
 
+    // Per-source duplication-rate report: which source brings the
+    // near-duplicates — the mixture diagnostic read before deciding whose
+    // crawl to de-prioritize. Left-joins the cluster assignment (near-dup
+    // sized, far smaller than the corpus) back onto the corpus scan.
+    "x68_source_dup_rate" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs)
+        val out = docs.select(col("doc_id").as("id"), col("source"))
+          .join(clusters, Seq("id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("cluster").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+            count_distinct(col("cluster")).as("n_clusters"))
+          .withColumn("dup_rate",
+            floor(col("n_dup_docs") / col("n_docs") * lit(10000.0) + lit(0.5))
+              / lit(10000.0))
+          .orderBy("source")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+        |SELECT d.source,
+        |  count(*) AS n_docs,
+        |  count(cl.cluster) AS n_dup_docs,
+        |  count(DISTINCT cl.cluster) AS n_clusters,
+        |  floor(CAST(count(cl.cluster) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+        |    AS dup_rate
+        |FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -689,7 +689,7 @@ object RelationalQueries {
         |  floor(CAST(n_click AS DOUBLE) / n_view * 10000 + 0.5) / 10000 AS view_to_click,
         |  floor(CAST(n_purchase AS DOUBLE) / n_click * 10000 + 0.5) / 10000
         |    AS click_to_purchase
-        |FROM f""".stripMargin),
+        |FROM f ORDER BY n_users""".stripMargin),
 
     // Beyond-reference: weekly retention cohorts — users grouped by
     // first-seen epoch week, counted in each later week they return

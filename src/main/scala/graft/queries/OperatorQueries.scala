@@ -2031,6 +2031,44 @@ object OperatorQueries {
         |FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
+    // Shard manifest with content checksums: the integrity artifact written
+    // next to an exported training shard — doc/token counts plus a sha256
+    // over the shard's id list in id order, so a re-export (or a consumer)
+    // can verify shard membership without re-reading data. Composes x22's
+    // prefix-sum shard assignment; the checksum input is a deterministic
+    // sorted id concatenation, replayed by DuckDB's ordered string_agg.
+    "x69_shard_manifest" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+        val out = Sharding.assignShards(docs, "doc_id", "n_tokens", budget = 5000L)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sha2(concat_ws(",",
+              transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))), 256)
+              .as("content_sha256"))
+          .orderBy("shard")
+        val materialized = out.cache()
+        materialized.count() // settle the ranged layout before releasing it
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    (coalesce(sum(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |       OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     // 5000)::BIGINT AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS content_sha256
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -716,6 +716,43 @@ object RelationalQueries {
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // Beyond-reference: trailing-7-day distinct actives (rolling DAU/WAU).
+    // Windowed DISTINCT counting has no incremental window form — the
+    // standard exact recipe is a bounded fan-out: each (user, day) activity
+    // row covers the 7 window-days it contributes to, then one distinct
+    // aggregation per window-day. Days are integer epoch divisions; the
+    // fan-out factor is the window length, never data-dependent.
+    "d32_rolling_actives" -> sql(
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val bounds = days.agg(max(col("day")).as("__max"))
+        val daily = days.groupBy("day").agg(count(lit(1)).as("dau"))
+        val rolling = days
+          .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wd"))
+          .crossJoin(broadcast(bounds))
+          .where(col("wd") <= col("__max"))
+          .select(col("user_id"), col("wd")).distinct()
+          .groupBy(col("wd").as("day"))
+          .agg(count(lit(1)).as("dau_7d"))
+        rolling
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("dau_7d"))
+          .orderBy("day")
+      },
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS m FROM dd),
+        |win AS (
+        |  SELECT DISTINCT user_id, day + g.o AS wd
+        |  FROM dd CROSS JOIN generate_series(0, 6) g(o), mx
+        |  WHERE day + g.o <= m),
+        |d7 AS (SELECT wd AS day, count(*) AS dau_7d FROM win GROUP BY 1),
+        |d1 AS (SELECT day, count(*) AS dau FROM dd GROUP BY 1)
+        |SELECT d7.day, coalesce(d1.dau, CAST(0 AS BIGINT)) AS dau, d7.dau_7d
+        |FROM d7 LEFT JOIN d1 USING (day) ORDER BY d7.day""".stripMargin),
+
     // Beyond-reference (SURVEY §2-D's "free in Spark" list): INTERSECT /
     // EXCEPT set operations — customers ordering in both halves of 1997 vs
     // only the first half. Both engines give DISTINCT set semantics; each

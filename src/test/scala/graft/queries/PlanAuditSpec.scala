@@ -335,6 +335,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 3, s"saw ${shuffles.size} exchanges")
   }
 
+  test("x67: the rate table folds into the scan as a literal predicate — no join at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val nodes = flatten(planOf("x67_temperature_mixture"))
+    // the driver-derived rates become a when-chain literal: the corpus side
+    // is scan + filter, with only the output-ordering exchange
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the accept test must not join")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1, s"saw ${shuffles.size} exchanges")
+  }
+
+  test("d31: the cohort triangle costs two user-keyed exchanges plus the grid aggregation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("d31_retention_cohorts"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // (user, week) distinct + cohort min + join-back reuse + grid agg + order
+    assert(shuffles.size <= 5, s"saw ${shuffles.size} exchanges")
+    assert(!nodes.exists(_.toString.contains("CartesianProduct")))
+  }
+
+  test("d32: the 7-day fan-out rides the scan; the bound is a 1-row broadcast") {
+    val nodes = flatten(planOf("d32_rolling_actives"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the max-day bound must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "daily/rolling recombination must broadcast, never sort-merge")
+  }
+
+  test("x69: the manifest adds ONE aggregation exchange over the shard assignment") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x69_shard_manifest"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // x22's ranged prefix-sum layout + the shard groupBy + output ordering
+    assert(shuffles.size <= 4, s"saw ${shuffles.size} exchanges")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
   test("x64: the pair grid is a broadcast self-join of a plan-constant aggregate") {
     val nodes = flatten(planOf("x64_centroid_matrix"))
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),

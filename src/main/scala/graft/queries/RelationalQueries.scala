@@ -753,6 +753,41 @@ object RelationalQueries {
         |SELECT d7.day, coalesce(d1.dau, CAST(0 AS BIGINT)) AS dau, d7.dau_7d
         |FROM d7 LEFT JOIN d1 USING (day) ORDER BY d7.day""".stripMargin),
 
+    // Beyond-reference: first-order Markov transition matrix over each
+    // user's event sequence — (from_type → to_type) counts and row-
+    // normalized probabilities, the behavioral-model summary behind
+    // next-event prediction and anomaly scoring. One lead() window per
+    // user (a single keyed exchange) + a transition-grid aggregation;
+    // probabilities are exact rational arithmetic.
+    "d33_event_transitions" -> sql(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("__next", lead(col("event_type"), 1).over(w))
+          .where(col("__next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob", rnd4(col("n") /
+            sum(col("n")).over(Window.partitionBy("from_type"))))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+        |    * 10000 + 0.5) / 10000 AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin),
+
     // Beyond-reference (SURVEY §2-D's "free in Spark" list): INTERSECT /
     // EXCEPT set operations — customers ordering in both halves of 1997 vs
     // only the first half. Both engines give DISTINCT set semantics; each

@@ -215,6 +215,98 @@ object Dedup {
       .select("id_left", "id_right", "jaccard")
   }
 
+  /** The persisted state of incremental near-dedup: the corpus' sorted
+    * shingle-hash sets and its banded minhash keys. Both are plain
+    * DataFrames — write them as Parquet next to the corpus and a new crawl
+    * batch dedups against 100 TB WITHOUT touching the corpus text again.
+    * (sets: (id, bh, hsz); bands: (band, band_hash, id).) */
+  final case class MinhashIndex(sets: DataFrame, bands: DataFrame)
+
+  /** Build the incremental-dedup index for a corpus — one text scan: the
+    * same signature construction as minhashNearDuplicates, materialized
+    * instead of consumed. */
+  def buildMinhashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): MinhashIndex = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashed = df
+      .select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
+      .where(size(col("bh")) > 0)
+    val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+    val banded = hashed.select(
+      col("id"),
+      posexplode(call_function("graft_minhash_bands",
+        col("bh"), lit(bands), lit(rowsPerBand))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .select("band", "band_hash", "id")
+    MinhashIndex(sets, banded)
+  }
+
+  /** Incremental near-duplicate detection: pairs between a NEW batch and an
+    * existing index (vs = "index"), plus the batch's own internal pairs
+    * (vs = "batch") — the maintenance loop of a deduplicated corpus: only
+    * the batch's text is ever scanned; the corpus contributes its persisted
+    * signatures. Batch and index ids must be disjoint.
+    *
+    * Scale shape: the batch is assumed small relative to the corpus, so its
+    * banded keys BROADCAST into the index join (`broadcastBatch`) — the
+    * 100 TB side never shuffles; with broadcastBatch=false both sides
+    * exchange on (band, band_hash). Verification joins fetch only candidate
+    * rows from index.sets. Emitted jaccards are exact (banding is candidate
+    * generation only), same contract as minhashNearDuplicates.
+    *
+    * Returns (id_a = batch id, id_b, jaccard, vs); within-batch pairs carry
+    * id_a < id_b. */
+  def incrementalNearDuplicates(
+      batch: DataFrame,
+      index: MinhashIndex,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val bi = buildMinhashIndex(batch, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val batchSets = tracked(bi.sets.persist())
+    val batchBands = tracked(bi.bands.persist())
+
+    def verify(cands: DataFrame, rightSets: DataFrame, vs: String): DataFrame =
+      cands
+        .join(batchSets.select(col("id").as("id_a"), col("bh").as("bh_a"),
+          col("hsz").as("hsz_a")), Seq("id_a"))
+        .join(rightSets.select(col("id").as("id_b"), col("bh").as("bh_b"),
+          col("hsz").as("hsz_b")), Seq("id_b"))
+        .withColumn("common",
+          call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("hsz_a") + col("hsz_b") - col("common")).cast("double"))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"), lit(vs).as("vs"))
+
+    val bb = batchBands.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val crossCands = index.bands
+      .select(col("band"), col("band_hash"), col("id").as("id_b"))
+      .join(if (broadcastBatch) broadcast(bb) else bb, Seq("band", "band_hash"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val withinCands = bb
+      .join(batchBands.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    verify(crossCands, index.sets, "index")
+      .unionByName(verify(withinCands, batchSets, "batch"))
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: per bit position,
     * sign of Σ over tokens of ±1 (bit set in the token's hash or not).
     * Tokenize+hash is the native graft_token_hashes_fnv kernel (one static

@@ -2069,6 +2069,54 @@ object OperatorQueries {
         |    AS content_sha256
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
 
+    // Incremental near-dedup: a new batch (odd ids) against the persisted
+    // signature index of the existing corpus (even ids), plus the batch's
+    // own internal pairs — the maintenance loop that never rescans corpus
+    // text. The oracle recomputes the exact all-pairs Jaccard restricted to
+    // batch×corpus ∪ batch×batch, so both the banding recall and the index
+    // construction are under test.
+    "x70_incremental_neardup" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val index = Dedup.buildMinhashIndex(
+          docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4)
+        val out = Dedup.incrementalNearDuplicates(
+          docs.where(col("doc_id") % 2 === 1), index, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |odd AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+        |ev AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT o.doc_id AS id_a, e.doc_id AS id_b,
+        |    len(list_intersect(o.sh, e.sh)) AS c, len(o.sh) AS sa, len(e.sh) AS sb,
+        |    'index' AS vs
+        |  FROM odd o JOIN ev e ON true),
+        |pb AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb,
+        |    'batch' AS vs
+        |  FROM odd a JOIN odd b ON a.doc_id < b.doc_id),
+        |u AS (SELECT * FROM px UNION ALL SELECT * FROM pb)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard, vs
+        |FROM u WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

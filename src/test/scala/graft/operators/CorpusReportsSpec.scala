@@ -127,6 +127,44 @@ class CorpusReportsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("vocab_size")).toSeq === Seq(4L, 8L))
   }
 
+  test("incremental near-dedup over two batches equals the full recompute") {
+    def doc(id: Long, tail: String) =
+      (id, s"the quick brown fox jumps over the lazy dog and then $tail")
+    // corpus: 1,2 near-identical; batch1: 10 duplicates them, 11 unique;
+    // batch2: 20 duplicates batch1's 11, 21 unique
+    val corpus = Seq(doc(1L, "sleeps all day long"), doc(2L, "sleeps all day here"),
+      doc(3L, "aa bb cc dd ee ff gg hh ii jj kk ll")).toDF("doc_id", "text")
+    val batch1 = Seq(doc(10L, "sleeps all day long"),
+      (11L, "completely different words apart from nothing shared at all zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val batch2 = Seq((20L, "completely different words apart from nothing shared at all zz yy xx ww vv uu qq rr"),
+      doc(21L, "rests all day long")).toDF("doc_id", "text")
+
+    val idx0 = Dedup.buildMinhashIndex(corpus, "text", "doc_id")
+    val inc1 = Dedup.incrementalNearDuplicates(batch1, idx0, "text", "doc_id",
+      threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx1 = Dedup.MinhashIndex(
+      idx0.sets.unionByName(Dedup.buildMinhashIndex(batch1, "text", "doc_id").sets),
+      idx0.bands.unionByName(Dedup.buildMinhashIndex(batch1, "text", "doc_id").bands))
+    val inc2 = Dedup.incrementalNearDuplicates(batch2, idx1, "text", "doc_id",
+      threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+
+    val full = Dedup.minhashNearDuplicates(
+      corpus.unionByName(batch1).unionByName(batch2), "text", "doc_id",
+      threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    // full recompute = corpus-internal pairs (already deduped, not
+    // re-reported) + the two incremental deltas, up to pair orientation
+    val corpusInternal = full.filter { case (a, b) => a <= 3 && b <= 3 }
+    def norm(p: Set[(Long, Long)]) =
+      p.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(norm(inc1).nonEmpty && norm(inc2).nonEmpty)
+    assert(norm(corpusInternal) ++ norm(inc1) ++ norm(inc2) === norm(full))
+  }
+
   test("labelCentroidMatrix: identical-label clusters produce cosine 1, orthogonal 0") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

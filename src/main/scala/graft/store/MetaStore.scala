@@ -52,6 +52,66 @@ final class MetaStore(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
 
+  /** Small-file compaction for an append-only log partition: every append
+    * lands at least one file per task, so a hot date partition accumulates
+    * hundreds of KB-sized files whose open/footer overhead eventually
+    * dominates scans (the classic streaming-sink pathology). Rewrites the
+    * partition's files into ceil(bytes / targetFileBytes) files — via
+    * coalesce (no shuffle) and the same staging-dir swap as save(), so a
+    * failed compaction never corrupts the partition. Compact CLOSED
+    * partitions only (single-writer contract — yesterday's dates, not the
+    * one being appended). No-op when already compact enough.
+    *
+    * `partition` is the directory name, e.g. "check_date=2024-01-01".
+    * Returns (filesBefore, filesAfter). */
+  def compactPartition(
+      name: String,
+      partition: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    val dir = Paths.get(path(name), partition)
+    require(Files.exists(dir), s"no such partition: $dir")
+    def parquetFiles: Seq[java.nio.file.Path] = {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) buf += p }
+        buf.toSeq
+      } finally s.close()
+    }
+    val before = parquetFiles
+    val bytes = before.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (nOut >= before.size) return (before.size, before.size)
+    // files inside a partition dir do not carry the partition column — a
+    // direct read+rewrite of the dir preserves the partitioned layout
+    val staged = Paths.get(path(s"_staged_compact_$name"))
+    spark.read.parquet(dir.toString).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    deleteRecursively(dir)
+    Files.move(staged, dir)
+    (before.size, parquetFiles.size)
+  }
+
+  /** List a partitioned log's partition directory names (for a compaction
+    * sweep over closed partitions). */
+  def partitionDirs(name: String): Seq[String] = {
+    val p = Paths.get(path(name))
+    if (!Files.exists(p)) return Nil
+    val s = Files.list(p)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val d = it.next()
+        if (Files.isDirectory(d) && d.getFileName.toString.contains("="))
+          buf += d.getFileName.toString
+      }
+      buf.toSeq.sorted
+    } finally s.close()
+  }
+
   /** Date-windowed read of a date-partitioned log (checks is partitioned by
     * created_date — the Parquet analog of the reference's created_at index,
     * migrations/main/20240926_add_indexes.sql): the predicate lands on the

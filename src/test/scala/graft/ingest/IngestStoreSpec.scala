@@ -188,6 +188,29 @@ class MetaStoreSpec extends SparkSpec {
       .map(_.getDate(0).toString).toSeq == Seq("2024-05-03"))
   }
 
+  test("partition compaction: many tiny append files collapse to one, rows intact") {
+    val st = store
+    // 8 separate appends to the same date → ≥ 8 tiny files in one partition
+    (1 to 8).foreach { b =>
+      val rows = (1 to 5).map(i => (b * 100L + i, s"r$i",
+        java.sql.Timestamp.valueOf("2024-05-01 08:00:00"),
+        java.sql.Date.valueOf("2024-05-01")))
+      st.append("checks",
+        rows.toDF("id", "resource_id", "created_at", "created_date"),
+        partitionBy = Seq("created_date"))
+    }
+    val partition = st.partitionDirs("checks").head
+    assert(partition === "created_date=2024-05-01")
+    val beforeRows = st.load("checks").get.orderBy("id").collect()
+    val (nBefore, nAfter) = st.compactPartition("checks", partition)
+    assert(nBefore >= 8, s"expected many small files, saw $nBefore")
+    assert(nAfter === 1, s"expected one compacted file, saw $nAfter")
+    val afterRows = st.load("checks").get.orderBy("id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    // idempotent: a second pass is a no-op
+    assert(st.compactPartition("checks", partition) === ((1, 1)))
+  }
+
   test("orphaned tables via anti-join on md5(url)") {
     val tablesIndex = Seq(
       (CsvIngest.md5Hex("live-url"), "r1"),

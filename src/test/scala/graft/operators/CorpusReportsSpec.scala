@@ -27,7 +27,7 @@ class CorpusReportsSpec extends SparkSpec {
     out.foreach { r =>
       val ageUs = ts(30).getTime * 1000 - r.getAs[Timestamp]("ts").getTime * 1000
       assert(r.getAs[Long]("decay_epochs") === ageUs / (10 * day))
-      assert(r.getAs[Double]("weight") === math.pow(0.5, r.getAs[Long]("decay_epochs")).toDouble)
+      assert(r.getAs[Double]("weight") === math.pow(0.5, r.getAs[Long]("decay_epochs").toDouble))
     }
     // older epochs keep fewer rows than epoch 0 (halved acceptance)
     val byEpoch = out.groupBy(_.getAs[Long]("decay_epochs")).view.mapValues(_.size).toMap

@@ -140,5 +140,9 @@ class EmptyInputSpec extends SparkSpec {
     val noSourcedDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(CorpusStats.sourceOverlapMatrix(noSourcedDocs, "text", "source").isEmpty)
     assert(CorpusStats.vocabularyGrowth(noDocs, "text", "doc_id").isEmpty)
+    val emptyIndex = Dedup.buildMinhashIndex(noDocs, "text", "doc_id")
+    assert(emptyIndex.sets.isEmpty && emptyIndex.bands.isEmpty)
+    assert(Dedup.incrementalNearDuplicates(noDocs, emptyIndex, "text", "doc_id").isEmpty)
+    Dedup.releaseCaches()
   }
 }

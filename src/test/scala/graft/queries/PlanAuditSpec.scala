@@ -374,6 +374,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
   }
 
+  test("x70: the batch's banded keys broadcast — the index side never shuffles for the join") {
+    // audit the operator directly: the query's cache wrapper would hide the
+    // join inside an InMemoryRelation
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.operators.Dedup.buildMinhashIndex(
+      docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+    val out = graft.operators.Dedup.incrementalNearDuplicates(
+      docs.where(col("doc_id") % 2 === 1), index, "text", "doc_id", threshold = 0.5)
+    val nodes = flatten(executedPlan(out))
+    graft.operators.Dedup.releaseCaches()
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "batch bands must broadcast into the index join")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a sort-merge candidate join would shuffle the corpus side")
+  }
+
   test("x64: the pair grid is a broadcast self-join of a plan-constant aggregate") {
     val nodes = flatten(planOf("x64_centroid_matrix"))
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),

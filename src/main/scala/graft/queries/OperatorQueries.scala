@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -2116,6 +2116,53 @@ object OperatorQueries {
         |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard, vs
         |FROM u WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Multinomial Naive Bayes classifier (the fastText-classifier role:
+    // route documents by label) — count-based fit, so the ENTIRE
+    // train-then-predict round trip replays in one oracle statement:
+    // smoothed log-likelihood grid, log-priors, per-doc class sums and the
+    // (score DESC, class ASC) argmax.
+    "x71_nb_classifier" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = NaiveBayes.fit(docs, "text", "lang")
+        NaiveBayes.predict(docs, model, "text", "doc_id")
+          .select(col("id").as("doc_id"), col("predicted"), col("score"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |post AS (SELECT lang AS clazz, unnest(toks) AS token FROM t),
+        |grid AS (SELECT clazz, token, count(*) AS n FROM post GROUP BY 1, 2),
+        |ct AS (SELECT clazz, sum(n) AS ct FROM grid GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM grid),
+        |nd AS (SELECT lang AS clazz, count(*) AS nd FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |lik AS (SELECT clazz, token, ln(n + 1.0) AS lc FROM grid),
+        |cls AS (
+        |  SELECT clazz, ln(nd * 1.0 / n) AS lp, ln(ct + v) AS ld
+        |  FROM nd JOIN ct USING (clazz) CROSS JOIN v CROSS JOIN tot),
+        |vt AS (SELECT DISTINCT token FROM grid),
+        |dp AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |mm AS (SELECT doc_id, count(*) AS m FROM dp JOIN vt USING (token) GROUP BY 1),
+        |sparse AS (
+        |  SELECT doc_id, clazz, sum(lc) AS s
+        |  FROM dp JOIN lik USING (token) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, c.clazz,
+        |    c.lp - coalesce(mm.m, 0) * c.ld + coalesce(sp.s, 0.0) AS score
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN cls c
+        |  LEFT JOIN mm ON mm.doc_id = d.doc_id
+        |  LEFT JOIN sparse sp ON sp.doc_id = d.doc_id AND sp.clazz = c.clazz),
+        |r AS (
+        |  SELECT doc_id, clazz, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clazz) AS rk
+        |  FROM scored)
+        |SELECT doc_id, clazz AS predicted, floor(score * 10000 + 0.5) / 10000 AS score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

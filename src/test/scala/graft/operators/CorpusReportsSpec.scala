@@ -165,6 +165,33 @@ class CorpusReportsSpec extends SparkSpec {
     assert(norm(corpusInternal) ++ norm(inc1) ++ norm(inc2) === norm(full))
   }
 
+  test("NaiveBayes: separable classes recovered; all-OOV docs fall to the prior argmax") {
+    val train = (
+      (1 to 10).map(i => (i.toLong, "apple banana cherry fruit sweet", "fruit")) ++
+      (11 to 16).map(i => (i.toLong, "iron copper zinc metal heavy", "metal"))
+    ).toDF("doc_id", "text", "label")
+    val model = NaiveBayes.fit(train, "text", "label")
+    val preds = NaiveBayes.predict(train, model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("predicted")).toMap
+    (1 to 10).foreach(i => assert(preds(i.toLong) === "fruit"))
+    (11 to 16).foreach(i => assert(preds(i.toLong) === "metal"))
+
+    // unseen-token document: no likelihood evidence → prior argmax (fruit,
+    // 10 docs vs 6)
+    val oov = Seq((99L, "xylophone quark")).toDF("doc_id", "text")
+    val p = NaiveBayes.predict(oov, model, "text", "doc_id").collect()(0)
+    assert(p.getAs[String]("predicted") === "fruit")
+
+    // exact tie (empty text, equal priors) breaks on class name ascending
+    val even = (
+      (1 to 4).map(i => (i.toLong, "aa bb", "c1")) ++
+      (5 to 8).map(i => (i.toLong, "cc dd", "c2"))).toDF("doc_id", "text", "label")
+    val m2 = NaiveBayes.fit(even, "text", "label")
+    val tie = NaiveBayes.predict(Seq((7L, "")).toDF("doc_id", "text"), m2, "text", "doc_id")
+      .collect()(0)
+    assert(tie.getAs[String]("predicted") === "c1")
+  }
+
   test("labelCentroidMatrix: identical-label clusters produce cosine 1, orthogonal 0") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

@@ -123,6 +123,48 @@ class RandomizedReportsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("NaiveBayes equals the brute-force smoothed-multinomial reference on random corpora") {
+    val rng = new Random(4242)
+    val vocabs = Map(
+      "a" -> Vector("red", "blue", "green", "shared", "common"),
+      "b" -> Vector("iron", "zinc", "lead", "shared", "common"),
+      "c" -> Vector("oak", "pine", "elm", "shared", "common"))
+    val labeled = (1L to 90L).map { i =>
+      val cls = Seq("a", "b", "c")((i % 3).toInt)
+      val v = vocabs(cls)
+      (i, Seq.fill(2 + rng.nextInt(10))(v(rng.nextInt(v.size))).mkString(" "), cls)
+    }
+    val model = NaiveBayes.fit(labeled.toDF("doc_id", "text", "label"), "text", "label")
+    val got = NaiveBayes.predict(labeled.toDF("doc_id", "text", "label"), model, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("predicted"), r.getAs[Double]("score"))).toMap
+
+    // reference: dense smoothed multinomial, direct formula
+    val grid = labeled.flatMap { case (_, text, cls) => toks(text).map(cls -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val classes = labeled.map(_._3).distinct.sorted
+    val vocab = grid.keys.map(_._2).toSet
+    val ct = classes.map(c => c -> grid.collect { case ((`c`, _), n) => n }.sum).toMap
+    val nd = labeled.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTotal = labeled.size.toLong
+    labeled.foreach { case (id, text, _) =>
+      val t = toks(text)
+      val m = t.count(vocab.contains).toLong
+      val scores = classes.map { c =>
+        val lp = math.log(nd(c) * 1.0 / nTotal)
+        val ld = math.log((ct(c) + vocab.size).toDouble)
+        val s = t.flatMap(tok => grid.get((c, tok)).map(n => math.log(n + 1.0))).sum
+        c -> (lp - m * ld + s)
+      }
+      val (bestC, bestS) = scores.minBy { case (c, s) => (-s, c) }
+      assert(got(id)._1 === bestC, s"doc $id predicted class")
+      // the reference sums in doc order, Spark in partition order — allow
+      // the rounding-grid half-step for summation-order ulp
+      assert(math.abs(got(id)._2 - bestS) < 6e-5, s"doc $id score")
+    }
+  }
+
   test("oovRates equals the brute-force computation on a random corpus") {
     val rng = new Random(31)
     val vocab = Vector("red", "green", "blue", "cyan", "teal", "gray", "pink", "gold")

@@ -55,6 +55,36 @@ object CorpusStats {
           .as("jaccard"))
   }
 
+  /** Corpus snapshot diff — the CDC-style maintenance report between two
+    * versions of a corpus (two crawl snapshots, pre/post a cleaning run):
+    * per id, `added` / `removed` / `changed` / `unchanged` by normalized
+    * content digest. Output: (id, status, digest_old, digest_new) with ''
+    * for the absent side.
+    *
+    * Scale shape: both sides project to (id, 32-byte digest) at the scan —
+    * text never leaves its side — then one co-partitioned full-outer join
+    * on the id. The digest is TextAnalysis.fingerprintMd5 (whitespace-
+    * normalized lowercase md5), so formatting-only churn reads as
+    * unchanged. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__do"))
+    val n = newDf.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__dn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__do").isNull, "added")
+          .when(col("__dn").isNull, "removed")
+          .when(col("__do") =!= col("__dn"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("__do"), lit("")).as("digest_old"),
+        coalesce(col("__dn"), lit("")).as("digest_new"))
+  }
+
   /** Vocabulary growth curve (the Heaps'-law report): walk the corpus in
     * id order split into nBuckets NTILE slices and report, per slice, how
     * many NEVER-SEEN-BEFORE terms it contributes and the cumulative

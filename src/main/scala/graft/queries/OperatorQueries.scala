@@ -2164,6 +2164,40 @@ object OperatorQueries {
         |SELECT doc_id, clazz AS predicted, floor(score * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
+    // Corpus snapshot diff: two synthetic snapshots carved from the fixture
+    // (old drops ids ≡0 mod 5, new drops ids ≡0 mod 4 and rewrites ids
+    // ≡0 mod 7 with the reversed text) — added/removed/changed/unchanged by
+    // normalized content digest, replayed exactly.
+    "x72_corpus_diff" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val oldSnap = docs.where(col("doc_id") % 5 =!= 0)
+        val newSnap = docs.where(col("doc_id") % 4 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")))
+        CorpusStats.snapshotDiff(oldSnap, newSnap, "text", "doc_id")
+          .orderBy("id")
+      },
+      """WITH o AS (
+        |  SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS do
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END), '\s+', ' ', 'g')))
+        |      AS dn
+        |  FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.do IS NULL THEN 'added'
+        |       WHEN n.dn IS NULL THEN 'removed'
+        |       WHEN o.do <> n.dn THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(o.do, '') AS digest_old,
+        |  coalesce(n.dn, '') AS digest_new
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY id""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

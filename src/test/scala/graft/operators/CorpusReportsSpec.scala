@@ -192,6 +192,17 @@ class CorpusReportsSpec extends SparkSpec {
     assert(tie.getAs[String]("predicted") === "c1")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged; formatting churn is unchanged") {
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Spacing   Differs")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "spacing differs")).toDF("doc_id", "text")
+    val got = CorpusStats.snapshotDiff(oldSnap, newSnap, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("labelCentroidMatrix: identical-label clusters produce cosine 1, orthogonal 0") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

@@ -2198,6 +2198,44 @@ object OperatorQueries {
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |ORDER BY id""".stripMargin),
 
+    // Cross-source quality normalization: percent_rank of the quality score
+    // WITHIN each source — the calibration step before a global trim, since
+    // raw score distributions differ per source (a global threshold would
+    // silently gut whole sources). Exact rational rank arithmetic under the
+    // (score, doc_id) total order; one source-keyed exchange.
+    "x73_source_quality_norm" -> sql(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars").cast("double") /
+              greatest(size(expr("regexp_extract_all(text, '\\\\S+', 0)")), lit(1))
+                .cast("double")).as("__q"))
+        val w = Window.partitionBy("source").orderBy(col("__q"), col("doc_id"))
+        scored
+          .withColumn("pct_rank",
+            floor(percent_rank().over(w) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .select(col("doc_id"), col("source"),
+            (floor(col("__q") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("quality"),
+            col("pct_rank"),
+            (percent_rank().over(w) >= 0.2).as("keep_top80"))
+          .orderBy("doc_id")
+      },
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(n_chars AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, q,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+        |  FROM q)
+        |SELECT doc_id, source,
+        |  floor(q * 10000 + 0.5) / 10000 AS quality,
+        |  floor(pr * 10000 + 0.5) / 10000 AS pct_rank,
+        |  pr >= 0.2 AS keep_top80
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC must be pinned: Tables.events reinterprets NTZ wall-times under
+      // the session zone, and the DuckDB oracle's epoch_us() assumes UTC —
+      // without this, bench and verify diverge on non-UTC hosts
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -14,6 +18,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // Schema-drift guard (see BenchGuard): compare the live testdata's raw
+    // parquet schemas against the fingerprints in the last committed
+    // artifact, and abort LOUDLY before timing anything if the data shape
+    // changed under us. SPARK_GRAFT_ACCEPT_SCHEMA=1 acknowledges an
+    // intentional reshape (the new fingerprints are then written out).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    val liveSchemas = BenchGuard.fingerprint(spark, sfDir)
+    if (sys.env.get("SPARK_GRAFT_ACCEPT_SCHEMA").isEmpty) {
+      BenchGuard.recordedSchemas(outFile).foreach { recorded =>
+        val drift = BenchGuard.drift(recorded, liveSchemas)
+        if (drift.nonEmpty) {
+          System.err.println(
+            "bench: input schema drift vs last committed artifact " +
+              s"($outFile) — refusing to produce comparable-looking numbers:")
+          drift.foreach { case (t, old, now) =>
+            System.err.println(s"  $t:\n    recorded: $old\n    live:     $now")
+          }
+          System.err.println(
+            "bench: set SPARK_GRAFT_ACCEPT_SCHEMA=1 to accept the new shape")
+          spark.stop()
+          sys.exit(3)
+        }
+      }
+    }
     // JVM/codegen warmup so the first timed query doesn't absorb startup:
     // touch the scan path and JIT the native kernels on a 256-row sample
     // (measured: the first kernel-heavy query otherwise pays ~2 s of C2
@@ -112,11 +140,11 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
+        s""""schemas":${BenchGuard.schemasJson(liveSchemas)},"sf":"$sfDir"}"""
     println(json)
     // the artifact must survive log-tail truncation (round 4 lost its
     // "total" line that way) — also write it to a file the round can keep
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

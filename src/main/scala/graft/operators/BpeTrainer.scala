@@ -66,9 +66,9 @@ object BpeTrainer {
         return localMerges(head.toMap, numMerges)
     }
 
-    // corpus → (word, count) vocabulary, words as char-symbol sequences
+    // corpus → (word, count) vocabulary, words as code-point symbol sequences
     var vocab: Dataset[VocabWord] = wordCounts
-      .map { case (w, c) => VocabWord(w.map(_.toString), c) }
+      .map { case (w, c) => VocabWord(codePointSymbols(w), c) }
       .persist()
     vocab.count()
 
@@ -143,6 +143,24 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Initial symbols = Unicode CODE POINTS, not UTF-16 chars. A char-level
+    * split would break a non-BMP character into two lone surrogates, which
+    * Spark's UTF8String storage cannot round-trip (Java's UTF-8 encoder
+    * replaces unpaired surrogates with '?') — the distributed loop would
+    * merge mangled symbols while the driver loop merged real ones. Whole
+    * code points survive both paths byte-identically, so the cutover is
+    * transparent for any input. */
+  private[operators] def codePointSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** True iff the pair (a, b) occurs adjacently in `syms`. */
   private def hasAdjacentPair(syms: Seq[String], a: String, b: String): Boolean = {
     var i = 0
@@ -185,7 +203,7 @@ object BpeTrainer {
   private def localMerges(
       counts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
     var vocab: Map[Seq[String], Long] =
-      counts.groupMapReduce(_._1.map(_.toString): Seq[String])(_._2)(_ + _)
+      counts.groupMapReduce(p => codePointSymbols(p._1): Seq[String])(_._2)(_ + _)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -229,7 +247,7 @@ object BpeTrainer {
 
     val encodeWord = (w: String) => {
       val r = bRanks.value
-      var syms = w.map(_.toString).toVector
+      var syms = codePointSymbols(w)
       var done = syms.length < 2
       while (!done) {
         var bestIdx = -1

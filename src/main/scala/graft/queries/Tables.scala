@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader. One parquet dataset per table under the sf dir
   * (see TESTDATA.md). Columnar parquet scans give Catalyst pushdown +
@@ -11,10 +11,17 @@ object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-    * cannot load directly — read it as long nanos and truncate to µs
-    * (integer `div`, not fp division: ns epochs exceed 2^53). This matches
-    * DuckDB's epoch_us() truncation, so oracles agree. */
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations; this loader is total over all of them and always yields
+    * µs-precision TimestampType:
+    *   - TIMESTAMP(NANOS): Spark's µs TimestampType cannot load it directly —
+    *     read as long nanos and truncate to µs (integer `div`, not fp
+    *     division: ns epochs exceed 2^53), matching DuckDB's epoch_us().
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: reinterpret
+    *     the wall-time as an instant under the session zone (entrypoints pin
+    *     spark.sql.session.timeZone=UTC), which matches DuckDB's epoch_us()
+    *     reading of the same naive timestamps.
+    *   - TIMESTAMP(MICROS, UTC-adjusted): loads as TimestampType natively. */
   private def eventsDf(s: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is needed only while this read resolves its schema —
     // restore the previous value so other parquet reads in the session keep
@@ -25,9 +32,13 @@ object Tables {
     try {
       val raw = s.read.parquet(s"$dir/events.parquet")
       raw.schema // force eager schema resolution under the flag
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } finally previous match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -112,4 +112,27 @@ class BpeTrainerSpec extends SparkSpec {
     val m = BpeTrainer.learnMerges(tiny, "text", numMerges = 10)
     assert(m == Seq(("a", "b")))
   }
+
+  test("non-BMP symbols: identical merge sequence across the local/distributed cutover") {
+    // U+E000 (private use, UTF-8 EE 80 80) vs U+1F600 😀 (UTF-8 F0 9F 98 80):
+    // Java's UTF-16 code-unit compare puts 😀 (lead surrogate 0xD83D) BEFORE
+    // \uE000, but Spark's UTF8String byte compare puts \uE000 first — a tie
+    // between their pairs is decided OPPOSITELY by the two orderings, so this
+    // corpus catches any collation drift between the driver loop and the
+    // distributed loop. Code-point symbols also mean the emoji survives
+    // UTF8String round-trips (a char-level split would leave lone surrogates,
+    // which Java's UTF-8 encoder mangles to '?').
+    val docs = Seq("\uE000z \uE000z \uE000z", "😀z 😀z 😀z")
+      .toDF("text")
+    val local = BpeTrainer.learnMerges(docs, "text", numMerges = 4)
+    val dist = BpeTrainer.learnMerges(docs, "text", numMerges = 4,
+      localVocabThreshold = 0)
+    assert(local == dist, s"local $local != distributed $dist")
+    // both counts tie at 3: UTF-8 byte order must decide (EE.. < F0..)
+    assert(local == Seq(("\uE000", "z"), ("😀", "z")), s"got $local")
+    // serving side segments the emoji word with the learned merges intact
+    val enc = BpeTrainer.encode(Seq("😀z").toDF("text"), "text", local)
+      .select("tokens").head().getSeq[String](0)
+    assert(enc == Seq("😀z"), s"got $enc")
+  }
 }

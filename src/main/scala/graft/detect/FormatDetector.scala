@@ -1,0 +1,166 @@
+package graft.detect
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.ColumnInfo
+
+/** Fine-grained per-column `format` detection (SURVEY §2-A5) — the
+  * csv-detective vocabulary BELOW python_type: a string column that is
+  * really a SIREN register number, a French postal code, an email, a
+  * WGS84 latitude. The reference carries these in its inspection report
+  * (`columns{name→{python_type, format}}` + the `formats` list,
+  * `analysis/csv.py:152-154`) and its exception config keys index requests
+  * by them (`db/resource_exception.py:44`).
+  *
+  * Same distributed shape as TypeInference: ONE aggregation over the file
+  * computes, for every column × candidate format, the count of non-blank
+  * values matching the format's validator; the driver then picks the most
+  * specific format whose match rate clears `threshold`. No row data
+  * shuffles — only the (columns × formats) count matrix reaches the driver.
+  * Validators are pure Column expressions (regex + arithmetic), so the
+  * whole vote stays inside whole-stage codegen.
+  *
+  * Validators follow the public specifications of each format:
+  *   - SIREN: 9 digits, Luhn checksum (mod-10, doubling every second digit
+  *     from the right).
+  *   - SIRET: SIREN + 5-digit NIC, Luhn over all 14 digits.
+  *   - code_postal: 5 digits, department prefix 01–98.
+  *   - code_departement: 01–95 (zero-padded), 2A/2B, or 971–976.
+  *   - code_region: the post-2016 INSEE region code value set.
+  *   - code_commune_insee: department prefix (incl. 2A/2B) + 3 digits.
+  *   - latitude/longitude_wgs: decimal degrees within ±90 / ±180.
+  *   - email / url / tel_fr: syntax regexes.
+  */
+object FormatDetector {
+
+  /** One candidate: detection name, the python_type it refines, a
+    * specificity rank (higher wins when several formats fully match — a
+    * column of "75001" matches both code_postal and code_commune_insee;
+    * the rank orders value-set size, smallest set first), and the
+    * validator. */
+  final case class FormatSpec(
+      name: String, pythonType: String, specificity: Int, pred: Column => Column)
+
+  /** Luhn mod-10 check over an all-digit string: double every second digit
+    * from the RIGHT, subtract 9 from two-digit doubles, sum ≡ 0 (mod 10).
+    * Pure array arithmetic — no UDF. */
+  private def luhnValid(t: Column): Column = {
+    val digits = split(reverse(t), "")
+    val contrib = zip_with(
+      digits,
+      sequence(lit(0), length(t) - 1),
+      (ch, i) => {
+        // try_cast: conjuncts are not short-circuited row-by-row under ANSI
+        // mode, so this runs on non-digit strings too (the rlike gate only
+        // decides the final AND) — a null contribution nulls the sum and
+        // the ≡0 check is then not-true, which is what we want
+        val d = ch.try_cast(org.apache.spark.sql.types.IntegerType)
+        when(i % 2 === 1, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    aggregate(contrib, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** The Luhn check digit completing an all-digit base (the rightmost,
+    * undoubled position) — the generator dual of luhnValid; used by specs
+    * and the x74 oracle to synthesize valid register numbers. */
+  def luhnCheckDigit(base: Column): Column = {
+    val digits = split(reverse(base), "")
+    val contrib = zip_with(
+      digits,
+      sequence(lit(0), length(base) - 1),
+      (ch, i) => {
+        val d = ch.try_cast(org.apache.spark.sql.types.IntegerType)
+        when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    (lit(10) - aggregate(contrib, lit(0), (a, x) => a + x) % 10) % 10
+  }
+
+  private val regionCodes =
+    Seq("01", "02", "03", "04", "06", "11", "24", "27", "28", "32",
+      "44", "52", "53", "75", "76", "84", "93", "94")
+
+  /** Candidate formats, most specific (smallest value set) first. */
+  val formats: Seq[FormatSpec] = Seq(
+    FormatSpec("code_region", "string", 90,
+      t => t.isin(regionCodes: _*)),
+    FormatSpec("code_departement", "string", 80,
+      t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-5]|2[AB]|97[1-6])$")),
+    FormatSpec("siren", "string", 70,
+      t => t.rlike("^[0-9]{9}$") && luhnValid(t)),
+    FormatSpec("siret", "string", 70,
+      t => t.rlike("^[0-9]{14}$") && luhnValid(t)),
+    FormatSpec("code_postal", "string", 60,
+      t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$")),
+    FormatSpec("code_commune_insee", "string", 50,
+      t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8]|2[AB])[0-9]{3}$")),
+    FormatSpec("tel_fr", "string", 40,
+      t => t.rlike("^(\\+33[ .-]?|0033[ .-]?|0)[1-9]([ .-]?[0-9]{2}){4}$")),
+    FormatSpec("email", "string", 30,
+      t => t.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")),
+    FormatSpec("url", "string", 30,
+      t => t.rlike("^https?://[^\\s/$.?#].[^\\s]*$")),
+    FormatSpec("latitude_wgs", "float", 20,
+      t => t.rlike("^[+-]?[0-9]{1,2}(\\.[0-9]+)?$") &&
+        abs(t.try_cast(org.apache.spark.sql.types.DoubleType)) <= 90.0),
+    FormatSpec("longitude_wgs", "float", 10,
+      t => t.rlike("^[+-]?[0-9]{1,3}(\\.[0-9]+)?$") &&
+        abs(t.try_cast(org.apache.spark.sql.types.DoubleType)) <= 180.0))
+
+  /** Per-column (format, matchRate) vote in one aggregation pass.
+    * Returns, per column, every candidate with its match rate over
+    * non-blank values (rate 0 for empty columns). */
+  def matchRates(df: DataFrame): Map[String, Map[String, Double]] = {
+    val cols = df.columns.toSeq
+    if (cols.isEmpty) return Map.empty
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val c = col("`" + name.replace("`", "``") + "`").cast("string")
+      val t = trim(c)
+      val nonBlank = c.isNotNull && t =!= ""
+      count(when(nonBlank, lit(1))).as(s"${name}__nb") +:
+        formats.map { f =>
+          count(when(nonBlank && f.pred(t), lit(1))).as(s"${name}__${f.name}")
+        }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { name =>
+      val nb = row.getAs[Long](s"${name}__nb")
+      name -> formats.map { f =>
+        val hits = row.getAs[Long](s"${name}__${f.name}")
+        f.name -> (if (nb == 0L) 0.0 else hits.toDouble / nb)
+      }.toMap
+    }.toMap
+  }
+
+  /** The most specific format per column clearing `threshold` (default:
+    * every non-blank value matches, same strict vote as TypeInference),
+    * or "default" — the reference's value for an unrefined column. */
+  def detect(df: DataFrame, threshold: Double = 1.0): Map[String, String] = {
+    val rates = matchRates(df)
+    df.columns.map { name =>
+      val winner = formats
+        .filter(f => rates(name)(f.name) >= threshold && rates(name)(f.name) > 0.0)
+        .sortBy(-_.specificity)
+        .headOption
+      name -> winner.map(_.name).getOrElse("default")
+    }.toMap
+  }
+
+  /** TypeInference + format refinement in one call — the full csv-detective
+    * `columns` block: python_type from the strict type vote, format from
+    * the format vote (only columns whose python_type the format refines:
+    * a true float column can be latitude_wgs, an int column is never an
+    * email). Two single-pass aggregations over the file. */
+  def inferWithFormats(df: DataFrame, threshold: Double = 1.0): Map[String, ColumnInfo] = {
+    val types = TypeInference.infer(df)
+    val fmts = detect(df, threshold)
+    types.map { case (name, info) =>
+      val fmt = fmts.getOrElse(name, "default")
+      val compatible = formats.find(_.name == fmt)
+        .forall(f => f.pythonType == info.pythonType ||
+          (f.pythonType == "string" && info.pythonType == "int") ||
+          (f.pythonType == "float" && info.pythonType == "int"))
+      name -> (if (fmt != "default" && compatible) info.copy(format = fmt) else info)
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.detect.{CsvSniffer, OnePassProfiler, TypeInference, XlsxReader}
+import graft.detect.{CsvSniffer, FormatDetector, OnePassProfiler, TypeInference, XlsxReader}
 import graft.model.{ColumnInfo, Inspection}
 
 /** E7/A3/B5/C1-C4 — the end-to-end CSV "APIfication" slice (SURVEY §7.4):
@@ -182,7 +182,7 @@ object CsvIngest {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq), schema)
 
-    val types = TypeInference.infer(raw)
+    val types = FormatDetector.inferWithFormats(raw)
     val typed = renameReserved(TypeInference.castAll(raw, types))
     typed.persist()
     val rowCount = typed.count()
@@ -246,7 +246,7 @@ object CsvIngest {
       parsed.columns.map(c => trim(col(s"`$c`"), " \t\r\n\f") =!= "")
         .reduce(_ || _))
 
-    val types: Map[String, ColumnInfo] = TypeInference.infer(raw)
+    val types: Map[String, ColumnInfo] = FormatDetector.inferWithFormats(raw)
     val typed = renameReserved(TypeInference.castAll(raw, types))
 
     // one parse feeds every downstream consumer (the reference re-reads the

@@ -1,0 +1,92 @@
+package graft.detect
+
+import graft.SparkSpec
+
+class FormatDetectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side Luhn reference (mod-10, double every 2nd digit from the
+    * right) — the independent check for the Column-expression validator. */
+  private def luhnSum(s: String): Int =
+    s.reverse.zipWithIndex.map { case (ch, i) =>
+      val d = ch - '0'
+      if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum
+
+  private def withCheck(base: String): String = {
+    // check digit occupies the rightmost (undoubled) position
+    val s = luhnSum(base + "0")
+    base + ((10 - s % 10) % 10).toString
+  }
+
+  test("siren/siret: Luhn checksum separates valid numbers from corrupted ones") {
+    val rng = new scala.util.Random(42)
+    val sirens = Seq.fill(25)(withCheck(f"${rng.nextInt(100000000)}%08d"))
+    sirens.foreach(s => assert(luhnSum(s) % 10 == 0))
+    val corrupted = sirens.map(s =>
+      s.init + (((s.last - '0') + 1) % 10).toString)
+    val sirets = Seq.fill(25)(
+      withCheck(f"${rng.nextInt(100000000)}%08d${rng.nextInt(100000)}%05d"))
+    val df = sirens.zip(corrupted).zip(sirets)
+      .map { case ((a, b), c) => (a, b, c) }
+      .toDF("ok", "bad", "siret14")
+    val got = FormatDetector.detect(df)
+    assert(got("ok") == "siren", got.toString)
+    assert(got("bad") == "default", got.toString)
+    assert(got("siret14") == "siret", got.toString)
+  }
+
+  test("postal / insee / departement: specificity resolves containment") {
+    val df = Seq(
+      ("75001", "2A004", "01"),
+      ("01000", "97412", "95"),
+      ("98000", "2B033", "2A"),
+      ("33700", "75056", "974"))
+      .toDF("cp", "insee", "dep")
+    val got = FormatDetector.detect(df)
+    // every postal code is also a syntactically valid INSEE commune code —
+    // the smaller (more specific) vocabulary must win
+    assert(got("cp") == "code_postal", got.toString)
+    assert(got("insee") == "code_commune_insee", got.toString)
+    assert(got("dep") == "code_departement", got.toString)
+  }
+
+  test("lat/lon containment, email, url, tel_fr") {
+    val df = Seq(
+      ("48.8566", "2.3522", "a.b@ex.fr", "https://ex.fr/x", "06 12 34 56 78"),
+      ("-89.25", "-179.5", "x@y.org", "http://y.org", "+33 6 11 22 33 44"),
+      ("45.0", "102.75", "z9@q.io", "https://q.io/a?b=1", "0033 1 22 33 44 55"))
+      .toDF("lat", "lon", "mail", "link", "tel")
+    val got = FormatDetector.detect(df)
+    // every in-range latitude is an in-range longitude; specificity picks
+    // latitude, and the >90 value forces the lon column to longitude only
+    assert(got("lat") == "latitude_wgs", got.toString)
+    assert(got("lon") == "longitude_wgs", got.toString)
+    assert(got("mail") == "email", got.toString)
+    assert(got("link") == "url", got.toString)
+    assert(got("tel") == "tel_fr", got.toString)
+  }
+
+  test("threshold: strict vote rejects a dirty column, relaxed vote recovers it") {
+    val values = Seq.fill(19)("75001") :+ "not-a-code"
+    val df = values.toDF("cp")
+    assert(FormatDetector.detect(df)("cp") == "default")
+    assert(FormatDetector.detect(df, threshold = 0.9)("cp") == "code_postal")
+    // blanks don't count against the rate
+    val withBlanks = (Seq.fill(10)("75001") ++ Seq("", "  ")).toDF("cp")
+    assert(FormatDetector.detect(withBlanks)("cp") == "code_postal")
+  }
+
+  test("inferWithFormats: python_type is preserved, format attaches only when compatible") {
+    val df = Seq(
+      ("75001", "48.85", "hello"),
+      ("01000", "-12.5", "world"))
+      .toDF("cp", "lat", "txt")
+    val got = FormatDetector.inferWithFormats(df)
+    // a digit-only postal column types as int (the engine ingests on
+    // python_type alone, analysis/csv.py:314) but still carries the format
+    assert(got("cp").pythonType == "int" && got("cp").format == "code_postal", got.toString)
+    assert(got("lat").pythonType == "float" && got("lat").format == "latitude_wgs", got.toString)
+    assert(got("txt").pythonType == "string" && got("txt").format == "default", got.toString)
+  }
+}

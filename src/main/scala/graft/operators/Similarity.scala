@@ -558,6 +558,42 @@ object Similarity {
           roundTo).as("cos_centroids"))
   }
 
+  /** Per-label centroid drift between two corpus snapshots — the
+    * embedding-space health check between training-data refreshes: how far
+    * each label's centroid moved (L2 and cosine) and how its population
+    * changed. The x72 snapshot-diff's embedding-space analog.
+    *
+    * Centroid components round to 6 decimals BEFORE the distance math
+    * (labelCentroids' contract) so the result is independent of
+    * aggregation order. Shape: one dim-keyed aggregation per snapshot (the
+    * exploded (label, dim) grid shuffles, never raw vectors), then
+    * label-keyed joins of label-count-sized frames — metadata-sized at any
+    * corpus scale. Labels present in only one snapshot are omitted (no
+    * drift is defined for them); population change covers appear/vanish. */
+  def centroidDrift(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val a = labelCentroids(oldSnap, vecCol, labelCol)
+      .select(col("__l"), col("__ce").as("__va"))
+    val b = labelCentroids(newSnap, vecCol, labelCol)
+      .select(col("__l"), col("__ce").as("__vb"))
+    val na = oldSnap.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("n_old"))
+    val nb = newSnap.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("n_new"))
+    val l2 = sqrt(aggregate(
+      zip_with(col("__va"), col("__vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x))
+    a.join(b, Seq("__l"))
+      .join(broadcast(na), Seq("__l")).join(broadcast(nb), Seq("__l"))
+      .select(col("__l").as("label"), col("n_old"), col("n_new"),
+        round(l2, roundTo).as("l2_shift"),
+        round(dotd(col("__va"), col("__vb")) /
+          (sqrt(dotd(col("__va"), col("__va"))) * sqrt(dotd(col("__vb"), col("__vb")))),
+          roundTo).as("cos_shift"))
+  }
+
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))

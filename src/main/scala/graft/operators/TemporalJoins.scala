@@ -33,7 +33,10 @@ object TemporalJoins {
     * rightTs <= leftTs within the same key. "forward": the SMALLEST
     * (rightTs, rightTie) with rightTs >= leftTs — implemented by negating
     * the time/tie axis, so both directions share the single-exchange
-    * union+window plan. Inclusive at equal timestamps either way.
+    * union+window plan. "nearest": the right row minimizing |leftTs −
+    * rightTs| within the tolerance; an equal gap resolves backward. Still
+    * one exchange — two in-partition sorts carry both directions.
+    * Inclusive at equal timestamps in every direction.
     *
     * toleranceMicros bounds the match gap: a right row farther than the
     * tolerance (|leftTs - rightTs|) yields null value columns, same as no
@@ -56,11 +59,12 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"asofJoin value columns ${valueCols.mkString(",")} collide with left columns")
-    val reserved = Seq("__ts", "__tag", "__tie", "__mts", "__carry")
+    val reserved = Seq("__ts", "__tag", "__tie", "__mts", "__carry",
+      "__cb", "__cf", "__chosen")
     require(!(leftCols ++ valueCols).exists(reserved.contains),
       s"asofJoin reserves column names ${reserved.mkString(",")}")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(toleranceMicros > 0, "toleranceMicros must be positive")
     // forward = backward on the mirrored axis (ties mirror too: forward
     // picks the SMALLEST tie among equal timestamps)
@@ -112,15 +116,42 @@ object TemporalJoins {
 
     val unioned = taggedLeft.unionByName(taggedRight)
 
-    val carried = unioned.withColumn(
-      "__carry", last(col("__carry"), ignoreNulls = true).over(w))
-    // in mirrored space the gap is ALWAYS __ts - __mts >= 0 for a match
-    val withinTol = col("__carry").isNotNull &&
-      (col("__ts") - col("__carry").getField("__mts")) <= toleranceMicros
-    val unpacked = valueCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(c, when(withinTol, col("__carry").getField(c)))
+    if (direction == "nearest") {
+      // Nearest = backward ∧ forward carries over the SAME exchange: one
+      // shuffle on the key, two in-partition sorts (the forward window
+      // re-orders tag DESC so an equal-timestamp right row falls inside the
+      // current-row→following frame — inclusive both ways). Tie on the gap
+      // resolves BACKWARD (and within a side by the side's own tie rule:
+      // greatest tie backward, smallest forward) — document-level contract
+      // mirrored by the d34 oracle's correlated ORDER BY.
+      val wF = Window.partitionBy(col(keyCol))
+        .orderBy(col("__ts"), col("__tag").desc, col("__tie"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val carried = unioned
+        .withColumn("__cb", last(col("__carry"), ignoreNulls = true).over(w))
+        .withColumn("__cf", first(col("__carry"), ignoreNulls = true).over(wF))
+      val bGap = col("__ts") - col("__cb").getField("__mts")
+      val fGap = col("__cf").getField("__mts") - col("__ts")
+      val bOk = col("__cb").isNotNull && bGap <= toleranceMicros
+      val fOk = col("__cf").isNotNull && fGap <= toleranceMicros
+      val chosen = when(bOk && (!fOk || bGap <= fGap), col("__cb"))
+        .when(fOk, col("__cf"))
+      val unpacked = valueCols.foldLeft(carried.withColumn("__chosen", chosen)) {
+        (df, c) => df.withColumn(c, col("__chosen").getField(c))
+      }
+      unpacked.where(col("__tag") === 1)
+        .drop("__ts", "__tag", "__tie", "__carry", "__cb", "__cf", "__chosen")
+    } else {
+      val carried = unioned.withColumn(
+        "__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      // in mirrored space the gap is ALWAYS __ts - __mts >= 0 for a match
+      val withinTol = col("__carry").isNotNull &&
+        (col("__ts") - col("__carry").getField("__mts")) <= toleranceMicros
+      val unpacked = valueCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, when(withinTol, col("__carry").getField(c)))
+      }
+      unpacked.where(col("__tag") === 1).drop("__ts", "__tag", "__tie", "__carry")
     }
-    unpacked.where(col("__tag") === 1).drop("__ts", "__tag", "__tie", "__carry")
   }
 
   /** Point-in-interval join: rows of `points` matched to every row of

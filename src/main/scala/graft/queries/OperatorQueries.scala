@@ -2236,6 +2236,145 @@ object OperatorQueries {
         |  pr >= 0.2 AS keep_top80
         |FROM r ORDER BY doc_id""".stripMargin),
 
+    // Fine-grained format detection (csv-detective's format vocabulary,
+    // SURVEY §2-A5): the validators — regex + Luhn checksum as pure Column
+    // arithmetic — counted over columns SYNTHESIZED deterministically from
+    // customer keys (valid postal codes, Luhn-valid SIRENs, a corrupted-
+    // check column, emails, WGS84 coordinates). The oracle replays every
+    // validator, including the mod-10 Luhn fold, in DuckDB list arithmetic.
+    // One scan, one aggregation; the (column × format) count matrix is the
+    // only thing that moves.
+    "x74_format_detect" -> sql(
+      (s, dir) => {
+        import graft.detect.FormatDetector
+        val k = col("c_custkey")
+        val base = lpad((k % 100000000).cast("string"), 8, "0")
+        val chk = FormatDetector.luhnCheckDigit(base)
+        val syn = Tables.customer(s, dir).select(
+          concat(lpad((k % 98 + 1).cast("string"), 2, "0"),
+            lpad((k % 1000).cast("string"), 3, "0")).as("cp"),
+          lpad((k % 95 + 1).cast("string"), 2, "0").as("dep"),
+          concat(base, chk.cast("string")).as("siren"),
+          concat(base, ((chk + 1) % 10).cast("string")).as("sbad"),
+          concat(lit("c"), k.cast("string"), lit("@example.fr")).as("mail"),
+          concat((k % 179 - 89).cast("string"), lit(".25")).as("lat"),
+          concat((k % 359 - 179).cast("string"), lit(".5")).as("lon"))
+        val pairs = Seq(
+          "cp" -> "code_postal", "cp" -> "code_commune_insee",
+          "cp" -> "code_departement", "dep" -> "code_departement",
+          "dep" -> "code_region", "siren" -> "siren", "sbad" -> "siren",
+          "mail" -> "email", "lat" -> "latitude_wgs", "lat" -> "longitude_wgs",
+          "lon" -> "longitude_wgs", "lon" -> "latitude_wgs")
+        val preds = FormatDetector.formats.map(f => f.name -> f.pred).toMap
+        val aggs = pairs.map { case (cn, fn) =>
+          sum(when(preds(fn)(trim(col(cn))), 1L).otherwise(0L)).as(s"${cn}__$fn")
+        }
+        syn.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${pairs.size}, " +
+            pairs.map { case (c, f) => s"'$c','$f',`${c}__$f`" }.mkString(", ") +
+            ") as (col_name, fmt, n_match)")
+          .orderBy("col_name", "fmt")
+      },
+      """WITH b AS (
+        |  SELECT c_custkey AS k,
+        |    lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') AS base
+        |  FROM customer),
+        |luhn AS (
+        |  SELECT k, base,
+        |    (10 - list_sum(list_transform(range(1, 9), i ->
+        |      CASE WHEN (i-1)%2=0
+        |        THEN CASE WHEN CAST(reverse(base)[i] AS INT)*2 > 9
+        |          THEN CAST(reverse(base)[i] AS INT)*2 - 9
+        |          ELSE CAST(reverse(base)[i] AS INT)*2 END
+        |        ELSE CAST(reverse(base)[i] AS INT) END)) % 10) % 10 AS chk
+        |  FROM b),
+        |syn AS (
+        |  SELECT
+        |    lpad(CAST(k % 98 + 1 AS VARCHAR), 2, '0')
+        |      || lpad(CAST(k % 1000 AS VARCHAR), 3, '0') AS cp,
+        |    lpad(CAST(k % 95 + 1 AS VARCHAR), 2, '0') AS dep,
+        |    base || CAST(chk AS VARCHAR) AS siren,
+        |    base || CAST((chk + 1) % 10 AS VARCHAR) AS sbad,
+        |    'c' || CAST(k AS VARCHAR) || '@example.fr' AS mail,
+        |    CAST(k % 179 - 89 AS VARCHAR) || '.25' AS lat,
+        |    CAST(k % 359 - 179 AS VARCHAR) || '.5' AS lon
+        |  FROM luhn),
+        |m AS (
+        |  SELECT
+        |    count(*) FILTER (regexp_matches(cp, '^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$')) AS cp__code_postal,
+        |    count(*) FILTER (regexp_matches(cp, '^(0[1-9]|[1-8][0-9]|9[0-8]|2[AB])[0-9]{3}$')) AS cp__code_commune_insee,
+        |    count(*) FILTER (regexp_matches(cp, '^(0[1-9]|[1-8][0-9]|9[0-5]|2[AB]|97[1-6])$')) AS cp__code_departement,
+        |    count(*) FILTER (regexp_matches(dep, '^(0[1-9]|[1-8][0-9]|9[0-5]|2[AB]|97[1-6])$')) AS dep__code_departement,
+        |    count(*) FILTER (dep IN ('01','02','03','04','06','11','24','27','28','32','44','52','53','75','76','84','93','94')) AS dep__code_region,
+        |    count(*) FILTER (regexp_matches(siren, '^[0-9]{9}$') AND
+        |      list_sum(list_transform(range(1, 10), i ->
+        |        CASE WHEN (i-1)%2=1
+        |          THEN CASE WHEN CAST(reverse(siren)[i] AS INT)*2 > 9
+        |            THEN CAST(reverse(siren)[i] AS INT)*2 - 9
+        |            ELSE CAST(reverse(siren)[i] AS INT)*2 END
+        |          ELSE CAST(reverse(siren)[i] AS INT) END)) % 10 = 0) AS siren__siren,
+        |    count(*) FILTER (regexp_matches(sbad, '^[0-9]{9}$') AND
+        |      list_sum(list_transform(range(1, 10), i ->
+        |        CASE WHEN (i-1)%2=1
+        |          THEN CASE WHEN CAST(reverse(sbad)[i] AS INT)*2 > 9
+        |            THEN CAST(reverse(sbad)[i] AS INT)*2 - 9
+        |            ELSE CAST(reverse(sbad)[i] AS INT)*2 END
+        |          ELSE CAST(reverse(sbad)[i] AS INT) END)) % 10 = 0) AS sbad__siren,
+        |    count(*) FILTER (regexp_matches(mail, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')) AS mail__email,
+        |    count(*) FILTER (regexp_matches(lat, '^[+-]?[0-9]{1,2}(\.[0-9]+)?$') AND abs(TRY_CAST(lat AS DOUBLE)) <= 90) AS lat__latitude_wgs,
+        |    count(*) FILTER (regexp_matches(lat, '^[+-]?[0-9]{1,3}(\.[0-9]+)?$') AND abs(TRY_CAST(lat AS DOUBLE)) <= 180) AS lat__longitude_wgs,
+        |    count(*) FILTER (regexp_matches(lon, '^[+-]?[0-9]{1,3}(\.[0-9]+)?$') AND abs(TRY_CAST(lon AS DOUBLE)) <= 180) AS lon__longitude_wgs,
+        |    count(*) FILTER (regexp_matches(lon, '^[+-]?[0-9]{1,2}(\.[0-9]+)?$') AND abs(TRY_CAST(lon AS DOUBLE)) <= 90) AS lon__latitude_wgs
+        |  FROM syn)
+        |SELECT col_name, fmt, n_match FROM (
+        |  SELECT 'cp' AS col_name, 'code_postal' AS fmt, cp__code_postal AS n_match FROM m
+        |  UNION ALL SELECT 'cp', 'code_commune_insee', cp__code_commune_insee FROM m
+        |  UNION ALL SELECT 'cp', 'code_departement', cp__code_departement FROM m
+        |  UNION ALL SELECT 'dep', 'code_departement', dep__code_departement FROM m
+        |  UNION ALL SELECT 'dep', 'code_region', dep__code_region FROM m
+        |  UNION ALL SELECT 'siren', 'siren', siren__siren FROM m
+        |  UNION ALL SELECT 'sbad', 'siren', sbad__siren FROM m
+        |  UNION ALL SELECT 'mail', 'email', mail__email FROM m
+        |  UNION ALL SELECT 'lat', 'latitude_wgs', lat__latitude_wgs FROM m
+        |  UNION ALL SELECT 'lat', 'longitude_wgs', lat__longitude_wgs FROM m
+        |  UNION ALL SELECT 'lon', 'longitude_wgs', lon__longitude_wgs FROM m
+        |  UNION ALL SELECT 'lon', 'latitude_wgs', lon__latitude_wgs FROM m)
+        |ORDER BY col_name, fmt""".stripMargin),
+
+    // Embedding-space snapshot drift (x72's embedding analog): per-label
+    // centroid movement between two corpus snapshots — here the vec_id
+    // parity halves, the deterministic stand-in for successive refreshes.
+    // Centroid components round to 6 decimals before the distance math
+    // (x64's convention) so both engines replay identical arithmetic.
+    "x75_embedding_drift" -> sql(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.centroidDrift(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          "embedding", "label")
+          .orderBy("label")
+      },
+      """WITH d AS (
+        |  SELECT vec_id % 2 AS half, label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT half, label, i, round(avg(v), 6) AS c FROM d GROUP BY 1, 2, 3),
+        |cent AS (SELECT half, label, list(c ORDER BY i) AS ce FROM c GROUP BY 1, 2),
+        |n AS (SELECT vec_id % 2 AS half, label, count(*) AS cnt
+        |      FROM embeddings GROUP BY 1, 2)
+        |SELECT a.label AS label, na.cnt AS n_old, nb.cnt AS n_new,
+        |  round(sqrt(list_sum(list_transform(range(1, len(a.ce) + 1),
+        |    i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i])))), 4) AS l2_shift,
+        |  round(list_dot_product(a.ce, b.ce) /
+        |    (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))), 4)
+        |    AS cos_shift
+        |FROM cent a
+        |JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        |JOIN n na ON na.label = a.label AND na.half = 0
+        |JOIN n nb ON nb.label = a.label AND nb.half = 1
+        |ORDER BY label""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -492,6 +492,45 @@ object RelationalQueries {
         |FROM events l WHERE l.event_type = 'click'
         |ORDER BY l.event_id""".stripMargin),
 
+    // Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    // each click matched to the purchase minimizing |gap| within a 2-hour
+    // tolerance, ties resolving backward. Same single-exchange union+window
+    // plan as d21 — the forward candidate rides a second in-partition sort,
+    // never a second shuffle. Oracle: correlated min-|gap| subquery with
+    // the identical tie ORDER BY.
+    "d34_asof_nearest" -> sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"), round(col("value"), 2).as("p_value"))
+        graft.operators.TemporalJoins.asofJoin(
+          clicks, purchases, "user_id", "ts", "p_ts", "p_event_id",
+          valueCols = Seq("p_event_id", "p_value"),
+          direction = "nearest", toleranceMicros = 7200000000L)
+          .select("event_id", "user_id", "p_event_id", "p_value")
+          .orderBy("event_id")
+      },
+      """SELECT l.event_id, l.user_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |     AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 7200000000
+        |   ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+        |     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+        |     CASE WHEN r.ts <= l.ts THEN -r.event_id ELSE r.event_id END
+        |   LIMIT 1) AS p_event_id,
+        |  (SELECT round(r."value", 2) FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |     AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 7200000000
+        |   ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+        |     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+        |     CASE WHEN r.ts <= l.ts THEN -r.event_id ELSE r.event_id END
+        |   LIMIT 1) AS p_value
+        |FROM events l WHERE l.event_type = 'click'
+        |ORDER BY l.event_id""".stripMargin),
+
     // Beyond-reference: point-in-interval (range) join — events classified
     // into overlapping value tiers built from the nation table. Spark side
     // bucketizes the intervals so the match is a broadcast EQUI-join with a

@@ -173,6 +173,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 100L, 2L -> -1L))
   }
 
+  test("asofJoin nearest: min-|gap| pick, ties resolve backward, tolerance bounds both sides") {
+    val left = Seq(
+      (1L, 1L, ts(14)), // gaps 4/6 → backward 100
+      (2L, 1L, ts(16)), // gaps 6/4 → forward 200
+      (3L, 1L, ts(15)), // tie 5/5 → backward 100
+      (4L, 1L, ts(10)), // exact hit → 100 (inclusive)
+      (5L, 1L, ts(40)), // nearest is 20 min away > 15 tolerance → null
+      (6L, 2L, ts(5))   // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), 100L, 1.0),
+      (1L, ts(20), 200L, 2.0)
+    ).toDF("user_id", "p_ts", "p_event_id", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts",
+      "p_event_id", Seq("p_event_id", "p_value"),
+      direction = "nearest", toleranceMicros = 15L * 60 * 1000000)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("p_event_id"))) -1L
+         else r.getAs[Long]("p_event_id"))).toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 100L, 4L -> 100L,
+      5L -> -1L, 6L -> -1L), out.toString)
+  }
+
   test("pointInIntervalJoin matches the brute-force BETWEEN join, overlaps and negatives included") {
     val points = (-40 until 200).map(i => (i.toLong, i * 1.7 - 30.0))
       .toDF("point_id", "v")

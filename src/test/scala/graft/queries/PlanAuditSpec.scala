@@ -145,6 +145,45 @@ class PlanAuditSpec extends SparkSpec {
       "bucket keys must make the range join an equi-join")
   }
 
+  test("d34: nearest as-of shares d21's join-free shape — one keyed exchange, two sorts") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("d34_asof_nearest"))
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]),
+      "nearest as-of must compile to union+two-windows, not a join operator")
+    // the forward carry must NOT cost a second keyed exchange: both window
+    // sort orders reuse the user_id partitioning (one keyed + one range
+    // exchange for the output ordering + AQE coalesce artifacts at most)
+    val keyed = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(keyed.size <= 3, s"nearest as-of re-shuffled: ${keyed.size} exchanges")
+  }
+
+  test("x75: centroid drift shuffles the (label, dim) grid, never raw vectors; counts broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x75_embedding_drift"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "label-count frames must broadcast into the drift join")
+    val vecShuffles = nodes.collect {
+      case s: ShuffleExchangeLike if s.schema.fields.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => s
+    }
+    // only label-keyed CENTROID arrays (tens of rows) may move — the raw
+    // embedding column must be exploded to scalars before any exchange
+    assert(vecShuffles.forall(_.schema.fieldNames.contains("__ce")),
+      "raw embedding vectors must not shuffle")
+  }
+
+  test("x74: format detection is one scan, one aggregation, no shuffle of row data") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = flatten(planOf("x74_format_detect"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // partial+final agg moves only the count matrix (single row): every
+    // exchange must carry the aggregate schema, never the synthesized text
+    assert(shuffles.forall(_.schema.fieldNames.forall(f => !f.startsWith("cp") ||
+      f.contains("__"))), "row data must not shuffle")
+    assert(shuffles.size <= 2, s"format vote must be one agg, saw ${shuffles.size} exchanges")
+  }
+
   test("d20: sessionization costs one keyed exchange (plus the output ordering)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val shuffles = flatten(planOf("d20_sessionize"))

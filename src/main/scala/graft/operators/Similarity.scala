@@ -60,6 +60,32 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training counterpart of
+    * bruteForceTopK: for each query vector, the top-k most SIMILAR corpus
+    * vectors carrying a DIFFERENT label (the confusable examples a
+    * contrastive or reranker objective needs). The label predicate rides
+    * the same broadcast join as the id guard, so the plan is identical to
+    * brute-force top-k; at corpus scale route candidate generation through
+    * the IVF cells (embeddingNearDupIvf's path) and apply the label filter
+    * in the re-rank. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = corpus
+      .withColumn("__nc", norm(col(vecCol)))
+      .join(broadcast(queries.withColumn("__nq", norm(col(qvecCol)))),
+        col(qidCol) =!= col(idCol) && col(qlabelCol) =!= col(labelCol))
+      .withColumn("sim", dot(col(qvecCol), col(vecCol)) / (col("__nq") * col("__nc")))
+    val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(qlabelCol), col(idCol), col(labelCol),
+        col("sim"), col("rank"))
+  }
+
   /** Sign-bit sketch of a vector, packed to a long — native kernel
     * (GraftHyperplaneSketch); planes derive deterministically from the seed
     * inside the kernel, memoized per (nBits, dim, seed). */

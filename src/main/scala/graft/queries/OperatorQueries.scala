@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -2374,6 +2374,153 @@ object OperatorQueries {
         |JOIN n na ON na.label = a.label AND na.half = 0
         |JOIN n nb ON nb.label = a.label AND nb.half = 1
         |ORDER BY label""".stripMargin),
+
+    // Per-source document-length quantiles — the shape-of-the-mixture
+    // report a curriculum or packing stage reads before choosing sequence
+    // budgets. Exact interpolated percentiles (d23's parity) over integer
+    // lengths; one source-keyed aggregation.
+    "x76_source_length_quantiles" -> sql(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.1)"), 4).as("p10"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+            round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("source"),
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.1), 4) AS p10,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // Hard-negative mining (x13's contrastive-training counterpart): for
+    // each query vector the top-3 most similar embeddings under a
+    // DIFFERENT label — confusable examples for a contrastive/reranker
+    // objective. Bit-exact brute-force oracle; the label predicate rides
+    // the broadcast join, so the plan is x13's.
+    "x77_hard_negatives" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label",
+          "qid", "qvec", "qlabel", k = 3)
+          .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+            round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label <> q.qlabel),
+        |ranked AS (SELECT qid, qlabel, vec_id, label, round(sim, 4) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, qlabel, vec_id, label, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    // Bloom semi-join reduction: revenue of lineitems whose order is
+    // URGENT — the fact scan pre-prunes through a broadcast bloom filter
+    // before the exact semi-join kills the false positives, so the result
+    // is bit-identical to the plain semi-join (the oracle) while only the
+    // bloom survivors reach the exchange. The cross-job pattern behind
+    // pruning a 100 TB scan with yesterday's digest set.
+    "x78_bloom_semi_join" -> sql(
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        graft.operators.BloomPrune.semiJoin(
+          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1 << 20)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Normalized exact dedup: the graft_normalize kernel (NFC + casefold +
+    // whitespace collapse, one codegen'd projection) in front of the x01
+    // digest-groupBy — catches duplicates that differ only in case,
+    // whitespace, or Unicode composition. The oracle replays the full
+    // normalize → md5 chain per document, so the kernel is parity-checked
+    // over the whole corpus, not just the dup rows.
+    "x79_normalized_dedup" -> sql(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(call_function("graft_normalize", col("text")).cast("binary"))
+              .as("norm_digest"))
+          .withColumn("is_dup",
+            count(lit(1)).over(Window.partitionBy("norm_digest")) > 1)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+        |    AS norm_digest,
+        |  count(*) OVER (PARTITION BY
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))))
+        |    > 1 AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Sorted-neighborhood record linkage: customer names with one digit
+    // deterministically dropped, re-linked to their originals by SNM +
+    // exact Levenshtein (n·k candidates via the global sort position,
+    // never a blocking hot-spot). The oracle replays the identical SNM —
+    // same sort, same ±8 neighborhood, same argmin — so engines agree on
+    // exactly which links the algorithm finds.
+    "x80_record_linkage" -> sql(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val clean = c.select(col("c_custkey"), col("c_name"))
+        val dirty = c.select(col("c_custkey"),
+          expr("concat(substr(c_name, 1, 9 + c_custkey % 9), " +
+            "substr(c_name, 11 + c_custkey % 9))").as("dirty_name"))
+        FuzzyLinkage.bestMatch(clean, dirty, "c_custkey", "c_name",
+          "c_custkey", "dirty_name", neighborhood = 8, maxDist = 2)
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy("dirty_id")
+      },
+      """WITH clean AS (SELECT c_custkey AS id, c_name AS val, 0 AS src FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS id,
+        |    substr(c_name, 1, 9 + c_custkey % 9)
+        |      || substr(c_name, 11 + c_custkey % 9) AS val,
+        |    1 AS src FROM customer),
+        |u AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+        |ranked AS (SELECT id, val, src,
+        |    row_number() OVER (ORDER BY val, src, id) - 1 AS pos FROM u),
+        |probes AS (
+        |  SELECT r.id AS dirty_id, r.val AS dirty_val, r.pos + g.o AS pos
+        |  FROM ranked r CROSS JOIN generate_series(-8, 8) g(o) WHERE r.src = 1),
+        |targets AS (SELECT id AS clean_id, val AS clean_val, pos
+        |  FROM ranked WHERE src = 0),
+        |scored AS (
+        |  SELECT dirty_id, dirty_val, clean_id, clean_val,
+        |    levenshtein(dirty_val, clean_val) AS dist
+        |  FROM probes JOIN targets USING (pos)
+        |  WHERE levenshtein(dirty_val, clean_val) <= 2),
+        |best AS (SELECT *,
+        |    row_number() OVER (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn
+        |  FROM scored)
+        |SELECT dirty_id, dirty_val, clean_id, clean_val, dist::BIGINT AS dist
+        |FROM best WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table

@@ -531,6 +531,39 @@ object RelationalQueries {
         |FROM events l WHERE l.event_type = 'click'
         |ORDER BY l.event_id""".stripMargin),
 
+    // Beyond-reference: per-type inter-arrival statistics — the behavioral
+    // cadence summary (how long since the user's previous action, by the
+    // action that follows). One lag() per user — a single keyed exchange —
+    // then a per-type aggregation. The mean stays on exact integer µs
+    // (long-summed on both engines) and converts to seconds only at the
+    // rounded output, so aggregation order cannot move it.
+    "d35_interarrival" -> sql(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("__gap",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .where(col("__gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("__gap")) / 1000000.0, 4).as("avg_gap_s"),
+            round(expr("percentile(__gap, 0.5)") / 1000000.0, 4).as("p50_gap_s"),
+            round(max(col("__gap")) / 1000000.0, 4).as("max_gap_s"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(gap) / 1000000.0, 4) AS avg_gap_s,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 4) AS p50_gap_s,
+        |  round(max(gap) / 1000000.0, 4) AS max_gap_s
+        |FROM e WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Beyond-reference: point-in-interval (range) join — events classified
     // into overlapping value tiers built from the nation table. Spark side
     // bucketizes the intervals so the match is a broadcast EQUI-join with a

@@ -184,6 +184,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"format vote must be one agg, saw ${shuffles.size} exchanges")
   }
 
+  test("d35: inter-arrival stats reuse the user-keyed exchange for lag + aggregation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flatten(planOf("d35_interarrival"))
+      .collect { case s: ShuffleExchangeLike => s }
+    // one user-keyed exchange for lag(), one for the per-type aggregation,
+    // one range exchange for the output ordering
+    assert(shuffles.size <= 3, s"inter-arrival re-shuffled: ${shuffles.size}")
+  }
+
+  test("x78: the bloom prune sits below the semi-join, on the fact side") {
+    val nodes = flatten(planOf("x78_bloom_semi_join"))
+    val text = nodes.mkString("\n")
+    assert(text.contains("might_contain"),
+      "the constant bloom filter must prune the fact scan")
+  }
+
   test("d20: sessionization costs one keyed exchange (plus the output ordering)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val shuffles = flatten(planOf("d20_sessionize"))

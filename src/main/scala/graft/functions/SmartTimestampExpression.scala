@@ -153,7 +153,31 @@ object GraftFunctions {
       (args: Seq[Expression]) => GraftQualityScore(args.head)),
     (new FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[GraftRepetitionStats].getName, "graft_repetition_stats"),
-      (args: Seq[Expression]) => GraftRepetitionStats(args.head)))
+      (args: Seq[Expression]) => GraftRepetitionStats(args.head)),
+    (new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[GraftNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => GraftNormalize(args.head)),
+    // Spark's runtime-filter bloom expressions, surfaced as session
+    // functions so an EXPLICIT semi-join reduction can be planned (the
+    // built-in InjectRuntimeFilter only fires inside one optimizer run —
+    // a bloom built in job A cannot prune job B's scan without these).
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            args.head, literalLong(args(1)))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args.head)),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

@@ -42,6 +42,29 @@ object GraftTextUtil {
   @inline private def isAsciiWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Canonical normalization for normalized exact dedup: Unicode NFC, then
+    * ROOT-locale lowercase, then every ASCII-whitespace run (the same class
+    * the tokenizers use) collapses to one space, trimmed. Exactly DuckDB's
+    * trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g')), which
+    * the x79 oracle replays. */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
+    val lowered = nfc.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if (isAsciiWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** (nChars, nTokens, cpt, alphaRatio, digitRatio, punctRatio, stopRatio) */
   def stats(text: UTF8String): Array[Double] = {
     val t = text.trim().toString
@@ -212,6 +235,27 @@ object GraftTextStats {
     StructField("digit_ratio", DoubleType, nullable = false),
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("stopword_ratio", DoubleType, nullable = false)))
+}
+
+/** `graft_normalize(string) → string` — NFC + casefold + whitespace
+  * collapse in one codegen'd kernel call, the projection in front of
+  * normalized exact dedup (the groupBy then hashes the normalized form;
+  * no UDF boundary in the scan). */
+case class GraftNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftTextUtil.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftTextUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$util.normalizeText($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNormalize =
+    copy(child = newChild)
 }
 
 /** `graft_quality_score(string) → double` — the full Gopher/C4-style score in

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch over a token stream (Cormode & Muthukrishnan 2005) —
@@ -113,5 +114,42 @@ object Sketches {
     cmsEstimates(sketch, candidates, width, depth)
       .orderBy(col("est").desc, col("token"))
       .limit(topK)
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * MERGEABLE distinct estimator whose whole state is the k smallest
+    * hash draws: estimate = (k−1)/u_k with u_k the k-th smallest hash
+    * mapped into (0,1]; fewer than k distinct hashes means the state IS
+    * the exact answer. Draws are md5-derived (first 15 hex chars → a
+    * 60-bit integer), so unlike HLL (x36, rows-only with an error
+    * envelope) the estimate is DETERMINISTIC and the oracle replays it
+    * bit-for-bit via a HUGEINT hex fold.
+    *
+    * Output: groupCol, n_exact (distinct hash count — 60-bit collisions
+    * are negligible and identical in both engines), kmv_estimate.
+    *
+    * Shape note: this materializes the distinct hash set through one
+    * keyed exchange (map-side-combined, same volume as an exact
+    * count_distinct) — the honest form for a verification query. The
+    * sketch's production win is the bounded MERGE state: keep only the
+    * per-partition bottom-k in a partial aggregate (or a streaming state
+    * store) and union sketches by re-taking the bottom-k. */
+  def kmvDistinct(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
+    val hashes = df.select(col(groupCol).as("__grp"), u.as("__u")).distinct()
+    val w = Window.partitionBy("__grp").orderBy("__u")
+    val nd = hashes.groupBy("__grp").agg(count(lit(1)).as("n_exact"))
+    val kth = hashes.withColumn("__r", row_number().over(w))
+      .where(col("__r") === k).select(col("__grp"), col("__u").as("__uk"))
+    nd.join(kth, Seq("__grp"), "left")
+      .select(col("__grp").as(groupCol), col("n_exact"),
+        round(when(col("__uk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")), 4).as("kmv_estimate"))
   }
 }

@@ -164,4 +164,63 @@ object Vocabulary {
       .where(col("rank") <= k)
       .select("id", "rank", "term", "tf", "df", "score")
   }
+
+  /** BM25 ranked retrieval (Robertson & Spärck Jones; Lucene's
+    * idf = ln(1 + (N − df + ½)/(df + ½)) form) — top-k documents per
+    * query for a literal query set.
+    *
+    * Scale shape: the distinct query terms BROADCAST into the postings
+    * explode, so only matched postings ever aggregate — shuffled volume
+    * tracks result-relevant terms, not corpus token count. df comes from a
+    * term-partitioned window over the already-aggregated (doc, term)
+    * frame (x33's trick — no second postings pass), document length is a
+    * narrow projection, and N/avgdl ride a 1-row broadcast. Ranks order
+    * on the 4-decimal-rounded score (then doc id) so cross-engine ln()
+    * ulps cannot reorder the top-k — x33's convention.
+    *
+    * `queries`: (query id, whitespace query text). A term appearing in
+    * several queries scores each independently. */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(String, String)],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(lower(col("qtext")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+
+    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(idCol).as("doc"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")).cast("double"))
+
+    val contrib = withDf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("doc"))
+    contrib
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("__c")), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc"), col("score"), col("rank"))
+  }
 }

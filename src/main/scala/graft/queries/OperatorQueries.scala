@@ -2522,6 +2522,78 @@ object OperatorQueries {
         |SELECT dirty_id, dirty_val, clean_id, clean_val, dist::BIGINT AS dist
         |FROM best WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
 
+    // BM25 ranked retrieval: top-10 documents for a fixed query set under
+    // the Lucene idf form — the search-serving counterpart of x33's
+    // TF-IDF. Query terms broadcast into the postings explode (shuffled
+    // volume tracks matches, not corpus tokens); ranks order on the
+    // 4-decimal-rounded score so ln() ulps can't reorder the top-k.
+    "x81_bm25_search" -> sql(
+      (s, dir) =>
+        Vocabulary.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+          Seq("q1" -> "merge sort", "q2" -> "hash join",
+            "q3" -> "window scan", "q4" -> "slow query"), k = 10)
+          .orderBy("qid", "rank"),
+      """WITH dl AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES ('q1', 'merge'), ('q1', 'sort'),
+        |  ('q2', 'hash'), ('q2', 'join'), ('q3', 'window'), ('q3', 'scan'),
+        |  ('q4', 'slow'), ('q4', 'query')) AS t(qid, term)),
+        |tf AS (
+        |  SELECT t.doc, t.term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+        |  GROUP BY 1, 2),
+        |wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+        |  FROM tf),
+        |sc AS (
+        |  SELECT q.qid, w.doc,
+        |    round(sum(ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5)) * w.tf * 2.2 /
+        |      (w.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM wdf w
+        |  JOIN q ON q.term = w.term
+        |  JOIN dl ON dl.doc = w.doc
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, doc, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+        |  FROM sc)
+        |SELECT qid, doc, score, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin),
+
+    // KMV distinct sketch vs exact — distinct users per event type. The
+    // md5-derived draws make the estimate deterministic, so the oracle
+    // replays it bit-for-bit (HUGEINT fold of the 15-hex-char draw),
+    // unlike HLL's rows-only envelope (x36). n_exact rides the same
+    // distinct-hash frame, so the report IS the sketch-accuracy audit.
+    "x82_kmv_distinct" -> sql(
+      (s, dir) =>
+        Sketches.kmvDistinct(Tables.events(s, dir), "user_id", "event_type",
+          k = 64)
+          .orderBy("event_type"),
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    CAST(list_reduce(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM events),
+        |n AS (SELECT grp, count(*) AS n_exact FROM h GROUP BY 1),
+        |r AS (SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn
+        |  FROM h),
+        |kth AS (SELECT grp, u AS uk FROM r WHERE rn = 64)
+        |SELECT n.grp AS event_type, n.n_exact,
+        |  round(CASE WHEN kth.uk IS NULL THEN CAST(n.n_exact AS DOUBLE)
+        |    ELSE 63.0 / kth.uk END, 4) AS kmv_estimate
+        |FROM n LEFT JOIN kth USING (grp) ORDER BY event_type""".stripMargin),
+
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
     // broadcasts). Rows-only for the same reason as x40; the segmentation

@@ -41,15 +41,20 @@ object StreamingTransitions {
   private[streaming] def micros(ts: Timestamp): Long =
     ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
 
-  /** Transitions over a stream of typed events. Input must already carry a
-    * watermark on `ts`. */
-  def transitions(events: Dataset[TransitionEvent]): Dataset[Transition] = {
+  final case class EventGap(userId: Long, eventType: String, gapUs: Long)
+
+  /** Sealed-replay core shared by every consecutive-pair operator: each
+    * invocation seals the strictly-below-watermark prefix, sorts it into
+    * the exact (µs, event_id) order, bridges from the persistent anchor,
+    * and emits `f` over consecutive pairs — each pair exactly once. */
+  private def pairStream[O: org.apache.spark.sql.Encoder](
+      events: Dataset[TransitionEvent])(
+      f: (Long, (Long, Long, String), (Long, Long, String)) => O): Dataset[O] = {
     val spark = events.sparkSession
     import spark.implicits._
-
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[ChainState, Transition](
+      .flatMapGroupsWithState[ChainState, O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
@@ -63,7 +68,25 @@ object StreamingTransitions {
           state.update(ChainState(pending, chain.lastOption.orElse(old.last)))
           if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
           chain.iterator.sliding(2).withPartial(false)
-            .map(p => Transition(userId, p(0)._3, p(1)._3))
+            .map(p => f(userId, p(0), p(1)))
       }
+  }
+
+  /** Transitions over a stream of typed events. Input must already carry a
+    * watermark on `ts`. */
+  def transitions(events: Dataset[TransitionEvent]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    pairStream(events)((u, a, b) => Transition(u, a._3, b._3))
+  }
+
+  /** Inter-arrival gaps — the streaming leg of the d35 cadence report:
+    * one row per consecutive event pair with the gap in µs, tagged with
+    * the LATER event's type (d35's convention). Aggregate downstream per
+    * type for the continuous cadence dashboard. */
+  def interArrivalGaps(events: Dataset[TransitionEvent]): Dataset[EventGap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    pairStream(events)((u, a, b) => EventGap(u, b._3, b._1 - a._1))
   }
 }

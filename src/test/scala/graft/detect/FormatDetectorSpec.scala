@@ -77,6 +77,18 @@ class FormatDetectorSpec extends SparkSpec {
     assert(FormatDetector.detect(withBlanks)("cp") == "code_postal")
   }
 
+  test("randomized: the Column Luhn agrees with the driver reference on arbitrary digits") {
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(300)(f"${rng.nextInt(1000000000)}%09d")
+    val expectedRate = vals.count(v => luhnSum(v) % 10 == 0).toDouble / vals.size
+    val rates = FormatDetector.matchRates(vals.toDF("s"))
+    assert(rates("s")("siren") == expectedRate,
+      s"column ${rates("s")("siren")} vs reference $expectedRate")
+    // ~1 in 10 random numbers is Luhn-valid — sanity that both sides see a
+    // non-degenerate mix
+    assert(expectedRate > 0.02 && expectedRate < 0.30, expectedRate.toString)
+  }
+
   test("inferWithFormats: python_type is preserved, format attaches only when compatible") {
     val df = Seq(
       ("75001", "48.85", "hello"),

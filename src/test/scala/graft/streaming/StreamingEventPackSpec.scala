@@ -75,6 +75,38 @@ class StreamingEventPackSpec extends SparkSpec {
       batchTransitions(evs))
   }
 
+  test("inter-arrival gaps: the streaming leg reproduces d35's per-pair gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      TransitionEvent(1L, 1L, "view", ts(0)),
+      TransitionEvent(1L, 2L, "click", ts(10)),
+      TransitionEvent(1L, 3L, "purchase", ts(25)),
+      TransitionEvent(2L, 4L, "view", ts(5)),
+      TransitionEvent(2L, 5L, "view", ts(6)))
+    val input = MemoryStream[TransitionEvent]
+    val out = StreamingTransitions.interArrivalGaps(
+      input.toDS().withWatermark("ts", "30 minutes").as[TransitionEvent])
+    val name = s"gaps_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    // out-of-order: the middle event arrives second
+    input.addData(events(0), events(2), events(3)); query.processAllAvailable()
+    input.addData(events(1), events(4)); query.processAllAvailable()
+    input.addData(TransitionEvent(-1L, -1L, "tick", ts(100000))); query.processAllAvailable()
+    input.addData(TransitionEvent(-1L, -2L, "tick", ts(100001))); query.processAllAvailable()
+    query.stop()
+    val got = spark.table(name).as[StreamingTransitions.EventGap].collect().toSeq
+      .filter(_.userId >= 0).sortBy(g => (g.userId, g.gapUs))
+    // d35's reference: sort per user by (ts, id), gap tagged by later event
+    val exp = events.groupBy(_.userId).toSeq.flatMap { case (u, es) =>
+      val o = es.sortBy(e => (StreamingTransitions.micros(e.ts), e.eventId))
+      o.zip(o.drop(1)).map(p => StreamingTransitions.EventGap(u, p._2.eventType,
+        StreamingTransitions.micros(p._2.ts) - StreamingTransitions.micros(p._1.ts)))
+    }.sortBy(g => (g.userId, g.gapUs))
+    assert(got == exp, s"got $got expected $exp")
+  }
+
   // ---------- ewma ----------
 
   /** d29's batch semantics: ordered fold of 0.25·x + 0.75·prev. */

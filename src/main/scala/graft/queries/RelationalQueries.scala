@@ -531,6 +531,43 @@ object RelationalQueries {
         |FROM events l WHERE l.event_type = 'click'
         |ORDER BY l.event_id""".stripMargin),
 
+    // Beyond-reference: session aggregation via Spark's BUILT-IN
+    // session_window (the declarative counterpart of d20's custom
+    // gaps-and-islands sessionizer — SURVEY §2 custom-operator preference
+    // (a): compose built-ins when they express the semantics). The same
+    // single user-keyed exchange as d20; the session end extends 30 min
+    // past the last event by definition, which the oracle replays as
+    // max(ts) + interval.
+    "d36_session_window" -> sql(
+      (s, dir) => {
+        def rnd2(c: org.apache.spark.sql.Column) =
+          floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), rnd2(sum(col("value"))).as("sum_value"))
+          .select(col("user_id"),
+            expr("unix_micros(sw.start)").as("session_start_us"),
+            expr("unix_micros(sw.end)").as("session_end_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start_us")
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, "value",
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)) >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, us, "value",
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  floor(sum("value") * 100 + 0.5) / 100 AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin),
+
     // Beyond-reference: per-type inter-arrival statistics — the behavioral
     // cadence summary (how long since the user's previous action, by the
     // action that follows). One lag() per user — a single keyed exchange —

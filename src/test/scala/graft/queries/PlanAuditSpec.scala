@@ -200,6 +200,15 @@ class PlanAuditSpec extends SparkSpec {
       "the constant bloom filter must prune the fact scan")
   }
 
+  test("d36: built-in session_window costs one keyed exchange, like the custom d20") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flatten(planOf("d36_session_window"))
+      .collect { case s: ShuffleExchangeLike => s }
+    // session merge + aggregation ride the user_id partitioning; one keyed
+    // exchange plus the output-ordering range exchange
+    assert(shuffles.size <= 2, s"session_window re-shuffled: ${shuffles.size}")
+  }
+
   test("d20: sessionization costs one keyed exchange (plus the output ordering)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val shuffles = flatten(planOf("d20_sessionize"))

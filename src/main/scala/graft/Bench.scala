@@ -143,6 +143,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
         s""""schemas":${BenchGuard.schemasJson(liveSchemas)},"sf":"$sfDir"}"""
     println(json)
+    // a second, prefixed copy so any driver-side parser can grep one
+    // unambiguous marker out of arbitrarily noisy sbt/log4j output
+    println("BENCH_JSON: " + json)
     // the artifact must survive log-tail truncation (round 4 lost its
     // "total" line that way) — also write it to a file the round can keep
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

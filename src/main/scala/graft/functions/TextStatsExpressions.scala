@@ -43,24 +43,29 @@ object GraftTextUtil {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Canonical normalization for normalized exact dedup: Unicode NFC, then
-    * ROOT-locale lowercase, then every ASCII-whitespace run (the same class
-    * the tokenizers use) collapses to one space, trimmed. Exactly DuckDB's
-    * trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g')), which
-    * the x79 oracle replays. */
+    * SIMPLE per-codepoint lowercase (Character.toLowerCase on each code
+    * point — the UnicodeData simple mapping, NOT the locale-aware full
+    * mapping), then every ASCII-whitespace run (the same class the
+    * tokenizers use) collapses to one space, trimmed. The simple mapping is
+    * deliberate: DuckDB's lower() is utf8proc's per-codepoint mapping, so a
+    * full case map (word-final 'Σ'→'ς', 'İ'→"i"+combining dot) would make
+    * norm_digest parity depend on the corpus avoiding those characters.
+    * Exactly DuckDB's trim(regexp_replace(lower(nfc_normalize(x)),
+    * '\s+', ' ', 'g')), which the x79 oracle replays — NormalizeSpec pins
+    * the final-sigma and dotted-capital-I cases. */
   def normalizeText(text: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
-    val lowered = nfc.toLowerCase(java.util.Locale.ROOT)
-    val sb = new java.lang.StringBuilder(lowered.length)
+    val sb = new java.lang.StringBuilder(nfc.length)
     var i = 0
     var pendingSpace = false
-    while (i < lowered.length) {
-      val c = lowered.charAt(i)
-      if (isAsciiWs(c)) { if (sb.length > 0) pendingSpace = true }
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      if (cp < 0x80 && isAsciiWs(cp.toChar)) { if (sb.length > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        sb.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

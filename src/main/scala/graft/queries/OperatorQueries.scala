@@ -2492,10 +2492,14 @@ object OperatorQueries {
         val dirty = c.select(col("c_custkey"),
           expr("concat(substr(c_name, 1, 9 + c_custkey % 9), " +
             "substr(c_name, 11 + c_custkey % 9))").as("dirty_name"))
-        FuzzyLinkage.bestMatch(clean, dirty, "c_custkey", "c_name",
+        val out = FuzzyLinkage.bestMatch(clean, dirty, "c_custkey", "c_name",
           "c_custkey", "dirty_name", neighborhood = 8, maxDist = 2)
           .withColumn("dist", col("dist").cast("long"))
           .orderBy("dirty_id")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
       },
       """WITH clean AS (SELECT c_custkey AS id, c_name AS val, 0 AS src FROM customer),
         |dirty AS (

@@ -21,6 +21,18 @@ class NormalizeSpec extends SparkSpec {
     assert(norm("a\u000Bb") == "a b")
   }
 
+  test("simple per-codepoint lowercase matches utf8proc, not the full map") {
+    // word-final Greek capital sigma: full case mapping gives 'ς', the
+    // simple mapping (and DuckDB's utf8proc lower()) gives 'σ'
+    assert(norm("ΣΟΦΟΣ") == "σοφοσ")
+    // dotted capital I: full mapping gives "i" + U+0307 combining dot
+    // (two codepoints); simple mapping gives plain "i"
+    assert(norm("İstanbul") == "istanbul")
+    assert(norm("İ").length == 1)
+    // non-BMP codepoints survive the per-codepoint walk (no mapping)
+    assert(norm("a😀B") == "a😀b")
+  }
+
   test("kernel column equals the driver reference over varied rows") {
     val rows = Seq("Hello  World", "HELLO world", "héllo", "héllo",
       " x ", "", "mIxEd\tCASE\n\nruns")

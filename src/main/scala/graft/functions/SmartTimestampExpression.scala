@@ -177,7 +177,10 @@ object GraftFunctions {
         "graft_bloom_contains"),
       (args: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          args.head, args(1))))
+          args.head, args(1))),
+    (new FunctionIdentifier("graft_kmv_agg"),
+      new ExpressionInfo(classOf[GraftKmvAgg].getName, "graft_kmv_agg"),
+      (args: Seq[Expression]) => GraftKmvAgg(args.head, literalInt(args(1)))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

@@ -219,9 +219,10 @@ object Similarity {
       idCol: String, vecCol: String,
       nCentroids: Int,
       seed: Long,
-      fitSampleRows: Int): (DataFrame, Array[Array[Double]]) = {
+      fitSampleRows: Int,
+      spherical: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     val sampleVecs = collectFitSample(corpus, idCol, vecCol, nCentroids, fitSampleRows)
-    val centroidMatrix = lloyd(sampleVecs, nCentroids, maxIter = 5, seed)
+    val centroidMatrix = lloyd(sampleVecs, nCentroids, maxIter = 5, seed, spherical)
 
     // cell assignment: ONE codegen'd pass over the full corpus (native
     // argmin-L2 kernel), no VectorUDT boxing, no cache
@@ -240,11 +241,24 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L,
-      fitSampleRows: Int = 0): DataFrame = {
+      fitSampleRows: Int = 0,
+      spherical: Boolean = false): DataFrame = {
 
     val (assigned, centroidMatrix) =
-      fitAndAssign(corpus, idCol, vecCol, nCentroids, seed, fitSampleRows)
-    val spark = corpus.sparkSession
+      fitAndAssign(corpus, idCol, vecCol, nCentroids, seed, fitSampleRows, spherical)
+    probeAndScore(assigned, centroidMatrix, queries,
+      idCol, vecCol, qidCol, qvecCol, k, nProbe)
+  }
+
+  /** Shared IVF back half: rank the (broadcast) centroid table per query,
+    * score the nProbe probed cells, window to top-k. */
+  private def probeAndScore(
+      assigned: DataFrame, centroidMatrix: Array[Array[Double]],
+      queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
 
     // tiny centroid table → broadcast; probe = nProbe closest cells per query
@@ -267,6 +281,106 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Deterministic PIVOT quantizer: the cells are anchored at the `nCells`
+    * corpus vectors with the smallest md5("seed:id") — k-medoid-style data
+    * pivots instead of fitted centroids (cell c = the c-th pivot in
+    * (md5, id) order). Trades Lloyd's evener cells for two properties the
+    * fitted quantizer cannot offer: zero fit cost at any corpus size (the
+    * pivot pick is a top-nCells by hash — one TakeOrdered over (hash, id,
+    * vec), no sample collect, no iterations) and EXACT cross-engine
+    * replayability — no RNG anywhere, so an independent engine can rebuild
+    * the identical cells, probes and candidate sets from the parquet alone
+    * (the x16/x42 DuckDB oracles do exactly that). Assignment and probing
+    * reuse the Lloyd path's argmin-L2 kernel and back half. */
+  private[operators] def pivotMatrix(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCells: Int,
+      seed: String): Array[Array[Double]] = {
+    require(nCells >= 1, "pivot quantizer needs at least one cell")
+    corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__pk",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")))
+      .orderBy(col("__pk"), col(idCol))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+  }
+
+  /** IVF top-k over deterministic pivot cells — ivfTopK with the
+    * SQL-replayable quantizer (see pivotMatrix). Same output contract. */
+  def ivfTopKPivots(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: String = "v1"): DataFrame = {
+    val pivots = pivotMatrix(corpus, idCol, vecCol, nCells, seed)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = corpus.withColumn("cell",
+      call_function("graft_nearest_centroid", col(vecCol),
+        typedlit(pivots.map(_.toSeq).toSeq)))
+    probeAndScore(assigned, pivots, queries,
+      idCol, vecCol, qidCol, qvecCol, k, nProbe)
+  }
+
+  /** cellBlockedPairs over deterministic pivot cells: pass p draws its
+    * pivots from md5("seed:p:id"), so every rotated blocking — and
+    * therefore the exact pair set the recipe finds — replays in SQL.
+    * Same candidate economics as the Lloyd variant (Σ cell² per pass, one
+    * shared (pass, cell)-keyed self-join). */
+  def pivotBlockedPairs(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double,
+      nCells: Int = 16,
+      seed: String = "v1",
+      passes: Int = 2): DataFrame = {
+    require(passes >= 1, "pivotBlockedPairs needs at least one pass")
+    val pivotSets = (0 until passes)
+      .map(p => pivotMatrix(df, idCol, vecCol, nCells, s"$seed:$p"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val passCells = array(pivotSets.zipWithIndex.map { case (m, p) =>
+      struct(
+        lit(p).as("pass"),
+        call_function("graft_nearest_centroid",
+          col(vecCol), typedlit(m.map(_.toSeq).toSeq)).as("cell"))
+    }: _*)
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(passCells).as("pc"))
+      .select(col("id"), col("vec"),
+        col("pc").getField("pass").as("pass"),
+        col("pc").getField("cell").as("cell"))
+    val a = assigned.select(col("pass"), col("cell"),
+      col("id").as("id_a"), col("vec").as("va"))
+    val b = assigned.select(col("pass"), col("cell"),
+      col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("pass", "cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** semanticDupClusters with the pivot quantizer — the SemDeDup recipe
+    * whose every stage (cells, within-cell exact cosine, rotated-pass
+    * union, component collapse) an independent engine can replay exactly. */
+  def semanticDupClustersPivots(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.9,
+      nCells: Int = 16,
+      seed: String = "v1",
+      passes: Int = 2): DataFrame =
+    Dedup.duplicateClusters(
+      pivotBlockedPairs(df, idCol, vecCol, threshold, nCells, seed, passes)
+        .select("id_a", "id_b"))
+
   /** Plain Lloyd's k-means over an in-memory sample — the quantizer trainer
     * behind ivfTopK. Deterministic: seeded index shuffle for init, stable
     * input order, empty cells keep their previous centroid. */
@@ -274,13 +388,33 @@ object Similarity {
       points: Array[Array[Double]],
       k: Int,
       maxIter: Int,
-      seed: Long): Array[Array[Double]] = {
+      seed: Long,
+      spherical: Boolean = false): Array[Array[Double]] = {
     require(points.nonEmpty, "ivf quantizer: empty training sample")
     val dim = points(0).length
     val kEff = math.min(k, points.length)
+    // spherical k-means (cosine-metric quantizer): train on unit-normalized
+    // points and re-normalize centroids after every update, so every
+    // centroid stays on the unit sphere. Downstream this keeps the plain
+    // argmin-L2 assignment kernel correct for cosine: for unit centroids
+    // |v−c|² = |v|² + 1 − 2·v·c, so argmin over cells = argmax cos(v, cell)
+    // for RAW (unnormalized) corpus vectors — no extra kernel needed.
+    @inline def unit(p: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      if (s == 0.0) p
+      else {
+        val inv = 1.0 / math.sqrt(s)
+        val out = new Array[Double](p.length)
+        i = 0
+        while (i < p.length) { out(i) = p(i) * inv; i += 1 }
+        out
+      }
+    }
+    val pts = if (spherical) points.map(unit) else points
     val rnd = new scala.util.Random(seed)
-    val init = rnd.shuffle(points.indices.toList).take(kEff)
-    val centroids = init.map(i => points(i).clone()).toArray
+    val init = rnd.shuffle(pts.indices.toList).take(kEff)
+    val centroids = init.map(i => pts(i).clone()).toArray
 
     @inline def nearest(p: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
@@ -299,7 +433,7 @@ object Similarity {
     while (iter < maxIter) {
       val sums = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
-      points.foreach { p =>
+      pts.foreach { p =>
         val c = nearest(p)
         counts(c) += 1
         val s = sums(c)
@@ -312,6 +446,11 @@ object Similarity {
           val s = sums(c)
           var i = 0
           while (i < dim) { centroids(c)(i) = s(i) / counts(c); i += 1 }
+          if (spherical) {
+            val u = unit(centroids(c))
+            var j = 0
+            while (j < dim) { centroids(c)(j) = u(j); j += 1 }
+          }
         }
         c += 1
       }

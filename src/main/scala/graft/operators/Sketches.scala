@@ -128,28 +128,31 @@ object Sketches {
     * Output: groupCol, n_exact (distinct hash count — 60-bit collisions
     * are negligible and identical in both engines), kmv_estimate.
     *
-    * Shape note: this materializes the distinct hash set through one
-    * keyed exchange (map-side-combined, same volume as an exact
-    * count_distinct) — the honest form for a verification query. The
-    * sketch's production win is the bounded MERGE state: keep only the
-    * per-partition bottom-k in a partial aggregate (or a streaming state
-    * store) and union sketches by re-taking the bottom-k. */
+    * Shape note: the estimate comes from graft_kmv_agg — a
+    * TypedImperativeAggregate whose state is the bottom-k distinct draws
+    * (k doubles, period), partially aggregated map-side and merged by
+    * re-taking the bottom-k. No window, no sort, no per-group distinct
+    * materialization anywhere in the estimate's path — at 100 TB the
+    * exchange moves ≤ k doubles per (group × partition). The n_exact
+    * audit column is the one deliberately-exact part of the report (it
+    * shuffles distinct hashes, like any exact count_distinct must); drop
+    * it when only the estimate is needed and the whole query is
+    * sketch-sized. */
   def kmvDistinct(
       df: DataFrame,
       keyCol: String,
       groupCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
-    val hashes = df.select(col(groupCol).as("__grp"), u.as("__u")).distinct()
-    val w = Window.partitionBy("__grp").orderBy("__u")
-    val nd = hashes.groupBy("__grp").agg(count(lit(1)).as("n_exact"))
-    val kth = hashes.withColumn("__r", row_number().over(w))
-      .where(col("__r") === k).select(col("__grp"), col("__u").as("__uk"))
-    nd.join(kth, Seq("__grp"), "left")
+    df.select(col(groupCol).as("__grp"), u.as("__u"))
+      .groupBy("__grp")
+      .agg(
+        count_distinct(col("__u")).as("n_exact"),
+        call_function("graft_kmv_agg", col("__u"), lit(k)).as("__est"))
       .select(col("__grp").as(groupCol), col("n_exact"),
-        round(when(col("__uk").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / col("__uk")), 4).as("kmv_estimate"))
+        round(col("__est"), 4).as("kmv_estimate"))
   }
 }

@@ -29,6 +29,46 @@ object OperatorQueries {
         s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
     }.mkString(",\n        |  ")
 
+  /** The BPE training loop, unrolled into numMerges chained MATERIALIZED
+    * CTEs — the exact DuckDB replay of BpeTrainer.learnMerges: iteration t
+    * recounts adjacent pairs over vocabulary v{t}, takes the argmax under
+    * the identical (count DESC, left ASC, right ASC — binary UTF-8
+    * collation both sides) tie order, and rewrites v{t+1} by a left-to-
+    * right non-overlapping fold (merging makes the folded tail the merged
+    * symbol ≠ left, so overlap is impossible by construction — the same
+    * invariant applyMerge's index jump enforces). MATERIALIZED stops the
+    * doubly-referenced v{t} CTEs from inlining exponentially. Character
+    * basis matches codePointSymbols: DuckDB length/substring are
+    * codepoint-granular. */
+  private def bpeIterCtes(numMerges: Int): String = {
+    val base = """words AS MATERIALIZED (
+      |  SELECT w, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+      |    FROM documents) GROUP BY w),
+      |v0 AS MATERIALIZED (
+      |  SELECT w, list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms, cnt
+      |  FROM words)""".stripMargin
+    val iters = (0 until numMerges).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> [syms[i], syms[i+1]])) AS pr, cnt
+         |    FROM v$t WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (SELECT a, b FROM p$t ORDER BY c DESC, a, b LIMIT 1),
+         |v${t + 1} AS MATERIALIZED (
+         |  SELECT v.w,
+         |    list_reduce(
+         |      list_transform(v.syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |        THEN list_concat(acc[1:len(acc)-1], [m.a || m.b])
+         |        ELSE list_concat(acc, x) END) AS syms,
+         |    v.cnt
+         |  FROM v$t v CROSS JOIN m$t m)""".stripMargin
+    }
+    "WITH " + base + ",\n" + iters.mkString(",\n")
+  }
+
   private def dkMul64(a: String, c: Long): String = {
     val cl = c & 0xffffffffL
     val ch = c >>> 32
@@ -296,32 +336,98 @@ object OperatorQueries {
         |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin),
 
-    // LSH-bucketed ANN (hyperplane sketches) — the scale path.
-    "x14_cosine_lsh_topk" -> rowsOnly(
+    // LSH-bucketed ANN (hyperplane sketches) — the scale path. Same
+    // oracle philosophy as x07's minhash banding: the LSH tables are a
+    // candidate GENERATOR and every candidate is scored with the exact
+    // cosine, so the oracle is the exact top-k itself (x13's SQL) — a
+    // banding recall miss would surface as a missing/shifted row. At
+    // nBits=8/probe=3/8 tables the measured recall@5 is 1.0 on this corpus
+    // family (sf0.001–0.1) while the candidate fraction stays well under
+    // the brute-force all-pairs volume; RecallSpec separately pins the
+    // ≥0.90 floor at the leaner production setting (probe=2).
+    "x14_cosine_lsh_topk" -> sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.orderBy("vec_id").limit(20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        // nBits=8/probe=2/8 tables: measured recall@5 = 0.95 on this corpus
-        // (RecallSpec pins ≥0.90); raise nBits on tightly-clustered corpora
-        // to cut the candidate fraction
         Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-          "qid", "qvec", k = 5, nBits = 8, probeHamming = 2, dim = 64, nTables = 8)
-          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+          "qid", "qvec", k = 5, nBits = 8, probeHamming = 3, dim = 64, nTables = 8)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"),
+            col("rank").cast("long").as("rank"))
           .orderBy("qid", "rank")
-      }),
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q JOIN emb e ON e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id, round(sim, 4) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
 
-    // IVF ANN top-k: KMeans coarse quantizer + nProbe cell probing.
-    "x16_cosine_ivf_topk" -> rowsOnly(
+    // IVF ANN top-k over the deterministic PIVOT quantizer: cells anchor at
+    // the 16 corpus vectors with the smallest md5("v1:"||id), assignment is
+    // argmin-L2, each query probes its 4 nearest cells. Because no stage
+    // involves RNG or an iterative fit, the oracle replays the ENTIRE
+    // algorithm — pivot pick, cell assignment (same left-to-right double
+    // L2), probe ranking, within-cell exact cosine, top-k — so both engines
+    // agree on exactly which neighbors IVF-at-these-parameters finds (the
+    // x80 SNM replay philosophy; recall <1 is part of the replayed
+    // contract, not an unchecked gap). The Lloyd-fitted quantizer remains
+    // the quality path, pinned by RecallSpec/AnnScaleSpec.
+    "x16_cosine_ivf_topk" -> sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.orderBy("vec_id").limit(20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-          "qid", "qvec", k = 5, nCentroids = 16, nProbe = 4)
-          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+        Similarity.ivfTopKPivots(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nCells = 16, nProbe = 4, seed = "v1")
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"),
+            col("rank").cast("long").as("rank"))
           .orderBy("qid", "rank")
-      }),
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pv AS (
+        |  SELECT vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM emb),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, p.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM emb e CROSS JOIN piv p),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 20),
+        |pr AS (
+        |  SELECT q.qid, q.qvec, p.cell,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(q.qvec)),
+        |        i -> (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM q CROSS JOIN piv p),
+        |probes AS (SELECT qid, qvec, cell FROM pr WHERE rn <= 4),
+        |sc AS (
+        |  SELECT pb.qid, c.vec_id,
+        |    list_dot_product(pb.qvec::DOUBLE[], c.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(pb.qvec::DOUBLE[], pb.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+        |  FROM probes pb JOIN cells c USING (cell)
+        |  WHERE c.vec_id <> pb.qid),
+        |ranked AS (SELECT qid, vec_id, round(sim, 4) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
 
     // Multimodal plumbing through the query surface: documents become
     // binary media blobs (deterministic), flow through the stub codec's
@@ -1106,27 +1212,73 @@ object OperatorQueries {
           .orderBy("event_type")),
 
     // BPE merge learning (tokenizer training): 64 merges over the corpus.
-    // Rows-only: the iterative argmax driver loop has no single-statement
-    // SQL form — determinism is pinned by BpeTrainerSpec's driver-side
-    // reference cross-check (identical merge sequence, layout-independent).
-    "x40_bpe_merges" -> rowsOnly(
+    // The iterative argmax loop has no SINGLE-statement SQL form, but it
+    // unrolls: the oracle replays all 64 rounds as chained CTEs
+    // (bpeIterCtes) — pair recount, argmax under the identical tie order,
+    // LTR-non-overlapping rewrite — so the full merge SEQUENCE is
+    // hash-checked, not just pinned by BpeTrainerSpec's reference
+    // cross-check.
+    "x40_bpe_merges" -> sql(
       (s, dir) =>
         BpeTrainer.mergeTable(Tables.documents(s, dir), "text", numMerges = 64)
-          .orderBy("rank")),
+          .orderBy("rank"),
+      bpeIterCtes(64) + "\n" +
+        (0 until 64).map(t =>
+          s"""SELECT $t::BIGINT AS rank, a AS "left", b AS "right" FROM m$t""")
+          .mkString("SELECT * FROM (", "\nUNION ALL ", ") ORDER BY rank")),
 
-    // Semantic dedup (SemDeDup): IVF-cell blocking → within-cell exact
-    // cosine, 4 rotated-seed passes → connected-component collapse.
-    // Rows-only: the sampled-Lloyd centroids have no SQL replay; the
-    // recipe's correctness and recall floor at THESE parameters are pinned
-    // by SemanticDedupSpec's brute-force ground-truth comparison. The 0.35
+    // Semantic dedup (SemDeDup): cell blocking → within-cell exact cosine,
+    // 4 rotated passes → connected-component collapse. The blocking runs on
+    // the deterministic PIVOT quantizer (pass p's cells anchor at the 16
+    // vectors with smallest md5("v1:p:"||id)), so the oracle replays the
+    // ENTIRE recipe — per-pass pivot picks, argmin-L2 assignments, the
+    // unioned within-cell pair set, and the recursive-CTE component closure
+    // — and both engines agree on exactly which clusters the recipe forms
+    // (recall vs brute force is part of the replayed contract, pinned
+    // separately by SemanticDedupSpec for the Lloyd variant). The 0.35
     // threshold sits in this corpus's actual similarity regime (pairwise
     // sims live in [0.3, 0.5) — x15's all-pairs mining confirms), so the
     // entry exercises real clustering, not the empty path.
-    "x42_semantic_dedup" -> rowsOnly(
+    "x42_semantic_dedup" -> sql(
       (s, dir) =>
-        Similarity.semanticDupClusters(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.35, nCentroids = 16, passes = 4)
-          .orderBy("id")),
+        Similarity.semanticDupClustersPivots(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.35, nCells = 16, seed = "v1",
+          passes = 4)
+          .orderBy("id"),
+      """WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pass AS (SELECT unnest(generate_series(0, 3)) AS p),
+        |pv AS (
+        |  SELECT pass.p, vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (PARTITION BY pass.p
+        |      ORDER BY md5('v1:' || CAST(pass.p AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)),
+        |        vec_id) - 1 AS cell
+        |  FROM emb CROSS JOIN pass),
+        |piv AS (SELECT p, pid, pvec, cell FROM pv WHERE cell < 16),
+        |asg AS (
+        |  SELECT pv2.p, e.vec_id, e.embedding, pv2.cell,
+        |    row_number() OVER (PARTITION BY pv2.p, e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - pv2.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - pv2.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), pv2.cell) AS rn
+        |  FROM emb e CROSS JOIN piv pv2),
+        |cells AS (SELECT p, vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cells a JOIN cells b ON a.p = b.p AND a.cell = b.cell
+        |    AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src)
+        |SELECT src AS id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin),
 
     // DSIR importance weights (Xie et al. 2023): how target-like is each
     // raw document, as the sum of Laplace-smoothed log p_target/p_raw
@@ -2600,15 +2752,33 @@ object OperatorQueries {
 
     // BPE serving side: tokenize the corpus with the merges just learned
     // from it (train → encode round trip, one narrow map — the merge table
-    // broadcasts). Rows-only for the same reason as x40; the segmentation
-    // itself is pinned by BpeTrainerSpec's reference encoder.
-    "x41_bpe_tokenize" -> rowsOnly(
+    // broadcasts). The oracle replays the training chain (bpeIterCtes) to
+    // its final vocabulary state and charges each document its words'
+    // final symbol counts — which equals greedy rank-order encoding for
+    // every in-vocabulary word (the classic BPE train/encode equivalence;
+    // a divergence would surface as a row diff here). Empty/null texts
+    // keep their 0-token row via the left join, matching encode's
+    // empty-Seq contract.
+    "x41_bpe_tokenize" -> sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 64)
         BpeTrainer.encode(docs, "text", merges)
           .select("doc_id", "n_bpe_tokens")
           .orderBy("doc_id")
-      })
+      },
+      bpeIterCtes(64) + """,
+        |enc AS (SELECT w, len(syms)::BIGINT AS n FROM v64),
+        |dw AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT dw.doc_id, sum(dw.m * enc.n) AS n
+        |  FROM dw JOIN enc USING (w) GROUP BY dw.doc_id)
+        |SELECT d.doc_id, coalesce(CAST(agg.n AS BIGINT), 0) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -26,6 +26,42 @@ class KmvSketchSpec extends SparkSpec {
     assert(r.getAs[Double]("kmv_estimate") == 40.0)
   }
 
+  test("aggregation state is bounded at k draws, however many arrive") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = graft.functions.GraftKmvAgg(Literal(0.0d), k = 16)
+    var buf = agg.createAggregationBuffer()
+    val rnd = new scala.util.Random(7)
+    val draws = Array.fill(100000)(rnd.nextDouble())
+    var other = agg.createAggregationBuffer()
+    draws.zipWithIndex.foreach { case (d, i) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(d)
+      val a = graft.functions.GraftKmvAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.DoubleType, nullable = true), k = 16)
+      if (i % 2 == 0) buf = a.update(buf, row) else other = a.update(other, row)
+      assert(buf.size <= 16 && other.size <= 16)
+    }
+    val merged = agg.merge(buf, other)
+    assert(merged.size == 16)
+    // the merged bottom-k equals the exact bottom-k of the whole stream
+    val expect = draws.distinct.sorted.take(16).toSeq
+    val got = { val it = merged.iterator(); Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().doubleValue()).toSeq }
+    assert(got == expect)
+    // serialized partial state is k-bounded too (what the shuffle moves)
+    assert(agg.serialize(merged).length == 4 + 8 * 16)
+    assert(agg.eval(merged) == 15.0 / expect.last)
+  }
+
+  test("plan audit: no window/sort over the hash stream") {
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i)).toDF("grp", "key")
+    val plan = Sketches.kmvDistinct(df, "key", "grp", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort"), plan)
+    assert(plan.contains("graft_kmv_agg"), plan)
+  }
+
   test("deterministic across partition layouts") {
     val base = (1L to 8000L).map(i => (s"g${i % 3}", i * 7))
     val a = Sketches.kmvDistinct(base.toDF("grp", "key").repartition(1),

@@ -55,6 +55,64 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("x14 shipped setting (probe=3) reaches FULL recall on the gate corpus") {
+    // the x14 entry ships nBits=8/probe=3/8 tables precisely because the
+    // measured recall@5 is 1.0 on this corpus family (sf0.001–0.1) — which
+    // is what lets the driver hash-check it against the exact-top-k oracle
+    // (the x07 banding pattern). A recall drop here = the oracle gate
+    // breaks; this spec makes the failure local and named.
+    val approx = collectTopK(Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec",
+      k = 5, nBits = 8, probeHamming = 3, dim = 64, nTables = 8))
+    val recall = recallAt5(approx)
+    info(f"lsh recall@5 (shipped probe=3) = $recall%.3f")
+    assert(recall == 1.0, f"shipped x14 setting no longer exact: $recall%.3f")
+  }
+
+  test("ivfTopKPivots: deterministic, sims exact, replays the pivot contract") {
+    val a = Similarity.ivfTopKPivots(emb.repartition(1), queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, nCells = 16, nProbe = 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val b = Similarity.ivfTopKPivots(emb.repartition(13), queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, nCells = 16, nProbe = 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(a == b, "pivot IVF must be independent of partition layout")
+
+    val approx = collectTopK(Similarity.ivfTopKPivots(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, nCells = 16, nProbe = 4))
+    // reported sims are exact cosines wherever the exact baseline ranked
+    // the same pair
+    approx.foreach { case (q, id, sim) =>
+      exactTop5.get((q, id)).foreach { exact =>
+        assert(java.lang.Double.doubleToLongBits(sim) ==
+          java.lang.Double.doubleToLongBits(exact), s"sim drift for ($q,$id)")
+      }
+    }
+    val recall = recallAt5(approx)
+    info(f"pivot ivf recall@5 = $recall%.3f")
+    assert(recall >= 0.40, f"pivot ivf recall $recall%.3f below pinned 0.40")
+  }
+
+  test("spherical lloyd: unit centroids, cosine-consistent assignment") {
+    val rnd = new scala.util.Random(3)
+    val pts = Array.fill(400)(Array.fill(8)(rnd.nextGaussian()))
+    val cents = Similarity.lloyd(pts, k = 6, maxIter = 5, seed = 11L,
+      spherical = true)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12, s"centroid norm $n not unit")
+    }
+    // for unit centroids, argmin-L2 == argmax-cosine for ANY raw vector
+    pts.take(50).foreach { p =>
+      val byL2 = cents.indices.minBy(i =>
+        p.zip(cents(i)).map { case (x, c) => (x - c) * (x - c) }.sum)
+      val byCos = cents.indices.maxBy(i =>
+        p.zip(cents(i)).map { case (x, c) => x * c }.sum /
+          math.sqrt(p.map(x => x * x).sum))
+      assert(byL2 == byCos)
+    }
+  }
+
   test("x16 ivfTopK: pinned recall floor at shipped params, recall/cost dial works") {
     // this corpus has genuinely diffuse clusters (true top-5 sims median
     // 0.32), so a query's neighbors straddle cells: recall at the shipped

@@ -54,11 +54,13 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!expected.exists(p => p._1 >= 31L))
   }
 
-  test("x42 shipped parameters on the driver fixture: non-empty, pinned id-recall vs brute force") {
-    // the exact parameters the x42 SparkEntry query ships with, on the same
-    // sf0.01 embeddings the driver verifies with — this is the contract
-    // that the driver entry exercises REAL clustering (round 4's entry ran
-    // at threshold 0.5 > the corpus's max pairwise sim and returned 0 rows)
+  test("Lloyd variant at the x42 parameter point: non-empty, pinned id-recall vs brute force") {
+    // the Lloyd-fitted quantizer at the same (threshold, cells, passes)
+    // point the x42 entry ships (the entry itself now runs the pivot
+    // variant — next test), on the same sf0.01 embeddings the driver
+    // verifies with — this keeps the quality path's contract pinned and
+    // guards the round-4 regression (threshold 0.5 > the corpus's max
+    // pairwise sim returned 0 rows)
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val got = Similarity.semanticDupClusters(emb, "vec_id", "embedding",
       threshold = 0.35, nCentroids = 16, passes = 4)
@@ -97,6 +99,44 @@ class SemanticDedupSpec extends SparkSpec {
     info(f"single-pass id recall = ${onePassIds.size.toDouble / truthIds.size}%.3f")
     assert(onePassIds.subsetOf(gotIds),
       "rotated-seed passes lost ids a single pass found")
+  }
+
+  test("x42 SHIPPED pivot variant: non-empty, id-precision 1, pinned recall, layout-independent") {
+    // the x42 entry now ships the PIVOT quantizer (SQL-replayable cells) —
+    // same SemDeDup recipe, same exact-cosine verify, so id precision stays
+    // 1 by construction; recall vs brute force is measured-then-pinned for
+    // the pivot blocking specifically
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val got = Similarity.semanticDupClustersPivots(emb, "vec_id", "embedding",
+      threshold = 0.35, nCells = 16, seed = "v1", passes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    Dedup.releaseCaches()
+    assert(got.nonEmpty, "x42 pivot path must find clusters, not run the empty path")
+
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truthPairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("sim") >= 0.35)
+      .select("id_a", "id_b")
+    val truthIds = Dedup.duplicateClusters(truthPairs)
+      .collect().map(_.getLong(0)).toSet
+    Dedup.releaseCaches()
+
+    val gotIds = got.map(_._1)
+    assert(gotIds.subsetOf(truthIds),
+      s"non-duplicate ids marked: ${(gotIds -- truthIds).take(5)}")
+    val recall = gotIds.size.toDouble / truthIds.size
+    info(f"pivot semantic-dedup id recall = $recall%.3f (${gotIds.size}/${truthIds.size})")
+    assert(recall >= 0.60, f"pivot id recall $recall%.3f below pinned 0.60")
+
+    // layout independence — the property the DuckDB replay depends on
+    val again = Similarity.semanticDupClustersPivots(emb.repartition(13),
+      "vec_id", "embedding", threshold = 0.35, nCells = 16, seed = "v1",
+      passes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    Dedup.releaseCaches()
+    assert(again == got, "pivot clustering must be independent of partition layout")
   }
 
   test("orthogonal-only corpus: nothing clears the threshold, result empty") {

@@ -72,7 +72,18 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
       qidCol: String, qvecCol: String, qlabelCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      maxQueries: Int = 4096): DataFrame = {
+    // this path is a broadcast nested loop — O(|corpus|·|queries|·dim)
+    // flops and a |queries|-sized broadcast. Fine for the serving-shaped
+    // query sets it exists for; a corpus-sized query side would quietly
+    // become an all-pairs cross product, so refuse it LOUDLY and point at
+    // the cell-blocked variant instead of letting the plan explode.
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"hardNegatives is a broadcast nested-loop: query set exceeds " +
+        s"maxQueries=$maxQueries — route large query sets through " +
+        "hardNegativesAnn (IVF cell blocking) or raise maxQueries deliberately")
     val scored = corpus
       .withColumn("__nc", norm(col(vecCol)))
       .join(broadcast(queries.withColumn("__nq", norm(col(qvecCol)))),
@@ -80,6 +91,55 @@ object Similarity {
       .withColumn("sim", dot(col(qvecCol), col(vecCol)) / (col("__nq") * col("__nc")))
     val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
     scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(qlabelCol), col(idCol), col(labelCol),
+        col("sim"), col("rank"))
+  }
+
+  /** Hard-negative mining at SCALE: the query side co-locates with the
+    * corpus through the IVF coarse quantizer (each query scores only its
+    * nProbe nearest cells) instead of broadcasting into a nested loop —
+    * the shape hardNegatives' guard points large query sets at. Both sides
+    * shuffle once, keyed by cell; per-cell work is cell_size × queries-in-
+    * cell, so total cost tracks n·q·(nProbe/nCentroids) and nCentroids
+    * grows with the corpus exactly like ivfTopK's. The label predicate
+    * rides the cell join; sims are exact cosines (recall is the only
+    * approximation — HardNegativesSpec pins the floor vs the exact path).
+    * Output contract matches hardNegatives. */
+  def hardNegativesAnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      fitSampleRows: Int = 0,
+      spherical: Boolean = false): DataFrame = {
+    val (assigned, centroidMatrix) =
+      fitAndAssign(corpus, idCol, vecCol, nCentroids, seed, fitSampleRows, spherical)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val centroidDf = centroidMatrix.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid")
+    val l2 = (a: Column, b: Column) => call_function("graft_l2sq", a, b)
+    val wProbe = Window.partitionBy(qidCol).orderBy(col("dist"), col("cell"))
+    // nProbe cells per query — the probe table is queries × nCentroids
+    // rows BEFORE the window trims it, never corpus-sized
+    val probes = queries.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", l2(col(qvecCol), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col(qlabelCol), col("cell"))
+
+    // cell-keyed JOIN (not broadcast): both sides exchange once on `cell`,
+    // which is what lets the query side be arbitrarily large
+    val w = Window.partitionBy(qidCol).orderBy(desc("sim"), col(idCol))
+    assigned.join(probes, Seq("cell"))
+      .where(col(qidCol) =!= col(idCol) && col(qlabelCol) =!= col(labelCol))
+      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qidCol), col(qlabelCol), col(idCol), col(labelCol),

@@ -80,12 +80,37 @@ object FormatDetector {
     Seq("01", "02", "03", "04", "06", "11", "24", "27", "28", "32",
       "44", "52", "53", "75", "76", "84", "93", "94")
 
+  /** INSEE PCS-2003 level-2 socio-professional category codes (the public
+    * nomenclature's 2-digit value set). Every code is also a plausible
+    * département, so code_csp must OUTRANK code_departement in specificity
+    * (40 values vs ~101) — containment resolves the same way as
+    * code_postal ⊂ code_commune_insee. */
+  private[graft] val cspCodes =
+    Seq("10", "21", "22", "23", "31", "33", "34", "35", "37", "38",
+      "42", "43", "44", "45", "46", "47", "48", "52", "53", "54",
+      "55", "56", "62", "63", "64", "65", "67", "68", "69", "71",
+      "72", "74", "75", "77", "78", "81", "83", "84", "85", "86")
+
+  /** French month names (SmartDateUtil's vocabulary) — the cheap rlike
+    * gate in front of the full smart_to_timestamp parse, so the date_fr
+    * vote only pays the parser on plausible rows and an ISO date column
+    * is NOT classified as textual-French. */
+  private val frMonthGate =
+    "(?i)^.*\\b(janvier|f[ée]vrier|mars|avril|mai|juin|juillet|ao[ûu]t|" +
+      "septembre|octobre|novembre|d[ée]cembre)\\b.*$"
+
   /** Candidate formats, most specific (smallest value set) first. */
   val formats: Seq[FormatSpec] = Seq(
     FormatSpec("code_region", "string", 90,
       t => t.isin(regionCodes: _*)),
+    FormatSpec("code_csp", "string", 85,
+      t => t.isin(cspCodes: _*)),
     FormatSpec("code_departement", "string", 80,
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-5]|2[AB]|97[1-6])$")),
+    FormatSpec("insee_ape", "string", 75,
+      // NAF/APE activity code: 4 digits (optionally dotted 2+2) + one
+      // uppercase section letter — "6201Z" or "62.01Z"
+      t => t.rlike("^[0-9]{2}\\.?[0-9]{2}[A-Z]$")),
     FormatSpec("siren", "string", 70,
       t => t.rlike("^[0-9]{9}$") && luhnValid(t)),
     FormatSpec("siret", "string", 70,
@@ -94,6 +119,13 @@ object FormatDetector {
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$")),
     FormatSpec("code_commune_insee", "string", 50,
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8]|2[AB])[0-9]{3}$")),
+    FormatSpec("date_fr", "string", 45,
+      // textual French date ("12 janvier 2023"): the month-name gate keeps
+      // ISO/numeric date columns out, the engine's own multi-locale parser
+      // (SmartDateUtil, the B3 kernel) decides actual validity — day-range
+      // and month-name errors fail the parse, not just the regex
+      t => t.rlike(frMonthGate) &&
+        call_function("smart_to_timestamp", t).isNotNull),
     FormatSpec("tel_fr", "string", 40,
       t => t.rlike("^(\\+33[ .-]?|0033[ .-]?|0)[1-9]([ .-]?[0-9]{2}){4}$")),
     FormatSpec("email", "string", 30,
@@ -111,6 +143,7 @@ object FormatDetector {
     * Returns, per column, every candidate with its match rate over
     * non-blank values (rate 0 for empty columns). */
   def matchRates(df: DataFrame): Map[String, Map[String, Double]] = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // date_fr's parser
     val cols = df.columns.toSeq
     if (cols.isEmpty) return Map.empty
     val aggs: Seq[Column] = cols.flatMap { name =>

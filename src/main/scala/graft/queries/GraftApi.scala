@@ -170,6 +170,27 @@ final class GraftApi(spark: SparkSession, store: MetaStore,
         "error, index type must be one of: " + supportedIndexTypes.mkString(", "))
     }
 
+  /** Validate a table_indexes request against a DETECTED column profile
+    * (FormatDetector.inferWithFormats' output): every requested column
+    * must exist in the analyzed table — an index request for a column the
+    * csv-detective report does not carry is a config typo that the
+    * reference only discovers at CREATE INDEX time; surfacing it at CRUD
+    * time keeps the exception table consistent with what analysis will
+    * actually build. Returns the requested columns' detected formats
+    * (format-aware callers use them to pick index kinds — a `siren` or
+    * `code_postal` column is a natural equality-index candidate, free
+    * text is not). */
+  def validateIndexesAgainstProfile(
+      tableIndexes: Map[String, String],
+      profile: Map[String, graft.model.ColumnInfo]): Map[String, String] = {
+    validateIndexes(tableIndexes)
+    val missing = tableIndexes.keySet -- profile.keySet
+    require(missing.isEmpty,
+      "error, indexed column(s) not present in the analyzed table: " +
+        missing.toSeq.sorted.mkString(", "))
+    tableIndexes.keys.map(c => c -> profile(c).format).toMap
+  }
+
   private def indexesJson(m: Map[String, String]): String =
     m.map { case (k, v) =>
       s""""${k.replace("\"", "\\\"")}": "${v.replace("\"", "\\\"")}""""
@@ -183,10 +204,12 @@ final class GraftApi(spark: SparkSession, store: MetaStore,
   def createResourceException(resourceId: String,
       tableIndexes: Map[String, String] = Map.empty,
       comment: Option[String] = None,
-      authorization: Option[String] = None): Unit = {
+      authorization: Option[String] = None,
+      columnProfile: Option[Map[String, graft.model.ColumnInfo]] = None): Unit = {
     authorize(authorization)
     require(resource(resourceId).count() > 0, "Resource not found")
     validateIndexes(tableIndexes)
+    columnProfile.foreach(validateIndexesAgainstProfile(tableIndexes, _))
     val existing = resourcesExceptionsDf
     require(existing.isEmpty ||
       existing.filter(col("resource_id") === resourceId).isEmpty,
@@ -203,10 +226,12 @@ final class GraftApi(spark: SparkSession, store: MetaStore,
   def updateResourceException(resourceId: String,
       tableIndexes: Map[String, String] = Map.empty,
       comment: Option[String] = None,
-      authorization: Option[String] = None): Boolean = {
+      authorization: Option[String] = None,
+      columnProfile: Option[Map[String, graft.model.ColumnInfo]] = None): Boolean = {
     authorize(authorization)
     if (resource(resourceId).isEmpty) return false
     validateIndexes(tableIndexes)
+    columnProfile.foreach(validateIndexesAgainstProfile(tableIndexes, _))
     import spark.implicits._
     store.upsert("resources_exceptions",
       Seq((resourceId, indexesJson(tableIndexes), comment.orNull))

@@ -2402,6 +2402,11 @@ object OperatorQueries {
         val k = col("c_custkey")
         val base = lpad((k % 100000000).cast("string"), 8, "0")
         val chk = FormatDetector.luhnCheckDigit(base)
+        val base4 = lpad((k % 9000 + 1000).cast("string"), 4, "0")
+        val apeLetter = chr(lit(65) + (k % 26))
+        val frMonths = typedlit(Seq("janvier", "février", "mars", "avril",
+          "mai", "juin", "juillet", "août", "septembre", "octobre",
+          "novembre", "décembre"))
         val syn = Tables.customer(s, dir).select(
           concat(lpad((k % 98 + 1).cast("string"), 2, "0"),
             lpad((k % 1000).cast("string"), 3, "0")).as("cp"),
@@ -2410,13 +2415,34 @@ object OperatorQueries {
           concat(base, ((chk + 1) % 10).cast("string")).as("sbad"),
           concat(lit("c"), k.cast("string"), lit("@example.fr")).as("mail"),
           concat((k % 179 - 89).cast("string"), lit(".25")).as("lat"),
-          concat((k % 359 - 179).cast("string"), lit(".5")).as("lon"))
+          concat((k % 359 - 179).cast("string"), lit(".5")).as("lon"),
+          // NAF/APE code, dotted form on even keys ("62.01Z" vs "6201Z")
+          when(k % 2 === 0,
+            concat(substring(base4, 1, 2), lit("."), substring(base4, 3, 2), apeLetter))
+            .otherwise(concat(base4, apeLetter)).as("ape"),
+          // a PCS-2003 code — every value is ALSO a plausible département,
+          // the containment code_csp's specificity must resolve
+          element_at(typedlit(graft.detect.FormatDetector.cspCodes),
+            (k % 40 + 1).cast("int")).as("csp"),
+          // valid textual French dates (days capped at 28 so every month
+          // accepts them) — the analytic oracle expects ALL rows to parse
+          concat((k % 28 + 1).cast("string"), lit(" "),
+            element_at(frMonths, (k % 12 + 1).cast("int")), lit(" "),
+            (lit(1990) + k % 40).cast("string")).as("dfr"),
+          // Feb 29 of a non-leap year: the regex gate passes, the PARSER
+          // must reject — the analytic oracle expects ZERO matches
+          concat(lit("29 février "), (lit(2021) + (k % 2) * 2).cast("string"))
+            .as("dbad"))
         val pairs = Seq(
           "cp" -> "code_postal", "cp" -> "code_commune_insee",
           "cp" -> "code_departement", "dep" -> "code_departement",
           "dep" -> "code_region", "siren" -> "siren", "sbad" -> "siren",
           "mail" -> "email", "lat" -> "latitude_wgs", "lat" -> "longitude_wgs",
-          "lon" -> "longitude_wgs", "lon" -> "latitude_wgs")
+          "lon" -> "longitude_wgs", "lon" -> "latitude_wgs",
+          "ape" -> "insee_ape", "ape" -> "siren",
+          "csp" -> "code_csp", "csp" -> "code_departement",
+          "dep" -> "code_csp",
+          "dfr" -> "date_fr", "dbad" -> "date_fr")
         val preds = FormatDetector.formats.map(f => f.name -> f.pred).toMap
         val aggs = pairs.map { case (cn, fn) =>
           sum(when(preds(fn)(trim(col(cn))), 1L).otherwise(0L)).as(s"${cn}__$fn")
@@ -2449,7 +2475,21 @@ object OperatorQueries {
         |    base || CAST((chk + 1) % 10 AS VARCHAR) AS sbad,
         |    'c' || CAST(k AS VARCHAR) || '@example.fr' AS mail,
         |    CAST(k % 179 - 89 AS VARCHAR) || '.25' AS lat,
-        |    CAST(k % 359 - 179 AS VARCHAR) || '.5' AS lon
+        |    CAST(k % 359 - 179 AS VARCHAR) || '.5' AS lon,
+        |    CASE WHEN k % 2 = 0
+        |      THEN substr(lpad(CAST(k % 9000 + 1000 AS VARCHAR), 4, '0'), 1, 2)
+        |        || '.' || substr(lpad(CAST(k % 9000 + 1000 AS VARCHAR), 4, '0'), 3, 2)
+        |        || chr(CAST(65 + k % 26 AS INT))
+        |      ELSE lpad(CAST(k % 9000 + 1000 AS VARCHAR), 4, '0')
+        |        || chr(CAST(65 + k % 26 AS INT)) END AS ape,
+        |    (['10','21','22','23','31','33','34','35','37','38','42','43','44','45',
+        |      '46','47','48','52','53','54','55','56','62','63','64','65','67','68',
+        |      '69','71','72','74','75','77','78','81','83','84','85','86'])
+        |      [CAST(k % 40 + 1 AS INT)] AS csp,
+        |    CAST(k % 28 + 1 AS VARCHAR) || ' ' ||
+        |      (['janvier','février','mars','avril','mai','juin','juillet','août',
+        |        'septembre','octobre','novembre','décembre'])[CAST(k % 12 + 1 AS INT)]
+        |      || ' ' || CAST(1990 + k % 40 AS VARCHAR) AS dfr
         |  FROM luhn),
         |m AS (
         |  SELECT
@@ -2476,7 +2516,25 @@ object OperatorQueries {
         |    count(*) FILTER (regexp_matches(lat, '^[+-]?[0-9]{1,2}(\.[0-9]+)?$') AND abs(TRY_CAST(lat AS DOUBLE)) <= 90) AS lat__latitude_wgs,
         |    count(*) FILTER (regexp_matches(lat, '^[+-]?[0-9]{1,3}(\.[0-9]+)?$') AND abs(TRY_CAST(lat AS DOUBLE)) <= 180) AS lat__longitude_wgs,
         |    count(*) FILTER (regexp_matches(lon, '^[+-]?[0-9]{1,3}(\.[0-9]+)?$') AND abs(TRY_CAST(lon AS DOUBLE)) <= 180) AS lon__longitude_wgs,
-        |    count(*) FILTER (regexp_matches(lon, '^[+-]?[0-9]{1,2}(\.[0-9]+)?$') AND abs(TRY_CAST(lon AS DOUBLE)) <= 90) AS lon__latitude_wgs
+        |    count(*) FILTER (regexp_matches(lon, '^[+-]?[0-9]{1,2}(\.[0-9]+)?$') AND abs(TRY_CAST(lon AS DOUBLE)) <= 90) AS lon__latitude_wgs,
+        |    count(*) FILTER (regexp_matches(ape, '^[0-9]{2}\.?[0-9]{2}[A-Z]$')) AS ape__insee_ape,
+        |    -- the siren pred is digits-regex AND Luhn; the letter already
+        |    -- fails the regex, so the conjunction is 0 without the fold
+        |    count(*) FILTER (regexp_matches(ape, '^[0-9]{9}$')) AS ape__siren,
+        |    count(*) FILTER (csp IN ('10','21','22','23','31','33','34','35','37','38',
+        |      '42','43','44','45','46','47','48','52','53','54','55','56','62','63',
+        |      '64','65','67','68','69','71','72','74','75','77','78','81','83','84',
+        |      '85','86')) AS csp__code_csp,
+        |    count(*) FILTER (regexp_matches(csp, '^(0[1-9]|[1-8][0-9]|9[0-5]|2[AB]|97[1-6])$')) AS csp__code_departement,
+        |    count(*) FILTER (dep IN ('10','21','22','23','31','33','34','35','37','38',
+        |      '42','43','44','45','46','47','48','52','53','54','55','56','62','63',
+        |      '64','65','67','68','69','71','72','74','75','77','78','81','83','84',
+        |      '85','86')) AS dep__code_csp,
+        |    -- analytic oracles for the parser-backed date_fr vote: dfr is
+        |    -- constructed valid (day<=28, real month, 1990-2029) so every
+        |    -- row must parse; dbad is Feb 29 of a non-leap year so none may
+        |    count(*) AS dfr__date_fr,
+        |    0 AS dbad__date_fr
         |  FROM syn)
         |SELECT col_name, fmt, n_match FROM (
         |  SELECT 'cp' AS col_name, 'code_postal' AS fmt, cp__code_postal AS n_match FROM m
@@ -2490,7 +2548,14 @@ object OperatorQueries {
         |  UNION ALL SELECT 'lat', 'latitude_wgs', lat__latitude_wgs FROM m
         |  UNION ALL SELECT 'lat', 'longitude_wgs', lat__longitude_wgs FROM m
         |  UNION ALL SELECT 'lon', 'longitude_wgs', lon__longitude_wgs FROM m
-        |  UNION ALL SELECT 'lon', 'latitude_wgs', lon__latitude_wgs FROM m)
+        |  UNION ALL SELECT 'lon', 'latitude_wgs', lon__latitude_wgs FROM m
+        |  UNION ALL SELECT 'ape', 'insee_ape', ape__insee_ape FROM m
+        |  UNION ALL SELECT 'ape', 'siren', ape__siren FROM m
+        |  UNION ALL SELECT 'csp', 'code_csp', csp__code_csp FROM m
+        |  UNION ALL SELECT 'csp', 'code_departement', csp__code_departement FROM m
+        |  UNION ALL SELECT 'dep', 'code_csp', dep__code_csp FROM m
+        |  UNION ALL SELECT 'dfr', 'date_fr', dfr__date_fr FROM m
+        |  UNION ALL SELECT 'dbad', 'date_fr', dbad__date_fr FROM m)
         |ORDER BY col_name, fmt""".stripMargin),
 
     // Embedding-space snapshot drift (x72's embedding analog): per-label

@@ -67,6 +67,44 @@ class FormatDetectorSpec extends SparkSpec {
     assert(got("tel") == "tel_fr", got.toString)
   }
 
+  test("insee_ape: dotted and undotted NAF codes; a digit-only column is not APE") {
+    val df = Seq(
+      ("6201Z", "62.01Z", "6201"),
+      ("0111A", "01.11A", "0111"),
+      ("4791B", "47.91B", "4791"))
+      .toDF("ape", "ape_dot", "digits4")
+    val got = FormatDetector.detect(df)
+    assert(got("ape") == "insee_ape", got.toString)
+    assert(got("ape_dot") == "insee_ape", got.toString)
+    assert(got("digits4") == "default", got.toString)
+  }
+
+  test("code_csp outranks code_departement on its contained value set") {
+    // every PCS-2003 code is also a syntactically valid département —
+    // the 40-value CSP vocabulary must win; a column with a non-CSP
+    // département ("09") falls back to code_departement
+    val df = Seq(("10", "09"), ("38", "38"), ("86", "86"), ("54", "54"))
+      .toDF("csp", "dep")
+    val got = FormatDetector.detect(df)
+    assert(got("csp") == "code_csp", got.toString)
+    assert(got("dep") == "code_departement", got.toString)
+  }
+
+  test("date_fr: textual French dates parse; impossible dates and ISO stay out") {
+    val df = Seq(
+      ("12 janvier 2023", "2023-01-12", "29 février 2023"),
+      ("1 août 1999", "1999-08-01", "29 février 2021"),
+      ("28 décembre 2010", "2010-12-28", "32 janvier 2020"))
+      .toDF("fr", "iso", "bad")
+    val got = FormatDetector.detect(df)
+    assert(got("fr") == "date_fr", got.toString)
+    // ISO dates are dates, but NOT textual-French — the month-name gate
+    // keeps python_type/date handling (TypeInference) their classifier
+    assert(got("iso") == "default", got.toString)
+    // regex gate passes, the parser must still reject the impossible days
+    assert(got("bad") == "default", got.toString)
+  }
+
   test("threshold: strict vote rejects a dirty column, relaxed vote recovers it") {
     val values = Seq.fill(19)("75001") :+ "not-a-code"
     val df = values.toDF("cp")

@@ -200,6 +200,35 @@ class GraftApiSpec extends SparkSpec {
     assert(!api.deleteResourceException("ghost"))
   }
 
+  test("index requests validate against the detected column profile") {
+    val store = new graft.store.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("apif").toString)
+    store.save("catalog", Seq(
+      ("r1", "d1", "u1", false)
+    ).toDF("resource_id", "dataset_id", "url", "deleted"))
+    val api = new graft.queries.GraftApi(spark, store)
+    val profile = Map(
+      "siren" -> graft.model.ColumnInfo("string", "siren"),
+      "label" -> graft.model.ColumnInfo("string"))
+
+    // indexed column missing from the analyzed table → rejected at CRUD
+    // time with the column named (the reference only finds this at
+    // CREATE INDEX time, analysis/csv.py:234)
+    val e = intercept[IllegalArgumentException] {
+      api.createResourceException("r1", Map("ghost_col" -> "index"),
+        columnProfile = Some(profile))
+    }
+    assert(e.getMessage.contains("ghost_col"), e.getMessage)
+
+    // present columns pass, and the helper reports their detected formats
+    api.createResourceException("r1", Map("siren" -> "index"),
+      columnProfile = Some(profile))
+    assert(api.validateIndexesAgainstProfile(
+      Map("siren" -> "index", "label" -> "index"), profile) ==
+      Map("siren" -> "siren", "label" -> "default"))
+    assert(api.deleteResourceException("r1"))
+  }
+
   test("auth guard: 401/403 semantics on mutating calls, GETs open (utils/auth.py)") {
     val store = new graft.store.MetaStore(spark,
       java.nio.file.Files.createTempDirectory("apia").toString)

@@ -74,6 +74,50 @@ object MixtureSampling {
       .drop("__rk")
   }
 
+  /** Weighted reservoir sampling per category (Efraimidis & Spirakis 2006,
+    * the A-ES scheme): each row draws a deterministic uniform u from
+    * md5(seed:id) (the KMV sketch's 60-bit draw) and keeps priority
+    * u^(1/w); the k LARGEST priorities per category are the weight-
+    * proportional without-replacement sample. Deterministic and
+    * partition-layout independent like stratifiedExactK, but inclusion
+    * probability tracks the weight column — the corpus-curation knob for
+    * "sample per source, favoring high-quality/long documents".
+    *
+    * Priorities are ROUNDED (6 decimals) before ranking in BOTH engines
+    * so pow()'s last-ulp implementation spread cannot flip a rank
+    * boundary; ties fall back to the id. Rows with non-positive or null
+    * weight are excluded (they have inclusion probability 0).
+    *
+    * Scale shape: one keyed exchange; WindowGroupLimit trims each
+    * partition to its local top-k before the shuffle, so the exchange
+    * moves ≤ k rows per (category × partition) — the same bounded-state
+    * economics as the KMV sketch. */
+  def weightedReservoirPerCategory(
+      df: DataFrame,
+      categoryCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "v1"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val reserved = Seq("__u", "__prio", "__rk")
+    require(!df.columns.exists(reserved.contains),
+      s"weightedReservoirPerCategory reserves ${reserved.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")),
+      1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
+    val w = Window.partitionBy(categoryCol)
+      .orderBy(col("__prio").desc, col(idCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__prio",
+        round(pow(u, lit(1.0d) / col(weightCol).cast("double")), 6))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .withColumnsRenamed(Map("__prio" -> "priority", "__rk" -> "rk"))
+  }
+
   /** Per-key TOKEN budget cap — "no source/domain contributes more than
     * `budget` tokens": within each key, walk documents in the deterministic
     * md5(id) order and keep a document iff it STARTS inside the budget

@@ -195,4 +195,33 @@ object Sharding {
           element_at(typedlit(offsets), col("__pid")))
       .drop("__key", "__pid")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1996): shard(id) = argmax over shards of md5("id:s").
+    * Unlike `pos % nShards` layouts, resharding is MINIMAL: when a shard
+    * is added, a row moves iff the new shard's hash beats its current
+    * winner — so exactly ~1/(S+1) of rows move, all of them TO the new
+    * shard, and nothing shuffles between surviving shards (the property a
+    * 100 TB corpus needs to grow its shard count without a full rewrite;
+    * HrwShardingSpec pins it). Pure per-row expression — no shuffle, no
+    * state, layout-independent, and exactly replayable in SQL: the winner
+    * is the lexicographic max of S md5 strings. Cost is S hashes per row;
+    * for very large S prefer assignShards' range layout and accept
+    * rebalancing writes. Output: input columns + `shard` (int). */
+  def hrwShard(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "hrwShard needs at least one shard")
+    require(!df.columns.contains("shard"), "hrwShard reserves the column name shard")
+    val scored = array((0 until nShards).map { s =>
+      struct(
+        md5(concat_ws(":", col(idCol).cast("string"), lit(s)).cast("binary"))
+          .as("h"),
+        lit(s).as("s"))
+    }: _*)
+    // struct ordering compares h first; md5 ties are not a real case, and
+    // the s field makes the order total anyway
+    df.withColumn("shard", array_max(scored).getField("s"))
+  }
 }

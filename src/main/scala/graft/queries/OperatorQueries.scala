@@ -2844,6 +2844,71 @@ object OperatorQueries {
         |  FROM dw JOIN enc USING (w) GROUP BY dw.doc_id)
         |SELECT d.doc_id, coalesce(CAST(agg.n AS BIGINT), 0) AS n_bpe_tokens
         |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Weighted reservoir sampling per source (Efraimidis-Spirakis A-ES):
+    // priority u^(1/w) on the md5-derived 60-bit uniform, weight = token
+    // count + 1, top-10 per source — the weight-proportional counterpart
+    // of x28's uniform stratified sample. The oracle replays draw,
+    // priority (rounded before ranking so pow's libm ulp spread cannot
+    // flip a boundary) and the per-source ranking exactly.
+    "x83_weighted_reservoir" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("w",
+            (size(filter(split(lower(trim(col("text"))), "\\s+"),
+              t => t =!= "")) + 1).cast("long"))
+        MixtureSampling.weightedReservoirPerCategory(
+          docs, "source", "doc_id", "w", k = 10, seed = "v1")
+          .select(col("source"), col("doc_id"), col("w"), col("priority"),
+            col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) + 1 AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(list_reduce(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('v1:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+        |    round(pow(u, 1.0 / w), 6) AS priority
+        |  FROM u),
+        |r AS (
+        |  SELECT source, doc_id, w, priority,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY priority DESC, doc_id) AS rk
+        |  FROM p)
+        |SELECT source, doc_id, w, priority, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin),
+
+    // Rendezvous (HRW) shard assignment: shard = argmax over 16 shards of
+    // md5("id:s") — the minimal-reassignment layout (adding shard S+1
+    // moves ~1/(S+1) of rows, all TO the new shard; HrwShardingSpec pins
+    // it). Pure per-row expression, no shuffle; the oracle recomputes the
+    // same 16-way argmax from the hex strings.
+    "x84_hrw_shards" -> sql(
+      (s, dir) =>
+        Sharding.hrwShard(Tables.documents(s, dir), "doc_id", nShards = 16)
+          .select(col("doc_id"), col("shard"))
+          .orderBy("doc_id"),
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, 15)) AS s FROM documents),
+        |h AS (
+        |  SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hv
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+        |  FROM h)
+        |SELECT doc_id, CAST(s AS INTEGER) AS shard FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)
   )
 }

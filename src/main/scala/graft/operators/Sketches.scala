@@ -138,6 +138,13 @@ object Sketches {
     * shuffles distinct hashes, like any exact count_distinct must); drop
     * it when only the estimate is needed and the whole query is
     * sketch-sized. */
+  /** The KMV draw: md5's first 15 hex chars as a 60-bit integer mapped
+    * into (0,1] — shared by the batch report, the streaming leg and the
+    * DuckDB oracle's HUGEINT hex fold. */
+  private[graft] def kmvDraw(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
+
   def kmvDistinct(
       df: DataFrame,
       keyCol: String,
@@ -145,14 +152,28 @@ object Sketches {
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
-    df.select(col(groupCol).as("__grp"), u.as("__u"))
+    df.select(col(groupCol).as("__grp"), kmvDraw(col(keyCol)).as("__u"))
       .groupBy("__grp")
       .agg(
         count_distinct(col("__u")).as("n_exact"),
         call_function("graft_kmv_agg", col("__u"), lit(k)).as("__est"))
       .select(col("__grp").as(groupCol), col("n_exact"),
         round(col("__est"), 4).as("kmv_estimate"))
+  }
+
+  /** Estimate-only KMV — the form whose WHOLE aggregation state is the
+    * k-bounded sketch (no exact-distinct audit column), usable unchanged
+    * as a streaming stateful aggregation (StreamingKmv). */
+  def kmvEstimate(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol).as("__grp"), kmvDraw(col(keyCol)).as("__u"))
+      .groupBy("__grp")
+      .agg(call_function("graft_kmv_agg", col("__u"), lit(k)).as("__est"))
+      .select(col("__grp").as(groupCol), round(col("__est"), 4).as("kmv_estimate"))
   }
 }

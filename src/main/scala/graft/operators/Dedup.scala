@@ -653,4 +653,80 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Prefix-filtered set-similarity self-join (the ppjoin family:
+    * Chaudhuri et al. 2006 / Xiao et al. 2008) — EXACT-recall candidate
+    * generation, the deterministic counterpart of the minhash banding in
+    * ngramJaccardPairs: order every document's distinct-token set by a
+    * global total order (document frequency ascending, token ascending —
+    * rarest first, which minimizes postings fan-out), keep only the first
+    * |T| − ceil(t·|T|) + 1 tokens as the PREFIX, and join on prefix
+    * tokens. The prefix-filtering principle guarantees every pair with
+    * Jaccard ≥ t shares a prefix token, so unlike banding there is no
+    * recall parameter to tune — the only approximation anywhere is none.
+    *
+    * Scale shape: candidate volume is Σ prefix-postings² — governed by
+    * the df-ordering (rare tokens carry the prefixes) plus the symmetric
+    * length filter; the exact verify joins the sorted token arrays back
+    * onto the collapsed candidate set only. One df aggregation, one
+    * token-keyed self-join, one id-keyed verify join. Output: (id_a,
+    * id_b, jaccard) for all pairs with shingle-set Jaccard ≥ threshold
+    * (shingleSize = 1 degenerates to word sets). */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+    // token domain = the HASHED shingle set (graft_shingle_hashes: sorted
+    // distinct longs straight from the string -- the same native set space
+    // x07 verifies in). The prefix-filtering principle only needs SOME
+    // global total order over tokens, so (df asc, hash asc) over the
+    // 8-byte hashes works as well as strings -- and the postings join,
+    // window and verify then move longs, never shingle text (a first
+    // formulation shuffled string shingle arrays: 16.6 s at sf0.1).
+    val hashed = tracked(df
+      .select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
+      .where(size(col("bh")) > 0)
+      .persist())
+    val toks = hashed.select(col("id"), size(col("bh")).as("sz"),
+      explode(col("bh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+
+    // global order = (df asc, tok asc); prefix keeps |T| - ceil(t*|T|) + 1
+    val w = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"), col("sz"))
+
+    val a = prefix.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      // symmetric length filter: |B| >= t*|A| is necessary for J >= t
+      .where(col("sz_b") >= ceil(lit(threshold) * col("sz_a")) &&
+        col("sz_a") >= ceil(lit(threshold) * col("sz_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verify on the collapsed candidate set: native linear-merge
+    // intersect over the cached sorted hash sets (x07's verify kernel)
+    val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
+      .withColumn("c", call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
+      .withColumn("jaccard",
+        col("c").cast("double") /
+          (col("hsz_a") + col("hsz_b") - col("c")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -2909,6 +2909,67 @@ object OperatorQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
         |  FROM h)
         |SELECT doc_id, CAST(s AS INTEGER) AS shard FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Video frame-sampling plumbing through the query surface: documents
+    // become "video" blobs, the stub codec emits the frame schedule
+    // (every strideBytes-th slice) via the real mapPartitions machinery —
+    // schema, batch iteration and explode shape are what a javacv-backed
+    // codec would inherit unchanged. The oracle replays the schedule
+    // arithmetic from the UTF-8 byte lengths.
+    "x85_frame_sample" -> sql(
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+            col("text").cast("binary").as("bytes"),
+            struct(lit(null).cast("string").as("format"),
+              lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+              lit(null).cast("long").as("duration_ms")).as("meta"))
+        Multimodal.sampleFrames(Multimodal.repartitionBySize(media, 32),
+          strideBytes = 64)
+          .orderBy("media_id", "frame_no")
+      },
+      """WITH t AS (SELECT doc_id, strlen(coalesce(text, '')) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS i
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+        |  i * 64 AS byte_offset
+        |FROM f ORDER BY media_id, frame_no""".stripMargin),
+
+    // Prefix-filtered set-similarity self-join (ppjoin family) — the
+    // EXACT-recall candidate generator over the same shingle space as
+    // x07's minhash banding, against the same exact all-pairs oracle: two
+    // independent algorithms, one ground truth. Banding trades recall for
+    // postings volume; prefix filtering is lossless by the prefix-
+    // filtering principle, paying Σ prefix-postings² instead.
+    "x86_prefix_jaccard" -> sql(
+      (s, dir) => {
+        val out = Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+          "text", "doc_id", threshold = 0.5, shingleSize = 3)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard
+        |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -358,7 +358,7 @@ object Similarity {
       nCells: Int,
       seed: String): Array[Array[Double]] = {
     require(nCells >= 1, "pivot quantizer needs at least one cell")
-    corpus
+    val pivots = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__pk",
         md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")))
@@ -366,6 +366,8 @@ object Similarity {
       .limit(nCells)
       .collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    require(pivots.nonEmpty, "pivot quantizer: empty corpus")
+    pivots
   }
 
   /** IVF top-k over deterministic pivot cells — ivfTopK with the

@@ -145,4 +145,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalNearDuplicates(noDocs, emptyIndex, "text", "doc_id").isEmpty)
     Dedup.releaseCaches()
   }
+
+  test("round-7 additions: empty inputs → empty samples/shards/pairs/sketches") {
+    val noCatted = Seq.empty[(String, Long, Long)].toDF("cat", "id", "w")
+    assert(MixtureSampling.weightedReservoirPerCategory(
+      noCatted, "cat", "id", "w", k = 5).isEmpty)
+    assert(Sharding.hrwShard(noDocs, "doc_id", nShards = 8).isEmpty)
+    assert(Dedup.prefixJaccardPairs(noDocs, "text", "doc_id", 0.5).isEmpty)
+    Dedup.releaseCaches()
+    val noKeyed = Seq.empty[(String, Long)].toDF("grp", "key")
+    assert(Sketches.kmvDistinct(noKeyed, "key", "grp").isEmpty)
+    assert(Sketches.kmvEstimate(noKeyed, "key", "grp").isEmpty)
+    // quantizer-backed paths need ≥1 training point/pivot: an empty corpus
+    // is a CLEAR error (collectFitSample's established contract), never a
+    // silent empty result
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQueries = Seq.empty[(Long, Array[Float], Int)].toDF("qid", "qvec", "qlabel")
+    val noLabeled = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegativesAnn(noLabeled, noQueries,
+        "vec_id", "embedding", "label", "qid", "qvec", "qlabel", k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKPivots(noVecs,
+        noVecs.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 3)
+    }
+  }
 }

@@ -462,4 +462,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "labels × dims rows must never sort-merge")
   }
+
+  test("x83: the reservoir window is group-limited BEFORE the exchange") {
+    // WindowGroupLimit's partial phase trims each partition to its local
+    // top-k, so the shuffle moves ≤ k rows per (category × partition) —
+    // the property that makes the sampler's exchange bounded at any scale
+    val plan = planOf("x83_weighted_reservoir").toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), "no partial group-limit before the exchange")
+  }
+
+  test("x84: HRW assignment is a pure projection — no exchange, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sharding.hrwShard(docs, "doc_id", nShards = 16)
+    val nodes = flatten(executedPlan(out))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "shard assignment must not shuffle")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("x86: prefix join moves longs through keyed joins, never shingle text") {
+    val nodes = flatten(planOf("x86_prefix_jaccard"))
+    graft.operators.Dedup.releaseCaches()
+    // every non-broadcast join is keyed (tok/id equi-joins) — a nested
+    // loop anywhere would mean the prefix filter degenerated to all-pairs
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "prefix join must stay an equi-join")
+    // the text column dies at the scan: only the scan stage may reference it
+    val postScan = nodes.filterNot(n => n.isInstanceOf[FileSourceScanExec] ||
+      n.nodeName.contains("InMemoryTableScan"))
+    val joinNodes = postScan.filter(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    joinNodes.foreach { j =>
+      assert(!j.output.exists(_.name == "text"),
+        s"shingle/text column travels through a join: ${j.output.map(_.name)}")
+    }
+  }
 }

@@ -180,7 +180,10 @@ object GraftFunctions {
           args.head, args(1))),
     (new FunctionIdentifier("graft_kmv_agg"),
       new ExpressionInfo(classOf[GraftKmvAgg].getName, "graft_kmv_agg"),
-      (args: Seq[Expression]) => GraftKmvAgg(args.head, literalInt(args(1)))))
+      (args: Seq[Expression]) => GraftKmvAgg(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_kmv_sketch_agg"),
+      new ExpressionInfo(classOf[GraftKmvSketchAgg].getName, "graft_kmv_sketch_agg"),
+      (args: Seq[Expression]) => GraftKmvSketchAgg(args.head, literalInt(args(1)))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

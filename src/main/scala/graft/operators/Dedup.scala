@@ -610,6 +610,44 @@ object Dedup {
         (col("id") === col("keep_id")).as("is_kept"))
   }
 
+  /** Soft deduplication — duplication-aware reweighting (the "SoftDedup"
+    * recipe from the LLM-pretraining literature, ACL 2024; also the
+    * repetition-discounting alternative FineWeb-class pipelines discuss):
+    * instead of hard-dropping near-duplicates,
+    * give every member of a duplicate cluster sampling weight 1/|cluster|
+    * (singletons weigh 1) and keep each member by an independent
+    * deterministic draw at that rate — in expectation ONE representative
+    * per cluster survives, but which one varies, preserving intra-cluster
+    * diversity hard dedup throws away. `clusters` is the (id, cluster)
+    * assignment from duplicateClusters (near-dup sized, far smaller than
+    * the corpus).
+    *
+    * Determinism contract (the x67/x59 accept-test family): the draw is
+    * the first 8 md5 hex chars of "seed:id" as a 32-bit integer, kept iff
+    * draw < 2³² div |cluster| — pure integer arithmetic, so the oracle
+    * replays the kept set bit-identically (no floating-point rate ever
+    * exists). Scale shape: one size aggregation over the cluster frame,
+    * one key join back (near-dup sized), then a per-row projection — the
+    * corpus scan is never shuffled. */
+  def softDedupReport(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      seed: String = "sd"): DataFrame = {
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val assign = clusters.join(sizes, Seq("cluster"))
+      .select(col("id"), col("csize"))
+    val draw = conv(substring(md5(
+      concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .join(assign, docs(idCol) === assign("id"), "left")
+      .drop("id")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("weight", round(lit(1.0) / col("csize"), 4))
+      .withColumn("keep", draw < expr("4294967296 div csize"))
+  }
+
   /** Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS local fingerprinting scheme): each document keeps the minimum
     * char-k-gram hash of every w-gram window (≈ 2/(w+1) of grams, with the

@@ -161,6 +161,95 @@ object Sketches {
         round(col("__est"), 4).as("kmv_estimate"))
   }
 
+  /** Per-group KMV SKETCHES (the bottom-k draw arrays themselves) over an
+    * arbitrary draw column — the persistable form: write these once per
+    * snapshot, combine forever. */
+  def kmvSketches(
+      df: DataFrame,
+      drawCol: Column,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol).as("grp"), drawCol.as("__u"))
+      .groupBy("grp")
+      .agg(call_function("graft_kmv_sketch_agg", col("__u"), lit(k)).as("sk"))
+  }
+
+  /** Pairwise distinct-set OVERLAP estimates from per-group KMV sketches
+    * (Beyer et al. 2007 multiset synopses): for each group pair, merge the
+    * two bottom-k arrays into the union's bottom-k K, read θ = k-th
+    * smallest, and estimate
+    *   |A∪B| ≈ (k−1)/θ,   J(A,B) ≈ |K ∩ K(A) ∩ K(B)| / k,
+    *   |A∩B| ≈ J · |A∪B|.
+    * When the merged sketch holds fewer than k draws BOTH input sketches
+    * were exhaustive, so the "estimates" are the exact answers — the same
+    * exact-fallback contract as graft_kmv_agg.
+    *
+    * Scale shape: input is the aggregated sketch frame (one array ≤ k per
+    * group — metadata-sized for any sane group count), so the pair
+    * combination is a nGroups² nested-loop over bounded arrays with NO
+    * revisit of raw data; the raw corpus is touched exactly once, by the
+    * sketch aggregation, whose exchange moves ≤ k doubles per
+    * (group × partition). This is the sketch-bounded path for the question
+    * x65 answers exactly by shuffling every distinct (source, gram) pair. */
+  def kmvOverlapEstimates(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val a = sketches.select(col("grp").as("source_a"), col("sk").as("__ska"))
+    val b = sketches.select(col("grp").as("source_b"), col("sk").as("__skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__mrg",
+        slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
+      .withColumn("__nm", size(col("__mrg")))
+      .withColumn("__theta",
+        when(col("__nm") >= k, element_at(col("__mrg"), k)))
+      .withColumn("__c",
+        when(col("__theta").isNotNull,
+          size(filter(array_intersect(col("__ska"), col("__skb")),
+            u => u <= col("__theta"))))
+          .otherwise(size(array_intersect(col("__ska"), col("__skb")))))
+      .withColumn("__uest",
+        when(col("__theta").isNotNull, lit((k - 1).toDouble) / col("__theta"))
+          .otherwise(col("__nm").cast("double")))
+      .withColumn("__jest",
+        col("__c").cast("double") /
+          when(col("__theta").isNotNull, lit(k.toDouble))
+            .otherwise(col("__nm").cast("double")))
+      .select(col("source_a"), col("source_b"),
+        round(col("__uest"), 4).as("union_est"),
+        round(col("__jest") * col("__uest"), 4).as("inter_est"),
+        round(col("__jest"), 4).as("jaccard_est"))
+  }
+
+  /** Cross-source content-overlap estimation on bounded state: distinct
+    * token-shingles per source, sketched to k draws, combined pairwise —
+    * the 100 TB path for x65's exact shingle-overlap matrix. Draws are
+    * md5(shingle) (first 15 hex chars → 60-bit uniform), so every estimate
+    * replays bit-for-bit in the DuckDB oracle. Shingle strings exist only
+    * inside the scan projection: the KMV aggregate partially combines
+    * map-side, so nothing wider than k doubles per source ever shuffles. */
+  def kmvSourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be positive")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val sep = "\u001f" // chr(31), the x65/x86 shingle joint
+    val shingles = when(size(toks) >= shingleSize,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(shingleSize)),
+        i => concat_ws(sep, (0 until shingleSize).map(j =>
+          element_at(toks, (i + lit(j + 1)).cast("int"))): _*))))
+      .otherwise(array().cast("array<string>"))
+    val drawn = docs
+      .select(col(sourceCol).as("src"), explode(shingles).as("__sh"))
+      .select(col("src"), kmvDraw(col("__sh")).as("__u"))
+    kmvOverlapEstimates(
+      kmvSketches(drawn, col("__u"), "src", k), k)
+  }
+
   /** Estimate-only KMV — the form whose WHOLE aggregation state is the
     * k-bounded sketch (no exact-distinct audit column), usable unchanged
     * as a streaming stateful aggregation (StreamingKmv). */

@@ -2970,6 +2970,135 @@ object OperatorQueries {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa + sb - c), 4) AS jaccard
         |FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // KMV set-operation estimates (Beyer et al. 2007): cross-source
+    // distinct-shingle overlap from per-source bottom-64 sketches — the
+    // bounded-state path for the question x65 answers exactly. The md5
+    // draws make union/intersection/Jaccard estimates DETERMINISTIC, so
+    // the oracle replays the whole recipe: per-source bottom-k, merged
+    // bottom-k, θ, the common-draws-below-θ count, and the estimate
+    // arithmetic — bit-for-bit. Raw shingles are touched exactly once
+    // (by the sketch aggregation); the pair stage sees only k-bounded
+    // arrays.
+    "x87_kmv_overlap" -> sql(
+      (s, dir) =>
+        Sketches.kmvSourceOverlap(Tables.documents(s, dir), "text", "source",
+          shingleSize = 3, k = 64)
+          .orderBy("source_a", "source_b"),
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))) AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |u AS (
+        |  SELECT DISTINCT source,
+        |    CAST(list_reduce(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM sh),
+        |r AS (SELECT source, u,
+        |    row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM u),
+        |sk AS (SELECT source, u FROM r WHERE rn <= 64),
+        |gs AS (SELECT DISTINCT source FROM sk),
+        |pr AS (SELECT a.source AS ga, b.source AS gb
+        |  FROM gs a JOIN gs b ON a.source < b.source),
+        |mu AS (
+        |  SELECT pr.ga, pr.gb, s.u FROM pr
+        |  JOIN sk s ON s.source = pr.ga OR s.source = pr.gb
+        |  GROUP BY 1, 2, 3),
+        |mr AS (SELECT ga, gb, u,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS rn,
+        |    count(*) OVER (PARTITION BY ga, gb) AS nm
+        |  FROM mu),
+        |th AS (SELECT ga, gb, max(nm) AS nm,
+        |    max(CASE WHEN rn = 64 THEN u END) AS theta
+        |  FROM mr GROUP BY 1, 2),
+        |co AS (
+        |  SELECT a.source AS ga, b.source AS gb, a.u
+        |  FROM sk a JOIN sk b ON a.u = b.u AND a.source < b.source),
+        |cc AS (
+        |  SELECT th.ga, th.gb, th.nm, th.theta,
+        |    count(CASE WHEN th.theta IS NULL OR co.u <= th.theta THEN 1 END) AS c
+        |  FROM th LEFT JOIN co ON co.ga = th.ga AND co.gb = th.gb
+        |  GROUP BY 1, 2, 3, 4),
+        |est AS (
+        |  SELECT ga, gb,
+        |    CASE WHEN theta IS NULL THEN CAST(nm AS DOUBLE)
+        |      ELSE 63.0 / theta END AS uest,
+        |    CAST(c AS DOUBLE) /
+        |      (CASE WHEN theta IS NULL THEN CAST(nm AS DOUBLE) ELSE 64.0 END) AS jest
+        |  FROM cc)
+        |SELECT ga AS source_a, gb AS source_b,
+        |  round(uest, 4) AS union_est,
+        |  round(jest * uest, 4) AS inter_est,
+        |  round(jest, 4) AS jaccard_est
+        |FROM est ORDER BY source_a, source_b""".stripMargin),
+
+    // Soft deduplication (duplication-aware reweighting): every member of
+    // a near-dup cluster keeps sampling weight 1/|cluster| and survives an
+    // independent integer-threshold draw at that rate — in expectation one
+    // representative per cluster, but which one varies (the diversity hard
+    // dedup throws away). The oracle replays the whole chain: exact
+    // all-pairs Jaccard, recursive-CTE closure, cluster sizes, and the
+    // md5-integer accept test — no floating-point rate ever exists.
+    "x88_soft_dedup" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs)
+        val out = Dedup.softDedupReport(
+          docs.select("doc_id", "source"), "doc_id", clusters, seed = "sd")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |sz AS (SELECT cluster, count(*) AS csize FROM cl GROUP BY 1),
+        |asg AS (SELECT cl.id, sz.csize FROM cl JOIN sz USING (cluster)),
+        |d AS (
+        |  SELECT doc_id, source, CAST(coalesce(asg.csize, 1) AS BIGINT) AS csize
+        |  FROM documents LEFT JOIN asg ON asg.id = doc_id),
+        |u AS (
+        |  SELECT doc_id, source, csize,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('sd:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) AS draw
+        |  FROM d)
+        |SELECT doc_id, source, csize,
+        |  round(1.0::DOUBLE / csize, 4) AS weight,
+        |  draw < 4294967296 // csize AS keep
+        |FROM u ORDER BY doc_id""".stripMargin)
   )
 }

@@ -70,4 +70,62 @@ class KmvSketchSpec extends SparkSpec {
       "key", "grp", k = 32).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  import org.apache.spark.sql.functions.col
+
+  test("overlap estimates are EXACT when both sketches are unsaturated") {
+    // |A|=30, |B|=20, |A∩B|=10 — all below k=64, so the sketches are the
+    // full distinct sets and the "estimates" must be the exact answers
+    val a = (1L to 30L).map(("a", _))
+    val b = (21L to 40L).map(("b", _))
+    val df = (a ++ b).toDF("grp", "key")
+    val sk = Sketches.kmvSketches(df, Sketches.kmvDraw(col("key")), "grp", k = 64)
+    val r = Sketches.kmvOverlapEstimates(sk, k = 64).collect().head
+    assert(r.getAs[String]("source_a") == "a" && r.getAs[String]("source_b") == "b")
+    assert(r.getAs[Double]("union_est") == 40.0)
+    assert(r.getAs[Double]("inter_est") == 10.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.25)
+  }
+
+  test("overlap estimates land near truth when saturated") {
+    // A = 1..6000, B = 3001..9000: union 9000, inter 3000, J = 1/3
+    val a = (1L to 6000L).map(("a", _))
+    val b = (3001L to 9000L).map(("b", _))
+    val sk = Sketches.kmvSketches((a ++ b).toDF("grp", "key"),
+      Sketches.kmvDraw(col("key")), "grp", k = 256)
+    val r = Sketches.kmvOverlapEstimates(sk, k = 256).collect().head
+    val (u, i, j) = (r.getAs[Double]("union_est"),
+      r.getAs[Double]("inter_est"), r.getAs[Double]("jaccard_est"))
+    assert(math.abs(u - 9000.0) / 9000.0 < 0.2, s"union_est $u")
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard_est $j")
+    assert(math.abs(i - 3000.0) / 3000.0 < 0.35, s"inter_est $i")
+  }
+
+  test("pairwise union estimate is CONSISTENT with sketching the union directly") {
+    // the merge-then-estimate path must equal estimating A∪B as one group —
+    // the mergeability contract that makes persisted sketches combinable
+    val a = (1L to 5000L).map(i => ("a", i * 3))
+    val b = (1L to 5000L).map(i => ("b", i * 2))
+    val df = (a ++ b).toDF("grp", "key")
+    val sk = Sketches.kmvSketches(df, Sketches.kmvDraw(col("key")), "grp", k = 64)
+    val pairUnion = Sketches.kmvOverlapEstimates(sk, k = 64)
+      .collect().head.getAs[Double]("union_est")
+    val direct = Sketches.kmvDistinct(
+      df.withColumn("grp", org.apache.spark.sql.functions.lit("all")),
+      "key", "grp", k = 64).collect().head.getAs[Double]("kmv_estimate")
+    assert(pairUnion == direct, s"pairwise $pairUnion vs direct $direct")
+  }
+
+  test("x87 plan audit: raw scan feeds ONE sketch aggregation; no window/sort before the pair join") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"g${i % 5}", s"tok${i} alpha beta gamma delta tok${i % 7}"))
+      .toDF("doc_id", "source", "text")
+    val plan = Sketches.kmvSourceOverlap(docs, "text", "source", 3, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_kmv_sketch_agg"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the only sort allowed is the array_sort over k-bounded arrays in the
+    // pair projection — no SortExec node may appear
+    assert(!plan.contains("Sort ["), plan)
+  }
 }

@@ -134,6 +134,43 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
+
+  test("soft dedup: singleton docs weigh 1 and are always kept") {
+    val docs = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val clusters = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    val rows = Dedup.softDedupReport(docs, "doc_id", clusters).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("csize") == 1L)
+      assert(r.getAs[Double]("weight") == 1.0)
+      assert(r.getAs[Boolean]("keep"))
+    }
+  }
+
+  test("soft dedup: cluster members weigh 1/|cluster| and ~one per cluster survives") {
+    // 200 clusters of size 4 → kept-in-cluster count is Binomial(800, 1/4):
+    // mean 200, sd ~12.2; a deterministic fixture, so assert a wide window
+    val members = (0L until 800L).map(i => (i, i / 4))
+    val clusters = members.toDF("id", "cluster")
+    val docs = members.map(_._1).map((_, "s")).toDF("doc_id", "source")
+    val rows = Dedup.softDedupReport(docs, "doc_id", clusters).collect()
+    assert(rows.forall(_.getAs[Long]("csize") == 4L))
+    assert(rows.forall(_.getAs[Double]("weight") == 0.25))
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 140 && kept < 260, s"kept $kept of 800 (expected ~200)")
+  }
+
+  test("soft dedup: deterministic across partition layouts and seeds differ") {
+    val members = (0L until 200L).map(i => (i, i / 5))
+    val clusters = members.toDF("id", "cluster")
+    val docs = members.map(_._1).map((_, "s")).toDF("doc_id", "source")
+    def run(parts: Int, seed: String) =
+      Dedup.softDedupReport(docs.repartition(parts), "doc_id", clusters, seed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+        .sortBy(_._1).toSeq
+    assert(run(1, "sd") == run(17, "sd"))
+    assert(run(4, "sd") != run(4, "other-seed"))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -3099,6 +3099,86 @@ object OperatorQueries {
         |SELECT doc_id, source, csize,
         |  round(1.0::DOUBLE / csize, 4) AS weight,
         |  draw < 4294967296 // csize AS keep
-        |FROM u ORDER BY doc_id""".stripMargin)
+        |FROM u ORDER BY doc_id""".stripMargin),
+
+    // Walk-forward purged temporal split (López de Prado 2018): 4 folds
+    // over the event stream, each validating on a later time window and
+    // training only up to an embargo gap (2 days) before it — the
+    // leakage-safe complement of x44's grouped split. Fold boundaries are
+    // exact ORDER STATISTICS (the ceil(i·n/5)-th smallest timestamp) via
+    // the two-phase global rank, never interpolated percentiles — epoch
+    // micros exceed double's mantissa, so interpolation would be
+    // engine-dependent; integer selection is not. The oracle replays the
+    // rank, the boundary picks, and every window count.
+    "x89_embargo_split" -> sql(
+      (s, dir) => {
+        val out = TemporalSplit.walkForwardFolds(Tables.events(s, dir),
+          "ts", "event_id", nFolds = 4, embargoMicros = 172800000000L)
+          .orderBy("fold")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |n AS (SELECT count(*) AS n, max(us) AS maxus FROM e),
+        |r AS (SELECT us, row_number() OVER (ORDER BY us, event_id) - 1 AS pos FROM e),
+        |f AS (SELECT unnest(generate_series(1, 4)) AS fold),
+        |t AS (SELECT f.fold, (f.fold * n.n + 4) // 5 - 1 AS tpos, n.maxus
+        |  FROM f CROSS JOIN n),
+        |b AS (SELECT t.fold, r.us AS b_us, t.maxus FROM t JOIN r ON r.pos = t.tpos),
+        |rg AS (
+        |  SELECT b.fold, b.b_us, coalesce(b2.b_us, b.maxus) AS vend
+        |  FROM b LEFT JOIN b b2 ON b2.fold = b.fold + 1),
+        |c AS (
+        |  SELECT rg.fold, rg.b_us,
+        |    sum(CASE WHEN e.us <= rg.b_us - 172800000000 THEN 1 ELSE 0 END) AS n_train,
+        |    sum(CASE WHEN e.us > rg.b_us - 172800000000 AND e.us <= rg.b_us
+        |      THEN 1 ELSE 0 END) AS n_embargo,
+        |    sum(CASE WHEN e.us > rg.b_us AND e.us <= rg.vend THEN 1 ELSE 0 END) AS n_val
+        |  FROM rg CROSS JOIN e GROUP BY 1, 2)
+        |SELECT CAST(fold AS BIGINT) AS fold, b_us AS boundary_us,
+        |  CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_embargo AS BIGINT) AS n_embargo,
+        |  CAST(n_val AS BIGINT) AS n_val
+        |FROM c ORDER BY fold""".stripMargin),
+
+    // Z-order (Morton-curve) layout report: events clustered on
+    // (user_id, event time) into 64 z-range files, with the per-file
+    // min/max footer stats and the min-max pruning verdict for a
+    // selective user predicate — the data-layout decision that makes a
+    // 100 TB scan touch a few files. Quantization and bit interleave are
+    // pure integer arithmetic, so the oracle replays every z-value, file
+    // assignment, footer stat and pruning flag exactly.
+    "x90_zorder_layout" -> sql(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id").cast("long").as("uid"),
+            unix_micros(col("ts")).as("tus"))
+        Layout.zOrderLayoutReport(e, "uid", "tus", bits = 8,
+          partitionBits = 6, xLo = 100L, xHi = 199L)
+          .orderBy("pk")
+      },
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS x, epoch_us(ts) AS y FROM events),
+        |mm AS (SELECT min(x) AS minx, max(x) AS maxx,
+        |    min(y) AS miny, max(y) AS maxy FROM e),
+        |q AS (
+        |  SELECT x, y,
+        |    ((x - minx) * 256) // (maxx - minx + 1) AS qx,
+        |    ((y - miny) * 256) // (maxy - miny + 1) AS qy
+        |  FROM e CROSS JOIN mm),
+        |z AS (
+        |  SELECT x, y, CAST(list_sum(list_transform(range(0, 8), i ->
+        |      ((qx >> i) & 1) * (1::BIGINT << (2 * i)) +
+        |      ((qy >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS zv
+        |  FROM q),
+        |g AS (
+        |  SELECT zv >> 10 AS pk, count(*) AS n,
+        |    min(x) AS min_x, max(x) AS max_x,
+        |    min(y) AS min_y, max(y) AS max_y
+        |  FROM z GROUP BY 1)
+        |SELECT CAST(pk AS BIGINT) AS pk, n, min_x, max_x, min_y, max_y,
+        |  NOT (max_x < 100 OR min_x > 199) AS scanned
+        |FROM g ORDER BY pk""".stripMargin)
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -3179,6 +3179,102 @@ object OperatorQueries {
         |  FROM z GROUP BY 1)
         |SELECT CAST(pk AS BIGINT) AS pk, n, min_x, max_x, min_y, max_y,
         |  NOT (max_x < 100 OR min_x > 199) AS scanned
-        |FROM g ORDER BY pk""".stripMargin)
+        |FROM g ORDER BY pk""".stripMargin),
+
+    // Paragraph-level keep-first dedup (RefinedWeb/Dolma's middle dedup
+    // granularity). Documents are re-lined into 3-token paragraphs (same
+    // synthesis trick as x29 — the corpus has no natural paragraph breaks)
+    // so cross-document paragraph collisions are common; the oracle replays
+    // the identical keep-first rule with row_number over (para → doc, pos).
+    "x91_paragraph_dedup" -> sql(
+      (s, dir) => {
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val parad = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), concat_ws("\n\n",
+            transform(
+              sequence(lit(0L),
+                ceil(size(col("t")).cast("double") / 3.0).cast("long") - 1),
+              i => concat_ws(" ", slice(col("t"), (i * 3 + 1).cast("int"), lit(3)))))
+            .as("text"))
+        ParagraphDedup.keepFirstParagraphs(parad, "text", "doc_id")
+          .select(col("doc_id"), col("cleaned_text"),
+            col("n_paras_kept"), col("n_paras_dropped"))
+          .orderBy("doc_id")
+      },
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(0, CAST(ceil(len(toks) / 3.0) AS INT) - 1),
+        |    i -> array_to_string(list_slice(toks, i*3+1, i*3+3), ' ')) AS ps
+        |  FROM t0 WHERE len(toks) > 0),
+        |occ AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM paras),
+        |o2 AS (SELECT doc_id, pos, trim(ps[pos]) AS para FROM occ),
+        |rk AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM o2)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS cleaned_text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_paras_kept,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_paras_dropped
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // C4 cleaning rules (Raffel 2020 §2.2) over synthesized lines: 8-token
+    // lines, terminal '.' on two of every three (i % 3 <> 0), so the line
+    // rule has real selectivity; ban-list phrases are drawn from the corpus
+    // vocabulary so the document rule fires too. Pure projection — the
+    // plan audit pins zero exchanges.
+    "x92_c4_filters" -> sql(
+      (s, dir) => {
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lined = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), concat_ws("\n",
+            transform(
+              sequence(lit(0L),
+                ceil(size(col("t")).cast("double") / 8.0).cast("long") - 1),
+              i => concat(
+                concat_ws(" ", slice(col("t"), (i * 8 + 1).cast("int"), lit(8))),
+                when(i % 3 =!= 0, lit(".")).otherwise(lit("")))))
+            .as("text"))
+        C4Filters.c4Report(lined, "text",
+          minWordsPerLine = 5, minKeptLines = 3,
+          badPhrases = Seq("customer line", "spark group"))
+          .select(col("doc_id"), col("clean_text"),
+            col("n_lines_total"), col("n_lines_kept"),
+            col("has_bad_phrase"), col("has_brace"), col("keep"))
+          .orderBy("doc_id")
+      },
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+        |    i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ') ||
+        |         CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END), chr(10)) AS text
+        |  FROM t0 WHERE len(toks) > 0),
+        |r AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+        |k AS (SELECT doc_id, text, ls,
+        |    list_filter(ls, ln ->
+        |      (ends_with(trim(ln), '.') OR ends_with(trim(ln), '!') OR
+        |       ends_with(trim(ln), '?') OR ends_with(trim(ln), '"') OR
+        |       ends_with(trim(ln), chr(39)))
+        |      AND len(list_filter(string_split_regex(trim(ln), '\s+'), w -> w <> '')) >= 5) AS kept
+        |  FROM r)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(kept, ln -> trim(ln)), chr(10)), '') AS clean_text,
+        |  CAST(len(ls) AS BIGINT) AS n_lines_total,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  (contains(lower(text), 'customer line') OR contains(lower(text), 'spark group')) AS has_bad_phrase,
+        |  contains(text, '{') AS has_brace,
+        |  (len(kept) >= 3
+        |   AND NOT (contains(lower(text), 'customer line') OR contains(lower(text), 'spark group'))
+        |   AND NOT contains(text, '{')) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1010,6 +1010,79 @@ object RelationalQueries {
         |SELECT s.col_name AS col_name, n_missing, n_distinct, min_v, max_v,
         |  avg_v, std_v, top_values
         |FROM stats s JOIN tops t ON s.col_name = t.col_name
-        |ORDER BY s.col_name""".stripMargin)
+        |ORDER BY s.col_name""".stripMargin),
+
+    // Beyond-reference: gaps-and-islands consecutive-day streaks — the
+    // classic activity-streak query (date minus dense row_number is
+    // constant within a run of consecutive days). The raw event stream
+    // collapses to user×day rows in the FIRST aggregation (map-side
+    // combining), so every later exchange moves 12-byte rows; the window
+    // and both follow-up aggregations are keyed on user_id prefixes.
+    "d37_streaks" -> sql(
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("__n"))
+          .select("user_id", "d")
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val runs = days
+          .withColumn("__g", date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "__g")
+          .agg(count(lit(1)).as("len"))
+        runs.groupBy("user_id")
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"),
+            sum(col("len")).as("n_active_days"))
+          .orderBy("user_id")
+      },
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        |  FROM days),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Beyond-reference: robust outlier detection via median absolute
+    // deviation (Hampel's 3-MAD rule). Three passes over events, each a
+    // map-side-combining agg keyed on event_type, with the tiny per-type
+    // stats broadcast back — never a shuffle of the fact side. Exact
+    // `percentile` keeps the oracle bit-exact (both engines interpolate
+    // lower + (upper-lower)·frac on binary64); the 100 TB path swaps in
+    // approx_percentile, traded deliberately for oracle precision here.
+    "d38_mad_outliers" -> sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_type", "value")
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("__med"))
+        val withMed = ev.join(broadcast(med), Seq("event_type"))
+        val mad = withMed.groupBy("event_type")
+          .agg(expr("percentile(abs(value - __med), 0.5)").as("__mad"),
+            first(col("__med")).as("__med2"))
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        ev.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            rnd4(first(col("__med2"))).as("med"),
+            rnd4(first(col("__mad"))).as("mad"),
+            count(when(abs(col("value") - col("__med2")) > col("__mad") * 3.0, 1))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont("value", 0.5) AS m FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e."value" - m), 0.5) AS md, any_value(m) AS m2
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  floor(any_value(m2) * 10000 + 0.5) / 10000 AS med,
+        |  floor(any_value(md) * 10000 + 0.5) / 10000 AS mad,
+        |  count(*) FILTER (WHERE abs(e."value" - m2) > md * 3.0) AS n_outliers
+        |FROM events e JOIN mad USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
   )
 }

@@ -500,4 +500,30 @@ class PlanAuditSpec extends SparkSpec {
         s"shingle/text column travels through a join: ${j.output.map(_.name)}")
     }
   }
+
+  test("d37: raw events collapse to user×day in the FIRST (partial) aggregation") {
+    // The gaps-and-islands window and both follow-up aggs must see only
+    // the user×day frame — a partial HashAggregate below the first
+    // exchange is what keeps every shuffled row 12 bytes at any scale.
+    val nodes = flatten(planOf("d37_streaks"))
+    val aggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.exists(_.toString.contains("partial")),
+      "first aggregation must map-side combine before its exchange")
+    // the window consumes only (user_id, d): no event columns survive
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val names = w.output.map(_.name).toSet
+      assert(!names.exists(n => n.contains("event_type") || n.contains("value")),
+        s"window sees unpruned event columns: $names")
+    }
+  }
+
+  test("d38: per-type medians broadcast back — the fact side never re-shuffles for a join") {
+    val nodes = flatten(planOf("d38_mad_outliers"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the tiny per-type stats must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join against metadata-sized per-type stats")
+  }
 }

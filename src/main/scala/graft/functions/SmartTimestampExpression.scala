@@ -183,7 +183,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => GraftKmvAgg(args.head, literalInt(args(1)))),
     (new FunctionIdentifier("graft_kmv_sketch_agg"),
       new ExpressionInfo(classOf[GraftKmvSketchAgg].getName, "graft_kmv_sketch_agg"),
-      (args: Seq[Expression]) => GraftKmvSketchAgg(args.head, literalInt(args(1)))))
+      (args: Seq[Expression]) => GraftKmvSketchAgg(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[GraftMgTopK].getName, "graft_mg_topk"),
+      (args: Seq[Expression]) => GraftMgTopK(args.head, literalInt(args(1)))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

@@ -116,6 +116,33 @@ object Sketches {
       .limit(topK)
   }
 
+  /** Misra–Gries frequent-items summary per group (graft_mg_topk, a
+    * bounded TypedImperativeAggregate: ≤ capacity counters per state,
+    * MG-merged). Where cmsHeavyHitters needs a candidate set to probe the
+    * sketch, MG surfaces the candidates ITSELF in one pass — the right
+    * tool when no prior vocabulary sample exists. Returns one row per
+    * surviving (group, term) with est count and a per-group rank
+    * (count desc, term asc), trimmed to topK. Exactness contract: with
+    * per-group distinct terms ≤ capacity the counts are exact and
+    * partition-independent (the x93 oracle); past capacity every estimate
+    * undercounts by ≤ n_group/(capacity+1) — MgSketchSpec pins both. */
+  def mgHeavyHitters(
+      df: DataFrame,
+      termCol: Column,
+      groupCol: String,
+      capacity: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1 && capacity >= topK,
+      "need capacity ≥ topK ≥ 1 (entries past capacity are never reportable)")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol).as("__grp"), termCol.as("__term"))
+      .groupBy("__grp")
+      .agg(call_function("graft_mg_topk", col("__term"), lit(capacity)).as("__mg"))
+      .select(col("__grp").as(groupCol), posexplode(slice(col("__mg"), 1, topK)))
+      .select(col(groupCol), col("col.term").as("term"),
+        col("col.count").as("est_count"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group — the
     * MERGEABLE distinct estimator whose whole state is the k smallest
     * hash draws: estimate = (k−1)/u_k with u_k the k-th smallest hash

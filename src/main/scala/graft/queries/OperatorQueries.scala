@@ -3275,6 +3275,33 @@ object OperatorQueries {
         |  (len(kept) >= 3
         |   AND NOT (contains(lower(text), 'customer line') OR contains(lower(text), 'spark group'))
         |   AND NOT contains(text, '{')) AS keep
-        |FROM k ORDER BY doc_id""".stripMargin)
+        |FROM k ORDER BY doc_id""".stripMargin),
+
+    // Misra–Gries heavy hitters per source: one-pass frequent tokens with
+    // ≤ capacity counters of state per group (graft_mg_topk). On this
+    // corpus the 31-token vocabulary sits far below capacity=256, so the
+    // summary is EXACT and partition-independent — the oracle is the plain
+    // exact count with the identical (count desc, term) rank order; the
+    // approximation regime (distinct ≫ capacity) is pinned by MgSketchSpec
+    // instead, where no SQL replay can exist.
+    "x93_mg_heavy_hitters" -> sql(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        Sketches.mgHeavyHitters(toks, col("tok"), "source",
+          capacity = 256, topK = 5)
+          .orderBy("source", "rank")
+      },
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |rk AS (SELECT source, tok, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rank
+        |  FROM cnt)
+        |SELECT source, tok AS term, c AS est_count, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
   )
 }

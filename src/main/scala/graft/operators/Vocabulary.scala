@@ -223,4 +223,42 @@ object Vocabulary {
       .where(col("rank") <= k)
       .select(col("qid"), col("doc"), col("score"), col("rank"))
   }
+
+  /** Exact positional phrase search — the quoted-query counterpart of
+    * bm25TopK: documents ranked by how often the phrase's tokens occur
+    * ADJACENT and in order (overlapping occurrences count, the standard
+    * positional-index semantics).
+    *
+    * Scale shape: the positional postings are filtered to the phrase's
+    * terms by a literal IN at the scan projection — shuffled volume tracks
+    * matched postings, never corpus tokens (the x81 property). The L-way
+    * adjacency is a chain of (doc, pos−offset) equi-joins over 16-byte
+    * rows, and the final rank is a distributed top-k
+    * (TakeOrderedAndProject), not a single-partition global window. */
+  def phraseSearch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(phrase.size >= 2,
+      "phrase needs ≥ 2 terms (a single term is plain tf ranking)")
+    val terms = phrase.map(_.toLowerCase)
+    val post = docs
+      .select(col(idCol).as("doc"), posexplode(tokens(col(textCol))))
+      .select(col("doc"), col("pos"), col("col").as("term"))
+      .where(col("term").isin(terms: _*))
+    val first = post.where(col("term") === terms.head).select("doc", "pos")
+    val matched = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        post.where(col("term") === t).select(col("doc"), (col("pos") - i).as("pos")),
+        Seq("doc", "pos"))
+    }
+    val topK = matched.groupBy("doc")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(desc("n_matches"), col("doc"))
+      .limit(k)
+    topK.withColumn("rank",
+      row_number().over(Window.orderBy(desc("n_matches"), col("doc"))).cast("long"))
+  }
 }

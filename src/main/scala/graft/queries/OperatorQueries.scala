@@ -3302,6 +3302,32 @@ object OperatorQueries {
         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rank
         |  FROM cnt)
         |SELECT source, tok AS term, c AS est_count, CAST(rank AS BIGINT) AS rank
-        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+
+    // Exact positional phrase search ("table scan", quoted-query
+    // semantics): adjacency over positional postings, overlapping matches
+    // counted, distributed top-k rank. The oracle replays the identical
+    // postings self-join with the same (n desc, doc) tie order.
+    "x94_phrase_search" -> sql(
+      (s, dir) =>
+        Vocabulary.phraseSearch(Tables.documents(s, dir), "text", "doc_id",
+          phrase = Seq("table", "scan"), k = 20)
+          .select(col("doc"), col("n_matches"), col("rank"))
+          .orderBy("rank"),
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t0),
+        |post AS (SELECT doc_id, pos, toks[pos] AS term FROM p),
+        |m AS (
+        |  SELECT a.doc_id, count(*) AS n_matches
+        |  FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'table' AND b.term = 'scan'
+        |  GROUP BY 1),
+        |rk AS (SELECT doc_id, n_matches,
+        |    row_number() OVER (ORDER BY n_matches DESC, doc_id) AS rank
+        |  FROM m)
+        |SELECT doc_id AS doc, n_matches, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)
   )
 }

@@ -3328,6 +3328,48 @@ object OperatorQueries {
         |    row_number() OVER (ORDER BY n_matches DESC, doc_id) AS rank
         |  FROM m)
         |SELECT doc_id AS doc, n_matches, CAST(rank AS BIGINT) AS rank
-        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    // Tokenizer fertility per language — the budget planner's table:
+    // subword (BPE-regex) tokens per whitespace word, chars per subword
+    // token, and byte volume, per lang. A pure one-agg projection (the
+    // kernels are the shared x02/x10 counters), oracle replays the GPT-2
+    // pre-tokenizer regex in DuckDB like x10 does.
+    "x95_lang_fertility" -> sql(
+      (s, dir) => {
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+            TextAnalysis.tokenCountBpe(col("text")).as("bpe"),
+            length(col("text")).cast("long").as("ch"),
+            expr("octet_length(text)").cast("long").as("nby"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ws").as("n_ws_tokens"),
+            sum("bpe").as("n_bpe_tokens"),
+            sum("ch").as("n_chars"),
+            sum("nby").as("n_bytes"),
+            rnd4(sum(col("ch")) / sum(col("bpe"))).as("chars_per_bpe_token"),
+            rnd4(sum(col("bpe")) / sum(col("ws"))).as("fertility"))
+          .orderBy("lang")
+      },
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS ws,
+        |    len(regexp_extract_all(text,
+        |      '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS bpe,
+        |    length(text) AS ch,
+        |    strlen(text) AS nby
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars,
+        |  CAST(sum(nby) AS BIGINT) AS n_bytes,
+        |  floor(sum(ch)::DOUBLE / sum(bpe) * 10000 + 0.5) / 10000 AS chars_per_bpe_token,
+        |  floor(sum(bpe)::DOUBLE / sum(ws) * 10000 + 0.5) / 10000 AS fertility
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

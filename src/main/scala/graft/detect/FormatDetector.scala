@@ -99,8 +99,28 @@ object FormatDetector {
     "(?i)^.*\\b(janvier|f[ée]vrier|mars|avril|mai|juin|juillet|ao[ûu]t|" +
       "septembre|octobre|novembre|d[ée]cembre)\\b.*$"
 
+  /** French weekday / month-name value sets (public calendar vocabulary;
+    * csv-detective's jour_de_la_semaine / mois_de_annee detections). */
+  private val frWeekdays =
+    Seq("lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche")
+  private val frMonths =
+    Seq("janvier", "février", "fevrier", "mars", "avril", "mai", "juin",
+      "juillet", "août", "aout", "septembre", "octobre", "novembre",
+      "décembre", "decembre")
+
+  /** Boolean word set (csv-detective's booleen detection: French + English
+    * word forms; bare 0/1 stays an int column, not a boolean). */
+  private val boolWords =
+    Seq("oui", "non", "vrai", "faux", "true", "false", "yes", "no", "y", "n", "o")
+
   /** Candidate formats, most specific (smallest value set) first. */
   val formats: Seq[FormatSpec] = Seq(
+    FormatSpec("jour_de_la_semaine", "string", 97,
+      t => lower(t).isin(frWeekdays: _*)),
+    FormatSpec("mois_de_annee", "string", 95,
+      t => lower(t).isin(frMonths: _*)),
+    FormatSpec("booleen", "string", 93,
+      t => lower(t).isin(boolWords: _*)),
     FormatSpec("code_region", "string", 90,
       t => t.isin(regionCodes: _*)),
     FormatSpec("code_csp", "string", 85,
@@ -115,6 +135,15 @@ object FormatDetector {
       t => t.rlike("^[0-9]{9}$") && luhnValid(t)),
     FormatSpec("siret", "string", 70,
       t => t.rlike("^[0-9]{14}$") && luhnValid(t)),
+    FormatSpec("uuid", "string", 68,
+      t => t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
+    FormatSpec("mongo_object_id", "string", 66,
+      t => t.rlike("^[0-9a-f]{24}$")),
+    FormatSpec("year", "int", 55,
+      // 4-digit Gregorian years of the record-keeping era (1000–2099);
+      // disjoint from code_postal/commune by digit count
+      t => t.rlike("^(1[0-9]{3}|20[0-9]{2})$")),
     FormatSpec("code_postal", "string", 60,
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$")),
     FormatSpec("code_commune_insee", "string", 50,

@@ -2432,7 +2432,21 @@ object OperatorQueries {
           // Feb 29 of a non-leap year: the regex gate passes, the PARSER
           // must reject — the analytic oracle expects ZERO matches
           concat(lit("29 février "), (lit(2021) + (k % 2) * 2).cast("string"))
-            .as("dbad"))
+            .as("dbad"),
+          // round-7 long tail: uuid / mongo id from md5 (replays exactly),
+          // 4-digit years, boolean words, French weekday / month names
+          concat(substring(md5(k.cast("string")), 1, 8), lit("-"),
+            substring(md5(k.cast("string")), 9, 4), lit("-"),
+            substring(md5(k.cast("string")), 13, 4), lit("-"),
+            substring(md5(k.cast("string")), 17, 4), lit("-"),
+            substring(md5(k.cast("string")), 21, 12)).as("uid"),
+          substring(md5(k.cast("string")), 1, 24).as("oid"),
+          (lit(1900) + k % 200).cast("string").as("yr"),
+          element_at(typedlit(Seq("oui", "non", "vrai", "faux", "TRUE", "False")),
+            (k % 6 + 1).cast("int")).as("bw"),
+          element_at(typedlit(Seq("Lundi", "mardi", "MERCREDI", "jeudi",
+            "vendredi", "samedi", "Dimanche")), (k % 7 + 1).cast("int")).as("wd"),
+          element_at(frMonths, (k % 12 + 1).cast("int")).as("mo"))
         val pairs = Seq(
           "cp" -> "code_postal", "cp" -> "code_commune_insee",
           "cp" -> "code_departement", "dep" -> "code_departement",
@@ -2442,7 +2456,13 @@ object OperatorQueries {
           "ape" -> "insee_ape", "ape" -> "siren",
           "csp" -> "code_csp", "csp" -> "code_departement",
           "dep" -> "code_csp",
-          "dfr" -> "date_fr", "dbad" -> "date_fr")
+          "dfr" -> "date_fr", "dbad" -> "date_fr",
+          "uid" -> "uuid", "uid" -> "mongo_object_id",
+          "oid" -> "mongo_object_id", "oid" -> "uuid",
+          "yr" -> "year", "yr" -> "code_postal",
+          "bw" -> "booleen", "bw" -> "jour_de_la_semaine",
+          "wd" -> "jour_de_la_semaine", "wd" -> "mois_de_annee",
+          "mo" -> "mois_de_annee", "mo" -> "date_fr")
         val preds = FormatDetector.formats.map(f => f.name -> f.pred).toMap
         val aggs = pairs.map { case (cn, fn) =>
           sum(when(preds(fn)(trim(col(cn))), 1L).otherwise(0L)).as(s"${cn}__$fn")
@@ -2489,7 +2509,19 @@ object OperatorQueries {
         |    CAST(k % 28 + 1 AS VARCHAR) || ' ' ||
         |      (['janvier','février','mars','avril','mai','juin','juillet','août',
         |        'septembre','octobre','novembre','décembre'])[CAST(k % 12 + 1 AS INT)]
-        |      || ' ' || CAST(1990 + k % 40 AS VARCHAR) AS dfr
+        |      || ' ' || CAST(1990 + k % 40 AS VARCHAR) AS dfr,
+        |    substr(md5(CAST(k AS VARCHAR)), 1, 8) || '-' ||
+        |      substr(md5(CAST(k AS VARCHAR)), 9, 4) || '-' ||
+        |      substr(md5(CAST(k AS VARCHAR)), 13, 4) || '-' ||
+        |      substr(md5(CAST(k AS VARCHAR)), 17, 4) || '-' ||
+        |      substr(md5(CAST(k AS VARCHAR)), 21, 12) AS uid,
+        |    substr(md5(CAST(k AS VARCHAR)), 1, 24) AS oid,
+        |    CAST(1900 + k % 200 AS VARCHAR) AS yr,
+        |    (['oui','non','vrai','faux','TRUE','False'])[CAST(k % 6 + 1 AS INT)] AS bw,
+        |    (['Lundi','mardi','MERCREDI','jeudi','vendredi','samedi','Dimanche'])
+        |      [CAST(k % 7 + 1 AS INT)] AS wd,
+        |    (['janvier','février','mars','avril','mai','juin','juillet','août',
+        |      'septembre','octobre','novembre','décembre'])[CAST(k % 12 + 1 AS INT)] AS mo
         |  FROM luhn),
         |m AS (
         |  SELECT
@@ -2534,7 +2566,25 @@ object OperatorQueries {
         |    -- constructed valid (day<=28, real month, 1990-2029) so every
         |    -- row must parse; dbad is Feb 29 of a non-leap year so none may
         |    count(*) AS dfr__date_fr,
-        |    0 AS dbad__date_fr
+        |    0 AS dbad__date_fr,
+        |    count(*) FILTER (regexp_matches(uid,
+        |      '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')) AS uid__uuid,
+        |    count(*) FILTER (regexp_matches(uid, '^[0-9a-f]{24}$')) AS uid__mongo_object_id,
+        |    count(*) FILTER (regexp_matches(oid, '^[0-9a-f]{24}$')) AS oid__mongo_object_id,
+        |    count(*) FILTER (regexp_matches(oid,
+        |      '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')) AS oid__uuid,
+        |    count(*) FILTER (regexp_matches(yr, '^(1[0-9]{3}|20[0-9]{2})$')) AS yr__year,
+        |    count(*) FILTER (regexp_matches(yr, '^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$')) AS yr__code_postal,
+        |    count(*) FILTER (lower(bw) IN ('oui','non','vrai','faux','true','false','yes','no','y','n','o')) AS bw__booleen,
+        |    count(*) FILTER (lower(bw) IN ('lundi','mardi','mercredi','jeudi','vendredi','samedi','dimanche')) AS bw__jour_de_la_semaine,
+        |    count(*) FILTER (lower(wd) IN ('lundi','mardi','mercredi','jeudi','vendredi','samedi','dimanche')) AS wd__jour_de_la_semaine,
+        |    count(*) FILTER (lower(wd) IN ('janvier','février','fevrier','mars','avril','mai','juin',
+        |      'juillet','août','aout','septembre','octobre','novembre','décembre','decembre')) AS wd__mois_de_annee,
+        |    count(*) FILTER (lower(mo) IN ('janvier','février','fevrier','mars','avril','mai','juin',
+        |      'juillet','août','aout','septembre','octobre','novembre','décembre','decembre')) AS mo__mois_de_annee,
+        |    -- bare month names carry no 4-digit year, so the parser-backed
+        |    -- date_fr vote rejects every row (gate passes, parse fails)
+        |    0 AS mo__date_fr
         |  FROM syn)
         |SELECT col_name, fmt, n_match FROM (
         |  SELECT 'cp' AS col_name, 'code_postal' AS fmt, cp__code_postal AS n_match FROM m
@@ -2555,7 +2605,19 @@ object OperatorQueries {
         |  UNION ALL SELECT 'csp', 'code_departement', csp__code_departement FROM m
         |  UNION ALL SELECT 'dep', 'code_csp', dep__code_csp FROM m
         |  UNION ALL SELECT 'dfr', 'date_fr', dfr__date_fr FROM m
-        |  UNION ALL SELECT 'dbad', 'date_fr', dbad__date_fr FROM m)
+        |  UNION ALL SELECT 'dbad', 'date_fr', dbad__date_fr FROM m
+        |  UNION ALL SELECT 'uid', 'uuid', uid__uuid FROM m
+        |  UNION ALL SELECT 'uid', 'mongo_object_id', uid__mongo_object_id FROM m
+        |  UNION ALL SELECT 'oid', 'mongo_object_id', oid__mongo_object_id FROM m
+        |  UNION ALL SELECT 'oid', 'uuid', oid__uuid FROM m
+        |  UNION ALL SELECT 'yr', 'year', yr__year FROM m
+        |  UNION ALL SELECT 'yr', 'code_postal', yr__code_postal FROM m
+        |  UNION ALL SELECT 'bw', 'booleen', bw__booleen FROM m
+        |  UNION ALL SELECT 'bw', 'jour_de_la_semaine', bw__jour_de_la_semaine FROM m
+        |  UNION ALL SELECT 'wd', 'jour_de_la_semaine', wd__jour_de_la_semaine FROM m
+        |  UNION ALL SELECT 'wd', 'mois_de_annee', wd__mois_de_annee FROM m
+        |  UNION ALL SELECT 'mo', 'mois_de_annee', mo__mois_de_annee FROM m
+        |  UNION ALL SELECT 'mo', 'date_fr', mo__date_fr FROM m)
         |ORDER BY col_name, fmt""".stripMargin),
 
     // Embedding-space snapshot drift (x72's embedding analog): per-label

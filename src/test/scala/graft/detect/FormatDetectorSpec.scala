@@ -139,4 +139,43 @@ class FormatDetectorSpec extends SparkSpec {
     assert(got("lat").pythonType == "float" && got("lat").format == "latitude_wgs", got.toString)
     assert(got("txt").pythonType == "string" && got("txt").format == "default", got.toString)
   }
+
+  test("uuid / mongo_object_id: hex shapes are disjoint; case rules differ") {
+    val df = Seq(
+      ("550e8400-e29b-41d4-A716-446655440000", "507f1f77bcf86cd799439011"),
+      ("123e4567-e89b-12d3-a456-426614174000", "0123456789abcdef01234567"))
+      .toDF("u", "m")
+    val got = FormatDetector.detect(df)
+    assert(got("u") == "uuid", got.toString)
+    assert(got("m") == "mongo_object_id", got.toString)
+    // uppercase hex breaks the (lowercase-only) mongo id rule
+    val up = Seq("507F1F77BCF86CD799439011").toDF("m2")
+    assert(FormatDetector.detect(up)("m2") == "default")
+  }
+
+  test("year: 4-digit era years, disjoint from 5-digit codes; int-compatible") {
+    val df = Seq(("1999", "75001"), ("2024", "01000"), ("1066", "98000"))
+      .toDF("y", "cp")
+    val got = FormatDetector.detect(df)
+    assert(got("y") == "year", got.toString)
+    assert(got("cp") == "code_postal", got.toString)
+    assert(FormatDetector.detect(Seq("0999", "2100").toDF("y2"))("y2") == "default")
+    val info = FormatDetector.inferWithFormats(df)
+    assert(info("y").pythonType == "int" && info("y").format == "year")
+  }
+
+  test("booleen / weekday / month-name value sets, case-insensitive") {
+    val df = Seq(
+      ("OUI", "Lundi", "AOÛT"),
+      ("non", "dimanche", "février"),
+      ("vrai", "MERCREDI", "janvier"))
+      .toDF("b", "w", "mn")
+    val got = FormatDetector.detect(df)
+    assert(got("b") == "booleen", got.toString)
+    assert(got("w") == "jour_de_la_semaine", got.toString)
+    assert(got("mn") == "mois_de_annee", got.toString)
+    // a bare month name must NOT pass the parser-backed date_fr vote
+    val rates = FormatDetector.matchRates(df)
+    assert(rates("mn")("date_fr") == 0.0, rates("mn").toString)
+  }
 }

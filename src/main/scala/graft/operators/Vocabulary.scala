@@ -195,7 +195,22 @@ object Vocabulary {
       .select(col("qid"), explode(split(lower(col("qtext")), "\\s+")).as("term"))
       .where(col("term") =!= "")
       .distinct()
+    bm25Rank(docs, textCol, idCol, qterms, k, k1, b, excludeSelf = false)
+  }
 
+  /** BM25 ranking core shared by bm25TopK (literal queries) and
+    * moreLikeThis (data-derived query terms): `qterms` is a metadata-sized
+    * (qid, term) frame that BROADCASTS into the postings explode, so
+    * shuffled volume tracks matched postings, never corpus tokens. */
+  private def bm25Rank(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      qterms: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      excludeSelf: Boolean): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol).as("doc"),
       size(tokens(col(textCol))).cast("double").as("dl"))
@@ -215,13 +230,50 @@ object Vocabulary {
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
           col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val base = if (excludeSelf) contrib.where(col("doc") =!= col("qid")) else contrib
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("doc"))
-    contrib
+    base
       .groupBy("qid", "doc")
       .agg(round(sum(col("__c")), 4).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("doc"), col("score"), col("rank"))
+  }
+
+  /** More-like-this retrieval (the classic Lucene MLT shape): the query is
+    * a DOCUMENT — its `nTerms` highest-tf·idf terms (rounded scores, term
+    * tie-break, so the selection is engine-stable) become a BM25 query
+    * against the corpus, the source document excluded from its own
+    * results.
+    *
+    * Scale shape: the query doc's term profile and the df lookup for just
+    * those terms are metadata-sized frames that broadcast; the corpus is
+    * touched by exactly the same pruned-postings BM25 core as x81. Nothing
+    * collects — the term selection stays a DataFrame end to end. */
+  def moreLikeThis(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryDocId: Long,
+      nTerms: Int = 8,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(nTerms >= 1 && k >= 1, "nTerms and k must be ≥ 1")
+    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+    val qtf = toks.where(col("doc") === queryDocId)
+      .groupBy("term").agg(count(lit(1)).cast("double").as("qf"))
+    val dfs = toks
+      .join(broadcast(qtf.select("term")), Seq("term"))
+      .groupBy("term").agg(count_distinct(col("doc")).cast("double").as("qdf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("qn"))
+    val top = qtf.join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("qf") * log(col("qn") / col("qdf")), 4))
+      .orderBy(desc("tfidf"), col("term"))
+      .limit(nTerms)
+      .select(lit(queryDocId).as("qid"), col("term"))
+    bm25Rank(docs, textCol, idCol, top, k, k1, b, excludeSelf = true)
   }
 
   /** Exact positional phrase search — the quoted-query counterpart of

@@ -3432,6 +3432,60 @@ object OperatorQueries {
         |  CAST(sum(nby) AS BIGINT) AS n_bytes,
         |  floor(sum(ch)::DOUBLE / sum(bpe) * 10000 + 0.5) / 10000 AS chars_per_bpe_token,
         |  floor(sum(bpe)::DOUBLE / sum(ws) * 10000 + 0.5) / 10000 AS fertility
-        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // More-like-this retrieval: document 7's six highest-tf·idf terms
+    // (rounded scores + term tie-break, so both engines select the same
+    // set) become a BM25 query against the corpus, self excluded — the
+    // Lucene MLT shape on the x81 scoring core. The derived term profile
+    // stays a broadcast DataFrame end to end; nothing collects.
+    "x96_more_like_this" -> sql(
+      (s, dir) =>
+        Vocabulary.moreLikeThis(Tables.documents(s, dir), "text", "doc_id",
+          queryDocId = 7L, nTerms = 6, k = 15)
+          .orderBy("rank"),
+      """WITH dl AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |qdf AS (SELECT term, CAST(count(DISTINCT doc) AS DOUBLE) AS qdf
+        |  FROM toks GROUP BY 1),
+        |q AS (
+        |  SELECT CAST(7 AS BIGINT) AS qid, term FROM (
+        |    SELECT t.term,
+        |      round(CAST(count(*) AS DOUBLE) *
+        |        ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / any_value(qdf.qdf)), 4) AS tfidf
+        |    FROM toks t JOIN qdf USING (term)
+        |    WHERE t.doc = 7
+        |    GROUP BY t.term
+        |    ORDER BY tfidf DESC, t.term LIMIT 6)),
+        |tf AS (
+        |  SELECT t.doc, t.term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+        |  GROUP BY 1, 2),
+        |wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+        |  FROM tf),
+        |sc AS (
+        |  SELECT q.qid, w.doc,
+        |    round(sum(ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5)) * w.tf * 2.2 /
+        |      (w.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM wdf w
+        |  JOIN q ON q.term = w.term
+        |  JOIN dl ON dl.doc = w.doc
+        |  CROSS JOIN stats s
+        |  WHERE w.doc <> q.qid
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, doc, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+        |  FROM sc)
+        |SELECT qid, doc, score, rank FROM r WHERE rank <= 15
+        |ORDER BY rank""".stripMargin)
   )
 }

@@ -72,4 +72,29 @@ class PhraseSearchSpec extends SparkSpec {
     assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
       "scan must read only (doc_id, text)")
   }
+
+  // --- moreLikeThis ---------------------------------------------------------
+
+  test("moreLikeThis: query doc's distinctive terms retrieve its neighbors, self excluded") {
+    // doc 1's distinctive vocabulary is (zebra, quagga): common filler
+    // words carry ln(N/df)=0 idf, so the tf-idf selection must pick the
+    // rare terms and rank doc 2 (both rare terms) above doc 3 (one)
+    val df = docs(
+      1L -> "the the zebra quagga the",
+      2L -> "the zebra quagga runs",
+      3L -> "the zebra alone here",
+      4L -> "the common words only")
+    val out = Vocabulary.moreLikeThis(df, "text", "doc_id",
+      queryDocId = 1L, nTerms = 2, k = 10)
+      .select("doc", "rank").collect()
+    assert(!out.exists(_.getLong(0) == 1L), "query doc must be excluded")
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      s"expected neighbors (2 then 3), got ${out.toSeq}")
+  }
+
+  test("moreLikeThis: unknown doc id or a doc sharing no terms → empty, not an error") {
+    val df = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    assert(Vocabulary.moreLikeThis(df, "text", "doc_id", 99L).isEmpty)
+    assert(Vocabulary.moreLikeThis(df, "text", "doc_id", 1L).isEmpty)
+  }
 }

@@ -821,6 +821,61 @@ object Similarity {
           roundTo).as("cos_shift"))
   }
 
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985) —
+    * the diverse-subset selection step of data-curation recipes: start
+    * from the lowest-id vector, then repeatedly add the point FARTHEST
+    * (squared L2) from the already-selected set. The classic 2-approximation
+    * to the k-center objective, and the deterministic traversal makes it
+    * SQL-replayable (tie-break: distance desc, id asc).
+    *
+    * Scale shape: k rounds, each ONE distributed pass — the running
+    * min-distance-to-set needs only the LATEST center (least() against the
+    * previous round's column), evaluated by the codegen'd graft_l2sq
+    * kernel against a broadcast literal; the argmax is a distributed
+    * TakeOrdered(1). The only driver state is the k selected vectors
+    * (k × dim doubles — metadata-sized, the pivotMatrix precedent).
+    * For k beyond tens, compose with IVF cells instead of raising k here.
+    */
+  def kCenterCoreset(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "kCenterCoreset: k must be in [1, 64] " +
+      "(driver holds k vectors; larger coresets should go through IVF blocking)")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val seedRow = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(1).collect()
+    if (seedRow.isEmpty) return Seq.empty[(Long, Long, Double)]
+      .toDF("rank", "vec_id", "dist_sq")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Number](1).map(_.doubleValue())
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (seedRow.head.getLong(0), vecOf(seedRow.head), 0.0))
+
+    // running min-dist frame, rebuilt each round with ONE more least() arm
+    var frame = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__d", call_function("graft_l2sq", col("__v"),
+        typedlit(selected.head._2)))
+      .where(col("vec_id") =!= selected.head._1)
+    for (_ <- 1 until k) {
+      val next = frame.orderBy(desc("__d"), col("vec_id")).limit(1).collect()
+      if (next.nonEmpty) {
+        val id = next.head.getLong(0)
+        val v = next.head.getSeq[Number](1).map(_.doubleValue())
+        selected += ((id, v, next.head.getDouble(2)))
+        frame = frame.where(col("vec_id") =!= id)
+          .withColumn("__d",
+            least(col("__d"), call_function("graft_l2sq", col("__v"), typedlit(v))))
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toSeq.toDF("rank", "vec_id", "dist_sq")
+  }
+
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))

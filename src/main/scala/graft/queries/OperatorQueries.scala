@@ -3486,6 +3486,46 @@ object OperatorQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
         |  FROM sc)
         |SELECT qid, doc, score, rank FROM r WHERE rank <= 15
-        |ORDER BY rank""".stripMargin)
+        |ORDER BY rank""".stripMargin),
+
+    // Greedy k-center coreset (Gonzalez farthest-point traversal) — the
+    // diverse-subset selection op. Every round is pure deterministic IEEE
+    // arithmetic (index-ordered l2 fold + least() chain, ties on id), so
+    // the oracle unrolls the k rounds as chained CTEs (the x40 pattern)
+    // and both engines agree on every selected id AND its raw distance.
+    "x97_kcenter_coreset" -> sql(
+      (s, dir) =>
+        Similarity.kCenterCoreset(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 6)
+          .orderBy("rank"),
+      kcenterOracle(6)),
   )
+
+  /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r
+    * selects argmax(dist desc, id) from d{r-1} and d{r} takes least() with
+    * the distance to the new center — the identical fold/nesting order the
+    * Spark rounds evaluate, so raw doubles compare bit-for-bit. */
+  private def kcenterOracle(k: Int): String = {
+    def l2(e: String, c: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($e.embedding)), i -> " +
+        s"($e.embedding[i]::DOUBLE - $c.embedding[i]::DOUBLE) * " +
+        s"($e.embedding[i]::DOUBLE - $c.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    val head =
+      """WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+        |d0 AS (
+        |  SELECT e.vec_id, e.embedding, """.stripMargin + l2("e", "c0") + """ AS d
+        |  FROM embeddings e CROSS JOIN c0 WHERE e.vec_id <> c0.vec_id)""".stripMargin
+    val rounds = (1 until k).map { r =>
+      s"""s$r AS (SELECT vec_id, embedding, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1),
+         |d$r AS (
+         |  SELECT p.vec_id, p.embedding, least(p.d, ${l2("p", s"s$r")}) AS d
+         |  FROM d${r - 1} p CROSS JOIN s$r WHERE p.vec_id <> s$r.vec_id)""".stripMargin
+    }
+    val selects =
+      "SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(0.0 AS DOUBLE) AS dist_sq FROM c0" +:
+        (1 until k).map(r =>
+          s"SELECT CAST(${r + 1} AS BIGINT), vec_id, d FROM s$r")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL ") + "\nORDER BY rank"
+  }
 }

@@ -118,4 +118,85 @@ object CorpusStats {
       .withColumn("vocab_size", sum(col("new_terms")).over(w))
       .select("bucket", "n_docs", "new_terms", "vocab_size")
   }
+
+  /** Heaps'-law fit over the vocabulary-growth curve — V(n) = K·n^β by
+    * ordinary least squares on (ln cumulative-tokens, ln vocab) across the
+    * x66 buckets, plus the extrapolated vocabulary at `extrapolateFactor`×
+    * the current token count. That extrapolation is the 100 TB planning
+    * number this report exists for: what vocabulary (hash-table sizes,
+    * sketch capacities, tokenizer coverage) to expect at target scale from
+    * a small-corpus measurement.
+    *
+    * Determinism: the ≤ nBuckets fit points collapse to ONE ordered array
+    * (array_sort over bucket) and every OLS sum is a left fold over that
+    * array — aggregation order is pinned, so both engines run the same
+    * IEEE sequence and only the ln() ulps differ (absorbed by the rounded
+    * outputs, the x33 convention). */
+  def heapsLawFit(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 10,
+      extrapolateFactor: Double = 100.0): DataFrame = {
+    require(nBuckets >= 2, "a regression needs ≥ 2 buckets")
+    val buckets = Curriculum.difficultyBuckets(
+      docs.select(col(idCol).as("__id")), "__id", "__id", nBuckets)
+    val toks = docs.select(col(idCol).as("__id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+    val bTok = toks.join(buckets, Seq("__id"))
+      .groupBy("bucket").agg(sum(col("__n")).as("__bt"))
+    val firstSeen = docs
+      .select(col(idCol).as("__id"), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(min(col("__id")).as("__fid"))
+    val bNew = firstSeen
+      .join(buckets.select(col("__id").as("__fid"), col("bucket")), Seq("__fid"))
+      .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = bTok.join(bNew, Seq("bucket"), "left")
+      .withColumn("__bn", coalesce(col("__bn"), lit(0L)))
+      .select(col("bucket"),
+        sum(col("__bt")).over(w).as("__ct"),
+        sum(col("__bn")).over(w).as("__vb"))
+      .where(col("__ct") > 0 && col("__vb") > 0)
+
+    val pts = curve.agg(array_sort(collect_list(struct(
+      col("bucket"),
+      log(col("__ct").cast("double")).as("lx"),
+      log(col("__vb").cast("double")).as("ly"),
+      col("__ct"), col("__vb")))).as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0.0d), (acc, p) => acc + f(p))
+    val sums = pts.select(
+      size(col("a")).cast("double").as("np"),
+      fold(_.getField("lx")).as("sx"),
+      fold(_.getField("ly")).as("sy"),
+      fold(p => p.getField("lx") * p.getField("ly")).as("sxy"),
+      fold(p => p.getField("lx") * p.getField("lx")).as("sxx"),
+      fold(p => p.getField("ly") * p.getField("ly")).as("syy"),
+      when(size(col("a")) > 0, element_at(col("a"), -1).getField("__ct"))
+        .as("tokens_now"),
+      when(size(col("a")) > 0, element_at(col("a"), -1).getField("__vb"))
+        .as("vocab_now"))
+    val beta = (col("np") * col("sxy") - col("sx") * col("sy")) /
+      (col("np") * col("sxx") - col("sx") * col("sx"))
+    val lnk = (col("sy") - beta * col("sx")) / col("np")
+    val r2num = col("np") * col("sxy") - col("sx") * col("sy")
+    val r2 = (r2num * r2num) /
+      ((col("np") * col("sxx") - col("sx") * col("sx")) *
+        (col("np") * col("syy") - col("sy") * col("sy")))
+    // ANSI mode: guard the OLS divisions behind the point-count check
+    // (CaseWhen evaluates only the taken branch) — a degenerate curve
+    // yields nulls, never DIVIDE_BY_ZERO
+    val fittable = col("np") >= 2
+    sums.select(
+      col("np").cast("long").as("n_points"),
+      when(fittable, rnd4(beta)).as("beta"),
+      when(fittable, rnd4(exp(lnk))).as("k_coeff"),
+      when(fittable, rnd4(r2)).as("r2"),
+      col("tokens_now"), col("vocab_now"),
+      when(fittable, floor(exp(lnk + beta *
+        log(lit(extrapolateFactor) * col("tokens_now").cast("double"))) + 0.5)
+        .cast("long")).as("predicted_vocab_at_factor"))
+  }
 }

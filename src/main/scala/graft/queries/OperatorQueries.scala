@@ -3499,6 +3499,62 @@ object OperatorQueries {
           "vec_id", "embedding", k = 6)
           .orderBy("rank"),
       kcenterOracle(6)),
+
+    // Heaps'-law fit + 100× vocabulary extrapolation over the x66 growth
+    // curve — the scale-planning number (what vocab to size sketches and
+    // tokenizers for at target scale). The ≤10 fit points collapse into
+    // ONE bucket-ordered array and every OLS sum is a left fold over it,
+    // so aggregation order is pinned on both engines; ln() ulps land
+    // under the rounded outputs (x33's convention).
+    "x98_heaps_fit" -> sql(
+      (s, dir) =>
+        CorpusStats.heapsLawFit(Tables.documents(s, dir), "text", "doc_id",
+          nBuckets = 10, extrapolateFactor = 100.0),
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bk AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket FROM documents),
+        |btok AS (
+        |  SELECT bucket, sum(len(toks))::BIGINT AS bt
+        |  FROM t0 JOIN bk USING (doc_id) GROUP BY 1),
+        |fs AS (SELECT w, min(doc_id) AS fid
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t0) GROUP BY 1),
+        |bnew AS (SELECT bucket, count(*) AS bn
+        |  FROM fs JOIN bk ON fs.fid = bk.doc_id GROUP BY 1),
+        |curve AS (
+        |  SELECT b.bucket,
+        |    CAST(sum(bt) OVER (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+        |    CAST(sum(coalesce(bn, 0)) OVER (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vb
+        |  FROM btok b LEFT JOIN bnew USING (bucket)),
+        |pts AS (
+        |  SELECT list(struct_pack(lx := ln(ct::DOUBLE), ly := ln(vb::DOUBLE),
+        |      ct := ct, vb := vb) ORDER BY bucket) AS a
+        |  FROM curve WHERE ct > 0 AND vb > 0),
+        |sums AS (
+        |  SELECT len(a)::DOUBLE AS np,
+        |    list_reduce(list_prepend(0.0, list_transform(a, p -> p.lx)), (x, y) -> x + y) AS sx,
+        |    list_reduce(list_prepend(0.0, list_transform(a, p -> p.ly)), (x, y) -> x + y) AS sy,
+        |    list_reduce(list_prepend(0.0, list_transform(a, p -> p.lx * p.ly)), (x, y) -> x + y) AS sxy,
+        |    list_reduce(list_prepend(0.0, list_transform(a, p -> p.lx * p.lx)), (x, y) -> x + y) AS sxx,
+        |    list_reduce(list_prepend(0.0, list_transform(a, p -> p.ly * p.ly)), (x, y) -> x + y) AS syy,
+        |    a[len(a)].ct AS tokens_now,
+        |    a[len(a)].vb AS vocab_now
+        |  FROM pts),
+        |fit AS (
+        |  SELECT np, tokens_now, vocab_now,
+        |    (np * sxy - sx * sy) / (np * sxx - sx * sx) AS beta,
+        |    (sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / np AS lnk,
+        |    ((np * sxy - sx * sy) * (np * sxy - sx * sy)) /
+        |      ((np * sxx - sx * sx) * (np * syy - sy * sy)) AS r2
+        |  FROM sums)
+        |SELECT CAST(np AS BIGINT) AS n_points,
+        |  floor(beta * 10000 + 0.5) / 10000 AS beta,
+        |  floor(exp(lnk) * 10000 + 0.5) / 10000 AS k_coeff,
+        |  floor(r2 * 10000 + 0.5) / 10000 AS r2,
+        |  tokens_now, vocab_now,
+        |  CAST(floor(exp(lnk + beta * ln(100.0 * tokens_now::DOUBLE)) + 0.5) AS BIGINT)
+        |    AS predicted_vocab_at_factor
+        |FROM fit""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

@@ -526,4 +526,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "no sort-merge join against metadata-sized per-type stats")
   }
+
+  test("x93: the MG summary aggregates partially below the exchange — bounded partial state") {
+    // the whole point of graft_mg_topk vs exact counting: the map-side
+    // partial already holds ≤ capacity entries, so the exchange moves a
+    // constant per (group × partition), never the vocabulary
+    val plan = planOf("x93_mg_heavy_hitters").toString
+    assert(plan.contains("graft_mg_topk"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "TypedImperativeAggregate must run in an object aggregate")
+    assert(plan.contains("partial_"),
+      "no partial MG aggregation below the exchange")
+  }
+
+  test("x96: the derived query-term profile broadcasts; no sort-merge join anywhere") {
+    val nodes = flatten(planOf("x96_more_like_this"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the metadata-sized term profile must broadcast into the postings")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "MLT must never sort-merge against its own term profile")
+  }
 }

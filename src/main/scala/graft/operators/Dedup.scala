@@ -78,7 +78,13 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Whitespace word shingles of size k, distinct, lowercased. */
+  /** Whitespace word shingles of size k, distinct, lowercased.
+    *
+    * Spec-level reference only — hot paths use the graft_shingle_hashes
+    * kernel. CAUTION if reviving: `tokens` is re-evaluated PER LAMBDA
+    * ELEMENT here (a HOF lambda re-runs any outer non-column expression —
+    * the quadratic re-tokenization x87 hit); materialize the token array
+    * in its own projection before shingling at any real scale. */
   def shingles(textCol: Column, k: Int): Column = {
     val tokens = split(lower(trim(textCol)), "\\s+")
     array_distinct(

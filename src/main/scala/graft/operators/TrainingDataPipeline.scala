@@ -174,4 +174,44 @@ object TrainingDataPipeline {
     (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNear,
       totalTokens, afterRep, afterDecon, afterLm))
   }
+
+  /** The embedding-side curation pipeline — the x17/x37 composition story
+    * for the vector modality: (1) label-coherence trim (drop vectors whose
+    * cosine to their own label centroid falls below `minCosCentroid` —
+    * labeling-noise removal, x56's machinery), then (2) semantic dedup on
+    * the survivors (pivot-cell blocked pairs ≥ `dupThreshold`, connected
+    * components, keep the min-id representative — x42's machinery, pivots
+    * drawn from the TRIMMED corpus so the stages genuinely chain).
+    * Returns the per-label funnel: n_total → n_after_trim → n_after_dedup.
+    *
+    * Scale shape inherits from the composed parts: one corpus scan for the
+    * broadcast centroid grid, cell-blocked Σcell² candidate pairs (never
+    * all-pairs), pointer-jumped components, and the funnel as three
+    * label-keyed map-side-combining aggregations. */
+  def curateEmbeddings(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      minCosCentroid: Double = 0.0,
+      dupThreshold: Double = 0.35,
+      nCells: Int = 16,
+      seed: String = "v1",
+      passes: Int = 2): DataFrame = {
+    val cos = Similarity.labelCentroidCosines(emb, idCol, vecCol, labelCol)
+    val keptIds = cos.where(col("cos_centroid") >= minCosCentroid).select(col(idCol))
+    val kept = emb.join(keptIds, Seq(idCol), "left_semi")
+    val clusters = Similarity.semanticDupClustersPivots(
+      kept, idCol, vecCol, dupThreshold, nCells, seed, passes)
+    val dropped = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val surviving = kept.join(dropped, Seq(idCol), "left_anti")
+    val t0 = emb.groupBy(labelCol).agg(count(lit(1)).as("n_total"))
+    val t1 = kept.groupBy(labelCol).agg(count(lit(1)).as("__t1"))
+    val t2 = surviving.groupBy(labelCol).agg(count(lit(1)).as("__t2"))
+    t0.join(t1, Seq(labelCol), "left").join(t2, Seq(labelCol), "left")
+      .select(col(labelCol), col("n_total"),
+        coalesce(col("__t1"), lit(0L)).as("n_after_trim"),
+        coalesce(col("__t2"), lit(0L)).as("n_after_dedup"))
+  }
 }

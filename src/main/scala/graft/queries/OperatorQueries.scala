@@ -3506,6 +3506,79 @@ object OperatorQueries {
     // ONE bucket-ordered array and every OLS sum is a left fold over it,
     // so aggregation order is pinned on both engines; ln() ulps land
     // under the rounded outputs (x33's convention).
+    // Embedding-side curation flagship (the x17/x37 composition story for
+    // the vector modality): label-coherence trim on the ROUNDED x56
+    // cosines, then x42's pivot-cell semantic dedup over the TRIMMED
+    // corpus (pivots drawn post-trim — the stages genuinely chain), keep
+    // min-id representatives, report the per-label funnel. The oracle
+    // replays the entire chain: centroid grid, rounded-cosine filter,
+    // per-pass pivot draw over the trimmed set, cell blocking, exact
+    // cosine pairs, recursive-CTE components, and the three counts.
+    "x99_embedding_curation" -> sql(
+      (s, dir) =>
+        TrainingDataPipeline.curateEmbeddings(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label",
+          minCosCentroid = 0.0, dupThreshold = 0.35,
+          nCells = 16, seed = "v1", passes = 2)
+          .orderBy("label"),
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, round(avg(v), 6) AS c FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM c GROUP BY label),
+        |cosv AS (
+        |  SELECT vec_id, e.label, e.embedding,
+        |    round(list_dot_product(e.embedding::DOUBLE[], ce) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(ce, ce))), 4) AS cc
+        |  FROM embeddings e JOIN cent USING (label)),
+        |emb AS (SELECT vec_id, embedding, label FROM cosv WHERE cc >= 0.0),
+        |pass AS (SELECT unnest(generate_series(0, 1)) AS p),
+        |pv AS (
+        |  SELECT pass.p, vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (PARTITION BY pass.p
+        |      ORDER BY md5('v1:' || CAST(pass.p AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)),
+        |        vec_id) - 1 AS cell
+        |  FROM emb CROSS JOIN pass),
+        |piv AS (SELECT p, pid, pvec, cell FROM pv WHERE cell < 16),
+        |asg AS (
+        |  SELECT pv2.p, e.vec_id, e.embedding, pv2.cell,
+        |    row_number() OVER (PARTITION BY pv2.p, e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - pv2.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - pv2.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), pv2.cell) AS rn
+        |  FROM emb e CROSS JOIN piv pv2),
+        |cells AS (SELECT p, vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cells a JOIN cells b ON a.p = b.p AND a.cell = b.cell
+        |    AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+        |clusters AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |dropped AS (SELECT id FROM clusters WHERE id <> cluster),
+        |surv AS (SELECT * FROM emb WHERE vec_id NOT IN (SELECT id FROM dropped)),
+        |t0 AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY 1),
+        |t1 AS (SELECT label, count(*) AS n1 FROM emb GROUP BY 1),
+        |t2 AS (SELECT label, count(*) AS n2 FROM surv GROUP BY 1)
+        |SELECT t0.label, n_total,
+        |  coalesce(n1, 0) AS n_after_trim,
+        |  coalesce(n2, 0) AS n_after_dedup
+        |FROM t0 LEFT JOIN t1 USING (label) LEFT JOIN t2 USING (label)
+        |ORDER BY t0.label""".stripMargin),
+
     "x98_heaps_fit" -> sql(
       (s, dir) =>
         CorpusStats.heapsLawFit(Tables.documents(s, dir), "text", "doc_id",

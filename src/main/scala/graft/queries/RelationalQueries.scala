@@ -1083,6 +1083,46 @@ object RelationalQueries {
         |  floor(any_value(md) * 10000 + 0.5) / 10000 AS mad,
         |  count(*) FILTER (WHERE abs(e."value" - m2) > md * 3.0) AS n_outliers
         |FROM events e JOIN mad USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
+    // Beyond-reference: week-over-week trend report — the classic
+    // period-comparison pattern (one keyed exchange for the weekly
+    // rollup, then a lag window over the tiny type×week frame). The pct
+    // change divides exact long sums only at the rounded output, and
+    // weeks are integer epoch divisions of epoch-µs, so bucket boundaries
+    // cannot disagree between engines.
+    "d39_wow_change" -> sql(
+      (s, dir) => {
+        def rnd4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        val weekly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long").as("week"))
+          .agg(count(lit(1)).as("n_events"),
+            rnd4(sum(col("value"))).as("sum_value"))
+        val w = Window.partitionBy("event_type").orderBy("week")
+        weekly
+          .withColumn("__pn", lag(col("n_events"), 1).over(w))
+          .select(col("event_type"), col("week"), col("n_events"), col("sum_value"),
+            when(col("__pn").isNotNull && col("__pn") =!= 0,
+              rnd4((col("n_events") - col("__pn")).cast("double") / col("__pn")))
+              .as("wow_events_pct"))
+          .orderBy("event_type", "week")
+      },
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week,
+        |    count(*) AS n_events,
+        |    floor(sum("value") * 10000 + 0.5) / 10000 AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, week, n_events, sum_value,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS pn
+        |  FROM weekly)
+        |SELECT event_type, week, n_events, sum_value,
+        |  CASE WHEN pn IS NOT NULL AND pn <> 0
+        |    THEN floor((n_events - pn)::DOUBLE / pn * 10000 + 0.5) / 10000 END
+        |    AS wow_events_pct
+        |FROM lagged ORDER BY event_type, week""".stripMargin)
   )
 }

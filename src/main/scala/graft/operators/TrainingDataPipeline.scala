@@ -201,11 +201,18 @@ object TrainingDataPipeline {
     val cos = Similarity.labelCentroidCosines(emb, idCol, vecCol, labelCol)
     val keptIds = cos.where(col("cos_centroid") >= minCosCentroid).select(col(idCol))
     val kept = emb.join(keptIds, Seq(idCol), "left_semi")
-    val clusters = Similarity.semanticDupClustersPivots(
-      kept, idCol, vecCol, dupThreshold, nCells, seed, passes)
-    val dropped = clusters.where(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    val surviving = kept.join(dropped, Seq(idCol), "left_anti")
+    // the pivot quantizer refuses an empty corpus by contract; a fully
+    // trimmed (or empty) input short-circuits to an empty funnel instead
+    // — isEmpty is a LIMIT-1 probe, not a materialization
+    val surviving =
+      if (kept.isEmpty) kept
+      else {
+        val clusters = Similarity.semanticDupClustersPivots(
+          kept, idCol, vecCol, dupThreshold, nCells, seed, passes)
+        val dropped = clusters.where(col("id") =!= col("cluster"))
+          .select(col("id").as(idCol))
+        kept.join(dropped, Seq(idCol), "left_anti")
+      }
     val t0 = emb.groupBy(labelCol).agg(count(lit(1)).as("n_total"))
     val t1 = kept.groupBy(labelCol).agg(count(lit(1)).as("__t1"))
     val t2 = surviving.groupBy(labelCol).agg(count(lit(1)).as("__t2"))

@@ -172,4 +172,17 @@ class EmptyInputSpec extends SparkSpec {
         "vec_id", "embedding", "qid", "qvec", k = 3)
     }
   }
+
+  test("late round-7 additions: empty inputs → empty summaries/funnels") {
+    val noTerms = Seq.empty[(String, String)].toDF("grp", "term")
+    assert(Sketches.mgHeavyHitters(noTerms, col("term"), "grp",
+      capacity = 8, topK = 3).isEmpty)
+    val noLabeled = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val funnel = TrainingDataPipeline.curateEmbeddings(noLabeled,
+      "vec_id", "embedding", "label")
+    assert(funnel.isEmpty && funnel.columns.toSeq ==
+      Seq("label", "n_total", "n_after_trim", "n_after_dedup"))
+    Dedup.releaseCaches()
+  }
 }

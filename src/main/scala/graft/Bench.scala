@@ -146,6 +146,15 @@ object Bench {
     // a second, prefixed copy so any driver-side parser can grep one
     // unambiguous marker out of arbitrarily noisy sbt/log4j output
     println("BENCH_JSON: " + json)
+    // belt-and-braces for tail-truncating capture (BENCH_r07.json kept only
+    // the last ~2 KB of stdout, which beheads the 6 KB full-profile line and
+    // its marker): a COMPACT line, printed LAST, that always fits inside any
+    // sane tail window — a parser grepping the final BENCH_JSON marker gets
+    // a complete headline object; the full per-query profile lives in the
+    // first marker line and in the $outFile artifact
+    println("BENCH_JSON: " +
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"sf":"$sfDir","profile_file":"$outFile"}""")
     // the artifact must survive log-tail truncation (round 4 lost its
     // "total" line that way) — also write it to a file the round can keep
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -140,12 +140,12 @@ object FormatDetector {
         "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
     FormatSpec("mongo_object_id", "string", 66,
       t => t.rlike("^[0-9a-f]{24}$")),
+    FormatSpec("code_postal", "string", 60,
+      t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$")),
     FormatSpec("year", "int", 55,
       // 4-digit Gregorian years of the record-keeping era (1000–2099);
       // disjoint from code_postal/commune by digit count
       t => t.rlike("^(1[0-9]{3}|20[0-9]{2})$")),
-    FormatSpec("code_postal", "string", 60,
-      t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$")),
     FormatSpec("code_commune_insee", "string", 50,
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8]|2[AB])[0-9]{3}$")),
     FormatSpec("date_fr", "string", 45,

@@ -122,7 +122,12 @@ case class GraftMgTopK(
     while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
     java.util.Arrays.sort(entries, (a: (String, Long), b: (String, Long)) => {
       val c = java.lang.Long.compare(b._2, a._2)
-      if (c != 0) c else a._1.compareTo(b._1)
+      // Tie-break in UTF-8 binary order (SQL ORDER BY semantics), NOT
+      // String.compareTo's UTF-16 code-unit order — supplementary-plane
+      // characters sort differently between the two, and the DuckDB oracle
+      // replays this ordering.
+      if (c != 0) c
+      else UTF8String.fromString(a._1).binaryCompare(UTF8String.fromString(b._1))
     })
     val rows = new Array[Any](entries.length)
     i = 0

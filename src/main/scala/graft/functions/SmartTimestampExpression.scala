@@ -63,6 +63,17 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
     }
 
+  private def literalDouble(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+    }
+
   private def literalInt(e: Expression): Int =
     e.eval(null) match {
       case i: Int => i
@@ -186,7 +197,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => GraftKmvSketchAgg(args.head, literalInt(args(1)))),
     (new FunctionIdentifier("graft_mg_topk"),
       new ExpressionInfo(classOf[GraftMgTopK].getName, "graft_mg_topk"),
-      (args: Seq[Expression]) => GraftMgTopK(args.head, literalInt(args(1)))))
+      (args: Seq[Expression]) => GraftMgTopK(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_hist"),
+      new ExpressionInfo(classOf[GraftHistAgg].getName, "graft_hist"),
+      (args: Seq[Expression]) => GraftHistAgg(args.head,
+        literalDouble(args(1)), literalDouble(args(2)), literalInt(args(3)))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (ident, info, builder) =>

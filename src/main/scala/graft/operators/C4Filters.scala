@@ -50,6 +50,9 @@ object C4Filters {
       lineSep: String = "\n"): DataFrame = {
     require(minWordsPerLine >= 1 && minKeptLines >= 1,
       "minWordsPerLine and minKeptLines must be ≥ 1")
+    Seq("clean_text", "n_lines_total", "n_lines_kept", "has_bad_phrase",
+      "has_brace", "keep").foreach(r => require(!df.columns.contains(r),
+      s"c4Report appends output column $r which already exists on the input"))
     val lines: Column = split(col(textCol), java.util.regex.Pattern.quote(lineSep))
     val kept: Column = filter(lines, ln => lineKept(ln, minWordsPerLine))
     val lowered = lower(col(textCol))

@@ -36,7 +36,12 @@ object ParagraphDedup {
     * (cleaned_text, n_paras_kept, n_paras_dropped); paragraph identity is
     * the trimmed text (keyed by xxhash64 — a 64-bit collision would drop a
     * non-duplicate, odds ~ n²/2⁶⁵), and the rebuilt text joins trimmed
-    * paragraphs with `sep`. A document whose every paragraph lost comes
+    * paragraphs with `sep`. Zero-length trimmed segments (consecutive,
+    * leading, or trailing separators) are separator ARTIFACTS, not
+    * paragraphs: they are excluded from dedup, from both n_paras_* counts,
+    * and from the rebuilt text — otherwise every blank segment corpus-wide
+    * would collide on one hash and unrelated documents would trade
+    * "duplicate" blanks. A document whose every paragraph lost comes
     * back with empty text — the caller's min-length gate decides its fate. */
   def keepFirstParagraphs(
       df: DataFrame,
@@ -45,8 +50,10 @@ object ParagraphDedup {
       sep: String = "\n\n"): DataFrame = {
     reserved.foreach(r => require(!df.columns.contains(r),
       s"ParagraphDedup reserves helper column name $r"))
-    val paras: Column = transform(
-      split(col(textCol), java.util.regex.Pattern.quote(sep)), p => trim(p))
+    val paras: Column = filter(
+      transform(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)), p => trim(p)),
+      p => length(p) > 0)
 
     // (id, pos, hash) — text never leaves this projection.
     val occ = df

@@ -830,9 +830,15 @@ object Similarity {
     *
     * Scale shape: k rounds, each ONE distributed pass — the running
     * min-distance-to-set needs only the LATEST center (least() against the
-    * previous round's column), evaluated by the codegen'd graft_l2sq
-    * kernel against a broadcast literal; the argmax is a distributed
-    * TakeOrdered(1). The only driver state is the k selected vectors
+    * previous round's PERSISTED column), evaluated by the codegen'd
+    * graft_l2sq kernel against a broadcast literal; the argmax is a
+    * distributed TakeOrdered(1). Each round's (vec_id, __v, __d) frame is
+    * persisted and the previous round's cache released once the new one is
+    * materialized, so every row evaluates exactly ONE new kernel arm per
+    * round and the source is read from storage exactly once — without the
+    * persist the chained least() lineage re-evaluates all i accumulated
+    * arms AND re-reads the source every round (O(k²) kernel evaluations at
+    * the k = 64 ceiling). The only driver state is the k selected vectors
     * (k × dim doubles — metadata-sized, the pivotMatrix precedent).
     * For k beyond tens, compose with IVF cells instead of raising k here.
     */
@@ -854,27 +860,46 @@ object Similarity {
       r.getSeq[Number](1).map(_.doubleValue())
     val selected = scala.collection.mutable.ArrayBuffer(
       (seedRow.head.getLong(0), vecOf(seedRow.head), 0.0))
+    lastRoundPlans.clear()
 
-    // running min-dist frame, rebuilt each round with ONE more least() arm
+    // running min-dist frame: persisted each round, previous round's cache
+    // released only AFTER the new round materializes (the TakeOrdered
+    // collect computes every partition, so the unpersist never forces a
+    // recompute through a cold lineage)
     var frame = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .withColumn("__d", call_function("graft_l2sq", col("__v"),
         typedlit(selected.head._2)))
       .where(col("vec_id") =!= selected.head._1)
+    var prev: Option[DataFrame] = None
     for (_ <- 1 until k) {
-      val next = frame.orderBy(desc("__d"), col("vec_id")).limit(1).collect()
+      // capture the round's plan BEFORE persist: once this frame is
+      // cached, its own executedPlan re-resolves to an InMemoryTableScan
+      // of itself and the spec could no longer see the single new arm
+      lastRoundPlans += frame.queryExecution.executedPlan.toString()
+      val cur = frame.persist()
+      val next = cur.orderBy(desc("__d"), col("vec_id")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
       if (next.nonEmpty) {
         val id = next.head.getLong(0)
         val v = next.head.getSeq[Number](1).map(_.doubleValue())
         selected += ((id, v, next.head.getDouble(2)))
-        frame = frame.where(col("vec_id") =!= id)
+        frame = cur.where(col("vec_id") =!= id)
           .withColumn("__d",
             least(col("__d"), call_function("graft_l2sq", col("__v"), typedlit(v))))
       }
     }
+    prev.foreach(_.unpersist())
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toSeq.toDF("rank", "vec_id", "dist_sq")
   }
+
+  /** Physical plans of each kCenterCoreset round, captured for the spec
+    * that pins "one graft_l2sq arm per row per round above the cache
+    * boundary". Test observability only. */
+  private[graft] val lastRoundPlans =
+    scala.collection.mutable.ArrayBuffer.empty[String]
 
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))

@@ -23,6 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  // Cached sketch frames pinned by kmvOverlapEstimates — same contract as
+  // Dedup.releaseCaches: callers invoke releaseCaches() once the overlap
+  // result is materialized, so repeated invocations don't accumulate
+  // cached frames for the session lifetime.
+  private val trackedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Unpersist every cache pinned by kmvOverlapEstimates since the last
+    * release. Call after materializing the overlap result. */
+  def releaseCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) it.next().unpersist()
+    trackedCaches.clear()
+  }
+
   /** Four (multiplier, offset) pairs — splitmix64/murmur3 mixing constants,
     * all multipliers odd (bijective mod 2⁶⁴). Depth ≤ 4. Exposed to the
     * query pack so the DuckDB oracle replays the same family. */
@@ -226,8 +244,10 @@ object Sketches {
     // self-join: without this, BOTH join sides re-run the full sketch
     // aggregation — two complete corpus scans for a metadata-sized input
     // (measured 14.9 s → 7.5 s at sf0.1 on x87). The cache is bounded by
-    // nGroups·k doubles, the same budget as the sketches themselves.
-    val mat = sketches.cache()
+    // nGroups·k doubles, the same budget as the sketches themselves, and
+    // registered for releaseCaches() so callers can free it once the
+    // overlap result is materialized.
+    val mat = tracked(sketches.cache())
     mat.count()
     val a = mat.select(col("grp").as("source_a"), col("sk").as("__ska"))
     val b = mat.select(col("grp").as("source_b"), col("sk").as("__skb"))
@@ -291,6 +311,88 @@ object Sketches {
       .select(col("src"), kmvDraw(col("__sh")).as("__u"))
     kmvOverlapEstimates(
       kmvSketches(drawn, col("__u"), "src", k), k)
+  }
+
+  /** Robust-stats (median / MAD / Hampel outlier) report on BOUNDED state
+    * — the sketch twin of d38's exact-percentile MAD report, and the
+    * reason graft_hist exists: exact `percentile` buffers every value per
+    * group, which cannot stream and grows with the data; the fixed-grid
+    * histogram is nBins + 2 longs per group, period, so this exact
+    * pipeline runs unchanged as a Structured Streaming Complete-mode
+    * aggregation (StreamingMad — d38's streaming twin).
+    *
+    * Per group: n, med_est (grid lower median), mad_est (grid weighted
+    * median of |rep − med|), n_outliers_est (count in cells whose
+    * representative deviates > 3·MAD — Hampel's rule at grid resolution).
+    * Cell representatives: underflow → lo, cell i → lo + (i−½)·w,
+    * overflow → hi. Estimates are exact up to the grid width w and are
+    * INDEPENDENT of row order and partitioning — the property that gives
+    * batch/streaming bit-parity and a bit-exact DuckDB oracle (both
+    * engines walk identical binary64 reps over identical integer counts).
+    *
+    * Shape: ONE bounded-state aggregation touches the data; the quantile
+    * walks are pure projection over the (nBins + 2)-long array using
+    * nested HOFs — O(nBins²) arithmetic per GROUP (not per row), zero
+    * extra exchanges, no window functions (which Structured Streaming
+    * would reject after a stateful aggregation). */
+  def gridMadReport(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, "gridMadReport needs nBins >= 1")
+    require(lo < hi, "gridMadReport needs lo < hi")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = (hi - lo) / nBins
+    val idxs = sequence(lit(0), lit(nBins + 1))
+    def rep(i: Column): Column =
+      when(i === 0, lit(lo))
+        .when(i === nBins + 1, lit(hi))
+        .otherwise(lit(lo) + (i.cast("double") - lit(0.5)) * lit(w))
+    def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+    // med/mad/rank materialize as REAL columns stage by stage — a HOF
+    // lambda re-evaluates outer non-column expressions per element (the
+    // kmvSourceOverlap lesson), and the mad walk references med inside a
+    // doubly-nested lambda
+    df.select(col(groupCol).as("__grp"), col(valueCol).as("__v"))
+      .groupBy("__grp")
+      .agg(call_function("graft_hist", col("__v"), lit(lo), lit(hi), lit(nBins))
+        .as("__h"))
+      .withColumn("__n", aggregate(col("__h"), lit(0L), (a, x) => a + x))
+      // lower median rank: floor((n+1)/2) — exact in binary64 for any
+      // realistic n, and `(n + 1) // 2` in the DuckDB replay
+      .withColumn("__rank",
+        floor((col("__n").cast("double") + lit(1.0)) / lit(2.0)).cast("long"))
+      // med = min rep_j with prefix count ≥ rank (reps are idx-monotone,
+      // so the min IS the first crossing cell)
+      .withColumn("__med", array_min(filter(
+        transform(idxs, j =>
+          when(aggregate(slice(col("__h"), lit(1), (j + 1).cast("int")),
+            lit(0L), (a, x) => a + x) >= col("__rank"), rep(j))),
+        x => x.isNotNull)))
+      // mad = min dev_j such that the count of mass at dev ≤ dev_j ≥ rank
+      // (monotone in dev, so again the min is the crossing value; idx
+      // tie-breaks cannot change the VALUE selected)
+      .withColumn("__mad", array_min(filter(
+        transform(idxs, j =>
+          when(aggregate(idxs, lit(0L), (a, i) =>
+            a + when(abs(rep(i) - col("__med")) <= abs(rep(j) - col("__med")),
+              element_at(col("__h"), (i + 1).cast("int"))).otherwise(lit(0L)))
+            >= col("__rank"),
+            abs(rep(j) - col("__med")))),
+        x => x.isNotNull)))
+      .select(
+        col("__grp").as(groupCol),
+        col("__n").as("n"),
+        rnd4(col("__med")).as("med_est"),
+        rnd4(col("__mad")).as("mad_est"),
+        aggregate(idxs, lit(0L), (a, i) =>
+          a + when(abs(rep(i) - col("__med")) > col("__mad") * lit(3.0),
+            element_at(col("__h"), (i + 1).cast("int"))).otherwise(lit(0L)))
+          .as("n_outliers_est"))
   }
 
   /** Estimate-only KMV — the form whose WHOLE aggregation state is the

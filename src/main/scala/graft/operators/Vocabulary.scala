@@ -24,6 +24,37 @@ object Vocabulary {
   private def tokens(textCol: Column): Column =
     filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
 
+  // Token-array projections pinned by the BM25/MLT retrieval family —
+  // same contract as Dedup.releaseCaches: callers invoke releaseCaches()
+  // once the ranked result is materialized.
+  private val trackedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Unpersist every cache pinned by the retrieval family since the last
+    * release. Call after materializing the ranked result. */
+  def releaseCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) it.next().unpersist()
+    trackedCaches.clear()
+  }
+
+  /** ONE tokenization of the corpus, persisted as a (doc, token-array)
+    * projection: every retrieval consumer (query term profile, df lookup,
+    * postings, document length, corpus stats) derives from this cache by
+    * exploding / sizing the already-split arrays — without it the lazy
+    * lineage re-runs the split regex over the full corpus once per
+    * consumer (measured ~5 tokenization scans through x96's more-like-this
+    * before this cache). Cache size ≈ the postings themselves; released by
+    * releaseCaches() once the ranked result is materialized. */
+  private def tokenArrays(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    tracked(docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .persist())
+
   /** Corpus term statistics: one row per distinct term with
     * (term, tf = total occurrences, df = documents containing it).
     * Two aggregations fused in one pass: explode to (doc, term), then a
@@ -201,7 +232,10 @@ object Vocabulary {
   /** BM25 ranking core shared by bm25TopK (literal queries) and
     * moreLikeThis (data-derived query terms): `qterms` is a metadata-sized
     * (qid, term) frame that BROADCASTS into the postings explode, so
-    * shuffled volume tracks matched postings, never corpus tokens. */
+    * shuffled volume tracks matched postings, never corpus tokens.
+    * `tokArr` is the cached (doc, token-array) projection from
+    * tokenArrays — postings, document length and corpus stats all derive
+    * from it, so the corpus tokenizes exactly once per retrieval call. */
   private def bm25Rank(
       docs: DataFrame,
       textCol: String,
@@ -210,10 +244,18 @@ object Vocabulary {
       k: Int,
       k1: Double,
       b: Double,
+      excludeSelf: Boolean): DataFrame =
+    bm25RankCore(tokenArrays(docs, textCol, idCol), qterms, k, k1, b, excludeSelf)
+
+  private def bm25RankCore(
+      tokArr: DataFrame,
+      qterms: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
       excludeSelf: Boolean): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
-    val dl = docs.select(col(idCol).as("doc"),
-      size(tokens(col(textCol))).cast("double").as("dl"))
+    val toks = tokArr.select(col("doc"), explode(col("__t")).as("term"))
+    val dl = tokArr.select(col("doc"), size(col("__t")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
 
     val tf = toks
@@ -248,8 +290,12 @@ object Vocabulary {
     *
     * Scale shape: the query doc's term profile and the df lookup for just
     * those terms are metadata-sized frames that broadcast; the corpus is
-    * touched by exactly the same pruned-postings BM25 core as x81. Nothing
-    * collects — the term selection stays a DataFrame end to end. */
+    * touched by exactly the same pruned-postings BM25 core as x81, and the
+    * corpus tokenizes exactly ONCE — the cached tokenArrays projection
+    * feeds the term profile, the df lookup, AND the BM25 core (postings,
+    * dl, stats), where the naive lineage re-tokenized the corpus ~5×.
+    * Nothing collects — the term selection stays a DataFrame end to end.
+    * Call releaseCaches() once the result is materialized. */
   def moreLikeThis(
       docs: DataFrame,
       textCol: String,
@@ -260,20 +306,21 @@ object Vocabulary {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(nTerms >= 1 && k >= 1, "nTerms and k must be ≥ 1")
-    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+    val tokArr = tokenArrays(docs, textCol, idCol)
+    val toks = tokArr.select(col("doc"), explode(col("__t")).as("term"))
     val qtf = toks.where(col("doc") === queryDocId)
       .groupBy("term").agg(count(lit(1)).cast("double").as("qf"))
     val dfs = toks
       .join(broadcast(qtf.select("term")), Seq("term"))
       .groupBy("term").agg(count_distinct(col("doc")).cast("double").as("qdf"))
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("qn"))
+    val nDocs = tokArr.agg(count(lit(1)).cast("double").as("qn"))
     val top = qtf.join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("qf") * log(col("qn") / col("qdf")), 4))
       .orderBy(desc("tfidf"), col("term"))
       .limit(nTerms)
       .select(lit(queryDocId).as("qid"), col("term"))
-    bm25Rank(docs, textCol, idCol, top, k, k1, b, excludeSelf = true)
+    bm25RankCore(tokArr, top, k, k1, b, excludeSelf = true)
   }
 
   /** Exact positional phrase search — the quoted-query counterpart of

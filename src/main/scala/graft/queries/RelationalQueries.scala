@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SmartCast
+import graft.operators.Sketches
 
 /** The reference's relational query surface (SURVEY §2-D, reference db/check.py,
   * routes/status.py, cli.py) re-expressed over the driver's TPC-H-ish test
@@ -1123,6 +1124,62 @@ object RelationalQueries {
         |  CASE WHEN pn IS NOT NULL AND pn <> 0
         |    THEN floor((n_events - pn)::DOUBLE / pn * 10000 + 0.5) / 10000 END
         |    AS wow_events_pct
-        |FROM lagged ORDER BY event_type, week""".stripMargin)
+        |FROM lagged ORDER BY event_type, week""".stripMargin),
+
+    // d38's bounded-state twin: the same median/MAD/Hampel report on the
+    // graft_hist fixed-grid sketch (nBins+2 longs per group) instead of
+    // exact percentile's per-group value buffer — the form that streams
+    // (StreamingMad) and that a 100 TB job would run. Grid [0, 512) in
+    // 256 cells → w = 2.0 exactly representable, so every cell
+    // representative, deviation and walk replays bit-for-bit in DuckDB;
+    // the oracle rebuilds the histogram by integer arithmetic and walks
+    // the same two weighted medians with window cumsums.
+    "d40_mad_sketch" -> sql(
+      (s, dir) =>
+        Sketches.gridMadReport(
+          Tables.events(s, dir).select("event_type", "value"),
+          "value", "event_type", lo = 0.0, hi = 512.0, nBins = 256)
+          .orderBy("event_type"),
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN "value" < 0.0 THEN 0
+        |         WHEN "value" >= 512.0 THEN 257
+        |         ELSE LEAST(1 + CAST(floor(("value" - 0.0) / 2.0) AS INT), 256)
+        |    END AS idx,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |reps AS (
+        |  SELECT event_type, idx, cnt,
+        |    CASE WHEN idx = 0 THEN 0.0 WHEN idx = 257 THEN 512.0
+        |         ELSE 0.0 + (CAST(idx AS DOUBLE) - 0.5) * 2.0 END AS rep
+        |  FROM cells),
+        |n AS (SELECT event_type, sum(cnt) AS n, (sum(cnt) + 1) // 2 AS rnk
+        |  FROM reps GROUP BY 1),
+        |med AS (
+        |  SELECT event_type, min(rep) AS med FROM (
+        |    SELECT r.event_type, r.rep, n.rnk,
+        |      sum(r.cnt) OVER (PARTITION BY r.event_type ORDER BY r.idx) AS cum
+        |    FROM reps r JOIN n USING (event_type))
+        |  WHERE cum >= rnk GROUP BY 1),
+        |dev AS (
+        |  SELECT r.event_type, abs(r.rep - m.med) AS dev, r.cnt, n.rnk
+        |  FROM reps r JOIN med m USING (event_type) JOIN n USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, min(dev) AS mad FROM (
+        |    SELECT event_type, dev, rnk,
+        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        |    FROM dev)
+        |  WHERE cum >= rnk GROUP BY 1),
+        |outl AS (
+        |  SELECT d.event_type,
+        |    sum(CASE WHEN d.dev > 3.0 * mad.mad THEN d.cnt ELSE 0 END) AS n_out
+        |  FROM dev d JOIN mad USING (event_type) GROUP BY 1)
+        |SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+        |  floor(med.med * 10000 + 0.5) / 10000 AS med_est,
+        |  floor(mad.mad * 10000 + 0.5) / 10000 AS mad_est,
+        |  CAST(outl.n_out AS BIGINT) AS n_outliers_est
+        |FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+        |  JOIN outl USING (event_type)
+        |ORDER BY n.event_type""".stripMargin)
   )
 }

@@ -540,10 +540,62 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x96: the derived query-term profile broadcasts; no sort-merge join anywhere") {
-    val nodes = flatten(planOf("x96_more_like_this"))
+    // audits the operator directly (the x96 queries-map entry returns a
+    // cached frame whose executed plan is an InMemoryTableScan, hiding
+    // the retrieval plan from this audit)
+    val out = graft.operators.Vocabulary.moreLikeThis(
+      graft.queries.Tables.documents(spark, dir), "text", "doc_id",
+      queryDocId = 7L, nTerms = 6, k = 15)
+    val nodes = flatten(executedPlan(out))
+    graft.operators.Vocabulary.releaseCaches()
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
       "the metadata-sized term profile must broadcast into the postings")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "MLT must never sort-merge against its own term profile")
+  }
+
+  test("x96: the corpus tokenizes once — one cached token-array projection feeds " +
+    "profile, df lookup and BM25 core") {
+    val out = graft.operators.Vocabulary.moreLikeThis(
+      graft.queries.Tables.documents(spark, dir), "text", "doc_id",
+      queryDocId = 7L, nTerms = 6, k = 15)
+    val plan = executedPlan(out)
+    graft.operators.Vocabulary.releaseCaches()
+    // every corpus consumer must read the cache, not re-run the split
+    // regex: flatten() does not descend through the cache boundary
+    // (InMemoryTableScan has no children), so any FileSourceScan it finds
+    // is a consumer that bypassed the token-array cache
+    val uncachedScans = flatten(plan).collect { case s: FileSourceScanExec => s }
+    assert(uncachedScans.isEmpty,
+      s"corpus consumers bypassed the token-array cache: " +
+        uncachedScans.map(_.tableIdentifier).mkString(", "))
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "the token-array projection must be cache-backed")
+  }
+
+  test("x82: the checked KMV surface is estimate-only — no exact-distinct " +
+    "aggregation, no window/sort on the hash stream") {
+    val plan = planOf("x82_kmv_distinct").toString
+    assert(plan.contains("graft_kmv_agg"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      "estimate-only x82 must not carry the exact-distinct audit column")
+    assert(!plan.contains("Window"),
+      "no window over the hash stream — the sketch aggregate IS the state")
+  }
+
+  test("x97: each coreset round evaluates exactly ONE new kernel arm above the cache boundary") {
+    graft.SparkEntry.queries("x97_kcenter_coreset")(spark, dir).collect()
+    val plans = graft.operators.Similarity.lastRoundPlans.toList
+    assert(plans.size >= 2, s"expected ≥ 2 recorded rounds, got ${plans.size}")
+    // round 1 computes the seed arm from the source; every later round must
+    // read the previous round's cache and add exactly one graft_l2sq arm
+    plans.tail.foreach { p =>
+      val aboveCache = p.split("InMemoryTableScan").head
+      val arms = "graft_l2sq".r.findAllIn(aboveCache).size
+      assert(p.contains("InMemoryTableScan"),
+        s"round must read the persisted previous round:\n${p.take(1500)}")
+      assert(arms == 1,
+        s"expected exactly 1 new kernel arm above the cache, got $arms:\n${aboveCache.take(1500)}")
+    }
   }
 }

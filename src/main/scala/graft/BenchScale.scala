@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-jump sweep: times an audited query set at two scale factors
+  * (default sf0.1 → the 10× `scaledata/sf1` built by
+  * scripts/gen_scale.py) and ASSERTS each query's growth exponent
+  * e = log10(t_big / t_small) against a documented per-query budget —
+  * the BenchGuard-style check that turns the "100 TB posture" plan
+  * audits into measured evidence. A query whose plan silently degrades
+  * (a broadcast that stops broadcasting, a candidate volume that goes
+  * quadratic) fails the budget loudly instead of surviving as a
+  * one-scale-point timing.
+  *
+  * Exponent semantics at a 10× data jump on a fixed local[32] host:
+  *   ~1.0  linear (scan-bound / bounded-sketch work, fully parallel)
+  *   <1.0  latency-dominated at the small point (fixed planning/session
+  *         overhead amortizes at the big point) — common for sub-second
+  *         queries, so budgets BOUND ABOVE only
+  *   >1.0  super-linear: n·log n sorts, candidate-volume growth in
+  *         banded all-pairs joins, per-round driver iteration
+  * Budgets are set per query class (see `audited`), with the all-pairs
+  * oracle-regime queries given their documented super-linear allowance.
+  *
+  * Writes BENCH_scale.md (the measured table + verdicts) and exits 1 on
+  * any budget breach. Each query runs `reps` times per scale and takes
+  * the MINIMUM (the least-contended observation — the README documents
+  * 20-40% ambient host swing on this box).
+  */
+object BenchScale {
+
+  /** (query, exponent budget). Classes:
+    *   1.2 — scans, sketches, pure projections, bounded-state aggs
+    *   1.3 — one-keyed-exchange aggs/joins/windows; broadcast retrieval
+    *   1.4 — multi-stage composed pipelines (several keyed exchanges)
+    *   1.5 — sorted-neighborhood / block-local candidate joins
+    *   1.8 — banded all-pairs with EXACT-recall oracles: candidate pairs
+    *         inside a bucket grow ~quadratically with bucket occupancy,
+    *         which is the documented price of the exact all-pairs regime
+    *         (the recall<1 LSH settings are the scale path)
+    */
+  val audited: Seq[(String, Double)] = Seq(
+    // linear anchors: scan/sketch/projection
+    "q01_lineitem_agg" -> 1.2,
+    "x02_token_count" -> 1.2,
+    "x46_cms_heavy_hitters" -> 1.2,
+    "x82_kmv_distinct" -> 1.2,
+    "x84_hrw_shards" -> 1.2,
+    "x92_c4_filters" -> 1.2,
+    "x93_mg_heavy_hitters" -> 1.2,
+    "d40_mad_sketch" -> 1.2,
+    // one keyed exchange
+    "d12_dedup_rownum" -> 1.3,
+    "d38_mad_outliers" -> 1.3,
+    "x26_ngram_lm_score" -> 1.3,
+    "x43_dsir_weights" -> 1.3,
+    "x53_perplexity_buckets" -> 1.3,
+    "x65_source_overlap" -> 1.3,
+    "x68_source_dup_rate" -> 1.3,
+    "x71_nb_classifier" -> 1.3,
+    "x81_bm25_search" -> 1.3,
+    "x89_embargo_split" -> 1.3,
+    "x96_more_like_this" -> 1.3,
+    "x98_heaps_fit" -> 1.3,
+    // composed pipelines
+    "x17_training_pipeline" -> 1.4,
+    "x37_serving_pipeline" -> 1.4,
+    "x45_substring_spans" -> 1.4,
+    "x60_cluster_canonical" -> 1.4,
+    "x99_embedding_curation" -> 1.4,
+    // block-local candidate joins
+    "x80_record_linkage" -> 1.5,
+    "x88_soft_dedup" -> 1.5,
+    // x15 runs cellBlockedPairs at FIXED nCentroids = 8: its documented
+    // cost is Σ cell² ≈ passes · n²/nCentroids, so the exponent ceiling at
+    // a fixed setting is 2.0 (measured 1.90 at the 10× jump on the
+    // clusterless iid fixture). The row below this one measures the SAME
+    // operator with occupancy-constant scaling (nCentroids ∝ n) — the
+    // documented volume dial — and is budgeted near-linear; together they
+    // are the measured statement "quadratic at a fixed knob, linear when
+    // the knob tracks n".
+    "x15_embedding_neardup" -> 2.0,
+    // banded all-pairs, exact-recall oracle regime
+    "x09_ngram_jaccard" -> 1.8,
+    "x86_prefix_jaccard" -> 1.8)
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val bigDir = if (args.length > 1) args(1) else "scaledata/sf1"
+    val outMd = if (args.length > 2) args(2) else "BENCH_scale.md"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    // compact warmup: JIT the kernel + operator paths once (Bench's
+    // rationale) by running three representative queries on sf0.001
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q01_lineitem_agg", "x09_ngram_jaccard", "x96_more_like_this")
+      .foreach(n => SparkEntry.queries(n)(spark, warmDir).count())
+
+    def time(name: String, dir: String): Double = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        dt
+      }
+      ts.min
+    }
+
+    case class Row(name: String, budget: Double, tSmall: Double, tBig: Double) {
+      def ratio: Double = tBig / tSmall
+      def exponent: Double = math.log10(ratio)
+      def ok: Boolean = exponent <= budget
+    }
+
+    val sel = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def report(r: Row): Row = {
+      println(f"SCALE ${r.name}%-28s sf0.1=${r.tSmall}%6.2fs sf1=${r.tBig}%6.2fs " +
+        f"ratio=${r.ratio}%6.2f exp=${r.exponent}%5.2f budget=${r.budget}%4.2f " +
+        (if (r.ok) "OK" else "BREACH"))
+      r
+    }
+    val fixedRows = audited
+      .filter { case (n, _) => sel.forall(p => p.exists(n.startsWith)) }
+      .map { case (name, budget) =>
+        report(Row(name, budget, time(name, smallDir), time(name, bigDir)))
+      }
+    // the x15 knob row: same operator, nCentroids scaled with n so cell
+    // occupancy (and with it Σ cell², the candidate volume) stays constant
+    // per row — the 100 TB setting. Recall at a given similarity is the
+    // documented trade of the dial (RecallSpec pins the shipped x15
+    // setting; more centroids = fewer candidates = lower recall floor).
+    val knobRows =
+      if (sel.forall(p => p.exists("x15_scaled_ncentroids".startsWith))) {
+        def run(dir: String, nCentroids: Int): Double = {
+          val ts = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.Similarity.cellBlockedPairs(
+              graft.queries.Tables.embeddings(spark, dir),
+              "vec_id", "embedding", threshold = 0.3,
+              nCentroids = nCentroids, passes = 6).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.sharedState.cacheManager.clearCache()
+            System.gc()
+            dt
+          }
+          ts.min
+        }
+        Seq(report(Row("x15_scaled_ncentroids(8to80)", 1.4,
+          run(smallDir, 8), run(bigDir, 80))))
+      } else Seq.empty
+    val rows = fixedRows ++ knobRows
+
+    val md = new StringBuilder
+    md ++= "# BENCH_scale — 10× scale sweep (sf0.1 → sf1)\n\n"
+    md ++= s"Inputs: `$smallDir` vs `$bigDir` (10× rows per table, built by\n"
+    md ++= "`scripts/gen_scale.py`: key cardinalities scale 10×, marginal\n"
+    md ++= "distributions preserved, document copies token-perturbed to mean\n"
+    md ++= "shingle-Jaccard ≈ 0.19 so near-dup rates stay collision-driven).\n"
+    md ++= s"Host: local[$cpus], min of $reps reps per point. Growth exponent\n"
+    md ++= "e = log10(t_sf1 / t_sf0.1): 1.0 = linear in data, < 1 =\n"
+    md ++= "latency-amortized, budget column = the documented ceiling for the\n"
+    md ++= "query's plan class (see `graft.BenchScale.audited`).\n\n"
+    md ++= "| query | sf0.1 s | sf1 s | ratio | exponent | budget | verdict |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    rows.foreach { r =>
+      md ++= f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2f " +
+        f"| ${r.exponent}%.2f | ${r.budget}%.2f " +
+        f"| ${if (r.ok) "ok" else "**BREACH**"} |\n"
+    }
+    val breaches = rows.filterNot(_.ok)
+    md ++= s"\n**${rows.size} audited, ${breaches.size} budget breaches.**\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $outMd")
+    spark.stop()
+    if (breaches.nonEmpty) sys.exit(1)
+  }
+}

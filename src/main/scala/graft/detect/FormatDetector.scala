@@ -148,7 +148,12 @@ object FormatDetector {
       t => t.rlike("^(1[0-9]{3}|20[0-9]{2})$")),
     FormatSpec("code_commune_insee", "string", 50,
       t => t.rlike("^(0[1-9]|[1-8][0-9]|9[0-8]|2[AB])[0-9]{3}$")),
-    FormatSpec("date_fr", "string", 45,
+    // pythonType "date", NOT "string": TypeInference's datetime predicate
+    // shares the same smart_to_timestamp parser, so a column passing the
+    // date_fr vote is always inferred date — declaring string here made
+    // inferWithFormats' compatibility gate drop the format annotation
+    // from every correctly-typed French-date column
+    FormatSpec("date_fr", "date", 45,
       // textual French date ("12 janvier 2023"): the month-name gate keeps
       // ISO/numeric date columns out, the engine's own multi-locale parser
       // (SmartDateUtil, the B3 kernel) decides actual validity — day-range

@@ -221,4 +221,108 @@ object TrainingDataPipeline {
         coalesce(col("__t1"), lit(0L)).as("n_after_trim"),
         coalesce(col("__t2"), lit(0L)).as("n_after_dedup"))
   }
+
+  // Caches pinned by curationFlagship — the Dedup.releaseCaches contract:
+  // call releaseFlagshipCaches() once the funnel result is materialized.
+  private val flagshipCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def trackedF(df: DataFrame): DataFrame = { flagshipCaches.add(df); df }
+
+  def releaseFlagshipCaches(): Unit = {
+    val it = flagshipCaches.iterator()
+    while (it.hasNext) it.next().unpersist()
+    flagshipCaches.clear()
+  }
+
+  /** The whole-pipeline text-curation flagship (x100): C4 line rules →
+    * corpus-wide keep-first paragraph dedup → exact dedup → benchmark
+    * decontamination → per-source mixture downsampling → HRW shard
+    * manifest, composed as ONE plan with exactly TWO documented caches:
+    * the paragraph-dedup survivors (consumed by five later stages — the
+    * funnel rows and every downstream filter re-read it) and the final
+    * mixture corpus (read by its funnel row AND the shard manifest).
+    * Everything between the caches is filter/projection/broadcast riding
+    * the cached scan — no other stage boundary materializes.
+    *
+    * `docs` must already be line-structured in `textCol` (lines joined
+    * with '\n'); `benchmark` supplies the decontamination gram source.
+    * Output: (stage, n_docs, n_tokens) funnel rows — stages 0_input …
+    * 5_mixture plus one 6_shard_<k> row per shard. Call
+    * releaseFlagshipCaches() after materializing. */
+  def curationFlagship(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      badPhrases: Seq[String],
+      minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3,
+      contaminationN: Int = 13,
+      contaminationMax: Double = 0.3,
+      mixRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      nShards: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def ntok(c: Column): Column =
+      size(filter(split(trim(c), "\\s+"), t => t =!= "")).cast("long")
+    def stat(stage: String, df: DataFrame, tc: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(ntok(col(tc))), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+
+    val base = docs.select(col(idCol), col(sourceCol), col(textCol).as("text"))
+    val c4 = C4Filters.c4Report(base, "text",
+        minWordsPerLine, minKeptLines, badPhrases, lineSep = "\n")
+      .where(col("keep"))
+      .select(col(idCol), col(sourceCol), col("clean_text").as("text"))
+
+    val pd = trackedF(ParagraphDedup
+      .keepFirstParagraphs(c4, "text", idCol, sep = "\n")
+      .select(col(idCol), col(sourceCol), col("cleaned_text"))
+      .where(length(col("cleaned_text")) > 0)
+      .cache())
+    pd.count()
+
+    val nd = Dedup.dropExactDuplicates(pd, "cleaned_text", idCol)
+
+    val bench = TextAnalysis.benchmarkGramSet(benchmark, textCol,
+      n = contaminationN)
+    val grams = call_function("graft_ngram_hashes",
+      regexp_replace(lower(trim(col("cleaned_text"))), "\\s+", " "),
+      lit(contaminationN))
+    val dc = nd
+      .withColumn("__g", grams)
+      .crossJoin(broadcast(bench))
+      .withColumn("__ratio",
+        when(size(col("__g")) > 0,
+          call_function("graft_intersect_count", col("__g"), col("bench_grams"))
+            .cast("double") / size(col("__g")).cast("double"))
+          .otherwise(lit(0.0)))
+      .where(col("__ratio") < contaminationMax)
+      .select(col(idCol), col(sourceCol), col("cleaned_text"))
+
+    val mix = trackedF(MixtureSampling
+      .sampleByRates(dc, sourceCol, idCol, mixRates, defaultRate)
+      .cache())
+    mix.count()
+
+    val shards = Sharding.hrwShard(mix, idCol, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(ntok(col("cleaned_text"))), lit(0L)).as("n_tokens"))
+      .select(concat(lit("6_shard_"), col("shard").cast("string")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+
+    stat("0_input", base, "text")
+      .unionAll(stat("1_c4", c4, "text"))
+      .unionAll(stat("2_paradedup", pd, "cleaned_text"))
+      .unionAll(stat("3_exactdedup", nd, "cleaned_text"))
+      .unionAll(stat("4_decontam", dc, "cleaned_text"))
+      .unionAll(stat("5_mixture", mix, "cleaned_text"))
+      .unionAll(shards)
+      .orderBy("stage")
+  }
 }

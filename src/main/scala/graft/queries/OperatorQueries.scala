@@ -3602,6 +3602,155 @@ object OperatorQueries {
         |FROM t0 LEFT JOIN t1 USING (label) LEFT JOIN t2 USING (label)
         |ORDER BY t0.label""".stripMargin),
 
+    // The whole-pipeline flagship: C4 line rules → corpus-wide keep-first
+    // paragraph (line) dedup → exact dedup → benchmark decontamination →
+    // per-source mixture downsampling → HRW shard manifest, composed as
+    // ONE plan over documents with exactly two documented caches (the
+    // paragraph-dedup output, which five later stages consume, and the
+    // final mixture corpus, which the funnel row and the shard manifest
+    // both read). Output is the funnel: (stage, n_docs, n_tokens) per
+    // stage plus one row per shard. Every stage is individually
+    // oracle-proven elsewhere (x92, x91, x79-style exact dedup, x21,
+    // x23-style md5 rates, x84 HRW); this query proves the COMPOSITION —
+    // stage wiring, column threading, count bookkeeping — end to end.
+    "x100_curation_flagship" -> sql(
+      (s, dir) => {
+        val toksRaw = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lined = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), toksRaw.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), col("source"), concat_ws("\n",
+            transform(
+              sequence(lit(0L),
+                ceil(size(col("t")).cast("double") / 8.0).cast("long") - 1),
+              i => concat(
+                concat_ws(" ", slice(col("t"), (i * 8 + 1).cast("int"), lit(8))),
+                when(i % 3 =!= 0, lit(".")).otherwise(lit("")))))
+            .as("text"))
+        val out = TrainingDataPipeline.curationFlagship(
+          lined, "text", "doc_id", "source",
+          benchmark = Tables.documents(s, dir).where(col("doc_id") < 20),
+          badPhrases = Seq("customer line", "spark group"),
+          mixRates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.25),
+          nShards = 8)
+        val materialized = out.cache()
+        materialized.count()
+        TrainingDataPipeline.releaseFlagshipCaches()
+        materialized
+      },
+      """WITH t0 AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, source, array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+        |    i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ') ||
+        |         CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END), chr(10)) AS ltext
+        |  FROM t0 WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, source, ltext,
+        |    list_filter(string_split(ltext, chr(10)), ln ->
+        |      (ends_with(trim(ln), '.') OR ends_with(trim(ln), '!') OR
+        |       ends_with(trim(ln), '?') OR ends_with(trim(ln), '"') OR
+        |       ends_with(trim(ln), chr(39)))
+        |      AND len(list_filter(string_split_regex(trim(ln), '\s+'),
+        |        w -> w <> '')) >= 5) AS kept
+        |  FROM lined),
+        |c4 AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(kept, ln -> trim(ln)), chr(10)) AS ctext
+        |  FROM k
+        |  WHERE len(kept) >= 3
+        |    AND NOT (contains(lower(ltext), 'customer line')
+        |          OR contains(lower(ltext), 'spark group'))
+        |    AND NOT contains(ltext, '{')),
+        |paras AS (SELECT doc_id, source,
+        |    list_filter(list_transform(string_split(ctext, chr(10)), p -> trim(p)),
+        |      p -> p <> '') AS ps
+        |  FROM c4),
+        |occ AS (SELECT doc_id, source, unnest(generate_series(1, len(ps))) AS pos, ps
+        |  FROM paras),
+        |o2 AS (SELECT doc_id, source, pos, ps[pos] AS para FROM occ),
+        |rk AS (SELECT doc_id, source, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM o2),
+        |pd0 AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos),
+        |      '') AS cleaned_text
+        |  FROM rk GROUP BY doc_id),
+        |pd AS (SELECT * FROM pd0 WHERE length(cleaned_text) > 0),
+        |nd AS (
+        |  SELECT doc_id, source, cleaned_text FROM (
+        |    SELECT doc_id, source, cleaned_text,
+        |      row_number() OVER (PARTITION BY cleaned_text ORDER BY doc_id) AS rn2
+        |    FROM pd)
+        |  WHERE rn2 = 1),
+        |bs AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS str
+        |  FROM documents WHERE doc_id < 20),
+        |bg0 AS (SELECT list_distinct(flatten(list(
+        |    list_transform(generate_series(1, greatest(length(str) - 12, 1)),
+        |      i -> substring(str, i, 13))))) AS bg
+        |  FROM bs WHERE length(str) > 0),
+        |cg AS (SELECT doc_id, source, cleaned_text,
+        |    regexp_replace(lower(trim(cleaned_text)), '\s+', ' ', 'g') AS str
+        |  FROM nd),
+        |dcv AS (
+        |  SELECT doc_id, source, cleaned_text,
+        |    CASE WHEN length(str) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(length(str) - 12, 1)),
+        |          i -> substring(str, i, 13))), bg0.bg)) AS DOUBLE) /
+        |        len(list_distinct(list_transform(
+        |          generate_series(1, greatest(length(str) - 12, 1)),
+        |          i -> substring(str, i, 13))))
+        |    END AS ratio
+        |  FROM cg, bg0),
+        |dc AS (SELECT doc_id, source, cleaned_text FROM dcv WHERE ratio < 0.3),
+        |mix AS (
+        |  SELECT doc_id, source, cleaned_text FROM dc
+        |  WHERE CASE
+        |    WHEN source IN ('src0', 'src1')
+        |      THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |    WHEN source = 'src2'
+        |      THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |    ELSE TRUE END),
+        |hg AS (SELECT doc_id, cleaned_text, unnest(generate_series(0, 7)) AS s
+        |  FROM mix),
+        |hh AS (SELECT doc_id, cleaned_text, s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hv
+        |  FROM hg),
+        |hr AS (SELECT doc_id, cleaned_text, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn3
+        |  FROM hh),
+        |sh AS (SELECT doc_id, cleaned_text, s AS shard FROM hr WHERE rn3 = 1),
+        |funnel AS (
+        |  SELECT '0_input' AS stage, count(*) AS n_docs,
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(ltext), '\s+'),
+        |      w -> w <> ''))), 0) AS n_tokens FROM lined
+        |  UNION ALL SELECT '1_c4', count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(ctext), '\s+'),
+        |      w -> w <> ''))), 0) FROM c4
+        |  UNION ALL SELECT '2_paradedup', count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(cleaned_text), '\s+'),
+        |      w -> w <> ''))), 0) FROM pd
+        |  UNION ALL SELECT '3_exactdedup', count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(cleaned_text), '\s+'),
+        |      w -> w <> ''))), 0) FROM nd
+        |  UNION ALL SELECT '4_decontam', count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(cleaned_text), '\s+'),
+        |      w -> w <> ''))), 0) FROM dc
+        |  UNION ALL SELECT '5_mixture', count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(cleaned_text), '\s+'),
+        |      w -> w <> ''))), 0) FROM mix
+        |  UNION ALL SELECT '6_shard_' || CAST(shard AS VARCHAR), count(*),
+        |    coalesce(sum(len(list_filter(string_split_regex(trim(cleaned_text), '\s+'),
+        |      w -> w <> ''))), 0) FROM sh GROUP BY 1)
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM funnel ORDER BY stage""".stripMargin),
+
     "x98_heaps_fit" -> sql(
       (s, dir) =>
         CorpusStats.heapsLawFit(Tables.documents(s, dir), "text", "doc_id",

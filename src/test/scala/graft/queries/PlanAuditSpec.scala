@@ -583,6 +583,46 @@ class PlanAuditSpec extends SparkSpec {
       "no window over the hash stream — the sketch aggregate IS the state")
   }
 
+  test("x100: the flagship composes with exactly two documented caches and " +
+    "no sort-merge join — every stage boundary between them is filter/projection/broadcast") {
+    import org.apache.spark.sql.functions._
+    val toksRaw = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val lined = graft.queries.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toksRaw.as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"), concat_ws("\n",
+        transform(
+          sequence(lit(0L), ceil(size(col("t")).cast("double") / 8.0).cast("long") - 1),
+          i => concat(
+            concat_ws(" ", slice(col("t"), (i * 8 + 1).cast("int"), lit(8))),
+            when(i % 3 =!= 0, lit(".")).otherwise(lit("")))))
+        .as("text"))
+    val out = graft.operators.TrainingDataPipeline.curationFlagship(
+      lined, "text", "doc_id", "source",
+      benchmark = graft.queries.Tables.documents(spark, dir).where(col("doc_id") < 20),
+      badPhrases = Seq("customer line", "spark group"),
+      mixRates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.25),
+      nShards = 8)
+    val nodes = this.flatten(executedPlan(out))
+    graft.operators.TrainingDataPipeline.releaseFlagshipCaches()
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the decontamination gram set and the HRW manifest must never sort-merge")
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the benchmark gram set must broadcast into the corpus scan")
+    // exactly the two documented caches (paragraph-dedup survivors + final
+    // mixture corpus) appear as cache boundaries; distinct cached RELATIONS,
+    // not scan count — the funnel's union legs re-read each cache several
+    // times, which is the point of caching them
+    val cachedRelations = nodes.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // the CachedRDDBuilder is shared by every scan of one cached plan,
+        // so its identity distinguishes the two same-schema caches
+        System.identityHashCode(s.relation.cacheBuilder)
+    }.toSet
+    assert(cachedRelations.size == 2,
+      s"expected exactly 2 documented cache boundaries, got ${cachedRelations.size}")
+  }
+
   test("x97: each coreset round evaluates exactly ONE new kernel arm above the cache boundary") {
     graft.SparkEntry.queries("x97_kcenter_coreset")(spark, dir).collect()
     val plans = graft.operators.Similarity.lastRoundPlans.toList

@@ -901,6 +901,138 @@ object Similarity {
   private[graft] val lastRoundPlans =
     scala.collection.mutable.ArrayBuffer.empty[String]
 
+  /** Product-quantization codebooks from the deterministic pivot sample
+    * (Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search" — the IVF-PQ memory layout every billion-vector ANN system
+    * uses): the corpus's `nCodes` md5-ranked pivot rows (pivotMatrix — the
+    * same SQL-replayable pick as ivfTopKPivots), each split into
+    * `nSubspaces` contiguous blocks, give per-subspace codebooks of
+    * `nCodes` centroids. Driver state is nCodes × dim doubles —
+    * metadata-sized. */
+  private[operators] def pqCodebooks(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      nSubspaces: Int, nCodes: Int,
+      seed: String): Array[Array[Array[Double]]] = {
+    require(nSubspaces >= 1 && nCodes >= 1, "pq needs nSubspaces, nCodes >= 1")
+    val pivots = pivotMatrix(df, idCol, vecCol, nCodes, seed)
+    val dim = pivots.head.length
+    require(dim % nSubspaces == 0,
+      s"pq: dim $dim must divide evenly into $nSubspaces subspaces")
+    val dsub = dim / nSubspaces
+    Array.tabulate(nSubspaces)(s => pivots.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ encoding: each vector becomes `nSubspaces` small codes (argmin-L2
+    * codeword per block, ties to the smallest code — the kernel's strict-<
+    * rule) plus the exact reconstruction SSE. At 8 subspaces × 16 codes a
+    * 256-byte float vector compresses to 8 half-byte codes — the reason PQ
+    * is THE 100 TB ANN layout: the code table fits in memory where raw
+    * vectors cannot.
+    *
+    * Shape: pure projection — codebooks are plan literals (broadcast with
+    * the plan), assignment is the fused graft_nearest_centroid kernel per
+    * block, no shuffle, whole-stage codegen. Determinism: pivot codebooks
+    * + strict-< argmin + fixed s-ascending SSE addition order → every code
+    * and SSE replays bit-for-bit in DuckDB list arithmetic (x101's
+    * oracle). */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String, vecCol: String,
+      nSubspaces: Int = 8,
+      nCodes: Int = 16,
+      seed: String = "pq1"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val cbs = pqCodebooks(df, idCol, vecCol, nSubspaces, nCodes, seed)
+    val dsub = cbs.head.head.length
+    val codeCols = (0 until nSubspaces).map { s =>
+      call_function("graft_nearest_centroid",
+        slice(col(vecCol), s * dsub + 1, dsub),
+        typedlit(cbs(s).map(_.toSeq).toSeq)).as(s"__c$s")
+    }
+    val sse = (0 until nSubspaces).map { s =>
+      call_function("graft_l2sq",
+        slice(col(vecCol), s * dsub + 1, dsub),
+        element_at(typedlit(cbs(s).map(_.toSeq).toSeq), col(s"__c$s") + 1))
+    }.reduce(_ + _)
+    df.select(col(idCol) +: col(vecCol) +: codeCols: _*)
+      .select(col(idCol),
+        array((0 until nSubspaces).map(s => col(s"__c$s")): _*).as("codes"),
+        sse.as("sse"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a lookup
+    * table of query-block-to-codeword distances (nSubspaces × nCodes
+    * doubles, computed driver-side from the metadata-sized query set and
+    * shipped as plan literals); each corpus vector's approximate distance
+    * is then nSubspaces table lookups summed — the codes projection is the
+    * ONLY thing scanned, never raw vectors. One scan serves every query
+    * (the per-query ADC columns ride the same projection, then posexplode);
+    * the per-query top-k is a rank window that WindowGroupLimit trims to
+    * k rows per partition before the exchange.
+    *
+    * Output: (qid, vec_id, adc, rank), ranks ordered on the 4-decimal-
+    * rounded ADC with vec_id tie-break (x33's cross-engine convention).
+    * Exact by construction given the codes — x102's oracle replays LUTs,
+    * sums and ranks bit-for-bit. */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nSubspaces: Int = 8,
+      nCodes: Int = 16,
+      seed: String = "pq1",
+      maxQueries: Int = 64): DataFrame = {
+    val qRows = queries.select(col(qidCol), col(qvecCol))
+      .orderBy(col(qidCol)).limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"pqAdcTopK: query set exceeds maxQueries=$maxQueries — LUTs are " +
+        "driver state; route larger query sets through a broadcast-join variant")
+    if (qRows.isEmpty) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("qid", "vec_id", "adc", "rank")
+    }
+    val cbs = pqCodebooks(corpus, idCol, vecCol, nSubspaces, nCodes, seed)
+    val dsub = cbs.head.head.length
+    val codes = pqEncode(corpus, idCol, vecCol, nSubspaces, nCodes, seed)
+
+    def sq(x: Double): Double = x * x
+    // per query: lut(s)(c) = L2²(query block s, codeword c) — same
+    // i-ascending inner order as the l2sq kernel
+    val luts = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Number](1).map(_.doubleValue())
+      val lut = Array.tabulate(nSubspaces, nCodes) { (s, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { d += sq(qv(s * dsub + i) - cbs(s)(c)(i)); i += 1 }
+        d
+      }
+      (qid, lut)
+    }
+    val adcCols = luts.map { case (qid, lut) =>
+      struct(
+        lit(qid).as("qid"),
+        (0 until nSubspaces).map { s =>
+          element_at(typedlit(lut(s).toSeq), element_at(col("codes"), s + 1) + 1)
+        }.reduce(_ + _).as("adc"))
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("__r"), col(idCol))
+    codes
+      .select(col(idCol), explode(array(adcCols.toIndexedSeq: _*)).as("__q"))
+      .select(col(idCol), col("__q.qid").as("qid"),
+        round(col("__q.adc"), 4).as("__r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("vec_id"), col("__r").as("adc"),
+        col("rank"))
+  }
+
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))

@@ -650,11 +650,20 @@ object OperatorQueries {
     // On corpora with real cluster structure the same parameters cover a
     // small fraction of pairs, and nCentroids dials volume linearly.
     "x15_embedding_neardup" -> rowsOnly(
-      (s, dir) =>
-        Similarity.cellBlockedPairs(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.3, nCentroids = 8, passes = 6)
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // occupancy-constant setting: nCentroids tracks n so Σ cell² (the
+        // candidate volume) stays ~linear in corpus size — the dial
+        // BENCH_scale.md measures (exponent 1.85 at a fixed 8 → 1.19
+        // scaled). At the test SFs (≤ 2 000 vectors) this resolves to the
+        // shipped 8, so the recall pins and the benched output are
+        // unchanged; the count is a column-pruned metadata scan.
+        val nc = math.max(8, (emb.count() / 250).toInt)
+        Similarity.cellBlockedPairs(emb,
+          "vec_id", "embedding", threshold = 0.3, nCentroids = nc, passes = 6)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b")
+      }),
 
     // Token-budgeted shard assignment: shard = exclusive-prefix-sum(tokens,
     // ordered by doc_id) div budget. The Spark side computes the prefix sum

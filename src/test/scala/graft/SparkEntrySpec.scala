@@ -28,7 +28,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query names follow the pack naming scheme") {
-    val pat = "^[a-z]\\d{2}_[a-z0-9_]+$".r
+    val pat = "^[a-z]\\d{2,3}_[a-z0-9_]+$".r
     SparkEntry.queries.keys.foreach { k =>
       assert(pat.matches(k), s"bad query name: $k")
     }

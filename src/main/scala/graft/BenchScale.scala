@@ -49,8 +49,13 @@ object BenchScale {
     "x92_c4_filters" -> 1.2,
     "x93_mg_heavy_hitters" -> 1.2,
     "d40_mad_sketch" -> 1.2,
+    "x101_pq_encode" -> 1.2,
+    "x104_html_extract" -> 1.2,
+    "x105_pr_curve" -> 1.2,
     // one keyed exchange
     "d12_dedup_rownum" -> 1.3,
+    "x102_pq_adc_topk" -> 1.3,
+    "x103_ann_recall" -> 1.3,
     "d38_mad_outliers" -> 1.3,
     "x26_ngram_lm_score" -> 1.3,
     "x43_dsir_weights" -> 1.3,
@@ -68,6 +73,7 @@ object BenchScale {
     "x45_substring_spans" -> 1.4,
     "x60_cluster_canonical" -> 1.4,
     "x99_embedding_curation" -> 1.4,
+    "x100_curation_flagship" -> 1.4,
     // block-local candidate joins
     "x80_record_linkage" -> 1.5,
     "x88_soft_dedup" -> 1.5,

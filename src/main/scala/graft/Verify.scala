@@ -31,6 +31,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Backstop for queries that cache their OUTPUT frame (x81/x87/x96/
+      // x100 …): the per-operator releaseCaches() frees internal caches,
+      // but the output cache is only consumed here — without this, 145
+      // output caches accumulate across the sweep (Bench does the same
+      // per-query clear).
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,22 +32,16 @@ object Dedup {
   // after this function returns. releaseCaches() is the matching hook: call
   // it once the result is materialized so cached sketch tables don't occupy
   // executor memory for the rest of the job (at 100 TB an unreleased shingle
-  // cache is an OOM, not a nuisance).
-  private val trackedCaches =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  // cache is an OOM, not a nuisance). Thread-local (see CacheRegistry):
+  // build and release on the same thread; concurrent callers are isolated.
+  private val caches = new CacheRegistry
 
-  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
-  /** Unpersist every sketch table cached by dedup calls so far. The registry
-    * is process-wide: releasing while another job's dedup query is mid-flight
-    * is CORRECTNESS-safe (the sketch kernels are deterministic, Spark just
-    * recomputes) but may cost that job a recompute — in multi-tenant drivers
-    * call this at job boundaries, not between a build and its consumption. */
-  def releaseCaches(): Unit = {
-    val it = trackedCaches.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false) }
-    trackedCaches.clear()
-  }
+  /** Unpersist every sketch table cached by THIS THREAD's dedup calls since
+    * its last release. Call once the result is materialized, on the thread
+    * that built it. Other threads' in-flight dedup queries are unaffected. */
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** Exact duplicate groups by content digest. One shuffle; digest-first so
     * wide text never travels — only (digest, id). The ids sample is bounded

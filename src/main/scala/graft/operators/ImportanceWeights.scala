@@ -24,16 +24,12 @@ object ImportanceWeights {
 
   val DefaultBuckets = 4096
 
-  private val caches =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val caches = new CacheRegistry
 
-  /** Unpersist the feature caches of weightsAgainstTarget (same contract
-    * as Dedup.releaseCaches: call once the weights are materialized). */
-  def releaseCaches(): Unit = {
-    val it = caches.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false) }
-    caches.clear()
-  }
+  /** Unpersist this thread's feature caches from weightsAgainstTarget
+    * (same contract as Dedup.releaseCaches: call once the weights are
+    * materialized, on the thread that built them). */
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** One row per (idCol, bucket) feature occurrence. The unigram+bigram
     * hashes come from the one-pass native kernel (graft_gram_hashes_fnv —
@@ -112,7 +108,7 @@ object ImportanceWeights {
       buckets: Int = DefaultBuckets,
       roundTo: Int = 4): DataFrame = {
     val rawFeats = features(raw, textCol, idCol, buckets).persist()
-    caches.add(rawFeats)
+    caches.tracked(rawFeats)
     val tc = features(target, textCol, idCol, buckets)
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
     val rc = rawFeats.groupBy("bucket").agg(count(lit(1)).as("rc"))
@@ -139,7 +135,7 @@ object ImportanceWeights {
       explode(call_function("graft_gram_hashes_fnv", col(textCol))).as("__gh"))
       .select(col(idCol), col("__t"), pmod(col("__gh"), lit(buckets.toLong)).as("bucket"))
       .persist()
-    caches.add(feats)
+    caches.tracked(feats)
     val tc = feats.where(col("__t")).groupBy("bucket").agg(count(lit(1)).as("tc"))
     val rc = feats.groupBy("bucket").agg(count(lit(1)).as("rc"))
     feats

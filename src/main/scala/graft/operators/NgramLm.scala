@@ -25,16 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  private val caches =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val caches = new CacheRegistry
 
-  /** Unpersist the per-call token-hash caches (same contract as
-    * Dedup.releaseCaches: call once the scores are materialized). */
-  def releaseCaches(): Unit = {
-    val it = caches.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false) }
-    caches.clear()
-  }
+  /** Unpersist this thread's per-call token-hash caches (same contract as
+    * Dedup.releaseCaches: call once the scores are materialized, on the
+    * thread that built them — thread-local, see CacheRegistry). */
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** A fitted bigram LM: hashed count tables + vocabulary size. The model
     * IS two DataFrames — it scales with the corpus, ships to scorers as
@@ -64,7 +60,7 @@ object NgramLm {
     * kernel-tokenized scan. */
   def fit(df: DataFrame, textCol: String, idCol: String): BigramModel = {
     val base = hashed(df, textCol, idCol).persist()
-    caches.add(base)
+    caches.tracked(base)
     val uni = base.select(explode(col("th")).as("wh"))
       .groupBy("wh").agg(count(lit(1)).as("c1"))
     val bc = explodeBigrams(base, idCol).groupBy("bh").agg(count(lit(1)).as("c2"))

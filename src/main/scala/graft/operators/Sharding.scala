@@ -28,18 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  private val trackedCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  private val caches = new CacheRegistry
 
-  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
-  /** Unpersist every layout cached by assignShards since the last release. */
-  def releaseShardCaches(): Unit = {
-    val it = trackedCaches.iterator()
-    while (it.hasNext) it.next().unpersist(blocking = false)
-    trackedCaches.clear()
-  }
+  /** Unpersist every layout cached by this thread's assignShards calls
+    * since the last release (thread-local — see CacheRegistry). */
+  def releaseShardCaches(): Unit = caches.releaseAll()
 
   /** Assign each document a shard id so shards carry ~`budget` tokens each.
     * Output = input columns + `shard` (long). Deterministic in (ids, token

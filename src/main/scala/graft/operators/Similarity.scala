@@ -860,7 +860,7 @@ object Similarity {
       r.getSeq[Number](1).map(_.doubleValue())
     val selected = scala.collection.mutable.ArrayBuffer(
       (seedRow.head.getLong(0), vecOf(seedRow.head), 0.0))
-    lastRoundPlans.clear()
+    if (capturePlans) lastRoundPlans.clear()
 
     // running min-dist frame: persisted each round, previous round's cache
     // released only AFTER the new round materializes (the TakeOrdered
@@ -875,7 +875,7 @@ object Similarity {
       // capture the round's plan BEFORE persist: once this frame is
       // cached, its own executedPlan re-resolves to an InMemoryTableScan
       // of itself and the spec could no longer see the single new arm
-      lastRoundPlans += frame.queryExecution.executedPlan.toString()
+      if (capturePlans) lastRoundPlans += frame.queryExecution.executedPlan.toString()
       val cur = frame.persist()
       val next = cur.orderBy(desc("__d"), col("vec_id")).limit(1).collect()
       prev.foreach(_.unpersist())
@@ -897,7 +897,13 @@ object Similarity {
 
   /** Physical plans of each kCenterCoreset round, captured for the spec
     * that pins "one graft_l2sq arm per row per round above the cache
-    * boundary". Test observability only. */
+    * boundary". Test observability only — OFF by default so production
+    * calls don't mutate shared state on the hot path (plan-string
+    * rendering per round isn't free either); the audit spec flips
+    * `capturePlans` on around its single call. Capture assumes one
+    * coreset call at a time, which the flag makes an explicit opt-in
+    * rather than an ambient hazard. */
+  @volatile private[graft] var capturePlans = false
   private[graft] val lastRoundPlans =
     scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -1031,6 +1037,151 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col(idCol).as("vec_id"), col("__r").as("adc"),
         col("rank"))
+  }
+
+  /** Recall@k report of the pivot-IVF path against the exact baseline —
+    * the evaluation harness every ANN deployment needs BEFORE trusting an
+    * index at scale: per query, how many of the true top-k the
+    * approximate path returned. Both legs are deterministic (the exact
+    * window rank and the SQL-replayable pivot quantizer), so the report
+    * itself is oracle-exact — x103 replays exact top-k, IVF top-k and the
+    * join in DuckDB and agrees on every hit count.
+    *
+    * Shape: the two legs share the broadcast query set; the comparison is
+    * an equi-join on (qid, vec_id) of two k-row-per-query frames —
+    * metadata-sized next to the scans that produce them, so the report
+    * costs what its two legs cost. Output: (qid, n_hits, recall),
+    * recall = hits/k rounded to 4. */
+  def annRecallReport(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: String = "v1"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
+      .select(col(qidCol).as("qid"), col(idCol).as("vec_id"))
+    val approx = ivfTopKPivots(corpus, queries, idCol, vecCol,
+      qidCol, qvecCol, k, nCells, nProbe, seed)
+      .select(col(qidCol).as("qid"), col(idCol).as("vec_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(
+        coalesce(sum("__hit"), lit(0L)).as("n_hits"),
+        round(coalesce(sum("__hit"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
+  /** The composed IVF-PQ serving path — the layout every billion-vector
+    * ANN system actually deploys (Jégou 2011 §V): a coarse quantizer
+    * routes each query to its nProbe nearest cells, PQ codes stand in for
+    * the vectors inside those cells (ADC lookups — the only per-row work
+    * in the candidate stage), and the top `rerank` ADC candidates are
+    * re-scored with the exact cosine. At 100 TB the property that matters
+    * is WHAT each stage scans: the candidate stage reads only the
+    * (id, cell, codes) projection (≈ a few bytes/vector), raw vectors are
+    * touched only for the ≤ |queries|·rerank candidate rows (a broadcast
+    * semi-join into one corpus scan — the analog of a point-lookup fetch).
+    *
+    * Every stage is deterministic (pivot cells, pivot codebooks, strict-<
+    * argmins, rounded-ADC rank, exact-cosine re-rank), so x107's oracle
+    * replays the ENTIRE composition in DuckDB. Output contract: (qid,
+    * vec_id, sim, rank), rank 1..k by exact descending cosine; self
+    * matches excluded at the candidate stage. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      nSubspaces: Int = 8,
+      nCodes: Int = 16,
+      rerank: Int = 50,
+      cellSeed: String = "v1",
+      pqSeed: String = "pq1",
+      maxQueries: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val qRows = queries.select(col(qidCol), col(qvecCol))
+      .orderBy(col(qidCol)).limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfPqTopK: query set exceeds maxQueries=$maxQueries — probe sets and " +
+        "ADC LUTs are driver state; batch larger query sets")
+    if (qRows.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "vec_id", "sim", "rank")
+
+    val cellPivots = pivotMatrix(corpus, idCol, vecCol, nCells, cellSeed)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, nSubspaces, nCodes, pqSeed)
+    val dsub = cbs.head.head.length
+    // ONE projection carries everything the candidate stage needs:
+    // coarse cell + the nSubspaces codes. Pure codegen, no shuffle.
+    val codeCols = (0 until nSubspaces).map { s =>
+      call_function("graft_nearest_centroid",
+        slice(col(vecCol), s * dsub + 1, dsub),
+        typedlit(cbs(s).map(_.toSeq).toSeq)).as(s"__c$s")
+    }
+    val assigned = corpus.select(
+      col(idCol).as("vec_id") +:
+        call_function("graft_nearest_centroid", col(vecCol),
+          typedlit(cellPivots.map(_.toSeq).toSeq)).as("__cell") +:
+        codeCols: _*)
+
+    def sq(x: Double): Double = x * x
+    // per query, driver-side (metadata): nProbe nearest cells under the
+    // kernel's i-ascending L2 with cell-ascending ties, and the
+    // nSubspaces × nCodes ADC LUT
+    val qInfo = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Number](1).map(_.doubleValue())
+      val dists = cellPivots.zipWithIndex.map { case (p, c) =>
+        var d = 0.0
+        var i = 0
+        val m = math.min(qv.length, p.length)
+        while (i < m) { d += sq(qv(i) - p(i)); i += 1 }
+        (d, c)
+      }
+      val probeCells = dists.sortBy { case (d, c) => (d, c) }.take(nProbe).map(_._2)
+      val lut = Array.tabulate(nSubspaces, nCodes) { (s, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { d += sq(qv(s * dsub + i) - cbs(s)(c)(i)); i += 1 }
+        d
+      }
+      (qid, probeCells, lut)
+    }
+    val adcStructs = qInfo.map { case (qid, cells, lut) =>
+      when(col("__cell").isin(cells.map(Int.box).toSeq: _*) &&
+        col("vec_id") =!= qid,
+        struct(
+          lit(qid).as("qid"),
+          (0 until nSubspaces).map { s =>
+            element_at(typedlit(lut(s).toSeq), col(s"__c$s") + 1)
+          }.reduce(_ + _).as("adc")))
+    }
+    val wAdc = Window.partitionBy("qid").orderBy(col("__r"), col("vec_id"))
+    val cand = assigned
+      .select(col("vec_id"),
+        explode(filter(array(adcStructs.toIndexedSeq: _*), x => x.isNotNull))
+          .as("__q"))
+      .select(col("vec_id"), col("__q.qid").as("qid"),
+        round(col("__q.adc"), 4).as("__r"))
+      .withColumn("__ar", row_number().over(wAdc))
+      .where(col("__ar") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank: ≤ |queries|·rerank candidate ids broadcast into one
+    // raw-vector scan (the point-lookup fetch), exact cosine, top-k
+    val qvecs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    val wK = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("sim",
+        dot(col("__qv"), col("__v")) / (norm(col("__qv")) * norm(col("__v"))))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
   }
 
   def quantizeInt8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -25,21 +25,16 @@ object Sketches {
 
   // Cached sketch frames pinned by kmvOverlapEstimates — same contract as
   // Dedup.releaseCaches: callers invoke releaseCaches() once the overlap
-  // result is materialized, so repeated invocations don't accumulate
-  // cached frames for the session lifetime.
-  private val trackedCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  // result is materialized, on the same thread (thread-local — see
+  // CacheRegistry), so repeated or concurrent invocations can't release
+  // each other's frames.
+  private val caches = new CacheRegistry
 
-  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
-  /** Unpersist every cache pinned by kmvOverlapEstimates since the last
-    * release. Call after materializing the overlap result. */
-  def releaseCaches(): Unit = {
-    val it = trackedCaches.iterator()
-    while (it.hasNext) it.next().unpersist()
-    trackedCaches.clear()
-  }
+  /** Unpersist every cache pinned by this thread's kmvOverlapEstimates
+    * calls since the last release. Call after materializing the result. */
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** Four (multiplier, offset) pairs — splitmix64/murmur3 mixing constants,
     * all multipliers odd (bijective mod 2⁶⁴). Depth ≤ 4. Exposed to the

@@ -223,18 +223,13 @@ object TrainingDataPipeline {
   }
 
   // Caches pinned by curationFlagship — the Dedup.releaseCaches contract:
-  // call releaseFlagshipCaches() once the funnel result is materialized.
-  private val flagshipCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  // call releaseFlagshipCaches() once the funnel result is materialized,
+  // on the thread that built it (thread-local — see CacheRegistry).
+  private val flagshipCaches = new CacheRegistry
 
-  private def trackedF(df: DataFrame): DataFrame = { flagshipCaches.add(df); df }
+  private def trackedF(df: DataFrame): DataFrame = flagshipCaches.tracked(df)
 
-  def releaseFlagshipCaches(): Unit = {
-    val it = flagshipCaches.iterator()
-    while (it.hasNext) it.next().unpersist()
-    flagshipCaches.clear()
-  }
+  def releaseFlagshipCaches(): Unit = flagshipCaches.releaseAll()
 
   /** The whole-pipeline text-curation flagship (x100): C4 line rules →
     * corpus-wide keep-first paragraph dedup → exact dedup → benchmark

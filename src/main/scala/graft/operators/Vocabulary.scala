@@ -26,20 +26,15 @@ object Vocabulary {
 
   // Token-array projections pinned by the BM25/MLT retrieval family —
   // same contract as Dedup.releaseCaches: callers invoke releaseCaches()
-  // once the ranked result is materialized.
-  private val trackedCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  // once the ranked result is materialized, on the same thread
+  // (thread-local — see CacheRegistry).
+  private val caches = new CacheRegistry
 
-  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
-  /** Unpersist every cache pinned by the retrieval family since the last
-    * release. Call after materializing the ranked result. */
-  def releaseCaches(): Unit = {
-    val it = trackedCaches.iterator()
-    while (it.hasNext) it.next().unpersist()
-    trackedCaches.clear()
-  }
+  /** Unpersist every cache pinned by this thread's retrieval calls since
+    * the last release. Call after materializing the ranked result. */
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** ONE tokenization of the corpus, persisted as a (doc, token-array)
     * projection: every retrieval consumer (query term profile, df lookup,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -3759,6 +3759,493 @@ object OperatorQueries {
         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM funnel ORDER BY stage""".stripMargin),
+
+    // ANN recall evaluation: the harness that measures the approximate
+    // index against the exact baseline IN-ENGINE — per query, how many of
+    // the true top-5 the IVF path (x16's parameters) returned. Both legs
+    // are deterministic, so the report is oracle-exact: the SQL replays
+    // exact top-k, the whole IVF algorithm, and the hit join.
+    "x103_ann_recall" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.annRecallReport(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nCells = 16, nProbe = 4, seed = "v1")
+          .orderBy("qid")
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q JOIN emb e ON e.vec_id <> q.qid),
+        |exact5 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |pv AS (
+        |  SELECT vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM emb),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, p.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM emb e CROSS JOIN piv p),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |pr AS (
+        |  SELECT q.qid, q.qvec, p.cell,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(q.qvec)),
+        |        i -> (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM q CROSS JOIN piv p),
+        |probes AS (SELECT qid, qvec, cell FROM pr WHERE rn <= 4),
+        |sc AS (
+        |  SELECT pb.qid, c.vec_id,
+        |    list_dot_product(pb.qvec::DOUBLE[], c.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(pb.qvec::DOUBLE[], pb.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+        |  FROM probes pb JOIN cells c USING (cell)
+        |  WHERE c.vec_id <> pb.qid),
+        |approx5 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.qid,
+        |    CAST(count(a.vec_id) AS BIGINT) AS n_hits
+        |  FROM exact5 e LEFT JOIN approx5 a
+        |    ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid)
+        |SELECT qid, n_hits, round(n_hits / 5.0, 4) AS recall
+        |FROM hits ORDER BY qid""".stripMargin),
+
+    // Product quantization encode (Jégou 2011): every embedding compressed
+    // to 8 codes from the deterministic pivot codebooks (same md5-ranked
+    // pivot pick as x16's IVF, sliced per subspace) + exact reconstruction
+    // SSE. The oracle replays the ENTIRE thing — pivot pick, per-block
+    // argmin-L2 under the kernel's strict-< / first-code-wins tie rule,
+    // s-ascending SSE fold — in DuckDB list arithmetic; codes pack into one
+    // BIGINT (base-16 positional) so the hash compare covers all 8 at once.
+    "x101_pq_encode" -> sql(
+      (s, dir) => {
+        val enc = Similarity.pqEncode(Tables.embeddings(s, dir),
+          "vec_id", "embedding", nSubspaces = 8, nCodes = 16, seed = "pq1")
+        enc.select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, c) => a * 16 + c).as("code_key"),
+          round(col("sse"), 4).as("sse"))
+          .orderBy("vec_id")
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pv AS (
+        |  SELECT embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('pq1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        |  FROM emb),
+        |cb AS (SELECT pvec, code FROM pv WHERE code < 16),
+        |bd AS (
+        |  SELECT e.vec_id, sp.s, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)
+        |         * (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM emb e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+        |  CROSS JOIN cb c),
+        |sel AS (
+        |  SELECT vec_id, s, code, d FROM (
+        |    SELECT vec_id, s, code, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |    FROM bd)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0::BIGINT, list(code::BIGINT ORDER BY s)),
+        |      (a, c) -> a * 16 + c) AS code_key,
+        |    list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+        |      (x, y) -> x + y) AS sse
+        |  FROM sel GROUP BY vec_id)
+        |SELECT vec_id, code_key, round(sse, 4) AS sse
+        |FROM agg ORDER BY vec_id""".stripMargin),
+
+    // Asymmetric-distance (ADC) top-k over the PQ codes: per-query LUTs of
+    // query-block-to-codeword distances are driver metadata shipped as plan
+    // literals; the codes projection is the only thing scanned. Exact by
+    // construction GIVEN the codes, so the oracle replays codebooks, code
+    // assignment, LUTs, the s-ascending ADC fold and the (rounded-adc,
+    // vec_id) rank — both engines agree on exactly which neighbors
+    // PQ-at-these-parameters returns (the x16 replay philosophy: the
+    // quantization error is part of the replayed contract).
+    "x102_pq_adc_topk" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nSubspaces = 8, nCodes = 16, seed = "pq1")
+          .orderBy("qid", "rank")
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pv AS (
+        |  SELECT embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('pq1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        |  FROM emb),
+        |cb AS (SELECT pvec, code FROM pv WHERE code < 16),
+        |bd AS (
+        |  SELECT e.vec_id, sp.s, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)
+        |         * (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM emb e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+        |  CROSS JOIN cb c),
+        |sel AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |    FROM bd)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 8),
+        |lut AS (
+        |  SELECT q.qid, sp.s, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.qvec[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)
+        |         * (q.qvec[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM q
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+        |  CROSS JOIN cb c),
+        |adc AS (
+        |  SELECT l.qid, v.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)),
+        |      (x, y) -> x + y), 4) AS adc
+        |  FROM sel v JOIN lut l ON l.s = v.s AND l.code = v.code
+        |  GROUP BY l.qid, v.vec_id),
+        |rk AS (
+        |  SELECT qid, vec_id, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+        |  FROM adc)
+        |SELECT qid, vec_id, adc, rank FROM rk WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
+
+    // HTML-to-text extraction (the web-corpus ingest stage): documents are
+    // wrapped in a deterministic HTML shell — title, style + script blocks
+    // with hostile content (a '<' comparison, a quoted "<p>" string), a
+    // comment, escaped entities including a double-escaped one — and the
+    // extraction chain (script/style/comment/tag strip, one-level entity
+    // decode, whitespace collapse) must recover exactly the visible text.
+    // The oracle runs the identical regex + replace chain in DuckDB, so
+    // ordering contracts (decode AFTER tag strip; &amp; decoded LAST) are
+    // cross-engine-pinned, not just unit-tested.
+    "x104_html_extract" -> sql(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">p{margin:0}</style></head>" +
+            "<body><h1>Title &amp; summary</h1>" +
+            "<script>if (1 < 2) { var x = \"<p>ignored</p>\"; }</script>" +
+            "<p id=\"main\">"),
+          col("text"),
+          lit("</p><!-- trailer --><div>tail &lt;b&gt;&nbsp;&#39;quoted&#39;" +
+            " &amp;lt;kept</div></body></html>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextExtraction.htmlToText(html).as("text_clean"))
+          .select(col("doc_id"), col("text_clean"),
+            length(col("text_clean")).cast("long").as("n_chars_clean"))
+          .orderBy("doc_id")
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">p{margin:0}</style></head>' ||
+        |    '<body><h1>Title &amp; summary</h1>' ||
+        |    '<script>if (1 < 2) { var x = "<p>ignored</p>"; }</script>' ||
+        |    '<p id="main">' || text ||
+        |    '</p><!-- trailer --><div>tail &lt;b&gt;&nbsp;&#39;quoted&#39;' ||
+        |    ' &amp;lt;kept</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '<!--.*?-->', ' ', 'gs') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'gs') AS x FROM s3),
+        |d AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(x,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x
+        |  FROM s4),
+        |c AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text_clean FROM d)
+        |SELECT doc_id, text_clean, CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Quality-filter evaluation: precision/recall/F1 of the x03 stopword
+    // score as an English detector, swept over 10 thresholds in ONE
+    // aggregation pass (conditional sums — the corpus is never exploded
+    // per threshold; reduce state is 4·|thresholds| longs). The oracle
+    // recomputes the counts by threshold cross join and the identical
+    // 0/0→0 ratio algebra.
+    "x105_pr_curve" -> sql(
+      (s, dir) => {
+        val tokens = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("double")
+        val stop = size(expr("filter(split(text, ' '), x -> x IN ('the', 'a'))")).cast("double")
+        val scored = Tables.documents(s, dir)
+          .select((stop / tokens).as("score"), (col("lang") === "en").as("is_en"))
+        Evaluation.prCurve(scored, col("score"), col("is_en"),
+          thresholds = Seq(0.0, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.14, 0.16, 0.18))
+          .orderBy("threshold")
+      },
+      """WITH sc AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS score,
+        |    (lang = 'en') AS is_en
+        |  FROM documents),
+        |th AS (SELECT unnest([0.0, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.14, 0.16, 0.18]) AS threshold),
+        |cnt AS (
+        |  SELECT th.threshold,
+        |    CAST(sum(CASE WHEN sc.score >= th.threshold AND sc.is_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN sc.score >= th.threshold AND NOT sc.is_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN sc.score < th.threshold AND sc.is_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN sc.score < th.threshold AND NOT sc.is_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM th CROSS JOIN sc GROUP BY th.threshold),
+        |pr AS (
+        |  SELECT threshold, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END AS p,
+        |    CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END AS r
+        |  FROM cnt)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  round(p, 4) AS "precision", round(r, 4) AS recall,
+        |  round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 4) AS f1
+        |FROM pr ORDER BY threshold""".stripMargin),
+
+    // Near-dup method agreement (the dedup counterpart of x103's ANN
+    // recall harness): the three pair families — word-3-shingle Jaccard
+    // (x07's setting), simhash hamming (x08's), char-5-gram Jaccard
+    // (x09's) — disagree in informative ways, and choosing a dedup recipe
+    // for a 100 TB corpus means MEASURING that disagreement, not assuming
+    // it. One Venn row per membership combination. Each leg is already
+    // independently oracle-replayed; this query pins the comparison
+    // itself (tag-union → per-pair flags → combination counts).
+    "x106_dedup_method_venn" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit("m").as("src"))
+        val sh = Dedup.simhashNearDuplicates(docs, "text", "doc_id",
+          maxDistance = 4)
+          .select(col("id_a"), col("id_b"), lit("s").as("src"))
+        val g = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 5, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit("g").as("src"))
+        val out = m.union(sh).union(g)
+          .groupBy("id_a", "id_b")
+          .agg(
+            (max(when(col("src") === "m", 1).otherwise(0)) === 1).as("in_minhash"),
+            (max(when(col("src") === "s", 1).otherwise(0)) === 1).as("in_simhash"),
+            (max(when(col("src") === "g", 1).otherwise(0)) === 1).as("in_gram"))
+          .groupBy("in_minhash", "in_simhash", "in_gram")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("in_minhash", "in_simhash", "in_gram")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      s"""WITH mt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |mg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM mt WHERE len(toks) >= 3),
+        |mp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa, len(b.sh) AS sb
+        |    FROM mg a JOIN mg b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |gs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS str
+        |  FROM documents),
+        |gg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(str) - 4, 1)),
+        |      i -> substring(str, i, 5))) AS grams
+        |  FROM gs WHERE length(str) > 0),
+        |gp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.grams, b.grams)) AS c,
+        |      len(a.grams) AS sa, len(b.grams) AS sb
+        |    FROM gg a JOIN gg b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |st AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |fnv AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(generate_series(1, length(tok)), j -> ascii(substring(tok, j, 1))::HUGEINT)),
+        |      (acc, c) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT)
+        |                    * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM st),
+        |f1 AS (SELECT doc_id, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT doc_id, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT doc_id, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT doc_id, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (x // CAST(pow(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM f5 CROSS JOIN generate_series(0, 63) gb(b) GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS HUGEINT) ELSE 0::HUGEINT END) AS fp
+        |  FROM bits GROUP BY 1),
+        |halves AS (
+        |  SELECT d.doc_id, (coalesce(fp, 0::HUGEINT) // 4294967296)::BIGINT AS hi,
+        |    (coalesce(fp, 0::HUGEINT) % 4294967296)::BIGINT AS lo
+        |  FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id),
+        |sp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4),
+        |u AS (
+        |  SELECT id_a, id_b, 'm' AS src FROM mp
+        |  UNION ALL SELECT id_a, id_b, 's' FROM sp
+        |  UNION ALL SELECT id_a, id_b, 'g' FROM gp),
+        |fl AS (
+        |  SELECT id_a, id_b,
+        |    max(CASE WHEN src = 'm' THEN 1 ELSE 0 END) = 1 AS in_minhash,
+        |    max(CASE WHEN src = 's' THEN 1 ELSE 0 END) = 1 AS in_simhash,
+        |    max(CASE WHEN src = 'g' THEN 1 ELSE 0 END) = 1 AS in_gram
+        |  FROM u GROUP BY id_a, id_b)
+        |SELECT in_minhash, in_simhash, in_gram, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // The deployed ANN layout end-to-end: IVF coarse routing (x16's pivot
+    // cells) → PQ-ADC candidate generation over the codes projection
+    // (x101/x102's codebooks and LUTs) → exact-cosine re-rank of the top
+    // 20 ADC candidates. The oracle replays the WHOLE composition — both
+    // pivot families, code assignment, probe ranking, the LUT folds, the
+    // rounded-ADC candidate cut, and the exact re-rank — so the engines
+    // agree on exactly which neighbors IVF-PQ-at-these-parameters serves.
+    "x107_ivfpq_topk" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, nCells = 16, nProbe = 4,
+          nSubspaces = 8, nCodes = 16, rerank = 20)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"),
+            col("rank"))
+          .orderBy("qid", "rank")
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pv AS (
+        |  SELECT embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM emb),
+        |piv AS (SELECT pvec, cell FROM pv WHERE cell < 16),
+        |cells AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, p.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |          i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |             * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |          (x, y) -> x + y), p.cell) AS rn
+        |    FROM emb e CROSS JOIN piv p)
+        |  WHERE rn = 1),
+        |qpv AS (
+        |  SELECT embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('pq1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        |  FROM emb),
+        |cb AS (SELECT pvec, code FROM qpv WHERE code < 16),
+        |bd AS (
+        |  SELECT e.vec_id, sp.s, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)
+        |         * (e.embedding[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM emb e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+        |  CROSS JOIN cb c),
+        |sel AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |    FROM bd)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 20),
+        |qpr AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, p.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_reduce(list_transform(generate_series(1, len(q.qvec)),
+        |          i -> (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |             * (q.qvec[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |          (x, y) -> x + y), p.cell) AS rn
+        |    FROM q CROSS JOIN piv p)
+        |  WHERE rn <= 4),
+        |lut AS (
+        |  SELECT q.qid, sp.s, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.qvec[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)
+        |         * (q.qvec[sp.s*8+i]::DOUBLE - c.pvec[sp.s*8+i]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM q
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+        |  CROSS JOIN cb c),
+        |cj AS (
+        |  SELECT p.qid, cl.vec_id, v.s, l.d
+        |  FROM qpr p
+        |  JOIN cells cl ON cl.cell = p.cell
+        |  JOIN sel v ON v.vec_id = cl.vec_id
+        |  JOIN lut l ON l.qid = p.qid AND l.s = v.s AND l.code = v.code
+        |  WHERE cl.vec_id <> p.qid),
+        |adc AS (
+        |  SELECT qid, vec_id,
+        |    round(list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+        |      (x, y) -> x + y), 4) AS r
+        |  FROM cj GROUP BY qid, vec_id),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY r, vec_id) AS ar
+        |    FROM adc)
+        |  WHERE ar <= 20),
+        |rr AS (
+        |  SELECT c.qid, c.vec_id,
+        |    list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM cand c
+        |  JOIN q ON q.qid = c.qid
+        |  JOIN emb e ON e.vec_id = c.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, round(sim, 4) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM rr)
+        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
 
     "x98_heaps_fit" -> sql(
       (s, dir) =>

@@ -624,8 +624,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x97: each coreset round evaluates exactly ONE new kernel arm above the cache boundary") {
-    graft.SparkEntry.queries("x97_kcenter_coreset")(spark, dir).collect()
-    val plans = graft.operators.Similarity.lastRoundPlans.toList
+    graft.operators.Similarity.capturePlans = true
+    val plans =
+      try {
+        graft.SparkEntry.queries("x97_kcenter_coreset")(spark, dir).collect()
+        graft.operators.Similarity.lastRoundPlans.toList
+      } finally graft.operators.Similarity.capturePlans = false
     assert(plans.size >= 2, s"expected ≥ 2 recorded rounds, got ${plans.size}")
     // round 1 computes the seed arm from the source; every later round must
     // read the previous round's cache and add exactly one graft_l2sq arm
@@ -637,5 +641,49 @@ class PlanAuditSpec extends SparkSpec {
       assert(arms == 1,
         s"expected exactly 1 new kernel arm above the cache, got $arms:\n${aboveCache.take(1500)}")
     }
+  }
+
+  test("x101: PQ encode is a pure projection — no shuffle, codegen end to end") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // audit the operator itself (the query wrapper adds a presentation
+    // sort): codebooks are plan literals, assignment is the fused kernel
+    // per block — nothing may move
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val nodes = flatten(executedPlan(
+      graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding")))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "PQ encoding must not shuffle — codebooks ride the plan")
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "the per-block argmin kernels must stay inside whole-stage codegen")
+  }
+
+  test("x102: ADC top-k trims per-query ranks before the exchange, scans codes only") {
+    val plan = planOf("x102_pq_adc_topk").toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-query top-k must be group-limited below the rank exchange")
+    assert(!plan.contains("graft_cosine") && !plan.contains("graft_dot"),
+      "ADC scores come from LUT lookups over codes — raw vectors are never re-scored")
+  }
+
+  test("x104: HTML extraction is a pure projection — no shuffle, no UDF") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val nodes = flatten(executedPlan(docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.TextExtraction.htmlToText(
+        org.apache.spark.sql.functions.col("text")))))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the highest-volume stage of the pipeline must never move a row")
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "the regex/replace chain must stay inside whole-stage codegen")
+    assert(!nodes.mkString.contains("BatchEvalPython") &&
+      !nodes.mkString.contains("ScalaUDF"), "no UDF on the extraction path")
+  }
+
+  test("x105: the threshold sweep scans the corpus ONCE — conditional sums, no per-threshold rescan") {
+    val nodes = flatten(planOf("x105_pr_curve"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"expected one documents scan for all 10 thresholds, got ${scans.size}")
   }
 }

@@ -528,6 +528,23 @@ object GraftHashUtil {
     s
   }
 
+  /** Dot product between a float vector and a double vector — the
+    * projection kernel for driver-trained linear models (PCA components,
+    * ridge-probe weights), whose coefficients are doubles while the corpus
+    * column stays float. Same i-ascending fold as `dot`, so the result
+    * stays bit-comparable to DuckDB's list_dot_product over the
+    * double-widened embedding and the SQL-recomputed coefficient list. */
+  def dotFd(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   /** Index of the L2-nearest centroid — the IVF assignment loop, one fused
     * pass over k centroids per row (no per-centroid join/explosion). */
   def nearestCentroid(vec: ArrayData, cents: Array[Array[Double]]): Int = {
@@ -853,6 +870,30 @@ case class GraftL2Sq(left: Expression, right: Expression) extends BinaryExpressi
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftL2Sq =
+    copy(left = l, right = r)
+}
+
+/** `graft_dot_fd(array<float>, array<double>) → double` — dot product of a
+  * float corpus vector with a double coefficient vector (linear-model
+  * scoring: PCA projection, ridge-probe logits). */
+case class GraftDotFd(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_fd"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(prettyName, left.dataType),
+      VecTypeCheck.doubleArray(prettyName, right.dataType))
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GraftHashUtil.dotFd(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GraftHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$util.dotFd($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDotFd =
     copy(left = l, right = r)
 }
 

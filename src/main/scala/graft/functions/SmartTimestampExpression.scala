@@ -198,6 +198,12 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_mg_topk"),
       new ExpressionInfo(classOf[GraftMgTopK].getName, "graft_mg_topk"),
       (args: Seq[Expression]) => GraftMgTopK(args.head, literalInt(args(1)))),
+    (new FunctionIdentifier("graft_dot_fd"),
+      new ExpressionInfo(classOf[GraftDotFd].getName, "graft_dot_fd"),
+      (args: Seq[Expression]) => GraftDotFd(args.head, args(1))),
+    (new FunctionIdentifier("graft_gram_agg"),
+      new ExpressionInfo(classOf[GraftGramAgg].getName, "graft_gram_agg"),
+      (args: Seq[Expression]) => GraftGramAgg(args.head, args(1), literalInt(args(2)))),
     (new FunctionIdentifier("graft_hist"),
       new ExpressionInfo(classOf[GraftHistAgg].getName, "graft_hist"),
       (args: Seq[Expression]) => GraftHistAgg(args.head,

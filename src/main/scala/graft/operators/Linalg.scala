@@ -1,0 +1,196 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftGramAgg
+
+/** Distributed linear algebra for embedding columns — PCA and ridge-probe
+  * training via SUFFICIENT STATISTICS: one bounded-state scan aggregates
+  * the Gram/moment matrix (graft_gram_agg, O(dim²) doubles of reduce
+  * state), the model is then fit on the driver with a deterministic
+  * fixed-iteration solver, and the fitted coefficients broadcast back into
+  * a pure projection scan. That is THE 100 TB shape for linear models:
+  * corpus rows are touched exactly twice (once to aggregate X'X / X'y,
+  * once to score), nothing row-sized ever reaches the driver, and no
+  * iteration re-reads the data — the iterations run on a dim×dim matrix.
+  *
+  * Determinism contract (what makes these oracle-checkable): the raw sums
+  * are fp-order-dependent, so every normalized moment (sum/n) is rounded
+  * to 6 decimals FIRST — the same quantization contract as x56's
+  * centroids — and all driver iterations then run on identical binary64
+  * inputs with ordered folds (i-ascending dot products, the exact
+  * evaluation order DuckDB's list_dot_product uses). Every add/mul/div/
+  * sqrt afterwards is a correctly-rounded IEEE op on identical inputs, so
+  * components, eigenvalues and weights replay bit-for-bit in SQL.
+  *
+  * PCA: power iteration (fixed iters from v₀ = 1/√dim · 1) on the rounded
+  * covariance, then Hotelling deflation for the second component — the
+  * textbook pair (Golub & Van Loan §8). Ridge: gradient descent on the
+  * normalized normal equations (Â = X'X/n rounded, b̂ = X'y/n rounded),
+  * step size η = 1/(tr(Â) + λ) ≥-safe since tr bounds the top eigenvalue.
+  */
+object Linalg {
+
+  /** Spark Round semantics for doubles (HALF_UP on the decimal value) —
+    * driver-side moments must round exactly the way the engines do. */
+  private[operators] def roundAt(x: Double, scale: Int): Double =
+    JBigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+
+  private def round6(x: Double): Double = roundAt(x, 6)
+
+  /** i-ascending fold dot product — the list_dot_product evaluation order. */
+  private[operators] def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(m.length)(i => dotAsc(m(i), v))
+
+  private def traceAsc(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m.length) { s += m(i)(i); i += 1 }
+    s
+  }
+
+  /** One-pass sufficient statistics: the raw graft_gram_agg buffer (see
+    * GraftGramAgg for the layout). Single scan, constant reduce state. */
+  private def gramSums(df: DataFrame, vecCol: String, y: Column, dim: Int): Array[Double] = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val row = df.agg(
+      call_function("graft_gram_agg", col(vecCol), y.cast("double"), lit(dim)).as("g")).head()
+    row.getSeq[Double](0).toArray
+  }
+
+  /** Power iteration: `iters` rounds of v ← Mv/‖Mv‖ from v₀ = 1/√d · 1,
+    * then the Rayleigh quotient. Requires a non-degenerate matrix (a zero
+    * iterate means every input vector was identical — fail loudly rather
+    * than emit NaN columns). */
+  private def powerIteration(m: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val d = m.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = matvec(m, v)
+      val nrm = math.sqrt(dotAsc(w, w))
+      require(nrm > 0.0, "powerIteration: degenerate (zero) covariance iterate")
+      v = w.map(_ / nrm)
+      t += 1
+    }
+    val w = matvec(m, v)
+    (v, dotAsc(v, w))
+  }
+
+  /** Top-2 principal components of a float-vector column, as projection
+    * scores per row: (…carry, pc1, pc2, evr1, evr2) where evr is the
+    * explained-variance ratio λ/tr(C). `iters` power-iteration rounds per
+    * component (12 is plenty at the spectra embeddings have; the count is
+    * part of the algorithm's definition, not a convergence knob — both
+    * engines run exactly `iters`). */
+  def pcaProject(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      carry: Seq[String],
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 64, "pcaProject: iters in [1, 64]")
+    val g = gramSums(df, vecCol, lit(0.0), dim)
+    val n = g(0)
+    require(n > 0, "pcaProject: empty input")
+    val mu = Array.tabulate(dim)(i => round6(g(1 + i) / n))
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n) - mu(i) * mu(j)
+        c(i)(j) = v
+        c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val tr = traceAsc(c)
+    val (v1, lam1) = powerIteration(c, iters)
+    val c2 = Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam1 * v1(i) * v1(j))
+    val (v2, lam2) = powerIteration(c2, iters)
+
+    df.select(
+      carry.map(col) ++ Seq(
+        round(call_function("graft_dot_fd", col(vecCol), typedlit(v1.toSeq)), 4).as("pc1"),
+        round(call_function("graft_dot_fd", col(vecCol), typedlit(v2.toSeq)), 4).as("pc2"),
+        lit(roundAt(lam1 / tr, 4)).as("evr1"),
+        lit(roundAt(lam2 / tr, 4)).as("evr2")): _*)
+  }
+
+  /** Ridge-regression linear probe on an embedding column — the standard
+    * "is signal X linearly decodable from these embeddings?" check run
+    * before spending GPU time on a finetune, and a quality-classifier
+    * trainer in its own right (score = ŷ of a {0,1} target). Trains on
+    * the normalized normal equations with `iters` fixed gradient steps
+    * (w ← w − η[(Âw − b̂) + λw], η = round(1/(tr Â + λ), 6)), then scores
+    * every row: (…carry, y, score, pred).
+    *
+    * The features are [x, 1] (bias absorbed as a constant column); Â and
+    * b̂ come from the SAME single-scan gram buffer (the Σxᵢ / Σy slots are
+    * the intercept row). */
+  def ridgeProbe(
+      df: DataFrame,
+      vecCol: String,
+      yCol: Column,
+      dim: Int,
+      carry: Seq[String],
+      lambda: Double = 0.1,
+      iters: Int = 48): DataFrame = {
+    require(iters >= 1 && iters <= 128, "ridgeProbe: iters in [1, 128]")
+    require(lambda >= 0.0, "ridgeProbe: lambda must be >= 0")
+    val g = gramSums(df, vecCol, yCol, dim)
+    val n = g(0)
+    require(n > 0, "ridgeProbe: empty input")
+    val d1 = dim + 1
+    val a = Array.ofDim[Double](d1, d1)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n)
+        a(i)(j) = v
+        a(j)(i) = v
+        j += 1
+      }
+      val m = round6(g(1 + i) / n)
+      a(i)(dim) = m
+      a(dim)(i) = m
+      i += 1
+    }
+    a(dim)(dim) = round6(n / n)
+    val syBase = 1 + dim + dim * (dim + 1) / 2
+    val b = Array.tabulate(d1)(i =>
+      if (i < dim) round6(g(syBase + i) / n) else round6(g(g.length - 2) / n))
+    val eta = round6(1.0 / (traceAsc(a) + lambda))
+
+    var w = Array.fill(d1)(0.0)
+    var t = 0
+    while (t < iters) {
+      val prev = w
+      w = Array.tabulate(d1)(i =>
+        prev(i) - eta * ((dotAsc(a(i), prev) - b(i)) + lambda * prev(i)))
+      t += 1
+    }
+
+    val score =
+      round(call_function("graft_dot_fd", col(vecCol), typedlit(w.take(dim).toSeq)) +
+        lit(w(dim)), 4)
+    df.select(
+      carry.map(col) ++ Seq(
+        yCol.cast("double").as("y"),
+        score.as("score"),
+        when(score >= 0.5, lit(1)).otherwise(lit(0)).as("pred")): _*)
+  }
+}

@@ -107,4 +107,39 @@ object QualityRules {
     docs
       .select(col(idCol), gopherReport(col(textCol), t).as("__g"))
       .select(col(idCol), col("__g.*"))
+
+  /** Empirical-Bayes per-source quality prior — the domain-reputation score
+    * a Common Crawl-scale pipeline attaches to every host before touching
+    * content twice (CCNet keeps per-"dump+domain" stats the same way). A
+    * source's raw mean quality is unreliable at small n, so it is shrunk
+    * toward the corpus mean with a pseudo-count: shrunk = (n·mean +
+    * k·global)/(n + k) — the Beta-posterior mean with a global prior of
+    * strength k (James–Stein-flavored partial pooling).
+    *
+    * Scale shape: one projection scan (the native quality kernel), one
+    * keyed aggregation to (source, n, sum) partials that map-side combine,
+    * one broadcast 1-row global — per-source state is two numbers
+    * regardless of corpus size, and the output is |sources| rows.
+    * Determinism: per-doc q is 4-dp-quantized by the kernel; both means
+    * round to 6 before the (exact-arithmetic) shrinkage, so the report
+    * replays in SQL. */
+  def sourcePrior(
+      docs: DataFrame,
+      textCol: String, sourceCol: String,
+      pseudoCount: Double = 20.0): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = docs.select(col(sourceCol).as("source"),
+      call_function("graft_quality_score", col(textCol)).as("q"))
+    val perSource = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("q") / count(lit(1)), 6).as("raw_mean"))
+    val global = scored.agg(round(sum("q") / count(lit(1)), 6).as("g"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"), col("raw_mean"),
+        round((col("n_docs") * col("raw_mean") + lit(pseudoCount) * col("g")) /
+          (col("n_docs") + lit(pseudoCount)), 4).as("shrunk_mean"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("shrunk_mean"), col("source"))).cast("long"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, ImportanceWeights, Layout, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -4296,6 +4296,232 @@ object OperatorQueries {
         |  CAST(floor(exp(lnk + beta * ln(100.0 * tokens_now::DOUBLE)) + 0.5) AS BIGINT)
         |    AS predicted_vocab_at_factor
         |FROM fit""".stripMargin),
+
+    // Fixed-point integer PageRank over the customer–supplier trade graph
+    // (Page et al. 1999) — the iterative-graph-analytics member of the
+    // pack: one hash-partitioned join + keyed aggregation per superstep
+    // against a cached, src-partitioned 16-byte edge projection (the
+    // Pregel shape; see operators/Graph.scala). Ranks live in integer
+    // units of 1e-12 with shares = rank div out_degree, so every superstep
+    // is an exact long sum — order- and partitioning-independent — and the
+    // five unrolled iterations replay bit-for-bit in DuckDB integer
+    // division with no fp knife-edges at any node count.
+    "x108_pagerank_trade" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+        val edges = pairs
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+          .unionAll(pairs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        val out = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("entity_key"),
+            col("deg").as("out_deg"),
+            col("rank_fp"))
+          .orderBy(desc("rank_fp"), col("node_type"), col("entity_key"))
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT c * 2 AS src, p * 2 + 1 AS dst FROM base
+        |  UNION ALL
+        |  SELECT p * 2 + 1, c * 2 FROM base),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |nd AS MATERIALIZED (
+        |  SELECT n.node, coalesce(d.deg, 0::BIGINT) AS deg
+        |  FROM nodes n LEFT JOIN dg d USING (node)),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nd),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, deg, 1000000000000 // (SELECT n FROM nn) AS r FROM nd),
+        |${pagerankIterCtes(5)}
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |  node // 2 AS entity_key, deg AS out_deg, r AS rank_fp
+        |FROM r5 ORDER BY rank_fp DESC, node_type, entity_key""".stripMargin),
+
+    // PCA top-2 projection of the embedding corpus via sufficient
+    // statistics: ONE bounded-state scan aggregates the Gram matrix
+    // (graft_gram_agg — O(dim²) doubles of reduce state, map-side
+    // combined), the driver runs 12 deterministic power-iteration rounds
+    // per component on the 6-dp-rounded covariance (Hotelling deflation
+    // for the second), and the fitted components broadcast back into a
+    // pure projection scan. The oracle replays the WHOLE fit — rounded
+    // moments, every ordered-fold matvec/normalize round, the Rayleigh
+    // quotients, the deflation — as 24 chained list-arithmetic CTEs, so
+    // scores and explained-variance ratios match hash-exactly.
+    "x109_pca_project" -> sql(
+      (s, dir) =>
+        Linalg.pcaProject(Tables.embeddings(s, dir), "embedding", dim = 64,
+          carry = Seq("vec_id", "label"), iters = 12)
+          .orderBy("vec_id"),
+      s"""WITH d AS MATERIALIZED (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
+        |idx AS (SELECT i FROM range(0, 64) t(i)),
+        |mu AS MATERIALIZED (
+        |  SELECT i.i AS i, round(sum(d.e[i.i + 1]) / (SELECT n FROM nn), 6) AS m
+        |  FROM d CROSS JOIN idx i GROUP BY i.i),
+        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        |s2 AS MATERIALIZED (
+        |  SELECT prx.i, prx.j,
+        |    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+        |  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+        |cov AS MATERIALIZED (
+        |  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS c
+        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+        |  UNION ALL
+        |  SELECT s2.j, s2.i, s2.s - mi.m * mj.m
+        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+        |  WHERE s2.i <> s2.j),
+        |mrows AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov GROUP BY i),
+        |trc AS MATERIALIZED (
+        |  SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS t
+        |  FROM cov WHERE i = j),
+        |av0 AS MATERIALIZED (
+        |  SELECT list_transform(generate_series(1, 64), x -> 1.0 / sqrt(64.0)) AS v),
+        |${powerIterCtes("a", "mrows", 12)},
+        |awf AS MATERIALIZED (
+        |  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
+        |  FROM mrows m CROSS JOIN av12 v),
+        |l1 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM av12 v CROSS JOIN awf w),
+        |cov2 AS MATERIALIZED (
+        |  SELECT c.i, c.j,
+        |    c.c - (SELECT lam FROM l1) * v.v[c.i + 1] * v.v[c.j + 1] AS c
+        |  FROM cov c CROSS JOIN av12 v),
+        |mrows2 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov2 GROUP BY i),
+        |bv0 AS MATERIALIZED (SELECT v FROM av0),
+        |${powerIterCtes("b", "mrows2", 12)},
+        |bwf AS MATERIALIZED (
+        |  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
+        |  FROM mrows2 m CROSS JOIN bv12 v),
+        |l2 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM bv12 v CROSS JOIN bwf w)
+        |SELECT d.vec_id, d.label,
+        |  round(list_dot_product(d.e, (SELECT v FROM av12)), 4) AS pc1,
+        |  round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) AS pc2,
+        |  round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) AS evr1,
+        |  round((SELECT lam FROM l2) / (SELECT t FROM trc), 4) AS evr2
+        |FROM d ORDER BY d.vec_id""".stripMargin),
+
+    // Ridge-regression linear probe on the embeddings (is `label < 5`
+    // linearly decodable?) — the standard pre-finetune decodability check,
+    // trained from the SAME single-scan gram buffer as x109 (the Σxᵢ / Σy
+    // slots are the intercept row of the normal equations) with 48 fixed
+    // gradient steps on the driver, then broadcast-scored. The oracle
+    // replays the normalized normal equations and all 48 steps as chained
+    // ordered-fold CTEs; scores, targets and thresholded predictions
+    // match hash-exactly.
+    "x110_ridge_probe" -> sql(
+      (s, dir) =>
+        Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id", "label"),
+          lambda = 0.1, iters = 48)
+          .orderBy("vec_id"),
+      s"""WITH d AS MATERIALIZED (
+        |  SELECT vec_id, label, list_append(embedding::DOUBLE[], 1.0) AS e,
+        |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM embeddings),
+        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
+        |idx AS (SELECT i FROM range(0, 65) t(i)),
+        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        |s2 AS MATERIALIZED (
+        |  SELECT prx.i, prx.j,
+        |    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+        |  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+        |am AS MATERIALIZED (SELECT i, j, s AS a FROM s2 UNION ALL SELECT j, i, s FROM s2 WHERE i <> j),
+        |arows AS MATERIALIZED (SELECT i, list(a ORDER BY j) AS rw FROM am GROUP BY i),
+        |bh AS MATERIALIZED (
+        |  SELECT i.i AS i, round(sum(d.e[i.i + 1] * d.y) / (SELECT n FROM nn), 6) AS b
+        |  FROM d CROSS JOIN idx i GROUP BY i.i),
+        |bl AS MATERIALIZED (SELECT list(b ORDER BY i) AS b FROM bh),
+        |trc AS MATERIALIZED (
+        |  SELECT list_reduce(list(a ORDER BY i), (x, y) -> x + y) AS t
+        |  FROM am WHERE i = j),
+        |et AS MATERIALIZED (SELECT round(1.0 / (t + 0.1), 6) AS eta FROM trc),
+        |gw0 AS MATERIALIZED (SELECT list_transform(generate_series(1, 65), x -> 0.0) AS w),
+        |${gdIterCtes(48, "0.1")}
+        |SELECT d.vec_id, d.label, d.y,
+        |  round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS score,
+        |  CASE WHEN round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) >= 0.5
+        |    THEN 1 ELSE 0 END AS pred
+        |FROM d ORDER BY d.vec_id""".stripMargin),
+
+    // Empirical-Bayes per-source quality prior (the CCNet-style domain
+    // reputation table): raw per-source mean quality shrunk toward the
+    // corpus mean with a pseudo-count of 20 — one projection scan (native
+    // quality kernel), one keyed aggregation whose per-source state is two
+    // numbers, one broadcast global. The oracle replays the kernel's
+    // quality formula (x17's replay), both 6-dp means, the exact-
+    // arithmetic shrinkage and the rank.
+    //
+    // Rounding subtlety this query exposed (x17 gates at 0.2 and never
+    // hit it): Spark's round() and the kernel round the DECIMAL value of
+    // the double (BigDecimal.valueOf = shortest-repr string), while
+    // DuckDB's round() multiplies in fp first — at a knife-edge like
+    // raw = 0.8937499999999999, fp 10⁴·raw rounds UP to exactly 8937.5 and
+    // DuckDB says 0.8938 where BigDecimal says 0.8937. dkRound4/dkRound6
+    // below replay BigDecimal semantics exactly: VARCHAR (the same
+    // shortest decimal repr) → DECIMAL → decimal-true HALF_UP round.
+    "x111_source_prior" -> sql(
+      (s, dir) =>
+        QualityRules.sourcePrior(Tables.documents(s, dir), "text", "source",
+          pseudoCount = 20.0)
+          .orderBy("rank"),
+      """WITH f AS MATERIALIZED (
+        |  SELECT source, trim(text) AS txt,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |feat AS MATERIALIZED (
+        |  SELECT source, len(toks) AS n_tok_raw,
+        |    CAST(length(txt) AS DOUBLE) / greatest(len(toks), 1) AS cpt,
+        |    CAST(length(regexp_replace(txt, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS alpha_ratio,
+        |    CAST(length(regexp_replace(txt, '[^\p{N}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS digit_ratio,
+        |    CAST(length(regexp_replace(txt, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it',
+        |      'that','was','for','on','are','with','as','his','they','at','be','this'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stop_ratio
+        |  FROM f),
+        |scored AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(round(CAST(CAST((
+        |      (CASE WHEN cpt BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |      least(alpha_ratio * 1.25, 1.0) * 0.35 +
+        |      greatest(0.0, 1.0 - (digit_ratio + punct_ratio) * 2) * 0.25 +
+        |      least(stop_ratio * 4, 1.0) * 0.15) AS VARCHAR) AS DECIMAL(38,18)), 4)
+        |      AS DOUBLE) AS q
+        |  FROM feat),
+        |src AS MATERIALIZED (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(round(CAST(CAST((sum(q) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 6)
+        |      AS DOUBLE) AS raw_mean
+        |  FROM scored GROUP BY source),
+        |gl AS MATERIALIZED (
+        |  SELECT CAST(round(CAST(CAST((sum(q) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS g FROM scored),
+        |sh AS MATERIALIZED (
+        |  SELECT source, n_docs, raw_mean,
+        |    CAST(round(CAST(CAST((
+        |      (n_docs * raw_mean + 20.0 * (SELECT g FROM gl)) / (n_docs + 20.0))
+        |      AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS shrunk_mean
+        |  FROM src)
+        |SELECT source, n_docs, raw_mean, shrunk_mean,
+        |  row_number() OVER (ORDER BY shrunk_mean DESC, source) AS rank
+        |FROM sh ORDER BY rank""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r
@@ -4325,4 +4551,48 @@ object OperatorQueries {
     (Seq(head) ++ rounds).mkString(",\n") + "\n" +
       selects.mkString("\nUNION ALL ") + "\nORDER BY rank"
   }
+
+  /** x108's five PageRank supersteps unrolled: shares by integer division,
+    * exact BIGINT contribution sums, dangling mass folded back — the same
+    * fixed-point recurrence Graph.pageRankFixedPoint runs (emitted with
+    * `|` margins; the caller's stripMargin strips them). */
+  private def pagerankIterCtes(iters: Int): String =
+    (0 until iters).map { t =>
+      s"""|s$t AS (SELECT node, r // deg AS share FROM r$t WHERE deg > 0),
+          #|c$t AS (
+          #|  SELECT e.dst AS node, sum(s.share)::BIGINT AS c
+          #|  FROM e JOIN s$t s ON e.src = s.node GROUP BY 1),
+          #|g$t AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM r$t WHERE deg = 0),
+          #|r${t + 1} AS MATERIALIZED (
+          #|  SELECT nd.node, nd.deg,
+          #|    (((100 - 85) * (1000000000000 // (SELECT n FROM nn))) // 100)
+          #|      + ((85 * (coalesce(c.c, 0::BIGINT)
+          #|           + ((SELECT dang FROM g$t) // (SELECT n FROM nn)))) // 100) AS r
+          #|  FROM nd LEFT JOIN c$t c USING (node))""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
+
+  /** x109's power-iteration rounds unrolled: w ← M·v as an ordered list
+    * agg of list_dot_product rows, then normalize by the ordered-fold L2
+    * norm — the exact evaluation order Linalg.powerIteration uses. */
+  private def powerIterCtes(p: String, mrows: String, iters: Int): String =
+    (1 to iters).map { t =>
+      s"""|${p}w$t AS MATERIALIZED (
+          #|  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
+          #|  FROM $mrows m CROSS JOIN ${p}v${t - 1} v),
+          #|${p}v$t AS MATERIALIZED (
+          #|  SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS v
+          #|  FROM ${p}w$t)""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
+
+  /** x110's gradient steps unrolled: wᵢ ← wᵢ − η[(Â·w − b̂)ᵢ + λwᵢ] with
+    * the same parenthesization Linalg.ridgeProbe evaluates. */
+  private def gdIterCtes(iters: Int, lambda: String): String =
+    (1 to iters).map { t =>
+      s"""|gw$t AS MATERIALIZED (
+          #|  SELECT list(wi ORDER BY i) AS w FROM (
+          #|    SELECT a.i AS i,
+          #|      w.w[a.i + 1] - (SELECT eta FROM et) *
+          #|        ((list_dot_product(a.rw, w.w) - b.b[a.i + 1]) + $lambda * w.w[a.i + 1]) AS wi
+          #|    FROM arows a CROSS JOIN gw${t - 1} w CROSS JOIN bl b))""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side reference implementation of the fixed-point recurrence —
+    * plain Maps, no Spark — so the distributed operator is checked against
+    * an independent evaluation of the same definition. */
+  private def referencePr(
+      edges: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85L, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.length.toLong
+    val r0 = scale / n
+    val base = ((100L - dampNum) * r0) / 100L
+    var r = nodes.map(_ -> r0).toMap
+    (1 to iters).foreach { _ =>
+      val shares = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      val dang = nodes.filter(v => !deg.contains(v)).map(r).sum
+      r = nodes.map(v =>
+        v -> (base + (dampNum * (shares.getOrElse(v, 0L) + dang / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private val diamond = Seq( // 4 nodes, 5 edges, node 40 dangling
+    (10L, 20L), (10L, 30L), (20L, 30L), (30L, 10L), (30L, 40L))
+
+  test("pageRankFixedPoint matches the driver-side reference recurrence") {
+    val out = Graph.pageRankFixedPoint(diamond.toDF("src", "dst"), "src", "dst",
+      iters = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    val ref = referencePr(diamond, iters = 7)
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (node, rank) =>
+      assert(out(node)._2 == rank, s"node $node")
+    }
+    assert(out(10L)._1 == 2L && out(40L)._1 == 0L) // out-degrees
+  }
+
+  test("rank mass is conserved up to integer floor loss") {
+    val out = Graph.pageRankFixedPoint(diamond.toDF("src", "dst"), "src", "dst",
+      iters = 5)
+      .agg(sum("rank_fp")).head().getLong(0)
+    Graph.releaseCaches()
+    val scale = 1000000000000L
+    // each superstep loses < 1 unit per share/div plus the div-100 floors
+    assert(out <= scale && out > (scale * 999L) / 1000L,
+      s"mass $out should be within 0.1% of $scale")
+  }
+
+  test("result is partitioning-independent (exact integer arithmetic)") {
+    val a = Graph.pageRankFixedPoint(diamond.toDF("src", "dst"), "src", "dst",
+      iters = 4).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.pageRankFixedPoint(
+      diamond.toDF("src", "dst").repartition(7), "src", "dst",
+      iters = 4).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+  }
+
+  test("multigraph semantics: a repeated edge doubles its contribution weight") {
+    val single = Graph.pageRankFixedPoint(
+      Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 3).orderBy("node").collect()
+    Graph.releaseCaches()
+    val doubled = Graph.pageRankFixedPoint(
+      Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 3)
+      .where(col("node") === 2L).head()
+    Graph.releaseCaches()
+    val singleTwo = single.find(_.getLong(0) == 2L).get.getLong(2)
+    assert(doubled.getLong(2) > singleTwo,
+      "node 2 must gain rank when its in-edge is repeated")
+  }
+
+  test("guards: empty graph and bad parameters fail loudly") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(empty, "src", "dst")
+    }
+    Graph.releaseCaches()
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(one, "src", "dst", iters = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(one, "src", "dst", dampNum = 101)
+    }
+  }
+
+  test("every superstep reads the cached edges and broadcasts the dangling row") {
+    Graph.capturePlans = true
+    try {
+      Graph.pageRankFixedPoint(diamond.toDF("src", "dst"), "src", "dst", iters = 3)
+        .collect()
+      Graph.releaseCaches()
+      assert(Graph.lastStepPlans.size == 3)
+      Graph.lastStepPlans.foreach { p =>
+        assert(p.contains("InMemoryTableScan"),
+          "superstep must read the persisted edge/rank state, not recompute lineage")
+        assert(!p.contains("CartesianProduct"),
+          "the 1-row dangling aggregate must broadcast, never cartesian")
+      }
+    } finally {
+      Graph.capturePlans = false
+      Graph.lastStepPlans.clear()
+    }
+  }
+}

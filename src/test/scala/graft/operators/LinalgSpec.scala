@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftGramAgg
+
+class LinalgSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  // deterministic synthetic embeddings: dominant variance along axis 0,
+  // secondary along axis 1, noise elsewhere (fixed LCG, no RNG state)
+  private def lcg(seed: Long): Iterator[Double] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5)
+
+  private lazy val synth = {
+    val noise = lcg(42L)
+    (0 until 200).map { i =>
+      val t = (i - 100).toDouble / 10.0
+      val u = (if (i % 2 == 0) 1.0 else -1.0) * 0.8
+      (i.toLong, vec(t, u, noise.next() * 0.05, noise.next() * 0.05))
+    }
+  }
+
+  test("graft_dot_fd matches a driver-side ordered fold") {
+    val out = Seq((vec(1.5, -2.0, 0.25), Seq(2.0, 3.0, 4.0)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot_fd", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(out == 1.5f.toDouble * 2.0 + (-2.0f).toDouble * 3.0 + 0.25f.toDouble * 4.0)
+  }
+
+  test("graft_gram_agg sums match direct computation across partitions") {
+    val dim = 3
+    val rows = Seq(
+      (vec(1.0, 2.0, 3.0), 1.0),
+      (vec(-0.5, 0.25, 4.0), 0.0),
+      (vec(2.0, -1.0, 0.5), 1.0),
+      (vec(0.0, 0.0, 1.0), 0.0),
+      (vec(3.5, 2.5, -2.0), 1.0))
+    val g = rows.toDF("v", "y").repartition(4)
+      .agg(call_function("graft_gram_agg", col("v"), col("y"), lit(dim)))
+      .head().getSeq[Double](0).toArray
+    assert(g(0) == 5.0)
+    val xs = rows.map(_._1.map(_.toDouble))
+    val ys = rows.map(_._2)
+    (0 until dim).foreach { i =>
+      assert(math.abs(g(1 + i) - xs.map(_(i)).sum) < 1e-9, s"s_$i")
+      (i until dim).foreach { j =>
+        val direct = xs.map(x => x(i) * x(j)).sum
+        assert(math.abs(g(GraftGramAgg.triIndex(dim, i, j)) - direct) < 1e-9,
+          s"s_${i}_$j")
+      }
+      val sy = xs.zip(ys).map { case (x, y) => x(i) * y }.sum
+      assert(math.abs(g(1 + dim + dim * (dim + 1) / 2 + i) - sy) < 1e-9, s"sy_$i")
+    }
+    assert(math.abs(g(g.length - 2) - ys.sum) < 1e-12)
+    assert(math.abs(g(g.length - 1) - ys.map(y => y * y).sum) < 1e-12)
+  }
+
+  test("graft_gram_agg rejects a wrong-length vector") {
+    val e = intercept[Exception] {
+      Seq((vec(1.0, 2.0), 0.0)).toDF("v", "y")
+        .agg(call_function("graft_gram_agg", col("v"), col("y"), lit(3)))
+        .head()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("vector length"))
+  }
+
+  test("pcaProject finds the dominant axis and orders explained variance") {
+    val out = Linalg.pcaProject(synth.toDF("id", "v"), "v", dim = 4,
+      carry = Seq("id"), iters = 12).collect()
+    val evr1 = out.head.getDouble(3)
+    val evr2 = out.head.getDouble(4)
+    assert(evr1 > 0.9, s"axis 0 dominates the spectrum, evr1=$evr1")
+    assert(evr1 > evr2 && evr2 > 0.0)
+    // pc1 scores must order like the axis-0 coordinate (up to global sign)
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sign = math.signum(byId(199L) - byId(0L))
+    assert(sign != 0.0)
+    assert((0 until 199).forall(i => sign * (byId(i + 1L) - byId(i.toLong)) > -0.2),
+      "pc1 scores track the dominant coordinate monotonically (noise tolerance)")
+  }
+
+  test("pcaProject determinism: repartitioned input gives identical scores") {
+    val df = synth.toDF("id", "v")
+    val a = Linalg.pcaProject(df, "v", 4, Seq("id")).orderBy("id").collect().toSeq
+    val b = Linalg.pcaProject(df.repartition(7), "v", 4, Seq("id"))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("ridgeProbe separates a linearly separable target") {
+    val out = Linalg.ridgeProbe(synth.toDF("id", "v"), "v",
+      col("id") % 2 === 0, dim = 4, carry = Seq("id"), iters = 128).collect()
+    // target = the axis-1 sign bit: perfectly linearly decodable
+    val acc = out.count(r => r.getInt(3) == (if (r.getLong(0) % 2 == 0) 1 else 0))
+      .toDouble / out.length
+    assert(acc >= 0.95, s"probe accuracy $acc")
+    out.foreach { r =>
+      assert(r.getInt(3) == (if (r.getDouble(2) >= 0.5) 1 else 0),
+        "pred must equal thresholded score")
+      assert(r.getDouble(1) == (if (r.getLong(0) % 2 == 0) 1.0 else 0.0))
+    }
+  }
+
+  test("guards: empty input and bad iteration counts fail loudly") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      Linalg.pcaProject(empty, "v", 4, Seq("id"))
+    }
+    val one = Seq((1L, vec(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      Linalg.pcaProject(one, "v", 4, Seq("id"), iters = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Linalg.ridgeProbe(one, "v", lit(true), 4, Seq("id"), lambda = -1.0)
+    }
+  }
+}

@@ -686,4 +686,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.size == 1,
       s"expected one documents scan for all 10 thresholds, got ${scans.size}")
   }
+
+  test("x109/x110: the gram fit is ONE bounded-state scan; scoring is a pure codegen projection") {
+    // the training side: a single embeddings scan feeding a partial
+    // graft_gram_agg (O(dim²) state) below the exchange — X'X never
+    // explodes rows and nothing row-sized reaches the driver
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val fit = executedPlan(emb.agg(
+      call_function("graft_gram_agg", col("embedding"), lit(0.0), lit(64))))
+    val fitStr = fit.toString
+    assert(fitStr.contains("graft_gram_agg"), fitStr.take(1500))
+    assert(fitStr.contains("partial_"),
+      "no partial gram aggregation below the exchange")
+    assert(flatten(fit).collect { case f: FileSourceScanExec => f }.size == 1,
+      "the fit must read the corpus exactly once")
+    // the scoring side: broadcast-as-literal coefficients, no shuffle, no
+    // UDF — whole-stage codegen end to end
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val score = flatten(executedPlan(
+      graft.operators.Linalg.pcaProject(emb, "embedding", 64, Seq("vec_id"))))
+    assert(!score.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "projection scoring must never move a row")
+    assert(score.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "graft_dot_fd scoring must stay inside whole-stage codegen")
+    assert(!score.mkString.contains("ScalaUDF"), "no UDF on the scoring path")
+  }
 }

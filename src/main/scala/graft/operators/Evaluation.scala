@@ -56,4 +56,55 @@ object Evaluation {
       round(r, roundTo).as("recall"),
       round(f1, roundTo).as("f1"))
   }
+
+  /** One-row ranking report for a scored binary target: exact Mann–Whitney
+    * AUC, accuracy at `predThreshold`, and MSE —
+    * (n, n_pos, n_neg, auc, accuracy, mse).
+    *
+    * AUC uses average ranks over ties, computed EXACTLY in integer
+    * arithmetic: group by score value, cumulative-count window, then
+    * AUC = (Σ p_s·(2·cum_s + n_s + 1) − n_pos·(n_pos+1)) /
+    * (2·n_pos·n_neg) — every term a long until the final division, so the
+    * result is order- and partitioning-independent (the same exact-integer
+    * contract as the fixed-point PageRank). Degenerate inputs (single
+    * class) yield NULL auc rather than a fake 0.5.
+    *
+    * Scale shape: scores in this engine are 4-dp-quantized, so the
+    * group-by collapses the corpus to ≤ ~10⁴ distinct values and the
+    * (single-partition) cumulative window runs on THAT — bounded —
+    * frame, never on corpus rows. The corpus itself is touched by one
+    * keyed aggregation with two-long partials. */
+  def aucReport(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      predThreshold: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    val s = df.select(score.as("s"), label.cast("boolean").as("y"))
+    val byScore = s.groupBy("s").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+      sum(when((col("s") >= predThreshold) === col("y"), 1L).otherwise(0L))
+        .as("correct"),
+      sum((col("s") - when(col("y"), 1.0).otherwise(0.0)) *
+        (col("s") - when(col("y"), 1.0).otherwise(0.0))).as("se"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("cum", coalesce(sum("n").over(w), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("p") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("ph"),
+      sum("n").as("ntot"), sum("p").as("npos"),
+      sum("correct").as("corr"), sum("se").as("sse"))
+    agg.select(
+      col("ntot").as("n"),
+      col("npos").as("n_pos"),
+      (col("ntot") - col("npos")).as("n_neg"),
+      when(col("npos") === 0L || col("ntot") === col("npos"), lit(null))
+        .otherwise(round(
+          (col("ph") - col("npos") * (col("npos") + lit(1L))) /
+            (lit(2.0) * col("npos") * (col("ntot") - col("npos"))), roundTo))
+        .cast("double").as("auc"),
+      round(col("corr") / col("ntot"), roundTo).as("accuracy"),
+      round(col("sse") / col("ntot"), roundTo).as("mse"))
+  }
 }

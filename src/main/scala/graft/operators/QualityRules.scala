@@ -126,14 +126,31 @@ object QualityRules {
   def sourcePrior(
       docs: DataFrame,
       textCol: String, sourceCol: String,
-      pseudoCount: Double = 20.0): DataFrame = {
+      pseudoCount: Double = 20.0): DataFrame =
+    shrinkStats(sourceQualityStats(docs, textCol, sourceCol), pseudoCount)
+
+  /** Per-source quality sufficient statistics: (source, n_docs, sum_q).
+    * This is the STATEFUL half of the prior — two numbers per source,
+    * map-side combined — and exactly the state Structured Streaming
+    * maintains incrementally (streaming/StreamingSourcePrior). */
+  def sourceQualityStats(
+      docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scored = docs.select(col(sourceCol).as("source"),
-      call_function("graft_quality_score", col(textCol)).as("q"))
-    val perSource = scored.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        round(sum("q") / count(lit(1)), 6).as("raw_mean"))
-    val global = scored.agg(round(sum("q") / count(lit(1)), 6).as("g"))
+    docs
+      .select(col(sourceCol).as("source"),
+        call_function("graft_quality_score", col(textCol)).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("q").as("sum_q"))
+  }
+
+  /** The stateless shrinkage view over the |sources|-row statistics table:
+    * raw/global means rounded at 6, exact-arithmetic Beta-posterior
+    * shrinkage rounded at 4, rank. Shared by the batch prior and the
+    * streaming twin's consumer so the two legs agree by construction. */
+  def shrinkStats(stats: DataFrame, pseudoCount: Double = 20.0): DataFrame = {
+    val perSource = stats.select(col("source"), col("n_docs"),
+      round(col("sum_q") / col("n_docs"), 6).as("raw_mean"))
+    val global = stats.agg(round(sum("sum_q") / sum("n_docs"), 6).as("g"))
     perSource.crossJoin(broadcast(global))
       .select(col("source"), col("n_docs"), col("raw_mean"),
         round((col("n_docs") * col("raw_mean") + lit(pseudoCount) * col("g")) /

@@ -4429,29 +4429,7 @@ object OperatorQueries {
           col("label") < 5, dim = 64, carry = Seq("vec_id", "label"),
           lambda = 0.1, iters = 48)
           .orderBy("vec_id"),
-      s"""WITH d AS MATERIALIZED (
-        |  SELECT vec_id, label, list_append(embedding::DOUBLE[], 1.0) AS e,
-        |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
-        |  FROM embeddings),
-        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
-        |idx AS (SELECT i FROM range(0, 65) t(i)),
-        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
-        |s2 AS MATERIALIZED (
-        |  SELECT prx.i, prx.j,
-        |    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
-        |  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
-        |am AS MATERIALIZED (SELECT i, j, s AS a FROM s2 UNION ALL SELECT j, i, s FROM s2 WHERE i <> j),
-        |arows AS MATERIALIZED (SELECT i, list(a ORDER BY j) AS rw FROM am GROUP BY i),
-        |bh AS MATERIALIZED (
-        |  SELECT i.i AS i, round(sum(d.e[i.i + 1] * d.y) / (SELECT n FROM nn), 6) AS b
-        |  FROM d CROSS JOIN idx i GROUP BY i.i),
-        |bl AS MATERIALIZED (SELECT list(b ORDER BY i) AS b FROM bh),
-        |trc AS MATERIALIZED (
-        |  SELECT list_reduce(list(a ORDER BY i), (x, y) -> x + y) AS t
-        |  FROM am WHERE i = j),
-        |et AS MATERIALIZED (SELECT round(1.0 / (t + 0.1), 6) AS eta FROM trc),
-        |gw0 AS MATERIALIZED (SELECT list_transform(generate_series(1, 65), x -> 0.0) AS w),
-        |${gdIterCtes(48, "0.1")}
+      s"""WITH ${ridgeFitCtes}
         |SELECT d.vec_id, d.label, d.y,
         |  round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS score,
         |  CASE WHEN round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) >= 0.5
@@ -4522,6 +4500,49 @@ object OperatorQueries {
         |SELECT source, n_docs, raw_mean, shrunk_mean,
         |  row_number() OVER (ORDER BY shrunk_mean DESC, source) AS rank
         |FROM sh ORDER BY rank""".stripMargin),
+
+    // End-to-end probe evaluation: the x110 ridge fit piped into an EXACT
+    // integer Mann–Whitney AUC (average ranks over ties via
+    // Σ p_s·(2·cum_s + n_s + 1), every term a long until the final
+    // division — the same exact-integer determinism contract as x108's
+    // PageRank), plus accuracy at 0.5 and MSE. Scale: the 4-dp-quantized
+    // scores collapse the corpus to ≤ ~10⁴ groups, so the rank window
+    // runs on a bounded frame, never on corpus rows.
+    "x112_probe_eval" -> sql(
+      (s, dir) => {
+        val scored = Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id"),
+          lambda = 0.1, iters = 48)
+        Evaluation.aucReport(scored, col("score"), col("y") === 1.0)
+      },
+      s"""WITH ${ridgeFitCtes},
+        |sc AS MATERIALIZED (
+        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS s,
+        |    (d.y = 1.0) AS yy
+        |  FROM d),
+        |bys AS MATERIALIZED (
+        |  SELECT s, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN (s >= 0.5) = yy THEN 1 ELSE 0 END)::BIGINT AS correct,
+        |    sum((s - CASE WHEN yy THEN 1.0 ELSE 0.0 END)
+        |      * (s - CASE WHEN yy THEN 1.0 ELSE 0.0 END)) AS se
+        |  FROM sc GROUP BY s),
+        |rk AS (
+        |  SELECT s, n, p, correct, se,
+        |    coalesce(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |  FROM bys),
+        |ag AS (
+        |  SELECT sum(p * (2 * cum + n + 1))::BIGINT AS ph, sum(n)::BIGINT AS ntot,
+        |    sum(p)::BIGINT AS npos, sum(correct)::BIGINT AS corr, sum(se) AS sse
+        |  FROM rk)
+        |SELECT ntot AS n, npos AS n_pos, ntot - npos AS n_neg,
+        |  CASE WHEN npos = 0 OR ntot = npos THEN NULL
+        |    ELSE round((ph - npos * (npos + 1)) / (2.0 * npos * (ntot - npos)), 6)
+        |  END AS auc,
+        |  round(corr / ntot::DOUBLE, 6) AS accuracy,
+        |  round(sse / ntot, 6) AS mse
+        |FROM ag""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r
@@ -4583,6 +4604,35 @@ object OperatorQueries {
           #|  SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS v
           #|  FROM ${p}w$t)""".stripMargin('#')
     }.mkString(",\n").stripPrefix("|")
+
+  /** The ridge fit shared by x110 and x112: normalized normal equations
+    * from 6-dp moments over the bias-augmented features, trace-derived
+    * step size, then 48 unrolled gradient steps (gdIterCtes). Emits
+    * `|`-margined CTE text whose first line rides the caller's `WITH `. */
+  private def ridgeFitCtes: String =
+    ("""|d AS MATERIALIZED (
+        #|  SELECT vec_id, label, list_append(embedding::DOUBLE[], 1.0) AS e,
+        #|    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        #|  FROM embeddings),
+        #|nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
+        #|idx AS (SELECT i FROM range(0, 65) t(i)),
+        #|prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        #|s2 AS MATERIALIZED (
+        #|  SELECT prx.i, prx.j,
+        #|    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+        #|  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+        #|am AS MATERIALIZED (SELECT i, j, s AS a FROM s2 UNION ALL SELECT j, i, s FROM s2 WHERE i <> j),
+        #|arows AS MATERIALIZED (SELECT i, list(a ORDER BY j) AS rw FROM am GROUP BY i),
+        #|bh AS MATERIALIZED (
+        #|  SELECT i.i AS i, round(sum(d.e[i.i + 1] * d.y) / (SELECT n FROM nn), 6) AS b
+        #|  FROM d CROSS JOIN idx i GROUP BY i.i),
+        #|bl AS MATERIALIZED (SELECT list(b ORDER BY i) AS b FROM bh),
+        #|trc AS MATERIALIZED (
+        #|  SELECT list_reduce(list(a ORDER BY i), (x, y) -> x + y) AS t
+        #|  FROM am WHERE i = j),
+        #|et AS MATERIALIZED (SELECT round(1.0 / (t + 0.1), 6) AS eta FROM trc),
+        #|gw0 AS MATERIALIZED (SELECT list_transform(generate_series(1, 65), x -> 0.0) AS w),""".stripMargin('#') +
+      "\n|" + gdIterCtes(48, "0.1")).stripPrefix("|")
 
   /** x110's gradient steps unrolled: wᵢ ← wᵢ − η[(Â·w − b̂)ᵢ + λwᵢ] with
     * the same parenthesization Linalg.ridgeProbe evaluates. */

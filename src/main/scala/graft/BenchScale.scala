@@ -87,6 +87,17 @@ object BenchScale {
     // measured statement "quadratic at a fixed knob, linear when the
     // knob tracks n".
     "x15_embedding_neardup" -> 1.4,
+    // round-9 additions — linear class: bounded-state gram fits (the
+    // iterations run on the driver's dim×dim matrix, not the corpus),
+    // the kernel-projection source prior
+    "x109_pca_project" -> 1.2,
+    "x110_ridge_probe" -> 1.2,
+    "x111_source_prior" -> 1.2,
+    // ridge fit + bounded score group-by (one keyed exchange)
+    "x112_probe_eval" -> 1.3,
+    // five Pregel supersteps, each one keyed join+agg over the cached
+    // edge projection (edges grow ~linearly with lineitem)
+    "x108_pagerank_trade" -> 1.4,
     // banded all-pairs, exact-recall oracle regime
     "x09_ngram_jaccard" -> 1.8,
     "x86_prefix_jaccard" -> 1.8)

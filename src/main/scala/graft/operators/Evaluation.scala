@@ -107,4 +107,38 @@ object Evaluation {
       round(col("corr") / col("ntot"), roundTo).as("accuracy"),
       round(col("sse") / col("ntot"), roundTo).as("mse"))
   }
+
+  /** Reliability diagram (calibration report) for a scored binary target:
+    * per equal-width score bin, (bin, lo, n, mean_score, frac_pos, gap)
+    * where gap = |frac_pos − mean_score| is the per-bin calibration error
+    * (weighted-averaging the gaps gives ECE). Scores outside [0, 1) land
+    * in clamp bins −1 / nBins so a probe whose logits escape the unit
+    * interval is VISIBLE, not silently folded into the edge bins.
+    *
+    * Scale shape: one keyed aggregation to nBins+2 groups with three-value
+    * partials — map-side combined, constant state. Determinism: bin index
+    * is floor(s·nBins) on the 4-dp-quantized score (one IEEE multiply +
+    * floor, identical in any engine); means round at 6 over sums of
+    * quantized values. */
+  def calibrationReport(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    require(nBins >= 1 && nBins <= 10000, "calibrationReport: nBins in [1, 10000]")
+    val s = df.select(score.as("s"), label.cast("boolean").as("y"))
+    val bin = when(col("s") < 0.0, lit(-1))
+      .when(col("s") >= 1.0, lit(nBins))
+      .otherwise(floor(col("s") * nBins).cast("int"))
+    val meanScore = round(sum("s") / count(lit(1)), roundTo)
+    val fracPos = round(
+      sum(when(col("y"), 1L).otherwise(0L)) / count(lit(1)), roundTo)
+    s.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), meanScore.as("mean_score"),
+        fracPos.as("frac_pos"))
+      .select(col("bin"), round(col("bin") / lit(nBins.toDouble), 4).as("lo"),
+        col("n"), col("mean_score"), col("frac_pos"),
+        round(abs(col("frac_pos") - col("mean_score")), roundTo).as("gap"))
+  }
 }

@@ -4543,6 +4543,92 @@ object OperatorQueries {
         |  round(corr / ntot::DOUBLE, 6) AS accuracy,
         |  round(sse / ntot, 6) AS mse
         |FROM ag""".stripMargin),
+
+    // Reliability diagram over the probe scores (x110's fit): per
+    // equal-width bin, mean predicted score vs realized positive rate —
+    // the calibration check a quality classifier needs before its scores
+    // gate a 100 TB corpus. Clamp bins (-1 / 10) make out-of-unit logits
+    // visible. One keyed aggregation to ≤ 12 groups; bin index =
+    // floor(s·10) on the 4-dp-quantized score — one IEEE multiply + floor,
+    // identical in both engines.
+    "x113_calibration" -> sql(
+      (s, dir) => {
+        val scored = Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id"),
+          lambda = 0.1, iters = 48)
+        Evaluation.calibrationReport(scored, col("score"), col("y") === 1.0)
+          .orderBy("bin")
+      },
+      s"""WITH ${ridgeFitCtes},
+        |sc AS MATERIALIZED (
+        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS s,
+        |    (d.y = 1.0) AS yy
+        |  FROM d),
+        |binned AS (
+        |  SELECT CASE WHEN s < 0.0 THEN -1 WHEN s >= 1.0 THEN 10
+        |    ELSE floor(s * 10)::INT END AS bin, s, yy
+        |  FROM sc),
+        |g AS (
+        |  SELECT bin, count(*)::BIGINT AS n,
+        |    round(sum(s) / count(*), 6) AS mean_score,
+        |    round(sum(CASE WHEN yy THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS frac_pos
+        |  FROM binned GROUP BY bin)
+        |SELECT bin, round(bin / 10.0, 4) AS lo, n, mean_score, frac_pos,
+        |  round(abs(frac_pos - mean_score), 6) AS gap
+        |FROM g ORDER BY bin""".stripMargin),
+
+    // Incremental IVF index maintenance: a new batch (every 10th vector)
+    // is assigned into cells whose pivot codebook was trained on the BASE
+    // corpus only — the hourly add-to-index operation where refitting the
+    // quantizer is forbidden. The add is a pure projection through
+    // plan-literal centroids; output is the per-cell occupancy ledger a
+    // rebalancer watches. Oracle replays the md5-ranked pivot pick over
+    // the base, both strict-< argmin assignments, and the ledger.
+    "x114_ivf_incremental" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfIncrementalAdd(
+          emb.where(col("vec_id") % 10 =!= 0),
+          emb.where(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", nCells = 16, seed = "v1")
+          .orderBy("cell")
+      },
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+        |newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |pv AS (
+        |  SELECT embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM base),
+        |piv AS MATERIALIZED (SELECT pvec, cell FROM pv WHERE cell < 16),
+        |bcell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, p.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |          i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |             * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |          (x, y) -> x + y), p.cell) AS rn
+        |    FROM base e CROSS JOIN piv p)
+        |  WHERE rn = 1),
+        |ncell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, p.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |          i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |             * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |          (x, y) -> x + y), p.cell) AS rn
+        |    FROM newb e CROSS JOIN piv p)
+        |  WHERE rn = 1),
+        |bc AS (SELECT cell, count(*)::BIGINT AS n_base FROM bcell GROUP BY cell),
+        |nc AS (SELECT cell, count(*)::BIGINT AS n_new FROM ncell GROUP BY cell),
+        |led AS (
+        |  SELECT coalesce(bc.cell, nc.cell) AS cell,
+        |    coalesce(bc.n_base, 0) AS n_base, coalesce(nc.n_new, 0) AS n_new
+        |  FROM bc FULL OUTER JOIN nc ON bc.cell = nc.cell)
+        |SELECT cell, n_base, n_new, n_base + n_new AS total,
+        |  round(n_new::DOUBLE / greatest(n_base, 1) * 100.0, 4) AS growth_pct
+        |FROM led ORDER BY cell""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

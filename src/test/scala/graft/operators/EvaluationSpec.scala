@@ -40,4 +40,46 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getLong(4) == 1, "only the non-null negative lands in tn")
     assert(r.getAs[Double]("precision") == 0.0 && r.getAs[Double]("f1") == 0.0)
   }
+
+  test("aucReport: known hand-ranked case with ties, exact integer AUC") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.5, 0.3} — one tie at 0.5
+    // pairs: 3×2 = 6; pos>neg: (0.9,0.3)(0.9,0.5)(0.7,0.3)(0.7,0.5)(0.5,0.3)=5
+    // tie (0.5,0.5) counts 1/2 → U = 5.5 → AUC = 5.5/6 = 0.916667
+    val df = Seq((0.9, true), (0.7, true), (0.5, true), (0.5, false), (0.3, false))
+      .toDF("s", "lab")
+    val r = Evaluation.aucReport(df, col("s"), col("lab")).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getAs[Double]("auc") == 0.916667)
+    // accuracy at 0.5: preds {1,1,1,1,0} vs {1,1,1,0,0} → 4/5
+    assert(r.getAs[Double]("accuracy") == 0.8)
+  }
+
+  test("aucReport: partitioning-independent and degenerate single-class → NULL auc") {
+    import spark.implicits._
+    val df = (1 to 400)
+      .map(i => (math.floor(i / 40.0) / 10.0, i % 3 == 0)).toDF("s", "lab")
+    val a = Evaluation.aucReport(df, col("s"), col("lab")).head()
+    val b = Evaluation.aucReport(df.repartition(13), col("s"), col("lab")).head()
+    assert(a == b)
+    val onlyPos = Seq((0.9, true), (0.2, true)).toDF("s", "lab")
+    assert(Evaluation.aucReport(onlyPos, col("s"), col("lab")).head().isNullAt(3))
+  }
+
+  test("calibrationReport: bins, clamp bins, and gap arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      (-0.2, false), (0.05, false), (0.08, true), (0.55, true), (0.52, false),
+      (0.95, true), (1.3, true))
+      .toDF("s", "lab")
+    val rows = Evaluation.calibrationReport(df, col("s"), col("lab"), nBins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(-1, 0, 5, 9, 10))
+    val b0 = rows(1) // scores 0.05, 0.08 → mean 0.065, frac_pos 0.5
+    assert(b0.getLong(2) == 2 && b0.getAs[Double]("mean_score") == 0.065)
+    assert(b0.getAs[Double]("frac_pos") == 0.5)
+    assert(b0.getAs[Double]("gap") == 0.435)
+    val clampHi = rows(4) // 1.3 lands in bin 10, never folded into bin 9
+    assert(clampHi.getLong(2) == 1 && clampHi.getAs[Double]("frac_pos") == 1.0)
+  }
 }

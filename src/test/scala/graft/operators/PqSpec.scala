@@ -70,4 +70,29 @@ class PqSpec extends SparkSpec {
         "LUT lookup at a vector's own codes must reproduce its SSE exactly")
     } finally joined.unpersist()
   }
+
+  test("ivfIncrementalAdd: ledger counts both sides, codebook from base only") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val batch = emb.where(col("vec_id") % 10 === 0)
+    val ledger = Similarity.ivfIncrementalAdd(base, batch,
+      "vec_id", "embedding", nCells = 8, seed = "v1").cache()
+    try {
+      val sums = ledger.agg(sum("n_base"), sum("n_new")).head()
+      assert(sums.getLong(0) == base.count() && sums.getLong(1) == batch.count(),
+        "every vector of both sides lands in exactly one cell")
+      // incremental contract: assigning the batch against a codebook
+      // trained on base ∪ batch would pick different pivots — the ledger
+      // must match the BASE-only pivot assignment of the full corpus
+      val fullAssign = Similarity.ivfIncrementalAdd(base, emb,
+        "vec_id", "embedding", nCells = 8, seed = "v1")
+        .select(col("cell"), col("n_new").as("n_all"))
+      val joined = ledger.join(fullAssign, Seq("cell"))
+      assert(joined.where(col("n_all") =!= col("n_base") + col("n_new"))
+        .count() == 0,
+        "base+batch per cell must equal assigning the union through the same codebook")
+    } finally ledger.unpersist()
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -4629,6 +4629,96 @@ object OperatorQueries {
         |SELECT cell, n_base, n_new, n_base + n_new AS total,
         |  round(n_new::DOUBLE / greatest(n_base, 1) * 100.0, 4) AS growth_pct
         |FROM led ORDER BY cell""".stripMargin),
+
+    // FineWeb-style multi-signal curation ranking: quality score (doc
+    // heuristic), document length, and the x111 domain prior fused via
+    // tie-averaged rank normalization (exact integer algebra — the x112
+    // AUC contract) into one weighted ordering. Rank-normalizing beats
+    // z-scoring: distribution-free, monotone, and EXACT, so the fused
+    // ranking is partitioning-independent and replays in SQL. Weights
+    // 0.5 quality / 0.2 length / 0.3 prior are plan literals.
+    "x115_signal_fusion" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val prior = QualityRules.sourcePrior(docs, "text", "source")
+          .select(col("source"), col("shrunk_mean").as("prior"))
+        val sig = docs.select(col("doc_id"), col("source"), col("n_chars"),
+            call_function("graft_quality_score", col("text")).as("q"))
+          .join(broadcast(prior), Seq("source"))
+        SignalFusion.fuseRanked(sig,
+          Seq("q" -> 0.5, "n_chars" -> 0.2, "prior" -> 0.3),
+          keep = Seq("doc_id"))
+          .orderBy("rank")
+      },
+      """WITH f AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars, trim(text) AS txt,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |feat AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(length(txt) AS DOUBLE) / greatest(len(toks), 1) AS cpt,
+        |    CAST(length(regexp_replace(txt, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS alpha_ratio,
+        |    CAST(length(regexp_replace(txt, '[^\p{N}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS digit_ratio,
+        |    CAST(length(regexp_replace(txt, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it',
+        |      'that','was','for','on','are','with','as','his','they','at','be','this'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stop_ratio
+        |  FROM f),
+        |scored AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(round(CAST(CAST((
+        |      (CASE WHEN cpt BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |      least(alpha_ratio * 1.25, 1.0) * 0.35 +
+        |      greatest(0.0, 1.0 - (digit_ratio + punct_ratio) * 2) * 0.25 +
+        |      least(stop_ratio * 4, 1.0) * 0.15) AS VARCHAR) AS DECIMAL(38,18)), 4)
+        |      AS DOUBLE) AS q
+        |  FROM feat),
+        |src AS MATERIALIZED (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(round(CAST(CAST((sum(q) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 6)
+        |      AS DOUBLE) AS raw_mean
+        |  FROM scored GROUP BY source),
+        |gl AS MATERIALIZED (
+        |  SELECT CAST(round(CAST(CAST((sum(q) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS g FROM scored),
+        |pr AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(round(CAST(CAST((
+        |      (n_docs * raw_mean + 20.0 * (SELECT g FROM gl)) / (n_docs + 20.0))
+        |      AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS prior
+        |  FROM src),
+        |sig AS MATERIALIZED (
+        |  SELECT s.doc_id, s.q, s.n_chars, pr.prior
+        |  FROM scored s JOIN pr USING (source)),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM sig),
+        |rq AS MATERIALIZED (
+        |  SELECT v, (2 * coalesce(sum(nv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nv + 1)
+        |    / (2.0 * (SELECT n FROM nn)) AS r
+        |  FROM (SELECT q AS v, count(*)::BIGINT AS nv FROM sig GROUP BY q)),
+        |rl AS MATERIALIZED (
+        |  SELECT v, (2 * coalesce(sum(nv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nv + 1)
+        |    / (2.0 * (SELECT n FROM nn)) AS r
+        |  FROM (SELECT n_chars AS v, count(*)::BIGINT AS nv FROM sig GROUP BY n_chars)),
+        |rp AS MATERIALIZED (
+        |  SELECT v, (2 * coalesce(sum(nv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nv + 1)
+        |    / (2.0 * (SELECT n FROM nn)) AS r
+        |  FROM (SELECT prior AS v, count(*)::BIGINT AS nv FROM sig GROUP BY prior)),
+        |fused AS (
+        |  SELECT sig.doc_id,
+        |    round(rq.r * 0.5 + rl.r * 0.2 + rp.r * 0.3, 6) AS fused
+        |  FROM sig
+        |  JOIN rq ON rq.v = sig.q
+        |  JOIN rl ON rl.v = sig.n_chars
+        |  JOIN rp ON rp.v = sig.prior)
+        |SELECT doc_id, fused,
+        |  row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
+        |FROM fused ORDER BY rank""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

@@ -125,20 +125,40 @@ object Evaluation {
       score: Column,
       label: Column,
       nBins: Int = 10,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): DataFrame =
+    finishCalibration(calibrationBinStats(df, score, label, nBins), nBins, roundTo)
+
+  /** The STATEFUL half of the reliability diagram: per-bin
+    * (bin, n, sum_s, n_pos) — three commutative numbers per bin, which is
+    * exactly the aggregation state Structured Streaming maintains
+    * incrementally (streaming/StreamingCalibration). */
+  def calibrationBinStats(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
     require(nBins >= 1 && nBins <= 10000, "calibrationReport: nBins in [1, 10000]")
     val s = df.select(score.as("s"), label.cast("boolean").as("y"))
     val bin = when(col("s") < 0.0, lit(-1))
       .when(col("s") >= 1.0, lit(nBins))
       .otherwise(floor(col("s") * nBins).cast("int"))
-    val meanScore = round(sum("s") / count(lit(1)), roundTo)
-    val fracPos = round(
-      sum(when(col("y"), 1L).otherwise(0L)) / count(lit(1)), roundTo)
     s.groupBy(bin.as("bin"))
-      .agg(count(lit(1)).as("n"), meanScore.as("mean_score"),
-        fracPos.as("frac_pos"))
+      .agg(count(lit(1)).as("n"), sum("s").as("sum_s"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+  }
+
+  /** The stateless finishing view over the ≤ nBins+2-row statistics:
+    * means rounded, gap arithmetic. Shared by the batch report and the
+    * streaming twin's consumer so the two legs agree by construction. */
+  def finishCalibration(
+      stats: DataFrame,
+      nBins: Int = 10,
+      roundTo: Int = 6): DataFrame =
+    stats
+      .select(col("bin"), col("n"),
+        round(col("sum_s") / col("n"), roundTo).as("mean_score"),
+        round(col("n_pos") / col("n"), roundTo).as("frac_pos"))
       .select(col("bin"), round(col("bin") / lit(nBins.toDouble), 4).as("lo"),
         col("n"), col("mean_score"), col("frac_pos"),
         round(abs(col("frac_pos") - col("mean_score")), roundTo).as("gap"))
   }
-}

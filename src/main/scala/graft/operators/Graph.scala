@@ -79,7 +79,39 @@ object Graph {
       srcCol: String, dstCol: String,
       iters: Int = 5,
       dampNum: Int = 85,
+      scale: Long = 1000000000000L): DataFrame =
+    pageRank(edges, srcCol, dstCol, iters, dampNum, scale, seeds = None)
+
+  /** Personalized PageRank (random walk with restart, Haveliwala 2002):
+    * the teleport distribution concentrates on `seeds` instead of being
+    * uniform, so the stationary mass measures proximity TO THE SEED SET —
+    * the recommendation/affinity variant ("entities most connected to
+    * these customers"). Same fixed-point integer contract: the teleport
+    * unit is scale div |seeds| for seed nodes and 0 elsewhere, the
+    * dangling mass re-teleports to the seeds (dang div |seeds|), and
+    * every superstep stays exact long arithmetic. r₀ gives each seed
+    * scale div |seeds| and non-seeds 0 — walks begin at the seeds. Seeds
+    * are a driver-side list (a seed SET is query metadata, not data;
+    * broadcast into the plan as a literal is-seed predicate). */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      seeds: Seq[Long],
+      iters: Int = 5,
+      dampNum: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 100000,
+      "personalizedPageRank: 1 to 1e5 seed nodes (driver-side list)")
+    pageRank(edges, srcCol, dstCol, iters, dampNum, scale, Some(seeds.distinct))
+  }
+
+  private def pageRank(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      iters: Int,
+      dampNum: Int,
+      scale: Long,
+      seeds: Option[Seq[Long]]): DataFrame = {
     require(iters >= 1 && iters <= 64, "pageRankFixedPoint: iters in [1, 64]")
     require(dampNum >= 0 && dampNum <= 100, "pageRankFixedPoint: dampNum in [0, 100]")
     require(scale >= 1000000L && scale <= 1000000000000000000L,
@@ -100,8 +132,15 @@ object Graph {
         .persist())
     val n = nd.count()
     require(n > 0, "pageRankFixedPoint: empty graph")
-    val r0 = scale / n
-    val base = ((100L - dampNum) * r0) / 100L
+    // teleport set: all nodes (classic) or the seed set (personalized);
+    // teleport unit and restart base are per-TELEPORT-NODE quantities
+    val m = seeds.map(_.size.toLong).getOrElse(n)
+    val tUnit = scale / m
+    val base = ((100L - dampNum) * tUnit) / 100L
+    val isTele = seeds match {
+      case Some(s) => col("node").isin(s: _*)
+      case None => lit(true)
+    }
 
     // free a round's localCheckpoint RDD once the next round is live
     def releaseCheckpoint(df: DataFrame): Unit =
@@ -111,7 +150,8 @@ object Graph {
         case _ => ()
       }
 
-    var ranks = nd.select(col("node"), col("deg"), lit(r0).as("r"))
+    var ranks = nd.select(col("node"), col("deg"),
+        when(isTele, lit(tUnit)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(true)
     var t = 0
     while (t < iters) {
@@ -123,9 +163,11 @@ object Graph {
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       val step = nd.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
+        .withColumn("__ds",
+          when(isTele, expr(s"dang div ${m}L")).otherwise(lit(0L)))
         .select(col("node"), col("deg"),
-          (lit(base) +
-            expr(s"($dampNum * (coalesce(c, 0L) + dang div ${n}L)) div 100")).as("r"))
+          (when(isTele, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * (coalesce(c, 0L) + __ds)) div 100")).as("r"))
       val next = step.localCheckpoint(true)
       if (capturePlans) {
         if (t == 0) lastStepPlans.clear()

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -4346,7 +4346,7 @@ object OperatorQueries {
         |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nd),
         |r0 AS MATERIALIZED (
         |  SELECT node, deg, 1000000000000 // (SELECT n FROM nn) AS r FROM nd),
-        |${pagerankIterCtes(5)}
+        |${pagerankIterCtes(5, "TRUE", "(SELECT n FROM nn)")}
         |SELECT
         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |  node // 2 AS entity_key, deg AS out_deg, r AS rank_fp
@@ -4719,6 +4719,123 @@ object OperatorQueries {
         |SELECT doc_id, fused,
         |  row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
         |FROM fused ORDER BY rank""".stripMargin),
+
+    // Market-basket association rules over order baskets (Agrawal–Srikant
+    // 2-itemset level): support/confidence/lift from exact integer
+    // numerators, lift ROUNDED BEFORE the top-k rank so the cut is
+    // reproducible cross-engine. The pair join is a self-join of one
+    // cached (basket, item) projection — Catalyst reuses a single
+    // exchange; fanout is (basket size choose 2), bounded by the largest
+    // basket, never the catalog.
+    "x116_association_rules" -> sql(
+      (s, dir) => {
+        val out = MarketBasket.associationRules(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minPairCount = 2L, topK = 100)
+          .orderBy("rank")
+        val materialized = out.cache()
+        materialized.count()
+        MarketBasket.releaseCaches()
+        materialized
+      },
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS itm FROM lineitem),
+        |nb AS MATERIALIZED (SELECT count(DISTINCT b)::BIGINT AS n FROM it),
+        |ic AS MATERIALIZED (SELECT itm, count(*)::BIGINT AS c FROM it GROUP BY itm),
+        |pr AS MATERIALIZED (
+        |  SELECT a.itm AS item_a, b.itm AS item_b, count(*)::BIGINT AS n_pair
+        |  FROM it a JOIN it b ON a.b = b.b AND a.itm < b.itm
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |en AS (
+        |  SELECT p.item_a, p.item_b, p.n_pair,
+        |    round(p.n_pair / (SELECT n FROM nb)::DOUBLE, 6) AS support,
+        |    round(p.n_pair / ca.c::DOUBLE, 6) AS confidence_ab,
+        |    round(p.n_pair / cb.c::DOUBLE, 6) AS confidence_ba,
+        |    round((p.n_pair * (SELECT n FROM nb)) / (ca.c * cb.c)::DOUBLE, 6) AS lift
+        |  FROM pr p
+        |  JOIN ic ca ON ca.itm = p.item_a
+        |  JOIN ic cb ON cb.itm = p.item_b),
+        |rk AS (
+        |  SELECT item_a, item_b, n_pair, support, confidence_ab, confidence_ba, lift,
+        |    row_number() OVER (ORDER BY lift DESC, item_a, item_b) AS rank
+        |  FROM en)
+        |SELECT * FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin),
+
+    // Personalized PageRank (random walk with restart, Haveliwala 2002):
+    // teleport concentrated on the five most-active customers, so the
+    // stationary mass ranks suppliers/customers by proximity to that seed
+    // cohort — the recommendation variant of x108, same exact-integer
+    // superstep contract (teleport unit scale div 5, dangling mass
+    // re-teleports to the seeds). Seed pick is integer-exact (order
+    // count desc, custkey). Top 100 by rank.
+    "x117_personalized_pagerank" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val seeds = o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("o_custkey")).limit(5)
+          .collect().map(_.getLong(0) * 2).toSeq
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+        val edges = pairs
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+          .unionAll(pairs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        val ranked = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          iters = 5)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("entity_key"),
+            col("rank_fp"))
+        val out = ranked
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("rank_fp"), col("node_type"), col("entity_key")))
+            .cast("long"))
+          .where(col("rank") <= 100)
+          .orderBy("rank")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT c * 2 AS src, p * 2 + 1 AS dst FROM base
+        |  UNION ALL
+        |  SELECT p * 2 + 1, c * 2 FROM base),
+        |sd AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS node FROM (
+        |    SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        |    ORDER BY cnt DESC, o_custkey LIMIT 5)),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |nd AS MATERIALIZED (
+        |  SELECT n.node, coalesce(d.deg, 0::BIGINT) AS deg
+        |  FROM nodes n LEFT JOIN dg d USING (node)),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nd),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, deg,
+        |    CASE WHEN node IN (SELECT node FROM sd)
+        |      THEN 1000000000000 // 5 ELSE 0 END AS r
+        |  FROM nd),
+        |${pagerankIterCtes(5, "node IN (SELECT node FROM sd)", "5")},
+        |fin AS (
+        |  SELECT
+        |    CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |    node // 2 AS entity_key, r AS rank_fp
+        |  FROM r5),
+        |rkd AS (
+        |  SELECT node_type, entity_key, rank_fp,
+        |    row_number() OVER (ORDER BY rank_fp DESC, node_type, entity_key) AS rank
+        |  FROM fin)
+        |SELECT node_type, entity_key, rank_fp, rank
+        |FROM rkd WHERE rank <= 100 ORDER BY rank""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r
@@ -4749,11 +4866,13 @@ object OperatorQueries {
       selects.mkString("\nUNION ALL ") + "\nORDER BY rank"
   }
 
-  /** x108's five PageRank supersteps unrolled: shares by integer division,
-    * exact BIGINT contribution sums, dangling mass folded back — the same
-    * fixed-point recurrence Graph.pageRankFixedPoint runs (emitted with
-    * `|` margins; the caller's stripMargin strips them). */
-  private def pagerankIterCtes(iters: Int): String =
+  /** PageRank supersteps unrolled: shares by integer division, exact
+    * BIGINT contribution sums, dangling mass folded back — the same
+    * fixed-point recurrence graph.Graph runs (emitted with `|` margins;
+    * the caller's stripMargin strips them). `telePred`/`mSql` select the
+    * teleport set and its size: (TRUE, n) = classic x108, (node IN seeds,
+    * |seeds|) = personalized x117. */
+  private def pagerankIterCtes(iters: Int, telePred: String, mSql: String): String =
     (0 until iters).map { t =>
       s"""|s$t AS (SELECT node, r // deg AS share FROM r$t WHERE deg > 0),
           #|c$t AS (
@@ -4762,9 +4881,11 @@ object OperatorQueries {
           #|g$t AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM r$t WHERE deg = 0),
           #|r${t + 1} AS MATERIALIZED (
           #|  SELECT nd.node, nd.deg,
-          #|    (((100 - 85) * (1000000000000 // (SELECT n FROM nn))) // 100)
+          #|    (CASE WHEN $telePred
+          #|      THEN ((100 - 85) * (1000000000000 // $mSql)) // 100 ELSE 0 END)
           #|      + ((85 * (coalesce(c.c, 0::BIGINT)
-          #|           + ((SELECT dang FROM g$t) // (SELECT n FROM nn)))) // 100) AS r
+          #|           + (CASE WHEN $telePred
+          #|              THEN (SELECT dang FROM g$t) // $mSql ELSE 0 END))) // 100) AS r
           #|  FROM nd LEFT JOIN c$t c USING (node))""".stripMargin('#')
     }.mkString(",\n").stripPrefix("|")
 

@@ -99,6 +99,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: seeding every node reproduces classic PageRank") {
+    val allNodes = Seq(10L, 20L, 30L, 40L)
+    val classic = Graph.pageRankFixedPoint(diamond.toDF("src", "dst"),
+      "src", "dst", iters = 4).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val seededAll = Graph.personalizedPageRank(diamond.toDF("src", "dst"),
+      "src", "dst", seeds = allNodes, iters = 4).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(classic == seededAll)
+  }
+
+  test("personalizedPageRank: mass concentrates on the seed's neighborhood") {
+    // two disconnected 2-cycles; seeding {1} must leave component {3,4}
+    // with zero mass (no teleport, no reachable walk)
+    val twoComponents = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    val out = Graph.personalizedPageRank(twoComponents.toDF("src", "dst"),
+      "src", "dst", seeds = Seq(1L), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Graph.releaseCaches()
+    assert(out(3L) == 0L && out(4L) == 0L,
+      "unreachable component must hold zero stationary mass")
+    assert(out(1L) > out(2L), "the seed holds more mass than its neighbor")
+    assert(out(1L) + out(2L) > 990000000000L,
+      "seed component holds ~all mass (up to floor loss)")
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

@@ -40,6 +40,14 @@ object Graph {
     * thread. Call once the result is materialized. */
   def releaseCaches(): Unit = caches.releaseAll()
 
+  /** Free a superstep's localCheckpoint RDD once the next round is live. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Executed superstep plans, captured for the audit spec that pins "every
     * superstep reads the cached edge projection and broadcasts the 1-row
     * dangling aggregate". OFF by default (same opt-in contract as
@@ -105,6 +113,58 @@ object Graph {
     pageRank(edges, srcCol, dstCol, iters, dampNum, scale, Some(seeds.distinct))
   }
 
+  /** Weakly connected components by min-label propagation: every node
+    * starts labeled with itself; each round takes the min over its own
+    * label and its neighbors' labels; fixpoint when no label changes.
+    * Returns (node, component) with component = the smallest node id in
+    * the component — a canonical, data-derived name (the same convention
+    * as Dedup's cluster canonicals). The result is the unique fixpoint,
+    * so it is independent of iteration count, partitioning, and arrival
+    * order — an engine replaying reachability any other way (the oracle
+    * uses a recursive-CTE closure) must agree exactly.
+    *
+    * Scale shape: same Pregel discipline as pageRank — edges projected,
+    * symmetrized, src-partitioned, cached ONCE; per round one keyed
+    * join+agg over the cached edges and a localCheckpoint'd label table
+    * (lineage truncation — the label table is referenced twice per round);
+    * convergence needs O(component diameter) rounds, and the driver stops
+    * on an exact changed-count of zero (one tiny aggregate per round). */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 200, "connectedComponents: maxIters in [1, 200]")
+    val dir = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = caches.tracked(
+      dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist())
+    val nodes = e.select(col("src").as("node")).distinct()
+
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var t = 0
+    var converged = false
+    while (t < maxIters && !converged) {
+      val nbrMin = e.join(labels.select(col("node").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min("comp").as("nmin"))
+      val step = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (col("comp") =!= least(col("comp"), coalesce(col("nmin"), col("comp"))))
+            .as("__chg"))
+      val next = step.localCheckpoint(true)
+      converged = next.where(col("__chg")).limit(1).isEmpty
+      releaseCheckpoint(labels)
+      labels = next
+      t += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIters rounds")
+    labels.select(col("node"), col("comp"))
+  }
+
   private def pageRank(
       edges: DataFrame,
       srcCol: String, dstCol: String,
@@ -143,13 +203,6 @@ object Graph {
     }
 
     // free a round's localCheckpoint RDD once the next round is live
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-
     var ranks = nd.select(col("node"), col("deg"),
         when(isTele, lit(tUnit)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(true)

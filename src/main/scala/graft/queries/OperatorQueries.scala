@@ -4836,6 +4836,66 @@ object OperatorQueries {
         |  FROM fin)
         |SELECT node_type, entity_key, rank_fp, rank
         |FROM rkd WHERE rank <= 100 ORDER BY rank""".stripMargin),
+
+    // Weakly connected components of the STRONG trade graph (pairs linked
+    // by >= 4 distinct orders): min-label propagation to the exact
+    // fixpoint (Graph.connectedComponents — driver stops on a zero
+    // changed-count, so the result is iteration-count-independent), then
+    // a per-component census. The oracle computes the same fixpoint a
+    // completely different way — a recursive-CTE reachability closure —
+    // and must land on identical canonical labels and sizes.
+    "x118_trade_components" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 4)
+        val edges = strong
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        val cc = Graph.connectedComponents(edges, "src", "dst")
+        val out = cc.groupBy("comp")
+          .agg(count(lit(1)).as("size"),
+            sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+            sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+          .select(
+            when(col("comp") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("canonical_type"),
+            expr("comp div 2").as("canonical_key"),
+            col("size"), col("n_customers"), col("n_suppliers"))
+          .orderBy(desc("size"), col("canonical_type"), col("canonical_key"))
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(DISTINCT o.o_orderkey) AS cnt
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p WHERE cnt >= 4),
+        |sym AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |lab AS MATERIALIZED (
+        |  SELECT src AS node, least(src, min(dst)) AS comp
+        |  FROM reach GROUP BY src),
+        |grp AS (
+        |  SELECT comp, count(*)::BIGINT AS size,
+        |    sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_customers,
+        |    sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_suppliers
+        |  FROM lab GROUP BY comp)
+        |SELECT
+        |  CASE WHEN comp % 2 = 0 THEN 'customer' ELSE 'supplier' END AS canonical_type,
+        |  comp // 2 AS canonical_key, size, n_customers, n_suppliers
+        |FROM grp
+        |ORDER BY size DESC, canonical_type, canonical_key""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

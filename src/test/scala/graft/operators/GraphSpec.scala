@@ -125,6 +125,39 @@ class GraphSpec extends SparkSpec {
       "seed component holds ~all mass (up to floor loss)")
   }
 
+  test("connectedComponents labels each component with its smallest node") {
+    // {1,2,3} a path, {7,8} an edge, {9} via self-loop
+    val g = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 9L))
+    val out = Graph.connectedComponents(g.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.releaseCaches()
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connectedComponents: fixpoint is independent of maxIters headroom") {
+    // a 6-node path needs several propagation rounds; extra headroom must
+    // not change the labels (the driver stops on changed-count == 0)
+    val path = (1L to 5L).map(i => (i, i + 1))
+    val a = Graph.connectedComponents(path.toDF("src", "dst"), "src", "dst",
+      maxIters = 10).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.connectedComponents(path.toDF("src", "dst"), "src", "dst",
+      maxIters = 50).orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+    assert(a.forall(_.getLong(1) == 1L), "path collapses to min label 1")
+  }
+
+  test("connectedComponents: refuses an unconverged run") {
+    // 1 round cannot propagate across a 6-node path
+    val path = (1L to 5L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException] {
+      Graph.connectedComponents(path.toDF("src", "dst"), "src", "dst",
+        maxIters = 1)
+    }
+    Graph.releaseCaches()
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

@@ -712,4 +712,32 @@ class PlanAuditSpec extends SparkSpec {
       "graft_dot_fd scoring must stay inside whole-stage codegen")
     assert(!score.mkString.contains("ScalaUDF"), "no UDF on the scoring path")
   }
+
+  test("x115: every rank table joins back as a broadcast; no sort-merge join") {
+    // rank-normalization joins tiny distinct-value tables back to the
+    // corpus — all three must broadcast (a sort-merge here would resort
+    // the corpus per signal)
+    val nodes = flatten(planOf("x115_signal_fusion"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "value->rank maps must broadcast, never sort-merge")
+  }
+
+  test("x116: the basket self-join reuses ONE cached projection (no second scan)") {
+    // the operator materializes the returned frame, so audit the operator
+    // directly: both join sides must read the same persisted (basket,
+    // item) projection — InMemoryTableScans, not two parquet scans
+    val li = graft.queries.Tables.lineitem(spark, dir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    val out = graft.operators.MarketBasket.associationRules(
+      li, "l_orderkey", "l_partkey", minPairCount = 2L, topK = 10)
+    try {
+      val nodes = flatten(executedPlan(out))
+      val parquetScans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(parquetScans.isEmpty,
+        s"self-join sides must read the cached projection, saw ${parquetScans.size} file scans")
+      assert(nodes.mkString.contains("InMemoryTableScan"))
+    } finally graft.operators.MarketBasket.releaseCaches()
+  }
 }

@@ -4896,6 +4896,81 @@ object OperatorQueries {
         |  comp // 2 AS canonical_key, size, n_customers, n_suppliers
         |FROM grp
         |ORDER BY size DESC, canonical_type, canonical_key""".stripMargin),
+
+    // Triangle census of the supplier co-purchase graph (suppliers linked
+    // when they share a customer with >= 2 distinct orders each): exact
+    // per-node triangle counts via degree-ordered orientation
+    // (Graph.triangleCounts) + local clustering coefficient in exact
+    // parts-per-million integer arithmetic. The oracle replays the SAME
+    // orientation definition in SQL — wedge generation at the lowest-
+    // degree corner — so counts must agree bit-for-bit.
+    "x119_triangle_census" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val sp = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select(col("c"), col("p"))
+        val a = sp; val b = sp.select(col("c"), col("p").as("p2"))
+        val ed = a.join(b, a("c") === b("c") && col("p") < col("p2"))
+          .select(col("p").as("x"), col("p2").as("y"))
+          .distinct()
+        val tc = Graph.triangleCounts(ed, "x", "y")
+        val out = tc.select(
+            col("node").as("s_suppkey"), col("deg"), col("triangles"),
+            when(col("deg") >= 2,
+              expr("(2 * triangles * 1000000) div (deg * (deg - 1))"))
+              .otherwise(lit(0L)).as("coef_ppm"))
+          .orderBy(desc("triangles"), col("s_suppkey"))
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH p AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(DISTINCT o.o_orderkey) AS cnt
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |sp AS MATERIALIZED (SELECT c, s FROM p WHERE cnt >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT a.s AS a, b.s AS b
+        |  FROM sp a JOIN sp b ON a.c = b.c AND a.s < b.s),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |orient AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |      THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |      THEN u.b ELSE u.a END AS v,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |      THEN db.deg ELSE da.deg END AS dv
+        |  FROM und u
+        |  JOIN deg da ON da.node = u.a
+        |  JOIN deg db ON db.node = u.b),
+        |tri AS MATERIALIZED (
+        |  SELECT o1.u AS u, o1.v AS v, o2.v AS w
+        |  FROM orient o1
+        |  JOIN orient o2 ON o2.u = o1.u
+        |    AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        |  JOIN orient e ON e.u = o1.v AND e.v = o2.v),
+        |pn AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT u AS node FROM tri UNION ALL
+        |    SELECT v AS node FROM tri UNION ALL
+        |    SELECT w AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node AS s_suppkey, d.deg,
+        |  coalesce(pn.triangles, 0)::BIGINT AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN (2 * coalesce(pn.triangles, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END::BIGINT AS coef_ppm
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY triangles DESC, s_suppkey""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

@@ -158,6 +158,41 @@ class GraphSpec extends SparkSpec {
     Graph.releaseCaches()
   }
 
+  test("triangleCounts: K4, pendant, and star agree with hand counts") {
+    // K4 on {1..4}: every node deg 3, 3 triangles; node 5 pendant off 1;
+    // star 10-(11,12,13): hub deg 3, 0 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val g = k4 ++ Seq((1L, 5L), (10L, 11L), (10L, 12L), (10L, 13L))
+    val out = Graph.triangleCounts(g.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    assert(out(1L) == (4L, 3L) && out(2L) == (3L, 3L) &&
+      out(3L) == (3L, 3L) && out(4L) == (3L, 3L))
+    assert(out(5L) == (1L, 0L))
+    assert(out(10L) == (3L, 0L) && out(11L) == (1L, 0L))
+  }
+
+  test("triangleCounts: direction, duplicates, and self-loops are normalized") {
+    // same triangle stated redundantly in both directions + a self-loop
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L))
+    val out = Graph.triangleCounts(g.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("triangleCounts is partitioning-independent") {
+    val g = (for (i <- 1L to 8L; j <- (i + 1) to 8L if (i + j) % 3 != 0)
+      yield (i, j)).toDF("src", "dst")
+    val a = Graph.triangleCounts(g, "src", "dst").orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.triangleCounts(g.repartition(13), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+    assert(a.map(_.getLong(2)).sum % 3 == 0, "each triangle is counted at 3 nodes")
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

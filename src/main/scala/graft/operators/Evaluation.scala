@@ -161,4 +161,97 @@ object Evaluation {
       .select(col("bin"), round(col("bin") / lit(nBins.toDouble), 4).as("lo"),
         col("n"), col("mean_score"), col("frac_pos"),
         round(abs(col("frac_pos") - col("mean_score")), roundTo).as("gap"))
+
+  /** Inter-rater agreement (Cohen's kappa, multi-class) between two
+    * categorical raters — the check a labeling pipeline needs before one
+    * noisy signal is trusted to gate another (e.g. two quality heuristics
+    * that "agree 85%" may owe all of it to chance on a skewed corpus).
+    * One row: (n, n_classes, agree, po_ppm, pe_ppm, kappa_ppm) with
+    * po = Σ_k n_kk / n, pe = Σ_k row_k·col_k / n², and
+    * kappa = (n·agree − Σ row·col) / (n² − Σ row·col).
+    *
+    * Exact end to end: every term is an integer, carried in
+    * decimal(38,0) so n up to ~10¹⁶ rows squares without overflow, and
+    * the three ratios are parts-per-million INTEGER divisions — the
+    * result is partitioning- and order-independent, bit-replayable by
+    * any engine with 128-bit integers (the oracle uses HUGEINT).
+    * Rows where either rater is NULL are excluded (no agreement claim
+    * can be made). Degenerate chance-perfect tables (n² = Σ row·col,
+    * e.g. a single class) yield NULL kappa rather than a fake value.
+    *
+    * Scale shape: ONE keyed aggregation collapses the corpus to the
+    * (classes × classes) contingency table; margins, the Σ row·col
+    * join, and the final algebra all run on that driver-sized frame.
+    * The corpus is scanned once with two-long partials per cell. */
+  def agreementReport(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("ra"), b.cast("string").as("rb"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+    val classes = cells.select(col("ra").as("k"))
+      .unionAll(cells.select(col("rb").as("k")))
+      .agg(countDistinct(col("k")).as("n_classes"))
+    val rowM = cells.groupBy(col("ra").as("k")).agg(sum("c").as("rc"))
+    val colM = cells.groupBy(col("rb").as("k")).agg(sum("c").as("cc"))
+    val srcF = rowM.join(colM, Seq("k"))
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0).cast(dec)).as("src"))
+    val tot = cells.agg(
+      coalesce(sum("c"), lit(0).cast(dec)).as("n"),
+      coalesce(sum(when(col("ra") === col("rb"), col("c"))
+        .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("agree"))
+    tot.crossJoin(classes).crossJoin(srcF)
+      .select(
+        col("n").cast("long").as("n"),
+        col("n_classes"),
+        col("agree").cast("long").as("agree"),
+        expr("(agree * 1000000) div n").as("po_ppm"),
+        expr("(src * 1000000) div (n * n)").as("pe_ppm"),
+        when(expr("n * n = src"), lit(null).cast("long"))
+          .otherwise(expr("((n * agree - src) * 1000000) div (n * n - src)"))
+          .as("kappa_ppm"))
   }
+
+  /** Distribution-drift monitor between two cohorts of one corpus (e.g.
+    * the serving window vs the training window): per bin, both counts
+    * and the bin's total-variation-distance contribution in ppm —
+    * contrib = |c_a·n_b − c_b·n_a| · 10⁶ div (2·n_a·n_b) — plus a
+    * `__total` row carrying the cohort sizes and the summed TVD. TVD
+    * rather than PSI/KL because it is EXACT in integer arithmetic (no
+    * logarithms): decimal(38,0) cross-products, ppm integer division,
+    * so the report is bit-replayable (oracle: HUGEINT). A bin absent
+    * from one cohort counts with c = 0 (full-weight contribution) —
+    * precisely the disappearing-category case a drift monitor exists to
+    * catch. Rows where `inA` is NULL belong to neither cohort.
+    *
+    * Scale shape: one keyed aggregation to the ≤ |bins| × 2-long
+    * contingency; everything after runs on that bounded frame. */
+  def driftReport(df: DataFrame, bin: Column, inA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(inA.isNotNull)
+      .groupBy(bin.cast("string").as("bin"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).cast(dec).as("cnt_a"),
+        sum(when(inA, 0L).otherwise(1L)).cast(dec).as("cnt_b"))
+    val totals = counts.agg(
+      coalesce(sum("cnt_a"), lit(0).cast(dec)).as("na"),
+      coalesce(sum("cnt_b"), lit(0).cast(dec)).as("nb"))
+    val perBin = counts.crossJoin(totals)
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        when(expr("na = 0 OR nb = 0"), lit(null).cast("long"))
+          .otherwise(expr(
+            "(abs(cnt_a * nb - cnt_b * na) * 1000000) div (2 * na * nb)"))
+          .as("contrib_ppm"))
+    val total = totals
+      .crossJoin(perBin.agg(sum("contrib_ppm").as("tvd")))
+      .select(lit("__total").as("bin"),
+        col("na").as("cnt_a"), col("nb").as("cnt_b"),
+        col("tvd").as("contrib_ppm"))
+    perBin.select(col("bin"), col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"), col("contrib_ppm"))
+      .unionAll(total.select(col("bin"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"), col("contrib_ppm")))
+  }
+}

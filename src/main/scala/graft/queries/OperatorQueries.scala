@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -4971,6 +4971,120 @@ object OperatorQueries {
         |    ELSE 0 END::BIGINT AS coef_ppm
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY triangles DESC, s_suppkey""".stripMargin),
+
+    // Inter-rater agreement (Cohen's kappa) between two 3-way quality
+    // signals over documents — a length tercile and a whitespace-density
+    // tercile (fixed sf-independent cut points). Exact decimal(38,0)
+    // contingency algebra, ppm integer divisions; the oracle replays the
+    // identical formula in HUGEINT.
+    "x120_agreement_kappa" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ra = when(col("n_chars") < 216, "short")
+          .when(col("n_chars") < 379, "mid").otherwise("long")
+        val sp = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        val rb = when(sp < 38, "short").when(sp < 68, "mid").otherwise("long")
+        Evaluation.agreementReport(d, ra, rb)
+      },
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 216 THEN 'short'
+        |      WHEN n_chars < 379 THEN 'mid' ELSE 'long' END AS ra,
+        |    CASE WHEN sp < 38 THEN 'short'
+        |      WHEN sp < 68 THEN 'mid' ELSE 'long' END AS rb
+        |  FROM (SELECT n_chars,
+        |      length(text) - length(replace(text, ' ', '')) AS sp
+        |    FROM documents)),
+        |cells AS (SELECT ra, rb, count(*)::HUGEINT AS c FROM r GROUP BY 1, 2),
+        |cls AS (SELECT count(DISTINCT k)::BIGINT AS n_classes FROM (
+        |  SELECT ra AS k FROM cells UNION ALL SELECT rb FROM cells)),
+        |rm AS (SELECT ra AS k, sum(c) AS rc FROM cells GROUP BY 1),
+        |cm AS (SELECT rb AS k, sum(c) AS cc FROM cells GROUP BY 1),
+        |sr AS (SELECT coalesce(sum(rc * cc), 0)::HUGEINT AS src
+        |  FROM rm JOIN cm USING (k)),
+        |t AS (SELECT coalesce(sum(c), 0)::HUGEINT AS n,
+        |  coalesce(sum(CASE WHEN ra = rb THEN c ELSE 0::HUGEINT END),
+        |    0)::HUGEINT AS agree FROM cells)
+        |SELECT n::BIGINT AS n, n_classes, agree::BIGINT AS agree,
+        |  ((agree * 1000000) // n)::BIGINT AS po_ppm,
+        |  ((src * 1000000) // (n * n))::BIGINT AS pe_ppm,
+        |  (CASE WHEN n * n = src THEN NULL
+        |    ELSE ((n * agree - src) * 1000000) // (n * n - src)
+        |  END)::BIGINT AS kappa_ppm
+        |FROM t, cls, sr""".stripMargin),
+
+    // Weekday-seasonal anomaly report on the event stream: each day's
+    // count vs its own ISO-weekday's low-median baseline, Hampel-flagged
+    // at 3×MAD — all order statistics, exact integers, bit-replayable.
+    "x121_seasonal_anomaly" -> sql(
+      (s, dir) => Seasonal
+        .weekdayAnomalies(Tables.events(s, dir), col("event_type"), col("ts"), 3)
+        .orderBy("series", "day"),
+      """WITH daily AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT series, day, cnt,
+        |  date_part('isodow', day)::INT AS dow FROM daily),
+        |m AS (SELECT *,
+        |  row_number() OVER (PARTITION BY series, dow ORDER BY cnt, day) AS rn,
+        |  count(*) OVER (PARTITION BY series, dow) AS n FROM w),
+        |med AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+        |  OVER (PARTITION BY series, dow) AS med FROM m),
+        |dv AS (SELECT *, abs(cnt - med) AS dev FROM med),
+        |d2 AS (SELECT *,
+        |  row_number() OVER (PARTITION BY series, dow ORDER BY dev, day) AS rd
+        |  FROM dv),
+        |md AS (SELECT *, max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+        |  OVER (PARTITION BY series, dow) AS mad FROM d2)
+        |SELECT series, day, dow, cnt, med, mad, dev,
+        |  (dev > 3 * mad) AS flagged
+        |FROM md ORDER BY series, day""".stripMargin),
+
+    // Group-aware k-fold assignment (k = 5) over event users: serpentine
+    // size-ranked packing so folds balance without splitting any user
+    // across train/validation — the entity-leakage-safe split.
+    "x122_group_kfold" -> sql(
+      (s, dir) => TemporalSplit
+        .groupKFold(Tables.events(s, dir), col("user_id"), 5)
+        .select(col("group").as("grp"), col("weight"), col("fold"))
+        .orderBy("grp"),
+      """WITH g AS (
+        |  SELECT user_id::VARCHAR AS grp, count(*)::BIGINT AS weight
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT grp, weight,
+        |  row_number() OVER (ORDER BY weight DESC, grp) - 1 AS rr FROM g)
+        |SELECT grp, weight,
+        |  (CASE WHEN (rr // 5) % 2 = 0 THEN rr % 5
+        |    ELSE 4 - rr % 5 END)::BIGINT AS fold
+        |FROM r ORDER BY grp""".stripMargin),
+
+    // Distribution-drift monitor: event-type mix of the first half of the
+    // month vs the second, per-bin TVD contribution in exact ppm plus a
+    // __total row — the disappearing-category alarm for a serving corpus.
+    "x123_drift_tvd" -> sql(
+      (s, dir) => Evaluation
+        .driftReport(Tables.events(s, dir), col("event_type"),
+          dayofmonth(col("ts")) <= 15)
+        .orderBy("bin"),
+      """WITH c AS (
+        |  SELECT event_type::VARCHAR AS bin,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS ca,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::HUGEINT AS cb
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT coalesce(sum(ca), 0)::HUGEINT AS na,
+        |  coalesce(sum(cb), 0)::HUGEINT AS nb FROM c),
+        |pb AS (SELECT bin, ca, cb,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE (abs(ca * nb - cb * na) * 1000000) // (2 * na * nb)
+        |  END AS contrib
+        |  FROM c, t),
+        |tot AS (SELECT '__total' AS bin, na AS ca, nb AS cb,
+        |  (SELECT sum(contrib) FROM pb) AS contrib FROM t)
+        |SELECT bin, ca::BIGINT AS cnt_a, cb::BIGINT AS cnt_b,
+        |  contrib::BIGINT AS contrib_ppm
+        |FROM (SELECT * FROM pb UNION ALL SELECT * FROM tot)
+        |ORDER BY bin""".stripMargin),
   )
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r

@@ -82,4 +82,46 @@ class EvaluationSpec extends SparkSpec {
     val clampHi = rows(4) // 1.3 lands in bin 10, never folded into bin 9
     assert(clampHi.getLong(2) == 1 && clampHi.getAs[Double]("frac_pos") == 1.0)
   }
+
+  test("agreementReport reproduces the textbook 2x2 kappa") {
+    // cells (a,b): yy=20 yn=5 ny=10 nn=15 → po=0.7, pe=0.5, kappa=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+        Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Evaluation.agreementReport(
+      rows.toDF("a", "b").repartition(7), col("a"), col("b")).head()
+    assert(out.getLong(0) == 50L && out.getLong(1) == 2L &&
+      out.getLong(2) == 35L)
+    assert(out.getLong(3) == 700000L, "po_ppm")
+    assert(out.getLong(4) == 500000L, "pe_ppm")
+    assert(out.getLong(5) == 400000L, "kappa_ppm")
+  }
+
+  test("agreementReport: null raters drop out; single class yields NULL kappa") {
+    val withNulls = Seq(("y", "y"), ("y", null), (null, "y"), ("y", "y"))
+    val out = Evaluation.agreementReport(
+      withNulls.toDF("a", "b"), col("a"), col("b")).head()
+    assert(out.getLong(0) == 2L && out.getLong(2) == 2L)
+    // single observed class: n² = Σrow·col → chance-perfect, kappa NULL
+    assert(out.getLong(3) == 1000000L && out.isNullAt(5))
+  }
+
+  test("driftReport: identical mixes drift 0, a disappearing bin dominates") {
+    // cohort A: 4×u + 4×v; cohort B: 4×u only → v vanished
+    val rows = Seq.fill(4)(("u", true)) ++ Seq.fill(4)(("v", true)) ++
+      Seq.fill(4)(("u", false))
+    val out = Evaluation.driftReport(rows.toDF("bin", "p"), col("bin"), col("p"))
+      .orderBy("bin").collect()
+    val byBin = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // u: |4·4 − 4·8|·1e6 / (2·8·4) = 16e6/64 = 250000; v: same mass
+    assert(byBin("u") == (4L, 4L, 250000L))
+    assert(byBin("v") == (4L, 0L, 250000L))
+    assert(byBin("__total") == (8L, 4L, 500000L), "TVD = half the v mass + skew")
+    val same = Evaluation.driftReport(
+      Seq(("u", true), ("u", false), ("v", true), ("v", false))
+        .toDF("bin", "p"), col("bin"), col("p"))
+      .where(col("bin") === "__total").head()
+    assert(same.getLong(3) == 0L, "identical mixes have zero TVD")
+  }
 }

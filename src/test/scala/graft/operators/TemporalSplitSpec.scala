@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class TemporalSplitSpec extends SparkSpec {
@@ -72,5 +74,40 @@ class TemporalSplitSpec extends SparkSpec {
       rows
     }
     assert(run(1) == run(13))
+  }
+
+  test("groupKFold: serpentine deal balances fold weights") {
+    // groups g01..g10 with sizes 10..1, k=3: blocks [10,9,8]→0,1,2,
+    // [7,6,5]→2,1,0 (reversed), [4,3,2]→0,1,2, [1]→2
+    val rows = (1 to 10).flatMap(g =>
+      (1 to (11 - g)).map(_ => f"g$g%02d")).toDF("g")
+    val out = TemporalSplit.groupKFold(rows, col("g"), 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("g01") == (10L, 0L) && out("g02") == (9L, 1L) &&
+      out("g03") == (8L, 2L))
+    assert(out("g04") == (7L, 2L) && out("g05") == (6L, 1L) &&
+      out("g06") == (5L, 0L))
+    assert(out("g10") == (1L, 2L))
+    val foldW = out.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    assert(foldW == Map(0L -> 19L, 1L -> 18L, 2L -> 18L),
+      "serpentine packing keeps fold weights within one block step")
+  }
+
+  test("groupKFold: deterministic under repartitioning, ties broken by key") {
+    val rows = (1 to 40).map(i => s"u${i % 8}").toDF("g")
+    val a = TemporalSplit.groupKFold(rows, col("g"), 4)
+      .orderBy("group").collect().toSeq
+    val b = TemporalSplit.groupKFold(rows.repartition(17), col("g"), 4)
+      .orderBy("group").collect().toSeq
+    assert(a == b)
+    // all 8 groups weigh 5 → rank order is pure key order
+    assert(a.map(_.getString(0)) == (0 to 7).map(i => s"u$i"))
+  }
+
+  test("groupKFold: k out of range fails loudly") {
+    val rows = Seq("a", "b").toDF("g")
+    assertThrows[IllegalArgumentException] {
+      TemporalSplit.groupKFold(rows, col("g"), 1)
+    }
   }
 }

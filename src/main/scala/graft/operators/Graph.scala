@@ -188,12 +188,15 @@ object Graph {
       edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val a = col(srcCol).cast("long"); val b = col(dstCol).cast("long")
-    val und = edges.where(a =!= b)
+    // the normalized edge list and degree table each feed multiple scans
+    // (orientation ×2, the final join) — cache both so the caller's edge
+    // DERIVATION (often a join-heavy projection) runs exactly once
+    val und = caches.tracked(edges.where(a =!= b)
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node"))
+      .distinct().persist())
+    val deg = caches.tracked(und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg")).persist())
     // orient low (deg, id) -> high (deg, id); carry the head's degree so
     // the wedge join can order its two legs without re-joining deg
     val oriented = caches.tracked(

@@ -226,14 +226,26 @@ object Evaluation {
     *
     * Scale shape: one keyed aggregation to the ≤ |bins| × 2-long
     * contingency; everything after runs on that bounded frame. */
-  def driftReport(df: DataFrame, bin: Column, inA: Column): DataFrame = {
-    val dec = "decimal(38,0)"
-    val counts = df
-      .where(inA.isNotNull)
+  def driftReport(df: DataFrame, bin: Column, inA: Column): DataFrame =
+    finishDrift(driftBinCounts(df, bin, inA))
+
+  /** The STATEFUL half of the drift monitor: per-bin (cnt_a, cnt_b) —
+    * two commutative longs per bin, the aggregation state Structured
+    * Streaming maintains incrementally (streaming/StreamingDrift). */
+  def driftBinCounts(df: DataFrame, bin: Column, inA: Column): DataFrame =
+    df.where(inA.isNotNull)
       .groupBy(bin.cast("string").as("bin"))
       .agg(
-        sum(when(inA, 1L).otherwise(0L)).cast(dec).as("cnt_a"),
-        sum(when(inA, 0L).otherwise(1L)).cast(dec).as("cnt_b"))
+        sum(when(inA, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("cnt_b"))
+
+  /** The stateless finishing view over the ≤ |bins|-row counts: cohort
+    * totals, per-bin TVD contributions, the `__total` row. Shared by the
+    * batch report and the streaming twin's consumer. */
+  def finishDrift(binCounts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = binCounts.select(col("bin"),
+      col("cnt_a").cast(dec).as("cnt_a"), col("cnt_b").cast(dec).as("cnt_b"))
     val totals = counts.agg(
       coalesce(sum("cnt_a"), lit(0).cast(dec)).as("na"),
       coalesce(sum("cnt_b"), lit(0).cast(dec)).as("nb"))

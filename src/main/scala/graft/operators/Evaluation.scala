@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * — x105's oracle recomputes the same counts and ratio algebra in SQL. */
 object Evaluation {
 
+  private val caches = new CacheRegistry
+
+  /** Unpersist frames pinned by this thread's last agreementReport call.
+    * Call once the result is materialized. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
   /** (threshold, tp, fp, fn, tn, precision, recall, f1) per threshold.
     * A null score matches neither `>= t` nor `< t` and lands in no count
     * (mirrors SQL three-valued logic). Precision/recall/F1 define 0/0 as
@@ -185,10 +191,14 @@ object Evaluation {
     * The corpus is scanned once with two-long partials per cell. */
   def agreementReport(df: DataFrame, a: Column, b: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val cells = df
+    // the classes²-row contingency feeds five downstream aggregates —
+    // cache it so the corpus is scanned exactly once (caller epilogue:
+    // materialize, then Evaluation.releaseCaches())
+    val cells = caches.tracked(df
       .where(a.isNotNull && b.isNotNull)
       .groupBy(a.cast("string").as("ra"), b.cast("string").as("rb"))
       .agg(count(lit(1)).cast(dec).as("c"))
+      .persist())
     val classes = cells.select(col("ra").as("k"))
       .unionAll(cells.select(col("rb").as("k")))
       .agg(countDistinct(col("k")).as("n_classes"))
@@ -244,26 +254,34 @@ object Evaluation {
     * batch report and the streaming twin's consumer. */
   def finishDrift(binCounts: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val counts = binCounts.select(col("bin"),
-      col("cnt_a").cast(dec).as("cnt_a"), col("cnt_b").cast(dec).as("cnt_b"))
-    val totals = counts.agg(
-      coalesce(sum("cnt_a"), lit(0).cast(dec)).as("na"),
-      coalesce(sum("cnt_b"), lit(0).cast(dec)).as("nb"))
-    val perBin = counts.crossJoin(totals)
-      .select(col("bin"), col("cnt_a"), col("cnt_b"),
-        when(expr("na = 0 OR nb = 0"), lit(null).cast("long"))
+    // SINGLE-PASS formulation: the naive "counts → totals → per-bin →
+    // total row" references the counts frame four times, and in batch
+    // each reference re-derives it — four corpus scans. Instead each
+    // (already aggregated) bin row is duplicated into itself + the
+    // __total bucket (row expansion AFTER the aggregation, so the corpus
+    // is scanned exactly once), regrouped, and the remaining algebra is
+    // one unpartitioned window over the ≤ |bins|+1-row frame. `__total`
+    // is a reserved bin name; empty input → empty report.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    binCounts
+      .select(explode(array(col("bin"), lit("__total"))).as("obin"),
+        col("cnt_a").cast(dec).as("cnt_a"), col("cnt_b").cast(dec).as("cnt_b"))
+      .groupBy("obin")
+      .agg(sum("cnt_a").as("cnt_a"), sum("cnt_b").as("cnt_b"))
+      .withColumn("__na",
+        max(when(col("obin") === "__total", col("cnt_a"))).over(all))
+      .withColumn("__nb",
+        max(when(col("obin") === "__total", col("cnt_b"))).over(all))
+      .withColumn("__c",
+        when(expr("__na = 0 OR __nb = 0"), lit(null).cast("long"))
           .otherwise(expr(
-            "(abs(cnt_a * nb - cnt_b * na) * 1000000) div (2 * na * nb)"))
-          .as("contrib_ppm"))
-    val total = totals
-      .crossJoin(perBin.agg(sum("contrib_ppm").as("tvd")))
-      .select(lit("__total").as("bin"),
-        col("na").as("cnt_a"), col("nb").as("cnt_b"),
-        col("tvd").as("contrib_ppm"))
-    perBin.select(col("bin"), col("cnt_a").cast("long").as("cnt_a"),
-        col("cnt_b").cast("long").as("cnt_b"), col("contrib_ppm"))
-      .unionAll(total.select(col("bin"),
+            "(abs(cnt_a * __nb - cnt_b * __na) * 1000000) div (2 * __na * __nb)")))
+      .select(col("obin").as("bin"),
         col("cnt_a").cast("long").as("cnt_a"),
-        col("cnt_b").cast("long").as("cnt_b"), col("contrib_ppm")))
+        col("cnt_b").cast("long").as("cnt_b"),
+        when(col("obin") === "__total",
+          sum(when(col("obin") =!= "__total", col("__c"))).over(all))
+          .otherwise(col("__c")).as("contrib_ppm"))
   }
 }

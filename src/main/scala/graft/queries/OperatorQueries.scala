@@ -4984,7 +4984,10 @@ object OperatorQueries {
           .when(col("n_chars") < 379, "mid").otherwise("long")
         val sp = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
         val rb = when(sp < 38, "short").when(sp < 68, "mid").otherwise("long")
-        Evaluation.agreementReport(d, ra, rb)
+        val out = Evaluation.agreementReport(d, ra, rb).cache()
+        out.count()
+        Evaluation.releaseCaches()
+        out
       },
       """WITH r AS (
         |  SELECT

@@ -740,4 +740,54 @@ class PlanAuditSpec extends SparkSpec {
       assert(nodes.mkString.contains("InMemoryTableScan"))
     } finally graft.operators.MarketBasket.releaseCaches()
   }
+
+  test("x120: the kappa algebra reads only the cached contingency — zero file scans") {
+    // five downstream aggregates (margins, Σrow·col, totals, classes) all
+    // consume the persisted classes²-row cells frame; the corpus parquet
+    // is scanned exactly once, during the cache build
+    import org.apache.spark.sql.functions.{col, when}
+    val d = graft.queries.Tables.documents(spark, dir)
+    val out = graft.operators.Evaluation.agreementReport(d,
+      when(col("n_chars") < 216, "s").otherwise("l"),
+      when(col("n_chars") < 379, "s").otherwise("l"))
+    try {
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.collect { case f: FileSourceScanExec => f }.isEmpty,
+        "report plan must read the cached contingency, not re-scan documents")
+      assert(nodes.mkString.contains("InMemoryTableScan"))
+    } finally graft.operators.Evaluation.releaseCaches()
+  }
+
+  test("x121: raw events collapse to series×day in the FIRST (partial) aggregation; " +
+    "one scan") {
+    val nodes = flatten(planOf("x121_seasonal_anomaly"))
+    assert(nodes.collect { case f: FileSourceScanExec => f }.size == 1,
+      "the event stream is scanned exactly once")
+    val aggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.exists(_.toString.contains("partial")),
+      "daily counting must map-side combine before its exchange")
+    // every order-statistic window runs on the bounded daily frame: no
+    // raw event columns survive into any window
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val names = w.output.map(_.name).toSet
+      assert(!names.exists(n => n.contains("user_id") || n.contains("value")),
+        s"window sees unpruned event columns: $names")
+    }
+  }
+
+  test("x123: the drift report is SINGLE-PASS — one corpus scan, row expansion " +
+    "after the aggregation") {
+    val nodes = flatten(planOf("x123_drift_tvd"))
+    assert(nodes.collect { case f: FileSourceScanExec => f }.size == 1,
+      "the naive totals/per-bin/total-row formulation scans 4x; this must scan once")
+    // the __total duplication happens on already-aggregated bin rows:
+    // a HashAggregate (the corpus collapse) must sit BELOW the Generate
+    // (flatten lists parents first, so "below" = after it in the list)
+    val expandIdx = nodes.indexWhere(_.nodeName.contains("Generate"))
+    assert(expandIdx >= 0, "explode-based __total expansion missing")
+    assert(nodes.drop(expandIdx + 1).exists(_.nodeName.contains("HashAggregate")),
+      "row expansion must happen AFTER the corpus aggregation, not on raw rows")
+  }
 }

@@ -100,7 +100,25 @@ object BenchScale {
     "x108_pagerank_trade" -> 1.4,
     // banded all-pairs, exact-recall oracle regime
     "x09_ngram_jaccard" -> 1.8,
-    "x86_prefix_jaccard" -> 1.8)
+    "x86_prefix_jaccard" -> 1.8,
+    // late round-9 additions — linear class: single-scan contingency
+    // reports (kappa, TVD drift)
+    "x120_agreement_kappa" -> 1.2,
+    "x123_drift_tvd" -> 1.2,
+    // one keyed exchange to a bounded frame (daily counts / group sizes)
+    "x121_seasonal_anomaly" -> 1.3,
+    "x122_group_kfold" -> 1.3,
+    // multi-exchange composed plans: rank-normalized fusion, seeded and
+    // min-label supersteps over cached edge projections
+    "x115_signal_fusion" -> 1.4,
+    "x117_personalized_pagerank" -> 1.4,
+    "x118_trade_components" -> 1.4,
+    // block-local candidate joins: basket pairs are (basket choose 2)-
+    // bounded; the triangle wedge join is bounded by oriented out-degree
+    // O(√m), but the co-purchase PROJECTION itself densifies with shared-
+    // customer growth — the documented ceiling covers both effects
+    "x116_association_rules" -> 1.5,
+    "x119_triangle_census" -> 1.5)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -29,12 +29,22 @@ object Seasonal {
       df: DataFrame,
       series: Column,
       ts: Column,
-      k: Int = 3): DataFrame = {
-    require(k >= 1, "weekdayAnomalies: k must be >= 1")
-    val daily = df
-      .groupBy(series.cast("string").as("series"),
-        to_date(ts).as("day"))
+      k: Int = 3): DataFrame =
+    finishWeekdayAnomalies(dailyCounts(df, series, ts), k)
+
+  /** The STATEFUL half of the monitor: per (series, day) counts — one
+    * commutative long per cell, the aggregation state Structured
+    * Streaming maintains incrementally (streaming/StreamingSeasonal). */
+  def dailyCounts(df: DataFrame, series: Column, ts: Column): DataFrame =
+    df.groupBy(series.cast("string").as("series"), to_date(ts).as("day"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The stateless finishing view over the (series × day) counts: the
+    * order-statistic baseline and the Hampel flag. Shared by the batch
+    * report and the streaming twin's consumer. */
+  def finishWeekdayAnomalies(dailyIn: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "weekdayAnomalies: k must be >= 1")
+    val daily = dailyIn
       .withColumn("dow", (weekday(col("day")) + lit(1)).cast("int"))
     val grp = Window.partitionBy("series", "dow")
     // low-median of cnt within (series, isodow): order statistic at

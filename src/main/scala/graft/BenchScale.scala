@@ -118,7 +118,9 @@ object BenchScale {
     // O(√m), but the co-purchase PROJECTION itself densifies with shared-
     // customer growth — the documented ceiling covers both effects
     "x116_association_rules" -> 1.5,
-    "x119_triangle_census" -> 1.5)
+    "x119_triangle_census" -> 1.5,
+    // whole-frontier peel rounds over a shrinking checkpointed edge set
+    "x124_kcore_trade" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -231,6 +231,62 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** k-core extraction by iterative peeling (Seidman 1983): repeatedly
+    * delete every node with degree < k until none remains; what survives
+    * is the UNIQUE maximal subgraph with all degrees ≥ k (the peel order
+    * cannot change the fixpoint, so the result is deterministic however
+    * the rounds are batched — an engine peeling one node at a time and
+    * this operator peeling whole frontiers per round agree exactly).
+    * Returns the surviving nodes as (node, core_deg) with core_deg the
+    * degree WITHIN the core. An empty result is a real answer: the graph
+    * has no k-core.
+    *
+    * Scale shape: same Pregel discipline as connectedComponents — the
+    * normalized edge list is localCheckpoint'd per round (each round
+    * references it three times: degree count + two semi-joins), rounds
+    * are one keyed aggregation + two hash semi-joins each, and the
+    * frontier test is an exact edge count (counts strictly decrease, so
+    * convergence needs at most |peel depth| rounds). Nothing row-sized
+    * ever reaches the driver. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      k: Int,
+      maxIters: Int = 30): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxIters >= 1 && maxIters <= 200, "kCore: maxIters in [1, 200]")
+    val a = col(srcCol).cast("long"); val b = col(dstCol).cast("long")
+    var cur = edges.where(a =!= b)
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = cur.count()
+    var t = 0
+    var converged = false
+    while (t < maxIters && !converged) {
+      val alive = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("node")
+      val next = cur
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nEdges
+      releaseCheckpoint(cur)
+      cur = next
+      nEdges = nNext
+      t += 1
+    }
+    require(converged, s"kCore: no fixpoint after $maxIters rounds")
+    cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   private def pageRank(
       edges: DataFrame,
       srcCol: String, dstCol: String,

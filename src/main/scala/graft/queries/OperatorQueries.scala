@@ -5088,7 +5088,70 @@ object OperatorQueries {
         |  contrib::BIGINT AS contrib_ppm
         |FROM (SELECT * FROM pb UNION ALL SELECT * FROM tot)
         |ORDER BY bin""".stripMargin),
+
+    // 3-core of the strong customer↔supplier trade graph (Seidman's
+    // k-core: iteratively peel degree-<3 nodes to the unique fixpoint —
+    // the "dense trading kernel" left after fringe entities fall away).
+    // The oracle unrolls the SAME whole-frontier peel as 12 chained CTE
+    // rounds; extra rounds past the fixpoint are no-ops, so the two
+    // engines land on the identical core. An empty core is a real
+    // answer (at some scales no 3-core exists).
+    "x124_kcore_trade" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 3)
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        Graph.kCore(strong, "src", "dst", k = 3, maxIters = 12)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("entity_type"),
+            expr("node div 2").as("entity_key"),
+            col("core_deg"))
+          .orderBy("entity_type", "entity_key")
+      },
+      kcoreOracle(k = 3, rounds = 12)),
   )
+
+  /** The x124 oracle: whole-frontier k-core peeling unrolled as chained
+    * CTE rounds — a{r} keeps nodes with degree ≥ k in e{r}, e{r+1} keeps
+    * edges with both endpoints alive. Rounds past the fixpoint are
+    * no-ops, so any `rounds` ≥ the true peel depth yields the core. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 3),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM p)""".stripMargin
+    val steps = (0 until rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+        |  SELECT node FROM (
+        |    SELECT a AS node FROM e$r UNION ALL SELECT b AS node FROM e$r)
+        |  GROUP BY node HAVING count(*) >= $k),
+        |e${r + 1} AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e$r e
+        |  JOIN a$r x ON x.node = e.a
+        |  JOIN a$r y ON y.node = e.b)""".stripMargin
+    }
+    val tail =
+      s"""SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS entity_type,
+        |  (node // 2)::BIGINT AS entity_key,
+        |  count(*)::BIGINT AS core_deg
+        |FROM (
+        |  SELECT a AS node FROM e$rounds
+        |  UNION ALL SELECT b AS node FROM e$rounds)
+        |GROUP BY node
+        |ORDER BY entity_type, entity_key""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
 
   /** The x97 oracle: k-center traversal unrolled as chained CTEs. Round r
     * selects argmax(dist desc, id) from d{r-1} and d{r} takes least() with

@@ -193,6 +193,39 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_.getLong(2)).sum % 3 == 0, "each triangle is counted at 3 nodes")
   }
 
+  test("kCore: peel cascade reaches the unique fixpoint") {
+    // triangle {1,2,3} + tail 3-4-5: k=2 peels 5, then 4 — two-round
+    // cascade — leaving the triangle with core degrees 2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val out = Graph.kCore(g.toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: no 3-core exists — empty is the correct answer
+    assert(Graph.kCore(g.toDF("src", "dst"), "src", "dst", k = 3)
+      .collect().isEmpty)
+  }
+
+  test("kCore: already-a-core input survives intact; duplicates/direction normalize") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))).toDF("src", "dst")
+    val out = Graph.kCore(noisy, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kCore: refuses an unconverged run; partitioning-independent") {
+    // a 12-node path peels from both ends: k=2 needs ~6 rounds to empty
+    val path = (1L to 11L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException] {
+      Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2, maxIters = 2)
+    }
+    val a = Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2)
+      .orderBy("node").collect().toSeq
+    val b = Graph.kCore(path.toDF("src", "dst").repartition(13),
+      "src", "dst", k = 2).orderBy("node").collect().toSeq
+    assert(a == b && a.isEmpty, "a path has no 2-core")
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

@@ -120,7 +120,9 @@ object BenchScale {
     "x116_association_rules" -> 1.5,
     "x119_triangle_census" -> 1.5,
     // whole-frontier peel rounds over a shrinking checkpointed edge set
-    "x124_kcore_trade" -> 1.4)
+    "x124_kcore_trade" -> 1.4,
+    // one keyed exchange to the per-source frame; windows on that frame
+    "x125_mixture_waterfill" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -191,6 +191,102 @@ object MixtureSampling {
     }.toMap
   }
 
+  /** WEIGHTED token-budget waterfill — the mixture-planning step of a
+    * pretraining recipe: split a token budget across sources in target
+    * proportions, cap each source at its availability, and redistribute
+    * every capped source's shortfall among the uncapped ones (still in
+    * proportion) — the classic waterfilling solution, fully distributed
+    * (no driver collect, unlike budgetCappedQuotas' category-map variant)
+    * and EXACT: the allocation is integer end to end and sums to the
+    * budget to the token.
+    *
+    * budget = ⌊Σ size · budgetPpm / 10⁶⌋. Sources are ordered by exact
+    * availability/weight ratio via the cross-multiplied key
+    * a·(weightLcm/w) — `weightLcm` must be a common multiple of every
+    * weight (checked in-plan with a raising guard), which keeps the sort
+    * key integral, so the capped set is a PREFIX of that order and is
+    * found with one window pass: the first row whose availability covers
+    * its fair share of the remaining budget ends the capped prefix.
+    * Uncapped shares are w·R div W with the remainder distributed by
+    * largest integer fraction (ties by group key) — the exact
+    * largest-remainder method, so Σ alloc = budget always.
+    *
+    * Output per group: (group, available, weight, alloc, util_ppm).
+    * All cross-products ride decimal(38,0) (oracle: HUGEINT), so corpora
+    * to ~10¹⁶ tokens with weights to 10⁵ cannot overflow.
+    *
+    * Scale shape: ONE keyed aggregation collapses the corpus to the
+    * per-source frame; every window below is over that |sources|-row
+    * frame — unpartitioned by design (sources are a bounded vocabulary;
+    * a million-key "source" column is a different problem). */
+  def weightedTokenWaterfill(
+      df: DataFrame,
+      group: Column,
+      size: Column,
+      weight: Column,
+      budgetPpm: Long,
+      weightLcm: Long): DataFrame = {
+    require(budgetPpm >= 1 && budgetPpm <= 999999,
+      "weightedTokenWaterfill: budgetPpm in [1, 999999] (at 10⁶ take everything)")
+    require(weightLcm >= 1, "weightedTokenWaterfill: weightLcm must be >= 1")
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+    val all = w.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val perSrc = df
+      .groupBy(group.cast("string").as("grp"))
+      .agg(sum(size).cast(dec).as("a"), max(weight).cast("long").as("w"))
+      .where(col("a") > 0)
+      // in-plan guard: a weight that does not divide weightLcm would make
+      // the ratio key inexact — refuse loudly, from executors
+      .where(assert_true(col("w") > 0 && lit(weightLcm) % col("w") === 0,
+        lit(s"weightedTokenWaterfill: every weight must divide $weightLcm"))
+        .isNull)
+      .withColumn("kord", expr(s"a * ($weightLcm div w)").cast(dec))
+    val ord = w.orderBy(col("kord"), col("grp"))
+    val staged = perSrc
+      .withColumn("__pos", row_number().over(ord))
+      .withColumn("__prefA", coalesce(
+        sum("a").over(ord.rowsBetween(Long.MinValue, -1)), lit(0).cast(dec)))
+      .withColumn("__wsuf",
+        sum("w").over(ord.rowsBetween(0, Long.MaxValue)).cast(dec))
+      .withColumn("__b",
+        expr(s"(sum(a) OVER () * $budgetPpm) div 1000000").cast(dec))
+      // capped test under the "everything before me capped" hypothesis;
+      // the first failure ends the capped prefix (B < Σa guarantees the
+      // last row always fails, so __bound is never null)
+      .withColumn("__t",
+        col("a") * col("__wsuf") < (col("__b") - col("__prefA")) * col("w"))
+      .withColumn("__bound",
+        min(when(!col("__t"), col("__pos"))).over(all))
+      .withColumn("capped", col("__pos") < col("__bound"))
+      .withColumn("__acap", coalesce(
+        sum(when(col("capped"), col("a"))).over(all), lit(0).cast(dec)))
+      .withColumn("__wunc",
+        sum(when(!col("capped"), col("w"))).over(all).cast(dec))
+      .withColumn("__r", col("__b") - col("__acap"))
+      .withColumn("__base",
+        when(col("capped"), lit(0L))
+          .otherwise(expr("(__r * w) div __wunc")))
+      .withColumn("__frac",
+        when(col("capped"), lit(-1).cast(dec))
+          .otherwise(expr("(__r * w) % __wunc")))
+      .withColumn("__left",
+        col("__r") - sum(when(!col("capped"), col("__base")).otherwise(0L))
+          .over(all))
+      .withColumn("__rnk",
+        row_number().over(w.orderBy(col("capped"), desc("__frac"), col("grp"))))
+    staged.select(
+      col("grp"),
+      col("a").cast("long").as("available"),
+      col("w").as("weight"),
+      when(col("capped"), col("a").cast("long"))
+        .otherwise(col("__base") +
+          when(col("__rnk") <= col("__left"), 1L).otherwise(0L))
+        .as("alloc"))
+      .withColumn("util_ppm",
+        expr("(cast(alloc as decimal(38,0)) * 1000000) div available"))
+  }
+
   /** Apply budget-capped quotas with the md5-rank selection of
     * stratifiedExactK: deterministic, layout-independent, and quota-exact
     * per category. The quota table is category-cardinality-sized and

@@ -5114,6 +5114,64 @@ object OperatorQueries {
           .orderBy("entity_type", "entity_key")
       },
       kcoreOracle(k = 3, rounds = 12)),
+
+    // Token-budget mixture plan: waterfill 60% of the corpus' characters
+    // across sources in target proportions (weights 10/20/30/40 cycling
+    // by source index), capping at availability and redistributing
+    // shortfall — exact integer allocation summing to the budget to the
+    // token. The oracle replays the identical window algebra in HUGEINT.
+    "x125_mixture_waterfill" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val wcol = ((expr("cast(substring(source, 4) as int)") % 4) + 1) * 10
+        MixtureSampling.weightedTokenWaterfill(d, col("source"),
+          col("n_chars"), wcol, budgetPpm = 600000, weightLcm = 120)
+          .orderBy("grp")
+      },
+      """WITH per AS MATERIALIZED (
+        |  SELECT source AS grp, sum(n_chars)::HUGEINT AS a,
+        |    (((substr(source, 4)::INT) % 4 + 1) * 10)::BIGINT AS w
+        |  FROM documents GROUP BY source),
+        |k AS (SELECT grp, a, w, a * (120 // w) AS kord FROM per WHERE a > 0),
+        |st AS (
+        |  SELECT grp, a, w,
+        |    row_number() OVER (ORDER BY kord, grp) AS pos,
+        |    coalesce(sum(a) OVER (ORDER BY kord, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::HUGEINT AS prefa,
+        |    sum(w) OVER (ORDER BY kord, grp
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::HUGEINT
+        |      AS wsuf,
+        |    ((sum(a) OVER ()) * 600000 // 1000000)::HUGEINT AS b
+        |  FROM k),
+        |bd AS (SELECT *, a * wsuf < (b - prefa) * w AS t FROM st),
+        |bd2 AS (SELECT *,
+        |  min(CASE WHEN NOT t THEN pos END) OVER () AS bound FROM bd),
+        |cp AS (SELECT *, pos < bound AS capped FROM bd2),
+        |ag AS (SELECT *,
+        |  coalesce(sum(CASE WHEN capped THEN a END) OVER (),
+        |    0)::HUGEINT AS acap,
+        |  sum(CASE WHEN NOT capped THEN w END) OVER ()::HUGEINT AS wunc
+        |  FROM cp),
+        |bs AS (SELECT *, b - acap AS r,
+        |  CASE WHEN capped THEN 0::HUGEINT
+        |    ELSE ((b - acap) * w) // wunc END AS base,
+        |  CASE WHEN capped THEN -1::HUGEINT
+        |    ELSE ((b - acap) * w) % wunc END AS frac
+        |  FROM ag),
+        |lf AS (SELECT *,
+        |  r - sum(CASE WHEN NOT capped THEN base ELSE 0::HUGEINT END)
+        |    OVER () AS leftover,
+        |  row_number() OVER (ORDER BY capped, frac DESC, grp) AS rnk
+        |  FROM bs)
+        |SELECT grp, a::BIGINT AS available, w AS weight,
+        |  (CASE WHEN capped THEN a
+        |    ELSE base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+        |  END)::BIGINT AS alloc,
+        |  ((CASE WHEN capped THEN a
+        |    ELSE base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+        |  END) * 1000000 // a)::BIGINT AS util_ppm
+        |FROM lf ORDER BY grp""".stripMargin),
   )
 
   /** The x124 oracle: whole-frontier k-core peeling unrolled as chained

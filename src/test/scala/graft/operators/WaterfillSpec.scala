@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** weightedTokenWaterfill contracts: the hand-computed redistribution
+  * case, budget exactness under the largest-remainder rule, the all-
+  * uncapped regime, partitioning independence, and the loud weight-LCM
+  * guard. */
+class WaterfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(specs: (String, Long, Long)*) =
+    specs.flatMap { case (g, total, w) =>
+      // split each source's mass into two rows so the group-by aggregates
+      Seq((g, total - total / 2, w), (g, total / 2, w))
+    }.toDF("src", "sz", "w")
+
+  test("hand case: capped source's shortfall redistributes in proportion") {
+    // a=(10,100,100), w=(1,1,2), B = 50% of 210 = 105.
+    // ratio order: s1 (10/1), s3 (100/2), s2 (100/1); s1 caps at 10;
+    // R=95 over W=3 → s3: 63 frac 1, s2: 31 frac 2 → leftover 1 → s2.
+    val out = MixtureSampling.weightedTokenWaterfill(
+      rows(("s1", 10L, 1L), ("s2", 100L, 1L), ("s3", 100L, 2L)),
+      col("src"), col("sz"), col("w"), budgetPpm = 500000, weightLcm = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") == (10L, 1000000L), "capped source takes all, util 100%")
+    assert(out("s2") == (32L, 320000L))
+    assert(out("s3") == (63L, 630000L))
+  }
+
+  test("allocation sums EXACTLY to the budget; all-uncapped stays proportional") {
+    val df = rows(("a", 1000L, 10L), ("b", 1000L, 20L), ("c", 1000L, 30L),
+      ("d", 1000L, 40L))
+    val out = MixtureSampling.weightedTokenWaterfill(
+      df, col("src"), col("sz"), col("w"), budgetPpm = 333333, weightLcm = 120)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // B = floor(4000 * 0.333333) = 1333; nobody caps (max share 533 < 1000)
+    assert(out.values.sum == 1333L, s"must sum to the budget, got $out")
+    assert(out("d") > out("c") && out("c") > out("b") && out("b") > out("a"))
+    // proportionality up to the ±1 largest-remainder correction
+    assert(math.abs(out("d") - 2 * out("b")) <= 2)
+  }
+
+  test("partitioning-independent") {
+    val df = rows(("a", 77L, 3L), ("b", 500L, 6L), ("c", 123L, 2L),
+      ("d", 9L, 1L))
+    def run(parts: Int) = MixtureSampling.weightedTokenWaterfill(
+      df.repartition(parts), col("src"), col("sz"), col("w"),
+      budgetPpm = 700000, weightLcm = 6)
+      .orderBy("grp").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("a weight that does not divide the LCM fails loudly, from the plan") {
+    val df = rows(("a", 10L, 3L), ("b", 10L, 7L))
+    val ex = intercept[Exception] {
+      MixtureSampling.weightedTokenWaterfill(
+        df, col("src"), col("sz"), col("w"), budgetPpm = 500000,
+        weightLcm = 6).collect()
+    }
+    assert(ex.getMessage != null)
+    assertThrows[IllegalArgumentException] {
+      MixtureSampling.weightedTokenWaterfill(
+        df, col("src"), col("sz"), col("w"), budgetPpm = 1000000,
+        weightLcm = 6)
+    }
+  }
+}

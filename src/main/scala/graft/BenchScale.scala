@@ -122,7 +122,8 @@ object BenchScale {
     // whole-frontier peel rounds over a shrinking checkpointed edge set
     "x124_kcore_trade" -> 1.4,
     // one keyed exchange to the per-source frame; windows on that frame
-    "x125_mixture_waterfill" -> 1.3)
+    "x125_mixture_waterfill" -> 1.3,
+    "x126_privacy_audit" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -189,4 +189,37 @@ object TextAnalysis {
       i => norm.substr(i + 1, lit(gram)))
     array_min(transform(grams, g => xxhash64(g)))
   }
+
+  /** Privacy audit before a corpus release: k-anonymity (Sweeney 2002 —
+    * a quasi-identifier combination shared by fewer than k records can
+    * re-identify) and l-diversity (Machanavajjhala 2007 — even a large
+    * group leaks its sensitive attribute when that attribute is
+    * near-constant inside it). One row per observed quasi-identifier
+    * combination: (quasi..., n, n_sensitive, k_risk, l_risk).
+    *
+    * Complements redactPii: redaction scrubs identifiers IN the text;
+    * this flags what the released METADATA still discloses.
+    *
+    * Scale shape: ONE keyed aggregation — count is a single long,
+    * distinct-sensitive rides Spark's standard two-phase partial
+    * distinct — so the shuffle carries (quasi, sensitive)-level partials,
+    * never raw rows. Exact counts; for a quasi-space too wide to hold,
+    * swap the sensitive leg for the KMV estimate (x82 machinery). */
+  def privacyAudit(
+      df: DataFrame,
+      quasi: Seq[(String, Column)],
+      sensitive: Column,
+      k: Int,
+      l: Int): DataFrame = {
+    require(quasi.nonEmpty, "privacyAudit: at least one quasi-identifier")
+    require(k >= 2, "privacyAudit: k must be >= 2")
+    require(l >= 2 && l <= k, "privacyAudit: need 2 <= l <= k")
+    df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .select(quasi.map(q => col(q._1)) ++ Seq(
+        col("n"), col("n_sensitive"),
+        (col("n") < k).as("k_risk"),
+        (col("n_sensitive") < l).as("l_risk")): _*)
+  }
 }

@@ -5172,6 +5172,27 @@ object OperatorQueries {
         |    ELSE base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
         |  END) * 1000000 // a)::BIGINT AS util_ppm
         |FROM lf ORDER BY grp""".stripMargin),
+
+    // Pre-release privacy audit of the corpus metadata: k-anonymity
+    // (quasi-identifier = source × 100-char length bucket, k = 3) and
+    // l-diversity of the language attribute (l = 2) — the groups a
+    // release reviewer must generalize or suppress.
+    "x126_privacy_audit" -> sql(
+      (s, dir) => TextAnalysis.privacyAudit(
+        Tables.documents(s, dir),
+        quasi = Seq(
+          "source" -> col("source"),
+          "len_bucket" -> expr("n_chars div 100")),
+        sensitive = col("lang"), k = 3, l = 2)
+        .orderBy("source", "len_bucket"),
+      """SELECT source, (n_chars // 100)::BIGINT AS len_bucket,
+        |  count(*)::BIGINT AS n,
+        |  count(DISTINCT lang)::BIGINT AS n_sensitive,
+        |  count(*) < 3 AS k_risk,
+        |  count(DISTINCT lang) < 2 AS l_risk
+        |FROM documents
+        |GROUP BY source, n_chars // 100
+        |ORDER BY source, len_bucket""".stripMargin),
   )
 
   /** The x124 oracle: whole-frontier k-core peeling unrolled as chained

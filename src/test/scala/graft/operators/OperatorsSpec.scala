@@ -379,6 +379,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).getString(1) == fps(1).getString(1))
     assert(fps(0).getLong(2) == fps(1).getLong(2))
   }
+
+  test("privacyAudit: k and l risks flag independently") {
+    // group (s1,0): 3 rows, 1 lang → k ok, l RISK
+    // group (s1,1): 2 rows, 2 langs → k RISK, l ok
+    // group (s2,0): 4 rows, 3 langs → both ok
+    val df = Seq(
+      ("s1", 10L, "en"), ("s1", 20L, "en"), ("s1", 30L, "en"),
+      ("s1", 110L, "en"), ("s1", 120L, "fr"),
+      ("s2", 10L, "en"), ("s2", 20L, "fr"), ("s2", 30L, "de"), ("s2", 40L, "en"))
+      .toDF("source", "n_chars", "lang")
+    val out = TextAnalysis.privacyAudit(df,
+      quasi = Seq("source" -> col("source"),
+        "lb" -> expr("n_chars div 100")),
+      sensitive = col("lang"), k = 3, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(("s1", 0L)) == (3L, 1L, false, true))
+    assert(out(("s1", 1L)) == (2L, 2L, true, false))
+    assert(out(("s2", 0L)) == (4L, 3L, false, false))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.privacyAudit(df, Seq("s" -> col("source")),
+        col("lang"), k = 1, l = 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.privacyAudit(df, Seq.empty, col("lang"), k = 3, l = 2)
+    }
+  }
 }
 
 class IvfSpec extends SparkSpec {

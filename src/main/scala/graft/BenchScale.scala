@@ -123,7 +123,9 @@ object BenchScale {
     "x124_kcore_trade" -> 1.4,
     // one keyed exchange to the per-source frame; windows on that frame
     "x125_mixture_waterfill" -> 1.3,
-    "x126_privacy_audit" -> 1.3)
+    "x126_privacy_audit" -> 1.3,
+    // four HITS supersteps, two keyed join+aggs each over cached edges
+    "x127_hits_trade" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

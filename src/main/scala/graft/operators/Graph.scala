@@ -287,6 +287,73 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED bipartite
+    * edge list src → dst: authority(d) = Σ hub(s) over in-edges, then
+    * hub(s) = Σ authority(d) over out-edges, renormalized each half-step.
+    * Complements PageRank's single-score authority with the two-sided
+    * view — on a customer→supplier graph: which buyers have broad strong
+    * baskets (hubs) and which suppliers those baskets concentrate on
+    * (authorities).
+    *
+    * Same determinism contract as pageRankFixedPoint: scores are
+    * fixed-point longs (units of 1/scale) and the per-half-step
+    * renormalization `v · scale div max(v)` is an exact integer
+    * division — HITS' usual L2 normalization is fp-order-dependent, the
+    * max-norm is bit-replayable and keeps every score in [0, scale].
+    * Returns (node, side ∈ {hub, auth}, score_fp).
+    *
+    * Scale shape: the edge projection is cached and src-hash-partitioned
+    * ONCE; each half-step is one keyed join+agg over it, the 1-row max
+    * rides a broadcast (never a driver collect), and both score tables
+    * localCheckpoint per round (two longs per node alive at a time) —
+    * the pageRank lineage discipline. */
+  def hitsBipartite(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, "hitsBipartite: iters in [1, 100]")
+    require(scale >= 1000, "hitsBipartite: scale too small for fixed-point")
+    val e = caches.tracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .persist())
+    require(!e.isEmpty, "hitsBipartite: empty edge list")
+    val dec = "decimal(38,0)"
+    def renorm(raw: DataFrame): DataFrame = {
+      // raw: (node, rv); max is a 1-row broadcast — v·scale div max
+      val m = raw.agg(max("rv").as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"(cast(rv as $dec) * $scale) div cast(m as $dec)").as("v"))
+    }
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("v"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    (1 to iters).foreach { _ =>
+      // partials sum in decimal(38,0): Σ over a 10⁷-degree hub of
+      // scale-sized longs would overflow int64
+      val rawA = e.join(hubs.select(col("node").as("src"), col("v")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("rv"))
+      val nextA = renorm(rawA).localCheckpoint(true)
+      if (auths != null) releaseCheckpoint(auths)
+      auths = nextA
+      val rawH = e.join(auths.select(col("node").as("dst"), col("v")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("rv"))
+      val nextH = renorm(rawH).localCheckpoint(true)
+      releaseCheckpoint(hubs)
+      hubs = nextH
+    }
+    hubs.select(col("node"), lit("hub").as("side"), col("v").as("score_fp"))
+      .unionAll(auths.select(col("node"), lit("auth").as("side"),
+        col("v").as("score_fp")))
+  }
+
   private def pageRank(
       edges: DataFrame,
       srcCol: String, dstCol: String,

@@ -5193,7 +5193,70 @@ object OperatorQueries {
         |FROM documents
         |GROUP BY source, n_chars // 100
         |ORDER BY source, len_bucket""".stripMargin),
+
+    // HITS hubs & authorities on the customer→supplier trade graph
+    // (Kleinberg): broad strong buyers (hubs) vs the suppliers their
+    // baskets concentrate on (authorities). Exact fixed-point integers
+    // with max-norm renormalization each half-step; the oracle unrolls
+    // the same four supersteps in HUGEINT.
+    "x127_hits_trade" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select(col("c"), col("p"))
+        val out = Graph.hitsBipartite(strong, "c", "p", iters = 4)
+          .select(col("side"), col("node").as("entity_key"), col("score_fp"))
+          .orderBy("side", "entity_key")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      hitsOracle(iters = 4)),
   )
+
+  /** The x127 oracle: HITS supersteps unrolled — per round, an authority
+    * sum + max-norm then a hub sum + max-norm, all HUGEINT (the same
+    * order and integer divisions the Spark rounds evaluate). */
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 2),
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT c AS node, 1000000000000::HUGEINT AS v FROM e)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""ra$r AS MATERIALIZED (
+        |  SELECT e.s AS node, sum(h.v)::HUGEINT AS rv
+        |  FROM e JOIN h${r - 1} h ON h.node = e.c GROUP BY e.s),
+        |a$r AS MATERIALIZED (
+        |  SELECT node,
+        |    (rv * 1000000000000 // (SELECT max(rv) FROM ra$r))::HUGEINT AS v
+        |  FROM ra$r),
+        |rh$r AS MATERIALIZED (
+        |  SELECT e.c AS node, sum(a.v)::HUGEINT AS rv
+        |  FROM e JOIN a$r a ON a.node = e.s GROUP BY e.c),
+        |h$r AS MATERIALIZED (
+        |  SELECT node,
+        |    (rv * 1000000000000 // (SELECT max(rv) FROM rh$r))::HUGEINT AS v
+        |  FROM rh$r)""".stripMargin
+    }
+    val tail =
+      s"""SELECT side, entity_key, score_fp FROM (
+        |  SELECT 'hub' AS side, node AS entity_key, v::BIGINT AS score_fp
+        |  FROM h$iters
+        |  UNION ALL
+        |  SELECT 'auth' AS side, node AS entity_key, v::BIGINT AS score_fp
+        |  FROM a$iters)
+        |ORDER BY side, entity_key""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
 
   /** The x124 oracle: whole-frontier k-core peeling unrolled as chained
     * CTE rounds — a{r} keeps nodes with degree ≥ k in e{r}, e{r+1} keeps

@@ -226,6 +226,44 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.isEmpty, "a path has no 2-core")
   }
 
+  test("hitsBipartite matches the hand-iterated max-norm recurrence") {
+    // c1→{7,8}, c2→{7}: after 2 rounds (exact integer divisions):
+    //   a(7)=scale, a(8)=0.6·scale; h(c1)=scale, h(c2)=0.625·scale
+    val g = Seq((1L, 7L), (1L, 8L), (2L, 7L)).toDF("c", "s")
+    val out = Graph.hitsBipartite(g, "c", "s", iters = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    Graph.releaseCaches()
+    assert(out(("auth", 7L)) == 1000000000000L)
+    assert(out(("auth", 8L)) == 600000000000L)
+    assert(out(("hub", 1L)) == 1000000000000L)
+    assert(out(("hub", 2L)) == 625000000000L)
+  }
+
+  test("hitsBipartite: partitioning-independent; max-norm keeps a top score of scale") {
+    val g = (for (c <- 1L to 9L; s <- 1L to 9L if (c * s) % 4 != 1)
+      yield (c, s)).toDF("c", "s")
+    val a = Graph.hitsBipartite(g, "c", "s", iters = 3)
+      .orderBy("side", "node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.hitsBipartite(g.repartition(11), "c", "s", iters = 3)
+      .orderBy("side", "node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+    val bySide = a.groupBy(_.getString(1))
+    assert(bySide("hub").map(_.getLong(2)).max == 1000000000000L)
+    assert(bySide("auth").map(_.getLong(2)).max == 1000000000000L)
+  }
+
+  test("hitsBipartite guards: empty edges and bad iters fail loudly") {
+    assertThrows[IllegalArgumentException] {
+      Graph.hitsBipartite(Seq.empty[(Long, Long)].toDF("c", "s"), "c", "s")
+    }
+    Graph.releaseCaches()
+    assertThrows[IllegalArgumentException] {
+      Graph.hitsBipartite(Seq((1L, 2L)).toDF("c", "s"), "c", "s", iters = 0)
+    }
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

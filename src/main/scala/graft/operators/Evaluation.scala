@@ -215,8 +215,10 @@ object Evaluation {
         col("n").cast("long").as("n"),
         col("n_classes"),
         col("agree").cast("long").as("agree"),
-        expr("(agree * 1000000) div n").as("po_ppm"),
-        expr("(src * 1000000) div (n * n)").as("pe_ppm"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("(agree * 1000000) div n")).as("po_ppm"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("(src * 1000000) div (n * n)")).as("pe_ppm"),
         when(expr("n * n = src"), lit(null).cast("long"))
           .otherwise(expr("((n * agree - src) * 1000000) div (n * n - src)"))
           .as("kappa_ppm"))

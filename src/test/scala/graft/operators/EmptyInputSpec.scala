@@ -185,4 +185,33 @@ class EmptyInputSpec extends SparkSpec {
       Seq("label", "n_total", "n_after_trim", "n_after_dedup"))
     Dedup.releaseCaches()
   }
+
+  test("round-9 reports: empty inputs → empty reports, right schemas") {
+    val noRated = Seq.empty[(String, String)].toDF("a", "b")
+    val kappa = Evaluation.agreementReport(noRated, col("a"), col("b"))
+    // empty corpus: n=0, every ratio NULL (0-division guarded), one row
+    val kr = kappa.collect()
+    Evaluation.releaseCaches()
+    assert(kr.length == 1 && kr.head.getLong(0) == 0L && kr.head.isNullAt(3))
+    val drift = Evaluation.driftReport(noRated, col("a"), col("b") === "x")
+    assert(drift.isEmpty &&
+      drift.columns.toSeq == Seq("bin", "cnt_a", "cnt_b", "contrib_ppm"))
+    val noTs = Seq.empty[(String, Timestamp)].toDF("t", "ts")
+    val seasonal = Seasonal.weekdayAnomalies(noTs, col("t"), col("ts"))
+    assert(seasonal.isEmpty && seasonal.columns.toSeq ==
+      Seq("series", "day", "dow", "cnt", "med", "mad", "dev", "flagged"))
+    val folds = TemporalSplit.groupKFold(noTs, col("t"), 4)
+    assert(folds.isEmpty && folds.columns.toSeq == Seq("group", "weight", "fold"))
+    val fill = MixtureSampling.weightedTokenWaterfill(
+      Seq.empty[(String, Long, Long)].toDF("g", "sz", "w"),
+      col("g"), col("sz"), col("w"), budgetPpm = 500000, weightLcm = 12)
+    assert(fill.isEmpty && fill.columns.toSeq ==
+      Seq("grp", "available", "weight", "alloc", "util_ppm"))
+    assert(TextAnalysis.privacyAudit(noRated, Seq("a" -> col("a")),
+      col("b"), k = 3, l = 2).isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangleCounts(noEdges, "src", "dst").isEmpty)
+    Graph.releaseCaches()
+    assert(Graph.kCore(noEdges, "src", "dst", k = 2).isEmpty)
+  }
 }

@@ -125,7 +125,10 @@ object BenchScale {
     "x125_mixture_waterfill" -> 1.3,
     "x126_privacy_audit" -> 1.3,
     // four HITS supersteps, two keyed join+aggs each over cached edges
-    "x127_hits_trade" -> 1.4)
+    "x127_hits_trade" -> 1.4,
+    // four walk steps, one keyed join + argmin-agg each; candidate
+    // volume per step = frontier out-degree sum (a PageRank superstep)
+    "x128_graph_walks" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

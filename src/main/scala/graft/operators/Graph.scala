@@ -287,6 +287,68 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Deterministic random walks over a directed edge list — the corpus a
+    * skip-gram graph embedding (DeepWalk/node2vec family) trains on. The
+    * "randomness" is derandomized the engine's standard way (the d08 /
+    * MixtureSampling md5 trick): at step r, walk (node, idx) moves to the
+    * out-neighbor minimizing the uniform draw
+    * md5(start ':' idx ':' r ':' neighbor) — a pure function of the walk
+    * identity and step, so every walk replays bit-identically on any
+    * cluster, any partitioning, any engine with md5 (the oracle replays
+    * the argmin in SQL). Walks start at every distinct source node
+    * (walksPerNode walks each) and TERMINATE at sinks (no out-edges).
+    * Returns the path table (start, walk, step, node), step 0 = start.
+    *
+    * Scale shape: the edge projection is cached and src-hash-partitioned
+    * ONCE; each step is one keyed join + argmin-aggregation (min of a
+    * (draw, dst) struct — no window over raw candidates), and the
+    * frontier localCheckpoints per step (pageRank's lineage discipline).
+    * Candidate volume per step is Σ out-degree over the frontier — the
+    * same bound as one PageRank superstep. */
+  def deterministicWalks(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      steps: Int = 4,
+      walksPerNode: Int = 2): DataFrame = {
+    require(steps >= 1 && steps <= 50, "deterministicWalks: steps in [1, 50]")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      "deterministicWalks: walksPerNode in [1, 64]")
+    val e = caches.tracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .persist())
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(array((0 until walksPerNode).map(i => lit(i.toLong)): _*))
+          .as("widx"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    // every step's frontier feeds the FINAL path union, so no checkpoint
+    // is released mid-loop (unlike pageRank, where only two rank tables
+    // are ever live); the ≤ steps+1 frames are |walks|-row each and the
+    // ContextCleaner frees them when the result is consumed
+    val paths = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("start"), col("widx"), lit(0).as("step"), col("node")))
+    (1 to steps).foreach { r =>
+      val cand = frontier
+        .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("start"), col("widx"),
+          struct(
+            md5(concat_ws(":", col("start"), col("widx"), lit(r), col("dst")))
+              .as("draw"),
+            col("dst")).as("c"))
+      frontier = cand.groupBy("start", "widx")
+        .agg(min("c").as("m"))
+        .select(col("start"), col("widx"), col("m.dst").as("node"))
+        .localCheckpoint(true)
+      paths += frontier.select(col("start"), col("widx"),
+        lit(r).as("step"), col("node"))
+    }
+    paths.reduce(_ unionAll _)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED bipartite
     * edge list src → dst: authority(d) = Σ hub(s) over in-edges, then
     * hub(s) = Σ authority(d) over out-edges, renormalized each half-step.

@@ -5217,7 +5217,72 @@ object OperatorQueries {
         materialized
       },
       hitsOracle(iters = 4)),
+
+    // Deterministic random-walk corpus over the symmetrized trade graph —
+    // the DeepWalk/node2vec training input, derandomized with the
+    // engine's md5-draw convention so every path replays bit-identically
+    // (the oracle replays the per-step argmin in SQL). 2 walks × 4 steps
+    // from every node; walks terminate at sinks.
+    "x128_graph_walks" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        val sym = strong.unionAll(
+          strong.select(col("dst").as("src"), col("src").as("dst")))
+        val out = Graph.deterministicWalks(sym, "src", "dst",
+          steps = 4, walksPerNode = 2)
+          .orderBy("start", "widx", "step")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      walksOracle(steps = 4)),
   )
+
+  /** The x128 oracle: the walk recurrence unrolled — step r moves each
+    * walk to the out-neighbor minimizing (md5 draw, dst), exactly the
+    * struct-min the Spark step aggregates. */
+  private def walksOracle(steps: Int): String = {
+    val head =
+      """WITH p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM p
+        |    UNION ALL SELECT dst AS src, src AS dst FROM p)),
+        |w0 AS MATERIALIZED (
+        |  SELECT start, widx, start AS node
+        |  FROM (SELECT DISTINCT src AS start FROM e),
+        |    (VALUES (0::BIGINT), (1::BIGINT)) t(widx))""".stripMargin
+    val steps_ = (1 to steps).map { r =>
+      s"""c$r AS (
+        |  SELECT w.start, w.widx, e.dst,
+        |    md5(concat_ws(':', w.start, w.widx, $r, e.dst)) AS draw
+        |  FROM w${r - 1} w JOIN e ON e.src = w.node),
+        |w$r AS MATERIALIZED (
+        |  SELECT start, widx, dst AS node FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY start, widx ORDER BY draw, dst) AS rn
+        |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 to steps)
+      .map(r => s"  SELECT start, widx, $r AS step, node FROM w$r")
+      .mkString("\n  UNION ALL\n")
+    val tail =
+      s"""SELECT start, widx, step, node FROM (
+        |$union)
+        |ORDER BY start, widx, step""".stripMargin
+    (head +: steps_).mkString(",\n") + "\n" + tail
+  }
 
   /** The x127 oracle: HITS supersteps unrolled — per round, an authority
     * sum + max-norm then a hub sum + max-norm, all HUGEINT (the same

@@ -264,6 +264,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("deterministicWalks: paths are valid, sink-terminated, and replayable") {
+    // 1→{2,3}, 2→{3}, 3→∅ (sink): every walk from 1 reaches 3 and stops
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.deterministicWalks(g, "src", "dst",
+      steps = 3, walksPerNode = 2).collect()
+    Graph.releaseCaches()
+    val byWalk = out.groupBy(r => (r.getLong(0), r.getLong(1)))
+    assert(byWalk.keySet == Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    byWalk.foreach { case ((start, _), rows) =>
+      val path = rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      assert(path.head == start, "step 0 is the start node")
+      path.sliding(2).foreach {
+        case Seq(u, v) => assert(edges.contains((u, v)), s"invalid hop $u->$v")
+        case _ => ()
+      }
+      assert(path.last == 3L, "every walk is absorbed by the sink")
+      assert(path.length <= 3, "walks stop at the sink, not pad to `steps`")
+    }
+  }
+
+  test("deterministicWalks: partitioning-independent; distinct widx can diverge") {
+    val g = (for (i <- 1L to 6L; j <- 1L to 6L if i != j) yield (i, j))
+      .toDF("src", "dst")
+    val a = Graph.deterministicWalks(g, "src", "dst", steps = 4,
+      walksPerNode = 4).orderBy("start", "widx", "step").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.deterministicWalks(g.repartition(13), "src", "dst", steps = 4,
+      walksPerNode = 4).orderBy("start", "widx", "step").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+    // on a complete digraph no walk terminates early and the md5 draws
+    // separate at least some widx pairs into different paths
+    assert(a.size == 6 * 4 * 5)
+    val paths = a.groupBy(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map { case ((s, _), rows) =>
+        s -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq }
+    assert(paths.groupBy(_._1).exists(_._2.map(_._2).toSet.size > 1),
+      "some start node must have divergent walks")
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

@@ -783,11 +783,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes.collect { case f: FileSourceScanExec => f }.size == 1,
       "the naive totals/per-bin/total-row formulation scans 4x; this must scan once")
     // the __total duplication happens on already-aggregated bin rows:
+    // (see also x125 below for the same single-scan discipline)
     // a HashAggregate (the corpus collapse) must sit BELOW the Generate
     // (flatten lists parents first, so "below" = after it in the list)
     val expandIdx = nodes.indexWhere(_.nodeName.contains("Generate"))
     assert(expandIdx >= 0, "explode-based __total expansion missing")
     assert(nodes.drop(expandIdx + 1).exists(_.nodeName.contains("HashAggregate")),
       "row expansion must happen AFTER the corpus aggregation, not on raw rows")
+  }
+
+  test("x125: the waterfill scans the corpus ONCE; all window algebra runs on " +
+    "the per-source frame") {
+    val nodes = flatten(planOf("x125_mixture_waterfill"))
+    assert(nodes.collect { case f: FileSourceScanExec => f }.size == 1,
+      "one documents scan feeds the per-source aggregation")
+    // every window consumes only per-source columns — no text/doc columns
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val names = w.output.map(_.name).toSet
+      assert(!names.exists(n => n.contains("text") || n.contains("doc_id")),
+        s"window sees unpruned corpus columns: $names")
+    }
+    val aggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.exists(_.toString.contains("partial")),
+      "per-source sizing must map-side combine before its exchange")
   }
 }

@@ -128,7 +128,9 @@ object BenchScale {
     "x127_hits_trade" -> 1.4,
     // four walk steps, one keyed join + argmin-agg each; candidate
     // volume per step = frontier out-degree sum (a PageRank superstep)
-    "x128_graph_walks" -> 1.4)
+    "x128_graph_walks" -> 1.4,
+    // two range exchanges (global rank) + one keyed window + position join
+    "x129_quantile_normalize" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -63,4 +63,44 @@ object SignalFusion {
         row_number().over(Window.orderBy(desc("fused"), col(keep.head)))
           .cast("long"))
   }
+
+  /** Exact quantile normalization against the pooled corpus: each row's
+    * score is replaced by the global order statistic at its within-group
+    * quantile — so every group's normalized distribution matches the
+    * pooled one, making scores comparable ACROSS sources whose raw
+    * scales differ (the genomics quantile-normalization idea with the
+    * pooled corpus as the reference distribution). Integer order
+    * statistics end to end — rank r of n_s maps to pooled position
+    * ⌈r·N/n_s⌉ — so the mapping is deterministic and bit-replayable
+    * (no fp quantile interpolation). Ties order by (score, id).
+    * Returns (id, grp, score, qnorm).
+    *
+    * Scale shape: the global rank is the two-phase range-exchange rank
+    * (Sharding.rankByColumns — never a single-partition window); the
+    * per-group rank is one keyed window; N rides a broadcast 1-row
+    * aggregate off the CACHED ranked frame; the value lookup is an
+    * equi-join on the target position. Cross-products (r·N ~ N²) ride
+    * decimal(38,0). Caller epilogue: materialize, then
+    * Sharding.releaseShardCaches(). */
+  def quantileNormalize(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      id: Column): DataFrame = {
+    val e = df.select(group.cast("string").as("grp"),
+      score.cast("long").as("s"), id.cast("long").as("id"))
+    val ranked = Sharding.rankByColumns(e, Seq("s", "id"))
+    val n = ranked.agg((max("pos") + 1L).as("__n"))
+    val wSrc = Window.partitionBy("grp").orderBy("s", "id")
+    val staged = ranked
+      .withColumn("__rs", row_number().over(wSrc).cast("long"))
+      .withColumn("__ns",
+        count(lit(1)).over(Window.partitionBy("grp")))
+      .crossJoin(broadcast(n))
+      .withColumn("__p",
+        expr("(cast(__rs as decimal(38,0)) * __n + __ns - 1) div __ns"))
+    val lookup = ranked.select((col("pos") + 1L).as("__p"), col("s").as("qnorm"))
+    staged.join(lookup, Seq("__p"))
+      .select(col("id"), col("grp"), col("s").as("score"), col("qnorm"))
+  }
 }

@@ -5243,6 +5243,35 @@ object OperatorQueries {
         materialized
       },
       walksOracle(steps = 4)),
+
+    // Exact quantile normalization of document length against the pooled
+    // corpus: each source's distribution maps onto the global one by
+    // integer order statistics (rank r of n_s → pooled position
+    // ⌈r·N/n_s⌉) — cross-source score comparability without fp quantile
+    // interpolation. The oracle replays the identical rank algebra.
+    "x129_quantile_normalize" -> sql(
+      (s, dir) => {
+        val out = SignalFusion.quantileNormalize(Tables.documents(s, dir),
+          col("source"), col("n_chars"), col("doc_id"))
+          .orderBy("id")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
+      },
+      """WITH e AS (SELECT source AS grp, n_chars AS s, doc_id AS id
+        |  FROM documents),
+        |r AS (SELECT grp, s, id,
+        |  row_number() OVER (ORDER BY s, id) - 1 AS pos,
+        |  row_number() OVER (PARTITION BY grp ORDER BY s, id) AS rs,
+        |  count(*) OVER (PARTITION BY grp) AS ns,
+        |  count(*) OVER () AS n
+        |  FROM e),
+        |lk AS (SELECT pos + 1 AS p, s AS qnorm FROM r)
+        |SELECT r.id, r.grp, r.s AS score, lk.qnorm
+        |FROM r JOIN lk
+        |  ON lk.p = (rs::HUGEINT * n + ns - 1) // ns
+        |ORDER BY r.id""".stripMargin),
   )
 
   /** The x128 oracle: the walk recurrence unrolled — step r moves each

@@ -53,6 +53,33 @@ class WaterfillSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("quantileNormalize: hand case — both groups land on pooled order statistics") {
+    // pooled sorted: 1,2,3,4,100,200 (N=6)
+    // group a (n=4): ranks→positions ⌈r·6/4⌉ = 2,3,5,6 → 2,3,100,200
+    // group b (n=2): positions 3,6 → 3,200
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 100L, 5L), ("b", 200L, 6L)).toDF("g", "s", "id")
+    val out = SignalFusion.quantileNormalize(df, col("g"), col("s"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Sharding.releaseShardCaches()
+    assert(out == Map(1L -> 2L, 2L -> 3L, 3L -> 100L, 4L -> 200L,
+      5L -> 3L, 6L -> 200L))
+  }
+
+  test("quantileNormalize: a group spanning the corpus maps to itself; " +
+    "partitioning-independent") {
+    val df = (1L to 40L).map(i => ("only", i * 7 % 41, i)).toDF("g", "s", "id")
+    val a = SignalFusion.quantileNormalize(df, col("g"), col("s"), col("id"))
+      .orderBy("id").collect().toSeq
+    Sharding.releaseShardCaches()
+    assert(a.forall(r => r.getLong(2) == r.getLong(3)),
+      "single-group normalization is the identity")
+    val b = SignalFusion.quantileNormalize(df.repartition(13),
+      col("g"), col("s"), col("id")).orderBy("id").collect().toSeq
+    Sharding.releaseShardCaches()
+    assert(a == b)
+  }
+
   test("a weight that does not divide the LCM fails loudly, from the plan") {
     val df = rows(("a", 10L, 3L), ("b", 10L, 7L))
     val ex = intercept[Exception] {

@@ -130,7 +130,12 @@ object BenchScale {
     // volume per step = frontier out-degree sum (a PageRank superstep)
     "x128_graph_walks" -> 1.4,
     // two range exchanges (global rank) + one keyed window + position join
-    "x129_quantile_normalize" -> 1.4)
+    "x129_quantile_normalize" -> 1.4,
+    // five anti-join pairs over dimension-broadcast key sets
+    "x130_referential_audit" -> 1.3,
+    // wedge self-join: volume Σ deg² over left nodes — the documented
+    // super-linear budget of the exact bipartite-clustering regime
+    "x131_butterfly_census" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

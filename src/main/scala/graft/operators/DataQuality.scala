@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relationship-level data-quality audits — the dbt-test / Deequ-style
+  * constraint checks a warehouse runs before a corpus or mart is
+  * released, as ONE declarative report (no driver-side counting loops).
+  */
+object DataQuality {
+
+  /** One declared foreign-key relationship: child rows referencing a
+    * parent key set. */
+  final case class Rel(
+      name: String,
+      child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column)
+
+  /** Two-directional referential-integrity audit. Per relationship:
+    *   n_child, n_orphans      — child rows whose key has NO parent
+    *                             (broken reference)
+    *   n_parent, n_childless   — parent keys with NO child row
+    *                             (coverage gap — e.g. orders that never
+    *                             produced a line item)
+    * with both rates in exact ppm. NULL child keys count as orphans
+    * (a reference that points nowhere is broken, whatever the reason).
+    *
+    * Scale shape: per relationship, the child side is ONE projection
+    * feeding a left-anti hash join against the distinct parent-key set
+    * (broadcast when the parent is dimension-sized, shuffled otherwise —
+    * Catalyst's choice), plus one distinct-anti in the other direction;
+    * counts partial-aggregate map-side. The report is |rels| rows built
+    * by unionAll of 1-row aggregates — nothing row-sized reaches the
+    * driver. */
+  def referentialAudit(rels: Seq[Rel]): DataFrame = {
+    require(rels.nonEmpty, "referentialAudit: at least one relationship")
+    require(rels.map(_.name).distinct.size == rels.size,
+      "referentialAudit: relationship names must be unique")
+    val reports = rels.map { r =>
+      val ck = r.child.select(r.childKey.cast("long").as("k"))
+      val pk = r.parent.select(r.parentKey.cast("long").as("k"))
+        .where(col("k").isNotNull).distinct()
+      val nChild = ck.agg(count(lit(1)).as("n_child"))
+      val orphans = ck
+        .join(pk, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val nParent = pk.agg(count(lit(1)).as("n_parent"))
+      val childless = pk
+        .join(ck.where(col("k").isNotNull).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless"))
+      nChild.crossJoin(orphans).crossJoin(nParent).crossJoin(childless)
+        .select(
+          lit(r.name).as("rel"),
+          col("n_child"), col("n_orphans"),
+          when(col("n_child") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "(cast(n_orphans as decimal(38,0)) * 1000000) div n_child"))
+            .as("orphan_ppm"),
+          col("n_parent"), col("n_childless"),
+          when(col("n_parent") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "(cast(n_childless as decimal(38,0)) * 1000000) div n_parent"))
+            .as("childless_ppm"))
+    }
+    reports.reduce(_ unionAll _)
+  }
+}

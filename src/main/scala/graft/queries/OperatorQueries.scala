@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -5272,7 +5272,98 @@ object OperatorQueries {
         |FROM r JOIN lk
         |  ON lk.p = (rs::HUGEINT * n + ns - 1) // ns
         |ORDER BY r.id""".stripMargin),
+
+    // Two-directional referential-integrity audit of the warehouse's
+    // declared relationships (dbt-test/Deequ style): broken references
+    // (orphans) AND coverage gaps (childless parents — e.g. orders that
+    // never produced a line item), rates in exact ppm.
+    "x130_referential_audit" -> sql(
+      (s, dir) => DataQuality.referentialAudit(Seq(
+        DataQuality.Rel("events->customer", Tables.events(s, dir),
+          col("user_id"), Tables.customer(s, dir), col("c_custkey")),
+        DataQuality.Rel("lineitem->orders", Tables.lineitem(s, dir),
+          col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")),
+        DataQuality.Rel("lineitem->part", Tables.lineitem(s, dir),
+          col("l_partkey"), Tables.part(s, dir), col("p_partkey")),
+        DataQuality.Rel("lineitem->supplier", Tables.lineitem(s, dir),
+          col("l_suppkey"), Tables.supplier(s, dir), col("s_suppkey")),
+        DataQuality.Rel("orders->customer", Tables.orders(s, dir),
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey"))))
+        .orderBy("rel"),
+      refAuditOracle),
+
+    // Butterfly (K2,2) census of the strong customer×supplier graph —
+    // the bipartite clustering primitive, counted natively (no projected
+    // graph): per supplier, Σ over partners C(common customers, 2).
+    "x131_butterfly_census" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select(col("c"), col("p"))
+        val out = Graph.butterflyCounts(strong, "c", "p")
+          .select(col("node").as("s_suppkey"), col("deg"), col("butterflies"))
+          .orderBy(desc("butterflies"), col("s_suppkey"))
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH sp AS MATERIALIZED (
+        |  SELECT o_custkey AS l, l_suppkey AS r
+        |  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 2),
+        |w AS (SELECT a.r AS r, b.r AS r2
+        |  FROM sp a JOIN sp b ON a.l = b.l AND a.r < b.r),
+        |pr AS (SELECT r, r2, count(*) AS c FROM w GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |bf AS (SELECT node, sum((c * (c - 1)) // 2)::BIGINT AS butterflies
+        |  FROM (SELECT r AS node, c FROM pr
+        |    UNION ALL SELECT r2 AS node, c FROM pr)
+        |  GROUP BY node),
+        |deg AS (SELECT r AS node, count(*)::BIGINT AS deg FROM sp GROUP BY r)
+        |SELECT d.node AS s_suppkey, d.deg,
+        |  coalesce(bf.butterflies, 0)::BIGINT AS butterflies
+        |FROM deg d LEFT JOIN bf ON bf.node = d.node
+        |ORDER BY butterflies DESC, s_suppkey""".stripMargin),
   )
+
+  /** The x130 oracle: per relationship, both anti-join directions as
+    * scalar subqueries (a NULL child key is an orphan by definition —
+    * NOT EXISTS over an equality with NULL is true in both engines). */
+  private def refAuditOracle: String = {
+    val rels = Seq(
+      ("events->customer", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+    rels.map { case (n, c, ck, p, pk) =>
+      s"""SELECT '$n' AS rel, n_child, n_orphans,
+        |  (CASE WHEN n_child = 0 THEN NULL
+        |    ELSE (n_orphans::HUGEINT * 1000000) // n_child
+        |  END)::BIGINT AS orphan_ppm,
+        |  n_parent, n_childless,
+        |  (CASE WHEN n_parent = 0 THEN NULL
+        |    ELSE (n_childless::HUGEINT * 1000000) // n_parent
+        |  END)::BIGINT AS childless_ppm
+        |FROM (SELECT
+        |  (SELECT count(*) FROM $c)::BIGINT AS n_child,
+        |  (SELECT count(*) FROM $c WHERE $ck IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM $p WHERE $p.$pk = $c.$ck))::BIGINT AS n_orphans,
+        |  (SELECT count(DISTINCT $pk) FROM $p
+        |    WHERE $pk IS NOT NULL)::BIGINT AS n_parent,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT $pk AS k FROM $p WHERE $pk IS NOT NULL) pp
+        |    WHERE NOT EXISTS (
+        |      SELECT 1 FROM $c WHERE $c.$ck = pp.k))::BIGINT AS n_childless)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rel"
+  }
 
   /** The x128 oracle: the walk recurrence unrolled — step r moves each
     * walk to the out-neighbor minimizing (md5 draw, dst), exactly the

@@ -36,8 +36,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every oracle carries a total ORDER BY (deterministic compare)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // single-row reports (d14, x120) need no ordering to compare
       assert(sql.toUpperCase.contains("ORDER BY") || sql.trim.startsWith("WITH f AS") ||
-        name == "x17_training_pipeline" || name == "d14_retention_counts",
+        name == "x17_training_pipeline" || name == "d14_retention_counts" ||
+        name == "x120_agreement_kappa",
         s"$name oracle has no ORDER BY")
     }
   }

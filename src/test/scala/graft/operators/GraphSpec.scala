@@ -264,6 +264,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("butterflyCounts: K2,2 and K2,3 agree with hand counts") {
+    // K2,2 {1,2}×{10,11}: each right node sits in 1 butterfly, deg 2.
+    // K2,3 {5,6}×{20,21,22}: every right pair shares 2 lefts → C(2,2)=1
+    // butterfly per pair → each right node is in 2 of the 3 pairs → 2.
+    val g = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (5L, 20L), (5L, 21L), (5L, 22L), (6L, 20L), (6L, 21L), (6L, 22L))
+    val out = Graph.butterflyCounts(g.toDF("l", "r"), "l", "r")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    assert(out(10L) == (2L, 1L) && out(11L) == (2L, 1L))
+    assert(out(20L) == (2L, 2L) && out(21L) == (2L, 2L) && out(22L) == (2L, 2L))
+  }
+
+  test("butterflyCounts: duplicates normalize; a star has zero butterflies; " +
+    "partitioning-independent") {
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L))
+    val s = Graph.butterflyCounts(star.toDF("l", "r"), "l", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Graph.releaseCaches()
+    assert(s.values.forall(_ == 0L), "one left node cannot close a 4-cycle")
+    val g = (for (l <- 1L to 5L; r <- 10L to 15L if (l + r) % 3 != 0)
+      yield (l, r)).toDF("l", "r")
+    val a = Graph.butterflyCounts(g, "l", "r").orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.butterflyCounts(g.repartition(13), "l", "r")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+  }
+
   test("deterministicWalks: paths are valid, sink-terminated, and replayable") {
     // 1→{2,3}, 2→{3}, 3→∅ (sink): every walk from 1 reaches 3 and stops
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")

@@ -135,7 +135,10 @@ object BenchScale {
     "x130_referential_audit" -> 1.3,
     // wedge self-join: volume Σ deg² over left nodes — the documented
     // super-linear budget of the exact bipartite-clustering regime
-    "x131_butterfly_census" -> 1.8)
+    "x131_butterfly_census" -> 1.8,
+    // one keyed exchange to the daily frame; running/lag windows on it
+    "x132_cusum_changepoints" -> 1.3,
+    "x133_seasonal_mase" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -65,4 +65,81 @@ object Seasonal {
         col("med"), col("mad"), col("dev"),
         (col("dev") > lit(k.toLong) * col("mad")).as("flagged"))
   }
+
+  /** Two-sided CUSUM changepoint detection (Page 1954) on the per-series
+    * daily counts: the statistic that catches a SUSTAINED small shift the
+    * per-day Hampel flag (weekdayAnomalies) cannot see. The textbook
+    * recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ)) is sequential, but it has
+    * a closed prefix form — S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) with
+    * P the running sum of deviations — so the whole detector is two
+    * running windows, no driver iteration, exact integers end to end
+    * (μ is the floored per-series integer mean; any engine replays it).
+    * Returns per (series, day): cnt, deviation prefix, s_pos, s_neg, and
+    * the `h`-threshold flags.
+    *
+    * Scale shape: one keyed aggregation collapses events to the
+    * (series × day) frame; the two running windows are per-series over
+    * that bounded frame. */
+  def cusumChangepoints(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      h: Long): DataFrame = {
+    require(h >= 1, "cusumChangepoints: h must be >= 1")
+    val run = Window.partitionBy("series").orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    dailyCounts(df, series, ts)
+      .withColumn("__mu", expr(
+        "sum(cnt) OVER (PARTITION BY series) div count(*) OVER (PARTITION BY series)"))
+      .withColumn("__pf", sum(col("cnt") - col("__mu")).over(run))
+      .withColumn("s_pos", col("__pf") - least(lit(0L), min("__pf").over(run)))
+      .withColumn("s_neg", greatest(lit(0L), max("__pf").over(run)) - col("__pf"))
+      .select(col("series"), col("day"), col("cnt"),
+        col("s_pos"), col("s_neg"),
+        (col("s_pos") > h).as("shift_up"),
+        (col("s_neg") > h).as("shift_down"))
+  }
+
+  /** Seasonal-naive forecast evaluation (MASE, Hyndman 2006): how much
+    * better does "same weekday last week" predict daily volume than
+    * "same as yesterday"? MASE < 1 says the weekly cycle carries real
+    * signal — the calibration a capacity-planning forecast needs before
+    * anyone trusts it. Exact integer sums of absolute errors; the final
+    * ratio is a cross-multiplied ppm integer division
+    * (Σ|xᵢ−xᵢ₋₇|·n₁·10⁶) div (Σ|xᵢ−xᵢ₋₁|·n₇), NULL when either window
+    * is empty or the naive error is zero. One row per series:
+    * (series, n_days, sae_seasonal, n_seasonal, sae_naive, n_naive,
+    * mase_ppm).
+    *
+    * Scale shape: the two lags are one per-series ordered window over
+    * the bounded daily frame; everything after is a per-series
+    * aggregation of four longs. */
+  def seasonalNaiveMase(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      season: Int = 7): DataFrame = {
+    require(season >= 2, "seasonalNaiveMase: season must be >= 2")
+    val ord = Window.partitionBy("series").orderBy("day")
+    val dec = "decimal(38,0)"
+    dailyCounts(df, series, ts)
+      .withColumn("__l1", lag("cnt", 1).over(ord))
+      .withColumn("__ls", lag("cnt", season).over(ord))
+      .groupBy("series")
+      .agg(
+        count(lit(1)).as("n_days"),
+        coalesce(sum(abs(col("cnt") - col("__ls"))), lit(0L)).as("sae_seasonal"),
+        count(col("__ls")).as("n_seasonal"),
+        coalesce(sum(abs(col("cnt") - col("__l1"))), lit(0L)).as("sae_naive"),
+        count(col("__l1")).as("n_naive"))
+      .select(col("series"), col("n_days"),
+        col("sae_seasonal"), col("n_seasonal"),
+        col("sae_naive"), col("n_naive"),
+        when(col("n_seasonal") === 0 || col("n_naive") === 0 ||
+          col("sae_naive") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(cast(sae_seasonal as $dec) * n_naive * 1000000)" +
+              s" div (cast(sae_naive as $dec) * n_seasonal)"))
+          .as("mase_ppm"))
+  }
 }

@@ -5330,6 +5330,63 @@ object OperatorQueries {
         |  coalesce(bf.butterflies, 0)::BIGINT AS butterflies
         |FROM deg d LEFT JOIN bf ON bf.node = d.node
         |ORDER BY butterflies DESC, s_suppkey""".stripMargin),
+
+    // Two-sided CUSUM changepoint monitor on daily event volume (Page
+    // 1954) — the sustained-small-shift detector the per-day Hampel flag
+    // can't see, computed with the closed prefix form (running sum −
+    // running min) so there is NO sequential recurrence. h = 40.
+    "x132_cusum_changepoints" -> sql(
+      (s, dir) => Seasonal
+        .cusumChangepoints(Tables.events(s, dir), col("event_type"),
+          col("ts"), h = 40)
+        .orderBy("series", "day"),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, (sum(cnt) OVER (PARTITION BY series)
+        |  // count(*) OVER (PARTITION BY series))::BIGINT AS mu FROM d),
+        |p AS (SELECT *, (sum(cnt - mu) OVER (PARTITION BY series
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  )::BIGINT AS pf FROM m),
+        |st AS (SELECT *,
+        |  (pf - least(0, min(pf) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT AS s_pos,
+        |  (greatest(0, max(pf) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - pf)::BIGINT AS s_neg
+        |  FROM p)
+        |SELECT series, day, cnt, s_pos, s_neg,
+        |  s_pos > 40 AS shift_up, s_neg > 40 AS shift_down
+        |FROM st ORDER BY series, day""".stripMargin),
+
+    // Seasonal-naive forecast evaluation (MASE): does "same weekday last
+    // week" beat "same as yesterday" on daily volume? Exact integer
+    // error sums, cross-multiplied ppm ratio.
+    "x133_seasonal_mase" -> sql(
+      (s, dir) => Seasonal
+        .seasonalNaiveMase(Tables.events(s, dir), col("event_type"),
+          col("ts"), season = 7)
+        .orderBy("series"),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |  lag(cnt, 1) OVER (PARTITION BY series ORDER BY day) AS l1,
+        |  lag(cnt, 7) OVER (PARTITION BY series ORDER BY day) AS ls
+        |  FROM d)
+        |SELECT series, count(*)::BIGINT AS n_days,
+        |  coalesce(sum(abs(cnt - ls)), 0)::BIGINT AS sae_seasonal,
+        |  count(ls)::BIGINT AS n_seasonal,
+        |  coalesce(sum(abs(cnt - l1)), 0)::BIGINT AS sae_naive,
+        |  count(l1)::BIGINT AS n_naive,
+        |  (CASE WHEN count(ls) = 0 OR count(l1) = 0
+        |      OR coalesce(sum(abs(cnt - l1)), 0) = 0 THEN NULL
+        |    ELSE (coalesce(sum(abs(cnt - ls)), 0)::HUGEINT
+        |      * count(l1) * 1000000)
+        |      // (coalesce(sum(abs(cnt - l1)), 0)::HUGEINT * count(ls))
+        |  END)::BIGINT AS mase_ppm
+        |FROM l GROUP BY series ORDER BY series""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -84,11 +84,17 @@ object Seasonal {
       df: DataFrame,
       series: Column,
       ts: Column,
-      h: Long): DataFrame = {
+      h: Long): DataFrame =
+    finishCusum(dailyCounts(df, series, ts), h)
+
+  /** The stateless CUSUM finishing view over the (series × day) counts —
+    * the SAME streaming state as finishWeekdayAnomalies, so one running
+    * daily-count query feeds both monitors (streaming/StreamingSeasonal). */
+  def finishCusum(dailyIn: DataFrame, h: Long): DataFrame = {
     require(h >= 1, "cusumChangepoints: h must be >= 1")
     val run = Window.partitionBy("series").orderBy("day")
       .rowsBetween(Long.MinValue, 0)
-    dailyCounts(df, series, ts)
+    dailyIn
       .withColumn("__mu", expr(
         "sum(cnt) OVER (PARTITION BY series) div count(*) OVER (PARTITION BY series)"))
       .withColumn("__pf", sum(col("cnt") - col("__mu")).over(run))

@@ -50,6 +50,14 @@ class StreamingSeasonalSpec extends SparkSpec {
       val streamed = Seasonal.finishWeekdayAnomalies(spark.table(name))
         .collect().map(_.toString).sorted.toSeq
       assert(streamed == batch, s"after ${prefix.size} rows")
+      // the SAME running state feeds the CUSUM monitor — both finishing
+      // views must agree with their batch twins on every prefix
+      val batchCusum = Seasonal.cusumChangepoints(
+        prefix.toDF(), col("series"), col("ts"), h = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val streamedCusum = Seasonal.finishCusum(spark.table(name), h = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamedCusum == batchCusum, s"cusum after ${prefix.size} rows")
     }
     query.stop()
   }

@@ -138,7 +138,9 @@ object BenchScale {
     "x131_butterfly_census" -> 1.8,
     // one keyed exchange to the daily frame; running/lag windows on it
     "x132_cusum_changepoints" -> 1.3,
-    "x133_seasonal_mase" -> 1.3)
+    "x133_seasonal_mase" -> 1.3,
+    // composed dashboard: one cached daily frame + three finishing views
+    "x134_series_health" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * rows, thousands not billions), never on raw events. */
 object Seasonal {
 
+  private val caches = new CacheRegistry
+
+  /** Unpersist frames pinned by this thread's last seriesHealthReport
+    * call. Call once the result is materialized. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
   def weekdayAnomalies(
       df: DataFrame,
       series: Column,
@@ -124,11 +130,16 @@ object Seasonal {
       df: DataFrame,
       series: Column,
       ts: Column,
-      season: Int = 7): DataFrame = {
+      season: Int = 7): DataFrame =
+    finishMase(dailyCounts(df, series, ts), season)
+
+  /** The stateless MASE finishing view — the third consumer of the same
+    * (series × day) running state. */
+  def finishMase(dailyIn: DataFrame, season: Int = 7): DataFrame = {
     require(season >= 2, "seasonalNaiveMase: season must be >= 2")
     val ord = Window.partitionBy("series").orderBy("day")
     val dec = "decimal(38,0)"
-    dailyCounts(df, series, ts)
+    dailyIn
       .withColumn("__l1", lag("cnt", 1).over(ord))
       .withColumn("__ls", lag("cnt", season).over(ord))
       .groupBy("series")
@@ -147,5 +158,33 @@ object Seasonal {
             s"(cast(sae_seasonal as $dec) * n_naive * 1000000)" +
               s" div (cast(sae_naive as $dec) * n_seasonal)"))
           .as("mase_ppm"))
+  }
+
+  /** The composed monitoring dashboard: per (series, day), the Hampel
+    * seasonal flag, both CUSUM shift flags, and the series' MASE context
+    * in ONE plan — the daily health view an ops console renders. The
+    * three finishing views are the independent monitors above; composing
+    * them here demonstrates the single-state discipline: the raw stream
+    * collapses to (series × day) counts EXACTLY ONCE (cached), every
+    * monitor reads that frame, and the per-series MASE row broadcasts
+    * back onto the daily grain. Caller epilogue: materialize, then
+    * Seasonal.releaseCaches(). */
+  def seriesHealthReport(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      k: Int = 3,
+      h: Long = 40,
+      season: Int = 7): DataFrame = {
+    val daily = caches.tracked(dailyCounts(df, series, ts).persist())
+    val anomalies = finishWeekdayAnomalies(daily, k)
+    val cusum = finishCusum(daily, h)
+      .select(col("series"), col("day"),
+        col("s_pos"), col("s_neg"), col("shift_up"), col("shift_down"))
+    val mase = finishMase(daily, season)
+      .select(col("series"), col("mase_ppm"))
+    anomalies
+      .join(cusum, Seq("series", "day"))
+      .join(broadcast(mase), Seq("series"), "left")
   }
 }

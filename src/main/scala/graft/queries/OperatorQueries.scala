@@ -5387,6 +5387,72 @@ object OperatorQueries {
         |      // (coalesce(sum(abs(cnt - l1)), 0)::HUGEINT * count(ls))
         |  END)::BIGINT AS mase_ppm
         |FROM l GROUP BY series ORDER BY series""".stripMargin),
+
+    // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
+    // shift flags + MASE context per (series, day) in ONE plan — the raw
+    // stream collapses to daily counts exactly once and every monitor
+    // reads that cached frame (plan-audited single scan).
+    "x134_series_health" -> sql(
+      (s, dir) => {
+        val out = Seasonal.seriesHealthReport(Tables.events(s, dir),
+          col("event_type"), col("ts"), k = 3, h = 40, season = 7)
+          .orderBy("series", "day")
+        val materialized = out.cache()
+        materialized.count()
+        Seasonal.releaseCaches()
+        materialized
+      },
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT series, day, cnt,
+        |  date_part('isodow', day)::INT AS dow FROM d),
+        |m AS (SELECT *,
+        |  row_number() OVER (PARTITION BY series, dow ORDER BY cnt, day) AS rn,
+        |  count(*) OVER (PARTITION BY series, dow) AS n FROM w),
+        |med AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+        |  OVER (PARTITION BY series, dow) AS med FROM m),
+        |dv AS (SELECT *, abs(cnt - med) AS dev FROM med),
+        |d2 AS (SELECT *,
+        |  row_number() OVER (PARTITION BY series, dow ORDER BY dev, day) AS rd
+        |  FROM dv),
+        |anom AS (SELECT series, day, dow, cnt, med,
+        |  max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY series, dow) AS mad, dev
+        |  FROM d2),
+        |mu AS (SELECT *, (sum(cnt) OVER (PARTITION BY series)
+        |  // count(*) OVER (PARTITION BY series))::BIGINT AS mu FROM d),
+        |pf AS (SELECT *, (sum(cnt - mu) OVER (PARTITION BY series
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  )::BIGINT AS pf FROM mu),
+        |cu AS (SELECT series, day,
+        |  (pf - least(0, min(pf) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT AS s_pos,
+        |  (greatest(0, max(pf) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - pf)::BIGINT AS s_neg
+        |  FROM pf),
+        |lg AS (SELECT *,
+        |  lag(cnt, 1) OVER (PARTITION BY series ORDER BY day) AS l1,
+        |  lag(cnt, 7) OVER (PARTITION BY series ORDER BY day) AS ls
+        |  FROM d),
+        |ms AS (SELECT series,
+        |  (CASE WHEN count(ls) = 0 OR count(l1) = 0
+        |      OR coalesce(sum(abs(cnt - l1)), 0) = 0 THEN NULL
+        |    ELSE (coalesce(sum(abs(cnt - ls)), 0)::HUGEINT
+        |      * count(l1) * 1000000)
+        |      // (coalesce(sum(abs(cnt - l1)), 0)::HUGEINT * count(ls))
+        |  END)::BIGINT AS mase_ppm
+        |  FROM lg GROUP BY series)
+        |SELECT a.series, a.day, a.dow, a.cnt, a.med, a.mad, a.dev,
+        |  (a.dev > 3 * a.mad) AS flagged,
+        |  cu.s_pos, cu.s_neg,
+        |  cu.s_pos > 40 AS shift_up, cu.s_neg > 40 AS shift_down,
+        |  ms.mase_ppm
+        |FROM anom a
+        |JOIN cu ON cu.series = a.series AND cu.day = a.day
+        |LEFT JOIN ms ON ms.series = a.series
+        |ORDER BY a.series, a.day""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

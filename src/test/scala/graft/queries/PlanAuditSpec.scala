@@ -809,4 +809,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.exists(_.toString.contains("partial")),
       "per-source sizing must map-side combine before its exchange")
   }
+
+  test("x134: all three monitors read ONE cached daily frame — zero file scans; " +
+    "the per-series MASE row broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Seasonal.seriesHealthReport(
+      graft.queries.Tables.events(spark, dir), col("event_type"), col("ts"))
+    try {
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.collect { case f: FileSourceScanExec => f }.isEmpty,
+        "every monitor must read the cached (series × day) frame, not re-scan events")
+      assert(nodes.mkString.contains("InMemoryTableScan"))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "the |series|-row MASE table must broadcast onto the daily grain")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    } finally graft.operators.Seasonal.releaseCaches()
+  }
 }

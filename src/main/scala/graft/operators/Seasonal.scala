@@ -175,16 +175,31 @@ object Seasonal {
       ts: Column,
       k: Int = 3,
       h: Long = 40,
+      season: Int = 7): DataFrame =
+    finishHealth(caches.tracked(dailyCounts(df, series, ts).persist()),
+      k, h, season)
+
+  /** The composed finishing view over an ALREADY-MATERIALIZED daily
+    * frame — shared by the batch dashboard (which caches the frame) and
+    * the streaming twin's consumer (whose frame IS the running state, so
+    * no cache is needed there). */
+  def finishHealth(
+      daily: DataFrame,
+      k: Int = 3,
+      h: Long = 40,
       season: Int = 7): DataFrame = {
-    val daily = caches.tracked(dailyCounts(df, series, ts).persist())
+    // the three branches share one logical source: re-alias the join
+    // keys on the right sides so the joins carry fresh attribute ids
+    // (the standard conflicting-self-join-references discipline)
     val anomalies = finishWeekdayAnomalies(daily, k)
     val cusum = finishCusum(daily, h)
-      .select(col("series"), col("day"),
+      .select(col("series").as("__cs"), col("day").as("__cd"),
         col("s_pos"), col("s_neg"), col("shift_up"), col("shift_down"))
     val mase = finishMase(daily, season)
-      .select(col("series"), col("mase_ppm"))
+      .select(col("series").as("__ms"), col("mase_ppm"))
     anomalies
-      .join(cusum, Seq("series", "day"))
-      .join(broadcast(mase), Seq("series"), "left")
+      .join(cusum, col("series") === col("__cs") && col("day") === col("__cd"))
+      .join(broadcast(mase), col("series") === col("__ms"), "left")
+      .drop("__cs", "__cd", "__ms")
   }
 }

@@ -58,6 +58,16 @@ class StreamingSeasonalSpec extends SparkSpec {
       val streamedCusum = Seasonal.finishCusum(spark.table(name), h = 3)
         .collect().map(_.toString).sorted.toSeq
       assert(streamedCusum == batchCusum, s"cusum after ${prefix.size} rows")
+      // ...and the COMPOSED dashboard: the whole x134 report runs off
+      // the identical running state
+      val batchHealth = Seasonal.seriesHealthReport(
+        prefix.toDF(), col("series"), col("ts"), k = 3, h = 3, season = 7)
+        .collect().map(_.toString).sorted.toSeq
+      Seasonal.releaseCaches()
+      val streamedHealth = Seasonal.finishHealth(spark.table(name),
+        k = 3, h = 3, season = 7)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamedHealth == batchHealth, s"health after ${prefix.size} rows")
     }
     query.stop()
   }

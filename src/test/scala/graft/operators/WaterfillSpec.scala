@@ -80,6 +80,42 @@ class WaterfillSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("randomized invariants: budget-exact, cap-respecting, proportional within one unit") {
+    val rnd = new scala.util.Random(42)
+    val lcm = 2520L // divisible by 1..10
+    (1 to 6).foreach { trial =>
+      val nSrc = 2 + rnd.nextInt(11)
+      val specs = (0 until nSrc).map(i =>
+        (f"s$i%02d", 1L + rnd.nextInt(5000).toLong, 1L + rnd.nextInt(10).toLong))
+      val ppm = 1 + rnd.nextInt(999999)
+      val df = rows(specs: _*)
+      val out = MixtureSampling.weightedTokenWaterfill(df, col("src"),
+        col("sz"), col("w"), budgetPpm = ppm, weightLcm = lcm)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val total = specs.map(_._2).sum
+      val budget = total * ppm / 1000000L
+      assert(out.values.map(_._3).sum == budget,
+        s"trial $trial: allocations must sum to the budget")
+      out.foreach { case (g, (a, _, alloc)) =>
+        assert(alloc >= 0 && alloc <= a, s"trial $trial/$g: 0 <= alloc <= avail")
+      }
+      // uncapped sources stay proportional within one largest-remainder
+      // unit: |alloc·W − R·w| <= W for every uncapped source
+      val capped = out.filter { case (_, (a, _, alloc)) => alloc == a }.keySet
+      val unc = out.view.filterKeys(!capped.contains(_)).toMap
+      if (unc.nonEmpty) {
+        val wUnc = unc.values.map(_._2).sum
+        val r = budget - out.view.filterKeys(capped).values.map(_._3).sum
+        unc.foreach { case (g, (_, w, alloc)) =>
+          assert(math.abs(alloc * wUnc - r * w) <= wUnc,
+            s"trial $trial/$g: proportionality within one unit")
+        }
+      }
+    }
+  }
+
   test("a weight that does not divide the LCM fails loudly, from the plan") {
     val df = rows(("a", 10L, 3L), ("b", 10L, 7L))
     val ex = intercept[Exception] {

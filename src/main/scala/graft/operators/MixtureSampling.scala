@@ -225,6 +225,28 @@ object MixtureSampling {
       size: Column,
       weight: Column,
       budgetPpm: Long,
+      weightLcm: Long): DataFrame =
+    finishWaterfill(sourceSizes(df, group, size, weight), budgetPpm, weightLcm)
+
+  /** The STATEFUL half of the waterfill: per-source (Σsize, weight) —
+    * one growing long + one stable max per source, the aggregation state
+    * Structured Streaming maintains incrementally
+    * (streaming/StreamingWaterfill). */
+  def sourceSizes(
+      df: DataFrame,
+      group: Column,
+      size: Column,
+      weight: Column): DataFrame =
+    df.groupBy(group.cast("string").as("grp"))
+      .agg(sum(size).as("sz"), max(weight).cast("long").as("w"))
+
+  /** The stateless finishing view over the |sources|-row sizes: the
+    * whole waterfill algebra. Shared by the batch planner and the
+    * streaming twin's consumer — a LIVE allocation plan that re-solves
+    * as the corpus grows. */
+  def finishWaterfill(
+      sizes: DataFrame,
+      budgetPpm: Long,
       weightLcm: Long): DataFrame = {
     require(budgetPpm >= 1 && budgetPpm <= 999999,
       "weightedTokenWaterfill: budgetPpm in [1, 999999] (at 10⁶ take everything)")
@@ -232,9 +254,8 @@ object MixtureSampling {
     val dec = "decimal(38,0)"
     val w = org.apache.spark.sql.expressions.Window
     val all = w.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val perSrc = df
-      .groupBy(group.cast("string").as("grp"))
-      .agg(sum(size).cast(dec).as("a"), max(weight).cast("long").as("w"))
+    val perSrc = sizes
+      .select(col("grp"), col("sz").cast(dec).as("a"), col("w"))
       .where(col("a") > 0)
       // in-plan guard: a weight that does not divide weightLcm would make
       // the ratio key inexact — refuse loudly, from executors

@@ -214,4 +214,27 @@ class EmptyInputSpec extends SparkSpec {
     Graph.releaseCaches()
     assert(Graph.kCore(noEdges, "src", "dst", k = 2).isEmpty)
   }
+
+  test("late round-9 additions: empty inputs → empty reports or loud refusal") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.deterministicWalks(noEdges, "src", "dst").isEmpty)
+    Graph.releaseCaches()
+    assert(Graph.butterflyCounts(noEdges, "src", "dst").isEmpty)
+    Graph.releaseCaches()
+    // HITS on an empty graph has no meaningful normalization — refuse
+    assertThrows[IllegalArgumentException] {
+      Graph.hitsBipartite(noEdges, "src", "dst")
+    }
+    Graph.releaseCaches()
+    val noTs = Seq.empty[(String, Timestamp)].toDF("t", "ts")
+    assert(Seasonal.cusumChangepoints(noTs, col("t"), col("ts"), h = 5).isEmpty)
+    assert(Seasonal.seasonalNaiveMase(noTs, col("t"), col("ts")).isEmpty)
+    val health = Seasonal.seriesHealthReport(noTs, col("t"), col("ts"))
+    assert(health.isEmpty)
+    Seasonal.releaseCaches()
+    val noScored = Seq.empty[(String, Long, Long)].toDF("g", "s", "id")
+    assert(SignalFusion.quantileNormalize(noScored, col("g"), col("s"),
+      col("id")).isEmpty)
+    Sharding.releaseShardCaches()
+  }
 }

@@ -140,7 +140,18 @@ object BenchScale {
     "x132_cusum_changepoints" -> 1.3,
     "x133_seasonal_mase" -> 1.3,
     // composed dashboard: one cached daily frame + three finishing views
-    "x134_series_health" -> 1.3)
+    "x134_series_health" -> 1.3,
+    // base min-label supersteps over the cached strong-edge projection
+    // dominate (the x118 class); the incremental merge itself is
+    // batch-sized — label lookups + a broadcast remap
+    "x135_components_incremental" -> 1.4,
+    // ≤ diameter BFS supersteps, one keyed join + min-agg each over the
+    // cached symmetric edge projection (the x117/x118 class)
+    "x136_bfs_levels" -> 1.4,
+    // wedge self-join keyed by the shared right node: candidate volume
+    // Σ deg(r)² — the documented super-linear budget of the exact
+    // shared-neighbor regime (same class as the butterfly census)
+    "x137_link_prediction" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

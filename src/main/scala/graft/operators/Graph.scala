@@ -231,6 +231,165 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** INCREMENTAL connected components: merge a batch of new edges into
+    * an existing fixpoint labeling WITHOUT rescanning the corpus — the
+    * graph analog of the incremental dedup-index maintenance (x70): at
+    * 100 TB the entity graph's labeling is an asset you update, not a
+    * query you re-run. Exactness argument: a component's canonical label
+    * is its minimum node id, and the merge graph below connects OLD
+    * canonical ids whenever a new edge joins their components — the min
+    * over merged canonicals IS the min node id of the merged component,
+    * so the result equals the full-recompute fixpoint bit-for-bit (the
+    * oracle recomputes from scratch over the union edge set).
+    *
+    * Scale shape: the new-edge endpoints look up their labels with one
+    * keyed join; the label-merge CC runs on the COMPONENT graph (≤ 2·
+    * |batch| nodes — batch-sized, not corpus-sized); the corpus labeling
+    * is touched exactly once, by a BROADCAST remap join (old canonical →
+    * new canonical, ≤ |batch| rows). Nothing corpus-sized shuffles.
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def componentsIncremental(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e = caches.tracked(newEdges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist())
+    val nn = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // endpoints take their existing component; unseen nodes self-label
+    val lab = caches.tracked(nn
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+      .persist())
+    // the merge graph connects old canonical labels via the new edges
+    val le = e
+      .join(lab.select(col("node").as("src"), col("comp").as("__ca")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("comp").as("__cb")), Seq("dst"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+    val remap = connectedComponents(le, "src", "dst", maxIters)
+      .select(col("node").as("__oldc"), col("comp").as("__newc"))
+      .where(col("__oldc") =!= col("__newc"))
+    val updated = labels
+      .join(broadcast(remap), labels("comp") === col("__oldc"), "left")
+      .select(labels("node"),
+        coalesce(col("__newc"), labels("comp")).as("comp"))
+    val newNodes = lab
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .join(broadcast(remap), lab("comp") === col("__oldc"), "left")
+      .select(lab("node"), coalesce(col("__newc"), lab("comp")).as("comp"))
+    updated.unionAll(newNodes)
+  }
+
+  /** Multi-source BFS: minimum hop distance from a seed set, plus the
+    * smallest seed id achieving that distance — the "how far is every
+    * entity from a trusted core" primitive (quality priors radiating from
+    * curated seed domains, influence radius of flagged sources).
+    * Undirected: edges are symmetrized like connectedComponents. Returns
+    * only REACHED nodes as (node, dist, seed) — an unreachable node has
+    * no distance, not an infinite one.
+    *
+    * Determinism: the superstep folds candidate states with a
+    * lexicographic min over (dist, seed), so the fixpoint is exactly
+    * (shortest-path distance, min seed id among seeds at that distance) —
+    * by induction every seed at distance d reaches the node through some
+    * predecessor at d−1 whose own min-seed is ≤ it, so the pairwise min
+    * loses nothing. Integer state end to end, replayable in any engine
+    * (the oracle is a bounded recursive closure + arg-min).
+    *
+    * Scale shape: the Pregel discipline of connectedComponents — edges
+    * hash-partitioned by src once and persisted; per round ONE keyed
+    * join + keyed min-aggregation over the frontier state (two longs per
+    * reached node); state localCheckpoint'd per round, previous round
+    * released, so exactly two state tables are alive. Seeds are a
+    * driver-side list (query metadata, broadcast as a literal frame).
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def bfsLevels(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      seeds: Seq[Long],
+      maxIters: Int = 50): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 100000,
+      "bfsLevels: 1 to 1e5 seed nodes (driver-side list)")
+    require(maxIters >= 1 && maxIters <= 200, "bfsLevels: maxIters in [1, 200]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dir = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = caches.tracked(
+      dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist())
+    var state = seeds.distinct.map(s => (s, 0L, s)).toDF("node", "dist", "seed")
+      .localCheckpoint(true)
+    var t = 0
+    var converged = false
+    while (t < maxIters && !converged) {
+      val nbr = e
+        .join(state.select(col("node").as("src"), col("dist"), col("seed")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"), col("seed"))
+      val folded = state.select(col("node"), col("dist"), col("seed"))
+        .unionAll(nbr)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("seed"))).as("m"))
+      val step = folded
+        .join(state.select(col("node"), col("dist").as("__pd"),
+          col("seed").as("__ps")), Seq("node"), "left")
+        .select(col("node"), col("m.dist").as("dist"), col("m.seed").as("seed"),
+          (col("__pd").isNull || col("m.dist") < col("__pd") ||
+            (col("m.dist") === col("__pd") && col("m.seed") < col("__ps")))
+            .as("__chg"))
+      val next = step.localCheckpoint(true)
+      converged = next.where(col("__chg")).limit(1).isEmpty
+      releaseCheckpoint(state)
+      state = next
+      t += 1
+    }
+    require(converged, s"bfsLevels: no fixpoint after $maxIters rounds")
+    state.select(col("node"), col("dist"), col("seed"))
+  }
+
+  /** Resource-allocation shared-neighbor similarity between LEFT nodes of
+    * a bipartite graph (Zhou, Lü & Zhang 2009 — the strongest of the
+    * degree-penalized common-neighbor link-prediction indices): for a
+    * left pair (a, b), ra = Σ over shared right neighbors r of 1/deg(r),
+    * so a rare shared partner counts for more than a ubiquitous one.
+    * The user-user / item-item collaborative-filtering primitive.
+    *
+    * Determinism: fixed-point integers — each shared neighbor contributes
+    * `scale div deg(r)` (exact floor division), the pair score is an
+    * exact long sum; bit-replayable in any engine. Returns one row per
+    * co-visiting pair: (a, b, shared, ra_fp) with a < b.
+    *
+    * Scale shape: one wedge self-join keyed by the shared RIGHT node
+    * (candidate volume Σ_r deg(r)² — the same documented super-linear
+    * budget as the butterfly census; bound it upstream by thresholding
+    * edges, as x137 does with repeat-trade strength), with deg(r) joined
+    * in BEFORE the wedge so each wedge row carries its weight — then ONE
+    * keyed aggregation per pair. No driver-side state. */
+  def sharedNeighborScores(
+      edges: DataFrame,
+      leftCol: String, rightCol: String,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = caches.tracked(
+      edges.select(col(leftCol).cast("long").as("l"),
+        col(rightCol).cast("long").as("r"))
+        .distinct()
+        .repartition(col("r"))
+        .persist())
+    val deg = e.groupBy("r").agg(count(lit(1)).as("__deg"))
+    val weighted = e.join(deg, Seq("r"))
+      .select(col("r"), col("l"), expr(s"${scale}L div __deg").as("__w"))
+    val e2 = e.select(col("r"), col("l").as("l2"))
+    weighted.join(e2, Seq("r"))
+      .where(col("l") < col("l2"))
+      .groupBy(col("l").as("a"), col("l2").as("b"))
+      .agg(count(lit(1)).as("shared"), sum("__w").as("ra_fp"))
+  }
+
   /** Butterfly (K_{2,2}) counting on a bipartite edge list — the
     * bipartite analog of the triangle (a 4-cycle: two left nodes both
     * connected to two right nodes; Sanei-Mehri 2018). On a

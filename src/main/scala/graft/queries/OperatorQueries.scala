@@ -5388,6 +5388,176 @@ object OperatorQueries {
         |  END)::BIGINT AS mase_ppm
         |FROM l GROUP BY series ORDER BY series""".stripMargin),
 
+    // Incremental component maintenance: the strong trade graph's edges
+    // split into a base corpus and a new batch (deterministic 1-in-5
+    // predicate); the base is labeled once, then the batch merges in via
+    // Graph.componentsIncremental — corpus labeling touched by ONE
+    // broadcast remap. The oracle recomputes the closure from scratch
+    // over ALL edges, so the incremental path must land on the identical
+    // fixpoint per node.
+    "x135_components_incremental" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 4)
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        val isNew = (expr("src div 2") + expr("dst div 2")) % 5 === 0
+        val base = Graph.connectedComponents(
+          edges.where(!isNew), "src", "dst")
+        val out = Graph.componentsIncremental(base,
+          edges.where(isNew), "src", "dst")
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("entity_type"),
+            expr("node div 2").as("entity_key"),
+            when(col("comp") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("canonical_type"),
+            expr("comp div 2").as("canonical_key"))
+          .orderBy("entity_type", "entity_key")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(DISTINCT o.o_orderkey) AS cnt
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p WHERE cnt >= 4),
+        |sym AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |lab AS MATERIALIZED (
+        |  SELECT src AS node, least(src, min(dst)) AS comp
+        |  FROM reach GROUP BY src)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS entity_type,
+        |  (node // 2)::BIGINT AS entity_key,
+        |  CASE WHEN comp % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS canonical_type,
+        |  (comp // 2)::BIGINT AS canonical_key
+        |FROM lab
+        |ORDER BY entity_type, entity_key""".stripMargin),
+
+    // Multi-source BFS over the trade graph: hop distance of every entity
+    // from the top-3 customers by order volume (the "distance from a
+    // trusted core" quality prior), plus the smallest winning seed. The
+    // Spark side is a lexicographic-min Pregel fixpoint; the oracle is a
+    // bounded recursive closure + arg-min over (node, dist, seed) rows —
+    // exact integers on both sides, so the comparison is hash-exact.
+    "x136_bfs_levels" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val seeds = o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("o_custkey")).limit(3)
+          .collect().map(_.getLong(0) * 2).toSeq
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        val out = Graph.bfsLevels(edges, "src", "dst", seeds)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("entity_type"),
+            expr("node div 2").as("entity_key"),
+            col("dist"),
+            expr("seed div 2").as("seed_custkey"))
+          .orderBy("entity_type", "entity_key")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT c * 2 AS src, p * 2 + 1 AS dst FROM base
+        |  UNION ALL
+        |  SELECT p * 2 + 1, c * 2 FROM base),
+        |sd AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS node FROM (
+        |    SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        |    ORDER BY cnt DESC, o_custkey LIMIT 3)),
+        |reach(node, dist, seed) AS (
+        |  SELECT node, 0::BIGINT, node FROM sd
+        |  UNION
+        |  SELECT e.dst, r.dist + 1, r.seed
+        |  FROM reach r JOIN e ON e.src = r.node WHERE r.dist < 15),
+        |best AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM reach GROUP BY node),
+        |pick AS MATERIALIZED (
+        |  SELECT r.node, b.dist, min(r.seed) AS seed
+        |  FROM reach r JOIN best b ON b.node = r.node AND b.dist = r.dist
+        |  GROUP BY r.node, b.dist)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS entity_type,
+        |  (node // 2)::BIGINT AS entity_key,
+        |  dist::BIGINT AS dist,
+        |  (seed // 2)::BIGINT AS seed_custkey
+        |FROM pick
+        |ORDER BY entity_type, entity_key""".stripMargin),
+
+    // Resource-allocation link prediction (Zhou 2009) on the strong
+    // co-purchase graph: customer pairs scored by Σ 1/deg(shared
+    // supplier) in exact fixed-point integers — a rare shared partner
+    // outweighs a ubiquitous one. Top-100 with a total-order rank, so
+    // the cutoff is deterministic on both sides.
+    "x137_link_prediction" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select(col("c"), col("p"))
+        val out = Graph.sharedNeighborScores(strong, "c", "p")
+          .select(col("a").as("cust_a"), col("b").as("cust_b"),
+            col("shared"), col("ra_fp"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("ra_fp"), col("cust_a"), col("cust_b")))
+            .cast("long"))
+          .where(col("rank") <= 100)
+          .orderBy("rank")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH sp AS MATERIALIZED (
+        |  SELECT o_custkey AS l, l_suppkey AS r
+        |  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT r, count(*)::BIGINT AS deg FROM sp GROUP BY r),
+        |w AS (
+        |  SELECT a.l AS a, b.l AS b, d.deg AS deg
+        |  FROM sp a JOIN sp b ON a.r = b.r AND a.l < b.l
+        |  JOIN deg d ON d.r = a.r),
+        |pr AS MATERIALIZED (
+        |  SELECT a, b, count(*)::BIGINT AS shared,
+        |    sum(1000000000000 // deg)::BIGINT AS ra_fp
+        |  FROM w GROUP BY 1, 2)
+        |SELECT a AS cust_a, b AS cust_b, shared, ra_fp,
+        |  row_number() OVER (ORDER BY ra_fp DESC, a, b)::BIGINT AS rank
+        |FROM pr
+        |QUALIFY rank <= 100
+        |ORDER BY rank""".stripMargin),
+
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw
     // stream collapses to daily counts exactly once and every monitor

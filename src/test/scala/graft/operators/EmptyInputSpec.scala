@@ -237,4 +237,21 @@ class EmptyInputSpec extends SparkSpec {
       col("id")).isEmpty)
     Sharding.releaseShardCaches()
   }
+
+  test("final round-9 additions: empty graphs → identity / seeds-only / empty") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // incremental components: an empty batch is the identity on the labeling
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("node", "comp")
+    val unchanged = Graph.componentsIncremental(labels, noEdges, "src", "dst")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Graph.releaseCaches()
+    assert(unchanged == Seq((1L, 1L), (2L, 1L)))
+    // BFS on an empty graph: the seeds still self-report at distance 0
+    val seedsOnly = Graph.bfsLevels(noEdges, "src", "dst", Seq(7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Graph.releaseCaches()
+    assert(seedsOnly == Seq((7L, 0L, 7L)))
+    assert(Graph.sharedNeighborScores(noEdges, "src", "dst").isEmpty)
+    Graph.releaseCaches()
+  }
 }

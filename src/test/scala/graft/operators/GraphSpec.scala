@@ -335,6 +335,160 @@ class GraphSpec extends SparkSpec {
       "some start node must have divergent walks")
   }
 
+  test("componentsIncremental: batch merge equals full recompute (bit-for-bit)") {
+    // 40-node pseudo-random graph; a deterministic 1-in-3 predicate splits
+    // edges into base corpus vs new batch — the same shape x135 uses
+    val all = (for (i <- 1L to 60L) yield {
+      val a = (i * 17) % 40 + 1
+      val b = (i * 29) % 40 + 1
+      (math.min(a, b), math.max(a, b))
+    }).distinct.filter { case (a, b) => a != b }
+    val (batch, base) = all.partition { case (a, b) => (a + b) % 3 == 0 }
+    val baseLabels = Graph.connectedComponents(
+      base.toDF("src", "dst"), "src", "dst")
+    val inc = Graph.componentsIncremental(baseLabels,
+      batch.toDF("src", "dst"), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val full = Graph.connectedComponents(all.toDF("src", "dst"), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(inc == full, "incremental fixpoint must equal the from-scratch fixpoint")
+  }
+
+  test("componentsIncremental: unseen nodes join, disjoint batch self-labels, " +
+    "merge takes the min canonical") {
+    // base: {1,2} and {5,6}; batch: 2-5 (merges them → canonical 1),
+    // 8-9 (entirely new nodes → canonical 8)
+    val base = Graph.connectedComponents(
+      Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"), "src", "dst")
+    val out = Graph.componentsIncremental(base,
+      Seq((2L, 5L), (8L, 9L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.releaseCaches()
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("componentsIncremental: an empty batch returns the labeling unchanged; " +
+    "a batch inside one component is a no-op") {
+    val base = Graph.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+    val noBatch = Graph.componentsIncremental(base,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(noBatch.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // an edge both of whose endpoints already share a component
+    val sameComp = Graph.componentsIncremental(base,
+      Seq((1L, 3L)).toDF("src", "dst"), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(sameComp.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("componentsIncremental is partitioning-independent") {
+    val all = (1L to 20L).map(i => (i, i % 7 + 21L))
+    val (batch, base) = all.partition { case (a, _) => a % 4 == 0 }
+    val lab = Graph.connectedComponents(base.toDF("src", "dst"), "src", "dst")
+    val a = Graph.componentsIncremental(lab, batch.toDF("src", "dst"),
+      "src", "dst").orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val lab2 = Graph.connectedComponents(
+      base.toDF("src", "dst").repartition(11), "src", "dst")
+    val b = Graph.componentsIncremental(lab2,
+      batch.toDF("src", "dst").repartition(13), "src", "dst")
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+  }
+
+  test("bfsLevels: distances and winning seeds match a hand-walked graph") {
+    // path 1-2-3-4-5 plus branch 3-6; seeds {1, 5}:
+    //   1:(0,1) 2:(1,1) 3:(2,1)  [3 is dist 2 from both — min seed 1]
+    //   4:(1,5) 5:(0,5) 6:(3,1)  [6 via 3: seed 1 at dist 3; via 5: 3 hops
+    //                             too (5-4-3-6) — min seed 1]
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+    val out = Graph.bfsLevels(g.toDF("src", "dst"), "src", "dst",
+      seeds = Seq(1L, 5L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    assert(out == Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L),
+      4L -> (1L, 5L), 5L -> (0L, 5L), 6L -> (3L, 1L)))
+  }
+
+  test("bfsLevels: unreachable nodes are absent; isolated seed self-reports; " +
+    "partitioning-independent") {
+    // component {1,2} seeded, component {8,9} not; seed 20 not in graph
+    val g = Seq((1L, 2L), (8L, 9L))
+    val out = Graph.bfsLevels(g.toDF("src", "dst"), "src", "dst",
+      seeds = Seq(1L, 20L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Graph.releaseCaches()
+    assert(out == Map(1L -> (0L, 1L), 2L -> (1L, 1L), 20L -> (0L, 20L)),
+      "8/9 unreachable → absent; the off-graph seed still reports itself")
+    val big = (1L to 30L).map(i => (i, (i * 7) % 30 + 1)).toDF("src", "dst")
+    val a = Graph.bfsLevels(big, "src", "dst", Seq(1L, 13L))
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.bfsLevels(big.repartition(13), "src", "dst", Seq(1L, 13L))
+      .orderBy("node").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+  }
+
+  test("bfsLevels guards: empty seeds and bad iters fail loudly") {
+    val g = Seq((1L, 2L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graph.bfsLevels(g, "src", "dst", seeds = Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.bfsLevels(g, "src", "dst", seeds = Seq(1L), maxIters = 0)
+    }
+    // a long path with too little headroom must refuse, not silently cap
+    val path = (1L to 12L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException] {
+      Graph.bfsLevels(path.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L), maxIters = 3)
+    }
+    Graph.releaseCaches()
+  }
+
+  test("sharedNeighborScores: RA weights match hand arithmetic") {
+    // suppliers: 10 shared by {1,2,3} (deg 3), 11 shared by {1,2} (deg 2),
+    // 12 only by 3 (deg 1). scale=1000 → w(10)=333, w(11)=500.
+    //   (1,2): shared {10,11} → 333+500 = 833
+    //   (1,3), (2,3): shared {10} → 333
+    val g = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 12L))
+    val out = Graph.sharedNeighborScores(g.toDF("c", "s"), "c", "s",
+      scale = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    Graph.releaseCaches()
+    assert(out == Map((1L, 2L) -> (2L, 833L), (1L, 3L) -> (1L, 333L),
+      (2L, 3L) -> (1L, 333L)))
+  }
+
+  test("sharedNeighborScores: duplicates normalize; no shared neighbor → " +
+    "no row; partitioning-independent") {
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 10L), (3L, 11L))
+    val out = Graph.sharedNeighborScores(dup.toDF("c", "s"), "c", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Graph.releaseCaches()
+    assert(out == Map((1L, 2L) -> 1L), "3 shares nothing — pair absent")
+    val g = (for (c <- 1L to 9L; s <- 10L to 15L if (c * s) % 4 != 1)
+      yield (c, s)).toDF("c", "s")
+    val a = Graph.sharedNeighborScores(g, "c", "s")
+      .orderBy("a", "b").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.sharedNeighborScores(g.repartition(11), "c", "s")
+      .orderBy("a", "b").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

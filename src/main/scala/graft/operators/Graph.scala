@@ -40,8 +40,10 @@ object Graph {
     * thread. Call once the result is materialized. */
   def releaseCaches(): Unit = caches.releaseAll()
 
-  /** Free a superstep's localCheckpoint RDD once the next round is live. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  /** Free a superstep's localCheckpoint RDD once the next round is live.
+    * Package-visible: StreamingComponents retires its previous labeling
+    * checkpoint with the same discipline. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

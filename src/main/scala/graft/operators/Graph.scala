@@ -244,12 +244,16 @@ object Graph {
     * so the result equals the full-recompute fixpoint bit-for-bit (the
     * oracle recomputes from scratch over the union edge set).
     *
-    * Scale shape: the new-edge endpoints look up their labels with one
-    * keyed join; the label-merge CC runs on the COMPONENT graph (≤ 2·
-    * |batch| nodes — batch-sized, not corpus-sized); the corpus labeling
-    * is touched exactly once, by a BROADCAST remap join (old canonical →
-    * new canonical, ≤ |batch| rows). Nothing corpus-sized shuffles.
-    * Caller epilogue: materialize, then releaseCaches(). */
+    * Scale shape: the corpus labeling is SCANNED twice and SHUFFLED never
+    * — (1) the batch's endpoint set broadcasts INTO the labeling to pull
+    * existing labels out (a broadcast semi-lookup, so the corpus side
+    * only streams through a hash probe); (2) the final remap rides a
+    * BROADCAST join of the ≤ |batch|-row (old canonical → new canonical)
+    * table onto the labeling scan. The label-merge CC runs on the
+    * COMPONENT graph (≤ 2·|batch| nodes — batch-sized, not
+    * corpus-sized). Pinned by the x135 plan audit: with auto-broadcast
+    * disabled, the labeling never sits below a shuffle exchange. Caller
+    * epilogue: materialize, then releaseCaches(). */
   def componentsIncremental(
       labels: DataFrame,
       newEdges: DataFrame,
@@ -258,11 +262,15 @@ object Graph {
     val e = caches.tracked(newEdges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().persist())
-    val nn = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val nn = caches.tracked(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist())
+    // labels of batch endpoints already in the corpus: the batch-sized
+    // node set broadcasts into the labeling — corpus scanned, not shuffled
+    val hit = caches.tracked(
+      labels.join(broadcast(nn), Seq("node")).persist())
     // endpoints take their existing component; unseen nodes self-label
     val lab = caches.tracked(nn
-      .join(labels, Seq("node"), "left")
+      .join(broadcast(hit), Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
       .persist())
     // the merge graph connects old canonical labels via the new edges
@@ -278,7 +286,7 @@ object Graph {
       .select(labels("node"),
         coalesce(col("__newc"), labels("comp")).as("comp"))
     val newNodes = lab
-      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .join(broadcast(hit.select(col("node"))), Seq("node"), "left_anti")
       .join(broadcast(remap), lab("comp") === col("__oldc"), "left")
       .select(lab("node"), coalesce(col("__newc"), lab("comp")).as("comp"))
     updated.unionAll(newNodes)

@@ -825,4 +825,41 @@ class PlanAuditSpec extends SparkSpec {
       assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
     } finally graft.operators.Seasonal.releaseCaches()
   }
+
+  test("x135: the corpus labeling is scanned, never shuffled — broadcast " +
+    "endpoint lookup + broadcast canonical remap") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    // auto-broadcast OFF: any join not explicitly hinted would surface as
+    // a sort-merge/shuffle join — so the assertion pins the HINTS, not a
+    // small-input accident
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a valid canonical-min labeling (components = residue classes mod 50)
+      val labels = (1L to 500L).map(i => (i, (i - 1) % 50 + 1))
+        .toDF("node", "comp").localCheckpoint(true)
+      val batch = Seq((3L, 903L), (51L, 904L), (905L, 906L)).toDF("src", "dst")
+      val nodes = flatten(executedPlan(
+        graft.operators.Graph.componentsIncremental(labels, batch, "src", "dst")))
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "the final update plan must be shuffle-free: the labeling streams " +
+          "through broadcast probes only")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+      assert(nodes.count(_.isInstanceOf[BroadcastExchangeLike]) >= 2,
+        "endpoint-hit and canonical-remap tables must broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.operators.Graph.releaseCaches()
+    }
+  }
+
+  test("x137: the wedge is a keyed join on the shared neighbor — no " +
+    "cartesian, weights attached before the pair aggregation") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val nodes = flatten(planOf("x137_link_prediction"))
+    assert(!nodes.mkString.contains("CartesianProduct"),
+      "pair scoring must ride the r-keyed wedge join, never all-pairs")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
 }

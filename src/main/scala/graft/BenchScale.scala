@@ -151,7 +151,10 @@ object BenchScale {
     // wedge self-join keyed by the shared right node: candidate volume
     // Σ deg(r)² — the documented super-linear budget of the exact
     // shared-neighbor regime (same class as the butterfly census)
-    "x137_link_prediction" -> 1.8)
+    "x137_link_prediction" -> 1.8,
+    // pair wedge + peer-keyed contribution join: the same Σ deg² regime
+    // as x137 with one extra keyed fan-out over peer partner lists
+    "x138_recommendations" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -400,6 +400,50 @@ object Graph {
       .agg(count(lit(1)).as("shared"), sum("__w").as("ra_fp"))
   }
 
+  /** Item-based collaborative-filtering recommendations over a bipartite
+    * interaction graph (the classic neighborhood method — Sarwar 2001
+    * shape, with the resource-allocation similarity of
+    * sharedNeighborScores as the peer weight): a left node's score for a
+    * right node it has NOT interacted with is Σ over peers who did
+    * interact of ra(left, peer). Exact fixed-point integers end to end,
+    * so the ranking is bit-replayable. Returns the top-k novel right
+    * nodes per left node: (l, rank, r, score_fp, n_contributors).
+    *
+    * Scale shape: pair scores come from the wedge join (documented
+    * super-linear Σ deg(r)² budget — threshold edges upstream); the
+    * contribution join is keyed by peer against the cached edge
+    * projection; existing interactions leave via a keyed anti-join; the
+    * per-left top-k is a group-partitioned window (never a global sort).
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def recommendations(
+      edges: DataFrame,
+      leftCol: String, rightCol: String,
+      k: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1 && k <= 100, "recommendations: k in [1, 100]")
+    val e = caches.tracked(
+      edges.select(col(leftCol).cast("long").as("l"),
+        col(rightCol).cast("long").as("r"))
+        .distinct()
+        .persist())
+    val sims = sharedNeighborScores(e, "l", "r", scale)
+    val sym = sims.select(col("a").as("c"), col("b").as("peer"), col("ra_fp"))
+      .unionAll(sims.select(col("b").as("c"), col("a").as("peer"), col("ra_fp")))
+    val contrib = sym
+      .join(e.select(col("l").as("peer"), col("r")), Seq("peer"))
+      .groupBy(col("c"), col("r"))
+      .agg(sum("ra_fp").as("score_fp"), count(lit(1)).as("n_contributors"))
+    val novel = contrib
+      .join(e.select(col("l").as("c"), col("r")), Seq("c", "r"), "left_anti")
+    novel
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy(desc("score_fp"), col("r"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("c").as("l"), col("rank"), col("r"),
+        col("score_fp"), col("n_contributors"))
+  }
+
   /** Butterfly (K_{2,2}) counting on a bipartite edge list — the
     * bipartite analog of the triangle (a 4-cycle: two left nodes both
     * connected to two right nodes; Sanei-Mehri 2018). On a

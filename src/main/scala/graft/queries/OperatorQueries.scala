@@ -5558,6 +5558,63 @@ object OperatorQueries {
         |QUALIFY rank <= 100
         |ORDER BY rank""".stripMargin),
 
+    // Item-based CF recommendations: for each customer, the top-3 NEW
+    // suppliers scored by Σ ra(customer, peer) over peers who already
+    // trade there — the x137 similarity machinery composed into the
+    // serving-side query a recommendation pipeline actually runs. Exact
+    // fixed-point integers, so rank cutoffs replay bit-for-bit.
+    "x138_recommendations" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 2)
+          .select(col("c"), col("p"))
+        val out = Graph.recommendations(strong, "c", "p", k = 3)
+          .select(col("l").as("custkey"), col("rank"),
+            col("r").as("s_suppkey"), col("score_fp"), col("n_contributors"))
+          .orderBy("custkey", "rank")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH sp AS MATERIALIZED (
+        |  SELECT o_custkey AS l, l_suppkey AS r
+        |  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+        |  GROUP BY o_custkey, l_suppkey
+        |  HAVING count(DISTINCT o.o_orderkey) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT r, count(*)::BIGINT AS deg FROM sp GROUP BY r),
+        |w AS (
+        |  SELECT a.l AS a, b.l AS b, d.deg AS deg
+        |  FROM sp a JOIN sp b ON a.r = b.r AND a.l < b.l
+        |  JOIN deg d ON d.r = a.r),
+        |pr AS MATERIALIZED (
+        |  SELECT a, b, sum(1000000000000 // deg)::BIGINT AS ra_fp
+        |  FROM w GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT a AS c, b AS peer, ra_fp FROM pr
+        |  UNION ALL SELECT b, a, ra_fp FROM pr),
+        |contrib AS MATERIALIZED (
+        |  SELECT s.c, e.r, sum(s.ra_fp)::BIGINT AS score_fp,
+        |    count(*)::BIGINT AS n_contributors
+        |  FROM sym s JOIN sp e ON e.l = s.peer
+        |  GROUP BY s.c, e.r),
+        |novel AS (
+        |  SELECT c, r, score_fp, n_contributors FROM contrib ct
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sp e WHERE e.l = ct.c AND e.r = ct.r))
+        |SELECT c AS custkey,
+        |  row_number() OVER (PARTITION BY c ORDER BY score_fp DESC, r)::BIGINT
+        |    AS rank,
+        |  r AS s_suppkey, score_fp, n_contributors
+        |FROM novel
+        |QUALIFY rank <= 3
+        |ORDER BY custkey, rank""".stripMargin),
+
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw
     // stream collapses to daily counts exactly once and every monitor

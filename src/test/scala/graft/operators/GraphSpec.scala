@@ -489,6 +489,47 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("recommendations: scores, novelty, and rank ties match hand arithmetic") {
+    // c1:{10,11} c2:{10,11,12} c3:{12,13}; every supplier deg 2 except 13
+    // (deg 1). scale=1000 → ra(1,2)=1000 (two shared), ra(2,3)=500.
+    //   c1: only novel candidate is 12 via c2 → (1000, 1 contributor)
+    //   c2: novel 13 via c3 → (500, 1)
+    //   c3: novel 10 and 11, both 500 via c2 — tie broken by supplier id
+    val g = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (3L, 13L))
+    val out = Graph.recommendations(g.toDF("c", "s"), "c", "s", k = 2,
+      scale = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Graph.releaseCaches()
+    assert(out == Map(
+      (1L, 1L) -> (12L, 1000L, 1L),
+      (2L, 1L) -> (13L, 500L, 1L),
+      (3L, 1L) -> (10L, 500L, 1L),
+      (3L, 2L) -> (11L, 500L, 1L)))
+  }
+
+  test("recommendations: k caps per-left output; no peers → no rows; " +
+    "partitioning-independent") {
+    val lonely = Seq((1L, 10L), (2L, 11L)) // no shared supplier, no pairs
+    assert(Graph.recommendations(lonely.toDF("c", "s"), "c", "s", k = 3)
+      .collect().isEmpty)
+    Graph.releaseCaches()
+    val g = (for (c <- 1L to 8L; s <- 10L to 16L if (c + s) % 3 != 0)
+      yield (c, s)).toDF("c", "s")
+    val a = Graph.recommendations(g, "c", "s", k = 2)
+      .orderBy("l", "rank").collect().toSeq
+    Graph.releaseCaches()
+    val b = Graph.recommendations(g.repartition(11), "c", "s", k = 2)
+      .orderBy("l", "rank").collect().toSeq
+    Graph.releaseCaches()
+    assert(a == b)
+    assert(a.groupBy(_.getLong(0)).values.forall(_.size <= 2))
+    assertThrows[IllegalArgumentException] {
+      Graph.recommendations(g, "c", "s", k = 0)
+    }
+  }
+
   test("every superstep reads the cached edges and broadcasts the dangling row") {
     Graph.capturePlans = true
     try {

@@ -154,7 +154,10 @@ object BenchScale {
     "x137_link_prediction" -> 1.8,
     // pair wedge + peer-keyed contribution join: the same Σ deg² regime
     // as x137 with one extra keyed fan-out over peer partner lists
-    "x138_recommendations" -> 1.8)
+    "x138_recommendations" -> 1.8,
+    // one keyed exchange to the (quasi × value) cell frame; windows on
+    // that bounded frame (the x126 class)
+    "x139_tcloseness" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

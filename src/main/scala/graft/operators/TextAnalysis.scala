@@ -222,4 +222,103 @@ object TextAnalysis {
         (col("n") < k).as("k_risk"),
         (col("n_sensitive") < l).as("l_risk")): _*)
   }
+
+  /** Unpersist frames pinned by the last tClosenessAudit call on this
+    * thread. Call once the result is materialized. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
+  private val caches = new CacheRegistry
+
+  /** t-closeness release audit (Li, Li & Venkatasubramanian 2007): even a
+    * k-anonymous, l-diverse group leaks when its sensitive-attribute
+    * DISTRIBUTION skews far from the corpus-wide one (the "everyone in
+    * this group has SOME rare disease" failure l-diversity misses). The
+    * distance is total variation — chosen over EMD/KL for the x123
+    * reason: TVD is EXACT in integer arithmetic. Per group g:
+    *
+    *   tvd_ppm(g) = (10⁶ · Σ_v |n_gv·N − N_v·n_g|) div (2 · n_g · N)
+    *
+    * with the sum over ALL corpus values; values absent from g enter via
+    * the complement identity Σ_{absent v} N_v·n_g = n_g·(N − Σ_{present}
+    * N_v), so only observed (group, value) cells are ever materialized.
+    * Returns one row per quasi-identifier combination:
+    * (quasi..., n, tvd_ppm, t_risk = tvd_ppm > tPpm).
+    *
+    * Scale shape: ONE keyed aggregation collapses the corpus to the
+    * (quasi × sensitive-value) contingency (a long per cell — the same
+    * bounded frame x126 rides); that cached frame feeds the group-size
+    * re-aggregation and the value-margin re-aggregation, and the
+    * |values|-row margin table broadcasts back onto the cells. Cross
+    * products ride decimal(38,0) so 10¹⁴-row cohorts cannot overflow.
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def tClosenessAudit(
+      df: DataFrame,
+      quasi: Seq[(String, Column)],
+      sensitive: Column,
+      tPpm: Long): DataFrame = {
+    require(quasi.nonEmpty, "tClosenessAudit: at least one quasi-identifier")
+    // no persist needed: the window-algebra finish reads the cell frame
+    // exactly once, so the whole audit is one aggregation + one pass
+    finishTcloseness(tClosenessCellCounts(df, quasi, sensitive),
+      quasi.map(_._1), tPpm)
+  }
+
+  /** The STATEFUL half of the t-closeness audit: one long per observed
+    * (quasi × sensitive-value) cell — exactly the aggregation state
+    * Structured Streaming maintains incrementally
+    * (streaming/StreamingTcloseness). */
+  def tClosenessCellCounts(
+      df: DataFrame,
+      quasi: Seq[(String, Column)],
+      sensitive: Column): DataFrame =
+    df.where(sensitive.isNotNull)
+      .groupBy(quasi.map { case (n, c) => c.as(n) } :+
+        sensitive.cast("string").as("__v"): _*)
+      .agg(count(lit(1)).as("__ngv"))
+
+  /** The stateless finishing view over the bounded cell frame: margins,
+    * the complement-identity absent-mass term, the exact ppm TVD per
+    * group. Shared by the batch audit and the streaming twin's consumer.
+    *
+    * Pure WINDOW algebra over the cells frame — no self-joins, so the
+    * view runs unchanged on a streaming memory table (a view self-join
+    * trips Spark's hint/reference deduplication there) and the whole
+    * finish is one pass over the bounded frame. The windows (per-value
+    * margin, per-group size, global total) all ride the ≤ |groups ×
+    * values| cell frame, never the corpus — the finishDrift discipline. */
+  def finishTcloseness(
+      cells: DataFrame,
+      quasiNames: Seq[String],
+      tPpm: Long): DataFrame = {
+    require(quasiNames.nonEmpty, "finishTcloseness: at least one quasi-identifier")
+    require(tPpm >= 1 && tPpm <= 1000000,
+      "finishTcloseness: tPpm in [1, 1e6] (a TVD threshold in ppm)")
+    val dec = "decimal(38,0)"
+    val qcols = quasiNames.map(col)
+    val byV = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(qcols: _*)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("__nv", sum("__ngv").over(byV))
+      .withColumn("__nn", sum("__ngv").over(all))
+      .withColumn("__ng", sum("__ngv").over(byG))
+      // cells are unique per (group, value), so the per-group sum of the
+      // value margins IS Σ over present values of N_v
+      .withColumn("__snp", sum("__nv").over(byG))
+      .groupBy(qcols: _*)
+      .agg(
+        max("__ng").as("n"),
+        max("__nn").as("__nn2"),
+        max("__snp").as("__snp"),
+        sum(expr(s"abs(cast(__ngv as $dec) * cast(__nn as $dec) - " +
+          s"cast(__nv as $dec) * cast(__ng as $dec))")).as("__present_abs"))
+      .withColumn("__absent_abs",
+        expr(s"cast(n as $dec) * cast(__nn2 - __snp as $dec)"))
+      .withColumn("tvd_ppm", expr(
+        s"cast(((__present_abs + __absent_abs) * 1000000) div " +
+          s"(2 * cast(n as $dec) * cast(__nn2 as $dec)) as long)"))
+      .select(qcols ++ Seq(
+        col("n"), col("tvd_ppm"),
+        (col("tvd_ppm") > tPpm).as("t_risk")): _*)
+  }
 }

@@ -5615,6 +5615,52 @@ object OperatorQueries {
         |QUALIFY rank <= 3
         |ORDER BY custkey, rank""".stripMargin),
 
+    // t-closeness release audit: the sensitive-attribute DISTRIBUTION
+    // distance (TVD, exact integers — the x123 rationale) between each
+    // quasi-identifier group and the pooled corpus — what k-anonymity and
+    // l-diversity (x126) both miss when a large, diverse group still
+    // skews toward a rare value. Absent values enter via the complement
+    // identity, so only observed cells materialize.
+    "x139_tcloseness" -> sql(
+      (s, dir) => {
+        val out = TextAnalysis.tClosenessAudit(
+          Tables.documents(s, dir),
+          quasi = Seq(
+            "source" -> col("source"),
+            "len_bucket" -> expr("n_chars div 100")),
+          sensitive = col("lang"), tPpm = 200000)
+          .orderBy("source", "len_bucket")
+        val materialized = out.cache()
+        materialized.count()
+        TextAnalysis.releaseCaches()
+        materialized
+      },
+      """WITH cells AS MATERIALIZED (
+        |  SELECT source, (n_chars // 100)::BIGINT AS len_bucket, lang AS v,
+        |    count(*)::BIGINT AS ngv
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+        |marg AS MATERIALIZED (
+        |  SELECT v, sum(ngv)::BIGINT AS nv FROM cells GROUP BY v),
+        |tot AS MATERIALIZED (SELECT sum(nv)::BIGINT AS nn FROM marg),
+        |c2 AS MATERIALIZED (
+        |  SELECT c.source, c.len_bucket, c.ngv, m.nv,
+        |    sum(c.ngv) OVER (PARTITION BY c.source, c.len_bucket)::BIGINT AS ng,
+        |    sum(m.nv) OVER (PARTITION BY c.source, c.len_bucket)::BIGINT AS snp
+        |  FROM cells c JOIN marg m USING (v)),
+        |per AS MATERIALIZED (
+        |  SELECT source, len_bucket,
+        |    max(ng) AS n,
+        |    sum(abs(ngv::HUGEINT * (SELECT nn FROM tot)
+        |      - nv::HUGEINT * ng)) AS pabs,
+        |    max(ng)::HUGEINT * ((SELECT nn FROM tot) - max(snp)) AS aabs
+        |  FROM c2 GROUP BY source, len_bucket)
+        |SELECT source, len_bucket, n::BIGINT AS n,
+        |  (((pabs + aabs) * 1000000)
+        |    // (2 * n::HUGEINT * (SELECT nn FROM tot)))::BIGINT AS tvd_ppm,
+        |  (((pabs + aabs) * 1000000)
+        |    // (2 * n::HUGEINT * (SELECT nn FROM tot))) > 200000 AS t_risk
+        |FROM per ORDER BY source, len_bucket""".stripMargin),
+
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw
     // stream collapses to daily counts exactly once and every monitor

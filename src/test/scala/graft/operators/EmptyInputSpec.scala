@@ -253,5 +253,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(seedsOnly == Seq((7L, 0L, 7L)))
     assert(Graph.sharedNeighborScores(noEdges, "src", "dst").isEmpty)
     Graph.releaseCaches()
+    assert(Graph.recommendations(noEdges, "src", "dst", k = 3).isEmpty)
+    Graph.releaseCaches()
+    val noRated = Seq.empty[(String, String)].toDF("g", "v")
+    val tc = TextAnalysis.tClosenessAudit(noRated,
+      Seq("g" -> col("g")), col("v"), tPpm = 100000)
+    assert(tc.isEmpty && tc.columns.toSeq == Seq("g", "n", "tvd_ppm", "t_risk"))
+    TextAnalysis.releaseCaches()
   }
 }

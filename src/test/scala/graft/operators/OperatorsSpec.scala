@@ -407,6 +407,56 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.privacyAudit(df, Seq.empty, col("lang"), k = 3, l = 2)
     }
   }
+
+  test("tClosenessAudit: exact TVD ppm matches hand arithmetic, absent " +
+    "values included") {
+    // group a: {x:3, y:1}; group b: {x:1, z:1}. N=6, margins x:4 y:1 z:1.
+    //   a: present |3·6−4·4|+|1·6−1·4| = 4; absent z: 4·(6−5) = 4
+    //      → 8e6 div (2·4·6) = 166666 ppm
+    //   b: present |1·6−4·2|+|1·6−1·2| = 6; absent y: 2·(6−5) = 2
+    //      → 8e6 div (2·2·6) = 333333 ppm
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "z")).toDF("grp", "v")
+    val out = TextAnalysis.tClosenessAudit(df,
+      quasi = Seq("grp" -> col("grp")), sensitive = col("v"), tPpm = 200000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    TextAnalysis.releaseCaches()
+    assert(out == Map("a" -> (4L, 166666L, false), "b" -> (2L, 333333L, true)))
+  }
+
+  test("tClosenessAudit: a group mirroring the corpus scores zero; null " +
+    "sensitives drop; guards fail loudly") {
+    // both groups have the same value mix as the pooled corpus → tvd 0
+    val mirror = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x"), ("b", "y"), ("c", null))
+      .toDF("grp", "v")
+    val out = TextAnalysis.tClosenessAudit(mirror,
+      Seq("grp" -> col("grp")), col("v"), tPpm = 100000)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    TextAnalysis.releaseCaches()
+    assert(out == Map("a" -> 0L, "b" -> 0L), "null-sensitive rows drop; " +
+      "corpus-mirroring groups disclose nothing")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.tClosenessAudit(mirror, Seq.empty, col("v"), 100000)
+    }
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.tClosenessAudit(mirror, Seq("g" -> col("grp")), col("v"), 0)
+    }
+  }
+
+  test("tClosenessAudit is partitioning-independent (exact integers)") {
+    val rows = (1 to 60).map(i => (s"g${i % 4}", s"v${(i * 7) % 5}"))
+    val a = TextAnalysis.tClosenessAudit(rows.toDF("grp", "v"),
+      Seq("grp" -> col("grp")), col("v"), 100000)
+      .orderBy("grp").collect().toSeq
+    TextAnalysis.releaseCaches()
+    val b = TextAnalysis.tClosenessAudit(rows.toDF("grp", "v").repartition(13),
+      Seq("grp" -> col("grp")), col("v"), 100000)
+      .orderBy("grp").collect().toSeq
+    TextAnalysis.releaseCaches()
+    assert(a == b)
+  }
 }
 
 class IvfSpec extends SparkSpec {

@@ -113,8 +113,15 @@ object FormatDetector {
   private val boolWords =
     Seq("oui", "non", "vrai", "faux", "true", "false", "yes", "no", "y", "n", "o")
 
+  /** French sex/gender field vocabulary (csv-detective's sexe detection;
+    * disjoint from booleen's word set on the m/f/h letters). */
+  private val sexeWords =
+    Seq("m", "f", "h", "homme", "femme", "masculin", "feminin", "féminin")
+
   /** Candidate formats, most specific (smallest value set) first. */
   val formats: Seq[FormatSpec] = Seq(
+    FormatSpec("sexe", "string", 98,
+      t => lower(t).isin(sexeWords: _*)),
     FormatSpec("jour_de_la_semaine", "string", 97,
       t => lower(t).isin(frWeekdays: _*)),
     FormatSpec("mois_de_annee", "string", 95,
@@ -135,6 +142,9 @@ object FormatDetector {
       t => t.rlike("^[0-9]{9}$") && luhnValid(t)),
     FormatSpec("siret", "string", 70,
       t => t.rlike("^[0-9]{14}$") && luhnValid(t)),
+    FormatSpec("code_rna", "string", 69,
+      // national association register id: 'W' + 9 digits
+      t => t.rlike("^W[0-9]{9}$")),
     FormatSpec("uuid", "string", 68,
       t => t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
         "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
@@ -166,6 +176,18 @@ object FormatDetector {
       t => t.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")),
     FormatSpec("url", "string", 30,
       t => t.rlike("^https?://[^\\s/$.?#].[^\\s]*$")),
+    FormatSpec("adresse", "string", 25,
+      // street-number + way-type heuristic ("12 rue de la Paix",
+      // "3 bis avenue Foch") — csv-detective's adresse shape
+      t => lower(t).rlike("^[0-9]{1,4}( ?(bis|ter|quater))?[, ]+" +
+        "(rue|avenue|av\\.?|boulevard|bd\\.?|chemin|place|impasse|" +
+        "all[ée]e|route|quai|cours|square)\\b.*$")),
+    FormatSpec("latlon_wgs", "string", 22,
+      // a "lat, lon" pair in ONE field — both halves range-checked
+      t => t.rlike("^[+-]?[0-9]{1,2}(\\.[0-9]+)?, ?" +
+        "[+-]?[0-9]{1,3}(\\.[0-9]+)?$") &&
+        abs(split(t, ",")(0).try_cast(org.apache.spark.sql.types.DoubleType)) <= 90.0 &&
+        abs(trim(split(t, ",")(1)).try_cast(org.apache.spark.sql.types.DoubleType)) <= 180.0),
     FormatSpec("latitude_wgs", "float", 20,
       t => t.rlike("^[+-]?[0-9]{1,2}(\\.[0-9]+)?$") &&
         abs(t.try_cast(org.apache.spark.sql.types.DoubleType)) <= 90.0),

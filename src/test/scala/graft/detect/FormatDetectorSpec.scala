@@ -178,4 +178,35 @@ class FormatDetectorSpec extends SparkSpec {
     val rates = FormatDetector.matchRates(df)
     assert(rates("mn")("date_fr") == 0.0, rates("mn").toString)
   }
+
+  test("sexe / code_rna: value-set and register-id shapes") {
+    val df = Seq(("M", "W123456789"), ("Femme", "W000000001"),
+      ("f", "W999999999")).toDF("sx", "rna")
+    val got = FormatDetector.detect(df)
+    assert(got("sx") == "sexe", got.toString)
+    assert(got("rna") == "code_rna", got.toString)
+    // sexe outranks booleen on the shared single letters: a pure m/f
+    // column is sex, a pure o/n column stays boolean
+    assert(FormatDetector.detect(Seq("o", "n", "o").toDF("b"))("b") == "booleen")
+    // lowercase w / wrong digit count break the register shape
+    assert(FormatDetector.detect(Seq("w123456789").toDF("r"))("r") == "default")
+    assert(FormatDetector.detect(Seq("W12345678").toDF("r"))("r") == "default")
+  }
+
+  test("latlon_wgs pair and adresse heuristics; range gates hold") {
+    val df = Seq(
+      ("48.8566, 2.3522", "12 rue de la Paix"),
+      ("-33.86,151.20", "3 bis avenue Foch"),
+      ("90.0, -180.0", "221 boulevard Saint-Germain cedex"))
+      .toDF("ll", "ad")
+    val got = FormatDetector.detect(df)
+    assert(got("ll") == "latlon_wgs", got.toString)
+    assert(got("ad") == "adresse", got.toString)
+    // out-of-range latitude breaks the pair even though the regex matches
+    assert(FormatDetector.detect(
+      Seq("91.0, 2.0").toDF("ll2"))("ll2") == "default")
+    // a bare number with no way-type word is not an address
+    assert(FormatDetector.detect(
+      Seq("12 xyz de la Paix").toDF("ad2"))("ad2") == "default")
+  }
 }

@@ -308,13 +308,19 @@ object Graph {
     * loses nothing. Integer state end to end, replayable in any engine
     * (the oracle is a bounded recursive closure + arg-min).
     *
-    * Scale shape: the Pregel discipline of connectedComponents — edges
-    * hash-partitioned by src once and persisted; per round ONE keyed
-    * join + keyed min-aggregation over the frontier state (two longs per
-    * reached node); state localCheckpoint'd per round, previous round
-    * released, so exactly two state tables are alive. Seeds are a
-    * driver-side list (query metadata, broadcast as a literal frame).
-    * Caller epilogue: materialize, then releaseCaches(). */
+    * Scale shape: FRONTIER-ONLY expansion — a node's (dist, seed) is
+    * FINAL the round it is first reached (all distance-(d−1)
+    * predecessors settle in round d−1, so every round-d candidate set is
+    * complete; the min loses nothing), so each round joins the edges
+    * against only the NEWLY-REACHED frontier, not the whole state: the
+    * textbook BFS optimization, and at 100 TB the difference between
+    * touching edges incident to the wavefront and rescanning the graph
+    * per round. Per round: ONE keyed join frontier⋈edges + keyed
+    * struct-min + an anti-join against the accumulated state; state and
+    * frontier are localCheckpoint'd, previous rounds released.
+    * Convergence = an empty frontier (no scan of the full state). Seeds
+    * are a driver-side list (query metadata). Caller epilogue:
+    * materialize, then releaseCaches(). */
   def bfsLevels(
       edges: DataFrame,
       srcCol: String, dstCol: String,
@@ -334,31 +340,34 @@ object Graph {
         .persist())
     var state = seeds.distinct.map(s => (s, 0L, s)).toDF("node", "dist", "seed")
       .localCheckpoint(true)
+    var frontier = state
     var t = 0
-    var converged = false
-    while (t < maxIters && !converged) {
-      val nbr = e
-        .join(state.select(col("node").as("src"), col("dist"), col("seed")),
+    var done = false
+    while (t < maxIters && !done) {
+      val cand = e
+        .join(frontier.select(col("node").as("src"), col("dist"), col("seed")),
           Seq("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"), col("seed"))
-      val folded = state.select(col("node"), col("dist"), col("seed"))
-        .unionAll(nbr)
         .groupBy("node")
         .agg(min(struct(col("dist"), col("seed"))).as("m"))
-      val step = folded
-        .join(state.select(col("node"), col("dist").as("__pd"),
-          col("seed").as("__ps")), Seq("node"), "left")
-        .select(col("node"), col("m.dist").as("dist"), col("m.seed").as("seed"),
-          (col("__pd").isNull || col("m.dist") < col("__pd") ||
-            (col("m.dist") === col("__pd") && col("m.seed") < col("__ps")))
-            .as("__chg"))
-      val next = step.localCheckpoint(true)
-      converged = next.where(col("__chg")).limit(1).isEmpty
-      releaseCheckpoint(state)
-      state = next
+      val fresh = cand
+        .join(state.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("m.dist").as("dist"), col("m.seed").as("seed"))
+        .localCheckpoint(true)
+      done = fresh.limit(1).isEmpty
+      if (!done) {
+        val next = state.unionAll(fresh).localCheckpoint(true)
+        val (oldState, oldFrontier) = (state, frontier)
+        state = next
+        frontier = fresh
+        releaseCheckpoint(oldState)
+        if (!(oldFrontier eq oldState)) releaseCheckpoint(oldFrontier)
+      } else {
+        releaseCheckpoint(fresh)
+      }
       t += 1
     }
-    require(converged, s"bfsLevels: no fixpoint after $maxIters rounds")
+    require(done, s"bfsLevels: frontier still growing after $maxIters rounds")
     state.select(col("node"), col("dist"), col("seed"))
   }
 

@@ -862,4 +862,31 @@ class PlanAuditSpec extends SparkSpec {
       "pair scoring must ride the r-keyed wedge join, never all-pairs")
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
+
+  test("x138: the composed recommendation plan stays keyed — no cartesian, " +
+    "no nested-loop join anywhere in wedge → contribute → novelty → rank") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val nodes = flatten(planOf("x138_recommendations"))
+    assert(!nodes.mkString.contains("CartesianProduct"))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("x139: the corpus is scanned ONCE — every window and the TVD algebra " +
+    "run above the (quasi × value) cell aggregation") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = graft.operators.TextAnalysis.tClosenessAudit(
+      graft.queries.Tables.documents(spark, dir),
+      quasi = Seq("source" -> col("source"),
+        "len_bucket" -> expr("n_chars div 100")),
+      sensitive = col("lang"), tPpm = 200000)
+    val scans = flatten(executedPlan(out)).collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"one documents scan expected, saw ${scans.size} — margins/totals/" +
+        "group sizes must derive from the cell frame, not re-read the corpus")
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("source", "n_chars", "lang"),
+      "column pruning must reach the scan")
+  }
 }

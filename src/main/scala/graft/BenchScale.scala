@@ -157,7 +157,15 @@ object BenchScale {
     "x138_recommendations" -> 1.8,
     // one keyed exchange to the (quasi × value) cell frame; windows on
     // that bounded frame (the x126 class)
-    "x139_tcloseness" -> 1.3)
+    "x139_tcloseness" -> 1.3,
+    // vocab aggregation (one keyed exchange, map-side combined) + the
+    // two-phase prefix sum + a broadcast bucket join for the draws
+    "x140_negative_sampling" -> 1.3,
+    // per-key counts partial-aggregate map-side; ranks via TakeOrdered
+    "x141_skew_report" -> 1.3,
+    // ≤ ceil(bits/8) histogram scans; the shuffled payload per round is a
+    // ≤ 256×|prefixes| histogram — linear in data, constant in distinct
+    "x142_radix_select" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

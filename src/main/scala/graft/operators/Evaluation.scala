@@ -114,6 +114,57 @@ object Evaluation {
       round(col("sse") / col("ntot"), roundTo).as("mse"))
   }
 
+  /** Feature-separability screening: the exact tie-corrected Mann–Whitney
+    * AUC of EVERY candidate feature against a binary label, in one plan —
+    * "which cheap signals actually separate the classes" before anyone
+    * trains a probe. Unlike aucReport (one fp-rounded score), this emits
+    * exact integer ppm (2U·10⁶ ÷ 2·n₊·n₋, floor), so the screening table
+    * replays bit-for-bit in any engine, and ranks features by distance
+    * from the coin-flip 500000.
+    *
+    * Scale shape: features fan out via ONE explode of the source row (a
+    * single corpus scan), collapse to (feature, value) groups map-side,
+    * and the rank algebra runs on the distinct-value frame under a window
+    * PARTITIONED by feature — corpus-sized work is one keyed exchange;
+    * the window never sees more than one feature's distinct values. For a
+    * single high-cardinality feature at extreme scale, substitute the
+    * two-phase range rank (Sharding.rankByColumns' rationale). */
+  def featureAuc(
+      df: DataFrame,
+      label: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "featureAuc needs at least one feature")
+    val rows = df.select(
+      label.cast("boolean").as("y"),
+      explode(array(features.map { case (name, c) =>
+        struct(lit(name).as("feature"), c.cast("long").as("v"))
+      }: _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
+      .where(col("v").isNotNull && col("y").isNotNull)
+    val byValue = rows.groupBy("feature", "v").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byValue.withColumn("cum", coalesce(sum("n").over(w), lit(0L)))
+    val perFeature = ranked.groupBy("feature").agg(
+      sum(col("p") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("ph"),
+      sum("n").as("n"), sum("p").as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "((ph - n_pos * (n_pos + 1)) * 1000000) div (2 * n_pos * n_neg)")))
+    // separability rank over the |features|-row frame (bounded window)
+    perFeature
+      .withColumn("sep", abs(col("auc_ppm") - lit(500000L)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc_nulls_last("sep"), col("feature"))).cast("long"))
+      .select("feature", "n", "n_pos", "n_neg", "auc_ppm", "rank")
+  }
+
   /** Reliability diagram (calibration report) for a scored binary target:
     * per equal-width score bin, (bin, lo, n, mean_score, frac_pos, gap)
     * where gap = |frac_pos − mean_score| is the per-bin calibration error

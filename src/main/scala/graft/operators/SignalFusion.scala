@@ -103,4 +103,34 @@ object SignalFusion {
     staged.join(lookup, Seq("__p"))
       .select(col("id"), col("grp"), col("s").as("score"), col("qnorm"))
   }
+
+  /** Leakage-free (leave-one-out) categorical target encoding with
+    * Laplace-style integer smoothing: row i of group g encodes as
+    *   enc_ppm = ((Σ_g target − target_i + α) · 10⁶) div (n_g − 1 + α + β)
+    * — the row's OWN label never leaks into its feature (the classic
+    * target-encoding trap), the α/β pseudo-counts keep singleton groups
+    * finite, and everything is exact integer ppm so the feature column
+    * replays bit-for-bit.
+    *
+    * Scale shape: one map-side-combined group aggregation to the
+    * |groups|-row stats frame, broadcast back onto the corpus scan — the
+    * corpus itself is never shuffled. */
+  def looTargetEncoding(
+      df: DataFrame,
+      idCol: Column,
+      group: Column,
+      target: Column,
+      alpha: Long = 1L,
+      beta: Long = 1L): DataFrame = {
+    require(alpha >= 0 && beta >= 0 && alpha + beta > 0,
+      "smoothing pseudo-counts must be non-negative and not both zero")
+    val rows = df.select(idCol.as("id"), group.as("grp"),
+      target.cast("long").as("t"))
+    val stats = rows.groupBy("grp")
+      .agg(count(lit(1)).as("__n"), sum("t").as("__s"))
+    rows.join(broadcast(stats), Seq("grp"))
+      .select(col("id"), col("grp"), col("t").as("target"),
+        expr(s"((__s - t + $alpha) * 1000000) div (__n - 1 + $alpha + $beta)")
+          .as("enc_ppm"))
+  }
 }

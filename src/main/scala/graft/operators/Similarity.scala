@@ -715,6 +715,61 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("__cos")), 4).as("avg_cos"))
   }
 
+  /** kNN label-noise audit (the local dual to the centroid reports): each
+    * vector's k nearest neighbors — blocked by the deterministic pivot
+    * cells of the IVF quantizer (pivotMatrix, SQL-replayable) — vote on
+    * its label; rows whose neighbor majority disagrees are flagged as
+    * suspected label noise. Votes are exact integers; cosines only RANK
+    * (the x13/x16 determinism regime: both engines evaluate the identical
+    * left-to-right IEEE dot products, so ranks agree bit-for-bit).
+    *
+    * Scale shape: one cell-keyed self-join (candidate volume Σ cell², the
+    * documented IVF blocking economics — pass nCells ∝ corpus size to
+    * hold occupancy constant), a per-vector group-limit for the top-k,
+    * and two keyed aggregations for the vote. Vectors alone in their cell
+    * emit vote_label NULL, never silently drop. */
+  def knnLabelAudit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      seed: String = "v1"): DataFrame = {
+    require(k >= 1, "knnLabelAudit needs k ≥ 1")
+    val pivots = pivotMatrix(emb, idCol, vecCol, nCells, seed)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val assigned = emb
+      .select(col(idCol).as("id"), col(labelCol).as("label"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        call_function("graft_nearest_centroid", col("vec"),
+          typedlit(pivots.map(_.toSeq).toSeq)))
+    val a = assigned.select(col("cell"), col("id"), col("label"), col("vec").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("nid"),
+      col("label").as("nlabel"), col("vec").as("vb"))
+    val wTop = Window.partitionBy("id").orderBy(desc("sim"), col("nid"))
+    val neighbors = a.join(b, Seq("cell"))
+      .where(col("id") =!= col("nid"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+    val votes = neighbors.groupBy("id", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("id")
+      .orderBy(desc("votes"), col("nlabel"))
+    val top = votes
+      .withColumn("vr", row_number().over(wVote))
+      .withColumn("n_neighbors",
+        sum("votes").over(Window.partitionBy("id")))
+      .where(col("vr") === 1)
+      .select(col("id"), col("nlabel").as("vote_label"),
+        col("votes").as("vote_cnt"), col("n_neighbors"))
+    assigned.select("id", "label")
+      .join(top, Seq("id"), "left")
+      .withColumn("flagged",
+        col("vote_label").isNotNull && col("vote_label") =!= col("label"))
+  }
+
   /** Per-label centroid cosines — the outlier-detection report dual to
     * labelCohesion: each vector's cosine to its OWN label's mean vector.
     * Low scores flag mislabeled or off-distribution rows. Determinism

@@ -100,6 +100,44 @@ object Skew {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Join-key skew diagnostics — the measurement that tells you WHICH of
+    * the tools above a key needs before the straggler shows up in
+    * production. One map-side-combined count per key (a hot key costs one
+    * partial row per task, so the diagnostic itself is skew-proof), a
+    * 4-long summary aggregate, and a distributed TakeOrdered for the top
+    * keys; the rank window runs over ≤ topK rows. All ratios are exact
+    * integer ppm so the report replays bit-for-bit in any engine.
+    *
+    * Columns: key (string), rank, cnt, share_ppm (key's share of all
+    * rows), n_rows, n_keys, hot_over_avg_ppm (max key count over the mean
+    * count, the "skew factor"), rec_salts (reducers this key needs so its
+    * share of one reducer ≤ an even 1/parallelism split — the `salts`
+    * argument saltedJoin/saltedCountSum should get). */
+  def skewReport(
+      df: DataFrame,
+      key: Column,
+      topK: Int,
+      parallelism: Int): DataFrame = {
+    require(topK > 0 && parallelism > 0, "topK and parallelism must be positive")
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(desc("cnt"), col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("key"))
+    top.crossJoin(broadcast(summary))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        col("key"), col("rank"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        col("n_rows"), col("n_keys"),
+        expr("(max_cnt * n_keys * 1000000) div n_rows").as("hot_over_avg_ppm"),
+        expr(s"(cnt * $parallelism + n_rows - 1) div n_rows").as("rec_salts"))
+  }
+
   /** True when the physical plan of `df` contains a shuffle exchange —
     * the assertion primitive for co-location tests. AQE hides exchanges
     * inside leaf ShuffleQueryStageExec nodes, so the walk must recurse

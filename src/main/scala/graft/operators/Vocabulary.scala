@@ -355,4 +355,71 @@ object Vocabulary {
     topK.withColumn("rank",
       row_number().over(Window.orderBy(desc("n_matches"), col("doc"))).cast("long"))
   }
+
+  /** Deterministic unigram negative sampling (the SGNS/contrastive-
+    * training draw): k negative tokens per document, sampled ∝ corpus
+    * term frequency, derandomized so every engine — and every retry —
+    * draws the SAME negatives: draw u(doc, j) = top-63-bits of the
+    * FNV-1a+fmix64 hash of "doc:j" modulo the total token count, mapped
+    * through the vocabulary's cumulative-frequency ranges.
+    *
+    * Scale shape: the cumulative table is built with the two-phase
+    * distributed prefix sum (range partition by (tf DESC, token) → tiny
+    * per-partition totals → per-partition window; Sharding.rankByColumns'
+    * rationale — no single-partition global window). The draw→token
+    * lookup is NOT a range join (a broadcast nested loop would evaluate
+    * draws × vocab predicates): the cumulative space is cut into fixed-
+    * width buckets, each vocab range explodes into the ~1 + tf/width
+    * buckets it overlaps, and draws equi-join on their bucket id — vocab
+    * + buckets rows on the build side, hash join, one range filter per
+    * candidate. Draw skew is the unigram skew itself ("the" owns ~5% of
+    * the cumulative space) but the build side is broadcast, so hot
+    * buckets cost no exchange concentration. */
+  def negativeSamples(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val parted = tracked(
+      vocab.repartitionByRange(nPart, desc("cnt"), col("token"))
+        .withColumn("__pid", spark_partition_id())
+        .persist())
+    val perPid = parted.groupBy("__pid").agg(sum("cnt").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = perPid.map(_._2).sum
+    require(total > 0, "negative sampling over an empty corpus")
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      perPid.map { case (pid, s) => val off = acc; acc += s; pid -> off }.toMap
+    }
+    val width = (total + buckets - 1) / buckets
+    val w = Window.partitionBy("__pid").orderBy(desc("cnt"), col("token"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranges = parted
+      .withColumn("lo",
+        coalesce(sum(col("cnt")).over(w), lit(0L)) +
+          element_at(typedlit(offsets), col("__pid")))
+      .withColumn("bucket",
+        explode(sequence(expr(s"lo div ${width}L"),
+          expr(s"(lo + cnt - 1) div ${width}L"))))
+      .select("bucket", "lo", "cnt", "token")
+    val draws = docs
+      .select(col(idCol).as("doc_id"))
+      .withColumn("neg_idx", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("draw",
+        shiftrightunsigned(
+          element_at(call_function("graft_token_hashes_fnv",
+            concat_ws(":", col("doc_id"), col("neg_idx"))), 1), 1) % total)
+      .withColumn("bucket", expr(s"draw div ${width}L"))
+    draws.join(broadcast(ranges), Seq("bucket"))
+      .where(col("draw") >= col("lo") && col("draw") < col("lo") + col("cnt"))
+      .select(col("doc_id"), col("neg_idx"), col("draw"), col("token"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -5660,6 +5660,209 @@ object OperatorQueries {
         |  (((pabs + aabs) * 1000000)
         |    // (2 * n::HUGEINT * (SELECT nn FROM tot))) > 200000 AS t_risk
         |FROM per ORDER BY source, len_bucket""".stripMargin),
+
+    // Deterministic unigram negative sampling: k=5 negatives per document,
+    // drawn ∝ term frequency via a derandomized FNV-1a+fmix64 draw over
+    // the cumulative vocabulary — the SGNS/contrastive-training sampler
+    // whose every draw replays bit-for-bit in DuckDB (the x46 HUGEINT
+    // chain over "doc:j", then mod total, then the cumulative-range map).
+    "x140_negative_sampling" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.negativeSamples(Tables.documents(s, dir),
+          "text", "doc_id", k = 5)
+          .orderBy("doc_id", "neg_idx")
+        val materialized = out.cache()
+        materialized.count()
+        Vocabulary.releaseCaches()
+        materialized
+      },
+      s"""WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS MATERIALIZED (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |cum AS MATERIALIZED (
+        |  SELECT tok, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lo
+        |  FROM c),
+        |dr AS (
+        |  SELECT doc_id, j, (doc_id::VARCHAR || ':' || j::VARCHAR) AS s
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j)),
+        |fnv AS (SELECT doc_id, j,
+        |  list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(generate_series(1, length(s)), i -> ascii(substring(s, i, 1))::HUGEINT)),
+        |    (acc, ch) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, ch::BIGINT)::HUGEINT)
+        |                  * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM dr),
+        |f1 AS (SELECT doc_id, j, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT doc_id, j, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT doc_id, j, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, j, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT doc_id, j, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |d AS (SELECT doc_id, j,
+        |  ((x // 2) % (SELECT total FROM tot))::BIGINT AS draw FROM f5)
+        |SELECT d.doc_id, d.j::BIGINT AS neg_idx, d.draw, cum.tok AS token
+        |FROM d JOIN cum ON d.draw >= cum.lo AND d.draw < cum.lo + cum.cnt
+        |ORDER BY doc_id, neg_idx""".stripMargin),
+
+    // Join-key skew diagnostics over the hottest fact key: exact-ppm
+    // shares, the max-over-mean skew factor, and the salt count each hot
+    // key needs — the report a 100 TB job reads BEFORE picking
+    // saltedJoin/saltedCountSum parameters. The diagnostic itself is
+    // skew-proof: per-key counts partial-aggregate map-side.
+    "x141_skew_report" -> sql(
+      (s, dir) => Skew.skewReport(Tables.events(s, dir), col("user_id"),
+        topK = 10, parallelism = 32)
+        .orderBy("rank"),
+      """WITH c AS MATERIALIZED (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |s AS MATERIALIZED (
+        |  SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |    max(cnt)::BIGINT AS max_cnt FROM c),
+        |t AS (SELECT key, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, key)::BIGINT AS rank FROM c)
+        |SELECT t.key, t.rank, t.cnt,
+        |  ((t.cnt * 1000000) // s.n_rows)::BIGINT AS share_ppm,
+        |  s.n_rows, s.n_keys,
+        |  ((s.max_cnt * s.n_keys * 1000000) // s.n_rows)::BIGINT AS hot_over_avg_ppm,
+        |  ((t.cnt * 32 + s.n_rows - 1) // s.n_rows)::BIGINT AS rec_salts
+        |FROM t, s WHERE t.rank <= 10 ORDER BY t.rank""".stripMargin),
+
+    // Exact price percentiles WITHOUT a sort: MSB-radix descent — three
+    // histogram rounds resolve the exact k-th order statistic of 10⁷-cent
+    // values; the only shuffled payload is a ≤ 256×|prefixes| histogram
+    // per round. The oracle is DuckDB's own row_number rank (the thing
+    // the descent avoids computing distributively).
+    "x142_radix_select" -> sql(
+      (s, dir) => RadixSelect.quantiles(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100),
+        quantilesPpm = Seq(500000L, 900000L, 990000L, 999000L)),
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |q AS (SELECT unnest([500000, 900000, 990000, 999000]) AS q_ppm),
+        |r AS (SELECT q_ppm::BIGINT AS q_ppm,
+        |  greatest(1, (q_ppm * (SELECT n FROM n) + 999999) // 1000000)::BIGINT AS rank
+        |  FROM q),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v)::BIGINT AS rn FROM v)
+        |SELECT r.q_ppm, r.rank, o.v AS value, (SELECT n FROM n) AS n
+        |FROM r JOIN o ON o.rn = r.rank ORDER BY r.q_ppm""".stripMargin),
+
+    // Feature-separability screening: exact tie-corrected Mann–Whitney
+    // AUC (integer ppm) of three cheap document signals against the
+    // is-English label — "which signals are worth a probe" in one plan,
+    // ranked by distance from the 500000 coin flip.
+    "x143_feature_auc" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long"))
+        Evaluation.featureAuc(docs, col("lang") === "en", Seq(
+          "n_chars" -> col("n_chars"),
+          "n_tokens" -> col("n_tokens"),
+          // CaseWhen evaluates the branch only when the guard holds, so
+          // the ANSI div never sees a zero divisor
+          "avg_tok_len_x100" ->
+            when(col("n_tokens") > 0, expr("(n_chars * 100) div n_tokens"))))
+          .orderBy("rank")
+      },
+      """WITH base AS (
+        |  SELECT (lang = 'en') AS y, n_chars::BIGINT AS n_chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT y, 'n_chars' AS feature, n_chars AS v FROM base
+        |  UNION ALL SELECT y, 'n_tokens', n_tokens FROM base
+        |  UNION ALL SELECT y, 'avg_tok_len_x100',
+        |    CASE WHEN n_tokens > 0 THEN (n_chars * 100) // n_tokens END FROM base),
+        |g AS (SELECT feature, v, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM f WHERE v IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT feature, n, p,
+        |  coalesce(sum(n) OVER (PARTITION BY feature ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |  FROM g),
+        |pf AS (SELECT feature, sum(p * (2 * cum + n + 1))::BIGINT AS ph,
+        |    sum(n)::BIGINT AS n, sum(p)::BIGINT AS n_pos
+        |  FROM r GROUP BY 1),
+        |fin AS (SELECT feature, n, n_pos, (n - n_pos)::BIGINT AS n_neg,
+        |  CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+        |    ELSE ((ph - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * (n - n_pos))
+        |  END::BIGINT AS auc_ppm FROM pf)
+        |SELECT feature, n, n_pos, n_neg, auc_ppm,
+        |  row_number() OVER (ORDER BY abs(auc_ppm - 500000) DESC NULLS LAST,
+        |    feature)::BIGINT AS rank
+        |FROM fin ORDER BY rank""".stripMargin),
+
+    // kNN label-noise audit: each vector's 5 nearest neighbors inside its
+    // deterministic IVF pivot cell (the x16 quantizer — whole assignment
+    // replays in SQL) vote on its label; majority disagreement flags
+    // suspected noise. Votes are exact integers; cosine ranks replay via
+    // the identical left-to-right IEEE dot products (x13 regime).
+    "x144_knn_label_audit" -> sql(
+      (s, dir) => Similarity.knnLabelAudit(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", k = 5, nCells = 16, seed = "v1")
+        .orderBy("id"),
+      """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings),
+        |pv AS (
+        |  SELECT vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM emb),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, e.label, p.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM emb e CROSS JOIN piv p),
+        |cells AS (SELECT vec_id, embedding, label, cell FROM asg WHERE rn = 1),
+        |nb AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nid, b.label AS nlabel,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+        |  FROM cells a JOIN cells b USING (cell) WHERE a.vec_id <> b.vec_id),
+        |topk AS (SELECT id, nlabel,
+        |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, nid) AS rk
+        |  FROM nb),
+        |v AS (SELECT id, nlabel, count(*)::BIGINT AS votes
+        |  FROM topk WHERE rk <= 5 GROUP BY 1, 2),
+        |tv AS (SELECT id, nlabel, votes,
+        |  row_number() OVER (PARTITION BY id ORDER BY votes DESC, nlabel) AS vr,
+        |  sum(votes) OVER (PARTITION BY id)::BIGINT AS n_neighbors FROM v)
+        |SELECT c.vec_id AS id, c.label,
+        |  t.nlabel AS vote_label, t.votes AS vote_cnt, t.n_neighbors,
+        |  (t.nlabel IS NOT NULL AND t.nlabel <> c.label) AS flagged
+        |FROM cells c LEFT JOIN (SELECT * FROM tv WHERE vr = 1) t
+        |  ON t.id = c.vec_id
+        |ORDER BY id""".stripMargin),
+
+    // Leakage-free target encoding of the source column against the
+    // is-English target: leave-one-out with Laplace smoothing, exact
+    // integer ppm — the categorical→numeric feature a probe consumes
+    // without the row's own label leaking into it.
+    "x145_target_encoding" -> sql(
+      (s, dir) => SignalFusion.looTargetEncoding(Tables.documents(s, dir),
+        col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L))
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("target"), col("enc_ppm"))
+        .orderBy("doc_id"),
+      """WITH rows_ AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS target
+        |  FROM documents),
+        |st AS (SELECT source, count(*)::BIGINT AS n, sum(target)::BIGINT AS s
+        |  FROM rows_ GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.target,
+        |  (((st.s - r.target + 1) * 1000000) // (st.n - 1 + 2))::BIGINT AS enc_ppm
+        |FROM rows_ r JOIN st USING (source)
+        |ORDER BY r.doc_id""".stripMargin),
 
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw

@@ -33,6 +33,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: exact shares, skew factor and salt recommendation") {
+    // 100 'hot' + 10×'warm' + 40 singletons = 150 rows, 42 keys
+    val df = (Seq.fill(100)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 40).map(i => s"k$i")).toDF("key")
+    val rep = Skew.skewReport(df, col("key"), topK = 3, parallelism = 30)
+      .collect()
+    assert(rep.length == 3)
+    val hot = rep.find(_.getAs[String]("key") == "hot").get
+    assert(hot.getAs[Long]("rank") == 1L)
+    assert(hot.getAs[Long]("cnt") == 100L)
+    assert(hot.getAs[Long]("share_ppm") == 100L * 1000000 / 150)
+    assert(hot.getAs[Long]("n_rows") == 150L)
+    assert(hot.getAs[Long]("n_keys") == 42L)
+    // max/avg = 100 / (150/42) = 28x
+    assert(hot.getAs[Long]("hot_over_avg_ppm") == 100L * 42 * 1000000 / 150)
+    // hot needs ceil(100·30/150) = 20 of the 30 reducers' worth of salt
+    assert(hot.getAs[Long]("rec_salts") == 20L)
+    val warm = rep.find(_.getAs[String]("key") == "warm").get
+    assert(warm.getAs[Long]("rank") == 2L && warm.getAs[Long]("rec_salts") == 2L)
+    // rank 3 = the first singleton in key order, salts round up to 1
+    assert(rep.find(_.getAs[Long]("rank") == 3L).get.getAs[Long]("rec_salts") == 1L)
+  }
+
   test("salted keep-latest equals the window dedup on a 10:1-skewed fixture, no window task") {
     // hot key carries 10x the rows of every other key — the regime where
     // the row_number window puts one straggler task on the hot key

@@ -889,4 +889,34 @@ class PlanAuditSpec extends SparkSpec {
       Set("source", "n_chars", "lang"),
       "column pruning must reach the scan")
   }
+
+  test("x140: draw→token lookup is a broadcast EQUI-join on the bucket id — " +
+    "never a nested-loop range join over the vocabulary") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    try {
+      // audit the operator plan itself — the query entry caches its output,
+      // so planOf would only see the InMemoryTableScan
+      val out = graft.operators.Vocabulary.negativeSamples(
+        graft.queries.Tables.documents(spark, dir), "text", "doc_id", k = 5)
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "the bucketed cumulative table must broadcast")
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "a range-predicate-only join would evaluate draws × vocab")
+      assert(!nodes.mkString.contains("CartesianProduct"))
+    } finally graft.operators.Vocabulary.releaseCaches()
+  }
+
+  test("x141: the skew report reads ONLY the key column and ranks via a " +
+    "distributed top-k, not a global sort") {
+    val nodes = flatten(planOf("x141_skew_report"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("user_id")),
+      s"column pruning must reach the events scan, got " +
+        scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    assert(nodes.mkString.contains("TakeOrdered"),
+      "top keys must come from TakeOrderedAndProject (the window only " +
+        "ranks the ≤ topK survivors)")
+  }
 }

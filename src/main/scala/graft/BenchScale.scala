@@ -165,7 +165,16 @@ object BenchScale {
     "x141_skew_report" -> 1.3,
     // ≤ ceil(bits/8) histogram scans; the shuffled payload per round is a
     // ≤ 256×|prefixes| histogram — linear in data, constant in distinct
-    "x142_radix_select" -> 1.2)
+    "x142_radix_select" -> 1.2,
+    // one scan fans out all features; per-feature partitioned windows on
+    // the distinct-value frame
+    "x143_feature_auc" -> 1.3,
+    // IVF-cell-blocked self-join: Σ cell² candidate volume at fixed
+    // nCells — the documented super-linear budget of the exact
+    // within-cell regime (x15's fixed-knob class)
+    "x144_knn_label_audit" -> 1.8,
+    // group stats + broadcast-back: one keyed exchange of group rows
+    "x145_target_encoding" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -261,4 +261,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(tc.isEmpty && tc.columns.toSeq == Seq("g", "n", "tvd_ppm", "t_risk"))
     TextAnalysis.releaseCaches()
   }
+
+  test("x140-x145 additions: empty inputs → empty reports or loud refusal") {
+    // negative sampling / radix select need a non-empty basis — refuse
+    assertThrows[IllegalArgumentException] {
+      Vocabulary.negativeSamples(noDocs, "text", "doc_id", k = 2).count()
+    }
+    Vocabulary.releaseCaches()
+    assertThrows[IllegalArgumentException] {
+      RadixSelect.quantiles(Seq.empty[Long].toDF("v"), col("v"), Seq(500000L))
+    }
+    // diagnostics/encodings: empty in, empty out, schema intact
+    val sr = Skew.skewReport(noEvents, col("user_id"), topK = 5, parallelism = 8)
+    assert(sr.isEmpty && sr.columns.toSeq == Seq("key", "rank", "cnt",
+      "share_ppm", "n_rows", "n_keys", "hot_over_avg_ppm", "rec_salts"))
+    val fa = Evaluation.featureAuc(noTokens, col("n_tokens") > 0,
+      Seq("f" -> col("n_tokens")))
+    assert(fa.isEmpty && fa.columns.toSeq ==
+      Seq("feature", "n", "n_pos", "n_neg", "auc_ppm", "rank"))
+    val noEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assertThrows[IllegalArgumentException] {
+      // the pivot quantizer has no corpus to draw pivots from
+      Similarity.knnLabelAudit(noEmb, "vec_id", "embedding", "label").count()
+    }
+    val te = SignalFusion.looTargetEncoding(noTokens, col("doc_id"),
+      col("doc_id"), col("n_tokens"))
+    assert(te.isEmpty && te.columns.toSeq ==
+      Seq("id", "grp", "target", "enc_ppm"))
+  }
 }

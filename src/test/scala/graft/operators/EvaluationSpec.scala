@@ -66,6 +66,38 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.aucReport(onlyPos, col("s"), col("lab")).head().isNullAt(3))
   }
 
+  test("featureAuc: exact ppm on a hand-ranked case, separability ranking") {
+    import spark.implicits._
+    // f1 replays the aucReport fixture (tie at 5: 2U = 11 → 916666 ppm,
+    // separability |916666−500000| = 416666); f2 is perfectly ANTI-
+    // correlated (AUC 0, separability 500000) — so f2 outranks f1
+    val df = Seq((9L, 2L, true), (7L, 3L, true), (5L, 5L, true),
+      (5L, 6L, false), (3L, 7L, false)).toDF("f1", "f2", "lab")
+    val out = Evaluation.featureAuc(df, col("lab"),
+      Seq("f1" -> col("f1"), "f2" -> col("f2")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f1 = out("f1")
+    assert(f1.getAs[Long]("n") == 5 && f1.getAs[Long]("n_pos") == 3 &&
+      f1.getAs[Long]("n_neg") == 2)
+    // 2U = 11 → auc_ppm = 11e6 / 12 = 916666 (floor)
+    assert(f1.getAs[Long]("auc_ppm") == 916666L)
+    assert(f1.getAs[Long]("rank") == 2L)
+    // f2: pos {2,3,5} vs neg {6,7}: pos<neg everywhere → 0 concordant
+    assert(out("f2").getAs[Long]("auc_ppm") == 0L)
+    assert(out("f2").getAs[Long]("rank") == 1L)
+  }
+
+  test("featureAuc: null feature values drop per-feature; single-class → NULL") {
+    import spark.implicits._
+    val df = Seq((Some(1L), true), (None, true), (Some(2L), false))
+      .toDF("f", "lab")
+    val r = Evaluation.featureAuc(df, col("lab"), Seq("f" -> col("f"))).head()
+    assert(r.getAs[Long]("n") == 2, "null feature rows drop")
+    val onePos = Seq((1L, true), (2L, true)).toDF("f", "lab")
+    assert(Evaluation.featureAuc(onePos, col("lab"), Seq("f" -> col("f")))
+      .head().isNullAt(4))
+  }
+
   test("calibrationReport: bins, clamp bins, and gap arithmetic") {
     import spark.implicits._
     val df = Seq(

@@ -58,4 +58,40 @@ class SignalFusionSpec extends SparkSpec {
       SignalFusion.fuseRanked(one, Seq.empty, Seq("id"))
     }
   }
+
+  test("looTargetEncoding: the row's own label never leaks; smoothing exact") {
+    import org.apache.spark.sql.functions.col
+    // group g: targets (1, 1, 0); group h: a singleton positive
+    val df = Seq((1L, "g", 1L), (2L, "g", 1L), (3L, "g", 0L), (4L, "h", 1L))
+      .toDF("id", "grp", "t")
+    val out = SignalFusion.looTargetEncoding(df, col("id"), col("grp"),
+      col("t"), alpha = 1, beta = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("enc_ppm")).toMap
+    // row 1 (t=1): (2−1+1)·1e6 div (3−1+2) = 500000 — its own 1 excluded
+    assert(out(1L) == 500000L)
+    assert(out(2L) == 500000L)
+    // row 3 (t=0): (2−0+1)·1e6 div 4 = 750000
+    assert(out(3L) == 750000L)
+    // singleton: (1−1+1)·1e6 div (1−1+2) = 500000 — smoothing keeps it finite
+    assert(out(4L) == 500000L)
+  }
+
+  test("looTargetEncoding: encoding is independent of sibling partitioning " +
+    "and differs from the leaky group mean") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 300L).map(i => (i, s"g${i % 7}", i % 3 min 1))
+      .toDF("id", "grp", "t")
+    val a = SignalFusion.looTargetEncoding(df, col("id"), col("grp"), col("t"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    val b = SignalFusion.looTargetEncoding(df.repartition(11), col("id"),
+      col("grp"), col("t")).orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+    // within a group, a positive and a negative row must encode DIFFERENTLY
+    // (the leaky variant gives every member the same group mean)
+    val byGrp = SignalFusion.looTargetEncoding(df, col("id"), col("grp"), col("t"))
+      .collect().groupBy(_.getAs[String]("grp"))
+    val mixed = byGrp.values.find(rs => rs.map(_.getAs[Long]("target")).toSet.size == 2).get
+    assert(mixed.map(r => (r.getAs[Long]("target"), r.getAs[Long]("enc_ppm")))
+      .toSet.size == 2)
+  }
 }

@@ -919,4 +919,27 @@ class PlanAuditSpec extends SparkSpec {
       "top keys must come from TakeOrderedAndProject (the window only " +
         "ranks the ≤ topK survivors)")
   }
+
+  test("x143: one documents scan fans out every feature; the AUC window is " +
+    "partitioned by feature, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = flatten(planOf("x143_feature_auc"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"one corpus scan expected (features explode from one row), saw ${scans.size}")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+      "only the |features|-row separability rank may run unpartitioned; " +
+        "the cumulative-rank window must partition by feature")
+  }
+
+  test("x145: the group stats broadcast back onto the corpus — the corpus " +
+    "itself is never shuffled") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = flatten(planOf("x145_target_encoding"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the |groups|-row stats frame must broadcast-hash-join")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
 }

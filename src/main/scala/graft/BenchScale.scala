@@ -169,10 +169,9 @@ object BenchScale {
     // one scan fans out all features; per-feature partitioned windows on
     // the distinct-value frame
     "x143_feature_auc" -> 1.3,
-    // IVF-cell-blocked self-join: Σ cell² candidate volume at fixed
-    // nCells — the documented super-linear budget of the exact
-    // within-cell regime (x15's fixed-knob class)
-    "x144_knn_label_audit" -> 1.8,
+    // IVF-cell-blocked self-join at occupancy-constant auto-scaled cells
+    // (max(16, n/250), SQL-replayed) — the x15 scaled class
+    "x144_knn_label_audit" -> 1.4,
     // group stats + broadcast-back: one keyed exchange of group rows
     "x145_target_encoding" -> 1.2)
 

@@ -724,20 +724,26 @@ object Similarity {
     * left-to-right IEEE dot products, so ranks agree bit-for-bit).
     *
     * Scale shape: one cell-keyed self-join (candidate volume Σ cell², the
-    * documented IVF blocking economics — pass nCells ∝ corpus size to
-    * hold occupancy constant), a per-vector group-limit for the top-k,
-    * and two keyed aggregations for the vote. Vectors alone in their cell
-    * emit vote_label NULL, never silently drop. */
+    * documented IVF blocking economics), a per-vector group-limit for the
+    * top-k, and two keyed aggregations for the vote. nCells ≤ 0 (the
+    * default) auto-scales as max(16, n/250) — occupancy-constant, so the
+    * candidate volume stays ~linear in corpus size (the x15 dial, here
+    * SQL-replayable because the count is itself a scalar subquery both
+    * engines compute identically). Vectors alone in their cell emit
+    * vote_label NULL, never silently drop. */
   def knnLabelAudit(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       labelCol: String,
       k: Int = 5,
-      nCells: Int = 16,
+      nCells: Int = 0,
       seed: String = "v1"): DataFrame = {
     require(k >= 1, "knnLabelAudit needs k ≥ 1")
-    val pivots = pivotMatrix(emb, idCol, vecCol, nCells, seed)
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16L, emb.count() / 250L).toInt
+    val pivots = pivotMatrix(emb, idCol, vecCol, cells, seed)
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val assigned = emb
       .select(col(idCol).as("id"), col(labelCol).as("label"), col(vecCol).as("vec"))

@@ -117,10 +117,25 @@ object Skew {
       df: DataFrame,
       key: Column,
       topK: Int,
+      parallelism: Int): DataFrame =
+    finishSkewReport(keyCounts(df, key), topK, parallelism)
+
+  /** The stateful half of skewReport: per-key row counts — one
+    * commutative long per key, exactly the aggregation state Structured
+    * Streaming maintains incrementally (StreamingSkew reuses this). */
+  def keyCounts(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The stateless finishing view over a (key, cnt) frame: summary
+    * aggregate, distributed top-k, exact-ppm shares and the salt
+    * recommendation. Shared verbatim by the batch report and the
+    * streaming monitor, so both agree by construction. */
+  def finishSkewReport(
+      counts: DataFrame,
+      topK: Int,
       parallelism: Int): DataFrame = {
     require(topK > 0 && parallelism > 0, "topK and parallelism must be positive")
-    val counts = df.groupBy(key.cast("string").as("key"))
-      .agg(count(lit(1)).as("cnt"))
     val summary = counts.agg(
       sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),

@@ -5801,17 +5801,20 @@ object OperatorQueries {
     // deterministic IVF pivot cell (the x16 quantizer — whole assignment
     // replays in SQL) vote on its label; majority disagreement flags
     // suspected noise. Votes are exact integers; cosine ranks replay via
-    // the identical left-to-right IEEE dot products (x13 regime).
+    // the identical left-to-right IEEE dot products (x13 regime). The
+    // cell count auto-scales occupancy-constant (max(16, n/250), the x15
+    // dial) and REPLAYS: both engines derive it from the same count.
     "x144_knn_label_audit" -> sql(
       (s, dir) => Similarity.knnLabelAudit(Tables.embeddings(s, dir),
-        "vec_id", "embedding", "label", k = 5, nCells = 16, seed = "v1")
+        "vec_id", "embedding", "label", k = 5, seed = "v1")
         .orderBy("id"),
       """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings),
+        |nc AS (SELECT greatest(16, count(*) // 250)::BIGINT AS nc FROM emb),
         |pv AS (
         |  SELECT vec_id AS pid, embedding AS pvec,
         |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
         |  FROM emb),
-        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 16),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < (SELECT nc FROM nc)),
         |asg AS (
         |  SELECT e.vec_id, e.embedding, e.label, p.cell,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

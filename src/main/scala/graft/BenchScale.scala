@@ -173,7 +173,13 @@ object BenchScale {
     // (max(16, n/250), SQL-replayed) — the x15 scaled class
     "x144_knn_label_audit" -> 1.4,
     // group stats + broadcast-back: one keyed exchange of group rows
-    "x145_target_encoding" -> 1.2)
+    "x145_target_encoding" -> 1.2,
+    // B weighted partial sums on one scan; exchange carries B×tasks rows
+    "x146_poisson_bootstrap" -> 1.3,
+    // ≤ 8 histogram descents for the cuts + one clip-aggregate pass
+    "x147_winsorized_mean" -> 1.2,
+    // one scan fans out all audited columns, counts collapse map-side
+    "x148_diversity_audit" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

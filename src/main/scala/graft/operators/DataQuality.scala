@@ -64,4 +64,41 @@ object DataQuality {
     }
     reports.reduce(_ unionAll _)
   }
+
+  /** Categorical diversity audit: per declared column, the cardinality
+    * and concentration numbers a mixture/curation pass reads before
+    * trusting a category as a stratification key — n (non-null rows),
+    * distinct values, the top value's share, and the Simpson effective
+    * number of classes (n²·10⁶ div Σc², the inverse Simpson index: ~k
+    * for k balanced classes, →1 as one value dominates). All exact
+    * integers (decimal(38) guards the n² product at any corpus size).
+    *
+    * Scale shape: ONE scan fans every audited column out through a
+    * single explode; (column, value) counts collapse map-side; the
+    * per-column finish aggregates |columns| groups. */
+  def diversityAudit(
+      df: DataFrame,
+      columns: Seq[(String, Column)]): DataFrame = {
+    require(columns.nonEmpty, "diversityAudit needs at least one column")
+    val rows = df.select(
+      explode(array(columns.map { case (name, c) =>
+        struct(lit(name).as("column"), c.cast("string").as("v"))
+      }: _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.v").as("v"))
+      .where(col("v").isNotNull)
+    rows.groupBy("column", "v")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("column")
+      .agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("ss"))
+      .select(
+        col("column"), col("n"), col("n_distinct"),
+        expr("(cast(top_cnt as decimal(38,0)) * 1000000) div n")
+          .cast("long").as("top_share_ppm"),
+        expr("(cast(n as decimal(38,0)) * n * 1000000) div ss")
+          .cast("long").as("simpson_eff_ppm"))
+  }
 }

@@ -100,4 +100,38 @@ object RadixSelect {
         .orderBy("q_ppm")
     } finally vals.unpersist(blocking = false)
   }
+
+  /** Winsorized-mean report: exact loPpm/hiPpm cut values via the radix
+    * descent, then ONE pass clipping every value into [lo_cut, hi_cut] —
+    * the outlier-robust location estimate plus how much the tails moved:
+    * (n, lo_cut, hi_cut, n_clipped_lo, n_clipped_hi, mean_ppm_raw,
+    * mean_ppm_winsorized), all exact integers. The descent replaces the
+    * sort a naive percentile-clip needs; the clip pass is a pure
+    * projection + one aggregate. */
+  def winsorizedMeanReport(
+      df: DataFrame,
+      value: org.apache.spark.sql.Column,
+      loPpm: Long = 10000L,
+      hiPpm: Long = 990000L): DataFrame = {
+    require(loPpm < hiPpm, "winsorize needs loPpm < hiPpm")
+    val cuts = quantiles(df, value, Seq(loPpm, hiPpm))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (loCut, hiCut) = (cuts(loPpm), cuts(hiPpm))
+    df.select(value.cast(LongType).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"),
+        least(greatest(col("v"), lit(loCut)), lit(hiCut)).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < loCut, 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > hiCut, 1L).otherwise(0L)).as("n_clipped_hi"),
+        // decimal(38) guards Σv·10⁶ against long overflow at large n·vmax
+        expr("(cast(sum(v) as decimal(38,0)) * 1000000) div count(1)")
+          .cast("long").as("mean_ppm_raw"),
+        expr("(cast(sum(w) as decimal(38,0)) * 1000000) div count(1)")
+          .cast("long").as("mean_ppm_winsorized"))
+      .select(col("n"), lit(loCut).as("lo_cut"), lit(hiCut).as("hi_cut"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        col("mean_ppm_raw"), col("mean_ppm_winsorized"))
+  }
 }

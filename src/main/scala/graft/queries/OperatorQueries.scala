@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -5866,6 +5866,108 @@ object OperatorQueries {
         |  (((st.s - r.target + 1) * 1000000) // (st.n - 1 + 2))::BIGINT AS enc_ppm
         |FROM rows_ r JOIN st USING (source)
         |ORDER BY r.doc_id""".stripMargin),
+
+    // Poisson bootstrap CI for the mean document length: 200 derandomized
+    // replicates ride ONE corpus scan as weighted partial sums (weight =
+    // Poisson(1) inverse-CDF of the x140 FNV draw against fixed integer
+    // thresholds), so the WHOLE bootstrap — draws, weights, replicate
+    // means, CI order statistics — replays bit-for-bit in DuckDB.
+    "x146_poisson_bootstrap" -> sql(
+      (s, dir) => Bootstrap.poissonBootstrapMean(Tables.documents(s, dir),
+        col("doc_id"), col("n_chars"), replicates = 200),
+      s"""WITH rows_ AS (
+        |  SELECT doc_id::VARCHAR AS id, n_chars::BIGINT AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |dr AS (
+        |  SELECT v, b, (id || ':' || b::VARCHAR) AS s
+        |  FROM rows_ CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)),
+        |fnv AS (SELECT v, b,
+        |  list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(generate_series(1, length(s)), i -> ascii(substring(s, i, 1))::HUGEINT)),
+        |    (acc, ch) -> ((((acc // 65536) * 65536 + xor((acc % 65536)::BIGINT, ch::BIGINT)::HUGEINT)
+        |                  * 1099511628211) % 18446744073709551616::HUGEINT)) AS h0
+        |  FROM dr),
+        |f1 AS (SELECT v, b, ${dkXor64("h0", "(h0 // 8589934592)")} AS x FROM fnv),
+        |f2 AS (SELECT v, b, ${dkMul64("x", 0xff51afd7ed558ccdL)} AS x FROM f1),
+        |f3 AS (SELECT v, b, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f2),
+        |f4 AS (SELECT v, b, ${dkMul64("x", 0xc4ceb9fe1a85ec53L)} AS x FROM f3),
+        |f5 AS (SELECT v, b, ${dkXor64("x", "(x // 8589934592)")} AS x FROM f4),
+        |d AS (SELECT b, v, (x // 2)::BIGINT AS u FROM f5),
+        |w AS (SELECT b, v, (CASE
+        |  WHEN u < 3393088950634442752 THEN 0
+        |  WHEN u < 6786177901268885504 THEN 1
+        |  WHEN u < 8482722376586106880 THEN 2
+        |  WHEN u < 9048237201691847680 THEN 3
+        |  WHEN u < 9189615907968282624 THEN 4
+        |  WHEN u < 9217891649223569408 THEN 5
+        |  WHEN u < 9222604272766116864 THEN 6
+        |  WHEN u < 9223277504700766208 THEN 7
+        |  WHEN u < 9223361658692597760 THEN 8
+        |  ELSE 9 END)::BIGINT AS w FROM d),
+        |pr AS (SELECT b, sum(w)::BIGINT AS sw, sum(w * v)::BIGINT AS swv
+        |  FROM w GROUP BY b HAVING sum(w) > 0),
+        |m AS (SELECT b, ((swv::HUGEINT * 1000000) // sw)::BIGINT AS mean_ppm FROM pr),
+        |r AS (SELECT b, mean_ppm,
+        |  row_number() OVER (ORDER BY mean_ppm, b) AS rk FROM m),
+        |ci AS (SELECT count(*)::BIGINT AS b,
+        |  max(CASE WHEN rk = 5 THEN mean_ppm END)::BIGINT AS boot_lo_ppm,
+        |  max(CASE WHEN rk = 195 THEN mean_ppm END)::BIGINT AS boot_hi_ppm FROM r),
+        |obs AS (SELECT count(*)::BIGINT AS n,
+        |  ((sum(v)::HUGEINT * 1000000) // count(*))::BIGINT AS obs_mean_ppm FROM rows_)
+        |SELECT obs.n, obs.obs_mean_ppm, ci.b,
+        |  5::BIGINT AS lo_rank, 195::BIGINT AS hi_rank,
+        |  ci.boot_lo_ppm, ci.boot_hi_ppm
+        |FROM obs, ci""".stripMargin),
+
+    // Winsorized price mean: exact p1/p99 cuts from the x142 radix
+    // descent (no sort), then one clip-and-aggregate pass — the robust
+    // location estimate plus how many rows each tail clipped.
+    "x147_winsorized_mean" -> sql(
+      (s, dir) => RadixSelect.winsorizedMeanReport(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100),
+        loPpm = 10000L, hiPpm = 990000L),
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |lo AS (SELECT v FROM r
+        |  WHERE rn = greatest(1, (10000 * (SELECT n FROM n) + 999999) // 1000000)),
+        |hi AS (SELECT v FROM r
+        |  WHERE rn = greatest(1, (990000 * (SELECT n FROM n) + 999999) // 1000000)),
+        |c AS (SELECT v.v,
+        |  least(greatest(v.v, (SELECT v FROM lo)), (SELECT v FROM hi)) AS w
+        |  FROM v)
+        |SELECT (SELECT n FROM n) AS n,
+        |  (SELECT v FROM lo) AS lo_cut, (SELECT v FROM hi) AS hi_cut,
+        |  sum(CASE WHEN v < (SELECT v FROM lo) THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+        |  sum(CASE WHEN v > (SELECT v FROM hi) THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+        |  ((sum(v)::HUGEINT * 1000000) // count(*))::BIGINT AS mean_ppm_raw,
+        |  ((sum(w)::HUGEINT * 1000000) // count(*))::BIGINT AS mean_ppm_winsorized
+        |FROM c""".stripMargin),
+
+    // Categorical diversity audit: cardinality + concentration of every
+    // stratification-candidate column in one scan — top-value share and
+    // the Simpson effective number of classes, exact ppm.
+    "x148_diversity_audit" -> sql(
+      (s, dir) => DataQuality.diversityAudit(Tables.documents(s, dir), Seq(
+        "lang" -> col("lang"),
+        "source" -> col("source"),
+        "len_bucket" -> expr("n_chars div 100")))
+        .orderBy("column"),
+      """WITH f AS (
+        |  SELECT 'lang' AS col_, lang::VARCHAR AS v FROM documents
+        |  UNION ALL SELECT 'source', source::VARCHAR FROM documents
+        |  UNION ALL SELECT 'len_bucket', (n_chars // 100)::VARCHAR FROM documents),
+        |g AS (SELECT col_, v, count(*)::BIGINT AS c
+        |  FROM f WHERE v IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT col_, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+        |    max(c)::BIGINT AS top_cnt, sum(c::HUGEINT * c) AS ss
+        |  FROM g GROUP BY 1)
+        |SELECT col_ AS "column", n, n_distinct,
+        |  ((top_cnt::HUGEINT * 1000000) // n)::BIGINT AS top_share_ppm,
+        |  ((n::HUGEINT * n * 1000000) // ss)::BIGINT AS simpson_eff_ppm
+        |FROM a ORDER BY col_""".stripMargin),
 
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw

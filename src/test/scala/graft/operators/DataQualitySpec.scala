@@ -51,4 +51,29 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.referentialAudit(Seq.empty)
     }
   }
+
+  test("diversityAudit: balanced classes hit k·10⁶ effective, dominance → 1·10⁶") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // balanced: 4 classes × 25 rows → simpson_eff exactly 4e6, top 25%
+    // skewed: 97 'a' + 3 others → eff ≈ 10000·10⁶/(97²+3) ≈ 1.062e6
+    val df = (1 to 100).map(i =>
+      (s"c${i % 4}", if (i <= 97) "a" else s"z$i")).toDF("bal", "skw")
+    val out = DataQuality.diversityAudit(df,
+      Seq("bal" -> col("bal"), "skw" -> col("skw")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bal = out("bal")
+    assert(bal.getAs[Long]("n") == 100 && bal.getAs[Long]("n_distinct") == 4)
+    assert(bal.getAs[Long]("top_share_ppm") == 250000L)
+    assert(bal.getAs[Long]("simpson_eff_ppm") == 4000000L)
+    val skw = out("skw")
+    assert(skw.getAs[Long]("n_distinct") == 4)
+    assert(skw.getAs[Long]("top_share_ppm") == 970000L)
+    assert(skw.getAs[Long]("simpson_eff_ppm") == 10000L * 1000000L / (97L * 97 + 3))
+    // nulls drop from the audited column only
+    val withNull = df.withColumn("maybe",
+      when(col("bal") === "c0", lit(null: String)).otherwise(col("bal")))
+    val m = DataQuality.diversityAudit(withNull, Seq("maybe" -> col("maybe")))
+      .head()
+    assert(m.getAs[Long]("n") == 75 && m.getAs[Long]("n_distinct") == 3)
+  }
 }

@@ -44,6 +44,27 @@ class RadixSelectSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean: exact cuts, clipped counts, and the robust shift") {
+    // 980 values at 100..199 plus 10 tiny and 10 huge outliers
+    val vals = (1 to 980).map(i => 100L + (i % 100)) ++
+      Seq.fill(10)(1L) ++ Seq.fill(10)(1000000L)
+    val df = vals.toDF("v").repartition(6)
+    val r = RadixSelect.winsorizedMeanReport(df, col("v"),
+      loPpm = 20000L, hiPpm = 980000L).head()
+    val sorted = vals.sorted
+    val n = vals.size
+    val loCut = sorted((math.max(1L, (20000L * n + 999999L) / 1000000L) - 1).toInt)
+    val hiCut = sorted((math.max(1L, (980000L * n + 999999L) / 1000000L) - 1).toInt)
+    assert(r.getAs[Long]("lo_cut") == loCut && r.getAs[Long]("hi_cut") == hiCut)
+    assert(r.getAs[Long]("n_clipped_lo") == vals.count(_ < loCut))
+    assert(r.getAs[Long]("n_clipped_hi") == vals.count(_ > hiCut))
+    val winso = vals.map(v => math.min(math.max(v, loCut), hiCut)).sum
+    assert(r.getAs[Long]("mean_ppm_winsorized") == winso * 1000000L / n)
+    // the raw mean is dragged ~10000 up by the huge tail; winsorized is not
+    assert(r.getAs[Long]("mean_ppm_raw") - r.getAs[Long]("mean_ppm_winsorized")
+      > 1000000L)
+  }
+
   test("the per-round histogram plan has no sort and no window") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.window.WindowExec

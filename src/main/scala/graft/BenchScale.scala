@@ -179,7 +179,12 @@ object BenchScale {
     // ≤ 8 histogram descents for the cuts + one clip-aggregate pass
     "x147_winsorized_mean" -> 1.2,
     // one scan fans out all audited columns, counts collapse map-side
-    "x148_diversity_audit" -> 1.2)
+    "x148_diversity_audit" -> 1.2,
+    // group stats broadcast-back + a radix-descent residual quantile +
+    // one coverage aggregation — all aggregation-only passes
+    "x149_conformal_intervals" -> 1.3,
+    // (group, term) counts collapse map-side; estimator over |groups| rows
+    "x150_vocab_richness" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

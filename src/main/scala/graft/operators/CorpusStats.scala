@@ -199,4 +199,36 @@ object CorpusStats {
         log(lit(extrapolateFactor) * col("tokens_now").cast("double"))) + 0.5)
         .cast("long")).as("predicted_vocab_at_factor"))
   }
+
+  /** Vocabulary richness estimators per group — the "how much vocabulary
+    * have we NOT seen yet" dual to the Heaps-law growth fit:
+    *   chao1_est        — bias-corrected Chao1 lower bound on the true
+    *                      vocabulary: D + f1(f1−1) div (2(f2+1)), where
+    *                      f1/f2 = singleton/doubleton term counts
+    *   gt_unseen_ppm    — Good–Turing mass of UNSEEN terms: f1·10⁶ div N
+    *                      (the next token is new with ≈ this probability)
+    * Exact integers throughout (the bias-corrected Chao1 form needs no
+    * f2 > 0 guard). Scale shape: explode → (group, term) counts collapse
+    * map-side; the estimator aggregates |groups| rows. */
+  def richnessReport(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val terms = docs
+      .select(col(groupCol).as("grp"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => t =!= "")).as("term"))
+      .groupBy("grp", "term")
+      .agg(count(lit(1)).as("tf"))
+    terms.groupBy("grp")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp"), col("n_tokens"), col("n_distinct"),
+        col("f1"), col("f2"),
+        expr("n_distinct + (f1 * (f1 - 1)) div (2 * (f2 + 1))").as("chao1_est"),
+        expr("(f1 * 1000000) div n_tokens").as("gt_unseen_ppm"))
+  }
 }

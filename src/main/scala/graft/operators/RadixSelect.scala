@@ -33,6 +33,16 @@ object RadixSelect {
     require(quantilesPpm.nonEmpty, "need at least one quantile")
     require(quantilesPpm.forall(q => q >= 0 && q <= 1000000),
       "quantiles are ppm in [0, 1000000]")
+    selectAtRanks(df, value,
+      n => quantilesPpm.map(q => q -> math.max(1L, (q * n + 999999L) / 1000000L)))
+  }
+
+  /** Exact values at caller-computed 1-based ascending ranks (the rank
+    * rule sees n first — conformal quantiles, trimmed bounds, etc.).
+    * Same descent, same output shape; the `q_ppm` column carries the
+    * caller's key for each requested rank. */
+  def selectAtRanks(df: DataFrame, value: org.apache.spark.sql.Column,
+      ranksOf: Long => Seq[(Long, Long)]): DataFrame = {
     val spark = df.sparkSession
     val vals = df.select(value.cast(LongType).as("v"))
       .where(col("v").isNotNull)
@@ -49,10 +59,10 @@ object RadixSelect {
       val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(vmax, 1L))
       val rounds = (bits + 7) / 8
 
-      // rank per quantile (may collide — dedup the descent state by rank)
-      val ranks: Seq[(Long, Long)] = quantilesPpm.map { q =>
-        q -> math.max(1L, (q * n + 999999L) / 1000000L)
-      }
+      // rank per key (ranks may collide — dedup the descent state by rank)
+      val ranks: Seq[(Long, Long)] = ranksOf(n)
+      require(ranks.nonEmpty && ranks.forall { case (_, r) => r >= 1 && r <= n },
+        s"requested ranks must lie in [1, $n]")
       // descent state: rank -> (prefix so far, rows before prefix)
       var state: Map[Long, (Long, Long)] =
         ranks.map(_._2).distinct.map(r => r -> (0L, 0L)).toMap

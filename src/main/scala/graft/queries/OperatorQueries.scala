@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -5968,6 +5968,65 @@ object OperatorQueries {
         |  ((top_cnt::HUGEINT * 1000000) // n)::BIGINT AS top_share_ppm,
         |  ((n::HUGEINT * n * 1000000) // ss)::BIGINT AS simpson_eff_ppm
         |FROM a ORDER BY col_""".stripMargin),
+
+    // Split-conformal intervals over document length: train fold fits the
+    // per-source mean, calib fold's ⌈(n+1)·0.9⌉-th residual (found by the
+    // x142 radix descent, no sort) sets the half-width, test fold reports
+    // the distribution-free coverage — all exact integer ppm.
+    "x149_conformal_intervals" -> sql(
+      (s, dir) => Conformal.splitConformalReport(Tables.documents(s, dir),
+        col("source"), col("n_chars"), col("doc_id") % 3, alphaPpm = 100000L)
+        .orderBy("grp"),
+      """WITH base AS (
+        |  SELECT source AS grp, n_chars::BIGINT AS v, (doc_id % 3)::BIGINT AS fold
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |st AS MATERIALIZED (SELECT grp, count(*)::BIGINT AS n_train,
+        |    ((sum(v)::HUGEINT * 1000000) // count(*))::BIGINT AS pred_ppm
+        |  FROM base WHERE fold = 0 GROUP BY 1),
+        |resid AS MATERIALIZED (
+        |  SELECT abs(b.v * 1000000 - st.pred_ppm)::BIGINT AS r
+        |  FROM base b JOIN st USING (grp) WHERE b.fold = 1),
+        |nr AS (SELECT count(*)::BIGINT AS n FROM resid),
+        |rk AS (SELECT least((SELECT n FROM nr),
+        |  (((SELECT n FROM nr) + 1) * 900000 + 999999) // 1000000)::BIGINT AS q_rank),
+        |q AS (SELECT r AS q_ppm FROM (
+        |    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM resid)
+        |  WHERE rn = (SELECT q_rank FROM rk))
+        |SELECT b.grp, max(st.n_train)::BIGINT AS n_train,
+        |  max(st.pred_ppm)::BIGINT AS pred_ppm,
+        |  count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN abs(b.v * 1000000 - st.pred_ppm) <= (SELECT q_ppm FROM q)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+        |  ((sum(CASE WHEN abs(b.v * 1000000 - st.pred_ppm) <= (SELECT q_ppm FROM q)
+        |    THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS coverage_ppm,
+        |  (SELECT n FROM nr) AS n_cal,
+        |  (SELECT q_rank FROM rk) AS q_rank,
+        |  (SELECT q_ppm FROM q) AS q_ppm
+        |FROM base b JOIN st USING (grp) WHERE b.fold = 2
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin),
+
+    // Vocabulary richness per source: Chao1 lower bound on the unseen
+    // vocabulary + the Good–Turing unseen-token mass — the "is this
+    // source mined out" companion to the Heaps-law growth fit (x98),
+    // exact integers end to end.
+    "x150_vocab_richness" -> sql(
+      (s, dir) => CorpusStats.richnessReport(Tables.documents(s, dir),
+        "text", "source")
+        .orderBy("grp"),
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |g AS (SELECT grp, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |a AS (SELECT grp, sum(tf)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_distinct,
+        |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |    sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |  FROM g GROUP BY 1)
+        |SELECT grp, n_tokens, n_distinct, f1, f2,
+        |  (n_distinct + (f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT AS chao1_est,
+        |  ((f1 * 1000000) // n_tokens)::BIGINT AS gt_unseen_ppm
+        |FROM a ORDER BY grp""".stripMargin),
 
     // The composed monitoring dashboard: Hampel seasonal flag + CUSUM
     // shift flags + MASE context per (series, day) in ONE plan — the raw

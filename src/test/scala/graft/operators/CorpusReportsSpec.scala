@@ -217,4 +217,27 @@ class CorpusReportsSpec extends SparkSpec {
     assert(m((0, 2)) === 1.0)
     assert(m((1, 2)) === 0.0)
   }
+
+  test("richnessReport: Chao1 and Good–Turing on a hand-counted corpus") {
+    import org.apache.spark.sql.functions.col
+    // source s: tokens a a b c d → tf {a:2, b:1, c:1, d:1}
+    //   N=5, D=4, f1=3, f2=1 → chao1 = 4 + 3·2 div (2·2) = 5
+    //   gt_unseen = 3·10⁶ div 5 = 600000
+    // source t: e e f f → f1=0 → chao1 = D = 2, unseen 0
+    val docs = Seq(
+      ("s", "a a b"), ("s", "c d a"),
+      ("t", "e e"), ("t", "f f"))
+      .toDF("source", "text")
+    val out = CorpusStats.richnessReport(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getAs[Long]("n_tokens") == 6 && s.getAs[Long]("n_distinct") == 4)
+    // recount with the doubled 'a': tf {a:3,b:1,c:1,d:1} → f1=3, f2=0
+    assert(s.getAs[Long]("f1") == 3 && s.getAs[Long]("f2") == 0)
+    assert(s.getAs[Long]("chao1_est") == 4 + (3 * 2) / 2)
+    assert(s.getAs[Long]("gt_unseen_ppm") == 3000000L / 6)
+    val t = out("t")
+    assert(t.getAs[Long]("f1") == 0 && t.getAs[Long]("f2") == 2)
+    assert(t.getAs[Long]("chao1_est") == 2 && t.getAs[Long]("gt_unseen_ppm") == 0)
+  }
 }

@@ -184,7 +184,20 @@ object BenchScale {
     // one coverage aggregation — all aggregation-only passes
     "x149_conformal_intervals" -> 1.3,
     // (group, term) counts collapse map-side; estimator over |groups| rows
-    "x150_vocab_richness" -> 1.3)
+    "x150_vocab_richness" -> 1.3,
+    // probe-prefix × full-index postings join: candidate volume
+    // Σ prefixDf·df — the exact-recall containment analog of x86's
+    // documented super-linear all-pairs budget
+    "x151_containment_join" -> 1.8,
+    // k persisted-scan rounds, one new cosine arm per row per round —
+    // the x97 iteration class
+    "x152_mmr_select" -> 1.3,
+    // k anti-join+agg rounds over the persisted shrinking (doc, shingle)
+    // frame — keyed 8-byte joins, remaining set monotonically shrinks
+    "x153_coverage_select" -> 1.4,
+    // rarest-gram prefix candidates: block-local candidate volume like
+    // the SNM family (per-gram postings bounded by the length filter)
+    "x154_qgram_join" -> 1.5)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

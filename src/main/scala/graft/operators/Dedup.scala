@@ -767,4 +767,74 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Asymmetric containment join: ordered pairs (a, b), a ≠ b, with
+    * C(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ threshold over the hashed
+    * shingle sets. Containment is the dedup measure Jaccard misses: a
+    * short document quoted verbatim inside a long one has C(short→long)
+    * = 1.0 but Jaccard ≈ |short|/|long| — far below any symmetric
+    * threshold. This is the subset/quote/expansion detector of the
+    * near-dup family (x01 exact, x07/x08 sketched, x86 symmetric-exact).
+    *
+    * Exact recall via the asymmetric prefix-filtering principle (the
+    * probe-prefix side of ppjoin, Xiao et al. 2011 §3.3): under ANY
+    * global token order, if C(a→b) ≥ t then b shares a token with a's
+    * first |A| − ceil(t·|A|) + 1 tokens — so only the PROBE side is
+    * prefix-pruned (df asc, hash asc: rarest first, minimal postings
+    * fan-out) while the indexed side posts every token. The size filter
+    * is one-directional too: |A∩B| ≤ |B| forces |B| ≥ ceil(t·|A|).
+    *
+    * Scale shape: candidate volume is Σ_tok prefixDf(tok)·df(tok) — the
+    * df-ascending prefix order concentrates probes on rare tokens, and
+    * the verify join touches only the collapsed candidate set. Same join
+    * economics as prefixJaccardPairs: one df aggregation, one token-keyed
+    * equi-join, one id-keyed verify join; 8-byte hashed shingles move,
+    * never shingle text. Output containment as exact integer ppm
+    * (⌊10⁶·c/|A|⌋) so the result hash-replays in any engine. */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+    val hashed = tracked(df
+      .select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleSize)).as("bh"))
+      .where(size(col("bh")) > 0)
+      .persist())
+    val toks = hashed.select(col("id"), size(col("bh")).as("sz"),
+      explode(col("bh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+
+    // probe prefix: keep |A| − ceil(t·|A|) + 1 rarest tokens per probe doc
+    val w = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
+    val probe = toks.join(dfreq, Seq("tok"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+
+    // index side: ALL tokens (the asymmetric analog of ppjoin's indexing
+    // prefix — pruning here would need a per-probe length, i.e. no prune)
+    val index = toks.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = probe.join(index, Seq("tok"))
+      .where(col("id_a") =!= col("id_b"))
+      // |A∩B| ≤ |B|, so C ≥ t needs |B| ≥ ceil(t·|A|)
+      .where(col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
+      .withColumn("c", call_function("graft_intersect_count", col("bh_a"), col("bh_b")).cast("long"))
+      .where(col("c").cast("double") / col("hsz_a").cast("double") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((c * 1000000) DIV hsz_a AS BIGINT)").as("containment_ppm"))
+  }
 }

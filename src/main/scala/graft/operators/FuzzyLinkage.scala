@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * keep variants nearby, or union several passes with different keys. */
 object FuzzyLinkage {
 
+  // qgramJoin persists the per-side gram projections (each feeds both the
+  // df aggregation and the prefix selection) — the Dedup.releaseCaches
+  // contract: call releaseCaches() on the building thread once the join
+  // result is materialized.
+  private val caches = new CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
+
+  /** Unpersist every frame cached by THIS THREAD's qgramJoin calls since
+    * its last release. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
   /** For each `dirty` row, its best `clean` match: minimum Levenshtein
     * distance ≤ `maxDist` among the sorted neighborhood, ties to the
     * smallest clean id. Output: dirty_id, dirty_val, clean_id, clean_val,
@@ -59,5 +70,122 @@ object FuzzyLinkage {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select("dirty_id", "dirty_val", "clean_id", "clean_val", "dist")
+  }
+
+  /** EXACT edit-distance join via q-gram prefix filtering (ED-Join —
+    * Xiao, Wang & Lin 2008, building on Gravano et al. 2001's count
+    * filter): all (left, right) pairs with Levenshtein ≤ maxDist. The
+    * complement of bestMatch's sorted-neighborhood heuristic — no
+    * neighborhood trade-off: every qualifying pair is returned.
+    *
+    * Exactness argument: ed ≤ d destroys at most d·q of a string's
+    * |s| − q + 1 positional q-grams, so the BAG intersection satisfies
+    * |A ∩ B| ≥ max(|A|, |B|) − d·q = T. Under ANY global order on bag
+    * elements, a pair meeting T must then share an element inside each
+    * side's first n − T + 1 ≤ d·q + 1 elements — so joining only the
+    * d·q + 1 globally-RAREST (gram, occurrence#) elements per string
+    * (df asc: rare grams carry the prefixes) loses no true pair. A plain
+    * count-filter join (all grams) degenerates to a near-cross-product on
+    * low-entropy shared prefixes ("Customer#000…" in every row); the
+    * rarest-gram prefix is what keeps candidate volume ∝ Σ prefixDf².
+    * Bag semantics via occurrence numbering: the join key is
+    * (gram, occ#), so a gram appearing 3× on both sides matches exactly
+    * 3 times and repeated-gram strings can't cheat the bound.
+    *
+    * Strings too short for a positive threshold (|s| ≤ q − 1 + d·q) can
+    * share ZERO grams with a true match, so they go through a
+    * length-bucketed branch instead: each short string joins the (2d+1)
+    * exact-length buckets it can match — an equi-join on length, volume
+    * bounded by shortCount × bucket size, never a cross product. Exact
+    * Levenshtein verifies every candidate; the length filter
+    * ||a| − |b|| ≤ d prunes before the verify.
+    *
+    * Scale shape: one gram explode per side (≈ |s| rows per string), one
+    * df aggregation over the union, one per-string window to take the
+    * d·q + 1 rarest elements (the prefixJaccardPairs economics), one
+    * (gram, occ)-keyed equi-join of PREFIXES only, one id-keyed verify
+    * join per side; the short branch is an equi-join on length. No
+    * driver state. */
+  def qgramJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(q >= 1, "q must be >= 1")
+
+    def side(df: DataFrame, id: String, v: String, tag: String): DataFrame =
+      df.select(col(id).cast("long").as(s"${tag}_id"),
+        col(v).as(s"${tag}_val"), length(col(v)).as(s"${tag}_len"))
+
+    val l = side(left, leftId, leftCol, "left")
+    val r = side(right, rightId, rightCol, "right")
+
+    // occurrence-numbered q-grams: (id, gram, occ) with occ = 1..multiplicity
+    // — numbering via count+explode (map-side-combinable agg), no window:
+    // any per-copy numbering realizes bag semantics, since (g, occ) equality
+    // then matches exactly min(mult_left, mult_right) times per gram
+    def gramsE(df: DataFrame, tag: String): DataFrame = df
+      .where(col(s"${tag}_len") >= q)
+      .select(col(s"${tag}_id").as("__id"),
+        explode(expr(
+          s"transform(sequence(1, ${tag}_len - ${q - 1}), i -> substring(${tag}_val, i, $q))"))
+          .as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__m"))
+      .select(col("__id"), col("__g"),
+        explode(sequence(lit(1), col("__m"))).as("__occ"))
+
+    val minLenForFilter = q + maxDist * q // |s| ≥ this ⇒ count threshold ≥ 1
+    val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
+    val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
+
+    val gl = tracked(gramsE(longL, "left").persist())
+    val gr = tracked(gramsE(longR, "right").persist())
+    // one global element order for both sides: df asc over the UNION
+    // (rarest first), then (gram, occ) for determinism
+    val dfreq = gl.unionByName(gr).groupBy("__g", "__occ")
+      .agg(count(lit(1)).as("__df"))
+    val prefixLen = maxDist * q + 1
+    def prefix(g: DataFrame, idOut: String): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__df"), col("__g"), col("__occ"))
+      g.join(dfreq, Seq("__g", "__occ"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= prefixLen)
+        .select(col("__g"), col("__occ"), col("__id").as(idOut))
+    }
+    val longCand = prefix(gl, "left_id").join(prefix(gr, "right_id"),
+        Seq("__g", "__occ"))
+      .select("left_id", "right_id")
+      .join(longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
+      .join(longR.select("right_id", "right_val", "right_len"), Seq("right_id"))
+      .where(abs(col("left_len") - col("right_len")) <= maxDist)
+      .select("left_id", "left_val", "right_id", "right_val")
+
+    // short branch: either side below the filter floor joins by exact
+    // length bucket (2d+1 buckets per row) — candidates bounded, no grams
+    val shortL = l.where(col("left_len") < minLenForFilter)
+    val shortR = r.where(col("right_len") < minLenForFilter)
+    def lenBuckets(df: DataFrame, lenCol: String): DataFrame = df
+      .withColumn("__bl", explode(sequence(
+        col(lenCol) - maxDist, col(lenCol) + maxDist)))
+    val shortCand =
+      lenBuckets(shortL, "left_len").join(r.withColumn("__bl", col("right_len")),
+        Seq("__bl"))
+        .select("left_id", "left_val", "right_id", "right_val")
+        .unionByName(
+          lenBuckets(shortR, "right_len")
+            .join(longL.withColumn("__bl", col("left_len")), Seq("__bl"))
+            .select("left_id", "left_val", "right_id", "right_val"))
+
+    longCand.unionByName(shortCand)
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("dist", levenshtein(col("left_val"), col("right_val")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("left_id", "right_id", "dist")
   }
 }

@@ -956,6 +956,79 @@ object Similarity {
       .toSeq.toDF("rank", "vec_id", "dist_sq")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity-aware re-rank between "top-k by cosine" (x13) and
+    * "maximally spread subset" (x97): greedily pick k items maximizing
+    * λ·rel(v) − (1−λ)·max_{s∈S} sim(v, s), rel = cosine to the query,
+    * sim = pairwise cosine. λ = 1 degenerates to plain top-k; λ = 0 to a
+    * pure anti-redundancy traversal.
+    *
+    * Determinism contract (the x99 recipe): every cosine is rounded to
+    * `roundTo` decimals BEFORE it enters a max/argmax, the dot product is
+    * the left-to-right `dotd` fold, and the weights enter as the literal
+    * λ and (1.0 − λ) computed in IEEE — so the whole traversal replays in
+    * SQL (ties: score desc, id asc).
+    *
+    * Scale shape: identical economics to kCenterCoreset — k rounds, each
+    * one distributed scan of the PERSISTED (vec_id, __v, rel, __m) frame
+    * evaluating exactly ONE new cosine arm (the latest pick, a broadcast
+    * literal) folded into the running max-similarity column, argmax via
+    * distributed TakeOrdered(1); the previous round's cache is released
+    * only after the new round materializes, so the source is read from
+    * storage exactly once. Driver state = the k selected vectors. */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      lambda: Double,
+      roundTo: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, "mmrSelect: k must be in [1, 64] " +
+      "(driver holds k vectors; larger selections should go through IVF blocking)")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrSelect: lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def qnorm(v: Seq[Double]): Double = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    def cosTo(v: Seq[Double]): Column = {
+      val vc = col("__v")
+      round(dotd(vc, typedlit(v)) /
+        (sqrt(dotd(vc, vc)) * lit(qnorm(v))), roundTo)
+    }
+    val mu = lit(1.0 - lambda) // IEEE 1−λ, replayed as (1.0 − λ) in SQL
+    def score: Column = lit(lambda) * col("rel") - mu * col("__m")
+
+    var frame = df
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("rel", cosTo(query))
+      .withColumn("__m", lit(0.0d))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var prev: Option[DataFrame] = None
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val cur = frame.persist()
+      val pick = cur.withColumn("__s", score)
+        .orderBy(desc("__s"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("__v"), col("__s")).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      if (pick.isEmpty) done = true
+      else {
+        val id = pick.head.getLong(0)
+        val v = pick.head.getSeq[Number](1).map(_.doubleValue())
+        selected += ((id, pick.head.getDouble(2)))
+        frame = cur.where(col("vec_id") =!= id)
+          .withColumn("__m", greatest(col("__m"), cosTo(v)))
+      }
+    }
+    prev.foreach(_.unpersist())
+    selected.zipWithIndex
+      .map { case ((id, s), i) => (i + 1L, id, s) }
+      .toSeq.toDF("rank", "vec_id", "score")
+  }
+
   /** Physical plans of each kCenterCoreset round, captured for the spec
     * that pins "one graft_l2sq arm per row per round above the cache
     * boundary". Test observability only — OFF by default so production

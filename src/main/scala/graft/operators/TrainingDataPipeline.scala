@@ -320,4 +320,62 @@ object TrainingDataPipeline {
       .unionAll(shards)
       .orderBy("stage")
   }
+
+  /** Greedy maximum-coverage selection (Nemhauser–Wolsey–Fisher 1978, the
+    * (1 − 1/e) greedy for monotone submodular objectives): pick k
+    * documents that together cover the most DISTINCT shingles — the
+    * coverage-based data-selection primitive ("which k docs teach the
+    * most n-grams"), complementary to the embedding-space selectors
+    * (x97 spread, x152 MMR). Gains are exact shingle counts, ties break
+    * (gain desc, id asc), so the traversal is integer-deterministic and
+    * replays as chained anti-join CTEs.
+    *
+    * Scale shape: the (doc, shingle-hash) projection is built once; each
+    * of the k rounds is ONE distributed anti-join of the PERSISTED
+    * remaining frame against the latest pick's shingle set (a keyed
+    * equi-join on 8-byte hashes — the pick's set never collects to the
+    * driver) followed by a map-side-combined count aggregation and a
+    * distributed TakeOrdered(1). The remaining frame shrinks
+    * monotonically (covered shingles leave it for every doc at once);
+    * the previous round's cache is released after the new round
+    * materializes. Driver state: k (id, gain) rows — metadata-sized. */
+  def coverageSelect(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      shingleSize: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 64, "coverageSelect: k must be in [1, 64]")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    var remaining = df
+      .select(col(idCol).as("id"),
+        explode(call_function("graft_shingle_hashes",
+          col(textCol), lit(shingleSize))).as("tok"))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var prev: Option[DataFrame] = None
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val cur = remaining.persist()
+      val pick = cur.groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), col("id")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      if (pick.isEmpty) done = true
+      else {
+        val id = pick.head.getLong(0)
+        selected += ((id, pick.head.getLong(1)))
+        val covered = cur.where(col("id") === id).select("tok")
+        remaining = cur.where(col("id") =!= id)
+          .join(covered, Seq("tok"), "left_anti")
+      }
+    }
+    prev.foreach(_.unpersist())
+    val cum = selected.scanLeft(0L)(_ + _._2).drop(1)
+    selected.zip(cum).zipWithIndex
+      .map { case (((id, g), c), i) => (i + 1L, id, g, c) }
+      .toSeq.toDF("rank", "doc_id", "gain_shingles", "covered_total")
+  }
 }

@@ -6093,6 +6093,108 @@ object OperatorQueries {
         |JOIN cu ON cu.series = a.series AND cu.day = a.day
         |LEFT JOIN ms ON ms.series = a.series
         |ORDER BY a.series, a.day""".stripMargin),
+
+    // Asymmetric containment join — the subset/quote detector the
+    // symmetric measures (x07/x86) miss: C(a→b) = |A∩B|/|A| flags a
+    // short doc embedded in a long one even when their Jaccard is tiny.
+    // Exact recall via the probe-side prefix filter; containment lands
+    // as integer ppm so the oracle hash-replays.
+    "x151_containment_join" -> sql(
+      (s, dir) => {
+        val out = Dedup.containmentPairs(Tables.documents(s, dir),
+          "text", "doc_id", threshold = 0.8, shingleSize = 3)
+          .orderBy("id_a", "id_b")
+        val materialized = out.cache()
+        materialized.count()
+        Dedup.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS sa
+        |  FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, ((c::BIGINT * 1000000) // sa)::BIGINT AS containment_ppm
+        |FROM p WHERE CAST(c AS DOUBLE) / sa >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Maximal Marginal Relevance re-rank (Carbonell–Goldstein): diverse
+    // top-8 against the min-id probe vector at λ = 0.7 — the
+    // relevance-diversity tradeoff between plain cosine top-k (x13) and
+    // the pure-spread coreset (x97). The deterministic traversal
+    // (rounded cosines, IEEE λ/1−λ weights, id ties) replays as 8
+    // chained CTEs.
+    "x152_mmr_select" -> sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.orderBy("vec_id").limit(1)
+          .select("vec_id", "embedding").collect().head
+        val qid = q.getLong(0)
+        val qv = q.getSeq[Number](1).map(_.doubleValue()).toSeq
+        Similarity.mmrSelect(emb.where(col("vec_id") =!= qid),
+          "vec_id", "embedding", qv, k = 8, lambda = 0.7)
+          .orderBy("rank")
+      },
+      mmrOracle(8, 0.7)),
+
+    // Greedy max-coverage data selection (the (1−1/e) submodular greedy):
+    // the 6 documents that together cover the most distinct shingles —
+    // integer gains, chained anti-join replay, the lexical complement of
+    // the embedding-space selectors (x97/x152).
+    "x153_coverage_select" -> sql(
+      (s, dir) =>
+        TrainingDataPipeline.coverageSelect(Tables.documents(s, dir),
+          "text", "doc_id", k = 6)
+          .orderBy("rank"),
+      coverageOracle(6)),
+
+    // Exact edit-distance JOIN via q-gram prefix filtering (ED-Join) —
+    // every (clean, dirty) pair within Levenshtein 1, not just each
+    // dirty row's best match (x80's SNM heuristic). The oracle brute-
+    // forces all pairs; the Spark side must reach the identical set
+    // through rarest-gram prefix candidates + the length filter.
+    // Fixture: part names (concatenated color words — real string
+    // entropy) with one char deleted. Customer/supplier names are
+    // deliberately NOT used: they differ only in a few digits, so the
+    // TRUE result at dist ≤ 2 is itself quadratic-sized — a fixture
+    // property, not an operator property; the spec pins dist ≤ 2
+    // exactness on adversarial fixtures including repeated grams.
+    "x154_qgram_join" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val out = FuzzyLinkage.qgramJoin(clean, dirty, "doc_id", "title",
+          "doc_id", "dirty_title", maxDist = 1, q = 3)
+          .withColumnsRenamed(Map("left_id" -> "clean_id", "right_id" -> "dirty_id"))
+          .orderBy("clean_id", "dirty_id")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        materialized
+      },
+      """WITH clean AS (
+        |  SELECT doc_id AS clean_id, substr(text, 1, 40) AS val FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS val
+        |  FROM documents)
+        |SELECT c.clean_id, d.dirty_id,
+        |  levenshtein(c.val, d.val)::BIGINT AS dist
+        |FROM clean c JOIN dirty d ON levenshtein(c.val, d.val) <= 1
+        |ORDER BY clean_id, dirty_id""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as
@@ -6247,6 +6349,81 @@ object OperatorQueries {
     * selects argmax(dist desc, id) from d{r-1} and d{r} takes least() with
     * the distance to the new center — the identical fold/nesting order the
     * Spark rounds evaluate, so raw doubles compare bit-for-bit. */
+  /** The greedy max-coverage traversal unrolled (the x97/x40 pattern):
+    * round r takes the doc with the most UNCOVERED shingles (gain desc,
+    * id asc), then removes its shingles from every remaining doc via
+    * NOT IN — pure integer counts, so the replay is hash-exact. */
+  private def coverageOracle(k: Int): String = {
+    val head =
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) >= 3),
+        |r0 AS MATERIALIZED (SELECT doc_id, sh FROM t)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val upd = if (r == k) "" else
+        s""",
+           |r$r AS MATERIALIZED (
+           |  SELECT p.doc_id, p.sh FROM r${r - 1} p
+           |  WHERE p.doc_id <> (SELECT doc_id FROM s$r)
+           |    AND p.sh NOT IN (SELECT sh FROM r${r - 1}
+           |      WHERE doc_id = (SELECT doc_id FROM s$r)))""".stripMargin
+      s"""s$r AS MATERIALIZED (
+         |  SELECT doc_id, count(*)::BIGINT AS gain FROM r${r - 1}
+         |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin + upd
+    }
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, doc_id, gain FROM s$r")
+      .mkString("\nUNION ALL ")
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s""",
+         |sel AS ($sel)
+         |SELECT rank, doc_id, gain AS gain_shingles,
+         |  (sum(gain) OVER (ORDER BY rank))::BIGINT AS covered_total
+         |FROM sel ORDER BY rank""".stripMargin
+  }
+
+  /** The MMR traversal unrolled as chained CTEs (the x97 pattern): round r
+    * picks argmax(λ·rel − (1−λ)·m) with (score desc, id asc) ties, then
+    * folds the pick's ROUNDED pairwise cosine into the running max m.
+    * λ enters as the literal and μ as (1.0 − λ) so both engines compute
+    * the identical IEEE weights. */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    def cos(a: String, b: String): String =
+      s"round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+    // both weights as full-precision DOUBLE literals: DuckDB would fold
+    // (1.0 - 0.7) in exact DECIMAL arithmetic to 0.3, but the Spark side
+    // computes IEEE 1−λ = 0.30000000000000004 — shortest-repr round-trip
+    // makes the emitted literal parse back to the identical double
+    val lam = s"${lambda}::DOUBLE"
+    val mu = s"${1.0 - lambda}::DOUBLE"
+    val head =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT 1),
+         |m0 AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         |    ${cos("e.embedding::DOUBLE[]", "q.qv")} AS rel, 0.0::DOUBLE AS m
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val upd = if (r == k) "" else
+        s""",
+           |m$r AS (
+           |  SELECT p.vec_id, p.v, p.rel, greatest(p.m, ${cos("p.v", "s.v")}) AS m
+           |  FROM m${r - 1} p CROSS JOIN s$r s WHERE p.vec_id <> s.vec_id)""".stripMargin
+      s"""s$r AS (
+         |  SELECT vec_id, v, $lam * rel - $mu * m AS score
+         |  FROM m${r - 1} ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin + upd
+    }
+    val selects = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, score FROM s$r")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL ") + "\nORDER BY rank"
+  }
+
   private def kcenterOracle(k: Int): String = {
     def l2(e: String, c: String): String =
       s"list_reduce(list_transform(generate_series(1, len($e.embedding)), i -> " +

@@ -65,4 +65,61 @@ class PrefixJoinSpec extends SparkSpec {
     // distinct shingles with them (4/(5+5-4) = 0.666... ≥ 0.5)
     assert(a.size == 3, a.mkString(";"))
   }
+
+  private def bruteContainment(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sets = df.select(col("id"),
+      array_sort(array_distinct(filter(
+        split(lower(trim(col("text"))), "\\s+"), x => x =!= "")))
+        .as("ws"))
+      .where(size(col("ws")) > 0)
+    val a = sets.select(col("id").as("id_a"), col("ws").as("wa"))
+    val b = sets.select(col("id").as("id_b"), col("ws").as("wb"))
+    a.crossJoin(b).where(col("id_a") =!= col("id_b"))
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .where(col("c").cast("double") / size(col("wa")).cast("double") >= t)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((c * 1000000) DIV size(wa) AS BIGINT)").as("ppm"))
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("containment join equals brute-force ordered all-pairs at several thresholds") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten")
+    val rows = (0L until 120L).map { i =>
+      val b = base((i % 2).toInt).split(" ")
+      val kept = b.filter(_ => rnd.nextDouble() > 0.25)
+      val extra = if (rnd.nextBoolean()) Seq(s"tok${rnd.nextInt(30)}") else Nil
+      (i, (kept ++ extra).mkString(" "))
+    }
+    val df = rows.toDF("id", "text")
+    for (t <- Seq(0.6, 0.8, 1.0)) {
+      val got = Dedup.containmentPairs(df, "text", "id", threshold = t,
+        shingleSize = 1)
+        .select(col("id_a"), col("id_b"), col("containment_ppm").as("ppm"))
+        .collect().map(_.toString).sorted.toSeq
+      Dedup.releaseCaches()
+      val expect = bruteContainment(df, t)
+      assert(got == expect, s"t=$t: ${got.size} vs ${expect.size} pairs")
+      assert(expect.nonEmpty, s"fixture produced no pairs at t=$t")
+    }
+  }
+
+  test("containment flags a quote inside a long doc that Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight again"
+    val long = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3 + quote
+    val df = Seq((1L, quote), (2L, long), (3L, "unrelated words entirely here"))
+      .toDF("id", "text")
+    val cont = Dedup.containmentPairs(df, "text", "id", 0.9, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(cont.contains((1L, 2L)), s"quote→long containment missing: $cont")
+    assert(!cont.contains((2L, 1L)), "long doc is NOT contained in the quote")
+    val jac = Dedup.prefixJaccardPairs(df, "text", "id", 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(!jac.contains((1L, 2L)),
+      "fixture broken: symmetric Jaccard should miss the quote pair")
+  }
 }

@@ -501,6 +501,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x151: containment join stays an equi-join on hashed tokens; text dies at the scan") {
+    val nodes = flatten(planOf("x151_containment_join"))
+    graft.operators.Dedup.releaseCaches()
+    // a nested loop anywhere would mean the asymmetric prefix filter
+    // degenerated to ordered all-pairs
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "containment join must stay an equi-join")
+    val postScan = nodes.filterNot(n => n.isInstanceOf[FileSourceScanExec] ||
+      n.nodeName.contains("InMemoryTableScan"))
+    postScan.filter(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]).foreach { j =>
+      assert(!j.output.exists(_.name == "text"),
+        s"shingle/text column travels through a join: ${j.output.map(_.name)}")
+    }
+  }
+
   test("d37: raw events collapse to user×day in the FIRST (partial) aggregation") {
     // The gaps-and-islands window and both follow-up aggs must see only
     // the user×day frame — a partial HashAggregate below the first

@@ -197,7 +197,12 @@ object BenchScale {
     "x153_coverage_select" -> 1.4,
     // rarest-gram prefix candidates: block-local candidate volume like
     // the SNM family (per-gram postings bounded by the length filter)
-    "x154_qgram_join" -> 1.5)
+    "x154_qgram_join" -> 1.5,
+    // one kernel scan + keyed hash joins over vocab-sized count tables
+    "x155_kneser_ney_score" -> 1.3,
+    // pair-distinct + 5 cached supersteps over the word graph — the
+    // pagerank iteration class (vocab-sized state, corpus-sized explode)
+    "x156_textrank_keywords" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -101,4 +101,67 @@ object NgramLm {
       idCol: String,
       roundTo: Int = 4): DataFrame =
     score(df, textCol, idCol, fit(df, textCol, idCol), roundTo)
+
+  private def explodeBigramPairs(base: DataFrame, idCol: String): DataFrame = {
+    val n1: Column = greatest(size(col("th")) - 1, lit(0))
+    base
+      .select(col(idCol), slice(col("th"), lit(1), n1).as("a1"),
+        slice(col("th"), lit(2), n1).as("a2"))
+      .select(col(idCol), explode(arrays_zip(col("a1"), col("a2"))).as("p"))
+      .select(col(idCol), col("p.a1").as("w1h"), col("p.a2").as("w2h"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen–Goodman 1999 interpolated form with a fixed absolute discount
+    * D = discountPct/100) — the stronger LM-quality filter: where Laplace
+    * (bigramLmScore) over-penalizes rare continuations, KN backs off to
+    * the CONTINUATION unigram ("how many distinct contexts precede w2"),
+    * which is the part that actually predicts well-formedness ("Francisco"
+    * is frequent but appears after almost nothing except "San").
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1) + (D·N₁₊(w1·)/c(w1)) · N₁₊(·w2)/B
+    *
+    * with c(w1) = Σ_w2 c(w1w2) (history mass from the bigram table),
+    * N₁₊(w1·)/N₁₊(·w2) the distinct right/left continuation counts, and
+    * B the distinct-bigram total. Self-scored, every scored bigram has
+    * c ≥ 1 > D, so the max(·,0) clamp of the general form never binds.
+    * Returns (doc_id, kn_score, n_bigrams): kn_score = avg ln P over the
+    * document's bigrams, rounded like bigramLmScore.
+    *
+    * Scale shape: one kernel tokenization (8-byte hashes end to end, as
+    * bigramLmScore), ONE (w1h, w2h) count aggregation feeding all three
+    * statistic tables (history and continuation stats aggregate the
+    * distinct-bigram table — vocab-sized, not postings-sized), B a 1-row
+    * broadcast; the scoring joins are keyed on hashes with map-side
+    * partial aggregation downstream, stopword skew handled by AQE. */
+  def knBigramScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      discountPct: Int = 75,
+      roundTo: Int = 4): DataFrame = {
+    require(discountPct >= 1 && discountPct <= 99,
+      "knBigramScore: discountPct in [1, 99] (D = discountPct/100 must sit in (0, 1))")
+    val d = discountPct / 100.0
+    val base = caches.tracked(hashed(df, textCol, idCol).persist())
+    val bi = caches.tracked(explodeBigramPairs(base, idCol).persist())
+    val bc = caches.tracked(
+      bi.groupBy("w1h", "w2h").agg(count(lit(1)).as("c2")).persist())
+    val hist = bc.groupBy("w1h")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
+    val cont = bc.groupBy("w2h").agg(count(lit(1)).as("n1bw"))
+    val btot = bc.agg(count(lit(1)).as("bt"))
+    bi
+      .join(bc, Seq("w1h", "w2h"))
+      .join(hist, Seq("w1h"))
+      .join(cont, Seq("w2h"))
+      .crossJoin(broadcast(btot))
+      .groupBy(idCol)
+      .agg(
+        round(avg(log(
+          ((col("c2") - lit(d)) / col("c1")) +
+            (((lit(d) * col("n1fw")) / col("c1")) * (col("n1bw") / col("bt"))))),
+          roundTo).as("kn_score"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+  }
 }

@@ -422,4 +422,70 @@ object Vocabulary {
       .where(col("draw") >= col("lo") && col("draw") < col("lo") + col("cnt"))
       .select(col("doc_id"), col("neg_idx"), col("draw"), col("token"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus-level word co-occurrence graph — the graph-centrality
+    * complement of frequency keywording (x33's TF-IDF): a term ranks high
+    * when it co-occurs with many other well-connected terms, not merely
+    * when it is frequent, which surfaces hub vocabulary that pure counts
+    * bury under boilerplate.
+    *
+    * Graph contract (window = 2, the paper's strongest setting): an
+    * UNDIRECTED unweighted edge joins two distinct words that appear
+    * adjacent anywhere in the corpus; the rank fixed point is the shared
+    * integer PageRank scheme (Graph.pageRankFixedPoint — exact long
+    * arithmetic, so the oracle replays every superstep bit-for-bit).
+    * Node ids are xxhash64(word) — a pure projection, NO vocab-wide id
+    * sort. Sound because the integer fixed point is graph-isomorphism
+    * invariant (teleport scale/n, share r div deg, dangling
+    * redistribution — none reads the id value), so the oracle's own
+    * dense-rank ids yield identical per-WORD ranks; a 64-bit collision
+    * would merge two vocabulary nodes, which the hash-exact oracle
+    * comparison would catch loudly.
+    *
+    * Output: (word, rank_fp, degree) — the topK words by rank (ties to
+    * the lexicographically smaller word), degree = co-occurrence-graph
+    * neighbor count.
+    *
+    * Scale shape: one tokenization scan → adjacent-pair projection →
+    * distinct (vocab²-bounded, in practice ~corpus-token-sized before
+    * distinct and vocab-sized after); the id table is a row_number over
+    * the sorted co-occurring vocabulary (vocab-sized sort, NOT
+    * corpus-sized); the supersteps are pageRankFixedPoint's cached
+    * src-partitioned joins with localCheckpoint lineage truncation. The
+    * final topK is a distributed TakeOrdered, never a full sort. */
+  def textrankKeywords(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      iters: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "textrankKeywords: topK in [1, 1e4]")
+    val toks = df.select(tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val n1: Column = size(col("tk")) - 1
+    val pairs = toks
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), n1).as("a"),
+        slice(col("tk"), lit(2), n1).as("b"))).as("p"))
+      .select(col("p.a").as("wa"), col("p.b").as("wb"))
+      .where(col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"))
+      .distinct()
+    val und = tracked(pairs.persist())
+    val ids = und.select(col("w1").as("word")).unionAll(und.select(col("w2")))
+      .distinct()
+      .select(col("word"), xxhash64(col("word")).as("node"))
+    val e = und.select(xxhash64(col("w1")).as("src"), xxhash64(col("w2")).as("dst"))
+    val ranks = Graph.pageRankFixedPoint(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+      "src", "dst", iters = iters)
+    ranks.join(ids, Seq("node"))
+      .select(col("word"), col("rank_fp"), col("deg").as("degree"))
+      .orderBy(desc("rank_fp"), col("word"))
+      .limit(topK)
+    // the pagerank caches belong to Graph's registry; the pair projection
+    // to this object's — both released by the caller's releaseCaches
+  }
 }

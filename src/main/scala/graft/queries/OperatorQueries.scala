@@ -6195,6 +6195,98 @@ object OperatorQueries {
         |  levenshtein(c.val, d.val)::BIGINT AS dist
         |FROM clean c JOIN dirty d ON levenshtein(c.val, d.val) <= 1
         |ORDER BY clean_id, dirty_id""".stripMargin),
+
+    // Interpolated Kneser–Ney bigram scoring (D = 0.75): the stronger LM
+    // quality filter next to x26's Laplace — continuation-count backoff
+    // instead of uniform smoothing. The oracle replays the three count
+    // tables and the exact interpolation parenthesization on strings
+    // (the engine runs 8-byte hashes end to end; agreement also certifies
+    // collision-free hashing on this corpus).
+    "x155_kneser_ney_score" -> sql(
+      (s, dir) => {
+        val out = NgramLm.knBigramScore(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        NgramLm.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || chr(31) || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS MATERIALIZED (SELECT b, count(*)::BIGINT AS c2 FROM bi GROUP BY 1),
+        |hist AS MATERIALIZED (
+        |  SELECT string_split(b, chr(31))[1] AS w1, sum(c2)::BIGINT AS c1,
+        |    count(*)::BIGINT AS n1fw
+        |  FROM bc GROUP BY 1),
+        |cont AS MATERIALIZED (
+        |  SELECT string_split(b, chr(31))[2] AS w2, count(*)::BIGINT AS n1bw
+        |  FROM bc GROUP BY 1),
+        |btot AS (SELECT count(*)::BIGINT AS bt FROM bc)
+        |SELECT bi.doc_id,
+        |  round(avg(ln(((c2 - 0.75) / c1) + (((0.75 * n1fw) / c1) * (n1bw / bt)))), 4) AS kn_score,
+        |  count(*)::BIGINT AS n_bigrams
+        |FROM bi JOIN bc USING (b)
+        |JOIN hist ON hist.w1 = string_split(bi.b, chr(31))[1]
+        |JOIN cont ON cont.w2 = string_split(bi.b, chr(31))[2]
+        |CROSS JOIN btot
+        |GROUP BY bi.doc_id ORDER BY doc_id""".stripMargin),
+
+    // TextRank keyword extraction: PageRank over the corpus word
+    // co-occurrence graph (adjacent distinct words, undirected). The
+    // engine hashes words to node ids (pure projection, no vocab sort);
+    // the oracle uses its OWN dense-rank ids — sound because the integer
+    // fixed point is isomorphism-invariant, so per-WORD ranks must agree
+    // hash-exactly, and any 64-bit word-hash collision would break the
+    // match loudly.
+    "x156_textrank_keywords" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.textrankKeywords(Tables.documents(s, dir),
+          "text", "doc_id", iters = 5, topK = 20)
+        val materialized = out.cache()
+        materialized.count()
+        Vocabulary.releaseCaches()
+        Graph.releaseCaches()
+        materialized
+      },
+      s"""WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || chr(31) || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |pp AS (
+        |  SELECT string_split(b, chr(31))[1] AS a, string_split(b, chr(31))[2] AS bb FROM bg),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, bb) AS w1, greatest(a, bb) AS w2 FROM pp WHERE a <> bb),
+        |w AS MATERIALIZED (
+        |  SELECT word, row_number() OVER (ORDER BY word) AS nid
+        |  FROM (SELECT w1 AS word FROM und UNION SELECT w2 FROM und)),
+        |e AS MATERIALIZED (
+        |  SELECT wa.nid AS src, wb.nid AS dst
+        |  FROM und JOIN w wa ON wa.word = und.w1 JOIN w wb ON wb.word = und.w2
+        |  UNION ALL
+        |  SELECT wb.nid, wa.nid
+        |  FROM und JOIN w wa ON wa.word = und.w1 JOIN w wb ON wb.word = und.w2),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |nd AS MATERIALIZED (
+        |  SELECT n.node, coalesce(d.deg, 0::BIGINT) AS deg
+        |  FROM nodes n LEFT JOIN dg d USING (node)),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nd),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, deg, 1000000000000 // (SELECT n FROM nn) AS r FROM nd),
+        |${pagerankIterCtes(5, "TRUE", "(SELECT n FROM nn)")}
+        |SELECT w.word, r.r AS rank_fp, r.deg AS degree
+        |FROM r5 r JOIN w ON w.nid = r.node
+        |ORDER BY rank_fp DESC, word LIMIT 20""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

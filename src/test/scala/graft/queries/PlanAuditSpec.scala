@@ -959,4 +959,53 @@ class PlanAuditSpec extends SparkSpec {
       "the |groups|-row stats frame must broadcast-hash-join")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
   }
+
+  test("x155: KN statistics join on 8-byte hashes with the distinct-bigram " +
+    "total broadcast — no token strings past the kernel, no cartesian") {
+    try {
+      val out = graft.operators.NgramLm.knBigramScore(
+        graft.queries.Tables.documents(spark, dir), "text", "doc_id")
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "the 1-row distinct-bigram total must broadcast")
+      assert(!nodes.mkString.contains("CartesianProduct"),
+        "btot must ride a broadcast, never a cartesian")
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
+        Set("doc_id", "text")),
+        "column pruning must reach the documents scan")
+      // every join key is a long hash: the string tokens die inside the
+      // codegen'd kernel, so no shuffle carries token text
+      val shuffles = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.nonEmpty)
+      assert(!shuffles.exists(_.child.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType)),
+        "no exchange may move token strings — hashes only")
+    } finally graft.operators.NgramLm.releaseCaches()
+  }
+
+  test("x156: textrank takes top-k distributed (TakeOrdered), builds ids by " +
+    "pure hash projection (no vocab-wide window/sort), one documents scan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    try {
+      val out = graft.operators.Vocabulary.textrankKeywords(
+        graft.queries.Tables.documents(spark, dir), "text", "doc_id",
+        iters = 2, topK = 20)
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.mkString.contains("TakeOrdered"),
+        "the keyword cut must be TakeOrderedAndProject, not a global sort")
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        "node ids are xxhash64 projections — a window would mean a " +
+          "vocab-wide id sort crept back in")
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("text")),
+        s"only text is needed, got " +
+          scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    } finally {
+      graft.operators.Vocabulary.releaseCaches()
+      graft.operators.Graph.releaseCaches()
+    }
+  }
 }

@@ -202,7 +202,9 @@ object BenchScale {
     "x155_kneser_ney_score" -> 1.3,
     // pair-distinct + 5 cached supersteps over the word graph — the
     // pagerank iteration class (vocab-sized state, corpus-sized explode)
-    "x156_textrank_keywords" -> 1.4)
+    "x156_textrank_keywords" -> 1.4,
+    // two pruned-retriever scans + a union of two k-bounded lists
+    "x157_rrf_hybrid" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

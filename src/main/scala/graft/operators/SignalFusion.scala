@@ -133,4 +133,48 @@ object SignalFusion {
         expr(s"((__s - t + $alpha) * 1000000) div (__n - 1 + $alpha + $beta)")
           .as("enc_ppm"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of
+    * pre-ranked candidate lists — the standard hybrid-retrieval merge
+    * (lexical BM25 + semantic ANN): each list contributes
+    * 1/(kRrf + rank) for the items it ranked, and items high on ANY list
+    * float to the top without any score calibration across retrievers
+    * (ranks are scale-free; raw BM25 and cosine scores are not
+    * comparable).
+    *
+    * Fixed-point contract: the contribution is `scale div (kRrf + rank)`
+    * in exact long arithmetic, so the fused total is a commutative
+    * integer sum — deterministic under any partitioning/merge order (a
+    * double 1/(k+r) sum would be association-order-dependent) and
+    * replayable by the oracle bit-for-bit.
+    *
+    * Inputs are (id, rank) frames AS RANKED BY their retrievers (rank
+    * ≥ 1; top-k-truncated lists, e.g. bm25TopK/bruteForceTopK output) —
+    * fusion itself never re-sorts a corpus: one union of k-bounded lists,
+    * one keyed aggregation, one TakeOrdered cut.
+    *
+    * Output: (id, rrf_fp, n_lists, best_rank) — topK by fused score,
+    * ties to the smaller id. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      kRrf: Int = 60,
+      topK: Int = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0, "rrfFuse: kRrf must be non-negative")
+    require(topK >= 1 && topK <= 100000, "rrfFuse: topK in [1, 1e5]")
+    val lists = rankings.map(df =>
+      df.select(col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rank")))
+    lists.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(
+        sum(expr(s"${scale}L div (${kRrf}L + rank)")).as("rrf_fp"),
+        count(lit(1)).cast("long").as("n_lists"),
+        min("rank").as("best_rank"))
+      .orderBy(desc("rrf_fp"), col("id"))
+      .limit(topK)
+  }
 }

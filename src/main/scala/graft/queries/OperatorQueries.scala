@@ -6287,6 +6287,83 @@ object OperatorQueries {
         |SELECT w.word, r.r AS rank_fp, r.deg AS degree
         |FROM r5 r JOIN w ON w.nid = r.node
         |ORDER BY rank_fp DESC, word LIMIT 20""".stripMargin),
+
+    // Hybrid-retrieval reciprocal-rank fusion: a lexical BM25 top-100
+    // (x81 machinery) and a semantic exact-cosine top-100 against the
+    // min-id probe vector (x13 machinery) merge by integer RRF — rank
+    // contributions scale div (60 + rank) in exact long arithmetic, so
+    // the fused ordering is calibration-free and the oracle replays both
+    // retriever rankings and the fused fold bit-for-bit.
+    "x157_rrf_hybrid" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val lex = Vocabulary.bm25TopK(docs, "text", "doc_id",
+          Seq("q" -> "merge sort"), k = 100)
+          .select(col("doc").as("doc_id"), col("rank"))
+        val probe = emb.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val sem = Similarity.bruteForceTopK(emb, probe, "vec_id", "embedding",
+          "qid", "qvec", k = 100)
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        val out = SignalFusion.rrfFuse(Seq(lex, sem), "doc_id", "rank",
+          kRrf = 60, topK = 20)
+          .withColumnRenamed("id", "doc_id")
+        val materialized = out.cache()
+        materialized.count()
+        Vocabulary.releaseCaches()
+        materialized
+      },
+      """WITH dl AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES ('q', 'merge'), ('q', 'sort')) AS t(qid, term)),
+        |tf AS (
+        |  SELECT t.doc, t.term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+        |  GROUP BY 1, 2),
+        |wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+        |  FROM tf),
+        |sc AS (
+        |  SELECT q.qid, w.doc,
+        |    round(sum(ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5)) * w.tf * 2.2 /
+        |      (w.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM wdf w
+        |  JOIN q ON q.term = w.term
+        |  JOIN dl ON dl.doc = w.doc
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT doc AS id, rnk FROM (
+        |    SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS rnk
+        |    FROM sc) WHERE rnk <= 100),
+        |emb AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id AS qid, embedding AS qvec FROM emb ORDER BY vec_id LIMIT 1),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(p.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(p.qvec::DOUBLE[], p.qvec::DOUBLE[])) *
+        |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM p JOIN emb e ON e.vec_id <> p.qid),
+        |sem AS (
+        |  SELECT vec_id AS id, rnk FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM scored) WHERE rnk <= 100),
+        |u AS (SELECT id, rnk FROM lex UNION ALL SELECT id, rnk FROM sem)
+        |SELECT id AS doc_id,
+        |  sum(1000000000000 // (60 + rnk))::BIGINT AS rrf_fp,
+        |  count(*)::BIGINT AS n_lists,
+        |  min(rnk)::BIGINT AS best_rank
+        |FROM u GROUP BY id
+        |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -1008,4 +1008,29 @@ class PlanAuditSpec extends SparkSpec {
       graft.operators.Graph.releaseCaches()
     }
   }
+
+  test("x157: both retriever lists are rank-bounded before fusion; the probe " +
+    "and query terms broadcast; the fused cut is TakeOrdered") {
+    try {
+      val docs = graft.queries.Tables.documents(spark, dir)
+      val emb = graft.queries.Tables.embeddings(spark, dir)
+      import org.apache.spark.sql.functions.{col, desc}
+      val lex = graft.operators.Vocabulary.bm25TopK(docs, "text", "doc_id",
+        Seq("q" -> "merge sort"), k = 100)
+        .select(col("doc").as("doc_id"), col("rank"))
+      val probe = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = graft.operators.Similarity.bruteForceTopK(emb, probe,
+        "vec_id", "embedding", "qid", "qvec", k = 100)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      val out = graft.operators.SignalFusion.rrfFuse(Seq(lex, sem),
+        "doc_id", "rank", kRrf = 60, topK = 20)
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.mkString.contains("TakeOrdered"),
+        "the fused top-20 must be TakeOrderedAndProject, not a global sort")
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "query terms / probe vector must broadcast into the retrievers")
+      assert(!nodes.mkString.contains("CartesianProduct"))
+    } finally graft.operators.Vocabulary.releaseCaches()
+  }
 }

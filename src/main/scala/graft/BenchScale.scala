@@ -204,7 +204,9 @@ object BenchScale {
     // pagerank iteration class (vocab-sized state, corpus-sized explode)
     "x156_textrank_keywords" -> 1.4,
     // two pruned-retriever scans + a union of two k-bounded lists
-    "x157_rrf_hybrid" -> 1.3)
+    "x157_rrf_hybrid" -> 1.3,
+    // shuffle-free literal-matrix projection scan
+    "x158_jl_project" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

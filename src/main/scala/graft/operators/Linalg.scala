@@ -129,6 +129,48 @@ object Linalg {
         lit(roundAt(lam2 / tr, 4)).as("evr2")): _*)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003's
+    * database-friendly ±1 variant): project `vecCol` (dim d) to `outDim`
+    * coordinates p_j = Σ_i x_i · s(j,i) / √outDim with signs
+    * derandomized the engine's standard way (the d08/x128 md5 trick):
+    * s(j,i) = +1 iff the first hex nibble of md5("seed:j:i") ≤ '7' — a
+    * pure function of (seed, j, i), so the SAME matrix materializes on
+    * any cluster, any engine with md5 (the oracle rebuilds it in SQL,
+    * independently). The JL guarantee (pairwise distances preserved
+    * within 1±ε w.h.p. for outDim = O(ln n / ε²)) is what makes this the
+    * standard cheap pre-ANN dimensionality reduction; JlSpec measures the
+    * empirical distortion envelope on a fixture.
+    *
+    * Scale shape: the outDim×dim sign matrix is driver-built metadata
+    * (KBs) baked into the plan as literals; the projection is ONE
+    * codegen'd scan (graft_dot_fd ascending-fold dot per output coord) —
+    * no shuffle, no state. Output: (…carry, p00..p{outDim-1}), scores
+    * rounded to 4 dp like pcaProject (ln()-free arithmetic, the rounding
+    * only guards cross-engine last-ulp drift). */
+  def jlProject(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      carry: Seq[String],
+      seed: String = "jl"): DataFrame = {
+    require(outDim >= 1 && outDim <= 256 && outDim <= dim,
+      "jlProject: outDim in [1, min(dim, 256)]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val rows = Array.tabulate(outDim, dim) { (j, i) =>
+      if (md5hex(s"$seed:$j:$i").charAt(0) <= '7') inv else -inv
+    }
+    df.select(
+      carry.map(col) ++ (0 until outDim).map(j =>
+        round(call_function("graft_dot_fd", col(vecCol), typedlit(rows(j).toSeq)), 4)
+          .as(f"p$j%02d")): _*)
+  }
+
   /** Ridge-regression linear probe on an embedding column — the standard
     * "is signal X linearly decodable from these embeddings?" check run
     * before spending GPU time on a finetune, and a quality-classifier

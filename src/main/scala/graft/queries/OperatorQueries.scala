@@ -6364,6 +6364,30 @@ object OperatorQueries {
         |  min(rnk)::BIGINT AS best_rank
         |FROM u GROUP BY id
         |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Johnson–Lindenstrauss sign projection 64 → 16: the md5-derandomized
+    // ±1/√16 matrix rebuilds INDEPENDENTLY in SQL (md5 nibble compare),
+    // and the per-coordinate ascending-fold dot replays via
+    // list_dot_product — the same cross-engine equality x109 established.
+    "x158_jl_project" -> sql(
+      (s, dir) =>
+        Linalg.jlProject(Tables.embeddings(s, dir), "embedding",
+          dim = 64, outDim = 16, carry = Seq("vec_id", "label"))
+          .orderBy("vec_id"),
+      s"""WITH d AS MATERIALIZED (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |sg AS MATERIALIZED (
+        |  SELECT j, list_transform(generate_series(0, 63), i ->
+        |    CASE WHEN substr(md5('jl:' || j || ':' || i), 1, 1) <= '7'
+        |      THEN 1.0 / sqrt(16.0) ELSE -(1.0 / sqrt(16.0)) END) AS sgn
+        |  FROM range(0, 16) t(j)),
+        |p AS (
+        |  SELECT d.vec_id, d.label, g.j,
+        |    round(list_dot_product(d.e, g.sgn), 4) AS v
+        |  FROM d CROSS JOIN sg g)
+        |SELECT vec_id, label,
+        |${(0 until 16).map(j => s"  max(CASE WHEN j = $j THEN v END) AS p${f"$j%02d"}").mkString(",\n")}
+        |FROM p GROUP BY vec_id, label ORDER BY vec_id""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -1033,4 +1033,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(!nodes.mkString.contains("CartesianProduct"))
     } finally graft.operators.Vocabulary.releaseCaches()
   }
+
+  test("x158: the JL projection is ONE shuffle-free codegen scan — matrix " +
+    "baked as literals, no exchange, no aggregation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val out = graft.operators.Linalg.jlProject(
+      graft.queries.Tables.embeddings(spark, dir), "embedding",
+      dim = 64, outDim = 16, carry = Seq("vec_id", "label"))
+    val nodes = flatten(executedPlan(out))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "a projection must not exchange")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("vec_id", "label", "embedding"))
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "the dot kernels must live inside whole-stage codegen")
+  }
 }

@@ -206,7 +206,10 @@ object BenchScale {
     // two pruned-retriever scans + a union of two k-bounded lists
     "x157_rrf_hybrid" -> 1.3,
     // shuffle-free literal-matrix projection scan
-    "x158_jl_project" -> 1.2)
+    "x158_jl_project" -> 1.2,
+    // eps-cell equi-join candidates (occupancy grows with density at
+    // fixed eps: documented super-linear allowance) + component rounds
+    "x159_dbscan_embed" -> 1.6)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

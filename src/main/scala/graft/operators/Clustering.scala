@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact DBSCAN (Ester, Kriegel, Sander & Xu 1996) over low-dimensional
+  * projected points — the density-clustering leg of an embedding-curation
+  * pipeline (cluster the PCA/JL projection, then act per cluster: cap
+  * over-represented modes, drop noise, pick per-cluster canonicals).
+  *
+  * Determinism contract (this is EXACT DBSCAN, not an approximation):
+  * core points (≥ minPts neighbors within eps, self included) and the
+  * core-core connectivity are order-independent facts of the point set;
+  * cluster labels are canonicalized to the SMALLEST core id of the
+  * cluster (min-label components, the x118/x25 convention); border points
+  * (non-core with ≥ 1 core neighbor) attach to the smallest adjacent
+  * cluster label — the one classical free choice in DBSCAN, pinned here
+  * so any engine replaying the definition agrees bit-for-bit. Noise gets
+  * cluster −1.
+  *
+  * Scale shape: the eps-grid equi-join is the classic block-local
+  * candidate generator — each point lands in ONE cell
+  * (⌊x/eps⌋, ⌊y/eps⌋), probes explode to their 3×3 cell block, and the
+  * candidate join is an EQUI-join on the cell key (never a distance
+  * theta-join), so candidate volume is n × (9 × occupancy) with
+  * occupancy a density property, not a corpus-size property (shrink eps
+  * with density, the x144 occupancy discipline). The exact-distance
+  * filter runs inside the same codegen stage; neighbor counts are one
+  * keyed aggregation; components ride Graph.connectedComponents'
+  * cached-edge Pregel rounds (state = one long per CORE point —
+  * core-subgraph-sized, not corpus-sized). */
+object Clustering {
+
+  private val caches = new CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
+
+  /** Unpersist this thread's grid/neighbor caches (Dedup.releaseCaches
+    * contract — call after materializing the result; the components
+    * rounds additionally pin Graph's registry, released the same way). */
+  def releaseCaches(): Unit = { caches.releaseAll(); Graph.releaseCaches() }
+
+  /** DBSCAN over (idCol, xCol, yCol) points: returns
+    * (id, cluster, is_core, n_neighbors) per input point — cluster is the
+    * smallest member core id, −1 for noise; n_neighbors counts the
+    * eps-ball including the point itself. */
+  def gridDbscan(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0.0, "gridDbscan: eps must be positive")
+    require(minPts >= 1 && minPts <= 1000000, "gridDbscan: minPts in [1, 1e6]")
+
+    val pts = tracked(points
+      .select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+      .persist())
+
+    // directed neighbor pairs (ia → ib, ia ≠ ib, dist² ≤ eps²): probes
+    // explode to the 3×3 block, candidates equi-join on the cell key
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probe = pts
+      .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+        explode(typedlit(offsets)).as("o"), col("cx"), col("cy"))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("cx") + col("o._1")).as("ncx"), (col("cy") + col("o._2")).as("ncy"))
+    val nb = tracked(probe
+      .join(pts.select(col("id").as("ib"), col("x").as("xb"), col("y").as("yb"),
+        col("cx").as("ncx"), col("cy").as("ncy")), Seq("ncx", "ncy"))
+      .where(col("ia") =!= col("ib"))
+      .where(((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb"))) <= lit(eps) * lit(eps))
+      .select("ia", "ib")
+      .persist())
+
+    val counts = nb.groupBy("ia").agg((count(lit(1)) + lit(1L)).as("n"))
+    val withN = tracked(pts.select("id")
+      .join(counts.withColumnRenamed("ia", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(1L)).as("n_neighbors"))
+      .persist())
+    val core = withN.where(col("n_neighbors") >= minPts).select("id")
+
+    // components over the core-core subgraph; self-loops keep isolated
+    // cores as singleton clusters
+    val coreCore = nb
+      .join(core.withColumnRenamed("id", "ia"), Seq("ia"))
+      .join(core.withColumnRenamed("id", "ib"), Seq("ib"))
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    // maxIters 200: min-label needs O(cluster graph diameter) rounds and a
+    // thin geometric chain can span many grid cells
+    val comp = tracked(Graph.connectedComponents(
+      coreCore.unionAll(core.select(col("id").as("src"), col("id").as("dst"))),
+      "src", "dst", maxIters = 200).persist())
+
+    val coreAssign = comp.select(col("node").as("id"), col("comp").as("cluster"),
+      lit(true).as("is_core"))
+    val border = nb
+      .join(comp.select(col("node").as("ib"), col("comp")), Seq("ib"))
+      .groupBy("ia").agg(min("comp").as("cluster"))
+      .join(core.withColumnRenamed("id", "ia"), Seq("ia"), "left_anti")
+      .select(col("ia").as("id"), col("cluster"), lit(false).as("is_core"))
+
+    withN
+      .join(coreAssign.unionByName(border), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("is_core"), lit(false)).as("is_core"),
+        col("n_neighbors"))
+  }
+}

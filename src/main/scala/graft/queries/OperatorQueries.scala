@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -4367,47 +4367,7 @@ object OperatorQueries {
         Linalg.pcaProject(Tables.embeddings(s, dir), "embedding", dim = 64,
           carry = Seq("vec_id", "label"), iters = 12)
           .orderBy("vec_id"),
-      s"""WITH d AS MATERIALIZED (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
-        |idx AS (SELECT i FROM range(0, 64) t(i)),
-        |mu AS MATERIALIZED (
-        |  SELECT i.i AS i, round(sum(d.e[i.i + 1]) / (SELECT n FROM nn), 6) AS m
-        |  FROM d CROSS JOIN idx i GROUP BY i.i),
-        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
-        |s2 AS MATERIALIZED (
-        |  SELECT prx.i, prx.j,
-        |    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
-        |  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
-        |cov AS MATERIALIZED (
-        |  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS c
-        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
-        |  UNION ALL
-        |  SELECT s2.j, s2.i, s2.s - mi.m * mj.m
-        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
-        |  WHERE s2.i <> s2.j),
-        |mrows AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov GROUP BY i),
-        |trc AS MATERIALIZED (
-        |  SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS t
-        |  FROM cov WHERE i = j),
-        |av0 AS MATERIALIZED (
-        |  SELECT list_transform(generate_series(1, 64), x -> 1.0 / sqrt(64.0)) AS v),
-        |${powerIterCtes("a", "mrows", 12)},
-        |awf AS MATERIALIZED (
-        |  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
-        |  FROM mrows m CROSS JOIN av12 v),
-        |l1 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM av12 v CROSS JOIN awf w),
-        |cov2 AS MATERIALIZED (
-        |  SELECT c.i, c.j,
-        |    c.c - (SELECT lam FROM l1) * v.v[c.i + 1] * v.v[c.j + 1] AS c
-        |  FROM cov c CROSS JOIN av12 v),
-        |mrows2 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov2 GROUP BY i),
-        |bv0 AS MATERIALIZED (SELECT v FROM av0),
-        |${powerIterCtes("b", "mrows2", 12)},
-        |bwf AS MATERIALIZED (
-        |  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
-        |  FROM mrows2 m CROSS JOIN bv12 v),
-        |l2 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM bv12 v CROSS JOIN bwf w)
+      s"""WITH $pcaFitCtes
         |SELECT d.vec_id, d.label,
         |  round(list_dot_product(d.e, (SELECT v FROM av12)), 4) AS pc1,
         |  round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) AS pc2,
@@ -6388,6 +6348,72 @@ object OperatorQueries {
         |SELECT vec_id, label,
         |${(0 until 16).map(j => s"  max(CASE WHEN j = $j THEN v END) AS p${f"$j%02d"}").mkString(",\n")}
         |FROM p GROUP BY vec_id, label ORDER BY vec_id""".stripMargin),
+
+    // Exact DBSCAN over the PCA projection (x109's fit feeds x159's grid):
+    // eps-cell equi-join candidates → exact-distance neighbors → core
+    // predicate → min-label components of the core subgraph → border
+    // attach to the smallest adjacent cluster. Every stage is a
+    // deterministic fact of the point set, so the oracle replays the
+    // whole definition — PCA fit (shared CTE chain), 3×3 block join,
+    // recursive-CTE closure — and per-point labels match hash-exactly.
+    "x159_dbscan_embed" -> sql(
+      (s, dir) => {
+        val scores = Linalg.pcaProject(Tables.embeddings(s, dir), "embedding",
+          dim = 64, carry = Seq("vec_id"), iters = 12)
+        val out = Clustering.gridDbscan(scores, "vec_id", "pc1", "pc2",
+          eps = 0.03, minPts = 5)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+        val materialized = out.cache()
+        materialized.count()
+        Clustering.releaseCaches()
+        materialized
+      },
+      s"""WITH RECURSIVE $pcaFitCtes,
+        |pts AS MATERIALIZED (
+        |  SELECT d.vec_id AS id,
+        |    round(list_dot_product(d.e, (SELECT v FROM av12)), 4) AS x,
+        |    round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) AS y
+        |  FROM d),
+        |cell AS MATERIALIZED (
+        |  SELECT id, x, y, floor(x / 0.03)::BIGINT AS cx, floor(y / 0.03)::BIGINT AS cy
+        |  FROM pts),
+        |nb AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM cell a JOIN cell b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |   AND a.id <> b.id
+        |  WHERE ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.03 * 0.03),
+        |cnt AS MATERIALIZED (
+        |  SELECT p.id, (1 + coalesce(c.n, 0))::BIGINT AS n_neighbors
+        |  FROM pts p LEFT JOIN (
+        |    SELECT ia AS id, count(*)::BIGINT AS n FROM nb GROUP BY 1) c USING (id)),
+        |core AS MATERIALIZED (SELECT id FROM cnt WHERE n_neighbors >= 5),
+        |sym AS MATERIALIZED (
+        |  SELECT nb.ia AS src, nb.ib AS dst FROM nb
+        |  JOIN core ca ON ca.id = nb.ia JOIN core cb ON cb.id = nb.ib
+        |  UNION
+        |  SELECT id, id FROM core),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |lab AS MATERIALIZED (
+        |  SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+        |bord AS MATERIALIZED (
+        |  SELECT nb.ia AS id, min(l.comp) AS cluster
+        |  FROM nb JOIN lab l ON l.node = nb.ib
+        |  WHERE nb.ia NOT IN (SELECT id FROM core)
+        |  GROUP BY nb.ia)
+        |SELECT c.id AS vec_id,
+        |  coalesce(l.comp, b.cluster, -1)::BIGINT AS cluster,
+        |  (l.node IS NOT NULL) AS is_core,
+        |  c.n_neighbors
+        |FROM cnt c
+        |LEFT JOIN lab l ON l.node = c.id
+        |LEFT JOIN bord b ON b.id = c.id
+        |ORDER BY vec_id""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as
@@ -6663,6 +6689,55 @@ object OperatorQueries {
           #|              THEN (SELECT dang FROM g$t) // $mSql ELSE 0 END))) // 100) AS r
           #|  FROM nd LEFT JOIN c$t c USING (node))""".stripMargin('#')
     }.mkString(",\n").stripPrefix("|")
+
+  /** x109's full PCA fit chain, shared with x159's DBSCAN-on-projection:
+    * 6-dp moments → covariance → two 12-round power-iteration fits over
+    * frame `d` (vec_id, label, e) — ends with av12/bv12 component vectors
+    * and l1/l2 Rayleigh quotients, trc the covariance trace. Emits
+    * `|`-margined CTE text whose first line rides the caller's `WITH `. */
+  private def pcaFitCtes: String =
+    (s"""|d AS MATERIALIZED (
+       #|  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       #|nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
+       #|idx AS (SELECT i FROM range(0, 64) t(i)),
+       #|mu AS MATERIALIZED (
+       #|  SELECT i.i AS i, round(sum(d.e[i.i + 1]) / (SELECT n FROM nn), 6) AS m
+       #|  FROM d CROSS JOIN idx i GROUP BY i.i),
+       #|prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+       #|s2 AS MATERIALIZED (
+       #|  SELECT prx.i, prx.j,
+       #|    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+       #|  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+       #|cov AS MATERIALIZED (
+       #|  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS c
+       #|  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+       #|  UNION ALL
+       #|  SELECT s2.j, s2.i, s2.s - mi.m * mj.m
+       #|  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+       #|  WHERE s2.i <> s2.j),
+       #|mrows AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov GROUP BY i),
+       #|trc AS MATERIALIZED (
+       #|  SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS t
+       #|  FROM cov WHERE i = j),
+       #|av0 AS MATERIALIZED (
+       #|  SELECT list_transform(generate_series(1, 64), x -> 1.0 / sqrt(64.0)) AS v),
+       #|${powerIterCtes("a", "mrows", 12)},
+       #|awf AS MATERIALIZED (
+       #|  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
+       #|  FROM mrows m CROSS JOIN av12 v),
+       #|l1 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM av12 v CROSS JOIN awf w),
+       #|cov2 AS MATERIALIZED (
+       #|  SELECT c.i, c.j,
+       #|    c.c - (SELECT lam FROM l1) * v.v[c.i + 1] * v.v[c.j + 1] AS c
+       #|  FROM cov c CROSS JOIN av12 v),
+       #|mrows2 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cov2 GROUP BY i),
+       #|bv0 AS MATERIALIZED (SELECT v FROM av0),
+       #|${powerIterCtes("b", "mrows2", 12)},
+       #|bwf AS MATERIALIZED (
+       #|  SELECT list(list_dot_product(m.rw, v.v) ORDER BY m.i) AS w
+       #|  FROM mrows2 m CROSS JOIN bv12 v),
+       #|l2 AS MATERIALIZED (SELECT list_dot_product(v.v, w.w) AS lam FROM bv12 v CROSS JOIN bwf w)""")
+      .stripMargin('#').stripPrefix("|")
 
   /** x109's power-iteration rounds unrolled: w ← M·v as an ordered list
     * agg of list_dot_product rows, then normalize by the ordered-fold L2

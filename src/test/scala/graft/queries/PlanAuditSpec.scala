@@ -1050,4 +1050,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
       "the dot kernels must live inside whole-stage codegen")
   }
+
+  test("x159: the DBSCAN candidate generator is an EQUI-join on the cell " +
+    "key — never a distance theta-join or cartesian") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    try {
+      val pts = graft.queries.Tables.embeddings(spark, dir)
+        .selectExpr("vec_id AS id", "CAST(embedding[0] AS DOUBLE) AS x",
+          "CAST(embedding[1] AS DOUBLE) AS y")
+      val out = graft.operators.Clustering.gridDbscan(pts, "id", "x", "y",
+        eps = 0.05, minPts = 3)
+      val nodes = flatten(executedPlan(out))
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "a nested-loop join means the distance predicate leaked out of " +
+          "the equi-join stage")
+      assert(!nodes.mkString.contains("CartesianProduct"))
+    } finally graft.operators.Clustering.releaseCaches()
+  }
 }

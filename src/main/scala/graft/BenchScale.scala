@@ -209,7 +209,13 @@ object BenchScale {
     "x158_jl_project" -> 1.2,
     // eps-cell equi-join candidates (occupancy grows with density at
     // fixed eps: documented super-linear allowance) + component rounds
-    "x159_dbscan_embed" -> 1.6)
+    "x159_dbscan_embed" -> 1.6,
+    // x159's plan + one cluster-keyed window over the assignment frame
+    "x160_cluster_cap" -> 1.6,
+    // daily-count collapse + per-series bounded fold
+    "x161_holt_forecast" -> 1.3,
+    // one pruned count aggregation + pure projection
+    "x162_dp_release" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

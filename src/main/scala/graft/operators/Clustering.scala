@@ -111,4 +111,36 @@ object Clustering {
         coalesce(col("is_core"), lit(false)).as("is_core"),
         col("n_neighbors"))
   }
+
+  /** Cluster-capped curation (the SemDeDup-style endpoint of density
+    * clustering): keep at most `cap` members per cluster, chosen in the
+    * engine's deterministic md5(seed:id) draw order (the d08 sampling
+    * convention — layout-independent, engine-replayable); noise (−1)
+    * passes uncapped, since un-clustered points ARE the diverse tail the
+    * cap is protecting. Adds a `kept` flag (never drops rows — the caller
+    * chooses to filter or to weight).
+    *
+    * Scale shape: one keyed window per cluster over the ASSIGNMENT frame
+    * (id + label, not the corpus payload); the md5 order is a pure
+    * projection. A pathological giant cluster concentrates its window
+    * partition — at that shape, cap upstream with the group-limited
+    * two-phase pattern (x83) before the final window. */
+  def clusterCap(
+      assignments: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      cap: Int,
+      seed: String = "cc"): DataFrame = {
+    require(cap >= 1, "clusterCap: cap must be >= 1")
+    require(!assignments.columns.contains("__rk"),
+      "clusterCap reserves the column name __rk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    assignments
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("kept", col(clusterCol) === lit(-1L) || col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

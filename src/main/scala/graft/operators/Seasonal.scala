@@ -202,4 +202,54 @@ object Seasonal {
       .join(broadcast(mase), col("series") === col("__ms"), "left")
       .drop("__cs", "__cd", "__ms")
   }
+
+  /** Holt double exponential smoothing (Holt 1957) per series — the
+    * level+trend forecaster between the seasonal-naive baseline (x133)
+    * and full seasonal decomposition: l ← αy + (1−α)(l+b),
+    * b ← β(l′−l) + (1−β)b over the observed days in order (gaps carry no
+    * observation — the smoothing walks the observed sequence),
+    * initialized l₀ = y₀, b₀ = 0. Forecast = l + horizon·b.
+    *
+    * Determinism contract: the recurrence is a SEQUENTIAL fold, so it
+    * runs as one `aggregate()` higher-order fold over the per-series
+    * day-ordered array — exact IEEE evaluation order, identical
+    * parenthesization to the oracle's list_reduce replay ((1−α)/(1−β)
+    * are computed at runtime from the same literals in both engines,
+    * never pre-folded by the driver). Outputs round to `roundTo` dp.
+    *
+    * Scale shape: ONE keyed aggregation collapses raw events to daily
+    * counts (map-side combined), then one collect per series whose state
+    * is the series' own day count — bounded by the calendar, not the
+    * corpus (a 10-year daily series is 3,652 doubles). The fold itself
+    * is a codegen'd array expression; nothing touches the driver. */
+  def holtLinear(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      alpha: Double = 0.5,
+      beta: Double = 0.3,
+      horizon: Int = 7,
+      roundTo: Int = 4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "holtLinear: alpha in (0, 1)")
+    require(beta > 0.0 && beta < 1.0, "holtLinear: beta in (0, 1)")
+    require(horizon >= 1 && horizon <= 3650, "holtLinear: horizon in [1, 3650]")
+    val lNew = s"$alpha * x + (1.0D - $alpha) * (acc.l + acc.b)"
+    dailyCounts(df, series, ts)
+      .groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("cnt").cast("double").as("y")))).as("o"))
+      .withColumn("ys", expr("transform(o, s -> s.y)"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(ys, 2, greatest(size(ys) - 1, 0)),
+           |  named_struct('l', element_at(ys, 1), 'b', cast(0.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $beta * (($lNew) - acc.l) + (1.0D - $beta) * acc.b))""".stripMargin))
+      .select(col("series"), size(col("ys")).cast("long").as("n_days"),
+        round(col("st.l"), roundTo).as("level"),
+        round(col("st.b"), roundTo).as("trend"),
+        round(col("st.l") + lit(horizon.toDouble) * col("st.b"), roundTo)
+          .as("forecast"))
+  }
 }

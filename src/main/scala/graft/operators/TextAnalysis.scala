@@ -223,6 +223,46 @@ object TextAnalysis {
         (col("n_sensitive") < l).as("l_risk")): _*)
   }
 
+  /** Differentially private count release (Dwork, McSherry, Nissim &
+    * Smith 2006): per-group counts with Laplace(Δ/ε) noise, Δ = 1 for
+    * counting queries — the release form that completes the privacy
+    * family (x126 flags disclosure risk, x139 bounds distribution skew;
+    * this actually PERTURBS the published statistic with an ε budget).
+    *
+    * The noise is derandomized the engine's standard way (the d08/x128
+    * md5 convention): u = 60-bit uniform from md5(seed:group), then the
+    * inverse-CDF Laplace transform
+    *   noise = −(1/ε) · sign(u − 0.5) · ln(1 − 2|u − 0.5|).
+    * A pure function of (seed, group), so the SAME release reproduces on
+    * any cluster/engine — which is exactly what a privacy audit trail
+    * wants (the mechanism's guarantee treats the seed as the mechanism's
+    * randomness; rotate the seed per release). Noisy values round to
+    * `roundTo` dp (rounding is post-processing — DP survives it).
+    *
+    * Scale shape: one keyed count aggregation (map-side combined), then
+    * a pure per-group projection for the draw and the transform — no
+    * second shuffle, no driver state. */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: Column,
+      epsilon: Double,
+      seed: String = "dp",
+      roundTo: Int = 4): DataFrame = {
+    require(epsilon > 0.0 && epsilon <= 100.0, "dpNoisyCounts: epsilon in (0, 100]")
+    val u = conv(substring(
+      md5(concat_ws(":", lit(seed), col("grp").cast("string")).cast("binary")),
+      1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0d) // 2^60
+    val centered = u - lit(0.5d)
+    val noise = (lit(-1.0d / epsilon) * signum(centered)) *
+      log(lit(1.0d) - lit(2.0d) * abs(centered))
+    df.groupBy(groupCol.cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("grp"), col("n"),
+        round(col("n") + noise, roundTo).as("noisy_n"),
+        lit(epsilon).as("epsilon"))
+  }
+
   /** Unpersist frames pinned by the last tClosenessAudit call on this
     * thread. Call once the result is materialized. */
   def releaseCaches(): Unit = caches.releaseAll()

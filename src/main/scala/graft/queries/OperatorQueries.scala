@@ -6414,6 +6414,132 @@ object OperatorQueries {
         |LEFT JOIN lab l ON l.node = c.id
         |LEFT JOIN bord b ON b.id = c.id
         |ORDER BY vec_id""".stripMargin),
+
+    // Cluster-capped curation on x159's labels: ≤ 10 members per density
+    // cluster in md5(cc:id) draw order, noise passes uncapped — the
+    // SemDeDup-style mode-capping endpoint. The oracle extends x159's
+    // replay with the same windowed cap.
+    "x160_cluster_cap" -> sql(
+      (s, dir) => {
+        val scores = Linalg.pcaProject(Tables.embeddings(s, dir), "embedding",
+          dim = 64, carry = Seq("vec_id"), iters = 12)
+        val labels = Clustering.gridDbscan(scores, "vec_id", "pc1", "pc2",
+          eps = 0.03, minPts = 5)
+        val out = Clustering.clusterCap(labels, "id", "cluster", cap = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+        val materialized = out.cache()
+        materialized.count()
+        Clustering.releaseCaches()
+        materialized
+      },
+      s"""WITH RECURSIVE $pcaFitCtes,
+        |pts AS MATERIALIZED (
+        |  SELECT d.vec_id AS id,
+        |    round(list_dot_product(d.e, (SELECT v FROM av12)), 4) AS x,
+        |    round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) AS y
+        |  FROM d),
+        |cell AS MATERIALIZED (
+        |  SELECT id, x, y, floor(x / 0.03)::BIGINT AS cx, floor(y / 0.03)::BIGINT AS cy
+        |  FROM pts),
+        |nb AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM cell a JOIN cell b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |   AND a.id <> b.id
+        |  WHERE ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.03 * 0.03),
+        |cnt AS MATERIALIZED (
+        |  SELECT p.id, (1 + coalesce(c.n, 0))::BIGINT AS n_neighbors
+        |  FROM pts p LEFT JOIN (
+        |    SELECT ia AS id, count(*)::BIGINT AS n FROM nb GROUP BY 1) c USING (id)),
+        |core AS MATERIALIZED (SELECT id FROM cnt WHERE n_neighbors >= 5),
+        |sym AS MATERIALIZED (
+        |  SELECT nb.ia AS src, nb.ib AS dst FROM nb
+        |  JOIN core ca ON ca.id = nb.ia JOIN core cb ON cb.id = nb.ib
+        |  UNION
+        |  SELECT id, id FROM core),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |lab AS MATERIALIZED (
+        |  SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+        |bord AS MATERIALIZED (
+        |  SELECT nb.ia AS id, min(l.comp) AS cluster
+        |  FROM nb JOIN lab l ON l.node = nb.ib
+        |  WHERE nb.ia NOT IN (SELECT id FROM core)
+        |  GROUP BY nb.ia),
+        |asg AS MATERIALIZED (
+        |  SELECT c.id AS vec_id,
+        |    coalesce(l.comp, b.cluster, -1)::BIGINT AS cluster,
+        |    (l.node IS NOT NULL) AS is_core,
+        |    c.n_neighbors
+        |  FROM cnt c
+        |  LEFT JOIN lab l ON l.node = c.id
+        |  LEFT JOIN bord b ON b.id = c.id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY md5('cc:' || vec_id), vec_id) AS r
+        |  FROM asg)
+        |SELECT vec_id, cluster, is_core, n_neighbors,
+        |  (cluster = -1 OR r <= 10) AS kept
+        |FROM rk ORDER BY vec_id""".stripMargin),
+
+    // Holt double exponential smoothing per event series: the recurrence
+    // is one aggregate() fold over the day-ordered array, and the oracle
+    // replays the identical fold as a list_reduce with [level, trend]
+    // pair accumulators — same literals, same parenthesization, so the
+    // unrounded doubles agree and the 4-dp outputs hash-match.
+    "x161_holt_forecast" -> sql(
+      (s, dir) => Seasonal
+        .holtLinear(Tables.events(s, dir), col("event_type"), col("ts"),
+          alpha = 0.5, beta = 0.3, horizon = 7)
+        .orderBy("series"),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT series, list(y ORDER BY day) AS ys FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT series, len(ys)::BIGINT AS n_days,
+        |    list_reduce(
+        |      list_prepend([ys[1], 0.0], list_transform(ys[2:], y -> [y, 0.0])),
+        |      (acc, x) -> [
+        |        0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+        |        0.3 * ((0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2])) - acc[1])
+        |          + (1.0 - 0.3) * acc[2]
+        |      ]) AS st
+        |  FROM s)
+        |SELECT series, n_days,
+        |  round(st[1], 4) AS level,
+        |  round(st[2], 4) AS trend,
+        |  round(st[1] + 7.0 * st[2], 4) AS forecast
+        |FROM f ORDER BY series""".stripMargin),
+
+    // Differentially private count release: per-source document counts +
+    // Laplace(1/0.5) noise from the md5-derandomized 60-bit uniform (the
+    // d08 convention) through the inverse CDF — the oracle rebuilds the
+    // draw (HUGEINT fold of the 15-hex prefix) and the transform.
+    "x162_dp_release" -> sql(
+      (s, dir) => TextAnalysis
+        .dpNoisyCounts(Tables.documents(s, dir), col("source"), epsilon = 0.5)
+        .orderBy("grp"),
+      """WITH g AS (
+        |  SELECT source::VARCHAR AS grp, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT grp, n,
+        |    CAST(list_reduce(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('dp:' || grp), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS uu
+        |  FROM g)
+        |SELECT grp, n,
+        |  round(n + ((-1.0 / 0.5) * sign(uu - 0.5)) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4)
+        |    AS noisy_n,
+        |  0.5 AS epsilon
+        |FROM u ORDER BY grp""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

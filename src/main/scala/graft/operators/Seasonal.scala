@@ -229,12 +229,24 @@ object Seasonal {
       alpha: Double = 0.5,
       beta: Double = 0.3,
       horizon: Int = 7,
+      roundTo: Int = 4): DataFrame =
+    finishHolt(dailyCounts(df, series, ts), alpha, beta, horizon, roundTo)
+
+  /** The Holt fold as a stateless view over an ALREADY-MATERIALIZED
+    * (series, day, cnt) frame — shared by the batch forecaster and the
+    * streaming twin, whose running daily counts (the same state that
+    * feeds the seasonal/CUSUM/health views) ARE this frame. */
+  def finishHolt(
+      dailyIn: DataFrame,
+      alpha: Double = 0.5,
+      beta: Double = 0.3,
+      horizon: Int = 7,
       roundTo: Int = 4): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "holtLinear: alpha in (0, 1)")
     require(beta > 0.0 && beta < 1.0, "holtLinear: beta in (0, 1)")
     require(horizon >= 1 && horizon <= 3650, "holtLinear: horizon in [1, 3650]")
     val lNew = s"$alpha * x + (1.0D - $alpha) * (acc.l + acc.b)"
-    dailyCounts(df, series, ts)
+    dailyIn
       .groupBy("series")
       .agg(sort_array(collect_list(struct(col("day"),
         col("cnt").cast("double").as("y")))).as("o"))

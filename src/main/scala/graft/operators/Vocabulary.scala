@@ -488,4 +488,38 @@ object Vocabulary {
     // the pagerank caches belong to Graph's registry; the pair projection
     // to this object's — both released by the caller's releaseCaches
   }
+
+  /** Skip-gram (center, context) pair counts (Mikolov 2013's word2vec
+    * training input): for every position and offset d ∈ [1, window], the
+    * symmetric pair both ways — the co-occurrence table an embedding
+    * trainer consumes together with x140's negative samples. Self-pairs
+    * (repeated adjacent tokens) count like any other pair.
+    *
+    * Scale shape: the corpus tokenizes ONCE (cached array projection);
+    * each offset is a codegen'd slice/zip over the cached arrays (no
+    * joins, no windows); the symmetric union feeds one hash aggregation
+    * with map-side partials, so the exchange carries distinct-pair rows,
+    * never positions. Caller epilogue: materialize, then
+    * releaseCaches(). */
+  def skipgramPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, "skipgramPairs: window in [1, 16]")
+    val toks = tracked(df.select(tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2).persist())
+    val pairs = (1 to window).map { d =>
+      val n = greatest(size(col("tk")) - d, lit(0))
+      toks
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), n).as("a"),
+          slice(col("tk"), lit(d + 1), n).as("b"))).as("p"))
+        .select(col("p.a").as("center"), col("p.b").as("context"))
+    }.reduce(_ unionAll _)
+    pairs
+      .unionAll(pairs.select(col("context").as("center"), col("center").as("context")))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
 }

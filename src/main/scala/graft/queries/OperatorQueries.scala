@@ -6540,6 +6540,97 @@ object OperatorQueries {
         |    AS noisy_n,
         |  0.5 AS epsilon
         |FROM u ORDER BY grp""".stripMargin),
+
+    // Skip-gram training pairs (window 2, symmetric): the word2vec input
+    // table. Top-500 by (count desc, center, context) — a unique total
+    // order, so the TakeOrdered cut replays exactly.
+    "x163_skipgram_pairs" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.skipgramPairs(Tables.documents(s, dir),
+          "text", "doc_id", window = 2)
+          .orderBy(desc("n"), col("center"), col("context"))
+          .limit(500)
+        val materialized = out.cache()
+        materialized.count()
+        Vocabulary.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |off AS (SELECT d FROM range(1, 3) r(d)),
+        |pr0 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - d.d),
+        |    i -> toks[i] || chr(31) || toks[i + d.d])) AS pg
+        |  FROM t CROSS JOIN off d WHERE len(toks) > d.d),
+        |pr AS (
+        |  SELECT string_split(pg, chr(31))[1] AS center,
+        |    string_split(pg, chr(31))[2] AS context FROM pr0),
+        |sym AS (
+        |  SELECT center, context FROM pr
+        |  UNION ALL SELECT context, center FROM pr),
+        |c AS (SELECT center, context, count(*)::BIGINT AS n FROM sym GROUP BY 1, 2)
+        |SELECT center, context, n FROM c
+        |ORDER BY n DESC, center, context LIMIT 500""".stripMargin),
+
+    // Wilcoxon signed-rank paired test: is the FIRST half of documents
+    // systematically denser (mean word length, integer ppm) than the
+    // second? Differences, midrank ties (doubled ranks), and the rank
+    // sums are exact integers; only the final tie-corrected z touches fp,
+    // from identically-converted decimal components.
+    "x164_wilcoxon_paired" -> sql(
+      (s, dir) => {
+        val paired = Tables.documents(s, dir)
+          .select(expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("tk"), size(col("tk")).as("nt"),
+            expr("(size(tk) + 1) div 2").as("h"))
+          .select(
+            expr("(aggregate(transform(slice(tk, 1, h), x -> length(x)), " +
+              "0L, (acc, x) -> acc + x) * 1000000L) div h").as("a_ppm"),
+            expr("(aggregate(transform(slice(tk, h + 1, nt - h), x -> length(x)), " +
+              "0L, (acc, x) -> acc + x) * 1000000L) div (nt - h)").as("b_ppm"))
+        val out = Evaluation.wilcoxonSignedRank(paired, col("a_ppm"), col("b_ppm"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |hh AS (
+        |  SELECT toks, len(toks) AS nt, (len(toks) + 1) // 2 AS h
+        |  FROM t WHERE len(toks) >= 2),
+        |m AS (
+        |  SELECT
+        |    (list_reduce(list_prepend(0, list_transform(toks[1:h], x -> length(x))),
+        |       (a, b) -> a + b)::BIGINT * 1000000) // h AS a_ppm,
+        |    (list_reduce(list_prepend(0, list_transform(toks[h+1:nt], x -> length(x))),
+        |       (a, b) -> a + b)::BIGINT * 1000000) // (nt - h) AS b_ppm
+        |  FROM hh),
+        |dd AS (SELECT a_ppm - b_ppm AS d FROM m WHERE a_ppm <> b_ppm),
+        |g AS (
+        |  SELECT abs(d) AS ad, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS tp
+        |  FROM dd GROUP BY 1),
+        |r AS (
+        |  SELECT *, coalesce(sum(t) OVER (ORDER BY ad
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |  FROM g),
+        |sagg AS (
+        |  SELECT coalesce(sum(t), 0)::BIGINT AS n,
+        |    coalesce(sum(tp::HUGEINT * (2 * below + t + 1)), 0)::HUGEINT AS w2p,
+        |    coalesce(sum((t - tp)::HUGEINT * (2 * below + t + 1)), 0)::HUGEINT AS w2m,
+        |    coalesce(sum(t::HUGEINT * t * t - t), 0)::HUGEINT AS ties3
+        |  FROM r)
+        |SELECT n, w2p::BIGINT AS w2_plus, w2m::BIGINT AS w2_minus,
+        |  CASE WHEN n < 1 THEN NULL ELSE
+        |    round(((2 * w2p - n::HUGEINT * (n + 1))::DOUBLE / 4.0) /
+        |      sqrt((2 * n::HUGEINT * (n + 1) * (2 * n + 1) - ties3)::DOUBLE / 48.0), 4)
+        |  END AS z
+        |FROM sagg""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

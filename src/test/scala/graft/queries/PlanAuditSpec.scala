@@ -1110,4 +1110,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[WindowExec]))
     assert(!nodes.mkString.contains("Join"))
   }
+
+  test("x163: skip-gram pairs tokenize the corpus once (cached projection), " +
+    "read only text, and cut via TakeOrdered") {
+    try {
+      val out = graft.operators.Vocabulary.skipgramPairs(
+        graft.queries.Tables.documents(spark, dir), "text", "doc_id", window = 2)
+        .orderBy(org.apache.spark.sql.functions.desc("n"),
+          org.apache.spark.sql.functions.col("center"),
+          org.apache.spark.sql.functions.col("context"))
+        .limit(500)
+      val nodes = flatten(executedPlan(out))
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.size <= 1,
+        s"the cached token projection must feed every offset branch, saw ${scans.size} scans")
+      assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("text")))
+      assert(nodes.mkString.contains("TakeOrdered"),
+        "the top-500 cut must be TakeOrderedAndProject")
+    } finally graft.operators.Vocabulary.releaseCaches()
+  }
+
+  test("x164: the signed-rank prefix sum rides the two-phase range " +
+    "exchange — no single-partition window anywhere") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.{col, expr}
+    try {
+      val paired = graft.queries.Tables.documents(spark, dir)
+        .select(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("tk"))
+        .where(org.apache.spark.sql.functions.size(col("tk")) >= 2)
+        .select(col("tk"), org.apache.spark.sql.functions.size(col("tk")).as("nt"),
+          expr("(size(tk) + 1) div 2").as("h"))
+        .select(
+          expr("(aggregate(transform(slice(tk, 1, h), x -> length(x)), " +
+            "0L, (acc, x) -> acc + x) * 1000000L) div h").as("a_ppm"),
+          expr("(aggregate(transform(slice(tk, h + 1, nt - h), x -> length(x)), " +
+            "0L, (acc, x) -> acc + x) * 1000000L) div (nt - h)").as("b_ppm"))
+      val out = graft.operators.Evaluation.wilcoxonSignedRank(
+        paired, col("a_ppm"), col("b_ppm"))
+      val nodes = flatten(executedPlan(out))
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "the below-count window must partition by the range-exchange pid")
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("text")))
+    } finally graft.operators.Evaluation.releaseCaches()
+  }
 }

@@ -224,7 +224,9 @@ object BenchScale {
     "x163_skipgram_pairs" -> 1.3,
     // one corpus scan to integer diffs; everything after is
     // magnitude-granular (bounded tie frame)
-    "x164_wilcoxon_paired" -> 1.3)
+    "x164_wilcoxon_paired" -> 1.3,
+    // distinct + degree agg + one keyed join, single 1-row aggregation
+    "x165_assortativity" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

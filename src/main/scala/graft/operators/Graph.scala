@@ -746,4 +746,51 @@ object Graph {
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
+
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the undirected simple graph —
+    * positive = hubs prefer hubs (social-network shape), negative = hubs
+    * fan out to leaves (the bipartite/infrastructure shape). The one
+    * scalar that says which skew regime a graph's joins will hit.
+    *
+    * Exactness contract: over the symmetrized directed edge list
+    * (each undirected edge contributes both (dj,dk) and (dk,dj)),
+    *   r = (M·Σdjdk − (Σdj)²) / (M·Σdj² − (Σdj)²)
+    * with every sum an exact decimal(38,0) integer — only the final
+    * division touches fp (rounded to 4 dp), from identically-converted
+    * components. NULL when the variance is 0 (a degree-regular graph —
+    * correlation undefined).
+    *
+    * Scale shape: one distinct + one degree aggregation + one keyed
+    * join of degrees back onto edges (both sides hash-partitioned by
+    * node), one global 1-row aggregation — no windows, no iteration. */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dirE = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = caches.tracked(
+      dirE.unionAll(dirE.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist())
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.withColumnRenamed("d", "dj"), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dk")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(col("dj").cast(dec) * col("dk")).as("sjk"),
+        sum(col("dj").cast(dec)).as("sj"),
+        sum(col("dj").cast(dec) * col("dj")).as("sj2"))
+      .select(
+        (col("m2") / lit(2L)).cast("long").as("m_edges"),
+        when(expr(s"CAST(m2 AS $dec) * sj2 - sj * sj = 0"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            expr(s"CAST(CAST(m2 AS $dec) * sjk - sj * sj AS DOUBLE)") /
+              expr(s"CAST(CAST(m2 AS $dec) * sj2 - sj * sj AS DOUBLE)"), 4))
+          .as("assortativity"))
+  }
 }

@@ -6631,6 +6631,45 @@ object OperatorQueries {
         |      sqrt((2 * n::HUGEINT * (n + 1) * (2 * n + 1) - ties3)::DOUBLE / 48.0), 4)
         |  END AS z
         |FROM sagg""".stripMargin),
+
+    // Degree assortativity of the trade graph: one scalar, exact integer
+    // sums, fp only in the final rounded division — says whether the
+    // graph's joins hit the hub-to-hub or hub-to-leaf skew regime.
+    "x165_assortativity" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val out = Graph.degreeAssortativity(pairs, "src", "dst")
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      """WITH p AS (
+        |  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |sym AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM p WHERE src <> dst
+        |    UNION ALL SELECT dst, src FROM p WHERE src <> dst)),
+        |dg AS (SELECT src, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |j AS (
+        |  SELECT a.d AS dj, b.d AS dk
+        |  FROM sym JOIN dg a ON a.src = sym.src JOIN dg b ON b.src = sym.dst),
+        |agg AS (
+        |  SELECT count(*)::HUGEINT AS m2,
+        |    sum(dj::HUGEINT * dk)::HUGEINT AS sjk,
+        |    sum(dj::HUGEINT)::HUGEINT AS sj,
+        |    sum(dj::HUGEINT * dj)::HUGEINT AS sj2
+        |  FROM j)
+        |SELECT (m2 // 2)::BIGINT AS m_edges,
+        |  CASE WHEN m2 * sj2 - sj * sj = 0 THEN NULL
+        |    ELSE round((m2 * sjk - sj * sj)::DOUBLE / (m2 * sj2 - sj * sj)::DOUBLE, 4)
+        |  END AS assortativity
+        |FROM agg""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

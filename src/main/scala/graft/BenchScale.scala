@@ -226,7 +226,9 @@ object BenchScale {
     // magnitude-granular (bounded tie frame)
     "x164_wilcoxon_paired" -> 1.3,
     // distinct + degree agg + one keyed join, single 1-row aggregation
-    "x165_assortativity" -> 1.3)
+    "x165_assortativity" -> 1.3,
+    // one keyed mass aggregation; rank + sums on the |sources| frame
+    "x166_source_gini" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -231,4 +231,46 @@ object CorpusStats {
         expr("n_distinct + (f1 * (f1 - 1)) div (2 * (f2 + 1))").as("chao1_est"),
         expr("(f1 * 1000000) div n_tokens").as("gt_unseen_ppm"))
   }
+
+  /** Source-concentration report: the exact Gini coefficient of
+    * per-source corpus mass plus the head share — "is this corpus five
+    * domains wearing a trench coat?", the inequality summary that
+    * complements x141's per-KEY skew diagnosis (this is per-SOURCE
+    * contribution inequality, the thing mixture reweighting (x30/x125)
+    * exists to fix).
+    *
+    * Exactness: with per-source masses x₁ ≤ … ≤ x_n (ties broken by
+    * source name — any total order gives the same Gini since the
+    * statistic depends only on the multiset through the sorted sum),
+    *   gini_ppm = 10⁶ · (2·Σ i·xᵢ − (n+1)·Σxᵢ) div (n·Σxᵢ)
+    * — all decimal(38,0) integers, no fp anywhere.
+    *
+    * Scale shape: ONE keyed aggregation collapses the corpus to the
+    * |sources|-row mass frame; the rank window and the sums run on that
+    * bounded frame (the x125 discipline — thousands of sources, never
+    * corpus rows). One output row. */
+  def sourceConcentration(
+      df: DataFrame,
+      sourceCol: Column,
+      weightCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val masses = df
+      .groupBy(sourceCol.cast("string").as("grp"))
+      .agg(sum(weightCol.cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x", "grp")
+    masses
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("x").cast(dec)).as("tot"),
+        sum(col("i").cast(dec) * col("x")).as("six"),
+        max(col("x")).as("top"))
+      .select(
+        col("n_sources"),
+        col("tot").cast("long").as("total_mass"),
+        expr(s"CAST((2 * six - (n_sources + 1) * tot) * 1000000 " +
+          s"div (CAST(n_sources AS $dec) * tot) AS BIGINT)").as("gini_ppm"),
+        expr("CAST((CAST(top AS decimal(38,0)) * 1000000) div tot AS BIGINT)")
+          .as("top_share_ppm"))
+  }
 }

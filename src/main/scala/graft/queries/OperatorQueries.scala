@@ -6670,6 +6670,28 @@ object OperatorQueries {
         |    ELSE round((m2 * sjk - sj * sj)::DOUBLE / (m2 * sj2 - sj * sj)::DOUBLE, 4)
         |  END AS assortativity
         |FROM agg""".stripMargin),
+
+    // Source-concentration report: exact-integer Gini of per-source mass
+    // + head share — the corpus-inequality scalar mixture reweighting
+    // exists to fix. No fp anywhere.
+    "x166_source_gini" -> sql(
+      (s, dir) => CorpusStats.sourceConcentration(
+        Tables.documents(s, dir), col("source"), col("n_chars")),
+      """WITH m AS (
+        |  SELECT source::VARCHAR AS grp, sum(n_chars)::BIGINT AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY x, grp)::BIGINT AS i FROM m),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_sources,
+        |    sum(x::HUGEINT)::HUGEINT AS tot,
+        |    sum(i::HUGEINT * x)::HUGEINT AS six,
+        |    max(x)::BIGINT AS top
+        |  FROM r)
+        |SELECT n_sources, tot::BIGINT AS total_mass,
+        |  ((2 * six - (n_sources::HUGEINT + 1) * tot) * 1000000
+        |    // (n_sources::HUGEINT * tot))::BIGINT AS gini_ppm,
+        |  ((top::HUGEINT * 1000000) // tot)::BIGINT AS top_share_ppm
+        |FROM a""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -252,11 +252,24 @@ object CorpusStats {
   def sourceConcentration(
       df: DataFrame,
       sourceCol: Column,
-      weightCol: Column): DataFrame = {
-    val dec = "decimal(38,0)"
-    val masses = df
-      .groupBy(sourceCol.cast("string").as("grp"))
+      weightCol: Column): DataFrame =
+    finishConcentration(sourceMasses(df, sourceCol, weightCol))
+
+  /** The per-source mass state — one commutative long per source, which
+    * is also exactly the streaming aggregation state (StreamingGini). */
+  def sourceMasses(
+      df: DataFrame,
+      sourceCol: Column,
+      weightCol: Column): DataFrame =
+    df.groupBy(sourceCol.cast("string").as("grp"))
       .agg(sum(weightCol.cast("long")).as("x"))
+
+  /** The Gini/head-share finish as a stateless view over an
+    * ALREADY-MATERIALIZED (grp, x) mass frame — shared by the batch
+    * report and the streaming twin's consumer. */
+  def finishConcentration(massesIn: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val masses = massesIn
     val w = org.apache.spark.sql.expressions.Window.orderBy("x", "grp")
     masses
       .withColumn("i", row_number().over(w).cast("long"))

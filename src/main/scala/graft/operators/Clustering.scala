@@ -36,8 +36,11 @@ object Clustering {
 
   /** Unpersist this thread's grid/neighbor caches (Dedup.releaseCaches
     * contract — call after materializing the result; the components
-    * rounds additionally pin Graph's registry, released the same way). */
-  def releaseCaches(): Unit = { caches.releaseAll(); Graph.releaseCaches() }
+    * machinery additionally pins Dedup's and Graph's registries,
+    * released the same way). */
+  def releaseCaches(): Unit = {
+    caches.releaseAll(); Dedup.releaseCaches(); Graph.releaseCaches()
+  }
 
   /** DBSCAN over (idCol, xCol, yCol) points: returns
     * (id, cluster, is_core, n_neighbors) per input point — cluster is the
@@ -90,11 +93,18 @@ object Clustering {
       .join(core.withColumnRenamed("id", "ia"), Seq("ia"))
       .join(core.withColumnRenamed("id", "ib"), Seq("ib"))
       .select(col("ia").as("src"), col("ib").as("dst"))
-    // maxIters 200: min-label needs O(cluster graph diameter) rounds and a
-    // thin geometric chain can span many grid cells
-    val comp = tracked(Graph.connectedComponents(
+    // Components via Dedup's adaptive machinery (same min-id canonical
+    // labels as Graph.connectedComponents, pinned by DbscanSpec's
+    // union-find reference): core-core pair sets are usually FAR smaller
+    // than the corpus, so they resolve in the driver union-find fast
+    // path; genuinely large sets take the O(log diameter) pointer-jump
+    // rounds instead of min-label's O(diameter) — the geometric-chain
+    // worst case that made the plain propagation the x159 bench heavy.
+    val comp = tracked(Dedup.duplicateClusters(
       coreCore.unionAll(core.select(col("id").as("src"), col("id").as("dst"))),
-      "src", "dst", maxIters = 200).persist())
+      aCol = "src", bCol = "dst")
+      .withColumnsRenamed(Map("id" -> "node", "cluster" -> "comp"))
+      .persist())
 
     val coreAssign = comp.select(col("node").as("id"), col("comp").as("cluster"),
       lit(true).as("is_core"))

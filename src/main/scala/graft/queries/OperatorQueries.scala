@@ -6630,7 +6630,7 @@ object OperatorQueries {
         |    round(((2 * w2p - n::HUGEINT * (n + 1))::DOUBLE / 4.0) /
         |      sqrt((2 * n::HUGEINT * (n + 1) * (2 * n + 1) - ties3)::DOUBLE / 48.0), 4)
         |  END AS z
-        |FROM sagg""".stripMargin),
+        |FROM sagg ORDER BY n""".stripMargin),
 
     // Degree assortativity of the trade graph: one scalar, exact integer
     // sums, fp only in the final rounded division — says whether the
@@ -6669,7 +6669,7 @@ object OperatorQueries {
         |  CASE WHEN m2 * sj2 - sj * sj = 0 THEN NULL
         |    ELSE round((m2 * sjk - sj * sj)::DOUBLE / (m2 * sj2 - sj * sj)::DOUBLE, 4)
         |  END AS assortativity
-        |FROM agg""".stripMargin),
+        |FROM agg ORDER BY m_edges""".stripMargin),
 
     // Source-concentration report: exact-integer Gini of per-source mass
     // + head share — the corpus-inequality scalar mixture reweighting
@@ -6691,7 +6691,7 @@ object OperatorQueries {
         |  ((2 * six - (n_sources::HUGEINT + 1) * tot) * 1000000
         |    // (n_sources::HUGEINT * tot))::BIGINT AS gini_ppm,
         |  ((top::HUGEINT * 1000000) // tot)::BIGINT AS top_share_ppm
-        |FROM a""".stripMargin),
+        |FROM a ORDER BY n_sources""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -101,4 +101,72 @@ object DataQuality {
         expr("(cast(n as decimal(38,0)) * n * 1000000) div ss")
           .cast("long").as("simpson_eff_ppm"))
   }
+
+  /** Benford first-digit expectation, ppm (⌊10⁶·log₁₀(1+1/d)⌉ for
+    * d = 1…9; sums to exactly 10⁶). Literal constants, not runtime logs
+    * — both engines read the same integers. */
+  private[operators] val benfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Per-first-digit observed counts of a positive numeric column (values
+    * ≥ 1 by contract — the integer part carries the leading digit). The
+    * 9-long count state is mergeable by pointwise sum, so the streaming
+    * twin keeps exactly this frame as its running state. */
+  def benfordDigitCounts(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("double").as("v"))
+      .where(col("v") >= 1.0d)
+      // floor is exact on IEEE doubles; an integral double casts to
+      // decimal exactly in both engines, so the leading character of its
+      // digit string is engine-independent
+      .select(substring(floor(col("v")).cast("decimal(38,0)").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+
+  /** Benford's-law first-digit audit (Newcomb 1881, Benford 1938 — the
+    * fabricated-data / unit-mixup smell test an intake pipeline runs on
+    * monetary columns). Output: 9 rows (digit, observed, expected_ppm,
+    * chi2_ppm) — chi2_ppm is the digit's χ² contribution
+    * (obs − n·p)²/(n·p) in exact-rational form scaled to ppm, so the
+    * whole report is integer end-to-end (NO runtime fp: the numerator
+    * (10⁶·obs − n·ppm)² and denominator 10⁶·n·ppm are exact decimals and
+    * the scaled quotient is an integer div).
+    *
+    * Scale shape: ONE aggregation collapses the corpus to ≤ 9 digit
+    * counts; everything after runs on the 9-row literal digit frame
+    * (missing digits surface with observed = 0). */
+  def benfordReport(df: DataFrame, value: Column): DataFrame =
+    finishBenford(df.sparkSession, benfordDigitCounts(df, value))
+
+  /** The audit finish as a stateless view over an already-materialized
+    * (digit, observed) frame — shared by the batch report and the
+    * streaming twin, whose running digit counts ARE this frame. */
+  def finishBenford(
+      spark: org.apache.spark.sql.SparkSession,
+      digitCounts: DataFrame): DataFrame = {
+    val expected = spark.range(1, 10)
+      .select(col("id").cast("string").as("digit"),
+        element_at(typedlit(benfordPpm.zipWithIndex
+          .map { case (p, i) => (i + 1).toString -> p }.toMap), col("digit"))
+          .as("expected_ppm"))
+    val total = digitCounts.agg(coalesce(sum("observed"), lit(0L)).as("n"))
+    expected
+      .join(digitCounts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected_ppm"),
+        when(col("n") === 0L, lit(null).cast("long"))
+          // (10⁶·obs − n·ppm)² div (n·ppm) = 10⁶·(obs − n·p)²/(n·p):
+          // already ppm-scaled, and the square stays ≤ (10⁶·n)² < 10³⁸
+          // for corpora to ~10¹² rows
+          .otherwise(expr(
+            """((CAST(1000000 AS decimal(38,0)) * coalesce(observed, 0) -
+              |  CAST(n AS decimal(38,0)) * expected_ppm) *
+              | (CAST(1000000 AS decimal(38,0)) * coalesce(observed, 0) -
+              |  CAST(n AS decimal(38,0)) * expected_ppm))
+              | div (CAST(n AS decimal(38,0)) * expected_ppm)"""
+              .stripMargin).cast("long"))
+          .as("chi2_ppm"))
+      .orderBy("digit")
+  }
 }

@@ -421,4 +421,141 @@ object Evaluation {
                 lit(48.0d)),
             roundTo)).as("z"))
   }
+
+  /** Doubled midranks (2·rank, so ties stay integer) for one long-typed
+    * column, as a (value → r2) frame. Scale shape: the tie frame is
+    * DISTINCT-VALUE-sized, not corpus-sized; its prefix sum runs via the
+    * two-phase range exchange (Sharding.rankByColumns' shape — range
+    * partition, per-partition running window, per-partition offsets
+    * broadcast), never a single-partition global window. */
+  private def midrank2(rows: DataFrame, vc: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val groups = rows.groupBy(vc).agg(count(lit(1)).as("t"))
+    val parted = caches.tracked(groups
+      .repartitionByRange(col(vc))
+      .withColumn("__pid", spark_partition_id())
+      .persist())
+    val partSums = parted.groupBy("__pid").agg(sum("t").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partSums.toSeq.sortBy(_._1).map { case (pid, s) =>
+        val off = acc; acc += s; pid -> off
+      }.toMap
+    }
+    val w = W.partitionBy("__pid").orderBy(vc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    parted
+      .withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)) +
+          (if (offsets.isEmpty) lit(0L)
+           else element_at(typedlit(offsets), col("__pid"))))
+      .select(col(vc),
+        (lit(2L) * col("below") + col("t") + lit(1L)).as(s"${vc}_r2"))
+  }
+
+  /** Spearman rank correlation (tie-aware midranks) between two integer
+    * columns — the monotone-association check for quality signals that
+    * Pearson's linearity assumption breaks on. Inputs are integer by
+    * contract (callers pre-scale to ppm); output is 1 row (n, rho).
+    *
+    * Scale shape: the corpus is scanned once into (x, y); each variable's
+    * midranks come from a distinct-value-sized tie frame ([[midrank2]]'s
+    * two-phase range exchange), joined back by value (keyed shuffle joins
+    * AQE can broadcast when the tie frames are small); then ONE
+    * aggregation produces the six exact decimal sufficient statistics
+    * (n, ΣR, ΣS, ΣR², ΣS², ΣRS — doubled ranks ≤ 2n keep ΣR² ≤ 4n³,
+    * inside decimal(38) to ~1e12 rows). Only the closing Pearson-on-ranks
+    * ratio touches fp, from identically-converted decimal components —
+    * x167's oracle replays the identical rank algebra in HUGEINTs.
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def spearmanRho(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = caches.tracked(df
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .persist())
+    val ranked = rows
+      .join(midrank2(rows, "x"), "x")
+      .join(midrank2(rows, "y"), "y")
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x_r2").cast(dec)), lit(0L).cast(dec)).as("sx"),
+      coalesce(sum(col("y_r2").cast(dec)), lit(0L).cast(dec)).as("sy"),
+      coalesce(sum(col("x_r2").cast(dec) * col("x_r2")), lit(0L).cast(dec)).as("sxx"),
+      coalesce(sum(col("y_r2").cast(dec) * col("y_r2")), lit(0L).cast(dec)).as("syy"),
+      coalesce(sum(col("x_r2").cast(dec) * col("y_r2")), lit(0L).cast(dec)).as("sxy"))
+      .select(col("n"),
+        when(col("n") < 2L || dx <= lit(0.0d) || dy <= lit(0.0d),
+          lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(dx) * sqrt(dy)), roundTo)).as("rho"))
+  }
+
+  /** Kendall tau-b between two bucketed integer columns, exact, via the
+    * joint contingency table — the rank-concordance complement of
+    * [[spearmanRho]] that stays meaningful under heavy ties (bucketed
+    * scores). Output is 1 row (n, concordant, discordant, tau_b).
+    *
+    * Scale shape: ONE aggregation collapses the corpus to its
+    * (x, y, count) contingency cells — DOMAIN-bounded (|x-buckets| ×
+    * |y-buckets|), not corpus-sized, by the bucketing contract — and all
+    * pair counting is a broadcast non-equi self-join over that bounded
+    * cell frame (c_a·c_b products, each unordered pair counted once via
+    * the strict x-order). Concordant/discordant/tie counts are exact
+    * decimals; only the closing tau-b ratio touches fp, from
+    * identically-converted components — x168's oracle replays the same
+    * cell algebra in HUGEINTs. Caller epilogue: materialize, then
+    * releaseCaches(). */
+  def kendallTauB(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = caches.tracked(df
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .persist())
+    val a = cells.select(col("x").as("ax"), col("y").as("ay"), col("c").as("ca"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"), col("c").as("cb"))
+    // strict x-order: every x-distinct unordered pair appears exactly once
+    val pairs = a.join(broadcast(b), col("bx") > col("ax"))
+      .select((col("ca").cast(dec) * col("cb")).as("cc"),
+        (col("by") > col("ay")).as("conc"), (col("by") < col("ay")).as("disc"))
+      .agg(
+        coalesce(sum(when(col("conc"), col("cc"))), lit(0L).cast(dec)).as("concordant"),
+        coalesce(sum(when(col("disc"), col("cc"))), lit(0L).cast(dec)).as("discordant"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1L)), lit(0L).cast(dec))
+        .as("tx2"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1L)), lit(0L).cast(dec))
+        .as("ty2"))
+    val tot = cells.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    // doubled form avoids the halving: with A = n(n−1) − Σtx(tx−1) and
+    // B = n(n−1) − Σty(ty−1) (exact decimals), tau_b = 2(C−D)/(√A·√B)
+    val d1 = expr(s"CAST(CAST(n AS $dec) * (n - 1) - tx2 AS DOUBLE)")
+    val d2 = expr(s"CAST(CAST(n AS $dec) * (n - 1) - ty2 AS DOUBLE)")
+    tot.crossJoin(pairs).crossJoin(tx).crossJoin(ty)
+      .select(col("n"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        when(col("n") < 2L || d1 <= lit(0.0d) || d2 <= lit(0.0d),
+          lit(null).cast("double"))
+          .otherwise(round(
+            expr("CAST(2 * (concordant - discordant) AS DOUBLE)") /
+              (sqrt(d1) * sqrt(d2)), roundTo)).as("tau_b"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -6692,6 +6692,186 @@ object OperatorQueries {
         |    // (n_sources::HUGEINT * tot))::BIGINT AS gini_ppm,
         |  ((top::HUGEINT * 1000000) // tot)::BIGINT AS top_share_ppm
         |FROM a ORDER BY n_sources""".stripMargin),
+
+    // Spearman rank correlation between document length and token count:
+    // tie-aware doubled midranks from distinct-value frames (two-phase
+    // range-exchange prefix sums), six exact decimal sufficient
+    // statistics, fp only in the final Pearson-on-ranks ratio from
+    // identically-converted components.
+    "x167_spearman_rho" -> sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("n_chars").cast("long").as("x"),
+            expr("size(filter(split(trim(text), '\\\\s+'), w -> w != ''))")
+              .cast("long").as("y"))
+        val out = Evaluation.spearmanRho(t, col("x"), col("y"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT n_chars::BIGINT AS x,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w <> ''))::BIGINT AS y
+        |  FROM documents),
+        |gx AS (SELECT x, count(*)::BIGINT AS t FROM t GROUP BY 1),
+        |rx AS (
+        |  SELECT x, (2 * coalesce(sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1)::BIGINT AS x_r2 FROM gx),
+        |gy AS (SELECT y, count(*)::BIGINT AS t FROM t GROUP BY 1),
+        |ry AS (
+        |  SELECT y, (2 * coalesce(sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1)::BIGINT AS y_r2 FROM gy),
+        |j AS (SELECT x_r2, y_r2 FROM t JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(x_r2::HUGEINT), 0)::HUGEINT AS sx,
+        |    coalesce(sum(y_r2::HUGEINT), 0)::HUGEINT AS sy,
+        |    coalesce(sum(x_r2::HUGEINT * x_r2), 0)::HUGEINT AS sxx,
+        |    coalesce(sum(y_r2::HUGEINT * y_r2), 0)::HUGEINT AS syy,
+        |    coalesce(sum(x_r2::HUGEINT * y_r2), 0)::HUGEINT AS sxy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN n < 2
+        |      OR n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <= 0.0
+        |      OR n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE <= 0.0
+        |    THEN NULL
+        |    ELSE round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |      (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |       sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+        |  END AS rho
+        |FROM a ORDER BY n""".stripMargin),
+
+    // Kendall tau-b on bucketed (length, token-count) — exact via the
+    // DOMAIN-bounded contingency table: one corpus aggregation to cells,
+    // then all pair counting as a broadcast non-equi self-join over the
+    // cell frame. Fp only in the closing ratio.
+    "x168_kendall_tau" -> sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(expr("n_chars div 200").cast("long").as("xb"),
+            expr("size(filter(split(trim(text), '\\\\s+'), w -> w != '')) div 40")
+              .cast("long").as("yb"))
+        val out = Evaluation.kendallTauB(t, col("xb"), col("yb"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT (n_chars // 200)::BIGINT AS xb,
+        |    (len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w <> '')) // 40)::BIGINT AS yb
+        |  FROM documents),
+        |c AS (SELECT xb, yb, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN b.yb > a.yb
+        |      THEN a.c::HUGEINT * b.c ELSE 0 END), 0)::HUGEINT AS concordant,
+        |    coalesce(sum(CASE WHEN b.yb < a.yb
+        |      THEN a.c::HUGEINT * b.c ELSE 0 END), 0)::HUGEINT AS discordant
+        |  FROM c a JOIN c b ON b.xb > a.xb),
+        |tx AS (
+        |  SELECT coalesce(sum(t::HUGEINT * (t - 1)), 0)::HUGEINT AS tx2
+        |  FROM (SELECT sum(c)::BIGINT AS t FROM c GROUP BY xb)),
+        |ty AS (
+        |  SELECT coalesce(sum(t::HUGEINT * (t - 1)), 0)::HUGEINT AS ty2
+        |  FROM (SELECT sum(c)::BIGINT AS t FROM c GROUP BY yb)),
+        |nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM c)
+        |SELECT n, concordant::BIGINT AS concordant,
+        |  discordant::BIGINT AS discordant,
+        |  CASE WHEN n < 2
+        |      OR (n::HUGEINT * (n - 1) - tx2)::DOUBLE <= 0.0
+        |      OR (n::HUGEINT * (n - 1) - ty2)::DOUBLE <= 0.0
+        |    THEN NULL
+        |    ELSE round((2 * (concordant - discordant))::DOUBLE /
+        |      (sqrt((n::HUGEINT * (n - 1) - tx2)::DOUBLE) *
+        |       sqrt((n::HUGEINT * (n - 1) - ty2)::DOUBLE)), 4)
+        |  END AS tau_b
+        |FROM nn, p, tx, ty ORDER BY n""".stripMargin),
+
+    // Benford first-digit audit of order totals: one aggregation to ≤ 9
+    // digit counts, then an integer-exact χ² contribution per digit
+    // (literal expected-ppm constants — no runtime logs, NO fp anywhere).
+    "x169_benford_digits" -> sql(
+      (s, dir) => DataQuality.benfordReport(
+        Tables.orders(s, dir), col("o_totalprice")),
+      """WITH v AS (
+        |  SELECT o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_totalprice >= 1.0),
+        |d AS (
+        |  SELECT substr(CAST(CAST(floor(v) AS HUGEINT) AS VARCHAR), 1, 1)
+        |    AS digit, count(*)::BIGINT AS observed
+        |  FROM v GROUP BY 1),
+        |e AS (
+        |  SELECT i::VARCHAR AS digit,
+        |    ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+        |      45757][i])::BIGINT AS expected_ppm
+        |  FROM range(1, 10) r(i)),
+        |nn AS (SELECT coalesce(sum(observed), 0)::BIGINT AS n FROM d)
+        |SELECT e.digit, coalesce(d.observed, 0)::BIGINT AS observed,
+        |  e.expected_ppm,
+        |  (CASE WHEN nn.n = 0 THEN NULL ELSE
+        |    ((1000000::HUGEINT * coalesce(d.observed, 0)
+        |        - nn.n::HUGEINT * e.expected_ppm) *
+        |     (1000000::HUGEINT * coalesce(d.observed, 0)
+        |        - nn.n::HUGEINT * e.expected_ppm))
+        |    // (nn.n::HUGEINT * e.expected_ppm) END)::BIGINT AS chi2_ppm
+        |FROM e LEFT JOIN d USING (digit), nn
+        |ORDER BY digit""".stripMargin),
+
+    // Kaplan–Meier churn curve over user lifetimes: right-censoring at
+    // the activity horizon, a calendar-bounded life table, and the
+    // product-limit estimator as ORDER-PINNED array folds on one row —
+    // the oracle replays the identical folds via list_reduce.
+    "x170_kaplan_meier" -> sql(
+      // lifetime entity = (user × event stream): the per-stream lifetimes
+      // churn at different rates, giving the curve its steps
+      (s, dir) => Survival.kaplanMeier(
+        Tables.events(s, dir),
+        concat_ws(":", col("user_id"), col("event_type")),
+        col("ts"), churnGapDays = 7)
+        .orderBy("duration"),
+      """WITH d AS (
+        |  SELECT user_id::VARCHAR || ':' || event_type AS u,
+        |    CAST(ts AS DATE) AS dd FROM events),
+        |h AS (SELECT max(dd) AS h FROM d),
+        |per AS (SELECT u, min(dd) AS f, max(dd) AS l FROM d GROUP BY 1),
+        |dur AS (
+        |  SELECT date_diff('day', f, l)::BIGINT AS duration,
+        |    (l < h.h - 7) AS churned
+        |  FROM per, h),
+        |lt AS (
+        |  SELECT duration,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS events,
+        |    sum(CASE WHEN churned THEN 0 ELSE 1 END)::BIGINT AS censored
+        |  FROM dur GROUP BY 1),
+        |arr AS (
+        |  SELECT list_sort(list([duration, events, censored])) AS o FROM lt),
+        |f1 AS (
+        |  SELECT o, list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(o, x -> x[2] + x[3])),
+        |    (a, b) -> a + b) AS n FROM arr),
+        |f2 AS (
+        |  SELECT o, n, list_reduce(
+        |    list_prepend([n], list_transform(o, x -> [x[2] + x[3]])),
+        |    (acc, x) -> list_append(acc, acc[-1] - x[1])) AS rs FROM f1),
+        |f3 AS (
+        |  SELECT o, rs, list_transform(generate_series(1, len(o)),
+        |    i -> 1.0 - o[i][2]::DOUBLE / rs[i]::DOUBLE) AS fs FROM f2),
+        |f4 AS (
+        |  SELECT o, rs, list_reduce(
+        |    list_prepend([1.0::DOUBLE], list_transform(fs, f -> [f])),
+        |    (acc, x) -> list_append(acc, acc[-1] * x[1])) AS cum FROM f3),
+        |ex AS (
+        |  SELECT unnest(generate_series(1, len(o))) AS i, o, rs, cum FROM f4)
+        |SELECT o[i][1]::BIGINT AS duration, rs[i]::BIGINT AS at_risk,
+        |  o[i][2]::BIGINT AS events, o[i][3]::BIGINT AS censored,
+        |  round(cum[i + 1], 6) AS survival
+        |FROM ex ORDER BY duration""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

@@ -558,4 +558,172 @@ object Evaluation {
             expr("CAST(2 * (concordant - discordant) AS DOUBLE)") /
               (sqrt(d1) * sqrt(d2)), roundTo)).as("tau_b"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test, exact — did the two cohorts draw
+    * their (integer) values from the same distribution? D is computed in
+    * EXACT integer form: over distinct values v,
+    *   D·n₁·n₂ = max |n₂·cum₁(v) − n₁·cum₂(v)|,
+    * reported as ks_d_ppm = 10⁶·D (integer div) plus the scaled statistic
+    * KS = D·√(n₁n₂/(n₁+n₂)) (fp only there, from identically-converted
+    * components). Output: 1 row (n1, n2, ks_d_ppm, ks_stat).
+    *
+    * Scale shape: ONE corpus aggregation to the distinct-value frame with
+    * BOTH cohort counts; both ECDF prefix sums ride a single two-phase
+    * range exchange (per-partition windows + broadcast offsets — the
+    * totals n₁/n₂ fall out of the same offset collection for free); the
+    * max is one more aggregation on the distinct-value frame. x171's
+    * oracle replays the identical integer ECDF algebra. Caller epilogue:
+    * materialize, then releaseCaches(). */
+  def ksTest(
+      df: DataFrame,
+      vCol: Column,
+      inACol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val groups = df
+      .select(vCol.cast("long").as("v"), inACol.cast("boolean").as("a"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("c2"))
+    val parted = caches.tracked(groups
+      .repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist())
+    val partSums = parted.groupBy("__pid")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (off1, off2) = {
+      var a1 = 0L; var a2 = 0L
+      val o1 = Map.newBuilder[Int, Long]; val o2 = Map.newBuilder[Int, Long]
+      partSums.toSeq.sortBy(_._1).foreach { case (pid, (s1, s2)) =>
+        o1 += pid -> a1; o2 += pid -> a2; a1 += s1; a2 += s2
+      }
+      (o1.result(), o2.result())
+    }
+    val n1 = partSums.values.map(_._1).sum
+    val n2 = partSums.values.map(_._2).sum
+    val w = W.partitionBy("__pid").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def cum(c: String, off: Map[Int, Long]): Column =
+      sum(col(c)).over(w) +
+        (if (off.isEmpty) lit(0L) else element_at(typedlit(off), col("__pid")))
+    parted
+      .withColumn("dnum", abs(
+        lit(n2).cast(dec) * cum("c1", off1) -
+          lit(n1).cast(dec) * cum("c2", off2)))
+      .agg(max(col("dnum")).as("maxd"))
+      .select(
+        lit(n1).as("n1"), lit(n2).as("n2"),
+        when(lit(n1) === 0L || lit(n2) === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(1000000 AS $dec) * maxd) div " +
+              s"(CAST($n1 AS $dec) * $n2)").cast("long")).as("ks_d_ppm"),
+        // n₁n₂ as a double product of exact longs = the correctly-rounded
+        // double of the exact product — identical to the oracle's
+        // HUGEINT-product conversion
+        when(lit(n1) === 0L || lit(n2) === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("maxd").cast("double") /
+              (lit(n1).cast("double") * lit(n2).cast("double"))) *
+              sqrt(lit(n1).cast("double") * lit(n2).cast("double") /
+                lit(n1 + n2).cast("double")), roundTo)).as("ks_stat"))
+  }
+
+  /** Two-proportion z-test (pooled) — the A/B significance readout on
+    * exact success counts. Output: 1 row (n1, x1, n2, x2, p1_ppm, p2_ppm,
+    * z). All counts and the ppm rates are exact integers; z is the one fp
+    * expression, from identically-converted components.
+    *
+    * Scale shape: ONE aggregation (four conditional sums) collapses the
+    * corpus; everything after is a 1-row projection. */
+  def twoProportionZ(
+      df: DataFrame,
+      inACol: Column,
+      successCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(inACol.cast("boolean").as("a"),
+      successCol.cast("boolean").as("s"))
+      .where(col("a").isNotNull && col("s").isNotNull)
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") && col("s"), 1L).otherwise(0L)).as("x1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("a") && col("s"), 1L).otherwise(0L)).as("x2"))
+      .select(
+        coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("x1"), lit(0L)).as("x1"),
+        coalesce(col("n2"), lit(0L)).as("n2"), coalesce(col("x2"), lit(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        when(col("n1") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(x1 AS $dec) * 1000000) div n1").cast("long"))
+          .as("p1_ppm"),
+        when(col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(x2 AS $dec) * 1000000) div n2").cast("long"))
+          .as("p2_ppm"),
+        when(col("n1") === 0L || col("n2") === 0L ||
+          col("x1") + col("x2") === 0L ||
+          col("x1") + col("x2") === col("n1") + col("n2"),
+          lit(null).cast("double"))
+          // z = (x1/n1 − x2/n2) / √(p̂(1−p̂)(1/n1 + 1/n2)), p̂ pooled —
+          // every operand converted from an exact long exactly once
+          .otherwise(round(
+            (col("x1").cast("double") / col("n1").cast("double") -
+              col("x2").cast("double") / col("n2").cast("double")) /
+              sqrt((expr("CAST(x1 + x2 AS DOUBLE)") /
+                expr("CAST(n1 + n2 AS DOUBLE)")) *
+                (lit(1.0d) - expr("CAST(x1 + x2 AS DOUBLE)") /
+                  expr("CAST(n1 + n2 AS DOUBLE)")) *
+                (lit(1.0d) / col("n1").cast("double") +
+                  lit(1.0d) / col("n2").cast("double"))), roundTo))
+          .as("z"))
+  }
+
+  /** Paired sign-flip permutation test (Fisher 1935 randomization), fully
+    * derandomized: replicate b flips row key k's sign iff the low hex
+    * nibble of md5("perm:b:k") is odd — the d08 draw convention, so the
+    * "random" signs are pure deterministic columns both engines compute
+    * identically. Output: 1 row (n, t_obs, n_extreme, p_ppm) with
+    * p = (1 + #{b: |T_b| ≥ |T_obs|}) / (B + 1), exact integers end to end
+    * (inputs are integer by contract — callers pre-scale to ppm).
+    *
+    * Scale shape: all B replicate statistics come from ONE corpus
+    * aggregation — the B sign columns are plan literals (conditional
+    * sums), so the corpus is scanned once, never exploded B×, and the
+    * reduce state is B+1 decimals. The extreme-count finish runs on the
+    * 1-row frame. */
+  def permutationTest(
+      df: DataFrame,
+      keyCol: Column,
+      dCol: Column,
+      replicates: Int = 64): DataFrame = {
+    require(replicates >= 1 && replicates <= 512,
+      "permutationTest: replicates in [1, 512]")
+    val dec = "decimal(38,0)"
+    val rows = df.select(keyCol.cast("string").as("k"),
+      dCol.cast("long").as("d"))
+      .where(col("k").isNotNull && col("d").isNotNull)
+    // sign_b = ±1 from the md5 low nibble's parity — engine-exact
+    def sign(b: Int): Column =
+      when(expr(s"conv(substring(md5(concat('perm:', '$b', ':', k)), 32, 1), 16, 10)")
+        .cast("int") % 2 === 1, lit(-1L)).otherwise(lit(1L))
+    val aggs =
+      (count(lit(1)).as("n") +: sum(col("d").cast(dec)).as("t_obs") +:
+        (1 to replicates).map(b =>
+          sum((col("d") * sign(b)).cast(dec)).as(s"t_$b"))).toSeq
+    val wide = rows.agg(aggs.head, aggs.tail: _*)
+    val extreme = (1 to replicates)
+      .map(b => when(abs(col(s"t_$b")) >= abs(col("t_obs")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    wide.select(
+      col("n"),
+      coalesce(col("t_obs"), lit(0L).cast(dec)).cast("long").as("t_obs"),
+      when(col("n") === 0L, lit(null).cast("long"))
+        .otherwise(extreme).as("n_extreme"))
+      .withColumn("p_ppm",
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(1000000 * (n_extreme + 1)) div ${replicates + 1}")))
+  }
 }

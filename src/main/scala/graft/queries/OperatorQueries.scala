@@ -6872,6 +6872,136 @@ object OperatorQueries {
         |  o[i][2]::BIGINT AS events, o[i][3]::BIGINT AS censored,
         |  round(cum[i + 1], 6) AS survival
         |FROM ex ORDER BY duration""".stripMargin),
+
+    // Two-sample Kolmogorov–Smirnov: do English docs draw their lengths
+    // from the same distribution as the rest? Exact integer ECDF algebra
+    // (D·n₁·n₂ as a decimal max over the distinct-value frame, both
+    // prefix sums on ONE two-phase range exchange); fp only in the
+    // closing scaled statistic.
+    "x171_ks_test" -> sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .where(col("lang").isNotNull && col("n_chars").isNotNull)
+          .select(col("n_chars").cast("long").as("v"),
+            (col("lang") === "en").as("a"))
+        val out = Evaluation.ksTest(t, col("v"), col("a"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT n_chars::BIGINT AS v, (lang = 'en') AS a
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS c2
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(c1) OVER (ORDER BY v)::BIGINT AS cum1,
+        |    sum(c2) OVER (ORDER BY v)::BIGINT AS cum2 FROM g),
+        |nn AS (
+        |  SELECT coalesce(sum(c1), 0)::BIGINT AS n1,
+        |    coalesce(sum(c2), 0)::BIGINT AS n2 FROM g),
+        |m AS (
+        |  SELECT max(abs(nn.n2::HUGEINT * cum1 - nn.n1::HUGEINT * cum2))
+        |    ::HUGEINT AS maxd FROM c, nn)
+        |SELECT n1, n2,
+        |  (CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * maxd) // (n1::HUGEINT * n2)
+        |  END)::BIGINT AS ks_d_ppm,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE round((maxd::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) *
+        |      sqrt(n1::DOUBLE * n2::DOUBLE / (n1 + n2)::DOUBLE), 4)
+        |  END AS ks_stat
+        |FROM nn, m ORDER BY n1""".stripMargin),
+
+    // Two-proportion z-test: purchase rate, even vs odd user cohorts —
+    // ONE aggregation (four conditional sums), exact ppm rates, z from
+    // identically-converted longs.
+    "x172_ab_ztest" -> sql(
+      (s, dir) => Evaluation.twoProportionZ(
+        Tables.events(s, dir),
+        col("user_id") % 2 === 0,
+        col("event_type") === "purchase"),
+      """WITH t AS (
+        |  SELECT (user_id % 2 = 0) AS a, (event_type = 'purchase') AS s
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |agg AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)::BIGINT AS n1,
+        |    coalesce(sum(CASE WHEN a AND s THEN 1 ELSE 0 END), 0)::BIGINT AS x1,
+        |    coalesce(sum(CASE WHEN NOT a THEN 1 ELSE 0 END), 0)::BIGINT AS n2,
+        |    coalesce(sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END), 0)::BIGINT AS x2
+        |  FROM t)
+        |SELECT n1, x1, n2, x2,
+        |  (CASE WHEN n1 = 0 THEN NULL
+        |    ELSE (x1::HUGEINT * 1000000) // n1 END)::BIGINT AS p1_ppm,
+        |  (CASE WHEN n2 = 0 THEN NULL
+        |    ELSE (x2::HUGEINT * 1000000) // n2 END)::BIGINT AS p2_ppm,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0 OR x1 + x2 = n1 + n2
+        |    THEN NULL
+        |    ELSE round((x1::DOUBLE / n1::DOUBLE - x2::DOUBLE / n2::DOUBLE) /
+        |      sqrt(((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE) *
+        |        (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE) *
+        |        (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 4)
+        |  END AS z
+        |FROM agg ORDER BY n1""".stripMargin),
+
+    // Paired sign-flip permutation test on x164's density differences:
+    // 64 md5-derandomized replicates as plan-literal conditional sums —
+    // the corpus is scanned ONCE, never exploded 64× (the oracle does
+    // explode; that cost is the oracle's).
+    "x173_permutation_test" -> sql(
+      (s, dir) => {
+        val paired = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("tk"), size(col("tk")).as("nt"),
+            expr("(size(tk) + 1) div 2").as("h"))
+          .select(col("doc_id"),
+            (expr("(aggregate(transform(slice(tk, 1, h), x -> length(x)), " +
+              "0L, (acc, x) -> acc + x) * 1000000L) div h") -
+              expr("(aggregate(transform(slice(tk, h + 1, nt - h), x -> length(x)), " +
+                "0L, (acc, x) -> acc + x) * 1000000L) div (nt - h)")).as("d"))
+        Evaluation.permutationTest(paired, col("doc_id"), col("d"),
+          replicates = 64)
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |hh AS (
+        |  SELECT doc_id, toks, len(toks) AS nt, (len(toks) + 1) // 2 AS h
+        |  FROM t WHERE len(toks) >= 2),
+        |m AS (
+        |  SELECT doc_id,
+        |    (list_reduce(list_prepend(0, list_transform(toks[1:h], x -> length(x))),
+        |       (a, b) -> a + b)::BIGINT * 1000000) // h -
+        |    (list_reduce(list_prepend(0, list_transform(toks[h+1:nt], x -> length(x))),
+        |       (a, b) -> a + b)::BIGINT * 1000000) // (nt - h) AS d
+        |  FROM hh),
+        |reps AS (SELECT unnest(generate_series(1, 64)) AS b),
+        |s AS (
+        |  SELECT reps.b, sum(CASE WHEN
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('perm:' || reps.b || ':' || m.doc_id), 32, 1)) - 1)
+        |        % 2 = 1
+        |    THEN -m.d ELSE m.d END)::HUGEINT AS tb
+        |  FROM m, reps GROUP BY 1),
+        |o AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(d), 0)::HUGEINT AS t_obs FROM m),
+        |e AS (
+        |  SELECT count(*) FILTER (WHERE abs(s.tb) >= abs(o.t_obs))::BIGINT
+        |    AS n_extreme FROM s, o)
+        |SELECT n, t_obs::BIGINT AS t_obs,
+        |  CASE WHEN n = 0 THEN NULL ELSE n_extreme END AS n_extreme,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE (1000000 * (n_extreme + 1)) // 65 END AS p_ppm
+        |FROM o, e ORDER BY n""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

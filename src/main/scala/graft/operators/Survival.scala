@@ -30,17 +30,37 @@ object Survival {
       events: DataFrame,
       user: Column,
       ts: Column,
-      churnGapDays: Int = 7): DataFrame = {
-    require(churnGapDays >= 0, "userDurations: churnGapDays >= 0")
-    val days = events.select(user.as("u"), to_date(ts).as("d"))
-    val horizon = days.agg(max("d").as("h"))
-    days.groupBy("u")
+      churnGapDays: Int = 7): DataFrame =
+    spansToDurations(userSpans(events, user, ts), churnGapDays)
+
+  /** Per-entity (first, last) activity days — the ONE stateful
+    * aggregation. This is the streaming twin's running state: min/max
+    * are commutative, so late events only widen a span. */
+  def userSpans(events: DataFrame, user: Column, ts: Column): DataFrame =
+    events.select(user.as("u"), to_date(ts).as("d"))
+      .groupBy("u")
       .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
-      .crossJoin(broadcast(horizon))
+
+  /** Spans → (duration, churned): stateless. The churn horizon is the
+    * max last-activity day OF THE SPANS THEMSELVES (1-row broadcast), so
+    * the same view closes over batch input and streaming state alike. */
+  def spansToDurations(spans: DataFrame, churnGapDays: Int = 7): DataFrame = {
+    require(churnGapDays >= 0, "spansToDurations: churnGapDays >= 0")
+    val horizon = spans.agg(max("last_d").as("h"))
+    spans.crossJoin(broadcast(horizon))
       .select(
         datediff(col("last_d"), col("first_d")).cast("long").as("duration"),
         (col("last_d") < date_sub(col("h"), churnGapDays)).as("churned"))
   }
+
+  /** The full stateless finish from a spans frame — shared by batch and
+    * the streaming twin (whose running per-entity min/max state IS the
+    * spans frame). */
+  def finishFromSpans(
+      spans: DataFrame,
+      churnGapDays: Int = 7,
+      roundTo: Int = 6): DataFrame =
+    finishKm(lifeTable(spansToDurations(spans, churnGapDays)), roundTo)
 
   /** The life table — (duration, events, censored), calendar-bounded.
     * Mergeable by pointwise sum, so a streaming twin can keep exactly

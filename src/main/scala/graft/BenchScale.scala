@@ -228,7 +228,26 @@ object BenchScale {
     // distinct + degree agg + one keyed join, single 1-row aggregation
     "x165_assortativity" -> 1.3,
     // one keyed mass aggregation; rank + sums on the |sources| frame
-    "x166_source_gini" -> 1.2)
+    "x166_source_gini" -> 1.2,
+    // two distinct-value range exchanges + two value-keyed rank joins
+    // back to the corpus (the x129 two-exchange class)
+    "x167_spearman_rho" -> 1.4,
+    // one aggregation to DOMAIN-bounded contingency cells + a broadcast
+    // non-equi self-join on that bounded frame (tokenization dominates)
+    "x168_kendall_tau" -> 1.3,
+    // one scan to ≤ 9 digit counts; finish on the literal digit frame
+    "x169_benford_digits" -> 1.2,
+    // one entity-keyed span aggregation; folds on the calendar-bounded
+    // life table
+    "x170_kaplan_meier" -> 1.3,
+    // one aggregation to the distinct-value frame + a single two-phase
+    // range exchange for both ECDFs
+    "x171_ks_test" -> 1.3,
+    // one aggregation of four conditional sums
+    "x172_ab_ztest" -> 1.2,
+    // one scan with B+1 plan-literal conditional sums (64 md5 draws per
+    // row — heavy but strictly linear, constant reduce state)
+    "x173_permutation_test" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

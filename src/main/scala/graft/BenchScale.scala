@@ -247,7 +247,15 @@ object BenchScale {
     "x172_ab_ztest" -> 1.2,
     // one scan with B+1 plan-literal conditional sums (64 md5 draws per
     // row — heavy but strictly linear, constant reduce state)
-    "x173_permutation_test" -> 1.2)
+    "x173_permutation_test" -> 1.2,
+    // 4 LPA supersteps, each one keyed join + count agg + struct-argmin
+    // over the cached symmetric edge projection (the superstep class)
+    "x174_label_communities" -> 1.4,
+    // one explode to (doc, term) counts + one term-keyed agg; TakeOrdered
+    "x175_burstiness" -> 1.3,
+    // the ksTest class: one agg to the distinct-value frame + a single
+    // range exchange (plus the boundary-lead map, driver-side)
+    "x176_wasserstein" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

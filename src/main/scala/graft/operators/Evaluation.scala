@@ -631,6 +631,78 @@ object Evaluation {
                 lit(n1 + n2).cast("double")), roundTo)).as("ks_stat"))
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two cohorts'
+    * integer-value distributions — the drift magnitude KS's max-gap
+    * misses when many small ECDF gaps add up. W₁ = ∫|F₁ − F₂| dv,
+    * computed in EXACT integer form over distinct values:
+    *   W₁·n₁·n₂ = Σ_v |n₂·cum₁(v) − n₁·cum₂(v)| · (next(v) − v),
+    * reported as w1_ppm = 10⁶·W₁ (value units, integer div). Output:
+    * 1 row (n1, n2, w1_ppm).
+    *
+    * Scale shape: the [[ksTest]] shape plus a next-distinct-value lead —
+    * ONE corpus aggregation to the distinct-value frame with both cohort
+    * counts, one two-phase range exchange carrying both ECDF prefix sums
+    * AND the cross-partition next-value handoff (each partition's min
+    * value is already in the driver's offset collection; the last row of
+    * partition p reads partition p+1's min as its lead). x176's oracle
+    * replays the identical integer algebra. Caller epilogue: materialize,
+    * then releaseCaches(). */
+  def wasserstein1(
+      df: DataFrame,
+      vCol: Column,
+      inACol: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val groups = df
+      .select(vCol.cast("long").as("v"), inACol.cast("boolean").as("a"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("c2"))
+    val parted = caches.tracked(groups
+      .repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist())
+    val partStats = parted.groupBy("__pid")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"), min("v").as("mv"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val (off1, off2) = {
+      var a1 = 0L; var a2 = 0L
+      val o1 = Map.newBuilder[Int, Long]; val o2 = Map.newBuilder[Int, Long]
+      partStats.foreach { case (pid, (s1, s2, _)) =>
+        o1 += pid -> a1; o2 += pid -> a2; a1 += s1; a2 += s2
+      }
+      (o1.result(), o2.result())
+    }
+    // partition p's boundary lead = the NEXT present partition's min v
+    val nextMin: Map[Int, Long] = partStats.zip(partStats.drop(1))
+      .map { case ((pid, _), (_, (_, _, mv))) => pid -> mv }.toMap
+    val n1 = partStats.map(_._2._1).sum
+    val n2 = partStats.map(_._2._2).sum
+    val w = W.partitionBy("__pid").orderBy("v")
+    val wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    def cum(c: String, off: Map[Int, Long]): Column =
+      sum(col(c)).over(wc) +
+        (if (off.isEmpty) lit(0L) else element_at(typedlit(off), col("__pid")))
+    parted
+      .withColumn("nv", coalesce(lead(col("v"), 1).over(w),
+        if (nextMin.isEmpty) lit(null).cast("long")
+        else element_at(typedlit(nextMin), col("__pid"))))
+      .withColumn("term",
+        when(col("nv").isNull, lit(null).cast(dec))
+          .otherwise(abs(
+            lit(n2).cast(dec) * cum("c1", off1) -
+              lit(n1).cast(dec) * cum("c2", off2)) * (col("nv") - col("v"))))
+      .agg(coalesce(sum(col("term")), lit(0L).cast(dec)).as("w1num"))
+      .select(
+        lit(n1).as("n1"), lit(n2).as("n2"),
+        when(lit(n1) === 0L || lit(n2) === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(1000000 AS $dec) * w1num) div " +
+              s"(CAST($n1 AS $dec) * $n2)").cast("long")).as("w1_ppm"))
+  }
+
   /** Two-proportion z-test (pooled) — the A/B significance readout on
     * exact success counts. Output: 1 row (n1, x1, n2, x2, p1_ppm, p2_ppm,
     * z). All counts and the ppm rates are exact integers; z is the one fp

@@ -793,4 +793,56 @@ object Graph {
               expr(s"CAST(CAST(m2 AS $dec) * sj2 - sj * sj AS DOUBLE)"), 4))
           .as("assortativity"))
   }
+
+  /** Synchronous label propagation (Raghavan 2007, derandomized) — the
+    * near-linear community detector: every node starts as its own label;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (the derandomization —
+    * reference LPA breaks ties randomly; a deterministic total order
+    * makes the result replayable bit-for-bit). Fixed `iters` synchronous
+    * rounds (the streaming-friendly contract: no convergence test, no
+    * oscillation detection — callers pick iters ≈ diameter of the
+    * communities they care about). Returns (node, community).
+    *
+    * Scale shape: the symmetrized edge set is cached ONCE, partitioned by
+    * src; each round is one keyed join (edges × labels), one (dst, label)
+    * count aggregation, and one per-node argmin of the exact
+    * (−count, label) struct — the PageRank superstep class. Labels are
+    * localCheckpointed per round (lineage truncation); every node
+    * appears as a dst in the symmetric edge set, so no
+    * isolated-node/coalesce leg is needed. Caller epilogue: materialize,
+    * then releaseCaches(). */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, "labelPropagation: iters in [1, 50]")
+    val dirE = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val e = caches.tracked(
+      dirE.unionAll(dirE.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist())
+    var labels = e.select(col("src").as("node"), col("src").as("lbl"))
+      .distinct()
+      .localCheckpoint(true)
+    var t = 0
+    while (t < iters) {
+      val next = e
+        .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
+      val old = labels
+      labels = next
+      releaseCheckpoint(old)
+      t += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -64,6 +64,48 @@ object Vocabulary {
         count(lit(1)).as("tf"),
         count_distinct(col("__doc")).as("df"))
 
+  /** Term burstiness (Church & Gale 1995; Katz 1996): the
+    * variance-to-mean ratio of a term's per-document counts over ALL n
+    * documents — ≈ 1 for Poisson "background" terms (stopwords), ≫ 1 for
+    * bursty content terms that clump into few documents. The classic
+    * keyword-vs-function-word separator a curation pass reads next to
+    * raw tf.
+    *
+    * Exact integers end to end: with S = Σc and S₂ = Σc² over the docs
+    * containing the term, the zeros of the n−df absent docs arrive FREE
+    * in the algebra — Var·n² = n·S₂ − S², mean·n = S, so
+    * vmr_ppm = 10⁶·(n·S₂ − S²) div (n·S), never materializing a zero
+    * row. Output: top-k by (vmr_ppm DESC, term) among terms with
+    * df ≥ minDf, as (term, tf, df, vmr_ppm).
+    *
+    * Scale shape: one explode → (doc, term) counts (map-side combined),
+    * one term-keyed aggregation; n is a 1-row broadcast; the top-k is a
+    * TakeOrdered, never a global sort. */
+  def termBurstiness(
+      docs: DataFrame,
+      textCol: String, idCol: String,
+      minDf: Long = 5, k: Int = 30): DataFrame = {
+    require(minDf >= 1, "termBurstiness: minDf >= 1")
+    require(k >= 1 && k <= 10000, "termBurstiness: k in [1, 10000]")
+    val dec = "decimal(38,0)"
+    val stats = docs
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("c"))
+      .groupBy("term")
+      .agg(
+        sum("c").as("tf"),
+        sum(expr(s"CAST(c AS $dec) * c")).as("s2"),
+        count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    stats.crossJoin(broadcast(nDocs))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("tf"), col("df"),
+        expr(s"((CAST(n AS $dec) * s2 - CAST(tf AS $dec) * tf) * 1000000) " +
+          s"div (CAST(n AS $dec) * tf)").cast("long").as("vmr_ppm"))
+      .orderBy(desc("vmr_ppm"), col("term"))
+      .limit(k)
+  }
+
   /** Top-k terms per document by TF-IDF, score = tf_doc * ln(N / df)
     * (natural log, raw counts — the textbook form). N = documents with at
     * least one token. The ranking orders on the score ROUNDED to 4 decimals

@@ -7002,6 +7002,94 @@ object OperatorQueries {
         |  CASE WHEN n = 0 THEN NULL
         |    ELSE (1000000 * (n_extreme + 1)) // 65 END AS p_ppm
         |FROM o, e ORDER BY n""".stripMargin),
+
+    // Derandomized label propagation over the strong trade graph: 4
+    // synchronous rounds, most-frequent neighbor label with smallest-
+    // label tie-break — the oracle unrolls the identical argmin rounds.
+    "x174_label_communities" -> sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val strong = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(countDistinct(o("o_orderkey")).as("cnt"))
+          .where(col("cnt") >= 4)
+        val edges = strong
+          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        val lp = Graph.labelPropagation(edges, "src", "dst", iters = 4)
+        val out = lp.groupBy(col("community"))
+          .agg(count(lit(1)).as("size"),
+            sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+            sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+          .orderBy(desc("size"), col("community"))
+        val materialized = out.cache()
+        materialized.count()
+        Graph.releaseCaches()
+        materialized
+      },
+      lpaOracle(4)),
+
+    // Term burstiness: exact variance-to-mean ratio of per-document
+    // counts over ALL docs — absences arrive free in the integer algebra
+    // (n·Σc² − S²), no zero rows materialized.
+    "x175_burstiness" -> sql(
+      (s, dir) => Vocabulary.termBurstiness(
+        Tables.documents(s, dir), "text", "doc_id", minDf = 5L, k = 30),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        |st AS (
+        |  SELECT term, sum(c)::BIGINT AS tf,
+        |    sum(c::HUGEINT * c)::HUGEINT AS s2, count(*)::BIGINT AS df
+        |  FROM pd GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |SELECT term, tf, df,
+        |  ((nn.n::HUGEINT * s2 - tf::HUGEINT * tf) * 1000000
+        |    // (nn.n::HUGEINT * tf))::BIGINT AS vmr_ppm
+        |FROM st, nn WHERE df >= 5
+        |ORDER BY vmr_ppm DESC, term LIMIT 30""".stripMargin),
+
+    // Exact 1-Wasserstein drift between English and non-English length
+    // distributions — the x171 cohorts under the integrated-gap metric
+    // KS's single max misses.
+    "x176_wasserstein" -> sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .where(col("lang").isNotNull && col("n_chars").isNotNull)
+          .select(col("n_chars").cast("long").as("v"),
+            (col("lang") === "en").as("a"))
+        val out = Evaluation.wasserstein1(t, col("v"), col("a"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT n_chars::BIGINT AS v, (lang = 'en') AS a
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS c2
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(c1) OVER (ORDER BY v)::BIGINT AS cum1,
+        |    sum(c2) OVER (ORDER BY v)::BIGINT AS cum2,
+        |    lead(v) OVER (ORDER BY v) AS nv FROM g),
+        |nn AS (
+        |  SELECT coalesce(sum(c1), 0)::BIGINT AS n1,
+        |    coalesce(sum(c2), 0)::BIGINT AS n2 FROM g),
+        |m AS (
+        |  SELECT coalesce(sum(
+        |    abs(nn.n2::HUGEINT * cum1 - nn.n1::HUGEINT * cum2) * (nv - v)),
+        |    0)::HUGEINT AS w1num
+        |  FROM c, nn WHERE nv IS NOT NULL)
+        |SELECT n1, n2,
+        |  (CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * w1num) // (n1::HUGEINT * n2)
+        |  END)::BIGINT AS w1_ppm
+        |FROM nn, m ORDER BY n1""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as
@@ -7035,6 +7123,43 @@ object OperatorQueries {
         |      SELECT 1 FROM $c WHERE $c.$ck = pp.k))::BIGINT AS n_childless)"""
         .stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY rel"
+  }
+
+  /** The x174 oracle: `iters` synchronous label-propagation rounds
+    * unrolled as chained CTEs — each round re-labels every node with the
+    * (count DESC, label ASC) argmin over its neighbors' labels, the exact
+    * struct-min the Spark superstep aggregates. */
+  private def lpaOracle(iters: Int): String = {
+    val head =
+      """WITH p AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(DISTINCT o.o_orderkey) AS cnt
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p WHERE cnt >= 4),
+        |sym AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM ed WHERE src <> dst
+        |    UNION ALL SELECT dst AS src, src AS dst FROM ed WHERE src <> dst)),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""v$t AS (
+        |  SELECT e.dst AS node, l.lbl, count(*)::BIGINT AS cnt
+        |  FROM sym e JOIN l${t - 1} l ON l.node = e.src GROUP BY 1, 2),
+        |l$t AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl,
+        |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        |    FROM v$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT lbl::BIGINT AS community, count(*)::BIGINT AS size,
+       |  sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_customers,
+       |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_suppliers
+       |FROM l$iters GROUP BY 1
+       |ORDER BY size DESC, community""".stripMargin
   }
 
   /** The x128 oracle: the walk recurrence unrolled — step r moves each

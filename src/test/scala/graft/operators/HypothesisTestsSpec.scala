@@ -52,6 +52,48 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(r2.isNullAt(2) && r2.isNullAt(3))
   }
 
+  private def refW1Ppm(xs: Seq[(Long, Boolean)]): Option[Long] = {
+    val a = xs.filter(_._2).map(_._1); val b = xs.filterNot(_._2).map(_._1)
+    val n1 = a.size.toLong; val n2 = b.size.toLong
+    if (n1 == 0 || n2 == 0) return None
+    val vals = xs.map(_._1).distinct.sorted
+    val num = vals.zip(vals.drop(1)).map { case (v, nv) =>
+      (BigInt(n2) * a.count(_ <= v) - BigInt(n1) * b.count(_ <= v)).abs *
+        (nv - v)
+    }.sum
+    Some((BigInt(1000000) * num / (BigInt(n1) * n2)).toLong)
+  }
+
+  test("wasserstein1 matches the brute-force integrated-ECDF reference") {
+    val cases = Seq(
+      (1L to 20L).map(i => (i, i % 2 == 0)),
+      (1L to 30L).map(i => (i, i <= 15L)),                  // disjoint: big W1
+      Seq((5L, true), (5L, false), (5L, true), (7L, false)),
+      (1L to 25L).map(i => ((i * 13) % 9, i % 3 == 0)),
+      (1L to 16L).map(i => (i * 100L, i % 4 == 0)))          // wide gaps
+    for (c <- cases) {
+      val r = Evaluation.wasserstein1(c.toDF("v", "a"), col("v"), col("a"))
+        .collect().head
+      Evaluation.releaseCaches()
+      assert(r.getLong(2) == refW1Ppm(c).get, s"$c: got ${r.getLong(2)}")
+    }
+  }
+
+  test("wasserstein1: identical cohorts give 0; shifted cohorts give the shift") {
+    val same = (1L to 10L).flatMap(i => Seq((i, true), (i, false)))
+    val r = Evaluation.wasserstein1(same.toDF("v", "a"), col("v"), col("a"))
+      .collect().head
+    Evaluation.releaseCaches()
+    assert(r.getLong(2) == 0L)
+    // cohort B = cohort A + 7 exactly → W1 = 7
+    val shifted = (1L to 10L).map(i => (i, true)) ++
+      (1L to 10L).map(i => (i + 7L, false))
+    val r2 = Evaluation.wasserstein1(shifted.toDF("v", "a"), col("v"), col("a"))
+      .collect().head
+    Evaluation.releaseCaches()
+    assert(r2.getLong(2) == 7000000L)
+  }
+
   test("twoProportionZ: counts, ppm rates, and the pooled z") {
     // A: 30 of 100; B: 20 of 100
     val rows = Seq.tabulate(200) { i =>

@@ -255,7 +255,13 @@ object BenchScale {
     "x175_burstiness" -> 1.3,
     // the ksTest class: one agg to the distinct-value frame + a single
     // range exchange (plus the boundary-lead map, driver-side)
-    "x176_wasserstein" -> 1.3)
+    "x176_wasserstein" -> 1.3,
+    // one agg to bounded cells + marginal joins + a 1-row ordered fold
+    "x177_chi2_cramers_v" -> 1.3,
+    // x143's single-explode fan-out + bounded-cell integer algebra
+    "x178_gini_gain" -> 1.3,
+    // five cell aggregations, each map-side combined to key-sized frames
+    "x179_fd_audit" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

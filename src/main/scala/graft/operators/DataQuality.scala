@@ -102,6 +102,49 @@ object DataQuality {
           .cast("long").as("simpson_eff_ppm"))
   }
 
+  /** One approximate-functional-dependency candidate: does lhs → rhs
+    * (nearly) hold in df? */
+  final case class FdCandidate(
+      name: String, df: DataFrame, lhs: Column, rhs: Column)
+
+  /** Approximate functional-dependency audit (Kivinen & Mannila's g₃
+    * error, the TANE/metanome measure): for each declared candidate
+    * lhs → rhs, the minimum fraction of rows to delete for the FD to
+    * hold exactly — g₃ = (n − Σ_a max_b count(a, b)) / n, reported in
+    * exact ppm. 0 ppm = the FD holds; small = near-FD worth enforcing;
+    * large = not a dependency. Null lhs/rhs rows are dropped (a null
+    * determines nothing). Output per candidate:
+    * (fd, n, n_lhs_keys, violations, g3_ppm).
+    *
+    * Scale shape: per candidate, ONE aggregation to the (lhs, rhs) cell
+    * frame (map-side combined), one lhs-keyed max/sum aggregation of that
+    * cell frame, one 1-row finish; the report is |candidates| rows built
+    * by unionAll — nothing row-sized reaches the driver. */
+  def fdAudit(cands: Seq[FdCandidate]): DataFrame = {
+    require(cands.nonEmpty, "fdAudit: at least one candidate")
+    require(cands.map(_.name).distinct.size == cands.size,
+      "fdAudit: candidate names must be unique")
+    val reports = cands.map { cand =>
+      cand.df
+        .select(cand.lhs.cast("string").as("a"), cand.rhs.cast("string").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .groupBy("a").agg(sum("c").as("tot"), max("c").as("mx"))
+        .agg(
+          coalesce(sum("tot"), lit(0L)).as("n"),
+          count(lit(1)).as("n_lhs_keys"),
+          coalesce(sum(col("tot") - col("mx")), lit(0L)).as("violations"))
+        .select(
+          lit(cand.name).as("fd"),
+          col("n"), col("n_lhs_keys"), col("violations"),
+          when(col("n") === 0L, lit(null).cast("long"))
+            .otherwise(expr(
+              "(CAST(violations AS decimal(38,0)) * 1000000) div n")
+              .cast("long")).as("g3_ppm"))
+    }
+    reports.reduce(_ unionAll _)
+  }
+
   /** Benford first-digit expectation, ppm (⌊10⁶·log₁₀(1+1/d)⌉ for
     * d = 1…9; sums to exactly 10⁶). Literal constants, not runtime logs
     * — both engines read the same integers. */

@@ -752,6 +752,117 @@ object Evaluation {
           .as("z"))
   }
 
+  /** Pearson χ² independence test + Cramér's V over a two-way categorical
+    * contingency (is the (source × lang) mix independent? — the
+    * association readout behind every stratification decision). Output:
+    * 1 row (n, n_rows, n_cols, dof, chi2, cramers_v).
+    *
+    * Scale shape: ONE corpus aggregation to the DOMAIN-bounded
+    * contingency cells; marginals are two aggregations of that bounded
+    * frame joined back by key; the χ² sum runs as an ORDER-PINNED fold
+    * over the one collected (x, y)-sorted cell array (bounded by
+    * contract), so the fp sum is partition-order-free and the oracle
+    * replays the identical fold via list_reduce. Caller epilogue:
+    * materialize, then releaseCaches(). */
+  def chiSquareIndependence(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    val cells = caches.tracked(df
+      .select(xCol.cast("string").as("x"), yCol.cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("obs"))
+      .persist())
+    val rows = cells.groupBy("x").agg(sum("obs").as("rs"))
+    val cols = cells.groupBy("y").agg(sum("obs").as("cs"))
+    val shape = cells.agg(
+      coalesce(sum("obs"), lit(0L)).as("n"),
+      count_distinct(col("x")).as("n_rows"),
+      count_distinct(col("y")).as("n_cols"))
+    cells
+      .join(rows, Seq("x")).join(cols, Seq("y"))
+      .agg(sort_array(collect_list(struct(
+        col("x"), col("y"), col("obs"), col("rs"), col("cs")))).as("o"))
+      .crossJoin(shape)
+      // zero cells never materialize, but each contributes exactly its
+      // expectation E to χ² ((0−E)²/E = E) and Σ_all E = n — so fold
+      // (obs−E)²/E − E over the OBSERVED cells and add n at the end
+      .withColumn("chi2raw", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + (CAST(s.obs AS DOUBLE)
+          |          - CAST(s.rs AS DOUBLE) * CAST(s.cs AS DOUBLE) / CAST(n AS DOUBLE))
+          |      * (CAST(s.obs AS DOUBLE)
+          |          - CAST(s.rs AS DOUBLE) * CAST(s.cs AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / (CAST(s.rs AS DOUBLE) * CAST(s.cs AS DOUBLE) / CAST(n AS DOUBLE))
+          |      - CAST(s.rs AS DOUBLE) * CAST(s.cs AS DOUBLE) / CAST(n AS DOUBLE))
+          |  + CAST(n AS DOUBLE)""".stripMargin))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1L) * (col("n_cols") - 1L)).as("dof"),
+        when(col("n") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("chi2raw"), roundTo)).as("chi2"),
+        when(col("n") === 0L || col("n_rows") < 2L || col("n_cols") < 2L,
+          lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2raw") /
+            (col("n").cast("double") *
+              least(col("n_rows") - 1L, col("n_cols") - 1L).cast("double"))),
+            roundTo)).as("cramers_v"))
+  }
+
+  /** Gini-impurity-gain feature screen (the CART split criterion, Breiman
+    * 1984) — which bucketed feature most purifies a boolean label? The
+    * EXACT-integer complement of [[featureAuc]]: per feature,
+    *   gain_ppm = parent_gini_ppm − Σ_v (10⁶·(n_v² − Σ_l c_{v,l}²)) div (n·n_v),
+    * every term an exact floor-division integer (the documented
+    * per-bucket floor makes the statistic bit-replayable — no fp
+    * anywhere). Output: one row per feature (feature, n, gini_parent_ppm,
+    * gini_children_ppm, gain_ppm), gain DESC.
+    *
+    * Scale shape: ONE scan fans every feature out through a single
+    * explode (featureAuc's shape); (feature, bucket, label) counts
+    * collapse map-side; everything after runs on the bounded
+    * (feature × bucket) frame. Null feature values are skipped (that
+    * feature just sees fewer rows — mirrors x143). */
+  def giniGainScreen(
+      df: DataFrame,
+      labelCol: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "giniGainScreen needs at least one feature")
+    val dec = "decimal(38,0)"
+    val rows = df
+      .select(labelCol.cast("boolean").as("yy"),
+        explode(array(features.map { case (name, c) =>
+          struct(lit(name).as("feature"), c.cast("long").as("v"))
+        }: _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("yy"))
+      .where(col("yy").isNotNull && col("v").isNotNull)
+    val cells = caches.tracked(rows
+      .groupBy("feature", "v")
+      .agg(count(lit(1)).as("nv"),
+        sum(when(col("yy"), 1L).otherwise(0L)).as("pv"))
+      .persist())
+    // per feature: n, positives (the parent split is per feature — each
+    // feature may drop a different null set)
+    val parent = cells.groupBy("feature")
+      .agg(sum("nv").as("n"), sum("pv").as("p"))
+      .select(col("feature"), col("n"),
+        expr(s"(1000000 * (CAST(n AS $dec) * n - CAST(p AS $dec) * p" +
+          s" - CAST(n - p AS $dec) * (n - p))) div (CAST(n AS $dec) * n)")
+          .cast("long").as("gini_parent_ppm"))
+    val children = cells
+      .join(parent.select(col("feature"), col("n")), Seq("feature"))
+      .select(col("feature"),
+        expr(s"(1000000 * (CAST(nv AS $dec) * nv - CAST(pv AS $dec) * pv" +
+          s" - CAST(nv - pv AS $dec) * (nv - pv))) div (CAST(n AS $dec) * nv)")
+          .cast("long").as("t"))
+      .groupBy("feature").agg(sum("t").as("gini_children_ppm"))
+    parent.join(children, Seq("feature"))
+      .select(col("feature"), col("n"), col("gini_parent_ppm"),
+        col("gini_children_ppm"),
+        (col("gini_parent_ppm") - col("gini_children_ppm")).as("gain_ppm"))
+      .orderBy(desc("gain_ppm"), col("feature"))
+  }
+
   /** Paired sign-flip permutation test (Fisher 1935 randomization), fully
     * derandomized: replicate b flips row key k's sign iff the low hex
     * nibble of md5("perm:b:k") is odd — the d08 draw convention, so the

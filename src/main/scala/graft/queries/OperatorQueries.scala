@@ -7090,6 +7090,141 @@ object OperatorQueries {
         |    ELSE (1000000::HUGEINT * w1num) // (n1::HUGEINT * n2)
         |  END)::BIGINT AS w1_ppm
         |FROM nn, m ORDER BY n1""".stripMargin),
+
+    // Pearson χ² + Cramér's V on the (source × lang) contingency: the χ²
+    // sum as an ORDER-PINNED fold over the one collected sorted cell
+    // array — the oracle replays the identical fold.
+    "x177_chi2_cramers_v" -> sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+        val out = Evaluation.chiSquareIndependence(
+          t, col("source"), col("lang"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT source::VARCHAR AS x, lang::VARCHAR AS y FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS obs FROM t GROUP BY 1, 2),
+        |r AS (SELECT x, sum(obs)::BIGINT AS rs FROM cells GROUP BY 1),
+        |c AS (SELECT y, sum(obs)::BIGINT AS cs FROM cells GROUP BY 1),
+        |sh AS (
+        |  SELECT coalesce(sum(obs), 0)::BIGINT AS n,
+        |    count(DISTINCT x)::BIGINT AS n_rows,
+        |    count(DISTINCT y)::BIGINT AS n_cols FROM cells),
+        |arr AS (
+        |  SELECT list([obs::DOUBLE, rs::DOUBLE, cs::DOUBLE]
+        |    ORDER BY cells.x, cells.y) AS o
+        |  FROM cells JOIN r USING (x) JOIN c USING (y)),
+        |f AS (
+        |  SELECT list_reduce(list_prepend([0.0::DOUBLE], o),
+        |    (acc, s) -> [acc[1]
+        |      + (s[1] - s[2] * s[3] / sh.n::DOUBLE)
+        |      * (s[1] - s[2] * s[3] / sh.n::DOUBLE)
+        |      / (s[2] * s[3] / sh.n::DOUBLE)
+        |      - s[2] * s[3] / sh.n::DOUBLE])[1] + sh.n::DOUBLE AS chi2raw
+        |  FROM arr, sh)
+        |SELECT sh.n, sh.n_rows, sh.n_cols,
+        |  ((sh.n_rows - 1) * (sh.n_cols - 1))::BIGINT AS dof,
+        |  CASE WHEN sh.n = 0 THEN NULL ELSE round(f.chi2raw, 4) END AS chi2,
+        |  CASE WHEN sh.n = 0 OR sh.n_rows < 2 OR sh.n_cols < 2 THEN NULL
+        |    ELSE round(sqrt(f.chi2raw / (sh.n::DOUBLE *
+        |      least(sh.n_rows - 1, sh.n_cols - 1)::DOUBLE)), 4)
+        |  END AS cramers_v
+        |FROM sh, f ORDER BY n""".stripMargin),
+
+    // Gini-impurity-gain feature screen (CART split criterion): which
+    // bucketed feature most purifies the lang='en' label — exact
+    // floor-division integers end to end, NO fp anywhere.
+    "x178_gini_gain" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long"))
+        val out = Evaluation.giniGainScreen(docs, col("lang") === "en", Seq(
+          "len_bucket" -> expr("n_chars div 200"),
+          "tok_bucket" -> expr("n_tokens div 40"),
+          "avg_tok_len_x10" ->
+            when(col("n_tokens") > 0, expr("(n_chars * 10) div n_tokens"))))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH base AS (
+        |  SELECT (lang = 'en') AS yy, n_chars::BIGINT AS n_chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT yy, 'len_bucket' AS feature, n_chars // 200 AS v FROM base
+        |  UNION ALL SELECT yy, 'tok_bucket', n_tokens // 40 FROM base
+        |  UNION ALL SELECT yy, 'avg_tok_len_x10',
+        |    CASE WHEN n_tokens > 0 THEN (n_chars * 10) // n_tokens END
+        |  FROM base),
+        |cells AS (
+        |  SELECT feature, v, count(*)::BIGINT AS nv,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS pv
+        |  FROM f WHERE v IS NOT NULL AND yy IS NOT NULL GROUP BY 1, 2),
+        |parent AS (
+        |  SELECT feature, sum(nv)::BIGINT AS n, sum(pv)::BIGINT AS p
+        |  FROM cells GROUP BY 1),
+        |pg AS (
+        |  SELECT feature, n,
+        |    ((1000000::HUGEINT * (n::HUGEINT * n - p::HUGEINT * p
+        |      - (n - p)::HUGEINT * (n - p))) // (n::HUGEINT * n))::BIGINT
+        |      AS gini_parent_ppm
+        |  FROM parent),
+        |ch AS (
+        |  SELECT cells.feature,
+        |    sum((1000000::HUGEINT * (nv::HUGEINT * nv - pv::HUGEINT * pv
+        |      - (nv - pv)::HUGEINT * (nv - pv)))
+        |      // (pg.n::HUGEINT * nv))::BIGINT AS gini_children_ppm
+        |  FROM cells JOIN pg ON pg.feature = cells.feature GROUP BY 1)
+        |SELECT pg.feature, pg.n, pg.gini_parent_ppm, ch.gini_children_ppm,
+        |  (pg.gini_parent_ppm - ch.gini_children_ppm)::BIGINT AS gain_ppm
+        |FROM pg JOIN ch ON ch.feature = pg.feature
+        |ORDER BY gain_ppm DESC, pg.feature""".stripMargin),
+
+    // Approximate functional-dependency audit (g3 error, Kivinen &
+    // Mannila): five declared lhs→rhs candidates, each one cell
+    // aggregation + one lhs-keyed max/sum — exact ppm.
+    "x179_fd_audit" -> sql(
+      (s, dir) => DataQuality.fdAudit(Seq(
+        DataQuality.FdCandidate("customer:nation->segment",
+          Tables.customer(s, dir), col("c_nationkey"), col("c_mktsegment")),
+        DataQuality.FdCandidate("lineitem:partkey->suppkey",
+          Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey")),
+        DataQuality.FdCandidate("orders:custkey->priority",
+          Tables.orders(s, dir), col("o_custkey"), col("o_orderpriority")),
+        DataQuality.FdCandidate("part:brand->type",
+          Tables.part(s, dir), col("p_brand"), col("p_type")),
+        DataQuality.FdCandidate("part:name->brand",
+          Tables.part(s, dir), col("p_name"), col("p_brand"))))
+        .orderBy("fd"),
+      Seq(
+        ("customer:nation->segment", "customer", "c_nationkey", "c_mktsegment"),
+        ("lineitem:partkey->suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        ("orders:custkey->priority", "orders", "o_custkey", "o_orderpriority"),
+        ("part:brand->type", "part", "p_brand", "p_type"),
+        ("part:name->brand", "part", "p_name", "p_brand"))
+        .map { case (nm, tbl, a, b) =>
+          s"""SELECT '$nm' AS fd, n, n_lhs_keys, violations,
+            |  (CASE WHEN n = 0 THEN NULL
+            |    ELSE (violations::HUGEINT * 1000000) // n END)::BIGINT AS g3_ppm
+            |FROM (
+            |  SELECT coalesce(sum(tot), 0)::BIGINT AS n,
+            |    count(*)::BIGINT AS n_lhs_keys,
+            |    coalesce(sum(tot - mx), 0)::BIGINT AS violations
+            |  FROM (
+            |    SELECT a, sum(c)::BIGINT AS tot, max(c)::BIGINT AS mx
+            |    FROM (
+            |      SELECT $a::VARCHAR AS a, $b::VARCHAR AS b, count(*)::BIGINT AS c
+            |      FROM $tbl WHERE $a IS NOT NULL AND $b IS NOT NULL
+            |      GROUP BY 1, 2) GROUP BY 1))""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY fd"),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

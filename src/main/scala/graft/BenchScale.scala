@@ -261,7 +261,13 @@ object BenchScale {
     // x143's single-explode fan-out + bounded-cell integer algebra
     "x178_gini_gain" -> 1.3,
     // five cell aggregations, each map-side combined to key-sized frames
-    "x179_fd_audit" -> 1.3)
+    "x179_fd_audit" -> 1.3,
+    // the x123 state + a bounded-frame finishing lens
+    "x180_psi_drift" -> 1.2,
+    // one pair explode + two margin aggs of the same cached pair frame
+    "x181_llr_collocations" -> 1.3,
+    // one keyed agg to the calendar-bounded daily frame + bounded self-join
+    "x182_mann_kendall" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -338,6 +338,43 @@ object Evaluation {
           .otherwise(col("__c")).as("contrib_ppm"))
   }
 
+  /** Population Stability Index (the credit-scoring drift scalar) as ONE
+    * MORE stateless lens over the exact (bin, cnt_a, cnt_b) state that
+    * [[finishDrift]] and streaming/StreamingDrift already share — the
+    * log-weighted drift magnitude read next to the TVD contributions.
+    * Laplace-smoothed (+1 per bin on both cohorts, +|bins| on both
+    * denominators) so empty bins stay defined; contributions
+    * (p′−q′)·ln(p′/q′) are non-negative, reported in ppm rounded to
+    * integers per bin — so the `__total` row is an order-free long sum.
+    * Same single-pass row-expansion shape as finishDrift. */
+  def finishPsi(binCounts: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val pa = "CAST(cnt_a + 1 AS DOUBLE) / CAST(__na + __k AS DOUBLE)"
+    val pb = "CAST(cnt_b + 1 AS DOUBLE) / CAST(__nb + __k AS DOUBLE)"
+    binCounts
+      .select(explode(array(col("bin"), lit("__total"))).as("obin"),
+        col("cnt_a"), col("cnt_b"))
+      .groupBy("obin")
+      .agg(sum("cnt_a").as("cnt_a"), sum("cnt_b").as("cnt_b"))
+      .withColumn("__na",
+        max(when(col("obin") === "__total", col("cnt_a"))).over(all))
+      .withColumn("__nb",
+        max(when(col("obin") === "__total", col("cnt_b"))).over(all))
+      .withColumn("__k",
+        sum(when(col("obin") =!= "__total", 1L).otherwise(0L)).over(all))
+      .withColumn("__c",
+        when(expr("__na = 0 OR __nb = 0"), lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(round(1000000.0D * (($pa) - ($pb)) * ln(($pa) / ($pb))) AS LONG)")))
+      .select(col("obin").as("bin"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"),
+        when(col("obin") === "__total",
+          sum(when(col("obin") =!= "__total", col("__c"))).over(all))
+          .otherwise(col("__c")).as("psi_ppm"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED integer-scaled
     * measurements — "did condition A systematically beat condition B on
     * the same documents?", the paired complement of x112's unpaired

@@ -264,4 +264,58 @@ object Seasonal {
         round(col("st.l") + lit(horizon.toDouble) * col("st.b"), roundTo)
           .as("forecast"))
   }
+
+  /** Mann–Kendall monotone-trend test per series (Mann 1945, Kendall
+    * 1975 — the nonparametric "is volume actually trending?" readout,
+    * immune to the outliers that wreck a least-squares slope):
+    *   S = Σ_{i<j} sgn(y_j − y_i)  over day-ordered counts,
+    *   Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)  (tie-corrected),
+    *   z = (S ∓ 1)/√Var  (continuity-corrected).
+    * S and the variance numerator are exact longs; z is the one fp
+    * expression, from identically-converted components. Output per
+    * series: (series, n_days, s_stat, var18, z).
+    *
+    * Scale shape: the corpus collapses in ONE keyed aggregation to the
+    * CALENDAR-BOUNDED daily frame (the x125 discipline — the same state
+    * the seasonal/CUSUM/Holt twins keep); the pairwise S is a
+    * series-keyed self-join of that bounded frame (≤ days² pairs per
+    * series, a constant in corpus size), never a corpus-sized join. */
+  def mannKendall(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      roundTo: Int = 4): DataFrame =
+    finishMannKendall(dailyCounts(df, series, ts), roundTo)
+
+  /** The trend finish as a stateless view over an already-materialized
+    * (series, day, cnt) frame — shared with the streaming twins' running
+    * daily-count state. */
+  def finishMannKendall(dailyIn: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = dailyIn.select(col("series"), col("day").as("di"), col("cnt").as("yi"))
+    val b = dailyIn.select(col("series"), col("day").as("dj"), col("cnt").as("yj"))
+    val s = a.join(b, Seq("series"))
+      .where(col("dj") > col("di"))
+      .groupBy("series")
+      .agg(coalesce(sum(signum(col("yj") - col("yi")).cast("long")), lit(0L))
+        .as("s_stat"))
+    val nd = dailyIn.groupBy("series").agg(count(lit(1)).as("n_days"))
+    val ties = dailyIn.groupBy("series", "cnt").agg(count(lit(1)).as("t"))
+      .groupBy("series")
+      .agg(coalesce(sum(expr(
+        s"CAST(t AS $dec) * (t - 1) * (2 * t + 5)")), lit(0L).cast(dec))
+        .as("tt"))
+    nd.join(s, Seq("series")).join(ties, Seq("series"))
+      .select(col("series"), col("n_days"), col("s_stat"),
+        expr(s"CAST(CAST(n_days AS $dec) * (n_days - 1) * (2 * n_days + 5)" +
+          s" - tt AS LONG)").as("var18"))
+      .withColumn("z",
+        when(col("var18") <= 0L, lit(null).cast("double"))
+          .otherwise(round(
+            when(col("s_stat") > 0L, col("s_stat").cast("double") - 1.0d)
+              .when(col("s_stat") < 0L, col("s_stat").cast("double") + 1.0d)
+              .otherwise(lit(0.0d)) /
+              sqrt(col("var18").cast("double") / lit(18.0d)), roundTo)))
+      .orderBy("series")
+  }
 }

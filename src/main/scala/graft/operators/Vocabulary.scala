@@ -172,6 +172,66 @@ object Vocabulary {
       .select("w1", "w2", "n_pair", "pmi")
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993 — the
+    * G²-test collocation measure that, unlike [[bigramPmi]], stays
+    * calibrated at LOW counts, where PMI's ln(p/pq) explodes on
+    * singletons). For each adjacent bigram seen ≥ minCount times, the
+    * 2×2 contingency over all N₂ bigram events
+    * (k₁₁ = c(w₁w₂), margins c(w₁·), c(·w₂)) scores
+    * G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·N/(rowᵢ·colⱼ)), zero cells contributing 0.
+    * The ranking orders on G² ROUNDED to 4 decimals with the pair as
+    * tie-break (the tfIdfTopTerms ln-ulp armoring).
+    *
+    * Scale shape: one pair explode (map-side-combined counts), two
+    * margin aggregations of the SAME pair frame (no second text pass),
+    * joins shuffle only the minCount-filtered pair vocabulary; N₂ is a
+    * 1-row broadcast; top-k is a TakeOrdered. */
+  def bigramLlr(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val toks = tokens(col(textCol))
+    val pairs = caches.tracked(docs
+      .select(toks.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), (i + 1).cast("int")).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .persist())
+    val lm = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val rm = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n2 = pairs.agg(count(lit(1)).as("n2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .where(col("k11") >= minCount)
+    // per-cell term: k·ln( (k/N) / ((row/N)·(col/N)) ), zero cells → 0;
+    // the identical CASE/ln text replays in the oracle. EXPLICIT double
+    // casts — a bare `* 1.0` literal is DECIMAL in Spark SQL (and
+    // DuckDB), and decimal-division rounding shifts the ratios by far
+    // more than an ulp
+    def cell(k: String, r: String, s: String): String =
+      s"CASE WHEN ($k) > 0 THEN ($k) * ln((CAST($k AS DOUBLE) / n2) / " +
+        s"((CAST($r AS DOUBLE) / n2) * (CAST($s AS DOUBLE) / n2))) " +
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    cb
+      .join(lm, Seq("w1"))
+      .join(rm, Seq("w2"))
+      .crossJoin(broadcast(n2))
+      .withColumn("llr", round(expr(
+        "2.0 * (" + Seq(
+          cell("k11", "c1", "c2"),
+          cell("c1 - k11", "c1", "n2 - c2"),
+          cell("c2 - k11", "n2 - c1", "c2"),
+          cell("n2 - c1 - c2 + k11", "n2 - c1", "n2 - c2"))
+          .mkString(" + ") + ")"), 4))
+      .orderBy(desc("llr"), col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "k11", "llr")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own top-k
     * vocabulary (count DESC, term ASC tie-break) — the coverage check run
     * before freezing a tokenizer vocab: documents with high OOV share are

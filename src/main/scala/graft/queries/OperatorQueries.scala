@@ -7225,6 +7225,125 @@ object OperatorQueries {
             |      FROM $tbl WHERE $a IS NOT NULL AND $b IS NOT NULL
             |      GROUP BY 1, 2) GROUP BY 1))""".stripMargin
         }.mkString("\nUNION ALL\n") + "\nORDER BY fd"),
+
+    // Population Stability Index — one more stateless lens over the SAME
+    // (bin, cnt_a, cnt_b) state as x123/StreamingDrift: Laplace-smoothed,
+    // per-bin integer-ppm contributions so the __total row is an
+    // order-free sum.
+    "x180_psi_drift" -> sql(
+      (s, dir) => Evaluation.finishPsi(Evaluation.driftBinCounts(
+        Tables.events(s, dir), col("event_type"),
+        dayofmonth(col("ts")) <= 15))
+        .orderBy("bin"),
+      """WITH c AS (
+        |  SELECT event_type::VARCHAR AS bin,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT coalesce(sum(ca), 0)::BIGINT AS na,
+        |  coalesce(sum(cb), 0)::BIGINT AS nb,
+        |  count(*)::BIGINT AS k FROM c),
+        |pb AS (SELECT bin, ca, cb,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE CAST(round(1000000.0 *
+        |      ((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |        - (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))) *
+        |      ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))))
+        |      AS BIGINT)
+        |  END AS psi
+        |  FROM c, t),
+        |tot AS (SELECT '__total' AS bin, na AS ca, nb AS cb,
+        |  (SELECT sum(psi) FROM pb) AS psi FROM t)
+        |SELECT bin, ca::BIGINT AS cnt_a, cb::BIGINT AS cnt_b,
+        |  psi::BIGINT AS psi_ppm
+        |FROM (SELECT * FROM pb UNION ALL SELECT * FROM tot)
+        |ORDER BY bin""".stripMargin),
+
+    // Dunning log-likelihood-ratio collocations: the G²-test measure
+    // that stays calibrated at low counts where PMI explodes — the
+    // oracle replays the identical 2×2 cell terms.
+    "x181_llr_collocations" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.bigramLlr(Tables.documents(s, dir), "text",
+          minCount = 5, topK = 50)
+        val materialized = out.cache()
+        materialized.count()
+        Vocabulary.releaseCaches()
+        materialized
+      },
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents),
+        |pr AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || chr(31) || toks[i + 1])) AS pg
+        |  FROM t WHERE len(toks) >= 2),
+        |p AS (SELECT string_split(pg, chr(31))[1] AS w1,
+        |    string_split(pg, chr(31))[2] AS w2 FROM pr),
+        |lm AS (SELECT w1, count(*)::BIGINT AS c1 FROM p GROUP BY 1),
+        |rm AS (SELECT w2, count(*)::BIGINT AS c2 FROM p GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n2 FROM p),
+        |cb AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT cb.w1, cb.w2, cb.k11,
+        |    round(2.0 * (
+        |      (CASE WHEN (k11) > 0 THEN (k11) * ln((CAST(k11 AS DOUBLE) / n2) /
+        |        ((CAST(c1 AS DOUBLE) / n2) * (CAST(c2 AS DOUBLE) / n2)))
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN (c1 - k11) > 0 THEN (c1 - k11)
+        |        * ln((CAST(c1 - k11 AS DOUBLE) / n2) /
+        |        ((CAST(c1 AS DOUBLE) / n2) * (CAST(n2 - c2 AS DOUBLE) / n2)))
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN (c2 - k11) > 0 THEN (c2 - k11)
+        |        * ln((CAST(c2 - k11 AS DOUBLE) / n2) /
+        |        ((CAST(n2 - c1 AS DOUBLE) / n2) * (CAST(c2 AS DOUBLE) / n2)))
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN (n2 - c1 - c2 + k11) > 0 THEN (n2 - c1 - c2 + k11)
+        |        * ln((CAST(n2 - c1 - c2 + k11 AS DOUBLE) / n2) /
+        |        ((CAST(n2 - c1 AS DOUBLE) / n2) * (CAST(n2 - c2 AS DOUBLE) / n2)))
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    ), 4) AS llr
+        |  FROM cb JOIN lm ON lm.w1 = cb.w1 JOIN rm ON rm.w2 = cb.w2, nn)
+        |SELECT w1, w2, k11, llr FROM sc
+        |ORDER BY llr DESC, w1, w2 LIMIT 50""".stripMargin),
+
+    // Mann–Kendall monotone-trend test per event series: exact S and
+    // tie-corrected variance numerator from the calendar-bounded daily
+    // frame; fp only in the continuity-corrected z.
+    "x182_mann_kendall" -> sql(
+      (s, dir) => Seasonal.mannKendall(
+        Tables.events(s, dir), col("event_type"), col("ts")),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.series,
+        |    coalesce(sum(sign(b.cnt - a.cnt)::BIGINT), 0)::BIGINT AS s_stat
+        |  FROM d a JOIN d b ON b.series = a.series AND b.day > a.day
+        |  GROUP BY 1),
+        |nd AS (SELECT series, count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+        |ties AS (
+        |  SELECT series,
+        |    coalesce(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0)::HUGEINT AS tt
+        |  FROM (SELECT series, cnt, count(*)::BIGINT AS t FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT nd.series, nd.n_days, s.s_stat,
+        |    (nd.n_days::HUGEINT * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |      - ties.tt)::BIGINT AS var18
+        |  FROM nd JOIN s ON s.series = nd.series
+        |  JOIN ties ON ties.series = nd.series)
+        |SELECT series, n_days, s_stat, var18,
+        |  CASE WHEN var18 <= 0 THEN NULL
+        |    ELSE round((CASE WHEN s_stat > 0 THEN s_stat::DOUBLE - 1.0
+        |      WHEN s_stat < 0 THEN s_stat::DOUBLE + 1.0 ELSE 0.0 END) /
+        |      sqrt(var18::DOUBLE / 18.0), 4)
+        |  END AS z
+        |FROM v ORDER BY series""".stripMargin),
   )
 
   /** The x130 oracle: per relationship, both anti-join directions as

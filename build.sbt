@@ -15,6 +15,8 @@ run / fork := true
 // the round driver parses Bench's single BENCH_JSON line from column 0,
 // and the logger prefix is what kept breaking that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// (`runMain` shares `run / runner`, so the two keys above cover it too —
+// sbt's lintUnused flags runMain-scoped copies as dead settings.)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -267,7 +267,13 @@ object BenchScale {
     // one pair explode + two margin aggs of the same cached pair frame
     "x181_llr_collocations" -> 1.3,
     // one keyed agg to the calendar-bounded daily frame + bounded self-join
-    "x182_mann_kendall" -> 1.3)
+    "x182_mann_kendall" -> 1.3,
+    // ONE corpus scan with plan-literal sufficient statistics (O(k²)
+    // agg state); the pair unpivot is a union over the cached 1-row frame
+    "x183_correlation_matrix" -> 1.2,
+    // one keyed agg to the calendar-bounded daily frame (exchange reused
+    // across the self-join sides) + bounded lag-window self-join
+    "x184_acf" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -338,6 +338,59 @@ object Evaluation {
           .otherwise(col("__c")).as("contrib_ppm"))
   }
 
+  /** Full Pearson correlation matrix over k declared integer features in
+    * ONE corpus aggregation — the multicollinearity screen read before
+    * trusting a feature set (d27 is one pair; this is all k(k−1)/2 at the
+    * same scan cost). Output: one row per unordered pair
+    * (f1, f2, n, corr), f1 < f2, ordered by (f1, f2).
+    *
+    * Scale shape: NO explode — all k sums, k squared-sums and k(k−1)/2
+    * cross-sums are PLAN-LITERAL aggregation expressions on a single
+    * scan (reduce state = O(k²) decimals); rows where ANY feature is
+    * null are dropped so every pair shares one n and the matrix is
+    * consistent. The pair unpivot is a union of projections of the 1-row
+    * frame (driver-sized). Sums are exact decimals; each corr is the
+    * [[spearmanRho]] closing ratio from identically-converted
+    * components. */
+  def correlationMatrix(
+      df: DataFrame,
+      features: Seq[(String, Column)],
+      roundTo: Int = 4): DataFrame = {
+    require(features.size >= 2 && features.size <= 32,
+      "correlationMatrix: 2 to 32 features")
+    val dec = "decimal(38,0)"
+    val names = features.map(_._1)
+    require(names.distinct.size == names.size,
+      "correlationMatrix: feature names must be unique")
+    val base = df.select(features.map { case (n, c) =>
+      c.cast("long").as(n)
+    }: _*).na.drop()
+    val aggs =
+      (count(lit(1)).as("n") +:
+        names.map(n => sum(col(n).cast(dec)).as(s"s_$n"))) ++
+        names.map(n => sum(col(n).cast(dec) * col(n)).as(s"q_$n")) ++
+        (for (i <- names.indices; j <- (i + 1) until names.size)
+          yield sum(col(names(i)).cast(dec) * col(names(j)))
+            .as(s"x_${names(i)}__${names(j)}"))
+    val wide = caches.tracked(base.agg(aggs.head, aggs.tail: _*).persist())
+    val pairs = for (i <- names.indices; j <- (i + 1) until names.size) yield {
+      val (a, b) = (names(i), names(j))
+      val nD = col("n").cast("double")
+      val num = nD * col(s"x_${a}__$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val da = nD * col(s"q_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val db = nD * col(s"q_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      wide.select(
+        lit(a).as("f1"), lit(b).as("f2"), col("n"),
+        when(col("n") < 2L || da <= lit(0.0d) || db <= lit(0.0d),
+          lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(da) * sqrt(db)), roundTo)).as("corr"))
+    }
+    pairs.reduce(_ unionAll _).orderBy("f1", "f2")
+  }
+
   /** Population Stability Index (the credit-scoring drift scalar) as ONE
     * MORE stateless lens over the exact (bin, cnt_a, cnt_b) state that
     * [[finishDrift]] and streaming/StreamingDrift already share — the

@@ -318,4 +318,64 @@ object Seasonal {
               sqrt(col("var18").cast("double") / lit(18.0d)), roundTo)))
       .orderBy("series")
   }
+
+  /** Autocorrelation function of daily volume per series at calendar
+    * lags 1..maxLag — the periodicity fingerprint (a lag-7 spike = a
+    * real weekly cycle) read before trusting any seasonal model.
+    * Definition: acf_k = Pearson correlation of the aligned day pairs
+    * (y_t, y_{t+k days}) — gap-aware (a missing day simply contributes
+    * no pair), exact decimal sufficient statistics per (series, lag),
+    * fp only in the closing ratio. Output:
+    * (series, lag, n_pairs, acf), ordered.
+    *
+    * Scale shape: ONE keyed aggregation to the CALENDAR-BOUNDED daily
+    * frame (the same state the seasonal/CUSUM/Holt/Mann–Kendall views
+    * share), then one series-keyed self-join of that bounded frame with
+    * the lag window as a join-range predicate (≤ days·maxLag pairs per
+    * series — constant in corpus size), one (series, lag) aggregation. */
+  def acf(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      maxLag: Int = 14,
+      roundTo: Int = 4): DataFrame =
+    finishAcf(dailyCounts(df, series, ts), maxLag, roundTo)
+
+  /** The ACF finish as a stateless view over an already-materialized
+    * (series, day, cnt) frame — shared with the streaming twins' state. */
+  def finishAcf(
+      dailyIn: DataFrame,
+      maxLag: Int = 14,
+      roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 3650, "acf: maxLag in [1, 3650]")
+    val dec = "decimal(38,0)"
+    val a = dailyIn.select(col("series"), col("day").as("da"), col("cnt").as("ya"))
+    val b = dailyIn.select(col("series"), col("day").as("db"), col("cnt").as("yb"))
+    a.join(b, Seq("series"))
+      .where(datediff(col("db"), col("da")).between(1, maxLag))
+      .select(col("series"),
+        datediff(col("db"), col("da")).cast("long").as("lag"),
+        col("ya"), col("yb"))
+      .groupBy("series", "lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ya").cast(dec)).as("sx"),
+        sum(col("yb").cast(dec)).as("sy"),
+        sum(col("ya").cast(dec) * col("ya")).as("sxx"),
+        sum(col("yb").cast(dec) * col("yb")).as("syy"),
+        sum(col("ya").cast(dec) * col("yb")).as("sxy"))
+      .select(col("series"), col("lag"), col("n_pairs"), {
+        val nD = col("n_pairs").cast("double")
+        val num = nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val da = nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val db = nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        when(col("n_pairs") < 2L || da <= lit(0.0d) || db <= lit(0.0d),
+          lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(da) * sqrt(db)), roundTo)).as("acf")
+      })
+      .orderBy("series", "lag")
+  }
 }

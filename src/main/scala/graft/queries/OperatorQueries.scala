@@ -7344,7 +7344,99 @@ object OperatorQueries {
         |      sqrt(var18::DOUBLE / 18.0), 4)
         |  END AS z
         |FROM v ORDER BY series""".stripMargin),
+
+    // Full Pearson correlation matrix over 4 lineitem features in ONE
+    // corpus aggregation — every pairwise sum is a plan-literal agg
+    // expression on a single scan (d27 is one pair; this is all 6 at
+    // the same scan cost). Exact decimal sufficient statistics; fp only
+    // in the closing ratios.
+    "x183_correlation_matrix" -> sql(
+      (s, dir) => {
+        val out = Evaluation.correlationMatrix(Tables.lineitem(s, dir), Seq(
+          "disc_c" -> floor(col("l_discount") * 100),
+          "price_fl" -> floor(col("l_extendedprice")),
+          "qty" -> floor(col("l_quantity")),
+          "tax_c" -> floor(col("l_tax") * 100))).cache()
+        out.count()
+        Evaluation.releaseCaches()
+        out
+      },
+      corrMatrixOracle),
+
+    // Autocorrelation of daily volume per event series at calendar lags
+    // 1..14 — the periodicity fingerprint over the SAME calendar-bounded
+    // daily state the seasonal/CUSUM/Holt/Mann–Kendall views share.
+    "x184_acf" -> sql(
+      (s, dir) => Seasonal.acf(
+        Tables.events(s, dir), col("event_type"), col("ts"), maxLag = 14),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.series, (b.day - a.day)::BIGINT AS lag,
+        |    a.cnt AS ya, b.cnt AS yb
+        |  FROM d a JOIN d b ON b.series = a.series
+        |  WHERE (b.day - a.day) BETWEEN 1 AND 14),
+        |g AS (
+        |  SELECT series, lag, count(*)::BIGINT AS n_pairs,
+        |    sum(ya::HUGEINT) AS sx, sum(yb::HUGEINT) AS sy,
+        |    sum(ya::HUGEINT * ya) AS sxx, sum(yb::HUGEINT * yb) AS syy,
+        |    sum(ya::HUGEINT * yb) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT series, lag, n_pairs,
+        |  CASE WHEN n_pairs < 2
+        |      OR (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+        |      OR (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |      4)
+        |  END AS acf
+        |FROM g ORDER BY series, lag""".stripMargin),
   )
+
+  /** The x183 oracle: the identical sufficient statistics (one HUGEINT
+    * aggregation pass) and the identical double-conversion closing
+    * algebra, one UNION ALL branch per unordered feature pair. Features
+    * are listed in lexical order so f1 < f2 matches the Spark side's
+    * declaration order. */
+  private def corrMatrixOracle: String = {
+    val fs = Seq(
+      "disc_c" -> "floor(l_discount * 100)",
+      "price_fl" -> "floor(l_extendedprice)",
+      "qty" -> "floor(l_quantity)",
+      "tax_c" -> "floor(l_tax * 100)")
+    val names = fs.map(_._1)
+    val proj = fs.map { case (n, e) => s"($e)::BIGINT AS $n" }.mkString(", ")
+    val where = fs.map { case (_, e) => s"($e) IS NOT NULL" }.mkString(" AND ")
+    val sums =
+      names.map(n => s"sum($n::HUGEINT) AS s_$n") ++
+        names.map(n => s"sum($n::HUGEINT * $n) AS q_$n") ++
+        (for (i <- names.indices; j <- (i + 1) until names.size)
+          yield s"sum(${names(i)}::HUGEINT * ${names(j)})" +
+            s" AS x_${names(i)}__${names(j)}")
+    val pairs = for (i <- names.indices; j <- (i + 1) until names.size) yield {
+      val (a, b) = (names(i), names(j))
+      val da = s"(n::DOUBLE * q_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE)"
+      val db = s"(n::DOUBLE * q_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE)"
+      val num = s"(n::DOUBLE * x_${a}__$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)"
+      s"""SELECT '$a' AS f1, '$b' AS f2, n,
+         |  CASE WHEN n < 2 OR $da <= 0.0 OR $db <= 0.0 THEN NULL
+         |    ELSE round($num / (sqrt($da) * sqrt($db)), 4)
+         |  END AS corr
+         |FROM a""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT $proj
+       |  FROM lineitem WHERE $where),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n, ${sums.mkString(",\n    ")}
+       |  FROM f)
+       |${pairs.mkString("\nUNION ALL\n")}
+       |ORDER BY f1, f2""".stripMargin
+  }
 
   /** The x130 oracle: per relationship, both anti-join directions as
     * scalar subqueries (a NULL child key is an orphan by definition —

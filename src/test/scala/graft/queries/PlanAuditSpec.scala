@@ -1156,4 +1156,60 @@ class PlanAuditSpec extends SparkSpec {
       assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("text")))
     } finally graft.operators.Evaluation.releaseCaches()
   }
+
+  test("x183: all k(k-1)/2 pair branches read ONE cached 1-row aggregate; " +
+    "the corpus scan under the cache is pruned to the feature inputs") {
+    import org.apache.spark.sql.functions.{col, floor}
+    try {
+      val out = graft.operators.Evaluation.correlationMatrix(
+        Tables.lineitem(spark, dir), Seq(
+          "disc_c" -> floor(col("l_discount") * 100),
+          "price_fl" -> floor(col("l_extendedprice")),
+          "qty" -> floor(col("l_quantity")),
+          "tax_c" -> floor(col("l_tax") * 100)))
+      val nodes = flatten(executedPlan(out))
+      // every union branch reads the cache, never the corpus: flatten()
+      // stops at the cache boundary, so any FileSourceScan it finds is a
+      // branch that bypassed the shared sufficient-statistics frame
+      assert(nodes.collect { case s: FileSourceScanExec => s }.isEmpty,
+        "a pair branch recomputed the corpus aggregation")
+      val cached = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s
+      }
+      assert(cached.nonEmpty, "the wide aggregate must be cache-backed")
+      assert(cached.map(s =>
+        System.identityHashCode(s.relation.cacheBuilder)).toSet.size == 1,
+        "exactly ONE cached relation feeds all pair branches")
+      // inside the cache: one scan, pruned to exactly the feature inputs
+      val inner = flatten(cached.head.relation.cachedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(inner.size == 1)
+      assert(inner.head.requiredSchema.fieldNames.toSet ==
+        Set("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        s"scan must read exactly the feature inputs, got " +
+          inner.head.requiredSchema.fieldNames.mkString(","))
+      assert(!nodes.mkString.contains("Join"),
+        "the matrix is plan-literal aggregation expressions — no join")
+    } finally graft.operators.Evaluation.releaseCaches()
+  }
+
+  test("x184: the events scan is pruned to (event_type, ts) and the daily " +
+    "aggregation computes once — the self-join reuses the exchange") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Seasonal.acf(
+      Tables.events(spark, dir), col("event_type"), col("ts"), maxLag = 7)
+    val plan = executedPlan(out)
+    val nodes = flatten(plan)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts")),
+      s"column pruning must reach the events scan, got " +
+        scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    // both self-join sides derive from the identical daily aggregate —
+    // ReuseExchange must collapse them to one corpus scan + partial agg
+    assert(scans.size == 1 || plan.toString.contains("ReusedExchange"),
+      "the daily-count aggregation must compute once, not per join side")
+  }
 }

@@ -273,7 +273,15 @@ object BenchScale {
     "x183_correlation_matrix" -> 1.2,
     // one keyed agg to the calendar-bounded daily frame (exchange reused
     // across the self-join sides) + bounded lag-window self-join
-    "x184_acf" -> 1.3)
+    "x184_acf" -> 1.3,
+    // daily agg + bounded pairwise-slope self-join + bounded rank window
+    "x185_theil_sen" -> 1.3,
+    // the x180 shape: one keyed agg + a bounded-frame finishing lens
+    "x186_jsd_drift" -> 1.2,
+    // x178's single-explode fan-out; fold on the bounded cell frame
+    "x187_mi_screen" -> 1.3,
+    // daily agg + exploded-lag EQUI self-join on the bounded frame
+    "x188_cross_correlation" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

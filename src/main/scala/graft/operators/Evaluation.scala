@@ -428,6 +428,45 @@ object Evaluation {
           .otherwise(col("__c")).as("psi_ppm"))
   }
 
+  /** Jensen–Shannon divergence (Lin 1991) as a THIRD stateless lens over
+    * the exact (bin, cnt_a, cnt_b) state [[finishDrift]] (TVD, x123),
+    * [[finishPsi]] (x180) and streaming/StreamingDrift already share —
+    * the bounded (≤ ln 2), symmetric drift magnitude PSI's unbounded
+    * log-ratio can't give. Same Laplace smoothing as finishPsi (+1 per
+    * bin, +|bins| on both denominators), per-bin contributions
+    * ½·(p′·ln(p′/m′) + q′·ln(q′/m′)) with m′ = (p′+q′)/2, reported as
+    * rounded integer ppm — so the `__total` row is an order-free long
+    * sum. Identical single-pass row-expansion shape as its siblings. */
+  def finishJsd(binCounts: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val pa = "CAST(cnt_a + 1 AS DOUBLE) / CAST(__na + __k AS DOUBLE)"
+    val pb = "CAST(cnt_b + 1 AS DOUBLE) / CAST(__nb + __k AS DOUBLE)"
+    val m = s"((($pa) + ($pb)) / 2.0D)"
+    binCounts
+      .select(explode(array(col("bin"), lit("__total"))).as("obin"),
+        col("cnt_a"), col("cnt_b"))
+      .groupBy("obin")
+      .agg(sum("cnt_a").as("cnt_a"), sum("cnt_b").as("cnt_b"))
+      .withColumn("__na",
+        max(when(col("obin") === "__total", col("cnt_a"))).over(all))
+      .withColumn("__nb",
+        max(when(col("obin") === "__total", col("cnt_b"))).over(all))
+      .withColumn("__k",
+        sum(when(col("obin") =!= "__total", 1L).otherwise(0L)).over(all))
+      .withColumn("__c",
+        when(expr("__na = 0 OR __nb = 0"), lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(round(1000000.0D * 0.5D * (($pa) * ln(($pa) / $m)" +
+              s" + ($pb) * ln(($pb) / $m))) AS LONG)")))
+      .select(col("obin").as("bin"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"),
+        when(col("obin") === "__total",
+          sum(when(col("obin") =!= "__total", col("__c"))).over(all))
+          .otherwise(col("__c")).as("jsd_ppm"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED integer-scaled
     * measurements — "did condition A systematically beat condition B on
     * the same documents?", the paired complement of x112's unpaired
@@ -951,6 +990,74 @@ object Evaluation {
         col("gini_children_ppm"),
         (col("gini_parent_ppm") - col("gini_children_ppm")).as("gain_ppm"))
       .orderBy(desc("gain_ppm"), col("feature"))
+  }
+
+  /** Mutual-information feature screen (Cover & Thomas) — which bucketed
+    * feature carries the most bits about a boolean label? The LOG-scaled
+    * complement of [[giniGainScreen]]'s impurity gain (MI weighs rare
+    * informative buckets CART's gain discounts). Per feature:
+    *   mi = Σ_{v,l} (c_vl/n)·ln(c_vl·n / (n_v·n_l))   (nats)
+    *   u_label = mi / H(label)  (the uncertainty coefficient, Theil's U)
+    * All counts are exact longs; the fp sum runs as an ORDER-PINNED
+    * `aggregate()` fold over the one collected (v, l)-sorted cell array
+    * per feature (the [[chiSquareIndependence]] discipline — cell counts
+    * are feature×bucket×2 bounded, never corpus-sized), so the statistic
+    * replays bit-for-bit. H(label) is the fixed two-term expression from
+    * the same frame. Output: (feature, n, mi_nats, u_label) ordered by
+    * mi DESC, NULL u when the label is constant under that feature's
+    * null-drop. Caller epilogue: materialize, then releaseCaches().
+    *
+    * Scale shape: ONE scan fans every feature out through a single
+    * explode (featureAuc's shape); (feature, v, label) counts collapse
+    * map-side; margins, the sorted-array collect and the fold all run on
+    * the bounded cell frame. */
+  def miScreen(
+      df: DataFrame,
+      labelCol: Column,
+      features: Seq[(String, Column)],
+      roundTo: Int = 6): DataFrame = {
+    require(features.nonEmpty, "miScreen needs at least one feature")
+    val rows = df
+      .select(labelCol.cast("boolean").as("yy"),
+        explode(array(features.map { case (name, c) =>
+          struct(lit(name).as("feature"), c.cast("long").as("v"))
+        }: _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("yy"))
+      .where(col("yy").isNotNull && col("v").isNotNull)
+    val cells = caches.tracked(rows
+      .groupBy("feature", "v", "yy")
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val nv = cells.groupBy("feature", "v").agg(sum("c").as("nv"))
+    val nl = cells.groupBy("feature", "yy").agg(sum("c").as("nl"))
+    val tot = cells.groupBy("feature")
+      .agg(sum("c").as("n"), sum(when(col("yy"), col("c"))
+        .otherwise(0L)).as("p"))
+    val mi = cells
+      .join(nv, Seq("feature", "v")).join(nl, Seq("feature", "yy"))
+      .groupBy("feature")
+      .agg(sort_array(collect_list(struct(
+        col("v"), col("yy"), col("c"), col("nv"), col("nl")))).as("o"))
+      .join(tot, Seq("feature"))
+      .withColumn("__mi", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE)
+          |      * ln(CAST(s.c AS DOUBLE) * CAST(n AS DOUBLE)
+          |           / (CAST(s.nv AS DOUBLE) * CAST(s.nl AS DOUBLE))))"""
+          .stripMargin))
+      .withColumn("__h", expr(
+        """(CASE WHEN p > 0 THEN
+          |  -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0D END)
+          |+ (CASE WHEN n - p > 0 THEN
+          |  -(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0D END)"""
+          .stripMargin))
+    mi.select(col("feature"), col("n"),
+      round(col("__mi"), roundTo).as("mi_nats"),
+      when(col("__h") <= 0.0d, lit(null).cast("double"))
+        .otherwise(round(col("__mi") / col("__h"), roundTo)).as("u_label"))
+      .orderBy(desc("mi_nats"), col("feature"))
   }
 
   /** Paired sign-flip permutation test (Fisher 1935 randomization), fully

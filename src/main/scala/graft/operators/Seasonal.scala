@@ -341,22 +341,26 @@ object Seasonal {
       roundTo: Int = 4): DataFrame =
     finishAcf(dailyCounts(df, series, ts), maxLag, roundTo)
 
-  /** The ACF finish as a stateless view over an already-materialized
-    * (series, day, cnt) frame — shared with the streaming twins' state. */
-  def finishAcf(
-      dailyIn: DataFrame,
-      maxLag: Int = 14,
-      roundTo: Int = 4): DataFrame = {
-    require(maxLag >= 1 && maxLag <= 3650, "acf: maxLag in [1, 3650]")
+  /** The Pearson closing ratio from exact decimal sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) — identically-converted doubles, NULL on
+    * degenerate inputs. Shared by finishAcf / finishCcf (and the same
+    * literal shape as Evaluation.correlationMatrix / spearmanRho). */
+  private def pearsonClose(roundTo: Int): Column = {
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val da = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val db = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    when(col("n_pairs") < 2L || da <= lit(0.0d) || db <= lit(0.0d),
+      lit(null).cast("double"))
+      .otherwise(round(num / (sqrt(da) * sqrt(db)), roundTo))
+  }
+
+  private def pairSums(pairs: DataFrame, keys: Seq[String]): DataFrame = {
     val dec = "decimal(38,0)"
-    val a = dailyIn.select(col("series"), col("day").as("da"), col("cnt").as("ya"))
-    val b = dailyIn.select(col("series"), col("day").as("db"), col("cnt").as("yb"))
-    a.join(b, Seq("series"))
-      .where(datediff(col("db"), col("da")).between(1, maxLag))
-      .select(col("series"),
-        datediff(col("db"), col("da")).cast("long").as("lag"),
-        col("ya"), col("yb"))
-      .groupBy("series", "lag")
+    pairs.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("ya").cast(dec)).as("sx"),
@@ -364,18 +368,117 @@ object Seasonal {
         sum(col("ya").cast(dec) * col("ya")).as("sxx"),
         sum(col("yb").cast(dec) * col("yb")).as("syy"),
         sum(col("ya").cast(dec) * col("yb")).as("sxy"))
-      .select(col("series"), col("lag"), col("n_pairs"), {
-        val nD = col("n_pairs").cast("double")
-        val num = nD * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")
-        val da = nD * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")
-        val db = nD * col("syy").cast("double") -
-          col("sy").cast("double") * col("sy").cast("double")
-        when(col("n_pairs") < 2L || da <= lit(0.0d) || db <= lit(0.0d),
-          lit(null).cast("double"))
-          .otherwise(round(num / (sqrt(da) * sqrt(db)), roundTo)).as("acf")
-      })
+  }
+
+  /** The ACF finish as a stateless view over an already-materialized
+    * (series, day, cnt) frame — shared with the streaming twins' state. */
+  def finishAcf(
+      dailyIn: DataFrame,
+      maxLag: Int = 14,
+      roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 3650, "acf: maxLag in [1, 3650]")
+    val a = dailyIn.select(col("series"), col("day").as("da"), col("cnt").as("ya"))
+    val b = dailyIn.select(col("series"), col("day").as("db"), col("cnt").as("yb"))
+    val pairs = a.join(b, Seq("series"))
+      .where(datediff(col("db"), col("da")).between(1, maxLag))
+      .select(col("series"),
+        datediff(col("db"), col("da")).cast("long").as("lag"),
+        col("ya"), col("yb"))
+    pairSums(pairs, Seq("series", "lag"))
+      .select(col("series"), col("lag"), col("n_pairs"),
+        pearsonClose(roundTo).as("acf"))
       .orderBy("series", "lag")
+  }
+
+  /** Theil–Sen robust trend slope per series (Theil 1950, Sen 1968 —
+    * the median of all pairwise slopes: the outlier-immune MAGNITUDE
+    * companion to [[mannKendall]]'s direction test; up to ~29% corrupted
+    * days cannot move it). Slopes are exact integers by construction:
+    * slope_ppm = (10⁶·(y_j − y_i)) div (d_j − d_i), truncated toward
+    * zero — Spark's `div` and DuckDB's `//` agree on signed operands —
+    * and the median is the house low-median order statistic at position
+    * (n+1) div 2, so the whole readout is bit-replayable. Output per
+    * series: (series, n_days, n_pairs, sen_slope_ppm) — slope NULL when
+    * the series has a single day.
+    *
+    * Scale shape: ONE keyed aggregation to the CALENDAR-BOUNDED daily
+    * frame (the state every Seasonal view shares), a series-keyed
+    * self-join of that bounded frame (≤ days²/2 pairs per series —
+    * constant in corpus size), and a series-partitioned rank window on
+    * the bounded pair frame — never a corpus-sized sort. */
+  def theilSen(
+      df: DataFrame,
+      series: Column,
+      ts: Column): DataFrame =
+    finishTheilSen(dailyCounts(df, series, ts))
+
+  /** The Theil–Sen finish as a stateless view over an already-
+    * materialized (series, day, cnt) frame — the shared daily state. */
+  def finishTheilSen(dailyIn: DataFrame): DataFrame = {
+    val a = dailyIn.select(col("series"), col("day").as("da"), col("cnt").as("ya"))
+    val b = dailyIn.select(col("series"), col("day").as("db"), col("cnt").as("yb"))
+    val slopes = a.join(b, Seq("series"))
+      .where(col("db") > col("da"))
+      .select(col("series"),
+        expr("(1000000 * (yb - ya)) div datediff(db, da)").as("sl"))
+    val grp = Window.partitionBy("series")
+    val med = slopes
+      .withColumn("__rn", row_number().over(grp.orderBy(col("sl"))))
+      .withColumn("__np", count(lit(1)).over(grp))
+      .where(col("__rn") === expr("(__np + 1) div 2"))
+      .select(col("series"), col("__np").as("n_pairs"),
+        col("sl").as("sen_slope_ppm"))
+    dailyIn.groupBy("series").agg(count(lit(1)).as("n_days"))
+      .join(med, Seq("series"), "left")
+      .select(col("series"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("sen_slope_ppm"))
+      .orderBy("series")
+  }
+
+  /** Cross-correlation (lead–lag) between every ordered pair of series
+    * at calendar lags −maxLag..maxLag: ccf(s1, s2, k) = Pearson of the
+    * aligned day pairs (s1 at t, s2 at t+k) — the "which stream LEADS
+    * which" readout (a peak at k>0 says s1 leads s2 by k days) read
+    * before wiring one series as a predictor of another. Gap-aware like
+    * [[acf]] (a missing day contributes no pair), exact decimal
+    * sufficient statistics, fp only in the closing ratio. Output:
+    * (s1, s2, lag, n_pairs, ccf) with s1 < s2 lexically, ordered.
+    *
+    * Scale shape: ONE keyed aggregation to the calendar-bounded daily
+    * frame, then one day-range self-join ACROSS series of that bounded
+    * frame (≤ |series|²·days·(2·maxLag+1) pairs — constant in corpus
+    * size), one (s1, s2, lag) aggregation. */
+  def crossCorrelation(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      maxLag: Int = 7,
+      roundTo: Int = 4): DataFrame =
+    finishCcf(dailyCounts(df, series, ts), maxLag, roundTo)
+
+  /** The CCF finish as a stateless view over the shared daily state.
+    * The lag window is EXPLODED on the right side so the join carries a
+    * day EQUALITY — a hash join on the bounded frame, never a
+    * nested-loop theta-join. */
+  def finishCcf(
+      dailyIn: DataFrame,
+      maxLag: Int = 7,
+      roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 3650, "crossCorrelation: maxLag in [0, 3650]")
+    val a = dailyIn.select(col("series").as("s1"), col("day").as("da"),
+      col("cnt").as("ya"))
+    val b = dailyIn.select(col("series").as("s2"), col("day").as("db"),
+      col("cnt").as("yb"))
+      .withColumn("__lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      // pair (s1 at t, s2 at t+lag): db = da + lag ⟹ align on da = db − lag
+      .withColumn("da", date_add(col("db"), -col("__lag")))
+      .withColumn("lag", col("__lag").cast("long"))
+    val pairs = a.join(b, Seq("da")).where(col("s1") < col("s2"))
+      .select(col("s1"), col("s2"), col("lag"), col("ya"), col("yb"))
+    pairSums(pairs, Seq("s1", "s2", "lag"))
+      .select(col("s1"), col("s2"), col("lag"), col("n_pairs"),
+        pearsonClose(roundTo).as("ccf"))
+      .orderBy("s1", "s2", "lag")
   }
 }

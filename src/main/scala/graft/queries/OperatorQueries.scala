@@ -7395,6 +7395,170 @@ object OperatorQueries {
         |      4)
         |  END AS acf
         |FROM g ORDER BY series, lag""".stripMargin),
+
+    // Theil–Sen robust trend slope per series: exact truncated-division
+    // pairwise slopes over the calendar-bounded daily frame, low-median
+    // order statistic — bit-replayable, no fp anywhere.
+    "x185_theil_sen" -> sql(
+      (s, dir) => Seasonal.theilSen(
+        Tables.events(s, dir), col("event_type"), col("ts")),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.series, ((b.cnt - a.cnt) * 1000000) // (b.day - a.day) AS sl
+        |  FROM d a JOIN d b ON b.series = a.series AND b.day > a.day),
+        |r AS (
+        |  SELECT series, sl,
+        |    row_number() OVER (PARTITION BY series ORDER BY sl) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS np
+        |  FROM p),
+        |m AS (
+        |  SELECT series, np::BIGINT AS n_pairs, sl::BIGINT AS sen_slope_ppm
+        |  FROM r WHERE rn = (np + 1) // 2),
+        |nd AS (SELECT series, count(*)::BIGINT AS n_days FROM d GROUP BY 1)
+        |SELECT nd.series, nd.n_days,
+        |  coalesce(m.n_pairs, 0)::BIGINT AS n_pairs, m.sen_slope_ppm
+        |FROM nd LEFT JOIN m ON m.series = nd.series
+        |ORDER BY nd.series""".stripMargin),
+
+    // Jensen–Shannon divergence — the third stateless lens over the SAME
+    // (bin, cnt_a, cnt_b) state as x123 (TVD) / x180 (PSI) /
+    // StreamingDrift: bounded, symmetric drift magnitude.
+    "x186_jsd_drift" -> sql(
+      (s, dir) => Evaluation.finishJsd(Evaluation.driftBinCounts(
+        Tables.events(s, dir), col("event_type"),
+        dayofmonth(col("ts")) <= 15))
+        .orderBy("bin"),
+      """WITH c AS (
+        |  SELECT event_type::VARCHAR AS bin,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT coalesce(sum(ca), 0)::BIGINT AS na,
+        |  coalesce(sum(cb), 0)::BIGINT AS nb,
+        |  count(*)::BIGINT AS k FROM c),
+        |pb AS (SELECT bin, ca, cb,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE CAST(round(1000000.0 * 0.5 *
+        |      ((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |        * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |          / (((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |            + (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))) / 2.0))
+        |      + (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |        * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |          / (((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |            + (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))) / 2.0))))
+        |      AS BIGINT)
+        |  END AS jsd
+        |  FROM c, t),
+        |tot AS (SELECT '__total' AS bin, na AS ca, nb AS cb,
+        |  (SELECT sum(jsd) FROM pb) AS jsd FROM t)
+        |SELECT bin, ca::BIGINT AS cnt_a, cb::BIGINT AS cnt_b,
+        |  jsd::BIGINT AS jsd_ppm
+        |FROM (SELECT * FROM pb UNION ALL SELECT * FROM tot)
+        |ORDER BY bin""".stripMargin),
+
+    // Mutual-information feature screen — the log-scaled complement of
+    // x178's Gini gain on the SAME features and label; the fp sum rides
+    // an order-pinned fold over the bounded sorted cell array (the x177
+    // discipline).
+    "x187_mi_screen" -> sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long"))
+        val out = Evaluation.miScreen(docs, col("lang") === "en", Seq(
+          "len_bucket" -> expr("n_chars div 200"),
+          "tok_bucket" -> expr("n_tokens div 40"),
+          "avg_tok_len_x10" ->
+            when(col("n_tokens") > 0, expr("(n_chars * 10) div n_tokens"))))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH base AS (
+        |  SELECT (lang = 'en') AS yy, n_chars::BIGINT AS n_chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT yy, 'len_bucket' AS feature, n_chars // 200 AS v FROM base
+        |  UNION ALL SELECT yy, 'tok_bucket', n_tokens // 40 FROM base
+        |  UNION ALL SELECT yy, 'avg_tok_len_x10',
+        |    CASE WHEN n_tokens > 0 THEN (n_chars * 10) // n_tokens END
+        |  FROM base),
+        |cells AS (
+        |  SELECT feature, v, yy, count(*)::BIGINT AS c
+        |  FROM f WHERE v IS NOT NULL AND yy IS NOT NULL GROUP BY 1, 2, 3),
+        |nv AS (SELECT feature, v, sum(c)::BIGINT AS nv FROM cells GROUP BY 1, 2),
+        |nl AS (SELECT feature, yy, sum(c)::BIGINT AS nl FROM cells GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT feature, sum(c)::BIGINT AS n,
+        |    sum(CASE WHEN yy THEN c ELSE 0 END)::BIGINT AS p
+        |  FROM cells GROUP BY 1),
+        |arr AS (
+        |  SELECT cl.feature,
+        |    list([cl.c::DOUBLE, nv.nv::DOUBLE, nl.nl::DOUBLE]
+        |      ORDER BY cl.v, cl.yy) AS o
+        |  FROM cells cl
+        |  JOIN nv ON nv.feature = cl.feature AND nv.v = cl.v
+        |  JOIN nl ON nl.feature = cl.feature AND nl.yy = cl.yy
+        |  GROUP BY 1),
+        |mi AS (
+        |  SELECT arr.feature, tot.n, tot.p,
+        |    list_reduce(list_prepend([0.0::DOUBLE], arr.o),
+        |      (acc, s) -> [acc[1]
+        |        + s[1] / tot.n::DOUBLE
+        |        * ln(s[1] * tot.n::DOUBLE / (s[2] * s[3]))])[1] AS m,
+        |    (CASE WHEN tot.p > 0 THEN
+        |        -(tot.p::DOUBLE / tot.n::DOUBLE)
+        |          * ln(tot.p::DOUBLE / tot.n::DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN tot.n - tot.p > 0 THEN
+        |        -((tot.n - tot.p)::DOUBLE / tot.n::DOUBLE)
+        |          * ln((tot.n - tot.p)::DOUBLE / tot.n::DOUBLE)
+        |        ELSE 0.0 END) AS h
+        |  FROM arr JOIN tot ON tot.feature = arr.feature)
+        |SELECT feature, n, round(m, 6) AS mi_nats,
+        |  CASE WHEN h <= 0.0 THEN NULL ELSE round(m / h, 6) END AS u_label
+        |FROM mi ORDER BY mi_nats DESC, feature""".stripMargin),
+
+    // Cross-correlation lead–lag between every ordered series pair at
+    // calendar lags −7..7 over the shared daily state — the exploded lag
+    // column keeps the join an EQUI-join on the aligned day.
+    "x188_cross_correlation" -> sql(
+      (s, dir) => Seasonal.crossCorrelation(
+        Tables.events(s, dir), col("event_type"), col("ts"), maxLag = 7),
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |bx AS (
+        |  SELECT d.series AS s2, d.day - g.lag::INTEGER AS da, d.cnt AS yb,
+        |    g.lag::BIGINT AS lag
+        |  FROM d, range(-7, 8) g(lag)),
+        |p AS (
+        |  SELECT a.series AS s1, bx.s2, bx.lag, a.cnt AS ya, bx.yb
+        |  FROM d a JOIN bx ON a.day = bx.da AND a.series < bx.s2),
+        |g AS (
+        |  SELECT s1, s2, lag, count(*)::BIGINT AS n_pairs,
+        |    sum(ya::HUGEINT) AS sx, sum(yb::HUGEINT) AS sy,
+        |    sum(ya::HUGEINT * ya) AS sxx, sum(yb::HUGEINT * yb) AS syy,
+        |    sum(ya::HUGEINT * yb) AS sxy
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT s1, s2, lag, n_pairs,
+        |  CASE WHEN n_pairs < 2
+        |      OR (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+        |      OR (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |      4)
+        |  END AS ccf
+        |FROM g ORDER BY s1, s2, lag""".stripMargin),
   )
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT

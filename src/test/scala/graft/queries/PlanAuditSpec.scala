@@ -1212,4 +1212,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.size == 1 || plan.toString.contains("ReusedExchange"),
       "the daily-count aggregation must compute once, not per join side")
   }
+
+  test("x188: the exploded lag column keeps the cross-series alignment an " +
+    "EQUI-join — never a nested-loop theta-join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Seasonal.crossCorrelation(
+      Tables.events(spark, dir), col("event_type"), col("ts"), maxLag = 3)
+    val nodes = flatten(executedPlan(out))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the day alignment must hash-join on the aligned date")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts")))
+  }
 }

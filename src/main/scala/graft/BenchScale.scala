@@ -281,7 +281,10 @@ object BenchScale {
     // x178's single-explode fan-out; fold on the bounded cell frame
     "x187_mi_screen" -> 1.3,
     // daily agg + exploded-lag EQUI self-join on the bounded frame
-    "x188_cross_correlation" -> 1.3)
+    "x188_cross_correlation" -> 1.3,
+    // pivot TakeOrdered + one (cell, dim) stats agg + one cached scan
+    // with plan-literal distance folds + the |cells|-row report agg
+    "x189_silhouette" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact DBSCAN (Ester, Kriegel, Sander & Xu 1996) over low-dimensional
@@ -152,5 +152,112 @@ object Clustering {
       .withColumn("__rk", row_number().over(w))
       .withColumn("kept", col(clusterCol) === lit(-1L) || col("__rk") <= cap)
       .drop("__rk")
+  }
+
+  /** Simplified (centroid-based) silhouette quality report over the
+    * deterministic IVF pivot cells (Rousseeuw 1987's silhouette with the
+    * per-point pairwise sums replaced by centroid distances — the
+    * standard O(n·k) form; Hruschka 2004): per point, a = squared L2 to
+    * the OWN cell's centroid, b = min over other cells, s = (b−a)/max(a,b)
+    * — the "are these cells real structure?" readout run before any
+    * per-cluster curation (x144/x159/x160) is trusted.
+    *
+    * Determinism contract: vectors are int8-quantized first (x39's exact
+    * per-element formula), so the distance NUMERATOR to cell c,
+    * N_c(v) = Σ_d (n_c·q_d − S_{c,d})², is EXACT integer arithmetic
+    * (centroid mean S/n cleared of division by cross-multiplying) —
+    * decimal(38,0) terms, no fp until the final a = N/n² conversion, b's
+    * min over identically-converted doubles, and the rounded ppm ratio.
+    * Singleton cells score s = 0 (the sklearn convention — a = 0 against
+    * the self-centroid says nothing). A point whose corpus has only one
+    * populated cell has no b → s NULL (counted, not scored).
+    *
+    * Scale shape: the pivot pick is one TakeOrdered (pivotMatrix,
+    * metadata-sized); assignment + quantization are a pure projection;
+    * per-cell stats are ONE (cell, dim) aggregation whose collected form
+    * is nCells × dim longs (driver metadata, the pivotMatrix precedent);
+    * all nCells distance numerators are then PLAN-LITERAL fold
+    * expressions on a single cached scan (the x183/x173 discipline —
+    * nothing shuffles after the stats agg except the |cells|-row report
+    * aggregation). Caller epilogue: materialize, then releaseCaches(). */
+  def silhouetteReport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 8,
+      seed: String = "v1"): DataFrame = {
+    require(nCells >= 2 && nCells <= 32, "silhouetteReport: nCells in [2, 32]")
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val pivots = Similarity.pivotMatrix(emb, idCol, vecCol, nCells, seed)
+    val dec = "decimal(38,0)"
+    val quant = tracked(emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("__scale",
+        expr("array_max(transform(__v, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn("q", expr(
+        "transform(__v, x -> CASE WHEN __scale = 0.0D THEN 0 " +
+          "ELSE CAST(floor(CAST(x AS DOUBLE) / __scale + 0.5D) AS INT) END)"))
+      .withColumn("cell",
+        call_function("graft_nearest_centroid", col("__v"),
+          org.apache.spark.sql.functions.typedlit(pivots.map(_.toSeq).toSeq)))
+      .select(col("id"), col("cell"), col("q"))
+      .persist())
+    // per-cell integer centroid stats: ONE (cell, dim) aggregation →
+    // nCells × dim longs on the driver (metadata-sized)
+    val statRows = quant
+      .select(col("cell"), posexplode(col("q")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCell: Map[Int, (Long, Array[Long])] = statRows
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        val n = rs.head.getLong(3)
+        val s = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+        c -> (n, s)
+      }
+    require(byCell.nonEmpty, "silhouetteReport: empty corpus")
+    val present = byCell.keys.toSeq.sorted
+    // exact integer distance numerator to cell c as a plan-literal fold
+    def numTo(c: Int): Column = {
+      val (n, s) = byCell(c)
+      val sArr = s.map(v => s"CAST($v AS $dec)").mkString("array(", ", ", ")")
+      expr(s"""aggregate(
+        |  zip_with(q, $sArr,
+        |    (qd, sd) -> (CAST(qd AS $dec) * $n - sd) * (CAST(qd AS $dec) * $n - sd)),
+        |  CAST(0 AS $dec), (acc, x) -> acc + x)""".stripMargin)
+    }
+    def distTo(c: Int): Column = {
+      val n = byCell(c)._1
+      numTo(c).cast("double") / lit((n * n).toDouble)
+    }
+    val aCol = present.map(c => when(col("cell") === c, distTo(c)))
+      .reduce((x, y) => coalesce(x, y))
+    // least() needs ≥ 2 args; a single populated cell has no "other"
+    val bCol =
+      if (present.size == 1) lit(null).cast("double")
+      else least(present.map(c => when(col("cell") =!= c, distTo(c))): _*)
+    val nOwnCol = present.map(c => when(col("cell") === c, lit(byCell(c)._1)))
+      .reduce((x, y) => coalesce(x, y))
+    val scored = quant
+      .withColumn("__a", aCol).withColumn("__b", bCol)
+      .withColumn("s_ppm",
+        when(col("__b").isNull, lit(null).cast("long"))
+          .when(nOwnCol === 1L, lit(0L))
+          .when(greatest(col("__a"), col("__b")) === 0.0d, lit(0L))
+          .otherwise(expr(
+            "CAST(round(1000000.0D * (__b - __a) / greatest(__a, __b)) AS LONG)")))
+    val perCell = scored.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"), count(col("s_ppm")).as("n_scored"),
+        sum(col("s_ppm")).as("__s"))
+    val total = scored.agg(count(lit(1)).as("n"),
+      count(col("s_ppm")).as("n_scored"), sum(col("s_ppm")).as("__s"))
+      .select(lit(-1L).as("cell"), col("n"), col("n_scored"), col("__s"))
+    perCell.unionByName(total)
+      .select(col("cell"), col("n"), col("n_scored"),
+        when(col("n_scored") === 0L, lit(null).cast("long"))
+          .otherwise(expr("__s div n_scored")).as("mean_s_ppm"))
+      .orderBy("cell")
   }
 }

@@ -7559,6 +7559,83 @@ object OperatorQueries {
         |      4)
         |  END AS ccf
         |FROM g ORDER BY s1, s2, lag""".stripMargin),
+
+    // Simplified silhouette over the deterministic IVF pivot cells:
+    // int8-quantized exact-integer distance numerators (centroid mean
+    // cleared of division by cross-multiplying), fp only in the closing
+    // per-point ratio — the whole chain (pivot pick, assignment,
+    // quantization, stats, scores) replays in SQL.
+    "x189_silhouette" -> sql(
+      (s, dir) => {
+        val out = Clustering.silhouetteReport(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          nCells = 8, seed = "v1").cache()
+        out.count()
+        Clustering.releaseCaches()
+        out
+      },
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |pv AS (
+        |  SELECT vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM emb),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 8),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, p.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM emb e CROSS JOIN piv p),
+        |pts AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |q8 AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS q
+        |  FROM (SELECT vec_id, cell, embedding,
+        |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        |    FROM pts)),
+        |stx AS (
+        |  SELECT cell, q, unnest(generate_series(1, len(q))) AS j FROM q8),
+        |st AS (
+        |  SELECT cell, j, sum(q[j])::HUGEINT AS s, count(*)::BIGINT AS n
+        |  FROM stx GROUP BY 1, 2),
+        |cs AS (SELECT cell, max(n)::BIGINT AS n, list(s ORDER BY j) AS sv
+        |  FROM st GROUP BY cell),
+        |d AS (
+        |  SELECT p.vec_id, p.cell AS own, c.cell AS c, c.n,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(generate_series(1, len(p.q)),
+        |        i -> (p.q[i]::HUGEINT * c.n - c.sv[i])
+        |           * (p.q[i]::HUGEINT * c.n - c.sv[i]))),
+        |      (x, y) -> x + y)::DOUBLE / (c.n::DOUBLE * c.n::DOUBLE) AS dist
+        |  FROM q8 p CROSS JOIN cs c),
+        |ab AS (
+        |  SELECT vec_id, own,
+        |    min(CASE WHEN c = own THEN dist END) AS a,
+        |    min(CASE WHEN c <> own THEN dist END) AS b,
+        |    min(CASE WHEN c = own THEN n END) AS n_own
+        |  FROM d GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT vec_id, own AS cell,
+        |    CASE WHEN b IS NULL THEN NULL
+        |      WHEN n_own = 1 THEN 0
+        |      WHEN greatest(a, b) = 0.0 THEN 0
+        |      ELSE CAST(round(1000000.0 * (b - a) / greatest(a, b)) AS BIGINT)
+        |    END AS s_ppm
+        |  FROM ab),
+        |pc AS (
+        |  SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n,
+        |    count(s_ppm)::BIGINT AS n_scored, sum(s_ppm)::BIGINT AS ss
+        |  FROM sp GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1::BIGINT, count(*)::BIGINT, count(s_ppm)::BIGINT,
+        |    sum(s_ppm)::BIGINT FROM sp)
+        |SELECT cell, n, n_scored,
+        |  (CASE WHEN n_scored = 0 THEN NULL ELSE ss // n_scored END)::BIGINT
+        |    AS mean_s_ppm
+        |FROM pc ORDER BY cell""".stripMargin),
   )
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT

@@ -1226,4 +1226,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
       Set("event_type", "ts")))
   }
+
+  test("x189: all nCells distance arms are plan-literal folds over ONE " +
+    "cached quantized scan — no join, no second corpus read") {
+    try {
+      val out = graft.operators.Clustering.silhouetteReport(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 4)
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.collect { case s: FileSourceScanExec => s }.isEmpty,
+        "the score pass re-read the corpus instead of the quantized cache")
+      val cached = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          System.identityHashCode(s.relation.cacheBuilder)
+      }
+      assert(cached.nonEmpty && cached.toSet.size == 1,
+        "exactly ONE cached (id, cell, q) relation feeds scoring and report")
+      assert(!nodes.mkString.contains("Join"),
+        "centroid stats are plan literals — no join in the score pass")
+    } finally graft.operators.Clustering.releaseCaches()
+  }
 }

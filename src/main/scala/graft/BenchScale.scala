@@ -284,7 +284,13 @@ object BenchScale {
     "x188_cross_correlation" -> 1.3,
     // pivot TakeOrdered + one (cell, dim) stats agg + one cached scan
     // with plan-literal distance folds + the |cells|-row report agg
-    "x189_silhouette" -> 1.3)
+    "x189_silhouette" -> 1.3,
+    // one keyed agg to domain-bounded buckets + a 1-row close
+    "x190_trend_test" -> 1.2,
+    // one keyed agg + prefix windows on the bounded distinct-value frame
+    "x191_cliffs_delta" -> 1.2,
+    // one keyed agg + suffix windows on the bounded distinct-value frame
+    "x192_gains_lift" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

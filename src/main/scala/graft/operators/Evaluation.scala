@@ -1106,4 +1106,140 @@ object Evaluation {
           .otherwise(expr(
             s"(1000000 * (n_extreme + 1)) div ${replicates + 1}")))
   }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — is a
+    * boolean outcome MONOTONE in an ordered integer bucket? The ordered
+    * complement of [[chiSquareIndependence]] (which spends power on
+    * arbitrary deviations). With bucket scores w = v and per-bucket
+    * (n_v, r_v) counts:
+    *   z = (N·Σw·r − R·Σw·n) / √(R·(N−R)·(N·Σw²n − (Σwn)²) / N)
+    * — numerator and every radicand factor EXACT decimal integers
+    * (cross-multiplied clear of divisions), fp only in the closing ratio
+    * from identically-converted components. One output row:
+    * (n, n_pos, t_num, z); z NULL on degenerate inputs (constant label
+    * or single bucket).
+    *
+    * Scale shape: ONE keyed aggregation to the domain-bounded bucket
+    * frame (map-side combined two-long partials), then a 1-row
+    * aggregation of five exact decimals. */
+  def cochranArmitage(
+      df: DataFrame,
+      bucket: Column,
+      label: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(bucket.cast("long").as("v"), label.cast("boolean").as("y"))
+      .where(col("v").isNotNull && col("y").isNotNull)
+      .groupBy("v")
+      .agg(count(lit(1)).as("nv"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("rv"))
+    cells.agg(
+      coalesce(sum(col("nv")), lit(0L)).cast(dec).as("n"),
+      coalesce(sum(col("rv")), lit(0L)).cast(dec).as("r"),
+      coalesce(sum(col("v").cast(dec) * col("nv")), lit(0L).cast(dec)).as("wn"),
+      coalesce(sum(col("v").cast(dec) * col("rv")), lit(0L).cast(dec)).as("wr"),
+      coalesce(sum(col("v").cast(dec) * col("v") * col("nv")),
+        lit(0L).cast(dec)).as("wwn"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("r").cast("long").as("n_pos"),
+        (col("n") * col("wr") - col("r") * col("wn")).cast("long").as("t_num"),
+        {
+          val varNum = (col("r") * (col("n") - col("r")) *
+            (col("n") * col("wwn") - col("wn") * col("wn"))).cast("double")
+          when(col("n") === 0 || varNum <= 0.0d, lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") * col("wr") - col("r") * col("wn")).cast("double") /
+                sqrt(varNum / col("n").cast("double")), roundTo)).as("z")
+        })
+  }
+
+  /** Cliff's delta ordinal effect size (Cliff 1993) between two cohorts
+    * of an integer-bucketed score — the MAGNITUDE companion to x112's
+    * Mann–Whitney direction test (δ = 2·AUC − 1, robust where means
+    * mislead): δ = (#(x₁ > x₂) − #(x₁ < x₂)) / (n₁·n₂). All pair counts
+    * come from prefix sums over the DOMAIN-BOUNDED distinct-value frame
+    * (never a pairwise join): #(x₁>x₂) = Σ_v c₁(v)·Σ_{u<v} c₂(u) — exact
+    * decimals, δ as exact integer ppm. One row:
+    * (n_a, n_b, gt_pairs, lt_pairs, delta_ppm).
+    *
+    * Scale shape: ONE keyed aggregation to distinct score values, two
+    * prefix-sum windows on that bounded frame, a 1-row close. */
+  def cliffsDelta(
+      df: DataFrame,
+      score: Column,
+      inA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(score.cast("long").as("v"), inA.cast("boolean").as("a"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // the value domain is bounded by construction (callers bucket), so the
+    // unpartitioned prefix window runs on a distinct-value-sized frame
+    val pref = cells
+      .withColumn("cbBelow", coalesce(sum("cb").over(w), lit(0L)))
+      .withColumn("caBelow", coalesce(sum("ca").over(w), lit(0L)))
+    pref.agg(
+      coalesce(sum("ca"), lit(0L)).cast(dec).as("na"),
+      coalesce(sum("cb"), lit(0L)).cast(dec).as("nb"),
+      coalesce(sum(col("ca").cast(dec) * col("cbBelow")), lit(0L).cast(dec))
+        .as("gt"),
+      coalesce(sum(col("cb").cast(dec) * col("caBelow")), lit(0L).cast(dec))
+        .as("lt"))
+      .select(
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("gt").cast("long").as("gt_pairs"),
+        col("lt").cast("long").as("lt_pairs"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(((gt - lt) * 1000000) div (na * nb) AS LONG)"))
+          .as("delta_ppm"))
+  }
+
+  /** Cumulative-gains / lift report over an integer score (the targeting
+    * readout behind "screen the top-scored X% of the corpus"): per
+    * distinct score value DESCENDING, the cumulative population and
+    * positives at threshold ≥ v, recall, and lift = (cum_pos/cum_n) /
+    * (P/N) — all EXACT integer ppm by cross-multiplication. The
+    * bounded-domain complement of [[featureAuc]] (AUC summarizes; this
+    * is the whole curve an ops team thresholds on).
+    *
+    * Scale shape: ONE keyed aggregation to distinct score values, two
+    * suffix-sum windows on that bounded frame. Output per value:
+    * (v, n, pos, cum_n, cum_pos, recall_ppm, lift_ppm), score DESC. */
+  def gainsReport(
+      df: DataFrame,
+      score: Column,
+      label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(score.cast("long").as("v"), label.cast("boolean").as("y"))
+      .where(col("v").isNotNull && col("y").isNotNull)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(desc("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    cells
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("pos").over(wCum))
+      .withColumn("__N", sum("n").over(wAll))
+      .withColumn("__P", sum("pos").over(wAll))
+      .select(col("v"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        when(col("__P") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(cum_pos * 1000000) div __P")).as("recall_ppm"),
+        when(col("__P") === 0L || col("cum_n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(cum_pos AS $dec) * __N * 1000000) div (CAST(cum_n AS $dec) * __P)"))
+          .as("lift_ppm"))
+      .orderBy(desc("v"))
+  }
 }

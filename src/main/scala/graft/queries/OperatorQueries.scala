@@ -7636,6 +7636,88 @@ object OperatorQueries {
         |  (CASE WHEN n_scored = 0 THEN NULL ELSE ss // n_scored END)::BIGINT
         |    AS mean_s_ppm
         |FROM pc ORDER BY cell""".stripMargin),
+
+    // Cochran–Armitage trend test: is P(lang='en') monotone in the length
+    // bucket? Exact decimal numerator and radicand (cross-multiplied
+    // clear of divisions), fp only in the closing z.
+    "x190_trend_test" -> sql(
+      (s, dir) => Evaluation.cochranArmitage(
+        Tables.documents(s, dir), expr("n_chars div 200"), col("lang") === "en"),
+      """WITH cells AS (
+        |  SELECT (n_chars // 200)::BIGINT AS v, count(*)::BIGINT AS nv,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS rv
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT coalesce(sum(nv), 0)::HUGEINT AS n,
+        |    coalesce(sum(rv), 0)::HUGEINT AS r,
+        |    coalesce(sum(v::HUGEINT * nv), 0)::HUGEINT AS wn,
+        |    coalesce(sum(v::HUGEINT * rv), 0)::HUGEINT AS wr,
+        |    coalesce(sum(v::HUGEINT * v * nv), 0)::HUGEINT AS wwn
+        |  FROM cells)
+        |SELECT n::BIGINT AS n, r::BIGINT AS n_pos,
+        |  (n * wr - r * wn)::BIGINT AS t_num,
+        |  CASE WHEN n = 0
+        |      OR (r * (n - r) * (n * wwn - wn * wn))::DOUBLE <= 0.0 THEN NULL
+        |    ELSE round((n * wr - r * wn)::DOUBLE /
+        |      sqrt((r * (n - r) * (n * wwn - wn * wn))::DOUBLE / n::DOUBLE), 4)
+        |  END AS z
+        |FROM a ORDER BY n""".stripMargin),
+
+    // Cliff's delta ordinal effect size between the en/non-en cohorts of
+    // the length-bucket score: pair counts from prefix sums over the
+    // bounded distinct-value frame — exact integers end to end.
+    "x191_cliffs_delta" -> sql(
+      (s, dir) => Evaluation.cliffsDelta(
+        Tables.documents(s, dir), expr("n_chars div 50"), col("lang") === "en"),
+      """WITH cells AS (
+        |  SELECT (n_chars // 50)::BIGINT AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM documents GROUP BY 1),
+        |pref AS (
+        |  SELECT v, ca, cb,
+        |    coalesce(sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbb,
+        |    coalesce(sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cab
+        |  FROM cells),
+        |a AS (
+        |  SELECT coalesce(sum(ca), 0)::HUGEINT AS na,
+        |    coalesce(sum(cb), 0)::HUGEINT AS nb,
+        |    coalesce(sum(ca::HUGEINT * cbb), 0)::HUGEINT AS gt,
+        |    coalesce(sum(cb::HUGEINT * cab), 0)::HUGEINT AS lt
+        |  FROM pref)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  gt::BIGINT AS gt_pairs, lt::BIGINT AS lt_pairs,
+        |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE ((gt - lt) * 1000000) // (na * nb) END)::BIGINT AS delta_ppm
+        |FROM a ORDER BY n_a""".stripMargin),
+
+    // Cumulative-gains / lift curve over the length-bucket score: per
+    // distinct score DESC, exact-ppm recall and lift by
+    // cross-multiplication — the thresholding readout behind AUC.
+    "x192_gains_lift" -> sql(
+      (s, dir) => Evaluation.gainsReport(
+        Tables.documents(s, dir), expr("n_chars div 100"), col("lang") === "en"),
+      """WITH cells AS (
+        |  SELECT (n_chars // 100)::BIGINT AS v, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM documents GROUP BY 1),
+        |c2 AS (
+        |  SELECT v, n, pos,
+        |    sum(n) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(pos) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    sum(n) OVER () AS nn, sum(pos) OVER () AS pp
+        |  FROM cells)
+        |SELECT v, n, pos, cum_n::BIGINT AS cum_n, cum_pos::BIGINT AS cum_pos,
+        |  (CASE WHEN pp = 0 THEN NULL
+        |    ELSE (cum_pos * 1000000) // pp END)::BIGINT AS recall_ppm,
+        |  (CASE WHEN pp = 0 OR cum_n = 0 THEN NULL
+        |    ELSE (cum_pos::HUGEINT * nn * 1000000) // (cum_n::HUGEINT * pp)
+        |  END)::BIGINT AS lift_ppm
+        |FROM c2 ORDER BY v DESC""".stripMargin),
   )
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT

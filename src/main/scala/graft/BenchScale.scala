@@ -290,7 +290,17 @@ object BenchScale {
     // one keyed agg + prefix windows on the bounded distinct-value frame
     "x191_cliffs_delta" -> 1.2,
     // one keyed agg + suffix windows on the bounded distinct-value frame
-    "x192_gains_lift" -> 1.2)
+    "x192_gains_lift" -> 1.2,
+    // probe fit + ONE corpus scan to the quantized bin state; the Murphy
+    // close is window + agg on the ≤ 12-row frame
+    "x194_brier_decomposition" -> 1.3,
+    // one corpus scan into the cached cell frame; ranks + group sums on
+    // the bounded distinct-value frame
+    "x195_kruskal_wallis" -> 1.2,
+    // one pruned aggregation scan to per-group decimals; 1-row close
+    "x196_anova_f" -> 1.2,
+    // one aggregation of five conditional sums (string scan dominates)
+    "x197_mcnemar" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

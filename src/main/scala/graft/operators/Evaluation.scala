@@ -1242,4 +1242,296 @@ object Evaluation {
           .as("lift_ppm"))
       .orderBy(desc("v"))
   }
+
+  /** The STATEFUL half of the Brier decomposition: per equal-width score
+    * bin, (bin, n, sum_s4, sum_sq4, n_pos, sum_s4_pos) where s4 is the
+    * score quantized to an INTEGER in 1e-4 units (round(s·10⁴)) — unlike
+    * x113's fp sums this state is EXACT (five commutative longs/decimals
+    * per bin), so batch and stream agree bit-for-bit under any arrival
+    * order (streaming/StreamingBrier). Out-of-unit scores land in clamp
+    * bins −1 / nBins, mirroring calibrationBinStats. */
+  def brierBinStats(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 10000 && 10000 % nBins == 0,
+      "brierBinStats: nBins in [1, 10000] dividing 10000")
+    val dec = "decimal(38,0)"
+    val s = df.select(
+      round(score * lit(10000.0d), 0).cast("long").as("s4"),
+      label.cast("boolean").as("y"))
+      .where(col("s4").isNotNull && col("y").isNotNull)
+    val width = 10000 / nBins
+    val bin = when(col("s4") < 0L, lit(-1))
+      .when(col("s4") >= 10000L, lit(nBins))
+      .otherwise((col("s4") / lit(width.toLong)).cast("int"))
+    s.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum("s4").as("sum_s4"),
+        sum(col("s4").cast(dec) * col("s4")).as("sum_sq4"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), col("s4")).otherwise(0L)).as("sum_s4_pos"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over the
+    * [[brierBinStats]] state — the calibration scalar triple behind
+    * x113's reliability diagram: Brier = REL − RES + UNC where REL is the
+    * (bad) calibration gap, RES the (good) sharpness, UNC the label
+    * entropy floor. One row: (n, n_pos, brier_ppm, reliability_ppm,
+    * resolution_ppm, uncertainty_ppm, ece_ppm).
+    *
+    * EXACT integers end to end: the quantized-score state makes every
+    * numerator a cross-multiplied decimal; per-bin divisions are
+    * documented floor divisions (the x178 discipline), so the statistic
+    * is partition- and order-independent — bit-replayable via HUGEINT.
+    * The identity Brier = REL − RES + UNC holds exactly only for
+    * bin-constant forecasts; brier_ppm here is the TRUE row-level score
+    * (from Σs², Σs·y), so the reported residual gap IS the within-bin
+    * variance the diagram cannot see. */
+  def finishBrier(stats: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // totals ride a window over the ≤ nBins+2-row state so the stats
+    // plan (a full corpus scan when unpersisted) executes exactly ONCE
+    val withTot = stats
+      .withColumn("nn", coalesce(sum("n").over(all), lit(0L)))
+      .withColumn("pp", coalesce(sum("n_pos").over(all), lit(0L)))
+      .withColumn("sq",
+        coalesce(sum(col("sum_sq4").cast(dec)).over(all), lit(0L).cast(dec)))
+      .withColumn("sp",
+        coalesce(sum(col("sum_s4_pos").cast(dec)).over(all), lit(0L).cast(dec)))
+    val agg = withTot.agg(
+      max("nn").as("nn"), max("pp").as("pp"),
+      max("sq").as("sq"), max("sp").as("sp"),
+      // Σ_k floor(10⁶·(10⁴·pos_k − Σs4_k)² / (10⁸·n_k))  — REL·N·10⁶
+      coalesce(sum(expr(
+        s"""(CAST(1000000 AS $dec)
+           |  * (CAST(n_pos AS $dec) * 10000 - CAST(sum_s4 AS $dec))
+           |  * (CAST(n_pos AS $dec) * 10000 - CAST(sum_s4 AS $dec)))
+           |div (CAST(100000000 AS $dec) * CAST(n AS $dec))""".stripMargin)),
+        lit(0L).cast(dec)).as("reln"),
+      // Σ_k floor(10⁶·(pos_k·N − P·n_k)² / (n_k·N²)) — RES·N·10⁶
+      coalesce(sum(expr(
+        s"""(CAST(1000000 AS $dec)
+           |  * (CAST(n_pos AS $dec) * nn - CAST(pp AS $dec) * n)
+           |  * (CAST(n_pos AS $dec) * nn - CAST(pp AS $dec) * n))
+           |div (CAST(n AS $dec) * CAST(nn AS $dec) * nn)""".stripMargin)),
+        lit(0L).cast(dec)).as("resn"),
+      // Σ_k floor(100·|10⁴·pos_k − Σs4_k|) — ECE·N·10⁶ (÷10⁴ folded in)
+      coalesce(sum(expr(
+        s"""CAST(100 AS $dec)
+           |  * abs(CAST(n_pos AS $dec) * 10000 - CAST(sum_s4 AS $dec))""".stripMargin)),
+        lit(0L).cast(dec)).as("ecen"))
+    agg.select(
+      coalesce(col("nn"), lit(0L)).cast("long").as("n"),
+      coalesce(col("pp"), lit(0L)).cast("long").as("n_pos"),
+      when(coalesce(col("nn"), lit(0L)) === 0L, lit(null).cast("long"))
+        // (Σs4² − 2·10⁴·Σs4_pos + 10⁸·P)·10⁶ / (10⁸·N)
+        .otherwise(expr(
+          s"""((CAST(sq AS $dec) - CAST(20000 AS $dec) * sp
+             |   + CAST(100000000 AS $dec) * pp) * 1000000)
+             |div (CAST(100000000 AS $dec) * nn)""".stripMargin).cast("long"))
+        .as("brier_ppm"),
+      when(coalesce(col("nn"), lit(0L)) === 0L, lit(null).cast("long"))
+        .otherwise(expr("reln div nn").cast("long")).as("reliability_ppm"),
+      when(coalesce(col("nn"), lit(0L)) === 0L, lit(null).cast("long"))
+        .otherwise(expr("resn div nn").cast("long")).as("resolution_ppm"),
+      when(coalesce(col("nn"), lit(0L)) === 0L, lit(null).cast("long"))
+        .otherwise(expr(
+          s"(CAST(1000000 AS $dec) * pp * (CAST(nn AS $dec) - pp)) div (CAST(nn AS $dec) * nn)")
+          .cast("long")).as("uncertainty_ppm"),
+      when(coalesce(col("nn"), lit(0L)) === 0L, lit(null).cast("long"))
+        .otherwise(expr("ecen div nn").cast("long")).as("ece_ppm"))
+  }
+
+  /** [[brierBinStats]] + [[finishBrier]] in one call (the batch leg). */
+  def brierReport(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame =
+    finishBrier(brierBinStats(df, score, label, nBins))
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — does ANY of k groups
+    * stochastically dominate on an integer-bucketed value? The k-group
+    * generalization of x112's Mann–Whitney, rank-based so outliers and
+    * monotone transforms cannot move it. One row:
+    * (n, n_groups, h, h_corrected) with the tie-corrected
+    * H_c = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Scale shape: ONE keyed aggregation to the DOMAIN-bounded
+    * (value × group) cells; doubled midranks (2·below + t + 1 — integers,
+    * no fp halves) from a prefix window on the distinct-value frame; per
+    * -group doubled-rank sums R2_g are exact decimals, and the one fp
+    * reduction Σ R2_g²/n_g runs as an ORDER-PINNED fold over the
+    * collected group-sorted array (the chiSquareIndependence discipline)
+    * so the oracle replays it via list_reduce. */
+  def kruskalWallis(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    // the bounded (value × group) cell frame feeds both the rank frame
+    // and the per-group join — cache it so the corpus is scanned exactly
+    // once (caller epilogue: materialize, then releaseCaches())
+    val cells = caches.tracked(df
+      .select(value.cast("long").as("v"), group.cast("string").as("g"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .groupBy("v", "g").agg(count(lit(1)).as("c"))
+      .persist())
+    val byV = cells.groupBy("v").agg(sum("c").as("tv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // bounded by contract (callers bucket), so the unpartitioned prefix
+    // window runs on a distinct-value-sized frame
+    val ranked = byV
+      .withColumn("below", coalesce(sum("tv").over(w), lit(0L)))
+      .select(col("v"), col("tv"),
+        (lit(2L) * col("below") + col("tv") + 1L).as("r2"))
+    val perG = cells.join(ranked, Seq("v"))
+      .groupBy("g")
+      .agg(sum("c").as("ng"),
+        sum(col("c").cast(dec) * col("r2")).as("rr2"))
+    val ties = ranked.agg(
+      coalesce(sum("tv"), lit(0L)).cast(dec).as("nn"),
+      coalesce(sum(expr(s"CAST(tv AS $dec) * tv * tv - tv")),
+        lit(0L).cast(dec)).as("tsum"))
+    perG
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("g"), col("ng"), col("rr2")))).as("o"))
+      .crossJoin(ties)
+      // H = 3·Σ R2_g²/n_g / (N(N+1)) − 3(N+1)   [R_g = R2_g/2]
+      .withColumn("sr", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + CAST(s.rr2 AS DOUBLE) * CAST(s.rr2 AS DOUBLE)
+          |      / CAST(s.ng AS DOUBLE))""".stripMargin))
+      .select(
+        col("nn").cast("long").as("n"),
+        col("k").as("n_groups"),
+        when(col("nn") < 2L || col("k") < 2L, lit(null).cast("double"))
+          .otherwise(round(
+            lit(3.0d) * col("sr") /
+              (col("nn").cast("double") * (col("nn").cast("double") + 1.0d)) -
+              lit(3.0d) * (col("nn").cast("double") + 1.0d), roundTo))
+          .as("h"),
+        when(col("nn") < 2L || col("k") < 2L ||
+          // all values tied in one bucket → correction denominator 0
+          col("tsum") === expr(s"CAST(nn AS $dec) * nn * nn - nn"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (lit(3.0d) * col("sr") /
+              (col("nn").cast("double") * (col("nn").cast("double") + 1.0d)) -
+              lit(3.0d) * (col("nn").cast("double") + 1.0d)) /
+              (lit(1.0d) - col("tsum").cast("double") /
+                (expr(s"CAST(nn AS $dec) * nn * nn - nn")).cast("double")),
+            roundTo))
+          .as("h_corrected"))
+  }
+
+  /** One-way ANOVA F + η² (Fisher) — does the group mean of an integer
+    * feature differ across k groups more than within-group noise allows?
+    * The mean-based complement of [[kruskalWallis]]. One row:
+    * (n, n_groups, f, eta2) where η² = SSB/SST is the variance-explained
+    * effect size.
+    *
+    * Scale shape: ONE keyed aggregation to per-group exact decimal
+    * (n_g, Σy, Σy²); the single fp reduction Σ S_g²/n_g runs as an
+    * ORDER-PINNED fold over the collected group-sorted array — the
+    * chiSquareIndependence discipline, bit-replayable via list_reduce. */
+  def anovaF(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perG = df
+      .select(value.cast("long").as("y"), group.cast("string").as("g"))
+      .where(col("y").isNotNull && col("g").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("y").cast(dec) * col("y")).as("sq"))
+    perG
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum("ng"), lit(0L)).cast(dec).as("nn"),
+        coalesce(sum("sy"), lit(0L).cast(dec)).as("s"),
+        coalesce(sum("sq"), lit(0L).cast(dec)).as("q"),
+        sort_array(collect_list(struct(col("g"), col("ng"), col("sy")))).as("o"))
+      // Σ_g S_g²/n_g — the only fp sum, order-pinned over ≤ k rows
+      .withColumn("sb", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)
+          |      / CAST(s.ng AS DOUBLE))""".stripMargin))
+      .select(
+        col("nn").cast("long").as("n"),
+        col("k").as("n_groups"),
+        {
+          val ssb = col("sb") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("nn").cast("double")
+          val ssw = col("q").cast("double") - col("sb")
+          when(col("k") < 2L || col("nn") <= col("k").cast(dec) || ssw <= 0.0d,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (ssb / (col("k").cast("double") - 1.0d)) /
+                (ssw / (col("nn").cast("double") - col("k").cast("double"))),
+              roundTo)).as("f")
+        },
+        {
+          val ssb = col("sb") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("nn").cast("double")
+          val sst = col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("nn").cast("double")
+          when(col("nn") < 2L || sst <= 0.0d, lit(null).cast("double"))
+            .otherwise(round(ssb / sst, roundTo)).as("eta2")
+        })
+  }
+
+  /** McNemar's test (McNemar 1947, continuity-corrected) on PAIRED binary
+    * classifiers — do two quality heuristics disagree with the truth at
+    * different rates on the SAME documents? The paired complement of
+    * x172's independent two-proportion z. One row:
+    * (n, acc_a_ppm, acc_b_ppm, b_only, c_only, chi2_ppm) where b_only =
+    * A-correct ∧ B-wrong, c_only the reverse, and
+    * chi2 = (|b−c|−1)²/(b+c) — reported as exact integer ppm (floor).
+    *
+    * Scale shape: ONE aggregation of five conditional sums collapses the
+    * corpus; everything after is 1-row algebra. Exact end to end. */
+  def mcnemar(
+      df: DataFrame,
+      predA: Column,
+      predB: Column,
+      truth: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val okA = predA.cast("boolean") === truth.cast("boolean")
+    val okB = predB.cast("boolean") === truth.cast("boolean")
+    df.where(predA.isNotNull && predB.isNotNull && truth.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(okA, 1L).otherwise(0L)).as("ca"),
+        sum(when(okB, 1L).otherwise(0L)).as("cb"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("c_only"))
+      .select(
+        col("n"),
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(ca AS $dec) * 1000000) div n").cast("long"))
+          .as("acc_a_ppm"),
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(cb AS $dec) * 1000000) div n").cast("long"))
+          .as("acc_b_ppm"),
+        col("b_only"), col("c_only"),
+        when(col("b_only") + col("c_only") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""((abs(CAST(b_only AS $dec) - c_only) - 1)
+               | * (abs(CAST(b_only AS $dec) - c_only) - 1)
+               | * 1000000) div (CAST(b_only AS $dec) + c_only)""".stripMargin)
+            .cast("long"))
+          .as("chi2_ppm"))
+  }
 }

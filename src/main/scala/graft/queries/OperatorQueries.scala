@@ -7718,6 +7718,187 @@ object OperatorQueries {
         |    ELSE (cum_pos::HUGEINT * nn * 1000000) // (cum_n::HUGEINT * pp)
         |  END)::BIGINT AS lift_ppm
         |FROM c2 ORDER BY v DESC""".stripMargin),
+
+    // Murphy (1973) Brier decomposition over the ridge-probe scores —
+    // Brier = REL − RES + UNC, the scalar triple behind x113's diagram.
+    // The quantized-integer bin state makes every term exact (documented
+    // per-bin floor divisions); the same state drives StreamingBrier.
+    "x194_brier_decomposition" -> sql(
+      (s, dir) => {
+        val scored = Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id"),
+          lambda = 0.1, iters = 48)
+        Evaluation.brierReport(scored, col("score"), col("y") === 1.0)
+      },
+      s"""WITH ${ridgeFitCtes},
+        |sc AS MATERIALIZED (
+        |  SELECT CAST(round(list_dot_product(d.e, (SELECT w FROM gw48))
+        |      * 10000) AS BIGINT) AS s4,
+        |    (d.y = 1.0) AS yy
+        |  FROM d),
+        |g AS (
+        |  SELECT CASE WHEN s4 < 0 THEN -1 WHEN s4 >= 10000 THEN 10
+        |      ELSE (s4 // 1000)::INT END AS bin,
+        |    count(*)::BIGINT AS n, sum(s4)::HUGEINT AS sum_s4,
+        |    sum(s4::HUGEINT * s4)::HUGEINT AS sum_sq4,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN yy THEN s4 ELSE 0 END)::HUGEINT AS sum_s4_pos
+        |  FROM sc GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(n), 0)::HUGEINT AS nn,
+        |    coalesce(sum(n_pos), 0)::HUGEINT AS pp,
+        |    coalesce(sum(sum_sq4), 0)::HUGEINT AS sq,
+        |    coalesce(sum(sum_s4_pos), 0)::HUGEINT AS sp
+        |  FROM g),
+        |bt AS (
+        |  SELECT
+        |    coalesce(sum((1000000::HUGEINT
+        |        * (n_pos::HUGEINT * 10000 - sum_s4)
+        |        * (n_pos::HUGEINT * 10000 - sum_s4))
+        |      // (100000000::HUGEINT * n)), 0)::HUGEINT AS reln,
+        |    coalesce(sum((1000000::HUGEINT
+        |        * (n_pos::HUGEINT * t.nn - t.pp * n)
+        |        * (n_pos::HUGEINT * t.nn - t.pp * n))
+        |      // (n::HUGEINT * t.nn * t.nn)), 0)::HUGEINT AS resn,
+        |    coalesce(sum(100::HUGEINT
+        |        * abs(n_pos::HUGEINT * 10000 - sum_s4)), 0)::HUGEINT AS ecen
+        |  FROM g, tot t)
+        |SELECT nn::BIGINT AS n, pp::BIGINT AS n_pos,
+        |  (CASE WHEN nn = 0 THEN NULL
+        |    ELSE ((sq - 20000::HUGEINT * sp + 100000000::HUGEINT * pp)
+        |          * 1000000) // (100000000::HUGEINT * nn) END)::BIGINT
+        |    AS brier_ppm,
+        |  (CASE WHEN nn = 0 THEN NULL ELSE reln // nn END)::BIGINT
+        |    AS reliability_ppm,
+        |  (CASE WHEN nn = 0 THEN NULL ELSE resn // nn END)::BIGINT
+        |    AS resolution_ppm,
+        |  (CASE WHEN nn = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * pp * (nn - pp)) // (nn * nn) END)::BIGINT
+        |    AS uncertainty_ppm,
+        |  (CASE WHEN nn = 0 THEN NULL ELSE ecen // nn END)::BIGINT AS ece_ppm
+        |FROM tot, bt ORDER BY n""".stripMargin),
+
+    // Kruskal–Wallis H: does ANY source stochastically dominate on the
+    // length bucket? Doubled midranks (no fp halves) from a prefix window
+    // on the bounded distinct-value frame; the one fp reduction runs as
+    // an order-pinned fold (list_reduce replay).
+    "x195_kruskal_wallis" -> sql(
+      (s, dir) => {
+        val out = Evaluation.kruskalWallis(
+          Tables.documents(s, dir), expr("n_chars div 50"), col("source"))
+        val materialized = out.cache()
+        materialized.count()
+        Evaluation.releaseCaches()
+        materialized
+      },
+      """WITH cells AS (
+        |  SELECT (n_chars // 50)::BIGINT AS v, source AS g,
+        |    count(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |byv AS (SELECT v, sum(c)::BIGINT AS tv FROM cells GROUP BY v),
+        |rk AS (
+        |  SELECT v, tv,
+        |    2 * coalesce(sum(tv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + tv + 1 AS r2
+        |  FROM byv),
+        |pg AS (
+        |  SELECT g, sum(c)::HUGEINT AS ng,
+        |    sum(c::HUGEINT * r2)::HUGEINT AS rr2
+        |  FROM cells JOIN rk USING (v) GROUP BY g),
+        |t AS (
+        |  SELECT coalesce(sum(tv), 0)::HUGEINT AS nnn,
+        |    coalesce(sum(tv::HUGEINT * tv * tv - tv), 0)::HUGEINT AS tsum
+        |  FROM rk),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rr2::DOUBLE * rr2::DOUBLE / ng::DOUBLE ORDER BY g)),
+        |      (x, y) -> x + y) AS sr
+        |  FROM pg)
+        |SELECT nnn::BIGINT AS n, k AS n_groups,
+        |  CASE WHEN nnn < 2 OR k < 2 THEN NULL
+        |    ELSE round(3.0 * sr / (nnn::DOUBLE * (nnn::DOUBLE + 1.0))
+        |      - 3.0 * (nnn::DOUBLE + 1.0), 4) END AS h,
+        |  CASE WHEN nnn < 2 OR k < 2
+        |      OR tsum = nnn * nnn * nnn - nnn THEN NULL
+        |    ELSE round((3.0 * sr / (nnn::DOUBLE * (nnn::DOUBLE + 1.0))
+        |        - 3.0 * (nnn::DOUBLE + 1.0))
+        |      / (1.0 - tsum::DOUBLE / (nnn * nnn * nnn - nnn)::DOUBLE), 4)
+        |  END AS h_corrected
+        |FROM ag, t ORDER BY n""".stripMargin),
+
+    // One-way ANOVA F + η² on document length across sources — the
+    // mean-based complement of x195. Exact decimal sufficient statistics;
+    // the one fp reduction Σ S_g²/n_g is an order-pinned fold.
+    "x196_anova_f" -> sql(
+      (s, dir) => Evaluation.anovaF(
+        Tables.documents(s, dir), col("n_chars"), col("source")),
+      """WITH pg AS (
+        |  SELECT source AS g, count(*)::BIGINT AS ng,
+        |    sum(n_chars)::HUGEINT AS sy,
+        |    sum(n_chars::HUGEINT * n_chars)::HUGEINT AS sq
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    coalesce(sum(ng), 0)::HUGEINT AS nn,
+        |    coalesce(sum(sy), 0)::HUGEINT AS s,
+        |    coalesce(sum(sq), 0)::HUGEINT AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sy::DOUBLE * sy::DOUBLE / ng::DOUBLE ORDER BY g)),
+        |      (x, y) -> x + y) AS sb
+        |  FROM pg)
+        |SELECT nn::BIGINT AS n, k AS n_groups,
+        |  CASE WHEN k < 2 OR nn <= k OR (q::DOUBLE - sb) <= 0.0 THEN NULL
+        |    ELSE round((sb - s::DOUBLE * s::DOUBLE / nn::DOUBLE)
+        |        / (k::DOUBLE - 1.0)
+        |      / ((q::DOUBLE - sb) / (nn::DOUBLE - k::DOUBLE)), 4)
+        |  END AS f,
+        |  CASE WHEN nn < 2
+        |      OR (q::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round((sb - s::DOUBLE * s::DOUBLE / nn::DOUBLE)
+        |      / (q::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE), 4)
+        |  END AS eta2
+        |FROM a ORDER BY n""".stripMargin),
+
+    // McNemar's paired test: do the "contains ' the '" and "length ≥ 400"
+    // English-detectors err at different rates on the SAME documents?
+    // One aggregation of five conditional sums; exact integer ppm.
+    "x197_mcnemar" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Evaluation.mcnemar(d,
+          instr(lower(col("text")), " the ") > 0,
+          col("n_chars") >= 400L,
+          col("lang") === "en")
+      },
+      """WITH p AS (
+        |  SELECT (strpos(lower(text), ' the ') > 0) AS pa,
+        |    (n_chars >= 400) AS pb, (lang = 'en') AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |a AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(CASE WHEN pa = y THEN 1 ELSE 0 END)::HUGEINT AS ca,
+        |    sum(CASE WHEN pb = y THEN 1 ELSE 0 END)::HUGEINT AS cb,
+        |    sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::HUGEINT
+        |      AS b_only,
+        |    sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::HUGEINT
+        |      AS c_only
+        |  FROM p)
+        |SELECT n::BIGINT AS n,
+        |  (CASE WHEN n = 0 THEN NULL ELSE (ca * 1000000) // n END)::BIGINT
+        |    AS acc_a_ppm,
+        |  (CASE WHEN n = 0 THEN NULL ELSE (cb * 1000000) // n END)::BIGINT
+        |    AS acc_b_ppm,
+        |  b_only::BIGINT AS b_only, c_only::BIGINT AS c_only,
+        |  (CASE WHEN b_only + c_only = 0 THEN NULL
+        |    ELSE ((abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)
+        |          * 1000000) // (b_only + c_only) END)::BIGINT AS chi2_ppm
+        |FROM a ORDER BY n""".stripMargin),
   )
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT

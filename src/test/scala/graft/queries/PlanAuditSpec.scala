@@ -1245,4 +1245,62 @@ class PlanAuditSpec extends SparkSpec {
         "centroid stats are plan literals — no join in the score pass")
     } finally graft.operators.Clustering.releaseCaches()
   }
+
+  test("x194: the Brier decomposition is ONE pruned corpus scan — totals " +
+    "ride a window over the bin state, never a second aggregation pass") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Evaluation.brierReport(
+      Tables.documents(spark, dir),
+      col("n_chars") / 1000.0d, col("lang") === "en")
+    val nodes = flatten(executedPlan(out))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"the stats plan must execute exactly once, got ${scans.size} scans")
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("n_chars", "lang"))
+    assert(!nodes.mkString.contains("Join"),
+      "the Murphy close is window + aggregation on the bin frame — no join")
+  }
+
+  test("x195: kruskal–wallis scans the corpus once into a cached cell " +
+    "frame; ranks and group sums both read the cache") {
+    import org.apache.spark.sql.functions.{col, expr}
+    try {
+      val out = graft.operators.Evaluation.kruskalWallis(
+        Tables.documents(spark, dir), expr("n_chars div 50"), col("source"))
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.collect { case s: FileSourceScanExec => s }.isEmpty,
+        "a branch bypassed the cached (value, group) cell frame")
+      val cached = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          System.identityHashCode(s.relation.cacheBuilder)
+      }
+      assert(cached.nonEmpty && cached.toSet.size == 1,
+        "exactly ONE cached cell relation feeds ranks and group sums")
+      val inner = flatten(nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.head.relation.cachedPlan).collect { case f: FileSourceScanExec => f }
+      assert(inner.size == 1 &&
+        inner.head.requiredSchema.fieldNames.toSet == Set("n_chars", "source"))
+    } finally graft.operators.Evaluation.releaseCaches()
+  }
+
+  test("x196/x197: anova and mcnemar collapse the corpus in ONE pruned " +
+    "aggregation scan each") {
+    import org.apache.spark.sql.functions.{col, instr, lower}
+    val anova = graft.operators.Evaluation.anovaF(
+      Tables.documents(spark, dir), col("n_chars"), col("source"))
+    val aScans = flatten(executedPlan(anova))
+      .collect { case f: FileSourceScanExec => f }
+    assert(aScans.size == 1 &&
+      aScans.head.requiredSchema.fieldNames.toSet == Set("n_chars", "source"))
+    val mc = graft.operators.Evaluation.mcnemar(
+      Tables.documents(spark, dir),
+      instr(lower(col("text")), " the ") > 0,
+      col("n_chars") >= 400L, col("lang") === "en")
+    val mScans = flatten(executedPlan(mc))
+      .collect { case f: FileSourceScanExec => f }
+    assert(mScans.size == 1 &&
+      mScans.head.requiredSchema.fieldNames.toSet ==
+        Set("text", "n_chars", "lang"))
+  }
 }

@@ -300,7 +300,13 @@ object BenchScale {
     // one pruned aggregation scan to per-group decimals; 1-row close
     "x196_anova_f" -> 1.2,
     // one aggregation of five conditional sums (string scan dominates)
-    "x197_mcnemar" -> 1.2)
+    "x197_mcnemar" -> 1.2,
+    // one corpus agg to the quantized bin state; minimax joins on the
+    // ≤ 12-row frame
+    "x198_pav_calibration" -> 1.2,
+    // assignment = pure projection through plan-literal pivots; one agg
+    // to the (labels × cells) contingency; folds on the bounded frame
+    "x199_cluster_agreement" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

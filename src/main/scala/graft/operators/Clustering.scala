@@ -180,6 +180,115 @@ object Clustering {
     * expressions on a single cached scan (the x183/x173 discipline —
     * nothing shuffles after the stats agg except the |cells|-row report
     * aggregation). Caller epilogue: materialize, then releaseCaches(). */
+  /** External cluster validation: adjusted Rand index (Hubert & Arabie
+    * 1985) + normalized mutual information (Strehl & Ghosh 2002, sqrt
+    * normalization) between a GIVEN labeling and the deterministic IVF
+    * pivot-cell assignment — the "did unsupervised structure recover the
+    * labels?" readout run before any per-cluster curation inherits the
+    * cells. One row: (n, n_labels, n_cells, ari_ppm, nmi).
+    *
+    * ARI is EXACT integer ppm: every pair count C(x,2) is an exact
+    * decimal ((x·(x−1)) div 2 — even product, no truncation), and the
+    * close is the cross-multiplied form
+    * 2(T·Σij − Σa·Σb) / (T(Σa+Σb) − 2·Σa·Σb) — exact to ~10⁸ rows
+    * (T·Σij ≲ N⁴/4 must fit decimal(38,0)); chance-perfect degenerate
+    * tables (denominator 0) yield NULL. NMI's logs run as ORDER-PINNED
+    * folds over the collected (label, cell)-sorted contingency and
+    * margin arrays (the chiSquareIndependence discipline) —
+    * bit-replayable via list_reduce.
+    *
+    * Scale shape: assignment is a pure projection through plan-literal
+    * pivots (the pivotMatrix precedent); ONE corpus aggregation to the
+    * (labels × cells)-bounded contingency; margins, pair sums and folds
+    * all run on that cached frame. Caller epilogue: materialize, then
+    * releaseCaches(). */
+  def clusterAgreement(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nCells: Int = 8,
+      seed: String = "v1",
+      roundTo: Int = 6): DataFrame = {
+    require(nCells >= 2 && nCells <= 64, "clusterAgreement: nCells in [2, 64]")
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val pivots = Similarity.pivotMatrix(emb, idCol, vecCol, nCells, seed)
+    val dec = "decimal(38,0)"
+    val cells = tracked(emb
+      .select(col(labelCol).cast("long").as("l"), col(vecCol).as("__v"))
+      .where(col("l").isNotNull)
+      .withColumn("c",
+        call_function("graft_nearest_centroid", col("__v"),
+          typedlit(pivots.map(_.toSeq).toSeq)).cast("long"))
+      .groupBy("l", "c").agg(count(lit(1)).as("nij"))
+      .persist())
+    val rowM = cells.groupBy("l").agg(sum("nij").as("ai"))
+    val colM = cells.groupBy("c").agg(sum("nij").as("bj"))
+    val tot = cells.agg(
+      coalesce(sum("nij"), lit(0L)).cast(dec).as("nn"),
+      count_distinct(col("l")).as("kl"),
+      count_distinct(col("c")).as("kc"),
+      coalesce(sum(expr(s"(CAST(nij AS $dec) * (nij - 1)) div 2")),
+        lit(0L).cast(dec)).as("sij"))
+    val aSide = rowM.crossJoin(tot.select("nn"))
+      .agg(
+        coalesce(sum(expr(s"(CAST(ai AS $dec) * (ai - 1)) div 2")),
+          lit(0L).cast(dec)).as("sa"),
+        sort_array(collect_list(struct(col("l"), col("ai")))).as("oa"),
+        max("nn").as("__nna"))
+      .withColumn("hl", expr(
+        """-aggregate(oa, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + (CAST(s.ai AS DOUBLE) / CAST(__nna AS DOUBLE))
+          |      * ln(CAST(s.ai AS DOUBLE) / CAST(__nna AS DOUBLE)))""".stripMargin))
+      .select("sa", "hl")
+    val bSide = colM.crossJoin(tot.select("nn"))
+      .agg(
+        coalesce(sum(expr(s"(CAST(bj AS $dec) * (bj - 1)) div 2")),
+          lit(0L).cast(dec)).as("sb"),
+        sort_array(collect_list(struct(col("c"), col("bj")))).as("ob"),
+        max("nn").as("__nnb"))
+      .withColumn("hc", expr(
+        """-aggregate(ob, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + (CAST(s.bj AS DOUBLE) / CAST(__nnb AS DOUBLE))
+          |      * ln(CAST(s.bj AS DOUBLE) / CAST(__nnb AS DOUBLE)))""".stripMargin))
+      .select("sb", "hc")
+    val miSide = cells.join(rowM, Seq("l")).join(colM, Seq("c"))
+      .crossJoin(tot.select("nn"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("l"), col("c"), col("nij"), col("ai"), col("bj")))).as("o"),
+        max("nn").as("__nnm"))
+      .withColumn("mi", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + (CAST(s.nij AS DOUBLE) / CAST(__nnm AS DOUBLE))
+          |      * ln(CAST(s.nij AS DOUBLE) * CAST(__nnm AS DOUBLE)
+          |           / (CAST(s.ai AS DOUBLE) * CAST(s.bj AS DOUBLE))))""".stripMargin))
+      .select("mi")
+    tot.crossJoin(aSide).crossJoin(bSide).crossJoin(miSide)
+      .select(
+        col("nn").cast("long").as("n"),
+        col("kl").as("n_labels"),
+        col("kc").as("n_cells"),
+        {
+          // T = C(N,2); ari = 2(T·Σij − Σa·Σb) / (T(Σa+Σb) − 2·Σa·Σb)
+          val t = expr(s"(CAST(nn AS $dec) * (nn - 1)) div 2")
+          val den = t * (col("sa") + col("sb")) -
+            lit(2).cast(dec) * col("sa") * col("sb")
+          when(col("nn") < 2L || den === lit(0).cast(dec), lit(null).cast("long"))
+            .otherwise(expr(
+              s"""(CAST(2000000 AS $dec)
+                 |  * (((CAST(nn AS $dec) * (nn - 1)) div 2) * sij - sa * sb))
+                 |div (((CAST(nn AS $dec) * (nn - 1)) div 2) * (sa + sb)
+                 |     - CAST(2 AS $dec) * sa * sb)""".stripMargin).cast("long"))
+            .as("ari_ppm")
+        },
+        when(col("nn") < 2L || col("hl") <= 0.0d || col("hc") <= 0.0d,
+          lit(null).cast("double"))
+          .otherwise(round(col("mi") / sqrt(col("hl") * col("hc")), roundTo))
+          .as("nmi"))
+  }
+
   def silhouetteReport(
       emb: DataFrame,
       idCol: String,

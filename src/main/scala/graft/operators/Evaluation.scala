@@ -1492,6 +1492,65 @@ object Evaluation {
         })
   }
 
+  /** Isotonic (PAV) calibration of a binned score (Ayer et al. 1955;
+    * Zadrozny & Elkan 2002) — the monotone fit that turns a ranking
+    * score into a probability without assuming a sigmoid shape. Output
+    * per score bin ASC: (bin, lo, n, n_pos, raw_ppm, fitted_ppm) with
+    * fitted non-decreasing; adjacent bins whose raw rates violate
+    * monotonicity share one pooled fitted rate.
+    *
+    * Instead of the sequential pool-adjacent-violators stack (which a
+    * SQL lambda cannot loop), the fit uses the minimax identity
+    * fitted(i) = max_{j≤i} min_{k≥i} avg(pos[j..k] / n[j..k])
+    * (Robertson, Wright & Dykstra 1988) — interval averages from prefix
+    * sums on the BOUNDED bin frame, then a (i, j, k) triple join that is
+    * ≤ (nBins+2)³ rows by construction. Because floor is monotone and
+    * commutes with min/max, the truncated-ppm minimax IS the floor of
+    * the exact rational PAV fit — bit-replayable, no fp anywhere.
+    *
+    * Scale shape: ONE corpus aggregation to the quantized bin state
+    * (the [[brierBinStats]] kernel); every join after runs on the
+    * cached ≤ nBins+2-row frame. Caller epilogue: materialize, then
+    * releaseCaches(). */
+  def pavCalibrate(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = caches.tracked(
+      brierBinStats(df, score, label, nBins)
+        .select(col("bin"), col("n"), col("n_pos"))
+        .persist())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pref = cells
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+    val jSide = pref.select(col("bin").as("j"),
+      (col("cum_n") - col("n")).as("nj0"), (col("cum_pos") - col("n_pos")).as("pj0"))
+    val kSide = pref.select(col("bin").as("k"),
+      col("cum_n").as("nk"), col("cum_pos").as("pk"))
+    // interval averages avg_ppm(j,k) for j ≤ k, exact floor-division ppm
+    val ivals = jSide.join(kSide, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr(s"(CAST(pk - pj0 AS $dec) * 1000000) div (nk - nj0)")
+          .cast("long").as("a_ppm"))
+    val bins = cells.select(col("bin").as("i"), col("n"), col("n_pos"))
+    val fit = bins
+      .join(ivals, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j"), col("n"), col("n_pos"))
+      .agg(min("a_ppm").as("mn"))
+      .groupBy(col("i"), col("n"), col("n_pos"))
+      .agg(max("mn").as("fitted_ppm"))
+    fit.select(col("i").as("bin"),
+      round(col("i") / lit(nBins.toDouble), 4).as("lo"),
+      col("n"), col("n_pos"),
+      expr(s"(CAST(n_pos AS $dec) * 1000000) div n").cast("long").as("raw_ppm"),
+      col("fitted_ppm"))
+      .orderBy("bin")
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) on PAIRED binary
     * classifiers — do two quality heuristics disagree with the truth at
     * different rates on the SAME documents? The paired complement of

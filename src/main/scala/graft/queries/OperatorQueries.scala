@@ -7899,6 +7899,126 @@ object OperatorQueries {
         |    ELSE ((abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)
         |          * 1000000) // (b_only + c_only) END)::BIGINT AS chi2_ppm
         |FROM a ORDER BY n""".stripMargin),
+
+    // Isotonic (PAV) calibration of a pseudo-score via the minimax
+    // identity fitted(i) = max_{j≤i} min_{k≥i} avg(pos[j..k]/n[j..k]) —
+    // floor commutes with min/max, so the truncated-ppm fit IS the floor
+    // of the exact rational PAV fit. All joins on the bounded bin frame.
+    "x198_pav_calibration" -> sql(
+      (s, dir) => {
+        val out = Evaluation.pavCalibrate(
+          Tables.documents(s, dir),
+          (col("n_chars") % 1000L) / lit(1000.0d), col("lang") === "en")
+          .cache()
+        out.count()
+        Evaluation.releaseCaches()
+        out
+      },
+      """WITH sc AS (
+        |  SELECT CAST(round(((n_chars % 1000) / 1000.0) * 10000) AS BIGINT)
+        |      AS s4,
+        |    (lang = 'en') AS yy
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (
+        |  SELECT CASE WHEN s4 < 0 THEN -1 WHEN s4 >= 10000 THEN 10
+        |      ELSE (s4 // 1000)::INT END AS bin,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM sc GROUP BY 1),
+        |pref AS (
+        |  SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bin) AS cum_pos
+        |  FROM g),
+        |iv AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (((k.cum_pos - (j.cum_pos - j.n_pos))::HUGEINT * 1000000)
+        |      // (k.cum_n - (j.cum_n - j.n))::HUGEINT)::BIGINT AS a_ppm
+        |  FROM pref j, pref k WHERE j.bin <= k.bin),
+        |mn AS (
+        |  SELECT b.bin, b.n, b.n_pos, iv.j, min(iv.a_ppm) AS mn
+        |  FROM g b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  GROUP BY 1, 2, 3, 4),
+        |f AS (
+        |  SELECT bin, n, n_pos, max(mn)::BIGINT AS fitted_ppm
+        |  FROM mn GROUP BY 1, 2, 3)
+        |SELECT bin, round(bin / 10.0, 4) AS lo, n, n_pos,
+        |  ((n_pos::HUGEINT * 1000000) // n)::BIGINT AS raw_ppm, fitted_ppm
+        |FROM f ORDER BY bin""".stripMargin),
+
+    // External cluster validation: ARI + NMI between the given embedding
+    // labels and the deterministic IVF pivot cells — exact-integer ARI
+    // (cross-multiplied pair counts), NMI via order-pinned ln folds. The
+    // oracle replays the whole assignment (the x189 CTEs) + the algebra.
+    "x199_cluster_agreement" -> sql(
+      (s, dir) => {
+        val out = Clustering.clusterAgreement(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          nCells = 8, seed = "v1").cache()
+        out.count()
+        Clustering.releaseCaches()
+        out
+      },
+      """WITH emb AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE label IS NOT NULL),
+        |pv AS (
+        |  SELECT vec_id AS pid, embedding AS pvec,
+        |    row_number() OVER (ORDER BY md5('v1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        |  FROM (SELECT vec_id, embedding FROM embeddings)),
+        |piv AS (SELECT pid, pvec, cell FROM pv WHERE cell < 8),
+        |asg AS (
+        |  SELECT e.vec_id, e.label, p.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)
+        |           * (e.embedding[i]::DOUBLE - p.pvec[i]::DOUBLE)),
+        |        (x, y) -> x + y), p.cell) AS rn
+        |  FROM emb e CROSS JOIN piv p),
+        |pts AS (SELECT label::BIGINT AS l, cell::BIGINT AS c FROM asg
+        |  WHERE rn = 1),
+        |cells AS (
+        |  SELECT l, c, count(*)::BIGINT AS nij FROM pts GROUP BY 1, 2),
+        |rm AS (SELECT l, sum(nij)::BIGINT AS ai FROM cells GROUP BY l),
+        |cm AS (SELECT c, sum(nij)::BIGINT AS bj FROM cells GROUP BY c),
+        |t AS (
+        |  SELECT coalesce(sum(nij), 0)::HUGEINT AS nn,
+        |    count(DISTINCT l)::BIGINT AS kl,
+        |    count(DISTINCT c)::BIGINT AS kc,
+        |    coalesce(sum((nij::HUGEINT * (nij - 1)) // 2), 0)::HUGEINT AS sij
+        |  FROM cells),
+        |sa AS (
+        |  SELECT coalesce(sum((ai::HUGEINT * (ai - 1)) // 2), 0)::HUGEINT
+        |      AS sa,
+        |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((ai::DOUBLE / t.nn::DOUBLE) * ln(ai::DOUBLE / t.nn::DOUBLE)
+        |        ORDER BY l)), (x, y) -> x + y) AS hl
+        |  FROM rm, t),
+        |sb AS (
+        |  SELECT coalesce(sum((bj::HUGEINT * (bj - 1)) // 2), 0)::HUGEINT
+        |      AS sb,
+        |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((bj::DOUBLE / t.nn::DOUBLE) * ln(bj::DOUBLE / t.nn::DOUBLE)
+        |        ORDER BY c)), (x, y) -> x + y) AS hc
+        |  FROM cm, t),
+        |mi AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((nij::DOUBLE / t.nn::DOUBLE)
+        |          * ln(nij::DOUBLE * t.nn::DOUBLE
+        |               / (rm.ai::DOUBLE * cm.bj::DOUBLE))
+        |        ORDER BY cells.l, cells.c)), (x, y) -> x + y) AS mi
+        |  FROM cells JOIN rm USING (l) JOIN cm USING (c), t)
+        |SELECT nn::BIGINT AS n, kl AS n_labels, kc AS n_cells,
+        |  (CASE WHEN nn < 2
+        |      OR ((nn * (nn - 1)) // 2) * (sa.sa + sb.sb)
+        |         - 2::HUGEINT * sa.sa * sb.sb = 0 THEN NULL
+        |    ELSE (2000000::HUGEINT
+        |        * (((nn * (nn - 1)) // 2) * sij - sa.sa * sb.sb))
+        |      // (((nn * (nn - 1)) // 2) * (sa.sa + sb.sb)
+        |          - 2::HUGEINT * sa.sa * sb.sb)
+        |  END)::BIGINT AS ari_ppm,
+        |  CASE WHEN nn < 2 OR hl <= 0.0 OR hc <= 0.0 THEN NULL
+        |    ELSE round(mi / sqrt(hl * hc), 6) END AS nmi
+        |FROM t, sa, sb, mi ORDER BY n""".stripMargin),
   )
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT

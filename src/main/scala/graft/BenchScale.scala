@@ -306,7 +306,13 @@ object BenchScale {
     "x198_pav_calibration" -> 1.2,
     // assignment = pure projection through plan-literal pivots; one agg
     // to the (labels × cells) contingency; folds on the bounded frame
-    "x199_cluster_agreement" -> 1.3)
+    "x199_cluster_agreement" -> 1.3,
+    // one cached tokenization feeds ranking AND relevance; metrics on
+    // |queries| driver-sized rows
+    "x193_retrieval_eval" -> 1.4,
+    // one corpus agg to the domain-bounded value frame; all λ arms are
+    // folds over the one collected array
+    "x200_boxcox_scan" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1551,6 +1551,82 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Box–Cox transform selection (Box & Cox 1964) for a POSITIVE integer
+    * feature: per candidate λ, the profile Gaussian log-likelihood of the
+    * transformed variable,
+    *   ll(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σ ln v,
+    * with the transform t_λ(v) = (v^λ−1)/λ (ln v at λ=0) — the
+    * normalizing-power scan run before a mean/σ-based screen trusts a
+    * skewed feature. Output per λ: (lambda, n, loglik, is_best), λ ASC.
+    *
+    * Supported λ grid is {−1, −0.5, 0, 0.5, 1}: every transform reduces
+    * to division / sqrt / ln — NO pow(), whose last-ulp behavior differs
+    * across libm implementations; ln and sqrt replay bit-for-bit (the
+    * x180/x186 precedent).
+    *
+    * Scale shape: ONE corpus aggregation to the DOMAIN-bounded
+    * (value, count) frame; all λ arms are ORDER-PINNED folds over the one
+    * collected value-sorted array (the chiSquareIndependence discipline),
+    * so every fp sum is partition-order-free and the oracle replays the
+    * identical folds via list_reduce. Non-positive values are REJECTED
+    * (null row in, null out would hide a contract violation) — they are
+    * filtered with a count reported in n_dropped. */
+  def boxCoxScan(
+      df: DataFrame,
+      value: Column,
+      roundTo: Int = 4): DataFrame = {
+    val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+    val base = df.select(value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val cells = base
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"))
+    val one = cells.agg(
+      coalesce(sum(when(col("v") > 0L, col("c")).otherwise(0L)), lit(0L)).as("n"),
+      coalesce(sum(when(col("v") <= 0L, col("c")).otherwise(0L)), lit(0L))
+        .as("n_dropped"),
+      sort_array(collect_list(when(col("v") > 0L,
+        struct(col("v"), col("c"))))).as("o"))
+      // a constant sample's variance is an fp cancellation residue, not a
+      // trustworthy 0 — gate on the DISTINCT positive-value count instead
+      .withColumn("ndist", size(col("o")))
+    def t(lam: Double): String = lam match {
+      case 0.0  => "ln(CAST(s.v AS DOUBLE))"
+      case 1.0  => "CAST(s.v AS DOUBLE) - 1.0D"
+      case -1.0 => "1.0D - 1.0D / CAST(s.v AS DOUBLE)"
+      case 0.5  => "2.0D * (sqrt(CAST(s.v AS DOUBLE)) - 1.0D)"
+      case -0.5 => "2.0D * (1.0D - 1.0D / sqrt(CAST(s.v AS DOUBLE)))"
+      case other => throw new IllegalArgumentException(
+        s"boxCoxScan: unsupported lambda $other")
+    }
+    def fold(inner: String): Column = expr(
+      s"""aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+         |  acc + CAST(s.c AS DOUBLE) * ($inner))""".stripMargin)
+    val arms = lambdas.map { lam =>
+      val s1 = fold(t(lam))
+      val s2 = fold(s"(${t(lam)}) * (${t(lam)})")
+      val slv = fold("ln(CAST(s.v AS DOUBLE))")
+      val nD = col("n").cast("double")
+      val variance = (s2 - s1 * s1 / nD) / nD
+      struct(
+        lit(lam).as("lambda"),
+        col("n").as("n"),
+        when(col("n") < 2L || col("ndist") < 2 || variance <= 0.0d,
+          lit(null).cast("double"))
+          .otherwise(round(
+            lit(-0.5d) * nD * log(variance) + lit(lam - 1.0d) * slv, roundTo))
+          .as("loglik"))
+    }
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    one.select(col("n_dropped"), explode(array(arms: _*)).as("r"))
+      .select(col("r.lambda").as("lambda"), col("r.n").as("n"),
+        col("n_dropped"), col("r.loglik").as("loglik"))
+      .withColumn("is_best",
+        col("loglik").isNotNull && col("loglik") === max("loglik").over(all))
+      .orderBy("lambda")
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) on PAIRED binary
     * classifiers — do two quality heuristics disagree with the truth at
     * different rates on the SAME documents? The paired complement of

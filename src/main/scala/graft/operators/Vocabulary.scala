@@ -379,6 +379,101 @@ object Vocabulary {
       .select(col("qid"), col("doc"), col("score"), col("rank"))
   }
 
+  /** Retrieval-quality evaluation of the BM25 ranking against a
+    * conjunctive relevance oracle: a document is RELEVANT to a query iff
+    * it contains EVERY query term at least `minTf` times (the strict
+    * lexical notion — BM25's tf/length tradeoffs can and do rank partial
+    * matches above full ones, which is exactly what this measures; raise
+    * minTf to make relevance rarer than the retrieval cut). Per query:
+    * (qid, n_ret, n_rel, hits, p_at_k_ppm, recall_at_k_ppm, mrr_ppm,
+    * ndcg) — P@k / recall@k / MRR as exact integer ppm, NDCG@k (binary
+    * gains, log2 discounts) as ORDER-PINNED folds over the ≤ k-row rank
+    * arrays (the chiSquareIndependence discipline — bit-replayable via
+    * list_reduce).
+    *
+    * Scale shape: the corpus tokenizes ONCE (the cached tokenArrays
+    * projection feeds the BM25 core AND the relevance flags); relevance
+    * tests are plan-literal array_contains conjunctions (no join); the
+    * ranked top-k (|queries|·k rows) BROADCASTS into the relevance scan;
+    * per-query metrics run on |queries| driver-sized rows. Caller
+    * epilogue: materialize, then releaseCaches(). */
+  def retrievalEvalBm25(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(String, String)],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      minTf: Int = 1,
+      roundTo: Int = 6): DataFrame = {
+    require(queries.nonEmpty, "retrievalEvalBm25 needs at least one query")
+    require(k >= 1 && k <= 1000, "retrievalEvalBm25: k in [1, 1000]")
+    require(minTf >= 1, "retrievalEvalBm25: minTf >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.map { case (qid, qtext) =>
+      qid -> qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    }
+    val qterms = terms.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val tokArr = tokenArrays(docs, textCol, idCol)
+    val ranked = bm25RankCore(tokArr, qterms, k, k1, b, excludeSelf = false)
+    // relevance flags: one pass over the cached token arrays, one
+    // plan-literal conjunction per query — no join, no second tokenize
+    def termOk(t: String): Column =
+      if (minTf == 1) array_contains(col("__t"), t)
+      else size(filter(col("__t"), x => x === t)) >= minTf
+    val relCols = terms.map { case (qid, ts) =>
+      when(ts.map(termOk).reduce(_ && _), lit(qid))
+    }
+    val relevant = tokArr
+      .select(col("doc"), explode(array_compact(array(relCols: _*))).as("qid"))
+    val nRel = relevant.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = relevant
+      .join(broadcast(ranked.select(col("qid"), col("doc"), col("rank"))),
+        Seq("qid", "doc"))
+      .select(col("qid"), col("rank"))
+    val perQ = ranked.groupBy("qid").agg(count(lit(1)).as("n_ret"))
+      .join(hits.groupBy("qid").agg(
+        count(lit(1)).as("hits"),
+        min("rank").as("first_hit"),
+        sort_array(collect_list(col("rank"))).as("hit_ranks")), Seq("qid"), "left")
+      .join(nRel, Seq("qid"), "left")
+    // every query appears (ranked emits ≤ k rows per qid; a query with
+    // no matching postings emits none — union those in with zero rows)
+    val allQ = terms.map(_._1).toDF("qid")
+    allQ.join(perQ, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"(coalesce(hits, 0L) * 1000000) div ${k}L").as("p_at_k_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(coalesce(hits, 0L) * 1000000) div n_rel"))
+          .as("recall_at_k_ppm"),
+        when(col("first_hit").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_hit")).as("mrr_ppm"),
+        {
+          // DCG over the sorted hit ranks; IDCG over the best-possible
+          // min(n_rel, k) positions — both order-pinned folds
+          val dcg = expr(
+            """aggregate(coalesce(hit_ranks, array()),
+              |  CAST(0.0 AS DOUBLE), (acc, r) ->
+              |  acc + ln(2.0D) / ln(CAST(r + 1 AS DOUBLE)))""".stripMargin)
+          val m = least(coalesce(col("n_rel"), lit(0L)), lit(k.toLong))
+          val idcg = when(m >= 1L, expr(
+            s"""aggregate(sequence(1L, least(coalesce(n_rel, 0L), ${k}L)),
+               |  CAST(0.0 AS DOUBLE), (acc, i) ->
+               |  acc + ln(2.0D) / ln(CAST(i + 1 AS DOUBLE)))""".stripMargin))
+            .otherwise(lit(0.0d))
+          when(m < 1L, lit(null).cast("double"))
+            .otherwise(round(dcg / idcg, roundTo)).as("ndcg")
+        })
+      .orderBy("qid")
+  }
+
   /** More-like-this retrieval (the classic Lucene MLT shape): the query is
     * a DOCUMENT — its `nTerms` highest-tf·idf terms (rounded scores, term
     * tie-break, so the selection is engine-stable) become a BM25 query

@@ -7719,6 +7719,102 @@ object OperatorQueries {
         |  END)::BIGINT AS lift_ppm
         |FROM c2 ORDER BY v DESC""".stripMargin),
 
+    // Retrieval-quality evaluation of x81's BM25 ranking against the
+    // strict conjunctive relevance oracle (EVERY query term at least 4
+    // times — rarer than the k=10 cut, so partial matches in the top-10
+    // register as misses): P@k / recall@k / MRR as exact ppm, NDCG@k as
+    // order-pinned log2 folds. One tokenization feeds ranking AND
+    // relevance.
+    "x193_retrieval_eval" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.retrievalEvalBm25(
+          Tables.documents(s, dir), "text", "doc_id",
+          Seq("q1" -> "merge sort", "q2" -> "hash join",
+            "q3" -> "window scan", "q4" -> "slow query"),
+          k = 10, minTf = 4)
+          .cache()
+        out.count()
+        Vocabulary.releaseCaches()
+        out
+      },
+      """WITH dl AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES ('q1', 'merge'), ('q1', 'sort'),
+        |  ('q2', 'hash'), ('q2', 'join'), ('q3', 'window'), ('q3', 'scan'),
+        |  ('q4', 'slow'), ('q4', 'query')) AS t(qid, term)),
+        |tf AS (
+        |  SELECT t.doc, t.term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+        |  GROUP BY 1, 2),
+        |wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+        |  FROM tf),
+        |sc AS (
+        |  SELECT q.qid, w.doc,
+        |    round(sum(ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5)) * w.tf * 2.2 /
+        |      (w.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM wdf w
+        |  JOIN q ON q.term = w.term
+        |  JOIN dl ON dl.doc = w.doc
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, doc, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+        |  FROM sc),
+        |topk AS (SELECT qid, doc, rank FROM r WHERE rank <= 10),
+        |qn AS (SELECT qid, count(*)::BIGINT AS nq FROM q GROUP BY qid),
+        |qtf AS (
+        |  SELECT t.doc, t.term, count(*) AS c
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+        |  GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT m.qid, m.doc FROM (
+        |    SELECT q.qid, f.doc, count(*) AS nm
+        |    FROM qtf f JOIN q USING (term) WHERE f.c >= 4
+        |    GROUP BY 1, 2) m JOIN qn USING (qid)
+        |  WHERE m.nm = qn.nq),
+        |nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY qid),
+        |hits AS (
+        |  SELECT t.qid, t.rank FROM topk t
+        |  JOIN rel ON rel.qid = t.qid AND rel.doc = t.doc),
+        |hq AS (
+        |  SELECT qid, count(*)::BIGINT AS hits, min(rank)::BIGINT AS fh,
+        |    list(rank ORDER BY rank) AS hit_ranks
+        |  FROM hits GROUP BY qid),
+        |nret AS (SELECT qid, count(*)::BIGINT AS n_ret FROM topk GROUP BY qid),
+        |allq AS (SELECT DISTINCT qid FROM q)
+        |SELECT a.qid,
+        |  coalesce(n_ret, 0)::BIGINT AS n_ret,
+        |  coalesce(n_rel, 0)::BIGINT AS n_rel,
+        |  coalesce(hits, 0)::BIGINT AS hits,
+        |  ((coalesce(hits, 0) * 1000000) // 10)::BIGINT AS p_at_k_ppm,
+        |  (CASE WHEN coalesce(n_rel, 0) = 0 THEN NULL
+        |    ELSE (coalesce(hits, 0) * 1000000) // n_rel END)::BIGINT
+        |    AS recall_at_k_ppm,
+        |  (CASE WHEN fh IS NULL THEN 0 ELSE 1000000 // fh END)::BIGINT
+        |    AS mrr_ppm,
+        |  CASE WHEN least(coalesce(n_rel, 0), 10) < 1 THEN NULL
+        |    ELSE round(
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(coalesce(hit_ranks, []),
+        |          rr -> ln(2.0) / ln((rr + 1)::DOUBLE))), (x, y) -> x + y)
+        |      / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(generate_series(1, least(coalesce(n_rel, 0), 10)),
+        |          i -> ln(2.0) / ln((i + 1)::DOUBLE))), (x, y) -> x + y), 6)
+        |  END AS ndcg
+        |FROM allq a
+        |LEFT JOIN nret USING (qid) LEFT JOIN nrel USING (qid)
+        |LEFT JOIN hq USING (qid)
+        |ORDER BY qid""".stripMargin),
+
     // Murphy (1973) Brier decomposition over the ridge-probe scores —
     // Brier = REL − RES + UNC, the scalar triple behind x113's diagram.
     // The quantized-integer bin state makes every term exact (documented
@@ -8019,7 +8115,59 @@ object OperatorQueries {
         |  CASE WHEN nn < 2 OR hl <= 0.0 OR hc <= 0.0 THEN NULL
         |    ELSE round(mi / sqrt(hl * hc), 6) END AS nmi
         |FROM t, sa, sb, mi ORDER BY n""".stripMargin),
+
+    // Box–Cox λ scan over document length: per λ the profile Gaussian
+    // log-likelihood, every λ arm an order-pinned fold over the ONE
+    // collected (value, count) array — the λ grid is division/sqrt/ln
+    // only (no pow, whose last ulp differs across libm implementations).
+    "x200_boxcox_scan" -> sql(
+      (s, dir) => Evaluation.boxCoxScan(
+        Tables.documents(s, dir), col("n_chars")),
+      boxCoxOracle),
   )
+
+  /** The x200 oracle: per λ, the identical order-pinned folds (element =
+    * c·t_λ(v), v-ascending) and the identical closing algebra — one UNION
+    * ALL branch per λ, is_best via a window max on the 5-row frame. */
+  private def boxCoxOracle: String = {
+    val ts: Seq[(Double, String)] = Seq(
+      -1.0 -> "1.0 - 1.0 / (v::DOUBLE)",
+      -0.5 -> "2.0 * (1.0 - 1.0 / sqrt(v::DOUBLE))",
+      0.0 -> "ln(v::DOUBLE)",
+      0.5 -> "2.0 * (sqrt(v::DOUBLE) - 1.0)",
+      1.0 -> "(v::DOUBLE) - 1.0")
+    def fold(elem: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list((c::DOUBLE) * ($elem) ORDER BY v)), (x, y) -> x + y)""".stripMargin
+    val sums = ts.zipWithIndex.flatMap { case ((_, t), i) =>
+      Seq(s"${fold(t)} AS s1_$i", s"${fold(s"($t) * ($t)")} AS s2_$i")
+    } :+ s"${fold("ln(v::DOUBLE)")} AS slv"
+    val branches = ts.zipWithIndex.map { case ((lam, _), i) =>
+      val varE = s"((s2_$i - s1_$i * s1_$i / (n::DOUBLE)) / (n::DOUBLE))"
+      s"""SELECT $lam AS lambda, n, n_dropped,
+         |  CASE WHEN n < 2 OR ndist < 2 OR $varE <= 0.0 THEN NULL
+         |    ELSE round(-0.5 * (n::DOUBLE) * ln($varE)
+         |      + (${lam - 1.0}) * slv, 4) END AS loglik
+         |FROM f""".stripMargin
+    }
+    s"""WITH cells AS (
+       |  SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS c
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+       |pos AS (SELECT v, c FROM cells WHERE v > 0),
+       |f AS (
+       |  SELECT
+       |    (SELECT coalesce(sum(c), 0) FROM pos)::BIGINT AS n,
+       |    (SELECT coalesce(sum(c), 0) FROM cells WHERE v <= 0)::BIGINT
+       |      AS n_dropped,
+       |    count(*)::BIGINT AS ndist,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM pos),
+       |u AS (
+       |${branches.mkString("\nUNION ALL\n")})
+       |SELECT lambda, n, n_dropped, loglik,
+       |  (loglik IS NOT NULL AND loglik = max(loglik) OVER ()) AS is_best
+       |FROM u ORDER BY lambda""".stripMargin
+  }
 
   /** The x183 oracle: the identical sufficient statistics (one HUGEINT
     * aggregation pass) and the identical double-conversion closing

@@ -312,7 +312,17 @@ object BenchScale {
     "x193_retrieval_eval" -> 1.4,
     // one corpus agg to the domain-bounded value frame; all λ arms are
     // folds over the one collected array
-    "x200_boxcox_scan" -> 1.2)
+    "x200_boxcox_scan" -> 1.2,
+    // one keyed agg to the calendar-bounded daily frame; grid + rank
+    // windows on that bounded frame
+    "x201_friedman" -> 1.2,
+    // one cached tokenization feeds BOTH ranking variants; match join
+    // and folds on |queries|·k rows
+    "x202_rbo_rankings" -> 1.4,
+    // one keyed mass aggregation; lens on the |sources| frame
+    "x203_hhi_diversity" -> 1.2,
+    // one aggregation of six conditional sums
+    "x204_effect_size" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

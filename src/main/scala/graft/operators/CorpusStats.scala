@@ -286,4 +286,41 @@ object CorpusStats {
         expr("CAST((CAST(top AS decimal(38,0)) * 1000000) div tot AS BIGINT)")
           .as("top_share_ppm"))
   }
+
+  /** Herfindahl–Hirschman concentration + Hill diversity numbers as a
+    * SECOND stateless lens over the same per-source mass state x166's
+    * Gini and StreamingGini keep: HHI = Σ(xᵢ/T)² as exact integer ppm
+    * ((10⁶·Σx²) div T²), the order-2 Hill number (inverse Simpson —
+    * "effective sources" robust to the tail) as exact ppm (10⁶·T² div
+    * Σx²), and the order-1 Hill number exp(H) via an ORDER-PINNED
+    * entropy fold over the group-sorted mass array (list_reduce replay).
+    * One row: (n_sources, total_mass, hhi_ppm, ens_simpson_ppm,
+    * ens_shannon).
+    *
+    * Scale shape: everything runs on the |sources|-bounded mass frame;
+    * one aggregation, one fold. */
+  def finishHhi(massesIn: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    massesIn
+      .agg(
+        count(lit(1)).as("n_sources"),
+        coalesce(sum(col("x").cast(dec)), lit(0L).cast(dec)).as("tot"),
+        coalesce(sum(col("x").cast(dec) * col("x")), lit(0L).cast(dec)).as("sx2"),
+        sort_array(collect_list(struct(col("grp"), col("x")))).as("o"))
+      .withColumn("hraw", expr(
+        """-aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + (CAST(s.x AS DOUBLE) / CAST(tot AS DOUBLE))
+          |      * ln(CAST(s.x AS DOUBLE) / CAST(tot AS DOUBLE)))""".stripMargin))
+      .select(
+        col("n_sources"),
+        col("tot").cast("long").as("total_mass"),
+        when(col("tot") === lit(0L).cast(dec), lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(1000000 AS $dec) * sx2) div (tot * tot)")
+            .cast("long")).as("hhi_ppm"),
+        when(col("sx2") === lit(0L).cast(dec), lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(1000000 AS $dec) * tot * tot) div sx2")
+            .cast("long")).as("ens_simpson_ppm"),
+        when(col("tot") === lit(0L).cast(dec), lit(null).cast("double"))
+          .otherwise(round(exp(col("hraw")), roundTo)).as("ens_shannon"))
+  }
 }

@@ -1551,6 +1551,82 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Standardized mean-difference effect sizes between two cohorts of an
+    * integer value: Cohen's d (pooled-SD) and the small-sample-corrected
+    * Hedges' g (Hedges 1981, g = d·(1 − 3/(4(n₁+n₂)−9))) — the MAGNITUDE
+    * readout next to x172's significance z (a significant z on 10⁷ rows
+    * can carry a uselessly small d). One row:
+    * (n_a, n_b, mean_a, mean_b, d, g).
+    *
+    * Scale shape: ONE aggregation of six conditional sums collapses the
+    * corpus to exact decimal sufficient statistics; fp only in the
+    * closing algebra, every operand converted from an exact decimal
+    * exactly once (the twoProportionZ discipline). */
+  def effectSize(
+      df: DataFrame,
+      value: Column,
+      inA: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = value.cast("long")
+    val a = inA.cast("boolean")
+    df.where(v.isNotNull && a.isNotNull)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("na"),
+        sum(when(!a, 1L).otherwise(0L)).as("nb"),
+        coalesce(sum(when(a, v).otherwise(0L).cast(dec)), lit(0L).cast(dec))
+          .as("sa"),
+        coalesce(sum(when(!a, v).otherwise(0L).cast(dec)), lit(0L).cast(dec))
+          .as("sb"),
+        coalesce(sum(when(a, v.cast(dec) * v).otherwise(lit(0L).cast(dec))),
+          lit(0L).cast(dec)).as("qa"),
+        coalesce(sum(when(!a, v.cast(dec) * v).otherwise(lit(0L).cast(dec))),
+          lit(0L).cast(dec)).as("qb"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("sa").cast("double") / col("na").cast("double"),
+            roundTo)).as("mean_a"),
+        when(col("nb") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("sb").cast("double") / col("nb").cast("double"),
+            roundTo)).as("mean_b"),
+        {
+          // pooled variance from exact decimals: ((qa − sa²/na) +
+          // (qb − sb²/nb)) / (na + nb − 2)
+          val ssa = col("qa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double") /
+              col("na").cast("double")
+          val ssb = col("qb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double") /
+              col("nb").cast("double")
+          val sp2 = (ssa + ssb) /
+            (col("na").cast("double") + col("nb").cast("double") - 2.0d)
+          val dEff = (col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double")) / sqrt(sp2)
+          when(col("na") < 2L || col("nb") < 2L || sp2 <= 0.0d,
+            lit(null).cast("double"))
+            .otherwise(round(dEff, roundTo)).as("d")
+        },
+        {
+          val ssa = col("qa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double") /
+              col("na").cast("double")
+          val ssb = col("qb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double") /
+              col("nb").cast("double")
+          val sp2 = (ssa + ssb) /
+            (col("na").cast("double") + col("nb").cast("double") - 2.0d)
+          val dEff = (col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double")) / sqrt(sp2)
+          val corr = lit(1.0d) - lit(3.0d) /
+            (lit(4.0d) * (col("na").cast("double") + col("nb").cast("double")) -
+              lit(9.0d))
+          when(col("na") < 2L || col("nb") < 2L || sp2 <= 0.0d,
+            lit(null).cast("double"))
+            .otherwise(round(dEff * corr, roundTo)).as("g")
+        })
+  }
+
   /** Box–Cox transform selection (Box & Cox 1964) for a POSITIVE integer
     * feature: per candidate λ, the profile Gaussian log-likelihood of the
     * transformed variable,

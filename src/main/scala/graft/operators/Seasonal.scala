@@ -45,6 +45,77 @@ object Seasonal {
     df.groupBy(series.cast("string").as("series"), to_date(ts).as("day"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Friedman rank test (Friedman 1937, tie-corrected) over the daily
+    * count table: blocks = calendar days, treatments = series — does ANY
+    * series systematically out-rank the others day after day? The
+    * blocked complement of x195's Kruskal–Wallis (which pools all days
+    * into one ranking and so confounds between-day volume drift with
+    * between-series differences). One row:
+    * (n_blocks, n_treatments, chi2).
+    *
+    * A series absent on a day is a REAL zero (the grid completes via a
+    * bounded days × series cross join), not a missing cell — Friedman
+    * requires complete blocks. DOUBLED within-block midranks
+    * (2·rank_min + ties − 1) keep everything integer; with
+    * R2_j = Σ_blocks r2_ij, the tie-corrected statistic reduces to
+    *   χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²),
+    * every term an exact decimal — fp only in the closing division.
+    *
+    * Scale shape: ONE keyed aggregation to the calendar-bounded daily
+    * frame (the same state the seasonal/CUSUM/Holt twins keep); the
+    * grid completion, rank windows and sums all run on that bounded
+    * frame. */
+  def friedmanTest(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    // the calendar-bounded daily frame feeds the grid completion, both
+    // domain projections and the rank pass — cache it so the corpus
+    // aggregates exactly once (caller epilogue: materialize, then
+    // releaseCaches())
+    val daily = caches.tracked(dailyCounts(df, series, ts).persist())
+    val days = daily.select(col("day")).distinct()
+    val sers = daily.select(col("series")).distinct()
+    val grid = days.crossJoin(sers)
+      .join(daily, Seq("day", "series"), "left")
+      .select(col("day"), col("series"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wBlock = Window.partitionBy("day").orderBy("cnt")
+    val wTie = Window.partitionBy("day", "cnt")
+    val ranked = grid
+      .withColumn("r2",
+        lit(2L) * rank().over(wBlock) + count(lit(1)).over(wTie) - lit(1L))
+    val perJ = ranked.groupBy("series")
+      .agg(count(lit(1)).as("n"), sum(col("r2").cast(dec)).as("rr2"))
+    val sq = ranked.agg(
+      coalesce(sum(col("r2").cast(dec) * col("r2")), lit(0L).cast(dec)).as("sr2"))
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perJ
+      // k rides a window over the |series|-bounded frame so the per-
+      // treatment deviations can reference it inside one aggregation
+      .withColumn("k", count(lit(1)).over(all))
+      .agg(max("k").as("k"), max("n").as("n"),
+        coalesce(sum(expr(
+          s"""(rr2 - CAST(n AS $dec) * (k + 1))
+             |* (rr2 - CAST(n AS $dec) * (k + 1))""".stripMargin)),
+          lit(0L).cast(dec)).as("num"))
+      .crossJoin(sq)
+      .select(
+        col("n").as("n_blocks"),
+        col("k").as("n_treatments"),
+        {
+          val den = col("sr2") -
+            col("n").cast(dec) * col("k").cast(dec) *
+              (col("k").cast(dec) + 1) * (col("k").cast(dec) + 1)
+          when(col("k") < 2L || col("n") < 1L || den <= lit(0L).cast(dec),
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("k").cast("double") - 1.0d) * col("num").cast("double") /
+                den.cast("double"), roundTo)).as("chi2")
+        })
+  }
+
   /** The stateless finishing view over the (series × day) counts: the
     * order-statistic baseline and the Hampel flag. Shared by the batch
     * report and the streaming twin's consumer. */

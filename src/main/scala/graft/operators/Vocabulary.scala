@@ -474,6 +474,74 @@ object Vocabulary {
       .orderBy("qid")
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the BM25
+    * ranking WITH length normalization (b = 0.75) and WITHOUT (b = 0) —
+    * the top-weighted ranking-similarity readout behind "does length
+    * normalization actually change what we retrieve?". Reported per
+    * query: (qid, n_a, n_b, overlap_at_k, rbo) where rbo is the
+    * truncated partial sum Σ_{d=1..k} (1−p)·p^{d−1}·X_d/d (X_d = prefix
+    * overlap at depth d) — the standard depth-k RBO lower bound.
+    *
+    * Determinism: a doc matched at ranks (r_A, r_B) contributes the
+    * PRECOMPUTED literal tail coefficient Σ_{d≥max(r_A,r_B)} (1−p)p^{d−1}/d
+    * — the coefficients are Scala-computed double literals shared with
+    * the oracle, and the ≤ k contributions per query fold in sorted
+    * (m, doc) order (order-pinned, list_reduce-replayable).
+    *
+    * Scale shape: ONE cached tokenization feeds BOTH ranking variants
+    * (two bounded top-k frames); the match join and folds run on
+    * |queries|·k rows. Caller epilogue: materialize, then
+    * releaseCaches(). */
+  def rboCompare(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(String, String)],
+      k: Int = 10,
+      p: Double = 0.9,
+      roundTo: Int = 6): DataFrame = {
+    require(queries.nonEmpty, "rboCompare needs at least one query")
+    require(k >= 1 && k <= 100, "rboCompare: k in [1, 100]")
+    require(p > 0.0 && p < 1.0, "rboCompare: p in (0, 1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
+    }.toDF("qid", "term")
+    val tokArr = tokenArrays(docs, textCol, idCol)
+    val a = bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.75,
+      excludeSelf = false)
+      .select(col("qid"), col("doc"), col("rank").as("ra"))
+    val bSide = bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.0,
+      excludeSelf = false)
+      .select(col("qid"), col("doc"), col("rank").as("rb"))
+    // tail(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d — literal doubles, shared
+    // verbatim with the oracle
+    val coeff = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    val tail = (1 to k).map(m => coeff.drop(m - 1).sum)
+    val tailCase = (1 to k).map(m => s"WHEN ${m}L THEN ${tail(m - 1)}D")
+      .mkString("CASE s.m ", " ", " ELSE 0.0D END")
+    val matched = a.join(bSide, Seq("qid", "doc"))
+      .select(col("qid"), col("doc"), greatest(col("ra"), col("rb")).as("m"))
+    val counts = a.groupBy("qid").agg(count(lit(1)).as("n_a"))
+      .join(bSide.groupBy("qid").agg(count(lit(1)).as("n_b")), Seq("qid"), "full")
+      .join(matched.groupBy("qid").agg(
+        count(lit(1)).as("overlap_at_k"),
+        sort_array(collect_list(struct(col("m"), col("doc")))).as("o")),
+        Seq("qid"), "left")
+    val allQ = queries.map(_._1).distinct.toDF("qid")
+    allQ.join(counts, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        round(expr(
+          s"""aggregate(coalesce(o, array()), CAST(0.0 AS DOUBLE),
+             |  (acc, s) -> acc + $tailCase)""".stripMargin), roundTo).as("rbo"))
+      .orderBy("qid")
+  }
+
   /** More-like-this retrieval (the classic Lucene MLT shape): the query is
     * a DOCUMENT — its `nTerms` highest-tf·idf terms (rounded scores, term
     * tie-break, so the selection is engine-stable) become a BM25 query

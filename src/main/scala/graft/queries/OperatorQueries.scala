@@ -8124,7 +8124,209 @@ object OperatorQueries {
       (s, dir) => Evaluation.boxCoxScan(
         Tables.documents(s, dir), col("n_chars")),
       boxCoxOracle),
+
+    // Friedman rank test over the daily-count table: blocks = days,
+    // treatments = event types — the blocked complement of x195 (volume
+    // drift across days cannot confound it). Doubled within-block
+    // midranks keep every term an exact decimal; fp only in the close.
+    "x201_friedman" -> sql(
+      (s, dir) => {
+        val out = Seasonal.friedmanTest(
+          Tables.events(s, dir), col("event_type"), col("ts")).cache()
+        out.count()
+        Seasonal.releaseCaches()
+        out
+      },
+      """WITH daily AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |sers AS (SELECT DISTINCT series FROM daily),
+        |grid AS (
+        |  SELECT d.day, s.series, coalesce(dd.cnt, 0)::BIGINT AS cnt
+        |  FROM days d CROSS JOIN sers s
+        |  LEFT JOIN daily dd ON dd.day = d.day AND dd.series = s.series),
+        |rk AS (
+        |  SELECT day, series,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY day, cnt) - 1 AS r2
+        |  FROM grid),
+        |pj AS (
+        |  SELECT series, count(*)::BIGINT AS n, sum(r2)::HUGEINT AS rr2
+        |  FROM rk GROUP BY 1),
+        |sq AS (SELECT coalesce(sum(r2::HUGEINT * r2), 0)::HUGEINT AS sr2
+        |  FROM rk),
+        |ag AS (
+        |  SELECT max(k)::BIGINT AS k, max(n)::BIGINT AS n,
+        |    coalesce(sum((rr2 - n::HUGEINT * (k + 1))
+        |      * (rr2 - n::HUGEINT * (k + 1))), 0)::HUGEINT AS num
+        |  FROM (SELECT *, count(*) OVER ()::BIGINT AS k FROM pj))
+        |SELECT n AS n_blocks, k AS n_treatments,
+        |  CASE WHEN k < 2 OR n < 1
+        |      OR (sr2 - n::HUGEINT * k * (k + 1) * (k + 1)) <= 0 THEN NULL
+        |    ELSE round((k::DOUBLE - 1.0) * num::DOUBLE
+        |      / (sr2 - n::HUGEINT * k * (k + 1) * (k + 1))::DOUBLE, 4)
+        |  END AS chi2
+        |FROM ag, sq ORDER BY n_blocks""".stripMargin),
+
+    // Rank-biased overlap between BM25 with and without length
+    // normalization: matched docs contribute precomputed literal tail
+    // coefficients, folded in sorted (depth, doc) order. One cached
+    // tokenization feeds both ranking variants.
+    "x202_rbo_rankings" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.rboCompare(
+          Tables.documents(s, dir), "text", "doc_id",
+          Seq("q1" -> "merge sort", "q2" -> "hash join",
+            "q3" -> "window scan", "q4" -> "slow query"), k = 10).cache()
+        out.count()
+        Vocabulary.releaseCaches()
+        out
+      },
+      rboOracle(k = 10, p = 0.9)),
+
+    // Herfindahl + Hill diversity numbers as a second stateless lens
+    // over the SAME per-source mass state x166's Gini keeps: exact-ppm
+    // HHI and inverse-Simpson, exp-entropy via an order-pinned fold.
+    "x203_hhi_diversity" -> sql(
+      (s, dir) => CorpusStats.finishHhi(CorpusStats.sourceMasses(
+        Tables.documents(s, dir), col("source"), col("n_chars"))),
+      """WITH m AS (
+        |  SELECT source::VARCHAR AS grp, sum(n_chars)::BIGINT AS x
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_sources,
+        |    coalesce(sum(x::HUGEINT), 0)::HUGEINT AS tot,
+        |    coalesce(sum(x::HUGEINT * x), 0)::HUGEINT AS sx2,
+        |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((x::DOUBLE / (SELECT sum(x) FROM m)::DOUBLE)
+        |           * ln(x::DOUBLE / (SELECT sum(x) FROM m)::DOUBLE)
+        |        ORDER BY grp)), (p, q) -> p + q) AS hraw
+        |  FROM m)
+        |SELECT n_sources, tot::BIGINT AS total_mass,
+        |  (CASE WHEN tot = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * sx2) // (tot * tot) END)::BIGINT
+        |    AS hhi_ppm,
+        |  (CASE WHEN sx2 = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * tot * tot) // sx2 END)::BIGINT
+        |    AS ens_simpson_ppm,
+        |  CASE WHEN tot = 0 THEN NULL ELSE round(exp(hraw), 4) END
+        |    AS ens_shannon
+        |FROM a ORDER BY n_sources""".stripMargin),
+
+    // Cohen's d + Hedges' g between the en/non-en cohorts on document
+    // length — the magnitude next to x172's significance. One
+    // aggregation of six conditional sums; fp only in the close.
+    "x204_effect_size" -> sql(
+      (s, dir) => Evaluation.effectSize(
+        Tables.documents(s, dir), col("n_chars"), col("lang") === "en"),
+      """WITH a AS (
+        |  SELECT
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    coalesce(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::HUGEINT,
+        |      0) AS sa,
+        |    coalesce(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END)::HUGEINT,
+        |      0) AS sb,
+        |    coalesce(sum(CASE WHEN lang = 'en'
+        |      THEN n_chars::HUGEINT * n_chars ELSE 0 END), 0) AS qa,
+        |    coalesce(sum(CASE WHEN lang <> 'en'
+        |      THEN n_chars::HUGEINT * n_chars ELSE 0 END), 0) AS qb
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na = 0 THEN NULL
+        |    ELSE round(sa::DOUBLE / na::DOUBLE, 4) END AS mean_a,
+        |  CASE WHEN nb = 0 THEN NULL
+        |    ELSE round(sb::DOUBLE / nb::DOUBLE, 4) END AS mean_b,
+        |  CASE WHEN na < 2 OR nb < 2
+        |      OR ((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+        |          + (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE))
+        |         / (na::DOUBLE + nb::DOUBLE - 2.0) <= 0.0 THEN NULL
+        |    ELSE round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+        |      / sqrt(((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+        |          + (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE))
+        |         / (na::DOUBLE + nb::DOUBLE - 2.0)), 4) END AS d,
+        |  CASE WHEN na < 2 OR nb < 2
+        |      OR ((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+        |          + (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE))
+        |         / (na::DOUBLE + nb::DOUBLE - 2.0) <= 0.0 THEN NULL
+        |    ELSE round(((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+        |      / sqrt(((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+        |          + (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE))
+        |         / (na::DOUBLE + nb::DOUBLE - 2.0)))
+        |      * (1.0 - 3.0 / (4.0 * (na::DOUBLE + nb::DOUBLE) - 9.0)), 4)
+        |  END AS g
+        |FROM a ORDER BY n_a""".stripMargin),
   )
+
+  /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75
+    * and b=0), matched docs folded in (depth, doc) order with the SAME
+    * Scala-computed literal tail coefficients the Spark side inlines. */
+  private def rboOracle(k: Int, p: Double): String = {
+    val coeff = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    val tail = (1 to k).map(m => coeff.drop(m - 1).sum)
+    val tailCase = (1 to k).map(m => s"WHEN $m THEN ${tail(m - 1)}")
+      .mkString("CASE m ", " ", " ELSE 0.0 END")
+    def sc(name: String, b: Double): String =
+      s"""$name AS (
+         |  SELECT q.qid, w.doc,
+         |    round(sum(ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5)) * w.tf * 2.2 /
+         |      (w.tf + 1.2 * (1 - $b + $b * dl.dl / s.avgdl))), 4) AS score
+         |  FROM wdf w
+         |  JOIN q ON q.term = w.term
+         |  JOIN dl ON dl.doc = w.doc
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH dl AS (
+       |  SELECT doc_id AS doc,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x <> '')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       |toks AS (
+       |  SELECT doc_id AS doc,
+       |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x <> '')) AS term
+       |  FROM documents),
+       |q AS (SELECT * FROM (VALUES ('q1', 'merge'), ('q1', 'sort'),
+       |  ('q2', 'hash'), ('q2', 'join'), ('q3', 'window'), ('q3', 'scan'),
+       |  ('q4', 'slow'), ('q4', 'query')) AS t(qid, term)),
+       |tf AS (
+       |  SELECT t.doc, t.term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+       |  GROUP BY 1, 2),
+       |wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+       |  FROM tf),
+       |${sc("scA", 0.75)},
+       |${sc("scB", 0.0)},
+       |ta AS (SELECT qid, doc, ra FROM (
+       |  SELECT qid, doc, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc) AS ra FROM scA) WHERE ra <= $k),
+       |tb AS (SELECT qid, doc, rb FROM (
+       |  SELECT qid, doc, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc) AS rb FROM scB) WHERE rb <= $k),
+       |mt AS (
+       |  SELECT ta.qid, ta.doc, greatest(ta.ra, tb.rb) AS m
+       |  FROM ta JOIN tb ON tb.qid = ta.qid AND tb.doc = ta.doc),
+       |hq AS (
+       |  SELECT qid, count(*)::BIGINT AS overlap_at_k,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list($tailCase ORDER BY m, doc)), (x, y) -> x + y) AS rbo_raw
+       |  FROM mt GROUP BY qid),
+       |na AS (SELECT qid, count(*)::BIGINT AS n_a FROM ta GROUP BY qid),
+       |nb AS (SELECT qid, count(*)::BIGINT AS n_b FROM tb GROUP BY qid),
+       |allq AS (SELECT DISTINCT qid FROM q)
+       |SELECT a.qid,
+       |  coalesce(n_a, 0)::BIGINT AS n_a,
+       |  coalesce(n_b, 0)::BIGINT AS n_b,
+       |  coalesce(overlap_at_k, 0)::BIGINT AS overlap_at_k,
+       |  round(coalesce(rbo_raw, 0.0), 6) AS rbo
+       |FROM allq a
+       |LEFT JOIN na USING (qid) LEFT JOIN nb USING (qid)
+       |LEFT JOIN hq USING (qid)
+       |ORDER BY a.qid""".stripMargin
+  }
 
   /** The x200 oracle: per λ, the identical order-pinned folds (element =
     * c·t_λ(v), v-ascending) and the identical closing algebra — one UNION

@@ -69,13 +69,20 @@ object Seasonal {
       df: DataFrame,
       series: Column,
       ts: Column,
-      roundTo: Int = 4): DataFrame = {
-    val dec = "decimal(38,0)"
+      roundTo: Int = 4): DataFrame =
     // the calendar-bounded daily frame feeds the grid completion, both
     // domain projections and the rank pass — cache it so the corpus
     // aggregates exactly once (caller epilogue: materialize, then
     // releaseCaches())
-    val daily = caches.tracked(dailyCounts(df, series, ts).persist())
+    finishFriedman(
+      caches.tracked(dailyCounts(df, series, ts).persist()), roundTo)
+
+  /** The stateless Friedman finish over an ALREADY-MATERIALIZED
+    * (series, day, cnt) frame — shared by the batch test and the
+    * streaming twin's consumer (StreamingTrend.dailyCounts state), so
+    * the two legs agree by construction. */
+  def finishFriedman(daily: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
     val days = daily.select(col("day")).distinct()
     val sers = daily.select(col("series")).distinct()
     val grid = days.crossJoin(sers)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import graft.operators.Seasonal
 
 /** Streaming leg of the trend/periodicity family — live Mann–Kendall
-  * (x182), Theil–Sen (x185), ACF (x184) and cross-correlation (x188)
-  * over a continuously-arriving event stream. The stateful half is the
+  * (x182), Theil–Sen (x185), ACF (x184), cross-correlation (x188) and
+  * Friedman (x201, Seasonal.finishFriedman) over a continuously-arriving
+  * event stream. The stateful half is the
   * SAME (series × day) running count every Seasonal view shares (one
   * commutative long per cell — exactly the aggregation state Structured
   * Streaming maintains incrementally); the four finishes are stateless

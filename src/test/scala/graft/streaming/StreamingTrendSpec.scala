@@ -68,6 +68,11 @@ class StreamingTrendSpec extends SparkSpec {
           rows(Seasonal.crossCorrelation(
             batchDf, col("series"), col("ts"), maxLag = 3)),
           "cross-correlation diverged")
+        val friedmanBatch =
+          rows(Seasonal.friedmanTest(batchDf, col("series"), col("ts")))
+        Seasonal.releaseCaches()
+        assert(rows(Seasonal.finishFriedman(state)) == friedmanBatch,
+          "friedman diverged")
       }
     } finally query.stop()
   }

@@ -322,7 +322,9 @@ object BenchScale {
     // one keyed mass aggregation; lens on the |sources| frame
     "x203_hhi_diversity" -> 1.2,
     // one aggregation of six conditional sums
-    "x204_effect_size" -> 1.2)
+    "x204_effect_size" -> 1.2,
+    // one entity-keyed span agg; folds on the calendar-bounded life table
+    "x205_nelson_aalen" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

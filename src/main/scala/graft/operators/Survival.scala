@@ -108,6 +108,57 @@ object Survival {
         col("s.censored").as("censored"),
         round(expr("element_at(cum, i + 2)"), roundTo).as("survival"))
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972 / Aalen 1978) as a
+    * SECOND stateless lens over the SAME life-table state [[finishKm]]
+    * and StreamingKm keep: per distinct duration d,
+    *   H(d)  = Σ_{d'≤d} events/at_risk            (cumulative hazard),
+    *   var   = Σ_{d'≤d} events/at_risk²           (Klein–Moeschberger),
+    *   S_FH  = exp(−H)                            (Fleming–Harrington),
+    * the hazard-scale view a churn model regresses on where KM's
+    * product-limit only plots. Same order-pinned array-fold discipline:
+    * at-risk suffix sums and both running sums fold over the ONE
+    * collected calendar-bounded row, so every fp term is
+    * partition-order-free (list_reduce replay). Output per duration:
+    * (duration, at_risk, events, censored, cum_hazard, fh_survival). */
+  def finishNa(lifeTable: DataFrame, roundTo: Int = 6): DataFrame =
+    lifeTable
+      .agg(sort_array(collect_list(struct(
+        col("duration"), col("events"), col("censored")))).as("o"))
+      .withColumn("n", expr(
+        "aggregate(o, 0L, (a, x) -> a + x.events + x.censored)"))
+      .withColumn("rs", expr(
+        """aggregate(o, array(n),
+          |  (acc, x) -> concat(acc,
+          |    array(element_at(acc, -1) - x.events - x.censored)))""".stripMargin))
+      .withColumn("hs", expr(
+        """zip_with(o, slice(rs, 1, size(o)),
+          |  (x, r) -> CAST(x.events AS DOUBLE) / CAST(r AS DOUBLE))"""
+          .stripMargin))
+      .withColumn("cum", expr(
+        """aggregate(hs, array(CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> concat(acc, array(element_at(acc, -1) + x)))"""
+          .stripMargin))
+      .select(posexplode(col("o")).as(Seq("i", "s")),
+        col("rs"), col("cum"))
+      .select(
+        col("s.duration").as("duration"),
+        expr("element_at(rs, i + 1)").as("at_risk"),
+        col("s.events").as("events"),
+        col("s.censored").as("censored"),
+        round(expr("element_at(cum, i + 2)"), roundTo).as("cum_hazard"),
+        round(exp(-expr("element_at(cum, i + 2)")), roundTo).as("fh_survival"))
+
+  /** The composed Nelson–Aalen estimator: events → per-user durations →
+    * life table → hazard curve. One corpus scan, same life table as
+    * [[kaplanMeier]]. */
+  def nelsonAalen(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      churnGapDays: Int = 7,
+      roundTo: Int = 6): DataFrame =
+    finishNa(lifeTable(userDurations(events, user, ts, churnGapDays)), roundTo)
+
   /** The composed estimator: events → per-user durations → life table →
     * survival curve. One corpus scan; |output| = distinct durations. */
   def kaplanMeier(

@@ -8258,6 +8258,55 @@ object OperatorQueries {
         |      * (1.0 - 3.0 / (4.0 * (na::DOUBLE + nb::DOUBLE) - 9.0)), 4)
         |  END AS g
         |FROM a ORDER BY n_a""".stripMargin),
+
+    // Nelson–Aalen cumulative hazard + Fleming–Harrington survival as a
+    // second lens over the SAME life table x170's Kaplan–Meier keeps —
+    // the hazard-scale view a churn model regresses on. Same order-
+    // pinned array folds, sum instead of product.
+    "x205_nelson_aalen" -> sql(
+      (s, dir) => Survival.nelsonAalen(
+        Tables.events(s, dir),
+        concat_ws(":", col("user_id"), col("event_type")),
+        col("ts"), churnGapDays = 7)
+        .orderBy("duration"),
+      """WITH d AS (
+        |  SELECT user_id::VARCHAR || ':' || event_type AS u,
+        |    CAST(ts AS DATE) AS dd FROM events),
+        |h AS (SELECT max(dd) AS h FROM d),
+        |per AS (SELECT u, min(dd) AS f, max(dd) AS l FROM d GROUP BY 1),
+        |dur AS (
+        |  SELECT date_diff('day', f, l)::BIGINT AS duration,
+        |    (l < h.h - 7) AS churned
+        |  FROM per, h),
+        |lt AS (
+        |  SELECT duration,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS events,
+        |    sum(CASE WHEN churned THEN 0 ELSE 1 END)::BIGINT AS censored
+        |  FROM dur GROUP BY 1),
+        |arr AS (
+        |  SELECT list_sort(list([duration, events, censored])) AS o FROM lt),
+        |f1 AS (
+        |  SELECT o, list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(o, x -> x[2] + x[3])),
+        |    (a, b) -> a + b) AS n FROM arr),
+        |f2 AS (
+        |  SELECT o, n, list_reduce(
+        |    list_prepend([n], list_transform(o, x -> [x[2] + x[3]])),
+        |    (acc, x) -> list_append(acc, acc[-1] - x[1])) AS rs FROM f1),
+        |f3 AS (
+        |  SELECT o, rs, list_transform(generate_series(1, len(o)),
+        |    i -> o[i][2]::DOUBLE / rs[i]::DOUBLE) AS hs FROM f2),
+        |f4 AS (
+        |  SELECT o, rs, list_reduce(
+        |    list_prepend([0.0::DOUBLE], list_transform(hs, f -> [f])),
+        |    (acc, x) -> list_append(acc, acc[-1] + x[1])) AS cum FROM f3),
+        |ex AS (
+        |  SELECT unnest(generate_series(1, len(o))) AS i, o, rs, cum FROM f4)
+        |SELECT o[i][1]::BIGINT AS duration, rs[i]::BIGINT AS at_risk,
+        |  o[i][2]::BIGINT AS events, o[i][3]::BIGINT AS censored,
+        |  round(cum[i + 1], 6) AS cum_hazard,
+        |  round(exp(-cum[i + 1]), 6) AS fh_survival
+        |FROM ex ORDER BY duration""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75

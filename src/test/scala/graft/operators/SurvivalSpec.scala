@@ -66,4 +66,36 @@ class SurvivalSpec extends SparkSpec {
     val df = Seq.empty[(String, Timestamp)].toDF("u", "t")
     assert(Survival.kaplanMeier(df, col("u"), col("t")).collect().isEmpty)
   }
+
+  test("nelson–aalen: hand-computed hazard on the cliff example") {
+    val df = frame(Seq(("a", 1, 2), ("b", 3, 4), ("c", 5, 6), ("z", 1, 28)))
+    val rows = Survival.nelsonAalen(df, col("u"), col("t"), churnGapDays = 7)
+      .orderBy("duration").collect()
+    assert(rows.length == 2)
+    // duration 1: at_risk 4, events 3 → H = 0.75; duration 27: censored
+    assert(rows(0).getLong(1) == 4L && rows(0).getLong(2) == 3L)
+    assert(rows(0).getDouble(4) == 0.75d)
+    assert(rows(0).getDouble(5) ==
+      math.rint(math.exp(-0.75) * 1e6) / 1e6)
+    assert(rows(1).getDouble(4) == 0.75d) // censoring adds no hazard
+  }
+
+  test("nelson–aalen vs kaplan–meier: exp(−H) ≥ S_KM everywhere, equal " +
+    "in the no-churn case") {
+    val df = frame(Seq(("a", 1, 5), ("b", 2, 4), ("c", 1, 9), ("d", 3, 3),
+      ("z", 1, 28)))
+    val na = Survival.nelsonAalen(df, col("u"), col("t"), churnGapDays = 7)
+      .orderBy("duration").collect().map(r => (r.getLong(0), r.getDouble(5)))
+    val km = Survival.kaplanMeier(df, col("u"), col("t"), churnGapDays = 7)
+      .orderBy("duration").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(na.map(_._1).toSeq == km.map(_._1).toSeq)
+    na.zip(km).foreach { case ((_, fh), (_, s)) =>
+      assert(fh >= s - 1e-9, s"FH $fh < KM $s")
+    }
+    val calm = frame(Seq(("a", 15, 20), ("b", 14, 19)))
+    val naC = Survival.nelsonAalen(calm, col("u"), col("t"), churnGapDays = 7)
+      .collect()
+    assert(naC.forall(_.getDouble(4) == 0.0d))
+    assert(naC.forall(_.getDouble(5) == 1.0d))
+  }
 }

@@ -52,6 +52,15 @@ class StreamingKmSpec extends SparkSpec {
           spark.table(name), churnGapDays = 7)
           .orderBy("duration").collect().map(_.toString).toSeq
         assert(streamed == batch, s"divergence after ${prefix.size} events")
+        // the Nelson–Aalen lens shares the same spans → life-table state
+        val naBatch = Survival.nelsonAalen(
+          prefix.toDF(), col("u"), col("t"), churnGapDays = 7)
+          .orderBy("duration").collect().map(_.toString).toSeq
+        val naStreamed = Survival.finishNa(Survival.lifeTable(
+          Survival.spansToDurations(spark.table(name), churnGapDays = 7)))
+          .orderBy("duration").collect().map(_.toString).toSeq
+        assert(naStreamed == naBatch,
+          s"nelson–aalen divergence after ${prefix.size} events")
       }
     } finally query.stop()
   }

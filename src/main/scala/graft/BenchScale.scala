@@ -324,7 +324,10 @@ object BenchScale {
     // one aggregation of six conditional sums
     "x204_effect_size" -> 1.2,
     // one entity-keyed span agg; folds on the calendar-bounded life table
-    "x205_nelson_aalen" -> 1.3)
+    "x205_nelson_aalen" -> 1.3,
+    // probe fit + ONE corpus scan to the bin state; PAV joins and both
+    // Brier closes on the ≤ 12-row cached frame
+    "x206_recalibration_lift" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

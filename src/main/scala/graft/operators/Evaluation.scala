@@ -1522,6 +1522,21 @@ object Evaluation {
       brierBinStats(df, score, label, nBins)
         .select(col("bin"), col("n"), col("n_pos"))
         .persist())
+    pavFit(cells)
+      .select(col("bin"),
+        round(col("bin") / lit(nBins.toDouble), 4).as("lo"),
+        col("n"), col("n_pos"),
+        expr(s"(CAST(n_pos AS $dec) * 1000000) div n").cast("long").as("raw_ppm"),
+        col("fitted_ppm"))
+      .orderBy("bin")
+  }
+
+  /** The minimax PAV fit over an ALREADY-MATERIALIZED (bin, n, n_pos)
+    * frame — shared by [[pavCalibrate]] and the x206 recalibration-lift
+    * report. Returns (bin, n, n_pos, fitted_ppm), fitted non-decreasing
+    * in bin. */
+  private[operators] def pavFit(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val pref = cells
@@ -1543,12 +1558,63 @@ object Evaluation {
       .agg(min("a_ppm").as("mn"))
       .groupBy(col("i"), col("n"), col("n_pos"))
       .agg(max("mn").as("fitted_ppm"))
-    fit.select(col("i").as("bin"),
-      round(col("i") / lit(nBins.toDouble), 4).as("lo"),
-      col("n"), col("n_pos"),
-      expr(s"(CAST(n_pos AS $dec) * 1000000) div n").cast("long").as("raw_ppm"),
-      col("fitted_ppm"))
-      .orderBy("bin")
+    fit.select(col("i").as("bin"), col("n"), col("n_pos"), col("fitted_ppm"))
+  }
+
+  /** Recalibration-lift report: does isotonic (PAV) recalibration of the
+    * probe scores actually reduce the Brier score and the calibration
+    * gap? The composed flagship of the probability-quality family — one
+    * row: (n, n_pos, brier_raw_ppm, brier_pav_ppm, brier_lift_ppm,
+    * ece_raw_ppm, ece_pav_ppm). In-sample by design (fit and evaluation
+    * share the corpus): the report measures how much of the raw Brier
+    * was CALIBRATION error — PAV cannot repair resolution, so the lift
+    * is bounded by x194's reliability term (the spec pins the identity
+    * lift ≤ REL + within-bin residue).
+    *
+    * EXACT end to end: the PAV fit is integer-ppm (the pavCalibrate
+    * minimax), and the post-fit Brier needs NO second corpus pass —
+    * fitted scores are bin-constant, so
+    * Σ(f − 10⁶y)² = n·f² − 2·f·10⁶·pos + 10¹²·pos per bin, all from the
+    * SAME quantized bin state. Scale shape: ONE corpus aggregation; the
+    * fit joins and both closes run on the ≤ nBins+2-row cached frame.
+    * Caller epilogue: materialize, then releaseCaches(). */
+  def recalibrationLift(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = caches.tracked(
+      brierBinStats(df, score, label, nBins).persist())
+    val before = finishBrier(stats)
+      .select(col("n"), col("n_pos"),
+        col("brier_ppm").as("brier_raw_ppm"),
+        col("ece_ppm").as("ece_raw_ppm"))
+    val after = pavFit(stats.select(col("bin"), col("n"), col("n_pos")))
+      .agg(
+        coalesce(sum(expr(
+          s"""CAST(n AS $dec) * fitted_ppm * fitted_ppm
+             |  - CAST(2 AS $dec) * fitted_ppm * 1000000 * n_pos
+             |  + CAST(1000000000000 AS $dec) * n_pos""".stripMargin)),
+          lit(0L).cast(dec)).as("sqe"),
+        coalesce(sum(expr(
+          s"abs(CAST(n AS $dec) * fitted_ppm - CAST(1000000 AS $dec) * n_pos)")),
+          lit(0L).cast(dec)).as("ae"),
+        coalesce(sum("n"), lit(0L)).as("nn2"))
+    before.crossJoin(after)
+      .select(
+        col("n"), col("n_pos"), col("brier_raw_ppm"),
+        when(col("nn2") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(1000000 AS $dec) * sqe) div (CAST(1000000000000 AS $dec) * nn2)")
+            .cast("long")).as("brier_pav_ppm"),
+        when(col("nn2") === 0L, lit(null).cast("long"))
+          .otherwise(col("brier_raw_ppm") - expr(
+            s"(CAST(1000000 AS $dec) * sqe) div (CAST(1000000000000 AS $dec) * nn2)")
+            .cast("long")).as("brier_lift_ppm"),
+        col("ece_raw_ppm"),
+        when(col("nn2") === 0L, lit(null).cast("long"))
+          .otherwise(expr("ae div nn2").cast("long")).as("ece_pav_ppm"))
   }
 
   /** Standardized mean-difference effect sizes between two cohorts of an

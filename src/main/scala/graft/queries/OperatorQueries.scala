@@ -8307,6 +8307,90 @@ object OperatorQueries {
         |  round(cum[i + 1], 6) AS cum_hazard,
         |  round(exp(-cum[i + 1]), 6) AS fh_survival
         |FROM ex ORDER BY duration""".stripMargin),
+
+    // Recalibration-lift flagship: fit the PAV isotonic map on the ridge
+    // probe's bin state and measure the Brier/ECE improvement — all from
+    // ONE quantized bin state (fitted scores are bin-constant, so the
+    // post-fit Brier is exact bin algebra, no second corpus pass).
+    "x206_recalibration_lift" -> sql(
+      (s, dir) => {
+        val scored = Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id"),
+          lambda = 0.1, iters = 48)
+        val out = Evaluation.recalibrationLift(
+          scored, col("score"), col("y") === 1.0).cache()
+        out.count()
+        Evaluation.releaseCaches()
+        out
+      },
+      s"""WITH ${ridgeFitCtes},
+        |sc AS MATERIALIZED (
+        |  SELECT CAST(round(list_dot_product(d.e, (SELECT w FROM gw48))
+        |      * 10000) AS BIGINT) AS s4,
+        |    (d.y = 1.0) AS yy
+        |  FROM d),
+        |g AS (
+        |  SELECT CASE WHEN s4 < 0 THEN -1 WHEN s4 >= 10000 THEN 10
+        |      ELSE (s4 // 1000)::INT END AS bin,
+        |    count(*)::BIGINT AS n, sum(s4)::HUGEINT AS sum_s4,
+        |    sum(s4::HUGEINT * s4)::HUGEINT AS sum_sq4,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN yy THEN s4 ELSE 0 END)::HUGEINT AS sum_s4_pos
+        |  FROM sc GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(n), 0)::HUGEINT AS nn,
+        |    coalesce(sum(n_pos), 0)::HUGEINT AS pp,
+        |    coalesce(sum(sum_sq4), 0)::HUGEINT AS sq,
+        |    coalesce(sum(sum_s4_pos), 0)::HUGEINT AS sp
+        |  FROM g),
+        |bt AS (
+        |  SELECT coalesce(sum(100::HUGEINT
+        |      * abs(n_pos::HUGEINT * 10000 - sum_s4)), 0)::HUGEINT AS ecen
+        |  FROM g),
+        |pref AS (
+        |  SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bin) AS cum_pos
+        |  FROM g),
+        |iv AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (((k.cum_pos - (j.cum_pos - j.n_pos))::HUGEINT * 1000000)
+        |      // (k.cum_n - (j.cum_n - j.n))::HUGEINT)::BIGINT AS a_ppm
+        |  FROM pref j, pref k WHERE j.bin <= k.bin),
+        |mn AS (
+        |  SELECT b.bin, b.n, b.n_pos, iv.j, min(iv.a_ppm) AS mn
+        |  FROM g b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  GROUP BY 1, 2, 3, 4),
+        |fit AS (
+        |  SELECT bin, n, n_pos, max(mn)::BIGINT AS f
+        |  FROM mn GROUP BY 1, 2, 3),
+        |af AS (
+        |  SELECT
+        |    coalesce(sum(n::HUGEINT * f * f
+        |      - 2::HUGEINT * f * 1000000 * n_pos
+        |      + 1000000000000::HUGEINT * n_pos), 0)::HUGEINT AS sqe,
+        |    coalesce(sum(abs(n::HUGEINT * f - 1000000::HUGEINT * n_pos)),
+        |      0)::HUGEINT AS ae,
+        |    coalesce(sum(n), 0)::HUGEINT AS nn2
+        |  FROM fit)
+        |SELECT nn::BIGINT AS n, pp::BIGINT AS n_pos,
+        |  (CASE WHEN nn = 0 THEN NULL
+        |    ELSE ((sq - 20000::HUGEINT * sp + 100000000::HUGEINT * pp)
+        |          * 1000000) // (100000000::HUGEINT * nn) END)::BIGINT
+        |    AS brier_raw_ppm,
+        |  (CASE WHEN nn2 = 0 THEN NULL
+        |    ELSE (1000000::HUGEINT * sqe) // (1000000000000::HUGEINT * nn2)
+        |  END)::BIGINT AS brier_pav_ppm,
+        |  (CASE WHEN nn2 = 0 THEN NULL
+        |    ELSE ((sq - 20000::HUGEINT * sp + 100000000::HUGEINT * pp)
+        |          * 1000000) // (100000000::HUGEINT * nn)
+        |      - (1000000::HUGEINT * sqe) // (1000000000000::HUGEINT * nn2)
+        |  END)::BIGINT AS brier_lift_ppm,
+        |  (CASE WHEN nn = 0 THEN NULL ELSE ecen // nn END)::BIGINT
+        |    AS ece_raw_ppm,
+        |  (CASE WHEN nn2 = 0 THEN NULL ELSE ae // nn2 END)::BIGINT
+        |    AS ece_pav_ppm
+        |FROM tot, bt, af ORDER BY n""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75

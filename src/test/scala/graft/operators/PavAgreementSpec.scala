@@ -69,6 +69,32 @@ class PavAgreementSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).toSeq == Seq(500000L, 500000L))
   }
 
+  test("recalibration lift: with bin-constant scores and monotone rates, " +
+    "lift EQUALS x194's reliability term (the Murphy identity)") {
+    // bin 2 (s=0.25): 1/2 pos; bin 7 (s=0.75): 1/1 — monotone, no pooling
+    val df = Seq((0.25, true), (0.25, false), (0.75, true)).toDF("s", "y")
+    val r = Evaluation.recalibrationLift(df, col("s"), col("y"))
+      .collect().head
+    Evaluation.releaseCaches()
+    val brier = Evaluation.brierReport(df, col("s"), col("y")).collect().head
+    assert(r.getLong(2) == brier.getLong(2))       // brier_raw matches x194
+    assert(r.getLong(4) == brier.getLong(3))       // lift == reliability_ppm
+    assert(r.getLong(3) == 166666L)                // 0.5/3 exactly (floored)
+    assert(r.getLong(6) == 0L)                     // monotone fit → ECE 0
+  }
+
+  test("recalibration lift: violating bins pool and the pooled Brier is " +
+    "the hand-computed block value") {
+    // bin 2: 1/2 pos (0.5); bin 7: 0/2 (0.0) — inversion pools to 1/4
+    val df = Seq((0.25, true), (0.25, false), (0.75, false), (0.75, false))
+      .toDF("s", "y")
+    val r = Evaluation.recalibrationLift(df, col("s"), col("y"))
+      .collect().head
+    Evaluation.releaseCaches()
+    assert(r.getLong(3) == 187500L)
+    assert(r.getLong(6) == 250000L) // pooled fit ≠ per-bin rates
+  }
+
   test("agreement: identical partitions → ARI 1, NMI 1") {
     // vectors cluster perfectly by construction: two far-apart blobs,
     // labels equal to the blob — use nCells=2 so cells == blobs

@@ -418,7 +418,10 @@ object Vocabulary {
     val qterms = terms.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("qid", "term")
     val tokArr = tokenArrays(docs, textCol, idCol)
-    val ranked = bm25RankCore(tokArr, qterms, k, k1, b, excludeSelf = false)
+    // the |queries|·k ranked frame feeds the hit join AND the n_ret
+    // counts — cache it so the postings join + top-k window run once
+    val ranked = tracked(
+      bm25RankCore(tokArr, qterms, k, k1, b, excludeSelf = false).persist())
     // relevance flags: one pass over the cached token arrays, one
     // plan-literal conjunction per query — no join, no second tokenize
     def termOk(t: String): Column =
@@ -509,12 +512,16 @@ object Vocabulary {
       qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
     }.toDF("qid", "term")
     val tokArr = tokenArrays(docs, textCol, idCol)
-    val a = bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.75,
+    // each |queries|·k ranking feeds the match join AND its own count —
+    // cache both so each postings join + top-k window runs once
+    val a = tracked(bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.75,
       excludeSelf = false)
       .select(col("qid"), col("doc"), col("rank").as("ra"))
-    val bSide = bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.0,
+      .persist())
+    val bSide = tracked(bm25RankCore(tokArr, qterms, k, k1 = 1.2, b = 0.0,
       excludeSelf = false)
       .select(col("qid"), col("doc"), col("rank").as("rb"))
+      .persist())
     // tail(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d — literal doubles, shared
     // verbatim with the oracle
     val coeff = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)

@@ -1372,16 +1372,30 @@ object Evaluation {
       df: DataFrame,
       value: Column,
       group: Column,
-      roundTo: Int = 4): DataFrame = {
-    val dec = "decimal(38,0)"
+      roundTo: Int = 4): DataFrame =
     // the bounded (value × group) cell frame feeds both the rank frame
     // and the per-group join — cache it so the corpus is scanned exactly
     // once (caller epilogue: materialize, then releaseCaches())
-    val cells = caches.tracked(df
-      .select(value.cast("long").as("v"), group.cast("string").as("g"))
+    finishKruskalWallis(
+      caches.tracked(valueGroupCells(df, value, group).persist()), roundTo)
+
+  /** The STATEFUL half of the rank tests: per (value, group) cell count —
+    * one commutative long per cell, exactly the aggregation state
+    * Structured Streaming maintains incrementally
+    * (streaming/StreamingGroupTests). */
+  def valueGroupCells(
+      df: DataFrame,
+      value: Column,
+      group: Column): DataFrame =
+    df.select(value.cast("long").as("v"), group.cast("string").as("g"))
       .where(col("v").isNotNull && col("g").isNotNull)
       .groupBy("v", "g").agg(count(lit(1)).as("c"))
-      .persist())
+
+  /** The stateless Kruskal–Wallis finish over an ALREADY-MATERIALIZED
+    * (v, g, c) cell frame — shared by the batch test and the streaming
+    * twin's consumer. */
+  def finishKruskalWallis(cells: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
     val byV = cells.groupBy("v").agg(sum("c").as("tv"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1445,15 +1459,31 @@ object Evaluation {
       df: DataFrame,
       value: Column,
       group: Column,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4): DataFrame =
+    finishAnova(groupValueStats(df, value, group), roundTo)
+
+  /** The STATEFUL half of the ANOVA: per group, exact decimal
+    * (n, Σy, Σy²) — three commutative numbers per group, exactly the
+    * aggregation state Structured Streaming maintains incrementally
+    * (streaming/StreamingGroupTests). */
+  def groupValueStats(
+      df: DataFrame,
+      value: Column,
+      group: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val perG = df
-      .select(value.cast("long").as("y"), group.cast("string").as("g"))
+    df.select(value.cast("long").as("y"), group.cast("string").as("g"))
       .where(col("y").isNotNull && col("g").isNotNull)
       .groupBy("g")
       .agg(count(lit(1)).as("ng"),
         sum(col("y").cast(dec)).as("sy"),
         sum(col("y").cast(dec) * col("y")).as("sq"))
+  }
+
+  /** The stateless ANOVA finish over an ALREADY-MATERIALIZED per-group
+    * stats frame — shared by the batch test and the streaming twin's
+    * consumer. */
+  def finishAnova(perG: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
     perG
       .agg(count(lit(1)).as("k"),
         coalesce(sum("ng"), lit(0L)).cast(dec).as("nn"),

@@ -74,6 +74,85 @@ object MixtureSampling {
       .drop("__rk")
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): split a fixed
+    * budget of `totalN` draws across strata ∝ N_h·σ_h — high-variance
+    * strata get proportionally more rows than proportional allocation
+    * would give, which minimizes the variance of the stratified mean
+    * estimator. The sample itself is the usual deterministic md5-ranked
+    * draw (stratifiedExactK's discipline), so the same budget reproduces
+    * the same rows on any cluster. Output: (stratum, id, rk), rk the
+    * within-stratum draw rank.
+    *
+    * Allocation contract: σ_h is the POPULATION standard deviation of
+    * `value` within the stratum (exact decimal sufficient statistics,
+    * one sqrt); real-valued quotas round by LARGEST REMAINDER with
+    * (fraction DESC, stratum ASC) tie-break; a stratum allocated more
+    * than its population is capped at N_h with NO redistribution
+    * (documented simplification — budget may under-fill when a tiny
+    * stratum dominates the variance); constant strata (σ = 0) draw 0
+    * rows unless a leftover lands on them. Every fp sum over the
+    * stratum frame runs under an ORDERED full-frame window, so addition
+    * order is pinned (sqrt/division are correctly-rounded IEEE — no
+    * rounding armor needed, unlike the reservoir's pow).
+    *
+    * Scale shape: ONE keyed aggregation to the |strata|-bounded stats
+    * frame; the allocation windows run there; the draw joins the
+    * broadcast allocation onto one corpus scan with a group-limited
+    * rank window (≤ alloc rows per stratum survive the exchange). */
+  def neymanSample(
+      df: DataFrame,
+      stratumCol: String,
+      value: Column,
+      idCol: String,
+      totalN: Int,
+      seed: String = "v1"): DataFrame = {
+    require(totalN >= 1, "neymanSample: totalN >= 1")
+    val dec = "decimal(38,0)"
+    import org.apache.spark.sql.expressions.Window
+    val stats = df
+      .select(col(stratumCol).cast("string").as("g"),
+        value.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("s"),
+        sum(col("v").cast(dec) * col("v")).as("q"))
+    val full = Window.orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weighted = stats
+      .withColumn("w",
+        sqrt((col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")) *
+          col("n").cast("double"))
+      .withColumn("wsum", sum("w").over(full))
+    val quota = weighted
+      .withColumn("quota",
+        when(col("wsum") <= 0.0d, lit(0.0d))
+          .otherwise(lit(totalN.toDouble) * col("w") / col("wsum")))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - col("base"))
+      .withColumn("leftover", lit(totalN.toLong) - sum("base").over(full))
+      .withColumn("frk", row_number().over(
+        Window.orderBy(desc("frac"), col("g"))).cast("long"))
+      .withColumn("alloc",
+        when(col("wsum") <= 0.0d, lit(0L))
+          .otherwise(least(
+            col("base") + when(col("frk") <= col("leftover"), 1L).otherwise(0L),
+            col("n"))))
+      .select(col("g"), col("alloc"))
+    val w = Window.partitionBy("g")
+      .orderBy(md5(concat_ws(":", lit(seed), col("id").cast("string"))),
+        col("id"))
+    df.select(col(stratumCol).cast("string").as("g"), col(idCol).as("id"))
+      .where(col("g").isNotNull)
+      .join(broadcast(quota), Seq("g"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= col("alloc"))
+      .select(col("g").as("stratum"), col("id"), col("rk"))
+      .orderBy("stratum", "rk")
+  }
+
   /** Weighted reservoir sampling per category (Efraimidis & Spirakis 2006,
     * the A-ES scheme): each row draws a deterministic uniform u from
     * md5(seed:id) (the KMV sketch's 60-bit draw) and keeps priority

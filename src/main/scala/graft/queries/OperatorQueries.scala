@@ -8391,6 +8391,61 @@ object OperatorQueries {
         |  (CASE WHEN nn2 = 0 THEN NULL ELSE ae // nn2 END)::BIGINT
         |    AS ece_pav_ppm
         |FROM tot, bt, af ORDER BY n""".stripMargin),
+
+    // Neyman-allocation stratified sample: a 120-row budget split across
+    // sources ∝ N_h·σ_h (length variance), largest-remainder rounding,
+    // md5-ranked deterministic draws. The oracle replays the allocation
+    // algebra and every draw.
+    "x207_neyman_sample" -> sql(
+      (s, dir) => MixtureSampling.neymanSample(
+        Tables.documents(s, dir), "source", col("n_chars"), "doc_id",
+        totalN = 120, seed = "v1"),
+      """WITH st AS (
+        |  SELECT source::VARCHAR AS g, count(*)::BIGINT AS n,
+        |    sum(n_chars::HUGEINT)::HUGEINT AS s,
+        |    sum(n_chars::HUGEINT * n_chars)::HUGEINT AS q
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |wf AS (
+        |  SELECT g, n,
+        |    sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE)
+        |      * n::DOUBLE AS w
+        |  FROM st),
+        |ws AS (
+        |  SELECT g, n, w,
+        |    sum(w) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS wsum
+        |  FROM wf),
+        |qa AS (
+        |  SELECT g, n, wsum,
+        |    CASE WHEN wsum <= 0.0 THEN 0.0 ELSE 120.0 * w / wsum END AS quota
+        |  FROM ws),
+        |qb AS (
+        |  SELECT g, n, wsum, quota,
+        |    floor(quota)::BIGINT AS base, quota - floor(quota) AS frac
+        |  FROM qa),
+        |qc AS (
+        |  SELECT g, n, wsum, base, frac,
+        |    120 - sum(base) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS leftover,
+        |    row_number() OVER (ORDER BY frac DESC, g)::BIGINT AS frk
+        |  FROM qb),
+        |al AS (
+        |  SELECT g,
+        |    CASE WHEN wsum <= 0.0 THEN 0
+        |      ELSE least(base + CASE WHEN frk <= leftover THEN 1 ELSE 0 END, n)
+        |    END AS alloc
+        |  FROM qc),
+        |drawn AS (
+        |  SELECT d.source::VARCHAR AS stratum, d.doc_id AS id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5('v1:' || d.doc_id::VARCHAR), d.doc_id)::BIGINT
+        |      AS rk,
+        |    a.alloc
+        |  FROM documents d JOIN al a ON a.g = d.source::VARCHAR
+        |  WHERE d.source IS NOT NULL)
+        |SELECT stratum, id, rk FROM drawn WHERE rk <= alloc
+        |ORDER BY stratum, rk""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75

@@ -330,7 +330,14 @@ object BenchScale {
     "x206_recalibration_lift" -> 1.3,
     // one keyed agg to the stratum frame; draw = group-limited rank
     // window under a broadcast allocation
-    "x207_neyman_sample" -> 1.3)
+    "x207_neyman_sample" -> 1.3,
+    // one aggregation; per-row correct-count is bounded by k
+    "x208_cochran_q" -> 1.2,
+    // one keyed agg to the calendar-bounded daily frame; ≤ 7-element
+    // dow folds per series
+    "x209_seasonal_strength" -> 1.2,
+    // daily agg + lag window on the bounded frame
+    "x210_runs_test" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1522,6 +1522,61 @@ object Evaluation {
         })
   }
 
+  /** Cochran's Q test (Cochran 1950) on k PAIRED binary classifiers —
+    * the k-way generalization of [[mcnemar]]: do ANY of the heuristics
+    * err at a different rate on the SAME documents? With x_ij ∈ {0,1}
+    * "classifier j correct on doc i", C_j column sums, R_i row sums:
+    *   Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²),
+    * asymptotically χ²(k−1) under marginal homogeneity. One row:
+    * (n, k, plus acc_<name>_ppm per classifier, q).
+    *
+    * Scale shape: ONE aggregation — per-classifier conditional sums plus
+    * ΣR_i and ΣR_i² computed from the per-row correct-count projection
+    * (R_i is bounded by k, so R_i² is exact long arithmetic in the
+    * scan). Exact integers end to end; fp only in the closing ratio.
+    * Rows where any classifier or the truth is NULL are excluded. */
+  def cochranQ(
+      df: DataFrame,
+      preds: Seq[(String, Column)],
+      truth: Column,
+      roundTo: Int = 4): DataFrame = {
+    require(preds.size >= 2, "cochranQ needs at least two classifiers")
+    val dec = "decimal(38,0)"
+    val k = preds.size
+    val t = truth.cast("boolean")
+    val oks = preds.map { case (name, p) =>
+      name -> when(p.cast("boolean") === t, 1L).otherwise(0L)
+    }
+    val r = oks.map(_._2).reduce(_ + _)
+    val nonNull = preds.map(_._2.isNotNull).reduce(_ && _) && truth.isNotNull
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        coalesce(sum(r.cast(dec)), lit(0L).cast(dec)).as("sr"),
+        coalesce(sum((r * r).cast(dec)), lit(0L).cast(dec)).as("sr2")) ++
+        oks.map { case (name, ok) => sum(ok).as(s"__c_$name") }
+    val counts = df.where(nonNull).agg(aggs.head, aggs.tail: _*)
+    val sc = oks.map { case (name, _) =>
+      col(s"__c_$name").cast(dec)
+    }
+    val sumC = sc.reduce(_ + _)
+    val sumC2 = sc.map(c => c * c).reduce(_ + _)
+    val accCols = oks.map { case (name, _) =>
+      when(col("n") === 0L, lit(null).cast("long"))
+        .otherwise(expr(s"(CAST(__c_$name AS $dec) * 1000000) div n")
+          .cast("long")).as(s"acc_${name}_ppm")
+    }
+    counts.select(
+      (Seq(col("n"), lit(k).cast("long").as("k")) ++ accCols :+ {
+        val num = lit(k - 1).cast(dec) *
+          (lit(k).cast(dec) * sumC2 - sumC * sumC)
+        val den = lit(k).cast(dec) * col("sr") - col("sr2")
+        when(col("n") === 0L || den <= lit(0L).cast(dec),
+          lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), roundTo))
+          .as("q")
+      }): _*)
+  }
+
   /** Isotonic (PAV) calibration of a binned score (Ayer et al. 1955;
     * Zadrozny & Elkan 2002) — the monotone fit that turns a ranking
     * score into a probability without assuming a sigmoid shape. Output

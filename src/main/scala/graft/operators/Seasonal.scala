@@ -123,6 +123,122 @@ object Seasonal {
         })
   }
 
+  /** Weekly seasonal strength per series (the Wang–Smith–Hyndman 2006
+    * measure specialized to the day-of-week profile): by the ANOVA
+    * identity, the variance share explained by the isodow grouping is
+    * exactly η² = SSB/SST over the daily counts — strength 1 means the
+    * weekday profile determines the volume, 0 means no weekly cycle.
+    * Output per series: (series, n_days, strength), strength NULL when
+    * the series has < 2 days or zero total variance.
+    *
+    * Scale shape: the (series × isodow) stats collapse from the SAME
+    * calendar-bounded daily frame the trend family keeps (a third
+    * stateless lens over StreamingTrend's state); the one fp reduction
+    * Σ S_d²/n_d per series is an ORDER-PINNED fold over the ≤ 7-element
+    * dow array (list_reduce replay). */
+  def seasonalStrength(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      roundTo: Int = 4): DataFrame =
+    finishSeasonalStrength(dailyCounts(df, series, ts), roundTo)
+
+  /** The stateless seasonal-strength finish over an ALREADY-MATERIALIZED
+    * (series, day, cnt) frame — shared with the streaming twin. */
+  def finishSeasonalStrength(daily: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dow = daily
+      .withColumn("dow", (weekday(col("day")) + lit(1)).cast("int"))
+      .groupBy("series", "dow")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("cnt").cast(dec)).as("sd"),
+        sum(col("cnt").cast(dec) * col("cnt")).as("qd"))
+    dow.groupBy("series")
+      .agg(
+        coalesce(sum("nd"), lit(0L)).as("n_days"),
+        coalesce(sum("sd"), lit(0L).cast(dec)).as("s"),
+        coalesce(sum("qd"), lit(0L).cast(dec)).as("q"),
+        sort_array(collect_list(struct(col("dow"), col("nd"), col("sd"))))
+          .as("o"))
+      .withColumn("sb", expr(
+        """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+          |  acc + CAST(s.sd AS DOUBLE) * CAST(s.sd AS DOUBLE)
+          |      / CAST(s.nd AS DOUBLE))""".stripMargin))
+      .select(
+        col("series"), col("n_days"),
+        {
+          val sst = col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n_days").cast("double")
+          val ssb = col("sb") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n_days").cast("double")
+          when(col("n_days") < 2L || sst <= 0.0d, lit(null).cast("double"))
+            .otherwise(round(ssb / sst, roundTo)).as("strength")
+        })
+      .orderBy("series")
+  }
+
+  /** Wald–Wolfowitz runs test per series (Wald & Wolfowitz 1940): is the
+    * above-mean/below-mean day sequence RANDOM, or do high-volume days
+    * clump (fewer runs than chance) / alternate (more)? Exact-equal days
+    * are excluded (the classical two-category convention; the comparison
+    * cnt·n vs total is exact cross-multiplied integers — no fp mean).
+    * Output per series: (series, n, n_above, n_below, runs, z) with
+    *   μ_R = 2n₁n₂/n + 1,  σ²_R = 2n₁n₂(2n₁n₂−n) / (n²(n−1)),
+    * z NULL when n₁ = 0 or n₂ = 0 or n < 2.
+    *
+    * Scale shape: one keyed agg to the calendar-bounded daily frame
+    * (the trend-family state again), a lag window per series on that
+    * bounded frame to count run boundaries, exact integer moments, fp
+    * only in the closing z. */
+  def runsTest(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      roundTo: Int = 4): DataFrame =
+    finishRunsTest(dailyCounts(df, series, ts), roundTo)
+
+  /** The stateless runs-test finish over an ALREADY-MATERIALIZED
+    * (series, day, cnt) frame — shared with the streaming twin. */
+  def finishRunsTest(daily: DataFrame, roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = daily.groupBy("series")
+      .agg(count(lit(1)).as("nd"), sum(col("cnt").cast(dec)).as("s"))
+    val marked = daily.join(tot, Seq("series"))
+      // above ⟺ cnt·n_days > total — exact integers, no fp mean
+      .withColumn("above",
+        when(col("cnt").cast(dec) * col("nd") > col("s"), true)
+          .when(col("cnt").cast(dec) * col("nd") < col("s"), false)
+          .otherwise(lit(null).cast("boolean")))
+      .where(col("above").isNotNull)
+    val w = Window.partitionBy("series").orderBy("day")
+    val runs = marked
+      .withColumn("chg",
+        when(lag(col("above"), 1).over(w).isNull ||
+          lag(col("above"), 1).over(w) =!= col("above"), 1L).otherwise(0L))
+      .groupBy("series")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+        sum("chg").as("runs"))
+    runs.select(
+      col("series"), col("n"), col("n1").as("n_above"),
+      col("n2").as("n_below"), col("runs"),
+      {
+        val nD = col("n").cast("double")
+        val p = lit(2.0d) * col("n1").cast("double") *
+          col("n2").cast("double")
+        val mu = p / nD + lit(1.0d)
+        val v = p * (p - nD) / (nD * nD * (nD - 1.0d))
+        when(col("n1") === 0L || col("n2") === 0L || col("n") < 2L ||
+          v <= 0.0d, lit(null).cast("double"))
+          .otherwise(round((col("runs").cast("double") - mu) / sqrt(v),
+            roundTo)).as("z")
+      })
+      .orderBy("series")
+  }
+
   /** The stateless finishing view over the (series × day) counts: the
     * order-statistic baseline and the Hampel flag. Shared by the batch
     * report and the streaming twin's consumer. */

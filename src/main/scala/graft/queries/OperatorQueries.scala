@@ -8446,6 +8446,126 @@ object OperatorQueries {
         |  WHERE d.source IS NOT NULL)
         |SELECT stratum, id, rk FROM drawn WHERE rk <= alloc
         |ORDER BY stratum, rk""".stripMargin),
+
+    // Cochran's Q across THREE paired English-detectors — the k-way
+    // McNemar. One aggregation: per-classifier conditional sums plus
+    // ΣR and ΣR² from the bounded per-row correct count.
+    "x208_cochran_q" -> sql(
+      (s, dir) => Evaluation.cochranQ(
+        Tables.documents(s, dir),
+        Seq(
+          "the" -> (instr(lower(col("text")), " the ") > 0),
+          "len" -> (col("n_chars") >= 400L),
+          "and" -> (instr(lower(col("text")), " and ") > 0)),
+        col("lang") === "en"),
+      """WITH p AS (
+        |  SELECT
+        |    CASE WHEN (strpos(lower(text), ' the ') > 0) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS oa,
+        |    CASE WHEN (n_chars >= 400) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS ob,
+        |    CASE WHEN (strpos(lower(text), ' and ') > 0) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS oc
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |a AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    coalesce(sum(oa + ob + oc), 0)::HUGEINT AS sr,
+        |    coalesce(sum((oa + ob + oc) * (oa + ob + oc)), 0)::HUGEINT AS sr2,
+        |    sum(oa)::HUGEINT AS ca, sum(ob)::HUGEINT AS cb,
+        |    sum(oc)::HUGEINT AS cc
+        |  FROM p)
+        |SELECT n::BIGINT AS n, 3::BIGINT AS k,
+        |  (CASE WHEN n = 0 THEN NULL ELSE (ca * 1000000) // n END)::BIGINT
+        |    AS acc_the_ppm,
+        |  (CASE WHEN n = 0 THEN NULL ELSE (cb * 1000000) // n END)::BIGINT
+        |    AS acc_len_ppm,
+        |  (CASE WHEN n = 0 THEN NULL ELSE (cc * 1000000) // n END)::BIGINT
+        |    AS acc_and_ppm,
+        |  CASE WHEN n = 0 OR (3::HUGEINT * sr - sr2) <= 0 THEN NULL
+        |    ELSE round((2::HUGEINT * (3::HUGEINT * (ca*ca + cb*cb + cc*cc)
+        |          - (ca + cb + cc) * (ca + cb + cc)))::DOUBLE
+        |      / (3::HUGEINT * sr - sr2)::DOUBLE, 4)
+        |  END AS q
+        |FROM a ORDER BY n""".stripMargin),
+
+    // Weekly seasonal strength per event series: by the ANOVA identity,
+    // the isodow-explained variance share η² = SSB/SST over the SAME
+    // calendar-bounded daily frame the trend family keeps.
+    "x209_seasonal_strength" -> sql(
+      (s, dir) => Seasonal.seasonalStrength(
+        Tables.events(s, dir), col("event_type"), col("ts")),
+      """WITH daily AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT series, isodow(day)::INT AS dow, count(*)::BIGINT AS nd,
+        |    sum(cnt)::HUGEINT AS sd, sum(cnt::HUGEINT * cnt)::HUGEINT AS qd
+        |  FROM daily GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT series, coalesce(sum(nd), 0)::BIGINT AS n_days,
+        |    coalesce(sum(sd), 0)::HUGEINT AS s,
+        |    coalesce(sum(qd), 0)::HUGEINT AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sd::DOUBLE * sd::DOUBLE / nd::DOUBLE ORDER BY dow)),
+        |      (x, y) -> x + y) AS sb
+        |  FROM dw GROUP BY series)
+        |SELECT series, n_days,
+        |  CASE WHEN n_days < 2
+        |      OR (q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round((sb - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+        |      / (q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE), 4)
+        |  END AS strength
+        |FROM ag ORDER BY series""".stripMargin),
+
+    // Wald–Wolfowitz runs test per series: do high-volume days clump?
+    // Above/below-mean via exact cross-multiplied integers (no fp mean),
+    // run boundaries from a lag window on the bounded daily frame.
+    "x210_runs_test" -> sql(
+      (s, dir) => Seasonal.runsTest(
+        Tables.events(s, dir), col("event_type"), col("ts")),
+      """WITH daily AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT series, count(*)::BIGINT AS nd, sum(cnt)::HUGEINT AS s
+        |  FROM daily GROUP BY 1),
+        |mk AS (
+        |  SELECT d.series, d.day,
+        |    CASE WHEN d.cnt::HUGEINT * t.nd > t.s THEN true
+        |      WHEN d.cnt::HUGEINT * t.nd < t.s THEN false
+        |      ELSE NULL END AS above
+        |  FROM daily d JOIN tot t USING (series)),
+        |mk2 AS (SELECT * FROM mk WHERE above IS NOT NULL),
+        |rn AS (
+        |  SELECT series, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY series ORDER BY day)
+        |        IS NULL
+        |      OR lag(above) OVER (PARTITION BY series ORDER BY day) <> above
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM mk2),
+        |ag AS (
+        |  SELECT series, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN NOT above THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(chg)::BIGINT AS runs
+        |  FROM rn GROUP BY 1)
+        |SELECT series, n, n1 AS n_above, n2 AS n_below, runs,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR n < 2
+        |      OR (2.0 * n1::DOUBLE * n2::DOUBLE
+        |          * (2.0 * n1::DOUBLE * n2::DOUBLE - n::DOUBLE)
+        |          / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))) <= 0.0
+        |    THEN NULL
+        |    ELSE round((runs::DOUBLE
+        |        - (2.0 * n1::DOUBLE * n2::DOUBLE / n::DOUBLE + 1.0))
+        |      / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+        |          * (2.0 * n1::DOUBLE * n2::DOUBLE - n::DOUBLE)
+        |          / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))), 4)
+        |  END AS z
+        |FROM ag ORDER BY series""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75

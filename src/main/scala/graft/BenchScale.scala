@@ -337,7 +337,12 @@ object BenchScale {
     // dow folds per series
     "x209_seasonal_strength" -> 1.2,
     // daily agg + lag window on the bounded frame
-    "x210_runs_test" -> 1.2)
+    "x210_runs_test" -> 1.2,
+    // the ACF machinery (cached daily frame + bounded lag self-join);
+    // the unrolled algebra runs on the |series|-row pivot
+    "x211_pacf" -> 1.3,
+    // the ACF machinery + an order-pinned per-series lag fold
+    "x212_ljung_box" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

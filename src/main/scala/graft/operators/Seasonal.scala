@@ -584,6 +584,112 @@ object Seasonal {
       .orderBy("series", "lag")
   }
 
+  /** Ljung–Box portmanteau test per series (Ljung & Box 1978):
+    *   Q = n(n+2)·Σ_{k≤m} r_k²/(n−k),
+    * asymptotically χ²(m) under "the daily series is white noise" — the
+    * one-number autocorrelation gate read before any forecasting model
+    * is pointed at a stream. Gap-aware contract: the sum runs over the
+    * lags PRESENT in the gap-aware ACF (a lag with no aligned day pairs
+    * contributes nothing), each with its own (n−k) weight. Output per
+    * series: (series, n_days, m_lags, q).
+    *
+    * Scale shape: the ACF machinery's one keyed aggregation + bounded
+    * lag self-join; the Q sum is an ORDER-PINNED fold over the
+    * ≤ maxLag-element collected lag array per series. */
+  def ljungBox(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      maxLag: Int = 7,
+      roundTo: Int = 4): DataFrame =
+    // the daily frame feeds the ACF self-join AND the n_days aggregation
+    // — cache it (caller epilogue: materialize, then releaseCaches())
+    finishLjungBox(
+      caches.tracked(dailyCounts(df, series, ts).persist()), maxLag, roundTo)
+
+  /** The stateless Ljung–Box finish over the shared daily frame. */
+  def finishLjungBox(
+      dailyIn: DataFrame,
+      maxLag: Int = 7,
+      roundTo: Int = 4): DataFrame = {
+    val daily = dailyIn
+    val acfRows = finishAcf(daily, maxLag, roundTo = 12)
+    val nDays = daily.groupBy("series").agg(count(lit(1)).as("n_days"))
+    acfRows.join(nDays, Seq("series"))
+      .groupBy("series")
+      .agg(max("n_days").as("n_days"),
+        count(lit(1)).as("m_lags"),
+        sort_array(collect_list(struct(col("lag"), col("acf")))).as("o"))
+      .select(col("series"), col("n_days"), col("m_lags"),
+        when(col("n_days") < 3L, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_days").cast("double") *
+              (col("n_days").cast("double") + 2.0d) *
+              expr(
+                """aggregate(o, CAST(0.0 AS DOUBLE), (acc, s) ->
+                  |  acc + CASE WHEN s.acf IS NULL OR n_days - s.lag <= 0
+                  |    THEN 0.0D
+                  |    ELSE s.acf * s.acf / CAST(n_days - s.lag AS DOUBLE)
+                  |  END)""".stripMargin), roundTo))
+          .as("q"))
+      .orderBy("series")
+  }
+
+  /** Partial autocorrelation function per series at lags 1..m via the
+    * Durbin–Levinson recursion (Durbin 1960) — PACF isolates the DIRECT
+    * lag-k dependence ACF smears (an AR(1) stream has ACF at every lag
+    * but PACF only at lag 1: the model-order readout). The recursion is
+    * UNROLLED at plan-build time into closed-form column algebra over
+    * the per-series pivoted ACF values r_1..r_m (m ≤ 6 keeps the
+    * expression tree small), so the whole statistic is deterministic
+    * scalar arithmetic — the oracle replays the identical unrolled
+    * algebra. Requires contiguous lags: a series with a gap or a NULL
+    * ACF inside 1..m reports NULL at every affected order (the
+    * recursion is undefined there). Output per series:
+    * (series, pacf_1 .. pacf_m).
+    *
+    * Scale shape: the ACF machinery, then ONE pivot aggregation to a
+    * |series|-row frame where the unrolled algebra runs. */
+  def pacf(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      maxLag: Int = 5,
+      roundTo: Int = 4): DataFrame =
+    // the ACF self-join references the daily frame twice — cache it
+    // (caller epilogue: materialize, then releaseCaches())
+    finishPacf(
+      caches.tracked(dailyCounts(df, series, ts).persist()), maxLag, roundTo)
+
+  /** The stateless PACF finish over the shared daily frame. */
+  def finishPacf(
+      dailyIn: DataFrame,
+      maxLag: Int = 5,
+      roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 6, "pacf: maxLag in [1, 6] (unrolled)")
+    val acfRows = finishAcf(dailyIn, maxLag, roundTo = 12)
+    val rAggs = (1 to maxLag).map(k =>
+      max(when(col("lag") === k.toLong, col("acf"))).as(s"r$k"))
+    val pivoted = acfRows.groupBy("series").agg(rAggs.head, rAggs.tail: _*)
+    // Durbin–Levinson unrolled: φ(k,j) as column expressions
+    val r = (1 to maxLag).map(k => col(s"r$k"))
+    val phi = scala.collection.mutable.Map[(Int, Int), Column]()
+    phi((1, 1)) = r(0)
+    for (k <- 2 to maxLag) {
+      val num = r(k - 1) - (1 until k)
+        .map(j => phi((k - 1, j)) * r(k - j - 1)).reduce(_ + _)
+      val den = lit(1.0d) - (1 until k)
+        .map(j => phi((k - 1, j)) * r(j - 1)).reduce(_ + _)
+      phi((k, k)) = num / den
+      for (j <- 1 until k)
+        phi((k, j)) = phi((k - 1, j)) - phi((k, k)) * phi((k - 1, k - j))
+    }
+    pivoted.select(
+      col("series") +: (1 to maxLag).map(k =>
+        round(phi((k, k)), roundTo).as(s"pacf_$k")): _*)
+      .orderBy("series")
+  }
+
   /** Theil–Sen robust trend slope per series (Theil 1950, Sen 1968 —
     * the median of all pairwise slopes: the outlier-immune MAGNITUDE
     * companion to [[mannKendall]]'s direction test; up to ~29% corrupted

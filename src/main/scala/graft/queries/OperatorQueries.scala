@@ -8566,6 +8566,75 @@ object OperatorQueries {
         |          / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))), 4)
         |  END AS z
         |FROM ag ORDER BY series""".stripMargin),
+
+    // Partial autocorrelation per series via the Durbin–Levinson
+    // recursion UNROLLED into closed-form scalar algebra over the
+    // pivoted 12-dp ACF values — the AR-order readout ACF smears.
+    "x211_pacf" -> sql(
+      (s, dir) => {
+        val out = Seasonal.pacf(
+          Tables.events(s, dir), col("event_type"), col("ts"), maxLag = 5)
+          .cache()
+        out.count()
+        Seasonal.releaseCaches()
+        out
+      },
+      pacfOracle(maxLag = 5)),
+
+    // Ljung–Box portmanteau per series: the white-noise gate before any
+    // forecasting model. Gap-aware sum over the present lags, each with
+    // its own (n − k) weight; order-pinned fold.
+    "x212_ljung_box" -> sql(
+      (s, dir) => {
+        val out = Seasonal.ljungBox(
+          Tables.events(s, dir), col("event_type"), col("ts"), maxLag = 7)
+          .cache()
+        out.count()
+        Seasonal.releaseCaches()
+        out
+      },
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.series, (b.day - a.day)::BIGINT AS lag,
+        |    a.cnt AS ya, b.cnt AS yb
+        |  FROM d a JOIN d b ON b.series = a.series
+        |  WHERE (b.day - a.day) BETWEEN 1 AND 7),
+        |g AS (
+        |  SELECT series, lag, count(*)::BIGINT AS n_pairs,
+        |    sum(ya::HUGEINT) AS sx, sum(yb::HUGEINT) AS sy,
+        |    sum(ya::HUGEINT * ya) AS sxx, sum(yb::HUGEINT * yb) AS syy,
+        |    sum(ya::HUGEINT * yb) AS sxy
+        |  FROM p GROUP BY 1, 2),
+        |a AS (
+        |  SELECT series, lag,
+        |    CASE WHEN n_pairs < 2
+        |        OR (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+        |        OR (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0
+        |      THEN NULL
+        |      ELSE round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |           * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |        12)
+        |    END AS acf
+        |  FROM g),
+        |nd AS (SELECT series, count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+        |ag AS (
+        |  SELECT a.series, max(nd.n_days)::BIGINT AS n_days,
+        |    count(*)::BIGINT AS m_lags,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CASE WHEN acf IS NULL OR nd.n_days - lag <= 0 THEN 0.0
+        |        ELSE acf * acf / (nd.n_days - lag)::DOUBLE END
+        |        ORDER BY lag)), (x, y) -> x + y) AS ssum
+        |  FROM a JOIN nd ON nd.series = a.series
+        |  GROUP BY a.series)
+        |SELECT series, n_days, m_lags,
+        |  CASE WHEN n_days < 3 THEN NULL
+        |    ELSE round(n_days::DOUBLE * (n_days::DOUBLE + 2.0) * ssum, 4)
+        |  END AS q
+        |FROM ag ORDER BY series""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75
@@ -8634,6 +8703,64 @@ object OperatorQueries {
        |LEFT JOIN na USING (qid) LEFT JOIN nb USING (qid)
        |LEFT JOIN hq USING (qid)
        |ORDER BY a.qid""".stripMargin
+  }
+
+  /** The x211 oracle: the gap-aware ACF at 12-dp (the x184 CTEs), pivoted
+    * to r1..rm per series, then the Durbin–Levinson recursion UNROLLED to
+    * the same closed-form scalar algebra the Spark side builds — the
+    * helper mirrors Seasonal.finishPacf's expression construction
+    * exactly (left-associated sums, same parenthesization). */
+  private def pacfOracle(maxLag: Int): String = {
+    val phi = scala.collection.mutable.Map[(Int, Int), String]()
+    phi((1, 1)) = "r1"
+    for (k <- 2 to maxLag) {
+      val num = s"(r$k - (${(1 until k)
+        .map(j => s"${phi((k - 1, j))} * r${k - j}").mkString(" + ")}))"
+      val den = s"(1.0 - (${(1 until k)
+        .map(j => s"${phi((k - 1, j))} * r$j").mkString(" + ")}))"
+      phi((k, k)) = s"($num / $den)"
+      for (j <- 1 until k)
+        phi((k, j)) = s"(${phi((k - 1, j))} - ${phi((k, k))} * ${phi((k - 1, k - j))})"
+    }
+    val rCols = (1 to maxLag)
+      .map(k => s"max(CASE WHEN lag = $k THEN acf END) AS r$k")
+      .mkString(",\n    ")
+    val outs = (1 to maxLag)
+      .map(k => s"round(${phi((k, k))}, 4) AS pacf_$k").mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT event_type::VARCHAR AS series, ts::DATE AS day,
+       |    count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.series, (b.day - a.day)::BIGINT AS lag,
+       |    a.cnt AS ya, b.cnt AS yb
+       |  FROM d a JOIN d b ON b.series = a.series
+       |  WHERE (b.day - a.day) BETWEEN 1 AND $maxLag),
+       |g AS (
+       |  SELECT series, lag, count(*)::BIGINT AS n_pairs,
+       |    sum(ya::HUGEINT) AS sx, sum(yb::HUGEINT) AS sy,
+       |    sum(ya::HUGEINT * ya) AS sxx, sum(yb::HUGEINT * yb) AS syy,
+       |    sum(ya::HUGEINT * yb) AS sxy
+       |  FROM p GROUP BY 1, 2),
+       |a AS (
+       |  SELECT series, lag,
+       |    CASE WHEN n_pairs < 2
+       |        OR (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+       |        OR (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0
+       |      THEN NULL
+       |      ELSE round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |        / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |           * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+       |        12)
+       |    END AS acf
+       |  FROM g),
+       |pv AS (
+       |  SELECT series,
+       |    $rCols
+       |  FROM a GROUP BY series)
+       |SELECT series,
+       |  $outs
+       |FROM pv ORDER BY series""".stripMargin
   }
 
   /** The x200 oracle: per λ, the identical order-pinned folds (element =

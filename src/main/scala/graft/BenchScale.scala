@@ -342,7 +342,13 @@ object BenchScale {
     // the unrolled algebra runs on the |series|-row pivot
     "x211_pacf" -> 1.3,
     // the ACF machinery + an order-pinned per-series lag fold
-    "x212_ljung_box" -> 1.3)
+    "x212_ljung_box" -> 1.3,
+    // one keyed agg to exact decimal raw moments; 1-row close per group
+    "x213_jarque_bera" -> 1.2,
+    // one user-keyed agg + one 1-row sufficient-statistics agg
+    "x214_cuped" -> 1.3,
+    // one aggregation of four conditional sums
+    "x215_mde" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1522,6 +1522,156 @@ object Evaluation {
         })
   }
 
+  /** Jarque–Bera normality test per group (Jarque & Bera 1980) +
+    * skewness / excess kurtosis — the moment-based normality gate read
+    * next to x200's Box–Cox scan (JB tells you IF the feature is
+    * non-Gaussian; Box–Cox tells you which power fixes it). Output per
+    * group: (group, n, skewness, ex_kurtosis, jb), χ²(2) under
+    * normality.
+    *
+    * Scale shape: ONE keyed aggregation to exact decimal raw moments
+    * (n, Σy, Σy², Σy³, Σy⁴ — decimal(38,0) holds Σy⁴ to ~10¹⁵ rows of
+    * 6-digit values); central moments, skewness and kurtosis close in
+    * documented double algebra from identically-converted components.
+    * NULL when n < 2 or the variance is 0. */
+  def jarqueBera(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = value.cast("long")
+    val perG = df
+      .select(v.as("y"), group.cast("string").as("g"))
+      .where(col("y").isNotNull && col("g").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("s1"),
+        sum(col("y").cast(dec) * col("y")).as("s2"),
+        sum(col("y").cast(dec) * col("y") * col("y")).as("s3"),
+        sum(col("y").cast(dec) * col("y") * col("y") * col("y")).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0d) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0d) * mean * mean * mean
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0d) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0d) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0d) * mean * mean * mean * mean
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - lit(3.0d)
+    val bad = col("n") < 2L || m2 <= 0.0d
+    perG.select(
+      col("g").as("group"), col("n"),
+      when(bad, lit(null).cast("double")).otherwise(round(skew, roundTo))
+        .as("skewness"),
+      when(bad, lit(null).cast("double")).otherwise(round(exk, roundTo))
+        .as("ex_kurtosis"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(nD / lit(6.0d) *
+          (skew * skew + exk * exk / lit(4.0d)), roundTo)).as("jb"))
+      .orderBy("group")
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): how much
+    * experiment variance would the pre-period covariate remove? With
+    * per-entity (x = pre metric, y = post metric),
+    * θ = cov(x,y)/var(x) and the adjusted metric y − θ(x − x̄) has
+    * variance var(y)·(1 − ρ²) — so the report IS the correlation
+    * structure: (n, theta, var_y, var_adj, reduction_ppm = ρ² exact by
+    * cross-multiplied integer division). One row.
+    *
+    * Scale shape: the caller supplies the per-entity frame (one keyed
+    * aggregation from events); ONE aggregation to six exact decimal
+    * sufficient statistics; fp only in the close. */
+  def cupedReport(
+      perEntity: DataFrame,
+      x: Column,
+      y: Column,
+      roundTo: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = perEntity
+      .select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val covN = col("sxy").cast("double") * nD -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXN = col("sxx").cast("double") * nD -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYN = col("syy").cast("double") * nD -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.select(
+      col("n"),
+      when(col("n") < 2L || varXN <= 0.0d, lit(null).cast("double"))
+        .otherwise(round(covN / varXN, roundTo)).as("theta"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise(round(varYN / (nD * nD), roundTo)).as("var_y"),
+      when(col("n") < 2L || varXN <= 0.0d || varYN <= 0.0d,
+        lit(null).cast("double"))
+        .otherwise(round(
+          (varYN - covN * covN / varXN) / (nD * nD), roundTo)).as("var_adj"),
+      // ρ² as EXACT integer ppm: (n·Σxy − ΣxΣy)²·10⁶ div ((n·Σxx − Σx²)(n·Σyy − Σy²))
+      when(col("n") < 2L, lit(null).cast("long"))
+        .otherwise(expr(
+          s"""CASE WHEN (CAST(n AS $dec) * sxx - sx * sx) <= 0
+             |  OR (CAST(n AS $dec) * syy - sy * sy) <= 0 THEN NULL
+             |ELSE CAST(
+             |  ((CAST(n AS $dec) * sxy - sx * sy)
+             |   * (CAST(n AS $dec) * sxy - sx * sy) * 1000000)
+             |  div ((CAST(n AS $dec) * sxx - sx * sx)
+             |       * (CAST(n AS $dec) * syy - sy * sy)) AS BIGINT)
+             |END""".stripMargin)).as("reduction_ppm"))
+  }
+
+  /** Minimum detectable effect at 5% two-sided α / 80% power for the
+    * x172 two-proportion setup (the "is this experiment even big
+    * enough?" lens over the SAME four conditional sums):
+    * MDE = (z_{α/2} + z_β)·√(2·p̄(1−p̄)/n_h) with n_h the harmonic mean
+    * of the two cohort sizes — the z quantiles are plan literals
+    * (1.9599639845400545, 0.8416212335729143), so the close is pure
+    * documented double algebra. One row:
+    * (n_a, n_b, p_pooled_ppm, mde_ppm). */
+  def mdeReport(
+      df: DataFrame,
+      success: Column,
+      inA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = success.cast("boolean")
+    val a = inA.cast("boolean")
+    df.where(s.isNotNull && a.isNotNull)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("na"),
+        sum(when(!a, 1L).otherwise(0L)).as("nb"),
+        sum(when(a && s, 1L).otherwise(0L)).as("xa"),
+        sum(when(!a && s, 1L).otherwise(0L)).as("xb"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") + col("nb") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(xa + xb AS $dec) * 1000000) div (na + nb)").cast("long"))
+          .as("p_pooled_ppm"),
+        {
+          val p = expr("CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)")
+          val nh = lit(2.0d) /
+            (lit(1.0d) / col("na").cast("double") +
+              lit(1.0d) / col("nb").cast("double"))
+          when(col("na") === 0L || col("nb") === 0L ||
+            p <= 0.0d || p >= 1.0d, lit(null).cast("long"))
+            .otherwise((round(
+              lit(1.9599639845400545d + 0.8416212335729143d) *
+                sqrt(lit(2.0d) * p * (lit(1.0d) - p) / nh) * lit(1000000.0d),
+              0)).cast("long")).as("mde_ppm")
+        })
+  }
+
   /** Cochran's Q test (Cochran 1950) on k PAIRED binary classifiers —
     * the k-way generalization of [[mcnemar]]: do ANY of the heuristics
     * err at a different rate on the SAME documents? With x_ij ∈ {0,1}

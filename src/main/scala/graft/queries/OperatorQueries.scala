@@ -8635,6 +8635,144 @@ object OperatorQueries {
         |    ELSE round(n_days::DOUBLE * (n_days::DOUBLE + 2.0) * ssum, 4)
         |  END AS q
         |FROM ag ORDER BY series""".stripMargin),
+
+    // Jarque–Bera normality per source on document length — the moment
+    // gate next to x200's Box–Cox. Exact decimal raw moments (Σy..Σy⁴),
+    // documented double central-moment algebra.
+    "x213_jarque_bera" -> sql(
+      (s, dir) => Evaluation.jarqueBera(
+        Tables.documents(s, dir), col("n_chars"), col("source")),
+      """WITH m AS (
+        |  SELECT source::VARCHAR AS g, count(*)::BIGINT AS n,
+        |    sum(n_chars::HUGEINT)::HUGEINT AS s1,
+        |    sum(n_chars::HUGEINT * n_chars)::HUGEINT AS s2,
+        |    sum(n_chars::HUGEINT * n_chars * n_chars)::HUGEINT AS s3,
+        |    sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::HUGEINT AS s4
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT g, n,
+        |    s1::DOUBLE / n::DOUBLE AS mean,
+        |    s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE)
+        |      * (s1::DOUBLE / n::DOUBLE) AS m2,
+        |    s3::DOUBLE / n::DOUBLE
+        |      - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |      + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE) AS m3,
+        |    s4::DOUBLE / n::DOUBLE
+        |      - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
+        |      + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |        * (s2::DOUBLE / n::DOUBLE)
+        |      - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m4
+        |  FROM m)
+        |SELECT g AS "group", n,
+        |  CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+        |    ELSE round(m3 / sqrt(m2 * m2 * m2), 4) END AS skewness,
+        |  CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+        |    ELSE round(m4 / (m2 * m2) - 3.0, 4) END AS ex_kurtosis,
+        |  CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+        |    ELSE round(n::DOUBLE / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+        |        * (m3 / sqrt(m2 * m2 * m2))
+        |      + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 4)
+        |  END AS jb
+        |FROM c ORDER BY "group"""".stripMargin),
+
+    // CUPED variance reduction: per-user pre/post event counts split at
+    // the calendar midpoint; theta, adjusted variance and exact-ppm rho2
+    // from one aggregation of exact decimal sufficient statistics.
+    "x214_cuped" -> sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(expr(
+            "date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+        val perUser = ev.crossJoin(broadcast(bounds))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("x"),
+            sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("y"))
+        Evaluation.cupedReport(perUser, col("x"), col("y"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, ts::DATE AS day FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(day)
+        |  + (((max(day) - min(day)) // 2))::INTEGER AS mid FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN day < b.mid THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN day >= b.mid THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM ev, b GROUP BY user_id),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+        |    sum(y::HUGEINT * y)::HUGEINT AS syy,
+        |    sum(x::HUGEINT * y)::HUGEINT AS sxy
+        |  FROM pu)
+        |SELECT n,
+        |  CASE WHEN n < 2
+        |      OR (sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round((sxy::DOUBLE * n::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |  END AS theta,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE round((syy::DOUBLE * n::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * n::DOUBLE), 6) END AS var_y,
+        |  CASE WHEN n < 2
+        |      OR (sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0
+        |      OR (syy::DOUBLE * n::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0
+        |    THEN NULL
+        |    ELSE round(((syy::DOUBLE * n::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |        - (sxy::DOUBLE * n::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |          * (sxy::DOUBLE * n::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |          / (sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |      / (n::DOUBLE * n::DOUBLE), 6)
+        |  END AS var_adj,
+        |  CASE WHEN n < 2 THEN NULL
+        |    WHEN (n::HUGEINT * sxx - sx * sx) <= 0
+        |      OR (n::HUGEINT * syy - sy * sy) <= 0 THEN NULL
+        |    ELSE (((n::HUGEINT * sxy - sx * sy)
+        |        * (n::HUGEINT * sxy - sx * sy) * 1000000)
+        |      // ((n::HUGEINT * sxx - sx * sx)
+        |          * (n::HUGEINT * syy - sy * sy)))::BIGINT
+        |  END AS reduction_ppm
+        |FROM a ORDER BY n""".stripMargin),
+
+    // Minimum detectable effect at 5%/80% over the x172 experiment
+    // setup — plan-literal normal quantiles, documented double close.
+    "x215_mde" -> sql(
+      (s, dir) => Evaluation.mdeReport(
+        Tables.events(s, dir),
+        col("event_type") === "purchase",
+        col("user_id") % 2 === 0),
+      """WITH t AS (
+        |  SELECT (user_id % 2 = 0) AS a, (event_type = 'purchase') AS s
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN a AND s THEN 1 ELSE 0 END)::BIGINT AS xa,
+        |    sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END)::BIGINT AS xb
+        |  FROM t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (CASE WHEN na + nb = 0 THEN NULL
+        |    ELSE ((xa + xb)::HUGEINT * 1000000) // (na + nb) END)::BIGINT
+        |    AS p_pooled_ppm,
+        |  (CASE WHEN na = 0 OR nb = 0
+        |      OR (xa + xb)::DOUBLE / (na + nb)::DOUBLE <= 0.0
+        |      OR (xa + xb)::DOUBLE / (na + nb)::DOUBLE >= 1.0 THEN NULL
+        |    ELSE CAST(round(2.801585218112969
+        |      * sqrt(2.0 * ((xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |          * (1.0 - (xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |          / (2.0 / (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)))
+        |      * 1000000.0, 0) AS BIGINT) END) AS mde_ppm
+        |FROM agg ORDER BY n_a""".stripMargin),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75

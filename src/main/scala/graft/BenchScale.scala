@@ -348,7 +348,12 @@ object BenchScale {
     // one user-keyed agg + one 1-row sufficient-statistics agg
     "x214_cuped" -> 1.3,
     // one aggregation of four conditional sums
-    "x215_mde" -> 1.2)
+    "x215_mde" -> 1.2,
+    // one aggregation of six conditional sums
+    "x216_welch_t" -> 1.2,
+    // one tokenization explode + one term agg; TakeOrdered cuts, folds
+    // on the two ≤ k frames
+    "x217_vocab_overlap" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1522,6 +1522,62 @@ object Evaluation {
         })
   }
 
+  /** Welch's unequal-variance t-test (Welch 1947) between two cohorts of
+    * an integer value — the robust default where Student's pooled-SD
+    * assumption fails (cohort variances differ, sizes differ):
+    *   t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂),
+    *   ν = (v₁/n₁+v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1))
+    * (Welch–Satterthwaite). One row: (n_a, n_b, mean_a, mean_b, t, dof).
+    *
+    * Scale shape: ONE aggregation of six conditional sums to exact
+    * decimal sufficient statistics (the effectSize discipline); fp only
+    * in the documented double close. */
+  def welchT(
+      df: DataFrame,
+      value: Column,
+      inA: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = value.cast("long")
+    val a = inA.cast("boolean")
+    val agg = df.where(v.isNotNull && a.isNotNull)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("na"),
+        sum(when(!a, 1L).otherwise(0L)).as("nb"),
+        coalesce(sum(when(a, v).otherwise(0L).cast(dec)), lit(0L).cast(dec))
+          .as("sa"),
+        coalesce(sum(when(!a, v).otherwise(0L).cast(dec)), lit(0L).cast(dec))
+          .as("sb"),
+        coalesce(sum(when(a, v.cast(dec) * v).otherwise(lit(0L).cast(dec))),
+          lit(0L).cast(dec)).as("qa"),
+        coalesce(sum(when(!a, v.cast(dec) * v).otherwise(lit(0L).cast(dec))),
+          lit(0L).cast(dec)).as("qb"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val va = (col("qa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") / naD) /
+      (naD - lit(1.0d))
+    val vb = (col("qb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") / nbD) /
+      (nbD - lit(1.0d))
+    val se2 = va / naD + vb / nbD
+    val bad = col("na") < 2L || col("nb") < 2L || se2 <= 0.0d
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") === 0L, lit(null).cast("double"))
+        .otherwise(round(col("sa").cast("double") / naD, roundTo)).as("mean_a"),
+      when(col("nb") === 0L, lit(null).cast("double"))
+        .otherwise(round(col("sb").cast("double") / nbD, roundTo)).as("mean_b"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(
+          (col("sa").cast("double") / naD - col("sb").cast("double") / nbD) /
+            sqrt(se2), roundTo)).as("t"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(se2 * se2 /
+          ((va / naD) * (va / naD) / (naD - lit(1.0d)) +
+            (vb / nbD) * (vb / nbD) / (nbD - lit(1.0d))), roundTo)).as("dof"))
+  }
+
   /** Jarque–Bera normality test per group (Jarque & Bera 1980) +
     * skewness / excess kurtosis — the moment-based normality gate read
     * next to x200's Box–Cox scan (JB tells you IF the feature is

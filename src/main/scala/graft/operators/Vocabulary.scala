@@ -477,6 +477,72 @@ object Vocabulary {
       .orderBy("qid")
   }
 
+  /** Top-k vocabulary alignment between two sub-corpora: the (count DESC,
+    * term ASC)-ranked top-k term lists of cohort A vs cohort B, compared
+    * by set overlap, exact Jaccard ppm, and rank-biased overlap (the
+    * x202 literal-tail-coefficient machinery) — the "do these sources
+    * even speak the same language?" readout behind mixture decisions.
+    * One row: (k, n_terms_a, n_terms_b, overlap_at_k, jaccard_ppm, rbo).
+    *
+    * Scale shape: ONE tokenization explode feeds one (term → cnt_a,
+    * cnt_b) aggregation with conditional sums; each top-k is a
+    * TakeOrdered cut (never a full sort); everything after runs on the
+    * two ≤ k-row frames. */
+  def vocabOverlapTopK(
+      docs: DataFrame,
+      textCol: String,
+      inA: Column,
+      k: Int = 50,
+      p: Double = 0.9,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 1000, "vocabOverlapTopK: k in [1, 1000]")
+    require(p > 0.0 && p < 1.0, "vocabOverlapTopK: p in (0, 1)")
+    val counts = docs
+      .select(tokens(col(textCol)).as("__t"), inA.cast("boolean").as("__a"))
+      .where(col("__a").isNotNull)
+      .select(explode(col("__t")).as("term"), col("__a"))
+      .groupBy("term")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val cached = tracked(counts.persist())
+    def top(side: String): DataFrame = {
+      val c = col(if (side == "a") "ca" else "cb")
+      cached.where(c > 0L)
+        .orderBy(c.desc, col("term"))
+        .limit(k)
+        .withColumn(s"r$side",
+          row_number().over(Window.orderBy(c.desc, col("term"))).cast("long"))
+        .select(col("term"), col(s"r$side"))
+    }
+    val ta = top("a")
+    val tb = top("b")
+    val coeff = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    val tail = (1 to k).map(m => coeff.drop(m - 1).sum)
+    val tailCase = (1 to k).map(m => s"WHEN ${m}L THEN ${tail(m - 1)}D")
+      .mkString("CASE s.m ", " ", " ELSE 0.0D END")
+    val matched = ta.join(tb, Seq("term"))
+      .select(col("term"), greatest(col("ra"), col("rb")).as("m"))
+    val sizes = ta.agg(count(lit(1)).as("n_terms_a"))
+      .crossJoin(tb.agg(count(lit(1)).as("n_terms_b")))
+    sizes.crossJoin(
+      matched.agg(
+        count(lit(1)).as("overlap_at_k"),
+        sort_array(collect_list(struct(col("m"), col("term")))).as("o")))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_terms_a"), col("n_terms_b"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        when(col("n_terms_a") + col("n_terms_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """(coalesce(overlap_at_k, 0L) * 1000000)
+              |div (n_terms_a + n_terms_b - coalesce(overlap_at_k, 0L))"""
+              .stripMargin)).as("jaccard_ppm"),
+        round(expr(
+          s"""aggregate(coalesce(o, array()), CAST(0.0 AS DOUBLE),
+             |  (acc, s) -> acc + $tailCase)""".stripMargin), roundTo).as("rbo"))
+  }
+
   /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the BM25
     * ranking WITH length normalization (b = 0.75) and WITHOUT (b = 0) —
     * the top-weighted ranking-similarity readout behind "does length

@@ -8773,6 +8773,64 @@ object OperatorQueries {
         |          / (2.0 / (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)))
         |      * 1000000.0, 0) AS BIGINT) END) AS mde_ppm
         |FROM agg ORDER BY n_a""".stripMargin),
+
+    // Welch's unequal-variance t between en/non-en document lengths —
+    // the robust default where pooled-SD assumptions fail. Exact decimal
+    // sufficient statistics, Welch–Satterthwaite dof in the close.
+    "x216_welch_t" -> sql(
+      (s, dir) => Evaluation.welchT(
+        Tables.documents(s, dir), col("n_chars"), col("lang") === "en"),
+      """WITH a AS (
+        |  SELECT
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    coalesce(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::HUGEINT,
+        |      0) AS sa,
+        |    coalesce(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END)::HUGEINT,
+        |      0) AS sb,
+        |    coalesce(sum(CASE WHEN lang = 'en'
+        |      THEN n_chars::HUGEINT * n_chars ELSE 0 END), 0) AS qa,
+        |    coalesce(sum(CASE WHEN lang <> 'en'
+        |      THEN n_chars::HUGEINT * n_chars ELSE 0 END), 0) AS qb
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (
+        |  SELECT na, nb, sa, sb,
+        |    (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+        |      / (na::DOUBLE - 1.0) AS va,
+        |    (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
+        |      / (nb::DOUBLE - 1.0) AS vb
+        |  FROM a)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na = 0 THEN NULL
+        |    ELSE round(sa::DOUBLE / na::DOUBLE, 4) END AS mean_a,
+        |  CASE WHEN nb = 0 THEN NULL
+        |    ELSE round(sb::DOUBLE / nb::DOUBLE, 4) END AS mean_b,
+        |  CASE WHEN na < 2 OR nb < 2
+        |      OR (va / na::DOUBLE + vb / nb::DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+        |      / sqrt(va / na::DOUBLE + vb / nb::DOUBLE), 4) END AS t,
+        |  CASE WHEN na < 2 OR nb < 2
+        |      OR (va / na::DOUBLE + vb / nb::DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round((va / na::DOUBLE + vb / nb::DOUBLE)
+        |        * (va / na::DOUBLE + vb / nb::DOUBLE)
+        |      / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na::DOUBLE - 1.0)
+        |        + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb::DOUBLE - 1.0)),
+        |      4) END AS dof
+        |FROM c ORDER BY n_a""".stripMargin),
+
+    // Top-50 vocabulary alignment between src0 and the rest of the
+    // corpus: set overlap, exact Jaccard ppm and RBO over the
+    // (count DESC, term) rankings — one tokenization, TakeOrdered cuts.
+    "x217_vocab_overlap" -> sql(
+      (s, dir) => {
+        val out = Vocabulary.vocabOverlapTopK(
+          Tables.documents(s, dir), "text", col("source") === "src0",
+          k = 50).cache()
+        out.count()
+        Vocabulary.releaseCaches()
+        out
+      },
+      vocabOverlapOracle(k = 50, p = 0.9)),
   )
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75
@@ -8899,6 +8957,52 @@ object OperatorQueries {
        |SELECT series,
        |  $outs
        |FROM pv ORDER BY series""".stripMargin
+  }
+
+  /** The x217 oracle: one tokenization to (term, cnt_a, cnt_b), both
+    * TakeOrdered top-k lists, then the same literal tail-coefficient fold
+    * as the Spark side (shared construction with rboOracle). */
+  private def vocabOverlapOracle(k: Int, p: Double): String = {
+    val coeff = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    val tail = (1 to k).map(m => coeff.drop(m - 1).sum)
+    val tailCase = (1 to k).map(m => s"WHEN $m THEN ${tail(m - 1)}")
+      .mkString("CASE m ", " ", " ELSE 0.0 END")
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> x <> '')) AS term,
+       |    (source = 'src0') AS a
+       |  FROM documents WHERE source IS NOT NULL),
+       |c AS (
+       |  SELECT term,
+       |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM t GROUP BY term),
+       |ta AS (
+       |  SELECT term, row_number() OVER (ORDER BY ca DESC, term)::BIGINT AS ra
+       |  FROM c WHERE ca > 0 ORDER BY ca DESC, term LIMIT $k),
+       |tb AS (
+       |  SELECT term, row_number() OVER (ORDER BY cb DESC, term)::BIGINT AS rb
+       |  FROM c WHERE cb > 0 ORDER BY cb DESC, term LIMIT $k),
+       |mt AS (
+       |  SELECT ta.term, greatest(ta.ra, tb.rb) AS m
+       |  FROM ta JOIN tb ON tb.term = ta.term),
+       |hq AS (
+       |  SELECT count(*)::BIGINT AS overlap_at_k,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      coalesce(list($tailCase ORDER BY m, term), [])),
+       |      (x, y) -> x + y) AS rbo_raw
+       |  FROM mt),
+       |sz AS (
+       |  SELECT (SELECT count(*) FROM ta)::BIGINT AS n_terms_a,
+       |    (SELECT count(*) FROM tb)::BIGINT AS n_terms_b)
+       |SELECT $k::BIGINT AS k, n_terms_a, n_terms_b,
+       |  coalesce(overlap_at_k, 0)::BIGINT AS overlap_at_k,
+       |  (CASE WHEN n_terms_a + n_terms_b = 0 THEN NULL
+       |    ELSE (coalesce(overlap_at_k, 0) * 1000000)
+       |      // (n_terms_a + n_terms_b - coalesce(overlap_at_k, 0))
+       |  END)::BIGINT AS jaccard_ppm,
+       |  round(coalesce(rbo_raw, 0.0), 6) AS rbo
+       |FROM sz, hq ORDER BY k""".stripMargin
   }
 
   /** The x200 oracle: per λ, the identical order-pinned folds (element =

@@ -1284,6 +1284,64 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.operators.Evaluation.releaseCaches()
   }
 
+  test("x207: the Neyman draw joins a BROADCAST allocation onto the " +
+    "corpus scan — never a shuffle of the corpus by stratum stats") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.MixtureSampling.neymanSample(
+      Tables.documents(spark, dir), "source", col("n_chars"), "doc_id",
+      totalN = 20)
+    val nodes = flatten(executedPlan(out))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the |strata|-row allocation must broadcast into the draw")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join against a metadata-sized allocation")
+  }
+
+  test("x217: one tokenization scan pruned to (text, source) feeds both " +
+    "top-k lists through the cached term counts") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val out = graft.operators.Vocabulary.vocabOverlapTopK(
+        Tables.documents(spark, dir), "text", col("source") === "src0", k = 10)
+      val nodes = flatten(executedPlan(out))
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty, "a top-k branch bypassed the cached term counts")
+      val cached = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          System.identityHashCode(s.relation.cacheBuilder)
+      }
+      assert(cached.nonEmpty && cached.toSet.size == 1,
+        "exactly ONE cached (term, cnt_a, cnt_b) relation feeds both cuts")
+      val inner = flatten(nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.head.relation.cachedPlan).collect { case f: FileSourceScanExec => f }
+      assert(inner.size == 1 &&
+        inner.head.requiredSchema.fieldNames.toSet == Set("text", "source"))
+    } finally graft.operators.Vocabulary.releaseCaches()
+  }
+
+  test("x211/x212: the ACF-family scans stay pruned to (event_type, ts) " +
+    "and read through the cached daily frame") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val out = graft.operators.Seasonal.pacf(
+        Tables.events(spark, dir), col("event_type"), col("ts"), maxLag = 3)
+      val nodes = flatten(executedPlan(out))
+      assert(nodes.collect { case s: FileSourceScanExec => s }.isEmpty,
+        "the lag self-join must read the cached daily frame, not the corpus")
+      val cached = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          System.identityHashCode(s.relation.cacheBuilder)
+      }
+      assert(cached.nonEmpty && cached.toSet.size == 1)
+      val inner = flatten(nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.head.relation.cachedPlan).collect { case f: FileSourceScanExec => f }
+      assert(inner.size == 1 &&
+        inner.head.requiredSchema.fieldNames.toSet == Set("event_type", "ts"))
+    } finally graft.operators.Seasonal.releaseCaches()
+  }
+
   test("x196/x197: anova and mcnemar collapse the corpus in ONE pruned " +
     "aggregation scan each") {
     import org.apache.spark.sql.functions.{col, instr, lower}

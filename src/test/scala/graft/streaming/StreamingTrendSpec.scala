@@ -73,6 +73,17 @@ class StreamingTrendSpec extends SparkSpec {
         Seasonal.releaseCaches()
         assert(rows(Seasonal.finishFriedman(state)) == friedmanBatch,
           "friedman diverged")
+        assert(rows(Seasonal.finishSeasonalStrength(state)) ==
+          rows(Seasonal.seasonalStrength(batchDf, col("series"), col("ts"))),
+          "seasonal strength diverged")
+        assert(rows(Seasonal.finishRunsTest(state)) ==
+          rows(Seasonal.runsTest(batchDf, col("series"), col("ts"))),
+          "runs test diverged")
+        val lbBatch = rows(Seasonal.ljungBox(
+          batchDf, col("series"), col("ts"), maxLag = 5))
+        Seasonal.releaseCaches()
+        assert(rows(Seasonal.finishLjungBox(state, maxLag = 5)) == lbBatch,
+          "ljung–box diverged")
       }
     } finally query.stop()
   }

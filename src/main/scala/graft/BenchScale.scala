@@ -353,7 +353,10 @@ object BenchScale {
     "x216_welch_t" -> 1.2,
     // one tokenization explode + one term agg; TakeOrdered cuts, folds
     // on the two ≤ k frames
-    "x217_vocab_overlap" -> 1.3)
+    "x217_vocab_overlap" -> 1.3,
+    // one distinct exchange + the two-phase range-exchange rank + one
+    // maxima aggregation over the cached rank frame
+    "x218_draw_uniformity" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

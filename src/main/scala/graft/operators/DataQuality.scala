@@ -155,6 +155,53 @@ object DataQuality {
     * ≥ 1 by contract — the integer part carries the leading digit). The
     * 9-long count state is mergeable by pointwise sum, so the streaming
     * twin keeps exactly this frame as its running state. */
+  /** One-sample Kolmogorov–Smirnov uniformity audit of the HOUSE md5
+    * draw (Sketches.kmvDraw — the 60-bit derandomization primitive the
+    * KMV sketch, every sampler and the permutation test all trust):
+    * D = max(D⁺, D⁻) of the draws' ECDF against U(0,1]. A drifting D
+    * (√n·D ≫ 1.36, the 5% KS band) would mean the md5 fold is biased —
+    * the self-audit the whole deterministic-sampling family rests on.
+    * One row: (n, d_plus, d_minus, d, d_scaled = √n·D).
+    *
+    * Scale shape: draws DEDUP to distinct values (one keyed exchange),
+    * the global rank is the two-phase range-exchange rank
+    * (Sharding.rankByColumns — per-partition windows + metadata-sized
+    * driver offsets, never a single-partition sort), and the maxima are
+    * one aggregation. Caller epilogue: materialize, then
+    * Sharding.releaseShardCaches(). */
+  def drawUniformityAudit(
+      df: DataFrame,
+      keyCol: Column,
+      roundTo: Int = 6): DataFrame = {
+    val draws = df.select(Sketches.kmvDraw(keyCol).as("u"))
+      .where(col("u").isNotNull)
+      .distinct()
+    val ranked = Sharding.rankByColumns(draws, Seq("u"))
+    // rankByColumns caches its partitioned frame, so both passes below
+    // (the count and the maxima) read that cache, never the corpus
+    val nRow = ranked.agg(count(lit(1)).as("n"))
+    ranked
+      .crossJoin(broadcast(nRow))
+      .agg(
+        max("n").as("n"),
+        // pos is 0-based: ECDF steps are (pos+1)/n above, pos/n below
+        max(expr("CAST(pos + 1 AS DOUBLE) / CAST(n AS DOUBLE) - u"))
+          .as("dp"),
+        max(expr("u - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")).as("dm"))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(col("dp"), roundTo)).as("d_plus"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(col("dm"), roundTo)).as("d_minus"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(greatest(col("dp"), col("dm")), roundTo)).as("d"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            sqrt(col("n").cast("double")) * greatest(col("dp"), col("dm")),
+            roundTo)).as("d_scaled"))
+  }
+
   def benfordDigitCounts(df: DataFrame, value: Column): DataFrame =
     df.select(value.cast("double").as("v"))
       .where(col("v") >= 1.0d)

@@ -8818,6 +8818,41 @@ object OperatorQueries {
         |      4) END AS dof
         |FROM c ORDER BY n_a""".stripMargin),
 
+    // One-sample KS uniformity audit of the HOUSE md5 draw — the
+    // self-check under every deterministic sampler/sketch in the repo.
+    // Distinct draws, two-phase range-exchange rank, one maxima agg.
+    "x218_draw_uniformity" -> sql(
+      (s, dir) => {
+        val out = DataQuality.drawUniformityAudit(
+          Tables.documents(s, dir), col("doc_id")).cache()
+        out.count()
+        Sharding.releaseShardCaches()
+        out
+      },
+      """WITH u AS (
+        |  SELECT DISTINCT CAST(list_reduce(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT u, row_number() OVER (ORDER BY u) - 1 AS pos FROM u),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM u),
+        |a AS (
+        |  SELECT max(nn.n)::BIGINT AS n,
+        |    max(CAST(pos + 1 AS DOUBLE) / CAST(nn.n AS DOUBLE) - u) AS dp,
+        |    max(u - CAST(pos AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS dm
+        |  FROM r, nn)
+        |SELECT coalesce(n, 0)::BIGINT AS n,
+        |  CASE WHEN coalesce(n, 0) = 0 THEN NULL
+        |    ELSE round(dp, 6) END AS d_plus,
+        |  CASE WHEN coalesce(n, 0) = 0 THEN NULL
+        |    ELSE round(dm, 6) END AS d_minus,
+        |  CASE WHEN coalesce(n, 0) = 0 THEN NULL
+        |    ELSE round(greatest(dp, dm), 6) END AS d,
+        |  CASE WHEN coalesce(n, 0) = 0 THEN NULL
+        |    ELSE round(sqrt(n::DOUBLE) * greatest(dp, dm), 6) END AS d_scaled
+        |FROM a ORDER BY n""".stripMargin),
+
     // Top-50 vocabulary alignment between src0 and the rest of the
     // corpus: set overlap, exact Jaccard ppm and RBO over the
     // (count DESC, term) rankings — one tokenization, TakeOrdered cuts.

@@ -356,7 +356,9 @@ object BenchScale {
     "x217_vocab_overlap" -> 1.3,
     // one distinct exchange + the two-phase range-exchange rank + one
     // maxima aggregation over the cached rank frame
-    "x218_draw_uniformity" -> 1.3)
+    "x218_draw_uniformity" -> 1.3,
+    // one aggregation of four conditional sums; 1-row close
+    "x219_ab_readout" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1728,6 +1728,79 @@ object Evaluation {
         })
   }
 
+  /** One-stop A/B readout — the composed flagship of the experiment
+    * family: from ONE aggregation of the four conditional sums x172/x215
+    * share, report both rates, the observed absolute effect, the pooled
+    * z (x172's algebra), the 5%/80% minimum detectable effect (x215's
+    * literal quantiles), and the POWERED verdict |diff| ≥ MDE — the
+    * "significant, but was the test even big enough to trust a null?"
+    * row an experiment review starts from. One row:
+    * (n_a, n_b, p_a_ppm, p_b_ppm, diff_ppm, z, mde_ppm, powered).
+    *
+    * Exact integer ppm rates and diff; z and MDE in the same documented
+    * double algebra as their standalone lenses (bit-identical by
+    * construction — the spec pins equality against x172/x215). */
+  def abReadout(
+      df: DataFrame,
+      inA: Column,
+      success: Column,
+      roundTo: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = success.cast("boolean")
+    val a = inA.cast("boolean")
+    df.where(s.isNotNull && a.isNotNull)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("na"),
+        sum(when(!a, 1L).otherwise(0L)).as("nb"),
+        sum(when(a && s, 1L).otherwise(0L)).as("xa"),
+        sum(when(!a && s, 1L).otherwise(0L)).as("xb"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(xa AS $dec) * 1000000) div na")
+            .cast("long")).as("p_a_ppm"),
+        when(col("nb") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(xb AS $dec) * 1000000) div nb")
+            .cast("long")).as("p_b_ppm"),
+        when(col("na") === 0L || col("nb") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""abs((CAST(xa AS $dec) * 1000000) div na
+               |  - (CAST(xb AS $dec) * 1000000) div nb)""".stripMargin)
+            .cast("long")).as("diff_ppm"),
+        // x172's z, verbatim algebra
+        when(col("na") === 0L || col("nb") === 0L ||
+          col("xa") + col("xb") === 0L ||
+          col("xa") + col("xb") === col("na") + col("nb"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("xa").cast("double") / col("na").cast("double") -
+              col("xb").cast("double") / col("nb").cast("double")) /
+              sqrt((expr("CAST(xa + xb AS DOUBLE)") /
+                expr("CAST(na + nb AS DOUBLE)")) *
+                (lit(1.0d) - expr("CAST(xa + xb AS DOUBLE)") /
+                  expr("CAST(na + nb AS DOUBLE)")) *
+                (lit(1.0d) / col("na").cast("double") +
+                  lit(1.0d) / col("nb").cast("double"))), roundTo))
+          .as("z"),
+        // x215's MDE, verbatim algebra
+        {
+          val p = expr("CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)")
+          val nh = lit(2.0d) /
+            (lit(1.0d) / col("na").cast("double") +
+              lit(1.0d) / col("nb").cast("double"))
+          when(col("na") === 0L || col("nb") === 0L ||
+            p <= 0.0d || p >= 1.0d, lit(null).cast("long"))
+            .otherwise((round(
+              lit(1.9599639845400545d + 0.8416212335729143d) *
+                sqrt(lit(2.0d) * p * (lit(1.0d) - p) / nh) * lit(1000000.0d),
+              0)).cast("long")).as("mde_ppm")
+        })
+      .withColumn("powered",
+        when(col("diff_ppm").isNull || col("mde_ppm").isNull,
+          lit(null).cast("boolean"))
+          .otherwise(col("diff_ppm") >= col("mde_ppm")))
+  }
+
   /** Cochran's Q test (Cochran 1950) on k PAIRED binary classifiers —
     * the k-way generalization of [[mcnemar]]: do ANY of the heuristics
     * err at a different rate on the SAME documents? With x_ij ∈ {0,1}

@@ -8818,6 +8818,54 @@ object OperatorQueries {
         |      4) END AS dof
         |FROM c ORDER BY n_a""".stripMargin),
 
+    // One-stop A/B readout over the x172/x215 conditional-sum state:
+    // rates, observed effect, pooled z, MDE and the POWERED verdict.
+    "x219_ab_readout" -> sql(
+      (s, dir) => Evaluation.abReadout(
+        Tables.events(s, dir),
+        col("user_id") % 2 === 0,
+        col("event_type") === "purchase"),
+      """WITH t AS (
+        |  SELECT (user_id % 2 = 0) AS a, (event_type = 'purchase') AS s
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN a AND s THEN 1 ELSE 0 END)::BIGINT AS xa,
+        |    sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END)::BIGINT AS xb
+        |  FROM t),
+        |o AS (
+        |  SELECT na, nb,
+        |    CASE WHEN na = 0 THEN NULL
+        |      ELSE (xa::HUGEINT * 1000000) // na END AS p_a_ppm,
+        |    CASE WHEN nb = 0 THEN NULL
+        |      ELSE (xb::HUGEINT * 1000000) // nb END AS p_b_ppm,
+        |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |      ELSE abs((xa::HUGEINT * 1000000) // na
+        |        - (xb::HUGEINT * 1000000) // nb) END AS diff_ppm,
+        |    CASE WHEN na = 0 OR nb = 0 OR xa + xb = 0
+        |        OR xa + xb = na + nb THEN NULL
+        |      ELSE round((xa::DOUBLE / na::DOUBLE - xb::DOUBLE / nb::DOUBLE)
+        |        / sqrt(((xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |          * (1.0 - (xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |          * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)), 4) END AS z,
+        |    CASE WHEN na = 0 OR nb = 0
+        |        OR (xa + xb)::DOUBLE / (na + nb)::DOUBLE <= 0.0
+        |        OR (xa + xb)::DOUBLE / (na + nb)::DOUBLE >= 1.0 THEN NULL
+        |      ELSE CAST(round(2.801585218112969
+        |        * sqrt(2.0 * ((xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |            * (1.0 - (xa + xb)::DOUBLE / (na + nb)::DOUBLE)
+        |            / (2.0 / (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)))
+        |        * 1000000.0, 0) AS BIGINT) END AS mde_ppm
+        |  FROM agg)
+        |SELECT na AS n_a, nb AS n_b, p_a_ppm::BIGINT AS p_a_ppm,
+        |  p_b_ppm::BIGINT AS p_b_ppm, diff_ppm::BIGINT AS diff_ppm, z,
+        |  mde_ppm,
+        |  CASE WHEN diff_ppm IS NULL OR mde_ppm IS NULL THEN NULL
+        |    ELSE diff_ppm >= mde_ppm END AS powered
+        |FROM o ORDER BY n_a""".stripMargin),
+
     // One-sample KS uniformity audit of the HOUSE md5 draw — the
     // self-check under every deterministic sampler/sketch in the repo.
     // Distinct draws, two-phase range-exchange rank, one maxima agg.

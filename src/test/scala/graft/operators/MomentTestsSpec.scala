@@ -64,6 +64,27 @@ class MomentTestsSpec extends SparkSpec {
     assert(r.getLong(3) == expected)
   }
 
+  test("ab readout: z and mde equal the standalone x172/x215 lenses; " +
+    "the powered verdict compares observed effect to MDE") {
+    val rows = (1 to 40).map(i => (i % 2 == 0, i % 5 == 0 || i % 2 == 0 && i % 3 == 0))
+    val df = rows.toDF("a", "s")
+    val r = Evaluation.abReadout(df, col("a"), col("s")).collect().head
+    val z = Evaluation.twoProportionZ(df, col("a"), col("s")).collect().head
+    val m = Evaluation.mdeReport(df, col("s"), col("a")).collect().head
+    assert(r.getDouble(5) == z.getDouble(z.length - 1))
+    assert(r.getLong(6) == m.getLong(3))
+    assert(r.getBoolean(7) == (r.getLong(4) >= r.getLong(6)))
+  }
+
+  test("ab readout: a huge effect on a big-enough sample is powered") {
+    val df = ((1 to 50).map(_ => (true, true)) ++
+      (1 to 50).map(_ => (false, false))).toDF("a", "s")
+    val r = Evaluation.abReadout(df, col("a"), col("s")).collect().head
+    assert(r.getLong(4) == 1000000L)
+    // all-success-in-A/all-fail-in-B: pooled p = 0.5 → MDE defined
+    assert(!r.isNullAt(6) && r.getBoolean(7))
+  }
+
   test("mde: all-success or empty cohort → NULL") {
     val all = Seq((true, true), (true, false)).toDF("s", "a")
     assert(Evaluation.mdeReport(all, col("s"), col("a"))

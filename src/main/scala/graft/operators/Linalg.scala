@@ -17,14 +17,18 @@ import graft.functions.GraftGramAgg
   * once to score), nothing row-sized ever reaches the driver, and no
   * iteration re-reads the data — the iterations run on a dim×dim matrix.
   *
-  * Determinism contract (what makes these oracle-checkable): the raw sums
-  * are fp-order-dependent, so every normalized moment (sum/n) is rounded
-  * to 6 decimals FIRST — the same quantization contract as x56's
-  * centroids — and all driver iterations then run on identical binary64
-  * inputs with ordered folds (i-ascending dot products, the exact
-  * evaluation order DuckDB's list_dot_product uses). Every add/mul/div/
-  * sqrt afterwards is a correctly-rounded IEEE op on identical inputs, so
-  * components, eigenvalues and weights replay bit-for-bit in SQL.
+  * Determinism contract (what makes these oracle-checkable): the gram
+  * sums themselves are order-independent — graft_gram_agg quantizes each
+  * per-row contribution to the fixed 2⁻²⁰ grid and accumulates integers
+  * (see GraftGramAgg), so the buffer is bit-identical under any
+  * partitioning and the oracle replays the identical grid in SQL. Every
+  * normalized moment (sum/n) is additionally rounded to 6 decimals — the
+  * same quantization contract as x56's centroids — and all driver
+  * iterations then run on identical binary64 inputs with ordered folds
+  * (i-ascending dot products, the exact evaluation order DuckDB's
+  * list_dot_product uses). Every add/mul/div/sqrt afterwards is a
+  * correctly-rounded IEEE op on identical inputs, so components,
+  * eigenvalues and weights replay bit-for-bit in SQL.
   *
   * PCA: power iteration (fixed iters from v₀ = 1/√dim · 1) on the rounded
   * covariance, then Hotelling deflation for the second component — the

@@ -9494,12 +9494,15 @@ object OperatorQueries {
        #|nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
        #|idx AS (SELECT i FROM range(0, 64) t(i)),
        #|mu AS MATERIALIZED (
-       #|  SELECT i.i AS i, round(sum(d.e[i.i + 1]) / (SELECT n FROM nn), 6) AS m
+       #|  SELECT i.i AS i,
+       #|    round((sum(floor(d.e[i.i + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+       #|           / 1048576.0) / (SELECT n FROM nn), 6) AS m
        #|  FROM d CROSS JOIN idx i GROUP BY i.i),
        #|prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
        #|s2 AS MATERIALIZED (
        #|  SELECT prx.i, prx.j,
-       #|    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+       #|    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+       #|           / 1048576.0) / (SELECT n FROM nn), 6) AS s
        #|  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
        #|cov AS MATERIALIZED (
        #|  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS c
@@ -9559,12 +9562,15 @@ object OperatorQueries {
         #|prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
         #|s2 AS MATERIALIZED (
         #|  SELECT prx.i, prx.j,
-        #|    round(sum(d.e[prx.i + 1] * d.e[prx.j + 1]) / (SELECT n FROM nn), 6) AS s
+        #|    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        #|           / 1048576.0) / (SELECT n FROM nn), 6) AS s
         #|  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
         #|am AS MATERIALIZED (SELECT i, j, s AS a FROM s2 UNION ALL SELECT j, i, s FROM s2 WHERE i <> j),
         #|arows AS MATERIALIZED (SELECT i, list(a ORDER BY j) AS rw FROM am GROUP BY i),
         #|bh AS MATERIALIZED (
-        #|  SELECT i.i AS i, round(sum(d.e[i.i + 1] * d.y) / (SELECT n FROM nn), 6) AS b
+        #|  SELECT i.i AS i,
+        #|    round((sum(floor(d.e[i.i + 1] * d.y * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        #|           / 1048576.0) / (SELECT n FROM nn), 6) AS b
         #|  FROM d CROSS JOIN idx i GROUP BY i.i),
         #|bl AS MATERIALIZED (SELECT list(b ORDER BY i) AS b FROM bh),
         #|trc AS MATERIALIZED (

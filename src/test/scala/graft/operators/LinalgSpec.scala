@@ -34,7 +34,7 @@ class LinalgSpec extends SparkSpec {
     assert(out == 1.5f.toDouble * 2.0 + (-2.0f).toDouble * 3.0 + 0.25f.toDouble * 4.0)
   }
 
-  test("graft_gram_agg sums match direct computation across partitions") {
+  test("graft_gram_agg sums EXACTLY equal the quantized direct computation") {
     val dim = 3
     val rows = Seq(
       (vec(1.0, 2.0, 3.0), 1.0),
@@ -48,18 +48,51 @@ class LinalgSpec extends SparkSpec {
     assert(g(0) == 5.0)
     val xs = rows.map(_._1.map(_.toDouble))
     val ys = rows.map(_._2)
+    def qsum(terms: Seq[Double]): Double =
+      terms.map(GraftGramAgg.quantize).sum.toDouble / GraftGramAgg.Scale
     (0 until dim).foreach { i =>
-      assert(math.abs(g(1 + i) - xs.map(_(i)).sum) < 1e-9, s"s_$i")
+      assert(g(1 + i) == qsum(xs.map(_(i))), s"s_$i")
       (i until dim).foreach { j =>
-        val direct = xs.map(x => x(i) * x(j)).sum
-        assert(math.abs(g(GraftGramAgg.triIndex(dim, i, j)) - direct) < 1e-9,
+        assert(g(GraftGramAgg.triIndex(dim, i, j)) == qsum(xs.map(x => x(i) * x(j))),
           s"s_${i}_$j")
       }
-      val sy = xs.zip(ys).map { case (x, y) => x(i) * y }.sum
-      assert(math.abs(g(1 + dim + dim * (dim + 1) / 2 + i) - sy) < 1e-9, s"sy_$i")
+      assert(g(1 + dim + dim * (dim + 1) / 2 + i) ==
+        qsum(xs.zip(ys).map { case (x, y) => x(i) * y }), s"sy_$i")
     }
-    assert(math.abs(g(g.length - 2) - ys.sum) < 1e-12)
-    assert(math.abs(g(g.length - 1) - ys.map(y => y * y).sum) < 1e-12)
+    assert(g(g.length - 2) == qsum(ys))
+    assert(g(g.length - 1) == qsum(ys.map(y => y * y)))
+    // grid loss stays invisible at the 6-dp consumption contract
+    (0 until dim).foreach { i =>
+      assert(math.abs(g(1 + i) - xs.map(_(i)).sum) < 5 * 4.8e-7, s"grid_$i")
+    }
+  }
+
+  test("graft_gram_agg buffer is BIT-identical under shuffled partition layouts") {
+    // adversarial values: float32 lattice points whose products land within
+    // ulps of 2^-20 grid midpoints AND whose 6-dp moments sit near rounding
+    // boundaries — the exact regime where the old quantize-after-sum buffer
+    // flipped between runs (x109's round-9 hash flake)
+    val dim = 4
+    val noise = lcg(20260815L)
+    val rows = (0 until 997).map { i =>
+      val base = noise.next()
+      (vec(
+        base * 1.0000005,
+        (i % 7 - 3).toDouble / 7.0 + noise.next() * 1e-7,
+        math.sin(i.toDouble) * 0.5 + 0.00000049999,
+        noise.next()),
+        (i % 3).toDouble + noise.next() * 1e-6)
+    }
+    val df = rows.toDF("v", "y")
+    def buf(parts: Int): Seq[Long] = {
+      val shaped = if (parts == 0) df else df.repartition(parts)
+      shaped.agg(call_function("graft_gram_agg", col("v"), col("y"), lit(dim)))
+        .head().getSeq[Double](0).map(java.lang.Double.doubleToRawLongBits)
+    }
+    val reference = buf(0)
+    Seq(1, 8, 97).foreach { p =>
+      assert(buf(p) == reference, s"buffer under repartition($p) must be bit-identical")
+    }
   }
 
   test("graft_gram_agg rejects a wrong-length vector") {

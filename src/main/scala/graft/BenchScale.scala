@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
+  /** Observed x15 growth exponents from prior sweeps (rounds 8-9) — the
+    * empirical noise band that justifies the 2.1 budget over the exhibit's
+    * theoretical 2.0. Append when a sweep lands outside the recorded
+    * spread; a drift past 2.1 is a regression, not noise. */
+  private val x15ExponentHistory: Seq[Double] = Seq(1.85, 1.91, 1.94, 2.01)
+
   /** (query, exponent budget). Classes:
     *   1.2 — scans, sketches, pure projections, bounded-state aggs
     *   1.3 — one-keyed-exchange aggs/joins/windows; broadcast retrieval
@@ -358,7 +364,19 @@ object BenchScale {
     // maxima aggregation over the cached rank frame
     "x218_draw_uniformity" -> 1.3,
     // one aggregation of four conditional sums; 1-row close
-    "x219_ab_readout" -> 1.2)
+    "x219_ab_readout" -> 1.2,
+    // three banded-candidate legs (collision-driven buckets at the scale
+    // fixture's perturbed-copy density) composed into one tag union —
+    // the block-local candidate-join class
+    "x106_dedup_method_venn" -> 1.5,
+    // constant 20-query probe set over the codes projection: LUT folds
+    // scan candidates linearly; re-rank is k-bounded (the x102 class)
+    "x107_ivfpq_topk" -> 1.3,
+    // ridge fit (bounded gram state) + ONE keyed agg to ≤ 12 bins
+    "x113_calibration" -> 1.3,
+    // pivot pick = TakeOrdered over the base; both assignments are pure
+    // plan-literal projections; ledger = one keyed agg to |cells| rows
+    "x114_ivf_incremental" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -439,8 +457,10 @@ object BenchScale {
         }
         // the exhibit's EXPECTED exponent is 2.0 (that is its point) — a
         // budget at exactly the expectation is a coin flip against host
-        // noise (measured 1.85/1.91/2.01 across sweeps), so allow the
-        // noise band above it
+        // noise, so allow the noise band above it. Observed history is
+        // RECORDED (x15ExponentHistory, emitted into the artifact) so the
+        // 2.1 bound stays auditable against drift instead of silently
+        // absorbing a real regression.
         Seq(report(Row("x15_fixed_ncentroids8", 2.1,
           run(smallDir, 8), run(bigDir, 8))))
       } else Seq.empty
@@ -465,6 +485,16 @@ object BenchScale {
     }
     val breaches = rows.filterNot(_.ok)
     md ++= s"\n**${rows.size} audited, ${breaches.size} budget breaches.**\n"
+    // exponent provenance for the one budget that was widened above its
+    // theoretical expectation: the observed history justifies (and bounds)
+    // the noise band — a future sweep drifting past it is a REAL regression
+    // even while still under the 2.1 gate
+    rows.find(_.name == "x15_fixed_ncentroids8").foreach { r =>
+      md ++= "\nx15 exponent history (expected 2.0; budget 2.1 = expectation " +
+        "+ observed noise band): rounds 8-9 measured " +
+        x15ExponentHistory.map(e => f"$e%.2f").mkString(", ") +
+        f"; this sweep ${r.exponent}%.2f.\n"
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote $outMd")

@@ -1861,7 +1861,9 @@ object Evaluation {
     * score into a probability without assuming a sigmoid shape. Output
     * per score bin ASC: (bin, lo, n, n_pos, raw_ppm, fitted_ppm) with
     * fitted non-decreasing; adjacent bins whose raw rates violate
-    * monotonicity share one pooled fitted rate.
+    * monotonicity share one pooled fitted rate. lo is the bin's left
+    * edge, NULL on the −1/nBins clamp bins (open out-of-unit buckets,
+    * not 1/nBins-wide intervals).
     *
     * Instead of the sequential pool-adjacent-violators stack (which a
     * SQL lambda cannot loop), the fit uses the minimax identity
@@ -1888,7 +1890,11 @@ object Evaluation {
         .persist())
     pavFit(cells)
       .select(col("bin"),
-        round(col("bin") / lit(nBins.toDouble), 4).as("lo"),
+        // lo is the bin's real left edge — the −1/nBins CLAMP bins are open
+        // buckets (score < 0 / score ≥ 1), not 1/nBins-wide intervals, so
+        // they carry a NULL edge instead of a fabricated one
+        when(col("bin") < 0 || col("bin") >= nBins, lit(null).cast("double"))
+          .otherwise(round(col("bin") / lit(nBins.toDouble), 4)).as("lo"),
         col("n"), col("n_pos"),
         expr(s"(CAST(n_pos AS $dec) * 1000000) div n").cast("long").as("raw_ppm"),
         col("fitted_ppm"))

@@ -144,8 +144,11 @@ object MixtureSampling {
     val w = Window.partitionBy("g")
       .orderBy(md5(concat_ws(":", lit(seed), col("id").cast("string"))),
         col("id"))
+    // the draw pool is the SAME population the (n, σ) allocation was
+    // computed from — a NULL-value row never informed any stratum's cap,
+    // so it must not compete for a slot either
     df.select(col(stratumCol).cast("string").as("g"), col(idCol).as("id"))
-      .where(col("g").isNotNull)
+      .where(col("g").isNotNull && value.cast("long").isNotNull)
       .join(broadcast(quota), Seq("g"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= col("alloc"))

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * table and one cumulative window over THAT (bounded: quality scores
   * are 4-dp-quantized, lengths are bounded integers, priors are
   * per-source constants), then a broadcast-sized value→rank map joins
-  * back — corpus rows are never globally sorted. */
+  * back — corpus rows are never globally sorted. The final fused rank is
+  * the two-phase range-exchange rank (Sharding.rankByColumns), NEVER a
+  * single-partition row_number window over the corpus. Caller epilogue:
+  * materialize, then Sharding.releaseShardCaches(). */
 object SignalFusion {
 
     /** Blend `signals` (column name → weight) into (…keep, fused, rank).
@@ -56,12 +59,17 @@ object SignalFusion {
     }
     val fused = signals.map { case (s, wt) => col(s"__r_$s") * lit(wt) }
       .reduce(_ + _)
-    cur
-      .withColumn("fused", round(fused, roundTo))
-      .select((keep.map(col) :+ col("fused")): _*)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("fused"), col(keep.head)))
-          .cast("long"))
+    // rank 1 = highest fused: two-phase range rank ascending on (−fused,
+    // tiebreak) — fused is a positive rounded blend, so negation is an
+    // exact order reversal
+    Sharding.rankByColumns(
+      cur
+        .withColumn("fused", round(fused, roundTo))
+        .select((keep.map(col) :+ col("fused")): _*)
+        .withColumn("__negf", -col("fused")),
+      Seq("__negf", keep.head))
+      .withColumn("rank", col("pos") + 1L)
+      .select((keep.map(col) ++ Seq(col("fused"), col("rank"))): _*)
   }
 
   /** Exact quantile normalization against the pooled corpus: each row's

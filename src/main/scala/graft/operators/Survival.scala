@@ -116,10 +116,11 @@ object Survival {
     *   S_FH  = exp(−H)                            (Fleming–Harrington),
     * the hazard-scale view a churn model regresses on where KM's
     * product-limit only plots. Same order-pinned array-fold discipline:
-    * at-risk suffix sums and both running sums fold over the ONE
+    * at-risk suffix sums and all three running sums fold over the ONE
     * collected calendar-bounded row, so every fp term is
     * partition-order-free (list_reduce replay). Output per duration:
-    * (duration, at_risk, events, censored, cum_hazard, fh_survival). */
+    * (duration, at_risk, events, censored, cum_hazard, fh_survival,
+    * na_var). */
   def finishNa(lifeTable: DataFrame, roundTo: Int = 6): DataFrame =
     lifeTable
       .agg(sort_array(collect_list(struct(
@@ -138,15 +139,25 @@ object Survival {
         """aggregate(hs, array(CAST(0.0 AS DOUBLE)),
           |  (acc, x) -> concat(acc, array(element_at(acc, -1) + x)))"""
           .stripMargin))
+      // Klein–Moeschberger variance terms events/at_risk², same fold shape
+      .withColumn("hv", expr(
+        """zip_with(o, slice(rs, 1, size(o)),
+          |  (x, r) -> CAST(x.events AS DOUBLE) /
+          |    (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)))""".stripMargin))
+      .withColumn("cumv", expr(
+        """aggregate(hv, array(CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> concat(acc, array(element_at(acc, -1) + x)))"""
+          .stripMargin))
       .select(posexplode(col("o")).as(Seq("i", "s")),
-        col("rs"), col("cum"))
+        col("rs"), col("cum"), col("cumv"))
       .select(
         col("s.duration").as("duration"),
         expr("element_at(rs, i + 1)").as("at_risk"),
         col("s.events").as("events"),
         col("s.censored").as("censored"),
         round(expr("element_at(cum, i + 2)"), roundTo).as("cum_hazard"),
-        round(exp(-expr("element_at(cum, i + 2)")), roundTo).as("fh_survival"))
+        round(exp(-expr("element_at(cum, i + 2)")), roundTo).as("fh_survival"),
+        round(expr("element_at(cumv, i + 2)"), roundTo).as("na_var"))
 
   /** The composed Nelson–Aalen estimator: events → per-user durations →
     * life table → hazard curve. One corpus scan, same life table as

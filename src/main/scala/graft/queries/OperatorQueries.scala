@@ -4605,10 +4605,14 @@ object OperatorQueries {
         val sig = docs.select(col("doc_id"), col("source"), col("n_chars"),
             call_function("graft_quality_score", col("text")).as("q"))
           .join(broadcast(prior), Seq("source"))
-        SignalFusion.fuseRanked(sig,
+        val out = SignalFusion.fuseRanked(sig,
           Seq("q" -> 0.5, "n_chars" -> 0.2, "prior" -> 0.3),
           keep = Seq("doc_id"))
           .orderBy("rank")
+        val materialized = out.cache()
+        materialized.count()
+        Sharding.releaseShardCaches()
+        materialized
       },
       """WITH f AS MATERIALIZED (
         |  SELECT doc_id, source, n_chars, trim(text) AS txt,
@@ -4748,12 +4752,17 @@ object OperatorQueries {
               .otherwise(lit("supplier")).as("node_type"),
             expr("node div 2").as("entity_key"),
             col("rank_fp"))
+        // Top-100 epilogue, the x47 pattern: distributed TakeOrdered FIRST
+        // (orderBy+limit → TakeOrderedAndProject, per-partition heaps), then
+        // the rank window runs on the 100-row result — never the full node
+        // frame through one partition.
         val out = ranked
+          .orderBy(desc("rank_fp"), col("node_type"), col("entity_key"))
+          .limit(100)
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(desc("rank_fp"), col("node_type"), col("entity_key")))
             .cast("long"))
-          .where(col("rank") <= 100)
           .orderBy("rank")
         val materialized = out.cache()
         materialized.count()
@@ -5483,14 +5492,18 @@ object OperatorQueries {
           .agg(countDistinct(o("o_orderkey")).as("cnt"))
           .where(col("cnt") >= 2)
           .select(col("c"), col("p"))
+        // Top-100 epilogue, the x47 pattern: TakeOrdered the Σdeg² wedge-pair
+        // frame down to 100 rows FIRST (per-partition heaps), then rank the
+        // 100-row result — the full pair frame never crosses one partition.
         val out = Graph.sharedNeighborScores(strong, "c", "p")
           .select(col("a").as("cust_a"), col("b").as("cust_b"),
             col("shared"), col("ra_fp"))
+          .orderBy(desc("ra_fp"), col("cust_a"), col("cust_b"))
+          .limit(100)
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(desc("ra_fp"), col("cust_a"), col("cust_b")))
             .cast("long"))
-          .where(col("rank") <= 100)
           .orderBy("rank")
         val materialized = out.cache()
         materialized.count()
@@ -8038,7 +8051,9 @@ object OperatorQueries {
         |f AS (
         |  SELECT bin, n, n_pos, max(mn)::BIGINT AS fitted_ppm
         |  FROM mn GROUP BY 1, 2, 3)
-        |SELECT bin, round(bin / 10.0, 4) AS lo, n, n_pos,
+        |SELECT bin,
+        |  CASE WHEN bin < 0 OR bin >= 10 THEN NULL
+        |    ELSE round(bin / 10.0, 4) END AS lo, n, n_pos,
         |  ((n_pos::HUGEINT * 1000000) // n)::BIGINT AS raw_ppm, fitted_ppm
         |FROM f ORDER BY bin""".stripMargin),
 
@@ -8295,17 +8310,25 @@ object OperatorQueries {
         |    (acc, x) -> list_append(acc, acc[-1] - x[1])) AS rs FROM f1),
         |f3 AS (
         |  SELECT o, rs, list_transform(generate_series(1, len(o)),
-        |    i -> o[i][2]::DOUBLE / rs[i]::DOUBLE) AS hs FROM f2),
+        |    i -> o[i][2]::DOUBLE / rs[i]::DOUBLE) AS hs,
+        |  list_transform(generate_series(1, len(o)),
+        |    i -> o[i][2]::DOUBLE / (rs[i]::DOUBLE * rs[i]::DOUBLE)) AS hv
+        |  FROM f2),
         |f4 AS (
         |  SELECT o, rs, list_reduce(
         |    list_prepend([0.0::DOUBLE], list_transform(hs, f -> [f])),
-        |    (acc, x) -> list_append(acc, acc[-1] + x[1])) AS cum FROM f3),
+        |    (acc, x) -> list_append(acc, acc[-1] + x[1])) AS cum,
+        |  list_reduce(
+        |    list_prepend([0.0::DOUBLE], list_transform(hv, f -> [f])),
+        |    (acc, x) -> list_append(acc, acc[-1] + x[1])) AS vs
+        |  FROM f3),
         |ex AS (
-        |  SELECT unnest(generate_series(1, len(o))) AS i, o, rs, cum FROM f4)
+        |  SELECT unnest(generate_series(1, len(o))) AS i, o, rs, cum, vs FROM f4)
         |SELECT o[i][1]::BIGINT AS duration, rs[i]::BIGINT AS at_risk,
         |  o[i][2]::BIGINT AS events, o[i][3]::BIGINT AS censored,
         |  round(cum[i + 1], 6) AS cum_hazard,
-        |  round(exp(-cum[i + 1]), 6) AS fh_survival
+        |  round(exp(-cum[i + 1]), 6) AS fh_survival,
+        |  round(vs[i + 1], 6) AS na_var
         |FROM ex ORDER BY duration""".stripMargin),
 
     // Recalibration-lift flagship: fit the PAV isotonic map on the ridge
@@ -8443,7 +8466,7 @@ object OperatorQueries {
         |      AS rk,
         |    a.alloc
         |  FROM documents d JOIN al a ON a.g = d.source::VARCHAR
-        |  WHERE d.source IS NOT NULL)
+        |  WHERE d.source IS NOT NULL AND d.n_chars IS NOT NULL)
         |SELECT stratum, id, rk FROM drawn WHERE rk <= alloc
         |ORDER BY stratum, rk""".stripMargin),
 

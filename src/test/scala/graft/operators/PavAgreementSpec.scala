@@ -106,12 +106,12 @@ class PavAgreementSpec extends SparkSpec {
       nCells = 2, seed = "v1").collect().head
     Clustering.releaseCaches()
     assert(r.getLong(0) == 12L && r.getLong(1) == 2L)
-    // the two pivot cells split the two blobs exactly (pivots land in
-    // each blob or assignment still separates by sign) — ARI/NMI = 1
-    if (r.getLong(2) == 2L) {
-      assert(r.getLong(3) == 1000000L)
-      assert(r.getDouble(4) == 1.0d)
-    }
+    // the blob geometry guarantees the md5-seeded pivots separate the two
+    // blobs for this seed — n_cells MUST be 2 (a 1-cell outcome would have
+    // silently skipped the ARI/NMI assertions in an earlier revision)
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1000000L)
+    assert(r.getDouble(4) == 1.0d)
   }
 
   test("agreement: label-independent single cell → ARI 0, NULL NMI") {

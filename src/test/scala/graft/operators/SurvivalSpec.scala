@@ -78,6 +78,9 @@ class SurvivalSpec extends SparkSpec {
     assert(rows(0).getDouble(5) ==
       math.rint(math.exp(-0.75) * 1e6) / 1e6)
     assert(rows(1).getDouble(4) == 0.75d) // censoring adds no hazard
+    // Klein–Moeschberger variance: 3/4² = 0.1875, flat once events stop
+    assert(rows(0).getDouble(6) == 0.1875d)
+    assert(rows(1).getDouble(6) == 0.1875d)
   }
 
   test("nelson–aalen vs kaplan–meier: exp(−H) ≥ S_KM everywhere, equal " +

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{WholeStageCodegenExec}
+
+import graft.SparkSpec
+
+/** Blanket audit over EVERY declared query: a partition-less Window
+  * (`Window.orderBy(...)` with no partitionBy) funnels its whole input
+  * frame through one partition — the x117/x137 round-9 scale defect. The
+  * rule this spec pins: a global window may only ever rank a frame that
+  * is BOUNDED BY CONSTRUCTION, i.e. its subtree contains a limit
+  * (TakeOrderedAndProject / GlobalLimit / CollectLimit — the x47
+  * "TakeOrdered first, window the survivors" pattern) or the frame is an
+  * explicitly whitelisted metadata-sized aggregate (constant cardinality
+  * in corpus size: calendar days, feature names, quantile grid cells…).
+  * Anything else fails the sweep — catching the next scale-killer at
+  * spec time instead of judge time. */
+class GlobalWindowSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case w: WholeStageCodegenExec => w +: flatten(w.child)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  /** Queries whose global windows run on frames bounded by AGGREGATION to
+    * a cardinality that is constant (or metadata-sized) in corpus size, so
+    * no limit operator appears below the window. Value = (max allowed
+    * count of such windows, justification). The count is pinned: a NEW
+    * partition-less window sneaking into one of these plans still fails
+    * the sweep. */
+  private val boundedAggAllowance: Map[String, (Int, String)] = Map(
+    "d13_count_over" -> (1 ->
+      ("reference-parity count(*) OVER () — documented dimension-table-only contract")),
+    "x66_vocab_growth" -> (1 -> "running sum over the nBuckets(=10)-row bucket frame"),
+    "x98_heaps_fit" -> (1 -> "cumulative fold over the nBuckets-row bucket frame"),
+    "x111_source_prior" -> (1 -> "shrinkage over the |sources| stats frame"),
+    "x112_probe_eval" -> (1 -> "threshold sweep over the 4-dp-quantized score cells"),
+    "x115_signal_fusion" -> (3 ->
+      ("per-signal cumulative over distinct-value cells (4-dp scores / bounded " +
+        "ints / per-source priors); the corpus-wide fused rank is the two-phase " +
+        "range rank, NOT one of these")),
+    "x122_group_kfold" -> (1 -> "fold assignment over the |groups| frame"),
+    "x123_drift_tvd" -> (3 -> "share/diff windows over the domain-bounded cell frame"),
+    "x125_mixture_waterfill" -> (7 ->
+      ("water-filling iterations over the |sources| frame")),
+    "x143_feature_auc" -> (1 ->
+      ("separability rank over the |features|-row frame (x143's own audit pins <= 1)")),
+    "x146_poisson_bootstrap" -> (1 -> "percentile rank over the B-replicate frame"),
+    "x166_source_gini" -> (1 -> "Lorenz rank over the |sources| frame"),
+    "x180_psi_drift" -> (4 -> "bin-share windows over the domain-bounded bin frame"),
+    "x186_jsd_drift" -> (4 -> "bin-share windows over the domain-bounded bin frame"),
+    "x191_cliffs_delta" -> (1 ->
+      ("prefix counts over the distinct-magnitude frame (integer-granular)")),
+    "x192_gains_lift" -> (2 -> "cumulative gains over the distinct-score cells"),
+    "x194_brier_decomposition" -> (3 -> "Murphy close on the <= nBins+2 bin frame"),
+    "x200_boxcox_scan" -> (1 -> "rank over the domain-bounded distinct-value frame"),
+    "x207_neyman_sample" -> (3 ->
+      ("allocation algebra over the |strata| frame (draw window is group-partitioned)")))
+
+  test("every partition-less Window ranks a frame bounded by construction") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df: DataFrame =
+        try fn(spark, dir)
+        catch { case e: Throwable => fail(s"$name failed to build: ${e.getMessage}") }
+      df.collect() // finalize AQE so re-planned stages are visible
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val globals = nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val unbounded = globals.filterNot { w =>
+        val below = flatten(w.child).mkString
+        below.contains("TakeOrdered") ||
+          below.contains("GlobalLimit") || below.contains("CollectLimit")
+      }
+      val allowed = boundedAggAllowance.get(name).map(_._1).getOrElse(0)
+      if (unbounded.size > allowed) offenders +=
+        s"$name: ${unbounded.size} global Window(s) over unbounded frames " +
+          s"(allowance $allowed)\n  ${unbounded.map(_.nodeName).mkString(", ")}"
+      spark.sharedState.cacheManager.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} global-window offender(s):\n${offenders.mkString("\n")}")
+  }
+}

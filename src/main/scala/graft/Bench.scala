@@ -129,6 +129,12 @@ object Bench {
       // number doesn't include query N-1's memory pressure — in-run totals
       // drifted up to 3x from isolated runs before this
       spark.sharedState.cacheManager.clearCache()
+      // cacheManager only covers DataFrame caches — the graph loops' FINAL
+      // localCheckpoint RDDs (their result's lineage root, released only
+      // after the output cache is gone) live in the RDD block store and
+      // accumulated across the sweep (one node-sized RDD per graph query)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       name -> dt
     }

@@ -408,6 +408,9 @@ object BenchScale {
         SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
+        // retire leaked final localCheckpoint RDDs (outside cacheManager)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         dt
       }
@@ -450,6 +453,8 @@ object BenchScale {
               nCentroids = nCentroids, passes = 6).count()
             val dt = (System.nanoTime() - t0) / 1e9
             spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
             System.gc()
             dt
           }

@@ -35,8 +35,11 @@ object Verify {
       // x100 …): the per-operator releaseCaches() frees internal caches,
       // but the output cache is only consumed here — without this, 145
       // output caches accumulate across the sweep (Bench does the same
-      // per-query clear).
+      // per-query clear). getPersistentRDDs additionally retires the graph
+      // loops' final localCheckpoint RDDs, which live outside cacheManager.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

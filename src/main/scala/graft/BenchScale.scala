@@ -376,7 +376,24 @@ object BenchScale {
     "x113_calibration" -> 1.3,
     // pivot pick = TakeOrdered over the base; both assignments are pure
     // plan-literal projections; ledger = one keyed agg to |cells| rows
-    "x114_ivf_incremental" -> 1.3)
+    "x114_ivf_incremental" -> 1.3,
+    // round-10 additions — one keyed window + one sequence-vocab agg
+    "x220_frequent_sequences" -> 1.3,
+    // one keyed-window scan to the |types|² metadata matrix; iterations
+    // run on the driver's tiny matrix (the Linalg shape)
+    "x221_markov_stationary" -> 1.3,
+    "x222_next_event_baseline" -> 1.3,
+    // two keyed aggs to per-user bounded cell state
+    "x223_session_entropy" -> 1.3,
+    // ridge fit (bounded gram state) + two aggregation passes
+    "x224_confident_learning" -> 1.3,
+    // one weight aggregation broadcast back onto a single corpus scan
+    "x225_weak_labels" -> 1.2,
+    // min/max + bin-count aggs to nBins frames, broadcast back — the
+    // corpus is never shuffled; TakeOrdered epilogue
+    "x226_hbos_outliers" -> 1.2,
+    // distinct-value cdf frames broadcast back + TakeOrdered epilogue
+    "x227_ecod_outliers" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, LabelQa, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, Outliers, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequenceMining, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -8937,7 +8937,294 @@ object OperatorQueries {
         out
       },
       vocabOverlapOracle(k = 50, p = 0.9)),
+
+    // Frequent contiguous 3-step event sequences (the corpus-bounded core
+    // of PrefixSpan): one keyed window builds the trigram stream in place,
+    // one aggregation collapses it to the sequence vocabulary with exact
+    // distinct-user support.
+    "x220_frequent_sequences" -> sql(
+      (s, dir) => SequenceMining.frequentSequences(
+        Tables.events(s, dir), col("user_id"), col("event_type"),
+        col("ts"), col("event_id"), k = 3, minUsers = 2L),
+      """WITH e AS (
+        |  SELECT user_id, event_type AS step_1,
+        |    lead(event_type, 1) OVER w AS step_2,
+        |    lead(event_type, 2) OVER w AS step_3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT step_1, step_2, step_3,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM e WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 2
+        |ORDER BY n_users DESC, step_1, step_2, step_3""".stripMargin),
+
+    // Stationary distribution of the user-behavior Markov chain: one
+    // keyed-window scan to the |types|^2 transition matrix (metadata),
+    // then 12 integer fixed-point supersteps on the driver — the
+    // pageRankFixedPoint discipline (shares via div, dangling mass folded
+    // back uniformly), unrolled identically by the oracle.
+    "x221_markov_stationary" -> sql(
+      (s, dir) => SequenceMining.markovStationary(
+        Tables.events(s, dir), col("user_id"), col("event_type"),
+        col("ts"), col("event_id"), iters = 12),
+      s"""WITH ev AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t
+        |  FROM events),
+        |m AS MATERIALIZED (
+        |  SELECT f, t, count(*)::BIGINT AS cnt FROM ev
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |ty AS MATERIALIZED (
+        |  SELECT DISTINCT x AS ty FROM (
+        |    SELECT f AS x FROM m UNION ALL SELECT t FROM m)),
+        |nt AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM ty),
+        |outd AS MATERIALIZED (
+        |  SELECT ty.ty,
+        |    coalesce((SELECT sum(cnt) FROM m WHERE m.f = ty.ty), 0)::BIGINT
+        |      AS n_out
+        |  FROM ty),
+        |p0 AS MATERIALIZED (
+        |  SELECT ty, n_out,
+        |    (1000000000000 // (SELECT k FROM nt))::BIGINT AS r
+        |  FROM outd),
+        |${markovIterCtes(12)}
+        |SELECT ty AS event_type, n_out, r AS pi_fp FROM p12
+        |ORDER BY event_type""".stripMargin),
+
+    // Majority-successor next-event baseline — the skill floor a sequence
+    // model must beat: exact integer argmax per type (ties to the
+    // smallest successor) scored over all observed transitions.
+    "x222_next_event_baseline" -> sql(
+      (s, dir) => SequenceMining.nextEventBaseline(
+        Tables.events(s, dir), col("user_id"), col("event_type"),
+        col("ts"), col("event_id")),
+      """WITH ev AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS cnt FROM ev
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |b AS (
+        |  SELECT from_type, to_type AS predicted_next, cnt AS n_correct,
+        |    sum(cnt) OVER (PARTITION BY from_type)::BIGINT AS n_from,
+        |    row_number() OVER (PARTITION BY from_type
+        |      ORDER BY cnt DESC, to_type) AS rk
+        |  FROM m)
+        |SELECT from_type, predicted_next, n_from, n_correct,
+        |  ((n_correct::HUGEINT * 1000000) // n_from)::BIGINT AS acc_ppm
+        |FROM b WHERE rk = 1 ORDER BY from_type""".stripMargin),
+
+    // Per-user event-type entropy (behavior concentration — the bot/spam
+    // signal): one keyed agg to (user, type) cells, one to the per-user
+    // sorted cell array, order-pinned ln fold (the x199/NMI contract).
+    "x223_session_entropy" -> sql(
+      (s, dir) => SequenceMining.sessionEntropy(
+        Tables.events(s, dir), col("user_id"), col("event_type")),
+      """WITH c AS (
+        |  SELECT user_id, event_type AS ty, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, sum(c)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS n_types, list(c ORDER BY ty) AS cl
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  round(list_reduce(
+        |    list_prepend(0.0::DOUBLE, list_transform(cl, x ->
+        |      -(x::DOUBLE / n_events::DOUBLE) * ln(x::DOUBLE / n_events::DOUBLE))),
+        |    (a, b) -> a + b), 6) AS entropy
+        |FROM u ORDER BY user_id""".stripMargin),
+
+    // Confident-learning label-error joint (Northcutt 2021) over the
+    // ridge probe's scores vs the given labels: per-class floor-div
+    // thresholds on the s4 grid, margin-resolved confident predictions,
+    // off-diagonal cells = label-error candidates. The oracle replays the
+    // ENTIRE chain — ridge fit, scoring, thresholds, margins, joint.
+    "x224_confident_learning" -> sql(
+      (s, dir) => {
+        val scored = Linalg.ridgeProbe(Tables.embeddings(s, dir), "embedding",
+          col("label") < 5, dim = 64, carry = Seq("vec_id"),
+          lambda = 0.1, iters = 48)
+        LabelQa.confidentLearningJoint(scored, col("score"), col("y") === 1.0)
+      },
+      s"""WITH ${ridgeFitCtes},
+        |sc AS MATERIALIZED (
+        |  SELECT CAST(round(round(list_dot_product(d.e, (SELECT w FROM gw48)), 4)
+        |      * 10000.0) AS BIGINT) AS s4,
+        |    (d.y = 1.0) AS g
+        |  FROM d),
+        |thr AS MATERIALIZED (
+        |  SELECT
+        |    (sum(CASE WHEN g THEN s4 ELSE 0 END)
+        |      // greatest(sum(CASE WHEN g THEN 1 ELSE 0 END), 1))::BIGINT AS t_pos,
+        |    (sum(CASE WHEN NOT g THEN 10000 - s4 ELSE 0 END)
+        |      // greatest(sum(CASE WHEN NOT g THEN 1 ELSE 0 END), 1))::BIGINT AS t_neg
+        |  FROM sc),
+        |st AS MATERIALIZED (
+        |  SELECT g, s4 - t.t_pos AS m_pos, (10000 - s4) - t.t_neg AS m_neg,
+        |    t.t_pos, t.t_neg
+        |  FROM sc CROSS JOIN thr t),
+        |pr AS (
+        |  SELECT g,
+        |    CASE WHEN m_pos >= 0 AND m_neg >= 0 THEN
+        |        CASE WHEN m_pos >= m_neg THEN 1 ELSE 0 END
+        |      WHEN m_pos >= 0 THEN 1
+        |      WHEN m_neg >= 0 THEN 0
+        |      ELSE NULL END AS pred,
+        |    t_pos, t_neg
+        |  FROM st),
+        |un AS (SELECT count(*) FILTER (pred IS NULL)::BIGINT AS n_unconfident FROM pr)
+        |SELECT (CASE WHEN g THEN 1 ELSE 0 END)::INT AS given, pred::INT AS pred,
+        |  count(*)::BIGINT AS n, min(t_pos)::BIGINT AS t_pos,
+        |  min(t_neg)::BIGINT AS t_neg,
+        |  (SELECT n_unconfident FROM un) AS n_unconfident
+        |FROM pr WHERE pred IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY given, pred""".stripMargin),
+
+    // Agreement-weighted weak-label merge (the Snorkel-style vote with
+    // exact integer weights) over the three English heuristics x208
+    // tests: majority first, ppm agreement weights, weighted final vote;
+    // `flipped` rows are the curation review queue.
+    "x225_weak_labels" -> sql(
+      (s, dir) => LabelQa.weakLabelModel(
+        Tables.documents(s, dir), col("doc_id"),
+        Seq(instr(lower(col("text")), " the ") > 0,
+          col("n_chars") >= 400L,
+          instr(lower(col("text")), " and ") > 0)),
+      """WITH v AS (
+        |  SELECT doc_id AS id,
+        |    (strpos(lower(text), ' the ') > 0) AS v1,
+        |    (n_chars >= 400) AS v2,
+        |    (strpos(lower(text), ' and ') > 0) AS v3
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |mj AS (
+        |  SELECT *, (v1::INT + v2::INT + v3::INT >= 2) AS majority FROM v),
+        |w AS (
+        |  SELECT
+        |    (sum((v1 = majority)::BIGINT) * 1000000 // count(*))::BIGINT AS w1_ppm,
+        |    (sum((v2 = majority)::BIGINT) * 1000000 // count(*))::BIGINT AS w2_ppm,
+        |    (sum((v3 = majority)::BIGINT) * 1000000 // count(*))::BIGINT AS w3_ppm
+        |  FROM mj),
+        |f AS (
+        |  SELECT mj.*, w.w1_ppm, w.w2_ppm, w.w3_ppm,
+        |    (2 * (CASE WHEN v1 THEN w1_ppm ELSE 0 END
+        |        + CASE WHEN v2 THEN w2_ppm ELSE 0 END
+        |        + CASE WHEN v3 THEN w3_ppm ELSE 0 END)
+        |      >= w1_ppm + w2_ppm + w3_ppm) AS final
+        |  FROM mj CROSS JOIN w)
+        |SELECT id, v1, v2, v3, majority, final,
+        |  (final <> majority) AS flipped, w1_ppm, w2_ppm, w3_ppm
+        |FROM f ORDER BY id""".stripMargin),
+
+    // HBOS outlier top-50 (Goldstein 2012) over three integer document
+    // features: integer floor-div bins against collected min/max
+    // metadata, exact bin densities broadcast back, plan-literal ln sum
+    // in fixed feature order, distributed TakeOrdered epilogue.
+    "x226_hbos_outliers" -> sql(
+      (s, dir) => Outliers.hbosTopK(
+        Tables.documents(s, dir), col("doc_id"),
+        Seq(
+          "n_chars" -> col("n_chars"),
+          "n_spaces" -> (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))),
+          "n_digits" -> length(regexp_replace(col("text"), "[^0-9]", ""))),
+        nBins = 16, topK = 50),
+      hbosEcodBase +
+        """
+        |mm AS MATERIALIZED (
+        |  SELECT min(n_chars) AS mn1, max(n_chars) AS mx1,
+        |    min(n_spaces) AS mn2, max(n_spaces) AS mx2,
+        |    min(n_digits) AS mn3, max(n_digits) AS mx3
+        |  FROM b),
+        |bb AS MATERIALIZED (
+        |  SELECT id, n_chars, n_spaces, n_digits,
+        |    ((n_chars - mm.mn1) * 16) // (mm.mx1 - mm.mn1 + 1) AS b1,
+        |    ((n_spaces - mm.mn2) * 16) // (mm.mx2 - mm.mn2 + 1) AS b2,
+        |    ((n_digits - mm.mn3) * 16) // (mm.mx3 - mm.mn3 + 1) AS b3
+        |  FROM b CROSS JOIN mm),
+        |c1 AS (SELECT b1, count(*)::BIGINT AS c FROM bb GROUP BY 1),
+        |c2 AS (SELECT b2, count(*)::BIGINT AS c FROM bb GROUP BY 1),
+        |c3 AS (SELECT b3, count(*)::BIGINT AS c FROM bb GROUP BY 1),
+        |m1 AS (SELECT max(c)::BIGINT AS m FROM c1),
+        |m2 AS (SELECT max(c)::BIGINT AS m FROM c2),
+        |m3 AS (SELECT max(c)::BIGINT AS m FROM c3)
+        |SELECT bb.id AS id, bb.n_chars, bb.n_spaces, bb.n_digits,
+        |  round(((ln(m1.m::DOUBLE) - ln(c1.c::DOUBLE))
+        |       + (ln(m2.m::DOUBLE) - ln(c2.c::DOUBLE)))
+        |       + (ln(m3.m::DOUBLE) - ln(c3.c::DOUBLE)), 4) AS score
+        |FROM bb
+        |JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+        |CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+        |ORDER BY score DESC, id LIMIT 50""".stripMargin),
+
+    // ECOD outlier top-50 (Li 2022): knob-free two-sided empirical tails
+    // as exact ppm rationals from distinct-value prefix counts (bounded
+    // frames for integer features), ln sum in fixed feature order,
+    // TakeOrdered epilogue.
+    "x227_ecod_outliers" -> sql(
+      (s, dir) => Outliers.ecodTopK(
+        Tables.documents(s, dir), col("doc_id"),
+        Seq(
+          "n_chars" -> col("n_chars"),
+          "n_spaces" -> (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))),
+          "n_digits" -> length(regexp_replace(col("text"), "[^0-9]", ""))),
+        topK = 50),
+      hbosEcodBase + "\n" + Seq(
+        ("n_chars", 1), ("n_spaces", 2), ("n_digits", 3)).map { case (f, i) =>
+        s"""|d$i AS MATERIALIZED (
+          |  SELECT $f, count(*)::BIGINT AS c FROM b GROUP BY 1),
+          |e$i AS MATERIALIZED (
+          |  SELECT $f,
+          |    ((sum(c) OVER (ORDER BY $f ROWS UNBOUNDED PRECEDING)) * 1000000
+          |      // (sum(c) OVER ()))::BIGINT AS le,
+          |    (((sum(c) OVER ()) - (sum(c) OVER (ORDER BY $f
+          |        ROWS UNBOUNDED PRECEDING)) + c) * 1000000
+          |      // (sum(c) OVER ()))::BIGINT AS ge
+          |  FROM d$i)""".stripMargin
+      }.mkString(",\n") +
+        """
+        |SELECT b.id AS id, b.n_chars, b.n_spaces, b.n_digits,
+        |  round(((ln(1000000.0) - ln(least(e1.le, e1.ge)::DOUBLE))
+        |       + (ln(1000000.0) - ln(least(e2.le, e2.ge)::DOUBLE)))
+        |       + (ln(1000000.0) - ln(least(e3.le, e3.ge)::DOUBLE)), 4) AS score
+        |FROM b
+        |JOIN e1 USING (n_chars) JOIN e2 USING (n_spaces) JOIN e3 USING (n_digits)
+        |ORDER BY score DESC, id LIMIT 50""".stripMargin),
   )
+
+  /** Shared base CTE for the x226/x227 outlier oracles: the three integer
+    * features (chars, spaces, digit count) exactly as the Spark side
+    * derives them. */
+  private def hbosEcodBase: String =
+    """WITH b AS MATERIALIZED (
+      |  SELECT doc_id AS id, n_chars,
+      |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_spaces,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),"""
+      .stripMargin
+
+  /** x221's fixed-point supersteps unrolled: share = r div n_out along
+    * every observed transition weighted by its count; dangling mass
+    * (types with no outgoing transitions) redistributes uniformly — the
+    * pagerankIterCtes recurrence on the event-type matrix. */
+  private def markovIterCtes(iters: Int): String =
+    (0 until iters).map { t =>
+      s"""|s$t AS (SELECT ty, r // n_out AS unit FROM p$t WHERE n_out > 0),
+          #|c$t AS (
+          #|  SELECT m.t AS ty, sum(s.unit * m.cnt)::BIGINT AS c
+          #|  FROM m JOIN s$t s ON m.f = s.ty GROUP BY 1),
+          #|g$t AS (
+          #|  SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM p$t WHERE n_out = 0),
+          #|p${t + 1} AS MATERIALIZED (
+          #|  SELECT o.ty, o.n_out,
+          #|    (coalesce(c.c, 0::BIGINT)
+          #|      + ((SELECT dang FROM g$t) // (SELECT k FROM nt)))::BIGINT AS r
+          #|  FROM outd o LEFT JOIN c$t c USING (ty))""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
 
   /** The x202 oracle: both BM25 variants replayed (the x81 CTEs, b=0.75
     * and b=0), matched docs folded in (depth, doc) order with the SAME

@@ -63,7 +63,10 @@ class GlobalWindowSweepSpec extends SparkSpec {
     "x194_brier_decomposition" -> (3 -> "Murphy close on the <= nBins+2 bin frame"),
     "x200_boxcox_scan" -> (1 -> "rank over the domain-bounded distinct-value frame"),
     "x207_neyman_sample" -> (3 ->
-      ("allocation algebra over the |strata| frame (draw window is group-partitioned)")))
+      ("allocation algebra over the |strata| frame (draw window is group-partitioned)")),
+    "x227_ecod_outliers" -> (6 ->
+      ("per-feature cdf prefix + total windows over the distinct-value frames " +
+        "of integer features — the x191 class, one bounded frame per feature")))
 
   test("every partition-less Window ranks a frame bounded by construction") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -323,4 +323,43 @@ object CorpusStats {
         when(col("tot") === lit(0L).cast(dec), lit(null).cast("double"))
           .otherwise(round(exp(col("hraw")), roundTo)).as("ens_shannon"))
   }
+
+  /** Hill tail-index estimator (Hill 1975) over a positive integer value
+    * column — "how heavy is the tail of the length/count distribution?",
+    * the number that decides whether a per-document cap is load-bearing
+    * (α ≤ 2 means the variance of the distribution is carried by a
+    * handful of giants) or cosmetic. Over the top-k order statistics
+    * x₍₁₎ ≥ … ≥ x₍ₖ₎ > x₍ₖ₊₁₎:
+    *   1/α̂ = (1/k) Σ_{i≤k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎)
+    * Output one row: (k, x_tail_min = x₍ₖ₊₁₎, inv_alpha, alpha), rounded
+    * to 6 dp; alpha is NULL when the whole tail frame is one repeated
+    * value (Σ = 0).
+    *
+    * Determinism: the top-(k+1) VALUE multiset is unique however ties at
+    * the cut are broken, and the ln sum folds over the desc-sorted value
+    * array — the order-pinned list_reduce replay every other fp fold in
+    * this module uses. Scale shape: distributed TakeOrdered of k+1 rows
+    * (never a global sort), then a single (k+1)-row aggregation. */
+  def hillTailIndex(df: DataFrame, valueCol: Column, k: Int = 200): DataFrame = {
+    require(k >= 2 && k <= 100000, "hillTailIndex: k in [2, 1e5]")
+    df.select(valueCol.cast("long").as("x"))
+      .where(col("x") > 0L)
+      .orderBy(desc("x"))
+      .limit(k + 1)
+      .agg(sort_array(collect_list("x"), asc = false).as("arr"))
+      .select(
+        lit(k.toLong).as("k"),
+        element_at(col("arr"), k + 1).as("x_tail_min"),
+        expr(
+          s"""aggregate(slice(arr, 1, $k), CAST(0.0 AS DOUBLE), (acc, v) ->
+             |  acc + ln(CAST(v AS DOUBLE)
+             |    / CAST(element_at(arr, ${k + 1}) AS DOUBLE)))""".stripMargin)
+          .as("s"))
+      .select(
+        col("k"),
+        col("x_tail_min"),
+        round(col("s") / lit(k.toDouble), 6).as("inv_alpha"),
+        when(col("s") > 0.0d, round(lit(k.toDouble) / col("s"), 6))
+          .otherwise(lit(null).cast("double")).as("alpha"))
+  }
 }

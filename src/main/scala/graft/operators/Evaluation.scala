@@ -2181,4 +2181,59 @@ object Evaluation {
             .cast("long"))
           .as("chi2_ppm"))
   }
+
+  /** Group-fairness audit of a binary classifier (Hardt, Price & Srebro
+    * 2016's equalized-odds frame + the demographic-parity rate check) —
+    * the per-cohort readout run before a quality filter is allowed to
+    * gate a corpus: a filter that is 95 % accurate OVERALL can still
+    * silently delete one source or language. Per group:
+    *   pos_rate_ppm — predicted-positive rate (demographic parity view)
+    *   tpr_ppm/fpr_ppm — the equalized-odds pair (NULL when the group
+    *     has no positives / no negatives)
+    *   acc_ppm — group accuracy
+    * plus two corpus-level gap columns repeated on every row (the
+    * broadcast-global house pattern): dp_gap_ppm = max−min pos rate, and
+    * eo_gap_ppm = the larger of the TPR and FPR ranges across groups.
+    * All rates are exact integer ppm (count·10⁶ div n) — no fp anywhere.
+    *
+    * Scale shape: ONE keyed aggregation collapses the corpus to
+    * |groups| rows of six longs; the gap frame is a 1-row aggregate of
+    * that, broadcast back. Rows with a NULL group/pred/label are
+    * excluded (three-valued logic would silently skew the rates). */
+  def fairnessAudit(
+      df: DataFrame,
+      group: Column,
+      pred: Column,
+      label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = pred.cast("boolean")
+    val y = label.cast("boolean")
+    val cells = df
+      .where(group.isNotNull && p.isNotNull && y.isNotNull)
+      .groupBy(group.cast("string").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(p, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(p === y, 1L).otherwise(0L)).as("ok"))
+    val rates = cells.select(
+      col("grp"), col("n"), col("n_pos"),
+      expr(s"(CAST(n_pred_pos AS $dec) * 1000000) div n").cast("long")
+        .as("pos_rate_ppm"),
+      when(col("n_pos") > 0L,
+        expr(s"(CAST(tp AS $dec) * 1000000) div n_pos").cast("long"))
+        .otherwise(lit(null).cast("long")).as("tpr_ppm"),
+      when(col("n") - col("n_pos") > 0L,
+        expr(s"(CAST(fp AS $dec) * 1000000) div (n - n_pos)").cast("long"))
+        .otherwise(lit(null).cast("long")).as("fpr_ppm"),
+      expr(s"(CAST(ok AS $dec) * 1000000) div n").cast("long").as("acc_ppm"))
+    val gaps = rates.agg(
+      (max("pos_rate_ppm") - min("pos_rate_ppm")).as("dp_gap_ppm"),
+      greatest(
+        coalesce(max("tpr_ppm") - min("tpr_ppm"), lit(0L)),
+        coalesce(max("fpr_ppm") - min("fpr_ppm"), lit(0L))).as("eo_gap_ppm"))
+    rates.crossJoin(broadcast(gaps)).orderBy("grp")
+  }
 }

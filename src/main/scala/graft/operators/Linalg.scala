@@ -186,19 +186,20 @@ object Linalg {
     * The features are [x, 1] (bias absorbed as a constant column); Â and
     * b̂ come from the SAME single-scan gram buffer (the Σxᵢ / Σy slots are
     * the intercept row). */
-  def ridgeProbe(
-      df: DataFrame,
-      vecCol: String,
-      yCol: Column,
+  /** The deterministic ridge solve shared by ridgeProbe and
+    * logoInfluence: normalized normal equations from the 6-dp moments of
+    * a raw gram buffer (the GraftGramAgg layout), then `iters` fixed
+    * gradient steps. Pure driver-side function of the buffer — identical
+    * buffers yield bit-identical weights on any run or engine. */
+  private[operators] def ridgeFitFromGram(
+      g: Array[Double],
       dim: Int,
-      carry: Seq[String],
-      lambda: Double = 0.1,
-      iters: Int = 48): DataFrame = {
-    require(iters >= 1 && iters <= 128, "ridgeProbe: iters in [1, 128]")
-    require(lambda >= 0.0, "ridgeProbe: lambda must be >= 0")
-    val g = gramSums(df, vecCol, yCol, dim)
+      lambda: Double,
+      iters: Int): Array[Double] = {
+    require(iters >= 1 && iters <= 128, "ridgeFitFromGram: iters in [1, 128]")
+    require(lambda >= 0.0, "ridgeFitFromGram: lambda must be >= 0")
     val n = g(0)
-    require(n > 0, "ridgeProbe: empty input")
+    require(n > 0, "ridgeFitFromGram: empty input")
     val d1 = dim + 1
     val a = Array.ofDim[Double](d1, d1)
     var i = 0
@@ -229,6 +230,19 @@ object Linalg {
         prev(i) - eta * ((dotAsc(a(i), prev) - b(i)) + lambda * prev(i)))
       t += 1
     }
+    w
+  }
+
+  def ridgeProbe(
+      df: DataFrame,
+      vecCol: String,
+      yCol: Column,
+      dim: Int,
+      carry: Seq[String],
+      lambda: Double = 0.1,
+      iters: Int = 48): DataFrame = {
+    val g = gramSums(df, vecCol, yCol, dim)
+    val w = ridgeFitFromGram(g, dim, lambda, iters)
 
     val score =
       round(call_function("graft_dot_fd", col(vecCol), typedlit(w.take(dim).toSeq)) +
@@ -238,5 +252,124 @@ object Linalg {
         yCol.cast("double").as("y"),
         score.as("score"),
         when(score >= 0.5, lit(1)).otherwise(lit(0)).as("pred")): _*)
+  }
+
+  /** Leave-one-group-out (LOGO) influence — exact data valuation for the
+    * ridge probe at sufficient-statistics cost: because the gram buffer
+    * is ADDITIVE (integer partial sums), refitting the probe with any
+    * group removed is a driver-side subtraction of that group's buffer
+    * from the corpus total, so K group-ablated refits cost ZERO extra
+    * scans (the leave-one-out trick of classical linear influence,
+    * Cook 1977, lifted to groups). Per group:
+    *   base_acc_ppm     — full-fit accuracy on the whole corpus (global
+    *                      context, repeated on every row)
+    *   excl_base_ppm    — full-fit accuracy on the corpus MINUS the group
+    *   excl_logo_ppm    — ablated-fit accuracy on the same complement
+    *   influence_ppm    — excl_logo − excl_base: positive ⇒ removing the
+    *                      group IMPROVES the fit on everything else (the
+    *                      group is harmful — mislabeled/off-distribution;
+    *                      the first list a curation pass reads). The
+    *                      complement is the right eval frame: judging an
+    *                      ablation on rows that include the ablated
+    *                      group's own (possibly poisoned) labels would
+    *                      reward fitting the poison.
+    *   heldout_base/logo_ppm — accuracy restricted to the held-out
+    *                      group itself (does the REST of the corpus
+    *                      transfer to it?)
+    *   w_shift          — ‖w_logo − w_full‖₂ (6 dp), the parameter-space
+    *                      influence norm
+    * All rates are exact integer ppm; the fits inherit GraftGramAgg's
+    * bit-identical-under-partitioning contract, so the whole readout is
+    * oracle-checkable.
+    *
+    * Scale shape: scan 1 aggregates per-group gram buffers (|groups| ×
+    * O(dim²) longs — metadata; groups capped at `maxGroups`); the K+1
+    * fits run on the driver's dim×dim matrices; scan 2 scores every row
+    * under all K+1 weight vectors as plan-literal projections and
+    * collapses to ONE row of 3K+1 conditional counts. Corpus rows are
+    * touched exactly twice, nothing row-sized reaches the driver. */
+  def logoInfluence(
+      df: DataFrame,
+      vecCol: String,
+      yCol: Column,
+      groupCol: Column,
+      dim: Int,
+      lambda: Double = 0.1,
+      iters: Int = 48,
+      maxGroups: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df
+      .select(groupCol.cast("string").as("grp"), col(vecCol).as("v"),
+        yCol.cast("double").as("y"))
+      .where(col("grp").isNotNull && col("v").isNotNull && col("y").isNotNull)
+    val perGroup = base.groupBy("grp")
+      .agg(call_function("graft_gram_agg", col("v"), col("y"), lit(dim)).as("g"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(perGroup.length >= 2,
+      "logoInfluence: need at least 2 groups (an ablation must leave data)")
+    require(perGroup.length <= maxGroups,
+      s"logoInfluence: ${perGroup.length} groups exceed maxGroups=$maxGroups " +
+        "(each group adds an O(dim^2) driver buffer and a scoring column)")
+    val size = perGroup.head._2.length
+    // group buffers are S/2^20 with S integer — their double sums are
+    // exact while |ΣS| < 2^53, the same envelope one corpus-wide buffer
+    // already lives under, so elementwise add/subtract is EXACT
+    val full = new Array[Double](size)
+    perGroup.foreach { case (_, g) =>
+      var i = 0
+      while (i < size) { full(i) += g(i); i += 1 }
+    }
+    val wFull = ridgeFitFromGram(full, dim, lambda, iters)
+    val fits = perGroup.map { case (grp, g) =>
+      val abl = Array.tabulate(size)(i => full(i) - g(i))
+      (grp, g(0).toLong, ridgeFitFromGram(abl, dim, lambda, iters))
+    }
+    val nTotal = full(0).toLong
+
+    def okCol(w: Array[Double]): Column = {
+      val score = round(
+        call_function("graft_dot_fd", col("v"), typedlit(w.take(dim).toSeq)) +
+          lit(w(dim)), 4)
+      (score >= 0.5d) === (col("y") >= 0.5d)
+    }
+    val okBase = okCol(wFull)
+    val aggCols =
+      sum(when(okBase, 1L).otherwise(0L)).as("ok_base") +:
+        fits.toSeq.zipWithIndex.flatMap { case ((grp, _, w), k) =>
+          val ok = okCol(w)
+          Seq(
+            sum(when(ok, 1L).otherwise(0L)).as(s"ok_$k"),
+            sum(when(col("grp") === grp && ok, 1L).otherwise(0L)).as(s"ho_$k"),
+            sum(when(col("grp") === grp && okBase, 1L).otherwise(0L)).as(s"hb_$k"))
+        }
+    val row = base.agg(aggCols.head, aggCols.tail: _*).head()
+    def ppm(cnt: Long, n: Long): Long = cnt * 1000000L / n
+    val okBaseTotal = row.getLong(0)
+    val baseAcc = ppm(okBaseTotal, nTotal)
+    val out = fits.toSeq.zipWithIndex.map { case ((grp, nOut, w), k) =>
+      val okLogoTotal = row.getLong(1 + 3 * k)
+      val hoLogo = row.getLong(2 + 3 * k)
+      val hbBase = row.getLong(3 + 3 * k)
+      val nExcl = nTotal - nOut
+      val exclBase = ppm(okBaseTotal - hbBase, nExcl)
+      val exclLogo = ppm(okLogoTotal - hoLogo, nExcl)
+      val diff = Array.tabulate(dim + 1)(i => w(i) - wFull(i))
+      (grp, nOut,
+        baseAcc,
+        exclBase,
+        exclLogo,
+        exclLogo - exclBase,
+        ppm(hbBase, nOut),
+        ppm(hoLogo, nOut),
+        round6(math.sqrt(dotAsc(diff, diff))))
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    out.toDF("source_out", "n_out", "base_acc_ppm", "excl_base_ppm",
+      "excl_logo_ppm", "influence_ppm", "heldout_base_ppm",
+      "heldout_logo_ppm", "w_shift")
+      .orderBy("source_out")
   }
 }

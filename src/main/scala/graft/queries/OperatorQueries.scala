@@ -9194,6 +9194,133 @@ object OperatorQueries {
         |FROM b
         |JOIN e1 USING (n_chars) JOIN e2 USING (n_spaces) JOIN e3 USING (n_digits)
         |ORDER BY score DESC, id LIMIT 50""".stripMargin),
+
+    // Hill tail-index of the document-length distribution (Hill 1975):
+    // distributed TakeOrdered of the top-201 order statistics, then one
+    // order-pinned ln fold over the desc-sorted value array — the number
+    // that says whether a per-doc length cap is load-bearing at 100 TB.
+    "x229_hill_tail" -> sql(
+      (s, dir) => CorpusStats.hillTailIndex(
+        Tables.documents(s, dir), col("n_chars"), k = 200),
+      """WITH t AS (
+        |  SELECT n_chars::BIGINT AS x FROM documents
+        |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 201),
+        |a AS (SELECT list_sort(list(x), 'DESC') AS arr FROM t),
+        |s AS (
+        |  SELECT arr[201] AS xk,
+        |    list_reduce(
+        |      list_transform(arr[1:200],
+        |        v -> ln(v::DOUBLE / arr[201]::DOUBLE)),
+        |      (x, y) -> x + y) AS sm
+        |  FROM a)
+        |SELECT 200::BIGINT AS k, xk AS x_tail_min,
+        |  round(sm / 200.0, 6) AS inv_alpha,
+        |  CASE WHEN sm > 0 THEN round(200.0 / sm, 6) END AS alpha
+        |FROM s""".stripMargin),
+
+    // Group-fairness audit (Hardt 2016) of the stopword-gate English
+    // detector against the true lang label, per source: exact-ppm
+    // demographic-parity and equalized-odds gaps — one keyed aggregation
+    // to a |sources| frame, 1-row gap aggregate broadcast back.
+    "x230_fairness_audit" -> sql(
+      (s, dir) => Evaluation.fairnessAudit(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        group = col("source"),
+        pred = concat(lit(" "), lower(col("text")), lit(" "))
+          .contains(" the "),
+        label = col("lang") === "en"),
+      """WITH b AS (
+        |  SELECT source AS grp,
+        |    (strpos(' ' || lower(text) || ' ', ' the ') > 0) AS p,
+        |    (lang = 'en') AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |c AS (
+        |  SELECT grp, count(*)::BIGINT AS n,
+        |    sum(y::BIGINT)::BIGINT AS n_pos,
+        |    sum(p::BIGINT)::BIGINT AS n_pred_pos,
+        |    sum((p AND y)::BIGINT)::BIGINT AS tp,
+        |    sum((p AND NOT y)::BIGINT)::BIGINT AS fp,
+        |    sum((p = y)::BIGINT)::BIGINT AS ok
+        |  FROM b GROUP BY grp),
+        |r AS (
+        |  SELECT grp, n, n_pos,
+        |    ((n_pred_pos * 1000000) // n)::BIGINT AS pos_rate_ppm,
+        |    CASE WHEN n_pos > 0
+        |      THEN ((tp * 1000000) // n_pos)::BIGINT END AS tpr_ppm,
+        |    CASE WHEN n - n_pos > 0
+        |      THEN ((fp * 1000000) // (n - n_pos))::BIGINT END AS fpr_ppm,
+        |    ((ok * 1000000) // n)::BIGINT AS acc_ppm
+        |  FROM c),
+        |g AS (
+        |  SELECT (max(pos_rate_ppm) - min(pos_rate_ppm))::BIGINT AS dp_gap_ppm,
+        |    greatest(
+        |      coalesce(max(tpr_ppm) - min(tpr_ppm), 0),
+        |      coalesce(max(fpr_ppm) - min(fpr_ppm), 0))::BIGINT AS eo_gap_ppm
+        |  FROM r)
+        |SELECT r.*, g.dp_gap_ppm, g.eo_gap_ppm
+        |FROM r CROSS JOIN g ORDER BY grp""".stripMargin),
+
+    // Leave-one-source-out ridge influence (Cook 1977's deletion
+    // influence, lifted to groups over ADDITIVE gram sufficient
+    // statistics): one scan aggregates per-source gram buffers, the 21
+    // refits are driver-side buffer subtractions, one scoring scan
+    // evaluates every model — exact data valuation with zero extra
+    // passes. The oracle replays the per-group quantized sums, all 21
+    // fits' 48 gradient steps keyed by the left-out source, and the
+    // exact-ppm accuracy readout.
+    "x228_logo_influence" -> sql(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val d = Tables.documents(s, dir).select("doc_id", "source")
+        Linalg.logoInfluence(
+          e.join(d, e("vec_id") === d("doc_id")),
+          "embedding", col("label") < 5, col("source"), dim = 64,
+          lambda = 0.1, iters = 48)
+      },
+      s"""WITH ${logoFitCtes}
+        |, wl AS MATERIALIZED (SELECT lo, w FROM lgw48),
+        |sc AS MATERIALIZED (
+        |  SELECT d.grp, w.lo,
+        |    ((round(list_dot_product(d.e, w.w), 4) >= 0.5) = (d.y = 1.0))
+        |      AS ok
+        |  FROM ld d CROSS JOIN wl w),
+        |accs AS (
+        |  SELECT lo, sum(ok::BIGINT)::BIGINT AS oka,
+        |    sum(CASE WHEN grp = lo THEN ok::BIGINT ELSE 0 END)::BIGINT AS okho
+        |  FROM sc GROUP BY lo),
+        |bho AS (
+        |  SELECT grp, sum(ok::BIGINT)::BIGINT AS okb
+        |  FROM sc WHERE lo = '__base__' GROUP BY grp),
+        |wdiff AS (
+        |  SELECT f.lo,
+        |    round(sqrt(list_dot_product(dl, dl)), 6) AS ws
+        |  FROM (
+        |    SELECT f.lo,
+        |      list_transform(generate_series(1, 65),
+        |        k -> f.w[k] - b.w[k]) AS dl
+        |    FROM wl f
+        |    CROSS JOIN (SELECT w FROM wl WHERE lo = '__base__') b
+        |    WHERE f.lo <> '__base__') f)
+        |SELECT g.grp AS source_out, g.n AS n_out,
+        |  ((ab.oka * 1000000) // (SELECT n FROM lnt))::BIGINT AS base_acc_ppm,
+        |  (((ab.oka - bho.okb) * 1000000)
+        |    // ((SELECT n FROM lnt) - g.n))::BIGINT AS excl_base_ppm,
+        |  (((a.oka - a.okho) * 1000000)
+        |    // ((SELECT n FROM lnt) - g.n))::BIGINT AS excl_logo_ppm,
+        |  ((((a.oka - a.okho) * 1000000) // ((SELECT n FROM lnt) - g.n))
+        |    - (((ab.oka - bho.okb) * 1000000) // ((SELECT n FROM lnt) - g.n)))
+        |    ::BIGINT AS influence_ppm,
+        |  ((bho.okb * 1000000) // g.n)::BIGINT AS heldout_base_ppm,
+        |  ((a.okho * 1000000) // g.n)::BIGINT AS heldout_logo_ppm,
+        |  wdiff.ws AS w_shift
+        |FROM lng g
+        |JOIN accs a ON a.lo = g.grp
+        |CROSS JOIN (SELECT oka FROM accs WHERE lo = '__base__') ab
+        |JOIN bho ON bho.grp = g.grp
+        |JOIN wdiff ON wdiff.lo = g.grp
+        |ORDER BY source_out""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer
@@ -9889,6 +10016,82 @@ object OperatorQueries {
         #|et AS MATERIALIZED (SELECT round(1.0 / (t + 0.1), 6) AS eta FROM trc),
         #|gw0 AS MATERIALIZED (SELECT list_transform(generate_series(1, 65), x -> 0.0) AS w),""".stripMargin('#') +
       "\n|" + gdIterCtes(48, "0.1")).stripPrefix("|")
+
+  /** x228's grouped ridge replay: per-source quantized gram sums, then
+    * every leave-one-source-out fit (plus the '__base__' full fit) as ONE
+    * relational chain keyed by `lo` — the ablated matrix is the total
+    * minus the left-out group's integer sums, moments rounded to 6 dp
+    * exactly like ridgeFitCtes, 48 gradient steps via logoGdIterCtes. */
+  private def logoFitCtes: String =
+    ("""|ld AS MATERIALIZED (
+        #|  SELECT e.vec_id, doc.source AS grp,
+        #|    list_append(e.embedding::DOUBLE[], 1.0) AS e,
+        #|    CASE WHEN e.label < 5 THEN 1.0 ELSE 0.0 END AS y
+        #|  FROM embeddings e JOIN documents doc ON doc.doc_id = e.vec_id),
+        #|lidx AS (SELECT i FROM range(0, 65) t(i)),
+        #|lprx AS (SELECT a.i AS i, b.i AS j FROM lidx a JOIN lidx b ON b.i >= a.i),
+        #|lqg AS MATERIALIZED (
+        #|  SELECT d.grp, lprx.i, lprx.j,
+        #|    sum(floor(d.e[lprx.i + 1] * d.e[lprx.j + 1] * 1048576.0 + 0.5)::BIGINT)::BIGINT AS q
+        #|  FROM ld d CROSS JOIN lprx GROUP BY 1, 2, 3),
+        #|lqyg AS MATERIALIZED (
+        #|  SELECT d.grp, i.i AS i,
+        #|    sum(floor(d.e[i.i + 1] * d.y * 1048576.0 + 0.5)::BIGINT)::BIGINT AS q
+        #|  FROM ld d CROSS JOIN lidx i GROUP BY 1, 2),
+        #|lng AS MATERIALIZED (SELECT grp, count(*)::BIGINT AS n FROM ld GROUP BY 1),
+        #|lqt AS MATERIALIZED (SELECT i, j, sum(q)::BIGINT AS q FROM lqg GROUP BY 1, 2),
+        #|lqyt AS MATERIALIZED (SELECT i, sum(q)::BIGINT AS q FROM lqyg GROUP BY 1),
+        #|lnt AS (SELECT sum(n)::BIGINT AS n FROM lng),
+        #|llos AS MATERIALIZED (
+        #|  SELECT grp AS lo FROM lng UNION ALL SELECT '__base__'),
+        #|lnl AS MATERIALIZED (
+        #|  SELECT l.lo, ((SELECT n FROM lnt) - coalesce(g.n, 0))::BIGINT AS n
+        #|  FROM llos l LEFT JOIN lng g ON g.grp = l.lo),
+        #|lam0 AS MATERIALIZED (
+        #|  SELECT l.lo, t.i, t.j,
+        #|    round(((t.q - coalesce(g.q, 0)) / 1048576.0) / lnl.n, 6) AS a
+        #|  FROM llos l
+        #|  CROSS JOIN lqt t
+        #|  LEFT JOIN lqg g ON g.grp = l.lo AND g.i = t.i AND g.j = t.j
+        #|  JOIN lnl ON lnl.lo = l.lo),
+        #|lam AS MATERIALIZED (
+        #|  SELECT lo, i, j, a FROM lam0
+        #|  UNION ALL SELECT lo, j, i, a FROM lam0 WHERE i <> j),
+        #|larows AS MATERIALIZED (
+        #|  SELECT lo, i, list(a ORDER BY j) AS rw FROM lam GROUP BY 1, 2),
+        #|lbh AS MATERIALIZED (
+        #|  SELECT l.lo, t.i,
+        #|    round(((t.q - coalesce(g.q, 0)) / 1048576.0) / lnl.n, 6) AS b
+        #|  FROM llos l
+        #|  CROSS JOIN lqyt t
+        #|  LEFT JOIN lqyg g ON g.grp = l.lo AND g.i = t.i
+        #|  JOIN lnl ON lnl.lo = l.lo),
+        #|lbl AS MATERIALIZED (SELECT lo, list(b ORDER BY i) AS b FROM lbh GROUP BY 1),
+        #|ltrc AS MATERIALIZED (
+        #|  SELECT lo, list_reduce(list(a ORDER BY i), (x, y) -> x + y) AS t
+        #|  FROM lam WHERE i = j GROUP BY lo),
+        #|let AS MATERIALIZED (SELECT lo, round(1.0 / (t + 0.1), 6) AS eta FROM ltrc),
+        #|lgw0 AS MATERIALIZED (
+        #|  SELECT lo, list_transform(generate_series(1, 65), x -> 0.0) AS w
+        #|  FROM llos),""".stripMargin('#') +
+      "\n|" + logoGdIterCtes(48, "0.1")).stripPrefix("|")
+
+  /** The per-lo gradient steps for logoFitCtes — gdIterCtes with every
+    * frame keyed and joined by the left-out source. */
+  private def logoGdIterCtes(iters: Int, lambda: String): String =
+    (1 to iters).map { t =>
+      s"""|lgw$t AS MATERIALIZED (
+          #|  SELECT lo, list(wi ORDER BY i) AS w FROM (
+          #|    SELECT a.lo, a.i,
+          #|      w.w[a.i + 1] - et.eta *
+          #|        ((list_dot_product(a.rw, w.w) - b.b[a.i + 1])
+          #|          + $lambda * w.w[a.i + 1]) AS wi
+          #|    FROM larows a
+          #|    JOIN lgw${t - 1} w ON w.lo = a.lo
+          #|    JOIN lbl b ON b.lo = a.lo
+          #|    JOIN let et ON et.lo = a.lo)
+          #|  GROUP BY lo)""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
 
   /** x110's gradient steps unrolled: wᵢ ← wᵢ − η[(Â·w − b̂)ᵢ + λwᵢ] with
     * the same parenthesization Linalg.ridgeProbe evaluates. */

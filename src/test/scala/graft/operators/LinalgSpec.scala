@@ -143,6 +143,63 @@ class LinalgSpec extends SparkSpec {
     }
   }
 
+  test("logoInfluence: a label-poisoned group is the most harmful and " +
+    "its removal beats the base fit") {
+    // 3 clean groups where y = (t > 0) at |t| ≤ 1.25, plus one poison
+    // group of HIGH-LEVERAGE flipped-label points at t = ±8: the poison
+    // dominates Σt², drags the fitted slope negative, and the base model
+    // misclassifies the whole complement; the ablated fit is clean. This
+    // is exactly the mislabeled-source shape LOGO influence exists to
+    // surface.
+    val noise = lcg(7L)
+    val rows = (0 until 240).map { i =>
+      val grp = s"g${i % 4}"
+      val (t, y) =
+        if (grp == "g3") {
+          val tv = if (i % 8 < 4) 8.0 else -8.0
+          (tv, tv < 0) // flipped
+        } else {
+          val tv = (((i / 4) % 6) - 2.5) / 2.0 // ±0.25, ±0.75, ±1.25
+          (tv, tv > 0)
+        }
+      (i.toLong, vec(t, noise.next() * 0.01, noise.next() * 0.01,
+        noise.next() * 0.01), grp, y)
+    }
+    val df = rows.toDF("id", "v", "grp", "y")
+    val out = Linalg.logoInfluence(df, "v", col("y"), col("grp"), dim = 4,
+      iters = 128).collect()
+    assert(out.length == 4)
+    val byGrp = out.map(r => r.getString(0) -> r).toMap
+    val poison = byGrp("g3")
+    // removing the poison group improves the probe on the complement —
+    // influence_ppm = excl_logo − excl_base strictly positive
+    assert(poison.getLong(5) > 0L,
+      s"poison influence ${poison.getLong(5)} should be positive")
+    // and it is the unique maximum (most beneficial removal)
+    assert(out.filter(_.getString(0) != "g3")
+      .forall(_.getLong(5) < poison.getLong(5)))
+    // the clean corpus transfers badly to the poison group: under its
+    // flipped labels, the ablated fit scores it worse than a clean group
+    assert(poison.getLong(7) < byGrp("g0").getLong(7))
+    // parameter-space influence: poison shift is the largest
+    assert(out.filter(_.getString(0) != "g3")
+      .forall(_.getDouble(8) < poison.getDouble(8)))
+    // base_acc is a single corpus-wide number repeated on every row
+    assert(out.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("logoInfluence: identical results under shuffled partition layouts") {
+    val rows = synth.map { case (id, v) =>
+      (id, v, s"g${id % 3}", id % 2 == 0)
+    }
+    val df = rows.toDF("id", "v", "grp", "y")
+    val a = Linalg.logoInfluence(df, "v", col("y"), col("grp"), dim = 4)
+      .collect().toSeq
+    val b = Linalg.logoInfluence(df.repartition(13), "v", col("y"),
+      col("grp"), dim = 4).collect().toSeq
+    assert(a == b)
+  }
+
   test("guards: empty input and bad iteration counts fail loudly") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     assertThrows[IllegalArgumentException] {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier evaluation over a scored corpus — the harness a quality
@@ -2236,4 +2237,123 @@ object Evaluation {
         coalesce(max("fpr_ppm") - min("fpr_ppm"), lit(0L))).as("eo_gap_ppm"))
     rates.crossJoin(broadcast(gaps)).orderBy("grp")
   }
+
+  /** Per-look A/B sufficient statistics — the bounded state under the
+    * mSPRT monitor [[finishMsprt]] and its streaming twin: for each look
+    * (a calendar day, an hour bucket…) the six commutative sums
+    * (n, Σq, Σq²) per arm, with the metric quantized to the 10⁻⁶ grid
+    * (q = ⌊v·10⁶ + 0.5⌋, a pure function of the row) and squares summed
+    * in decimal(38,0) — exact integers, so the state is identical under
+    * any partitioning or arrival order and only ever GROWS (no watermark
+    * needed; batch and stream share this view verbatim). */
+  def lookArmStats(
+      df: DataFrame,
+      look: Column,
+      armA: Column,
+      value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = floor(value.cast("double") * lit(1000000.0d) + lit(0.5d))
+      .cast("long")
+    val zero = lit(0L).cast(dec)
+    df.where(look.isNotNull && armA.isNotNull && value.isNotNull)
+      .select(look.as("look"), armA.cast("boolean").as("a"), q.as("q"))
+      .groupBy("look")
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("a"), col("q").cast(dec)).otherwise(zero)).as("s_t"),
+        sum(when(col("a"), col("q").cast(dec) * col("q")).otherwise(zero))
+          .as("ss_t"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("a"), col("q").cast(dec)).otherwise(zero)).as("s_c"),
+        sum(when(!col("a"), col("q").cast(dec) * col("q")).otherwise(zero))
+          .as("ss_c"))
+  }
+
+  /** mSPRT always-valid sequential A/B monitor (Johari, Koomen, Pekelis &
+    * Walsh 2017 — the mixture sequential probability ratio test with a
+    * normal mixture over the effect): at every look, over the CUMULATIVE
+    * per-arm stats,
+    *   Λₙ = √(V/(V+τ²)) · exp(δ̂²τ² / (2V(V+τ²))),
+    *   V  = σ̂²_pooled·(1/n_t + 1/n_c)
+    * reported in the ln domain, with the always-valid decision
+    * "reject once max_{looks ≤ n} ln Λ ≥ ln(1/α)" — the test a dashboard
+    * can peek at EVERY day without inflating its false-positive rate,
+    * unlike the fixed-horizon z-test (x172) it complements. Looks with
+    * n_t < 2, n_c < 2 or zero pooled variance carry NULL ln Λ and do not
+    * move the running max.
+    *
+    * Determinism: every statistic is a row-local IEEE function of the
+    * exact integer cumulative sums (ln on identical inputs — the x199
+    * contract), so the readout replays bit-for-bit in SQL. Scale shape:
+    * raw events collapse to the |looks| frame in the FIRST aggregation
+    * ([[lookArmStats]]); the cumulative and running-max windows run on
+    * that calendar-bounded frame only. */
+  def finishMsprt(
+      statsIn: DataFrame,
+      tau2: Double = 0.01,
+      alpha: Double = 0.05): DataFrame = {
+    require(tau2 > 0.0, "finishMsprt: tau2 must be > 0")
+    require(alpha > 0.0 && alpha < 1.0, "finishMsprt: alpha in (0, 1)")
+    val w = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val llrThresh = math.log(1.0 / alpha)
+    statsIn
+      .select(col("look"),
+        sum("n_t").over(w).as("nt"),
+        sum("s_t").over(w).as("st"),
+        sum("ss_t").over(w).as("sst"),
+        sum("n_c").over(w).as("nc"),
+        sum("s_c").over(w).as("sc"),
+        sum("ss_c").over(w).as("ssc"))
+      .withColumn("mt", expr(
+        "CASE WHEN nt > 0 THEN " +
+          "(CAST(st AS DOUBLE) / 1000000.0) / CAST(nt AS DOUBLE) END"))
+      .withColumn("mc", expr(
+        "CASE WHEN nc > 0 THEN " +
+          "(CAST(sc AS DOUBLE) / 1000000.0) / CAST(nc AS DOUBLE) END"))
+      .withColumn("delta", expr("mt - mc"))
+      .withColumn("ssqt", expr(
+        """CASE WHEN nt > 0 THEN
+          |  (CAST(sst AS DOUBLE) / 1000000000000.0)
+          |  - (((CAST(st AS DOUBLE) / 1000000.0)
+          |      * (CAST(st AS DOUBLE) / 1000000.0)) / CAST(nt AS DOUBLE))
+          |END""".stripMargin))
+      .withColumn("ssqc", expr(
+        """CASE WHEN nc > 0 THEN
+          |  (CAST(ssc AS DOUBLE) / 1000000000000.0)
+          |  - (((CAST(sc AS DOUBLE) / 1000000.0)
+          |      * (CAST(sc AS DOUBLE) / 1000000.0)) / CAST(nc AS DOUBLE))
+          |END""".stripMargin))
+      .withColumn("s2p", expr(
+        "CASE WHEN nt + nc - 2 > 0 THEN " +
+          "(ssqt + ssqc) / CAST(nt + nc - 2 AS DOUBLE) END"))
+      .withColumn("vd", expr(
+        "CASE WHEN nt > 0 AND nc > 0 THEN " +
+          "s2p * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) END"))
+      .withColumn("llr",
+        expr(s"""CASE WHEN nt >= 2 AND nc >= 2 AND s2p > 0.0 THEN
+                |  0.5 * ln(vd / (vd + $tau2))
+                |    + ((delta * delta) * $tau2) / ((2.0 * vd) * (vd + $tau2))
+                |END""".stripMargin))
+      .withColumn("max_llr", max("llr").over(w))
+      .select(
+        col("look"), col("nt").as("n_t"), col("nc").as("n_c"),
+        round(col("mt"), 6).as("mean_t"),
+        round(col("mc"), 6).as("mean_c"),
+        round(col("delta"), 6).as("delta"),
+        round(col("llr"), 4).as("llr"),
+        round(col("max_llr"), 4).as("max_llr"),
+        coalesce(col("max_llr") >= lit(llrThresh), lit(false)).as("reject"))
+      .orderBy("look")
+  }
+
+  /** The batch mSPRT monitor: [[lookArmStats]] → [[finishMsprt]]. */
+  def msprtMonitor(
+      df: DataFrame,
+      look: Column,
+      armA: Column,
+      value: Column,
+      tau2: Double = 0.01,
+      alpha: Double = 0.05): DataFrame =
+    finishMsprt(lookArmStats(df, look, armA, value), tau2, alpha)
 }

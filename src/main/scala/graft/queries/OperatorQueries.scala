@@ -9321,6 +9321,90 @@ object OperatorQueries {
         |JOIN bho ON bho.grp = g.grp
         |JOIN wdiff ON wdiff.lo = g.grp
         |ORDER BY source_out""".stripMargin),
+
+    // mSPRT always-valid sequential A/B monitor (Johari 2017) with daily
+    // looks over the event stream: raw events collapse to the calendar-
+    // day frame in the first aggregation (six exact integer sums per
+    // day); the mixture log-likelihood ratio and the running-max decision
+    // run on that bounded frame. The peek-every-day complement to x172's
+    // fixed-horizon z-test.
+    "x231_msprt_monitor" -> sql(
+      (s, dir) => Evaluation.msprtMonitor(
+        Tables.events(s, dir),
+        look = to_date(col("ts")),
+        armA = col("user_id") % 2 === 0,
+        value = col("value"),
+        tau2 = 100.0, alpha = 0.05),
+      s"""WITH b AS (
+        |  SELECT ts::DATE AS look, (user_id % 2 = 0) AS a,
+        |    floor(value * 1000000.0 + 0.5)::BIGINT AS q
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |st AS (
+        |  SELECT look,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN a THEN q ELSE 0 END)::HUGEINT AS s_t,
+        |    sum(CASE WHEN a THEN q * q ELSE 0 END)::HUGEINT AS ss_t,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN NOT a THEN q ELSE 0 END)::HUGEINT AS s_c,
+        |    sum(CASE WHEN NOT a THEN q * q ELSE 0 END)::HUGEINT AS ss_c
+        |  FROM b GROUP BY look),
+        |cum AS (
+        |  SELECT look,
+        |    (sum(n_t) OVER w)::BIGINT AS nt,
+        |    (sum(s_t) OVER w)::HUGEINT AS stq,
+        |    (sum(ss_t) OVER w)::HUGEINT AS sst,
+        |    (sum(n_c) OVER w)::BIGINT AS nc,
+        |    (sum(s_c) OVER w)::HUGEINT AS scq,
+        |    (sum(ss_c) OVER w)::HUGEINT AS ssc
+        |  FROM st
+        |  WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN nt > 0 THEN
+        |      (CAST(stq AS DOUBLE) / 1000000.0) / CAST(nt AS DOUBLE) END AS mt,
+        |    CASE WHEN nc > 0 THEN
+        |      (CAST(scq AS DOUBLE) / 1000000.0) / CAST(nc AS DOUBLE) END AS mc,
+        |    CASE WHEN nt > 0 THEN
+        |      (CAST(sst AS DOUBLE) / 1000000000000.0)
+        |      - (((CAST(stq AS DOUBLE) / 1000000.0)
+        |          * (CAST(stq AS DOUBLE) / 1000000.0))
+        |         / CAST(nt AS DOUBLE)) END AS ssqt,
+        |    CASE WHEN nc > 0 THEN
+        |      (CAST(ssc AS DOUBLE) / 1000000000000.0)
+        |      - (((CAST(scq AS DOUBLE) / 1000000.0)
+        |          * (CAST(scq AS DOUBLE) / 1000000.0))
+        |         / CAST(nc AS DOUBLE)) END AS ssqc
+        |  FROM cum),
+        |m2 AS (
+        |  SELECT *, mt - mc AS delta,
+        |    CASE WHEN nt + nc - 2 > 0 THEN
+        |      (ssqt + ssqc) / CAST(nt + nc - 2 AS DOUBLE) END AS s2p
+        |  FROM m),
+        |m3 AS (
+        |  SELECT *,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN
+        |      s2p * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) END
+        |      AS vd
+        |  FROM m2),
+        |m4 AS (
+        |  SELECT *,
+        |    CASE WHEN nt >= 2 AND nc >= 2 AND s2p > 0.0 THEN
+        |      0.5 * ln(vd / (vd + 100.0))
+        |        + ((delta * delta) * 100.0) / ((2.0 * vd) * (vd + 100.0))
+        |    END AS llr
+        |  FROM m3),
+        |m5 AS (
+        |  SELECT *, max(llr) OVER (ORDER BY look ROWS UNBOUNDED PRECEDING)
+        |    AS max_llr
+        |  FROM m4)
+        |SELECT look, nt AS n_t, nc AS n_c,
+        |  round(mt, 6) AS mean_t, round(mc, 6) AS mean_c,
+        |  round(delta, 6) AS delta,
+        |  round(llr, 4) AS llr, round(max_llr, 4) AS max_llr,
+        |  coalesce(max_llr >= ${math.log(1.0 / 0.05)}, false) AS reject
+        |FROM m5 ORDER BY look""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

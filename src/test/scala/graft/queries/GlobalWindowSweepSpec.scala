@@ -66,7 +66,10 @@ class GlobalWindowSweepSpec extends SparkSpec {
       ("allocation algebra over the |strata| frame (draw window is group-partitioned)")),
     "x227_ecod_outliers" -> (6 ->
       ("per-feature cdf prefix + total windows over the distinct-value frames " +
-        "of integer features — the x191 class, one bounded frame per feature")))
+        "of integer features — the x191 class, one bounded frame per feature")),
+    "x231_msprt_monitor" -> (2 ->
+      ("cumulative-sums + running-max windows over the calendar-day look " +
+        "frame (raw events collapse to |days| rows in the first aggregation)")))
 
   test("every partition-less Window ranks a frame bounded by construction") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

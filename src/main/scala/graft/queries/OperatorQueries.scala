@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, LabelQa, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, Outliers, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequenceMining, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, LabelQa, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, OptimalTransport, Outliers, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequenceMining, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -9405,6 +9405,89 @@ object OperatorQueries {
         |  round(llr, 4) AS llr, round(max_llr, 4) AS max_llr,
         |  coalesce(max_llr >= ${math.log(1.0 / 0.05)}, false) AS reject
         |FROM m5 ORDER BY look""".stripMargin),
+
+    // Entropic optimal transport between the even/odd embedding slices
+    // over label cells (Cuturi 2013 via Sinkhorn–Knopp scaling): integer
+    // fixed-point kernel + 30 BigInt scaling rounds on the |cells|²
+    // driver metadata — drift that weights mass moves by embedding-space
+    // distance, where JSD (x186) treats all reallocations alike. The
+    // oracle replays the quantized centroids, the rational kernel, and
+    // all 30 scaling rounds in HUGEINT.
+    "x232_sinkhorn_ot" -> sql(
+      (s, dir) => OptimalTransport.sinkhornPlan(
+        Tables.embeddings(s, dir), "embedding",
+        cellCol = col("label"), inA = col("vec_id") % 2 === 0,
+        dim = 64, iters = 30),
+      s"""WITH oe AS MATERIALIZED (
+        |  SELECT label::BIGINT AS cell, (vec_id % 2 = 0) AS a,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND len(embedding) = 64),
+        |och AS MATERIALIZED (
+        |  SELECT cell,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    count(*)::BIGINT AS n
+        |  FROM oe GROUP BY cell),
+        |ons AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM och),
+        |oq AS MATERIALIZED (
+        |  SELECT cell, i.i AS d,
+        |    sum(floor(v[i.i + 1] * 1048576.0 + 0.5)::BIGINT)::BIGINT AS q
+        |  FROM oe CROSS JOIN (SELECT i FROM range(0, 64) t(i)) i
+        |  GROUP BY 1, 2),
+        |om AS MATERIALIZED (
+        |  SELECT oq.cell, oq.d,
+        |    (((oq.q // och.n) * 1000000) // 1048576)::BIGINT AS m
+        |  FROM oq JOIN och USING (cell)),
+        |occ AS MATERIALIZED (
+        |  SELECT x.cell AS ci, y.cell AS cj,
+        |    sum((x.m - y.m) * (x.m - y.m))::BIGINT AS cost
+        |  FROM om x JOIN om y ON x.d = y.d GROUP BY 1, 2),
+        |okk AS MATERIALIZED (
+        |  SELECT ci, cj,
+        |    least(cost // 5000, 1000000000)::BIGINT AS cs,
+        |    (1000000000000 // (1000000
+        |      + least(cost // 5000, 1000000000)))::HUGEINT AS k
+        |  FROM occ),
+        |oa AS MATERIALIZED (
+        |  SELECT cell,
+        |    ((na * 1000000) // (SELECT ta FROM ons))::HUGEINT AS mg
+        |  FROM och),
+        |ob AS MATERIALIZED (
+        |  SELECT cell,
+        |    ((nb * 1000000) // (SELECT tb FROM ons))::HUGEINT AS mg
+        |  FROM och),
+        |ov0 AS MATERIALIZED (SELECT cell, 1000000::HUGEINT AS v FROM och),
+        |sv0 AS MATERIALIZED (SELECT cell, 1000000::HUGEINT AS v FROM och),
+        |tv0 AS MATERIALIZED (SELECT cell, 1000000::HUGEINT AS v FROM och),
+        |${sinkhornIterCtes(30, "o", "oa", "ob")},
+        |${sinkhornIterCtes(30, "s", "oa", "oa")},
+        |${sinkhornIterCtes(30, "t", "ob", "ob")},
+        |opl AS MATERIALIZED (
+        |  SELECT kk.ci, kk.cj, kk.k, kk.cs,
+        |    (u.u * kk.k * v.v)::HUGEINT AS p
+        |  FROM okk kk
+        |  JOIN ou30 u ON u.cell = kk.ci
+        |  JOIN ov30 v ON v.cell = kk.cj),
+        |otot AS (
+        |  SELECT greatest(sum(p), 1::HUGEINT) AS tot,
+        |    (sum(p * cs) // greatest(sum(p), 1::HUGEINT))::BIGINT AS ot
+        |  FROM opl),
+        |${sinkhornCostCte("osf", "s", 30)},
+        |${sinkhornCostCte("otf", "t", 30)}
+        |SELECT pl.ci AS cell_a, pl.cj AS cell_b,
+        |  oa.mg::BIGINT AS a_ppm, ob.mg::BIGINT AS b_ppm,
+        |  pl.k::BIGINT AS k_ppm,
+        |  ((pl.p * 1000000) // (SELECT tot FROM otot))::BIGINT AS p_ppm,
+        |  (SELECT ot FROM otot) AS ot_cost,
+        |  ((SELECT ot FROM otot)
+        |    - ((SELECT ot FROM osf) + (SELECT ot FROM otf)) // 2)::BIGINT
+        |    AS sk_div
+        |FROM opl pl
+        |JOIN oa ON oa.cell = pl.ci
+        |JOIN ob ON ob.cell = pl.cj
+        |ORDER BY cell_a, cell_b""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer
@@ -10159,6 +10242,45 @@ object OperatorQueries {
         #|  SELECT lo, list_transform(generate_series(1, 65), x -> 0.0) AS w
         #|  FROM llos),""".stripMargin('#') +
       "\n|" + logoGdIterCtes(48, "0.1")).stripPrefix("|")
+
+  /** x232's Sinkhorn–Knopp scaling rounds unrolled: u ← a·10¹² div (Kv),
+    * v ← b·10¹² div (Kᵀu), all HUGEINT division on the |cells| frames —
+    * the exact integer recurrence OptimalTransport.sinkhornPlan runs in
+    * BigInt. `pfx` names the chain; `aCte`/`bCte` pick the marginal pair
+    * (the self-transport chains of the debiased divergence reuse one
+    * marginal on both sides). Both marginal CTEs expose (cell, mg). */
+  private def sinkhornIterCtes(
+      iters: Int, pfx: String, aCte: String, bCte: String): String =
+    (1 to iters).map { t =>
+      s"""|${pfx}u$t AS MATERIALIZED (
+          #|  SELECT kk.ci AS cell,
+          #|    ((ma.mg * 1000000000000::HUGEINT)
+          #|      // greatest(sum(kk.k * v.v), 1::HUGEINT))::HUGEINT AS u
+          #|  FROM okk kk
+          #|  JOIN ${pfx}v${t - 1} v ON v.cell = kk.cj
+          #|  JOIN $aCte ma ON ma.cell = kk.ci
+          #|  GROUP BY kk.ci, ma.mg),
+          #|${pfx}v$t AS MATERIALIZED (
+          #|  SELECT kk.cj AS cell,
+          #|    ((mb.mg * 1000000000000::HUGEINT)
+          #|      // greatest(sum(kk.k * u.u), 1::HUGEINT))::HUGEINT AS v
+          #|  FROM okk kk
+          #|  JOIN ${pfx}u$t u ON u.cell = kk.ci
+          #|  JOIN $bCte mb ON mb.cell = kk.cj
+          #|  GROUP BY kk.cj, mb.mg)""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
+
+  /** The transport cost of one finished x232 chain, in cost-grid units. */
+  private def sinkhornCostCte(name: String, pfx: String, iters: Int): String =
+    s"""|$name AS (
+        #|  SELECT (sum(p * cs)
+        #|    // greatest(sum(p), 1::HUGEINT))::BIGINT AS ot
+        #|  FROM (
+        #|    SELECT kk.cs, (u.u * kk.k * v.v)::HUGEINT AS p
+        #|    FROM okk kk
+        #|    JOIN ${pfx}u$iters u ON u.cell = kk.ci
+        #|    JOIN ${pfx}v$iters v ON v.cell = kk.cj))""".stripMargin('#')
+      .stripPrefix("|")
 
   /** The per-lo gradient steps for logoFitCtes — gdIterCtes with every
     * frame keyed and joined by the left-out source. */

@@ -393,7 +393,18 @@ object BenchScale {
     // corpus is never shuffled; TakeOrdered epilogue
     "x226_hbos_outliers" -> 1.2,
     // distinct-value cdf frames broadcast back + TakeOrdered epilogue
-    "x227_ecod_outliers" -> 1.3)
+    "x227_ecod_outliers" -> 1.3,
+    // ONE grouped gram scan (bounded buffers) + ONE 3K+1-conditional-sum
+    // scoring scan; all 21 refits are driver-side metadata
+    "x228_logo_influence" -> 1.3,
+    // distributed TakeOrdered of k+1 rows, then a single tiny agg
+    "x229_hill_tail" -> 1.2,
+    // one keyed agg to the |sources| frame + broadcast gap row
+    "x230_fairness_audit" -> 1.2,
+    // one keyed agg to the calendar-day frame; windows on that frame only
+    "x231_msprt_monitor" -> 1.3,
+    // one scan to |cells| quantized sums; kernel + scaling = driver metadata
+    "x232_sinkhorn_ot" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

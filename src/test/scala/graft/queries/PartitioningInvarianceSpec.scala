@@ -34,7 +34,11 @@ class PartitioningInvarianceSpec extends SparkSpec {
     "x198_pav_calibration", "x200_boxcox_scan", "x204_effect_size",
     "x205_nelson_aalen", "x208_cochran_q", "x210_runs_test",
     "x213_jarque_bera", "x214_cuped", "x215_mde", "x216_welch_t",
-    "x219_ab_readout")
+    "x219_ab_readout",
+    // round-10 additions: gram-ablation refits, TakeOrdered + ordered
+    // fold, exact-ppm fairness cells, day-frame cumsums, integer Sinkhorn
+    "x228_logo_influence", "x229_hill_tail", "x230_fairness_audit",
+    "x231_msprt_monitor", "x232_sinkhorn_ot")
 
   // (shuffle.partitions, files.maxPartitionBytes): serial / default / a
   // 97-way layout with 64 KB splits so even sf0.001 parquet fans out

@@ -1361,4 +1361,52 @@ class PlanAuditSpec extends SparkSpec {
       mScans.head.requiredSchema.fieldNames.toSet ==
         Set("text", "n_chars", "lang"))
   }
+
+  test("x229: the tail frame comes from TakeOrdered (never a global sort) " +
+    "and the scan reads only the value column") {
+    val nodes = flatten(planOf("x229_hill_tail"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1 &&
+      scans.head.requiredSchema.fieldNames.toSet == Set("n_chars"),
+      s"pruning must reach the scan, got " +
+        scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    assert(nodes.mkString.contains("TakeOrdered"),
+      "the k+1 order statistics must come from TakeOrderedAndProject")
+  }
+
+  test("x230: one pruned corpus scan; the gap row broadcasts back; " +
+    "no sort-merge join, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = flatten(planOf("x230_fairness_audit"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty &&
+      scans.forall(_.requiredSchema.fieldNames.toSet ==
+        Set("text", "lang", "source")),
+      "scan must read exactly (text, lang, source)")
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the 1-row gap aggregate must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("x231: events prune to (ts, user_id, value); every window runs on " +
+    "the post-aggregation day frame") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = flatten(planOf("x231_msprt_monitor"))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1 &&
+      scans.head.requiredSchema.fieldNames.toSet ==
+        Set("ts", "user_id", "value"),
+      "scan must read exactly (ts, user_id, value)")
+    // both global windows sit ABOVE the look-keyed aggregation: no
+    // WindowExec may have a raw file scan without an intervening aggregate
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.isEmpty))
+    windows.foreach { w =>
+      val sub = flatten(w.child)
+      assert(sub.exists(_.isInstanceOf[BaseAggregateExec]),
+        "the window input must already be the day-frame aggregate")
+    }
+  }
 }

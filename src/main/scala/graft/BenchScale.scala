@@ -404,7 +404,14 @@ object BenchScale {
     // one keyed agg to the calendar-day frame; windows on that frame only
     "x231_msprt_monitor" -> 1.3,
     // one scan to |cells| quantized sums; kernel + scaling = driver metadata
-    "x232_sinkhorn_ot" -> 1.2)
+    "x232_sinkhorn_ot" -> 1.2,
+    // banded candidate join + exact verify (the x09 candidate class),
+    // then a <=101-row histogram and metadata grid math
+    "x233_lsh_plan" -> 1.8,
+    // explode -> map-side term counts + an 11-row spectrum frame
+    "x234_good_turing" -> 1.3,
+    // one keyed agg per content key + a 1-row count aggregate
+    "x235_capture_recapture" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -340,6 +340,94 @@ object CorpusStats {
     * array — the order-pinned list_reduce replay every other fp fold in
     * this module uses. Scale shape: distributed TakeOrdered of k+1 rows
     * (never a global sort), then a single (k+1)-row aggregation. */
+  /** Simple Good–Turing discount table (Good 1953; Gale & Sampson 1995's
+    * presentation) — the LM-smoothing view of the frequency spectrum that
+    * [[richnessReport]]'s single unseen-mass number summarizes: for each
+    * observed count r ≤ maxR, the Turing-adjusted count
+    *   r* = (r+1)·N_{r+1}/N_r      (as exact ppm of a count)
+    * says what a term SEEN r times is actually worth when the corpus
+    * grows — the discount curve a Katz/Kneser-Ney-style smoother
+    * consumes, and the sanity check that token frequencies follow the
+    * expected spectrum shape (a scraped corpus whose N₁/N₂ ratio is off
+    * usually has boilerplate or dedup problems). Output per r:
+    * (r, n_r, n_r1, r_star_ppm, mass_ppm) + the corpus-level unseen mass
+    * p0_ppm = N₁·10⁶ div N repeated on every row. Exact integers
+    * throughout; rows with N_r = 0 carry NULL r_star.
+    *
+    * Scale shape: explode → term counts collapse map-side; the
+    * frequency-of-frequencies frame is ≤ maxR+1 rows. */
+  def goodTuringTable(
+      docs: DataFrame,
+      textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, "goodTuringTable: maxR in [1, 1000]")
+    val terms = docs
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => t =!= "")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"))
+    val tot = terms.agg(
+      sum("tf").as("n_tokens"),
+      sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("f1"))
+    val fof = terms
+      .where(col("tf") <= maxR + 1)
+      .groupBy(col("tf").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val rGrid = docs.sparkSession.range(1, maxR + 1).select(col("id").as("r"))
+    rGrid
+      .join(fof, Seq("r"), "left")
+      .join(fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        when(coalesce(col("n_r"), lit(0L)) > 0L, expr(
+          "((r + 1) * coalesce(n_r1, CAST(0 AS BIGINT)) * 1000000) div n_r"))
+          .otherwise(lit(null).cast("long")).as("r_star_ppm"),
+        expr("(coalesce(n_r, CAST(0 AS BIGINT)) * r * 1000000) div n_tokens").as("mass_ppm"),
+        expr("(f1 * 1000000) div n_tokens").as("p0_ppm"))
+      .orderBy("r")
+  }
+
+  /** Capture–recapture estimate of the TRUE distinct-document universe
+    * (Chapman 1951's bias-corrected Lincoln–Petersen): treat two corpus
+    * slices as two "capture" occasions over distinct content keys and
+    * estimate how many distinct documents EXIST (crawled or not yet):
+    *   N̂ = (n_a+1)(n_b+1) div (m+1) − 1,   m = |A ∩ B|
+    * — the dedup-planning number ("how much new content is left?") that
+    * pure observed-distinct counting cannot give. Output one row:
+    * (n_a, n_b, m_overlap, n_union, chapman_est, unseen_est). Exact
+    * integers; slices with zero overlap give the degenerate (but
+    * well-defined) Chapman bound.
+    *
+    * Scale shape: one keyed aggregation per content key (map-side
+    * collapse), then a 1-row count aggregate. */
+  def captureRecapture(
+      docs: DataFrame,
+      key: Column,
+      sliceA: Column): DataFrame = {
+    val keys = docs
+      .where(key.isNotNull && sliceA.isNotNull)
+      .select(md5(key).as("k"),
+        sliceA.cast("boolean").as("a"))
+      .groupBy("k")
+      .agg(max(when(col("a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("a"), 1L).otherwise(0L)).as("in_b"))
+    keys.agg(
+      sum("in_a").as("n_a"),
+      sum("in_b").as("n_b"),
+      sum(col("in_a") * col("in_b")).as("m_overlap"),
+      count(lit(1)).as("n_union"))
+      .select(
+        col("n_a"), col("n_b"), col("m_overlap"), col("n_union"),
+        expr("((n_a + 1) * (n_b + 1)) div (m_overlap + 1) - 1")
+          .as("chapman_est"),
+        expr("((n_a + 1) * (n_b + 1)) div (m_overlap + 1) - 1 - n_union")
+          .as("unseen_est"))
+  }
+
   def hillTailIndex(df: DataFrame, valueCol: Column, k: Int = 200): DataFrame = {
     require(k >= 2 && k <= 100000, "hillTailIndex: k in [2, 1e5]")
     df.select(valueCol.cast("long").as("x"))

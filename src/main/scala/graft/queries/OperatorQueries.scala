@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, LabelQa, Layout, Linalg, LineDedup, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, OptimalTransport, Outliers, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequenceMining, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
+import graft.operators.{Bootstrap, BpeTrainer, C4Filters, Chunking, Clustering, Conformal, CorpusStats, Curriculum, DataQuality, Dedup, Evaluation, FuzzyLinkage, Graph, ImportanceWeights, LabelQa, Layout, Linalg, LineDedup, LshPlanner, MarketBasket, MixtureSampling, Multimodal, NaiveBayes, NgramLm, OptimalTransport, Outliers, ParagraphDedup, QualityRules, RadixSelect, Seasonal, SequenceMining, SequencePacking, Sharding, SignalFusion, Similarity, Sketches, Skew, SubstringDedup, Survival, TemporalSplit, TextAnalysis, TextExtraction, TrainingDataPipeline, Vocabulary}
 
 /** LLM-pipeline operators (graft.operators) exposed through the driver's
   * query/oracle contract. Everything expressible in ANSI SQL carries an
@@ -9488,6 +9488,79 @@ object OperatorQueries {
         |JOIN oa ON oa.cell = pl.ci
         |JOIN ob ON ob.cell = pl.cj
         |ORDER BY cell_a, cell_b""".stripMargin),
+
+    // MinHash-LSH parameter planner (MMDS §3): score every (bands, rows)
+    // split of a 128-perm signature by its analytic detection probability
+    // over the corpus's verified pair spectrum — exact integer square
+    // chains on the ppm grid, no fp pow. The capacity-planning step
+    // before a 100 TB dedup job.
+    "x233_lsh_plan" -> sql(
+      (s, dir) => LshPlanner.lshPlan(
+        Tables.documents(s, dir), "text", "doc_id",
+        shingleSize = 3, spectrumBands = 16, spectrumRowsPerBand = 4,
+        thresholdPpm = 500000L, numPerms = 128, targetPpm = 950000L),
+      lshPlanOracle(numPerms = 128, thresholdPpm = 500000L,
+        targetPpm = 950000L)),
+
+    // Simple Good–Turing discount table (Good 1953 / Gale–Sampson 1995):
+    // the r → r* curve over the token frequency spectrum — exact integer
+    // ppm, one explode→count scan, ≤ 11-row frequency-of-frequencies.
+    "x234_good_turing" -> sql(
+      (s, dir) => CorpusStats.goodTuringTable(
+        Tables.documents(s, dir), "text", maxR = 10),
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*)::BIGINT AS tf FROM tk GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(tf)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1
+        |  FROM tc),
+        |fof AS (
+        |  SELECT tf AS r, count(*)::BIGINT AS n_r
+        |  FROM tc WHERE tf <= 11 GROUP BY 1),
+        |grid AS (SELECT r FROM range(1, 11) t(r))
+        |SELECT g.r::BIGINT AS r,
+        |  coalesce(f.n_r, 0)::BIGINT AS n_r,
+        |  coalesce(f2.n_r, 0)::BIGINT AS n_r1,
+        |  (CASE WHEN coalesce(f.n_r, 0) > 0
+        |    THEN ((g.r + 1) * coalesce(f2.n_r, 0) * 1000000) // f.n_r
+        |  END)::BIGINT AS r_star_ppm,
+        |  ((coalesce(f.n_r, 0) * g.r * 1000000) // t.n_tokens)::BIGINT
+        |    AS mass_ppm,
+        |  ((t.f1 * 1000000) // t.n_tokens)::BIGINT AS p0_ppm
+        |FROM grid g
+        |LEFT JOIN fof f ON f.r = g.r
+        |LEFT JOIN fof f2 ON f2.r = g.r + 1
+        |CROSS JOIN tot t
+        |ORDER BY r""".stripMargin),
+
+    // Chapman capture-recapture estimate of the distinct-content universe
+    // from the even/odd slice overlap on a 40-char content-prefix key —
+    // "how much new content is left to crawl", exact integers.
+    "x235_capture_recapture" -> sql(
+      (s, dir) => CorpusStats.captureRecapture(
+        Tables.documents(s, dir),
+        key = substring(col("text"), 1, 40),
+        sliceA = col("doc_id") % 2 === 0),
+      """WITH k AS (
+        |  SELECT md5(substr(text, 1, 40)) AS k, (doc_id % 2 = 0) AS a
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |g AS (
+        |  SELECT k,
+        |    max(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS in_a,
+        |    max(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS in_b
+        |  FROM k GROUP BY k)
+        |SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+        |  sum(in_a * in_b)::BIGINT AS m_overlap,
+        |  count(*)::BIGINT AS n_union,
+        |  (((sum(in_a) + 1) * (sum(in_b) + 1))
+        |    // (sum(in_a * in_b) + 1) - 1)::BIGINT AS chapman_est,
+        |  (((sum(in_a) + 1) * (sum(in_b) + 1))
+        |    // (sum(in_a * in_b) + 1) - 1 - count(*))::BIGINT AS unseen_est
+        |FROM g""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer
@@ -10242,6 +10315,58 @@ object OperatorQueries {
         #|  SELECT lo, list_transform(generate_series(1, 65), x -> 0.0) AS w
         #|  FROM llos),""".stripMargin('#') +
       "\n|" + logoGdIterCtes(48, "0.1")).stripPrefix("|")
+
+  /** x233's oracle: the exact all-pairs spectrum (the x07 oracle's pair
+    * CTEs) binned per percent, then one SELECT per (b, r) config whose
+    * detection probability is the SAME integer square-chain text the
+    * Spark side evaluates (LshPlanner.sqlDetectPpm with DuckDB's //);
+    * the sub-threshold proxy is Scala-computed and inlined as a literal
+    * on both sides. */
+  private def lshPlanOracle(
+      numPerms: Int, thresholdPpm: Long, targetPpm: Long): String = {
+    val configs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numPerms)
+      .map(r => (numPerms / r, r)).toSeq
+    val planSelects = configs.map { case (nb, r) =>
+      val det = graft.operators.LshPlanner.sqlDetectPpm("mid", nb, r, "//")
+      val subhalf = graft.operators.LshPlanner.detectPpmPublic(
+        thresholdPpm / 2L, nb, r)
+      s"""#|  SELECT ${nb}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band,
+          #|    (sum(cnt::HUGEINT * $det) // (SELECT n FROM tot))::BIGINT
+          #|      AS recall_ppm,
+          #|    ${subhalf}::BIGINT AS subhalf_ppm
+          #|  FROM hm""".stripMargin('#')
+    }.mkString("\n  UNION ALL\n").stripPrefix("|")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS sh
+      |  FROM t WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT len(list_intersect(a.sh, b.sh))::BIGINT AS c,
+      |    len(a.sh)::BIGINT AS sa, len(b.sh)::BIGINT AS sb
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+      |sp AS (
+      |  SELECT ((c * 1000000) // (sa + sb - c))::BIGINT AS s_ppm
+      |  FROM p WHERE (c * 1000000) // (sa + sb - c) >= $thresholdPpm),
+      |h AS (
+      |  SELECT (s_ppm // 10000)::BIGINT AS bin, count(*)::BIGINT AS cnt
+      |  FROM sp GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::BIGINT AS n FROM h),
+      |hm AS (
+      |  SELECT bin, cnt,
+      |    least(bin * 10000 + 5000, 1000000)::BIGINT AS mid
+      |  FROM h),
+      |plans AS (
+      |$planSelects),
+      |ch AS (SELECT min(bands) AS cb FROM plans WHERE recall_ppm >= $targetPpm)
+      |SELECT bands, rows_per_band, recall_ppm, subhalf_ppm,
+      |  coalesce(bands = (SELECT cb FROM ch), false) AS chosen
+      |FROM plans ORDER BY bands""".stripMargin
+  }
 
   /** x232's Sinkhorn–Knopp scaling rounds unrolled: u ← a·10¹² div (Kv),
     * v ← b·10¹² div (Kᵀu), all HUGEINT division on the |cells| frames —

@@ -38,7 +38,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     // round-10 additions: gram-ablation refits, TakeOrdered + ordered
     // fold, exact-ppm fairness cells, day-frame cumsums, integer Sinkhorn
     "x228_logo_influence", "x229_hill_tail", "x230_fairness_audit",
-    "x231_msprt_monitor", "x232_sinkhorn_ot")
+    "x231_msprt_monitor", "x232_sinkhorn_ot", "x233_lsh_plan",
+    "x234_good_turing", "x235_capture_recapture")
 
   // (shuffle.partitions, files.maxPartitionBytes): serial / default / a
   // 97-way layout with 64 KB splits so even sf0.001 parquet fans out

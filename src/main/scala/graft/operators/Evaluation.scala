@@ -2205,12 +2205,20 @@ object Evaluation {
       df: DataFrame,
       group: Column,
       pred: Column,
+      label: Column): DataFrame =
+    finishFairness(fairnessCells(df, group, pred, label))
+
+  /** The per-group confusion-cell state under [[fairnessAudit]] and its
+    * streaming twin: six commutative longs per group — grows
+    * monotonically under any arrival order, no watermark needed. */
+  def fairnessCells(
+      df: DataFrame,
+      group: Column,
+      pred: Column,
       label: Column): DataFrame = {
-    val dec = "decimal(38,0)"
     val p = pred.cast("boolean")
     val y = label.cast("boolean")
-    val cells = df
-      .where(group.isNotNull && p.isNotNull && y.isNotNull)
+    df.where(group.isNotNull && p.isNotNull && y.isNotNull)
       .groupBy(group.cast("string").as("grp"))
       .agg(
         count(lit(1)).as("n"),
@@ -2219,6 +2227,11 @@ object Evaluation {
         sum(when(p && y, 1L).otherwise(0L)).as("tp"),
         sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
         sum(when(p === y, 1L).otherwise(0L)).as("ok"))
+  }
+
+  /** The stateless rate/gap view over [[fairnessCells]] state. */
+  def finishFairness(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val rates = cells.select(
       col("grp"), col("n"), col("n_pos"),
       expr(s"(CAST(n_pred_pos AS $dec) * 1000000) div n").cast("long")

@@ -9560,7 +9560,7 @@ object OperatorQueries {
         |    // (sum(in_a * in_b) + 1) - 1)::BIGINT AS chapman_est,
         |  (((sum(in_a) + 1) * (sum(in_b) + 1))
         |    // (sum(in_a * in_b) + 1) - 1 - count(*))::BIGINT AS unseen_est
-        |FROM g""".stripMargin),
+        |FROM g ORDER BY n_a""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

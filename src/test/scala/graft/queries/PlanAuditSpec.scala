@@ -733,8 +733,18 @@ class PlanAuditSpec extends SparkSpec {
   test("x115: every rank table joins back as a broadcast; no sort-merge join") {
     // rank-normalization joins tiny distinct-value tables back to the
     // corpus — all three must broadcast (a sort-merge here would resort
-    // the corpus per signal)
-    val nodes = flatten(planOf("x115_signal_fusion"))
+    // the corpus per signal). Since the e25581f two-phase-rank epilogue
+    // the fused frame is CACHED, so the broadcasts live inside the
+    // InMemoryRelation's cached plan — descend through it (the x116
+    // technique) instead of auditing only the outer read.
+    def deepFlatten(p: SparkPlan): Seq[SparkPlan] = {
+      val here = flatten(p)
+      here ++ here.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deepFlatten(s.relation.cachedPlan)
+      }.flatten
+    }
+    val nodes = deepFlatten(planOf("x115_signal_fusion"))
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]))
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "value->rank maps must broadcast, never sort-merge")

@@ -2,6 +2,7 @@
 """Local replica of the driver's DuckDB-oracle comparison.
 Usage: check_oracle.py <verify_outdir> <sfdir>"""
 import duckdb, glob, json, sys
+import numpy as np
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -32,15 +33,31 @@ for name, sql in sorted(oracle.items()):
         if str(exp[c].dtype) != str(got[c].dtype):
             schema_note += f" [{c}: {exp[c].dtype} vs {got[c].dtype}]"
     bad = []
+    zeros = []
     for c in exp.columns:
         e, g = exp[c], got[c]
         try:
-            same = (e.isna() & g.isna()) | (e == g)
+            if e.dtype.kind == "f" and g.dtype.kind == "f":
+                # Bit-faithful: the driver hashes canonical bytes, so
+                # -0.0 vs +0.0 (invisible to ==) must count as a diff.
+                ev, gv = e.to_numpy(), g.to_numpy()
+                same = (e.isna() & g.isna()) | (
+                    (e == g) & (np.signbit(ev) == np.signbit(gv)))
+                for side, v in (("oracle", ev), ("spark", gv)):
+                    nz = np.signbit(v) & (v == 0.0)
+                    if nz.any():
+                        zeros.append(f"{side}:{c}@row{int(np.argmax(nz))}")
+            else:
+                same = (e.isna() & g.isna()) | (e == g)
         except Exception:
             same = e.astype(str) == g.astype(str)
         if not same.all():
             idx = same[~same].index[0]
             bad.append(f"{c}@row{idx}: oracle={e[idx]!r} spark={g[idx]!r}")
+    if zeros:
+        # Negative zero anywhere is a parity hazard even when both
+        # engines agree today — flag it loudly (but only fail on diffs).
+        print(f"NEGZERO {name}: {'; '.join(zeros[:6])}")
     if bad:
         print(f"FAIL {name}: {len(bad)} cols differ; {'; '.join(bad[:3])}{schema_note}"); fails += 1
     else:

@@ -386,8 +386,15 @@ object CorpusStats {
         when(coalesce(col("n_r"), lit(0L)) > 0L, expr(
           "((r + 1) * coalesce(n_r1, CAST(0 AS BIGINT)) * 1000000) div n_r"))
           .otherwise(lit(null).cast("long")).as("r_star_ppm"),
-        expr("(coalesce(n_r, CAST(0 AS BIGINT)) * r * 1000000) div n_tokens").as("mass_ppm"),
-        expr("(f1 * 1000000) div n_tokens").as("p0_ppm"))
+        // empty/all-whitespace corpus → n_tokens is NULL (empty sum) or 0
+        // (guarded-empty edge partitions); an unguarded div 0 errors under
+        // ANSI where DuckDB's // 0 likewise errors — NULL row instead
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          expr("(coalesce(n_r, CAST(0 AS BIGINT)) * r * 1000000) div n_tokens"))
+          .otherwise(lit(null).cast("long")).as("mass_ppm"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          expr("(f1 * 1000000) div n_tokens"))
+          .otherwise(lit(null).cast("long")).as("p0_ppm"))
       .orderBy("r")
   }
 
@@ -437,12 +444,18 @@ object CorpusStats {
       .agg(sort_array(collect_list("x"), asc = false).as("arr"))
       .select(
         lit(k.toLong).as("k"),
-        element_at(col("arr"), k + 1).as("x_tail_min"),
-        expr(
+        // fewer than k+1 positive rows → the estimator is undefined; a
+        // bare element_at(arr, k+1) would THROW under ANSI where the
+        // DuckDB oracle's arr[k+1] yields NULL — guard so both engines
+        // agree on an all-NULL row (the when() short-circuits, the
+        // out-of-range element_at is never evaluated)
+        when(size(col("arr")) >= k + 1, element_at(col("arr"), k + 1))
+          .otherwise(lit(null).cast("long")).as("x_tail_min"),
+        when(size(col("arr")) >= k + 1, expr(
           s"""aggregate(slice(arr, 1, $k), CAST(0.0 AS DOUBLE), (acc, v) ->
              |  acc + ln(CAST(v AS DOUBLE)
-             |    / CAST(element_at(arr, ${k + 1}) AS DOUBLE)))""".stripMargin)
-          .as("s"))
+             |    / CAST(element_at(arr, ${k + 1}) AS DOUBLE)))""".stripMargin))
+          .otherwise(lit(null).cast("double")).as("s"))
       .select(
         col("k"),
         col("x_tail_min"),

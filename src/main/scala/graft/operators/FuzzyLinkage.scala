@@ -105,7 +105,18 @@ object FuzzyLinkage {
     * d·q + 1 rarest elements (the prefixJaccardPairs economics), one
     * (gram, occ)-keyed equi-join of PREFIXES only, one id-keyed verify
     * join per side; the short branch is an equi-join on length. No
-    * driver state. */
+    * driver state.
+    *
+    * 100 TB guidance — exact vs approximate: the candidate volume is
+    * ∝ Σ prefixDf², which LOW-ENTROPY gram spectra inflate
+    * super-linearly (observed: sf0.1→sf1 wall-time exponent 1.60 on the
+    * x154 fixture). Before a large run, call [[qgramJoinPreflight]] with
+    * the SAME arguments: it prices the quadratic phase from the df
+    * spectrum after only the linear prologue. If the projected pair
+    * count exceeds budget, use the approximate siblings — ppjoin
+    * (prefix-Jaccard) or minhash near-duplicates with
+    * [[LshPlanner.lshPlan]]-chosen parameters — and verify survivors
+    * with exact Levenshtein instead of running the exact join. */
   def qgramJoin(
       left: DataFrame,
       right: DataFrame,
@@ -118,47 +129,22 @@ object FuzzyLinkage {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "q must be >= 1")
 
-    def side(df: DataFrame, id: String, v: String, tag: String): DataFrame =
-      df.select(col(id).cast("long").as(s"${tag}_id"),
-        col(v).as(s"${tag}_val"), length(col(v)).as(s"${tag}_len"))
-
-    val l = side(left, leftId, leftCol, "left")
-    val r = side(right, rightId, rightCol, "right")
-
-    // occurrence-numbered q-grams: (id, gram, occ) with occ = 1..multiplicity
-    // — numbering via count+explode (map-side-combinable agg), no window:
-    // any per-copy numbering realizes bag semantics, since (g, occ) equality
-    // then matches exactly min(mult_left, mult_right) times per gram
-    def gramsE(df: DataFrame, tag: String): DataFrame = df
-      .where(col(s"${tag}_len") >= q)
-      .select(col(s"${tag}_id").as("__id"),
-        explode(expr(
-          s"transform(sequence(1, ${tag}_len - ${q - 1}), i -> substring(${tag}_val, i, $q))"))
-          .as("__g"))
-      .groupBy("__id", "__g").agg(count(lit(1)).as("__m"))
-      .select(col("__id"), col("__g"),
-        explode(sequence(lit(1), col("__m"))).as("__occ"))
+    val l = sideFrame(left, leftId, leftCol, "left")
+    val r = sideFrame(right, rightId, rightCol, "right")
 
     val minLenForFilter = q + maxDist * q // |s| ≥ this ⇒ count threshold ≥ 1
     val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
     val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
 
-    val gl = tracked(gramsE(longL, "left").persist())
-    val gr = tracked(gramsE(longR, "right").persist())
+    val gl = tracked(occGrams(longL, "left", q).persist())
+    val gr = tracked(occGrams(longR, "right", q).persist())
     // one global element order for both sides: df asc over the UNION
     // (rarest first), then (gram, occ) for determinism
     val dfreq = gl.unionByName(gr).groupBy("__g", "__occ")
       .agg(count(lit(1)).as("__df"))
     val prefixLen = maxDist * q + 1
-    def prefix(g: DataFrame, idOut: String): DataFrame = {
-      val w = Window.partitionBy("__id")
-        .orderBy(col("__df"), col("__g"), col("__occ"))
-      g.join(dfreq, Seq("__g", "__occ"))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") <= prefixLen)
-        .select(col("__g"), col("__occ"), col("__id").as(idOut))
-    }
-    val longCand = prefix(gl, "left_id").join(prefix(gr, "right_id"),
+    val longCand = rarestPrefix(gl, dfreq, prefixLen, "left_id")
+      .join(rarestPrefix(gr, dfreq, prefixLen, "right_id"),
         Seq("__g", "__occ"))
       .select("left_id", "right_id")
       .join(longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
@@ -187,5 +173,145 @@ object FuzzyLinkage {
       .withColumn("dist", levenshtein(col("left_val"), col("right_val")).cast("long"))
       .where(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
+  }
+
+  private def sideFrame(df: DataFrame, id: String, v: String, tag: String): DataFrame =
+    df.select(col(id).cast("long").as(s"${tag}_id"),
+      col(v).as(s"${tag}_val"), length(col(v)).as(s"${tag}_len"))
+
+  // occurrence-numbered q-grams: (id, gram, occ) with occ = 1..multiplicity
+  // — numbering via count+explode (map-side-combinable agg), no window:
+  // any per-copy numbering realizes bag semantics, since (g, occ) equality
+  // then matches exactly min(mult_left, mult_right) times per gram
+  private def occGrams(df: DataFrame, tag: String, q: Int): DataFrame = df
+    .where(col(s"${tag}_len") >= q)
+    .select(col(s"${tag}_id").as("__id"),
+      explode(expr(
+        s"transform(sequence(1, ${tag}_len - ${q - 1}), i -> substring(${tag}_val, i, $q))"))
+        .as("__g"))
+    .groupBy("__id", "__g").agg(count(lit(1)).as("__m"))
+    .select(col("__id"), col("__g"),
+      explode(sequence(lit(1), col("__m"))).as("__occ"))
+
+  // each string's prefixLen globally-RAREST (gram, occ) elements under the
+  // shared union-df order — (df, g, occ) is a total order per id, so the
+  // prefix set is engine- and layout-independent
+  private def rarestPrefix(
+      g: DataFrame,
+      dfreq: DataFrame,
+      prefixLen: Int,
+      idOut: String): DataFrame = {
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__df"), col("__g"), col("__occ"))
+    g.join(dfreq, Seq("__g", "__occ"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= prefixLen)
+      .select(col("__g"), col("__occ"), col("__id").as(idOut))
+  }
+
+  /** Pre-flight candidate-volume estimate for [[qgramJoin]] — the 100 TB
+    * guard rail the ED-Join economics demand: the candidate volume is
+    * ∝ Σ prefixDf², which the df SPECTRUM alone determines, so the cost
+    * of the quadratic phase is knowable after only the LINEAR phase
+    * (gram explode + df aggregation + per-string prefix windows). This
+    * runs exactly that linear prologue, then counts — never materializes
+    * — the pairs each branch of qgramJoin would generate:
+    *
+    *   long_pairs  = Σ_{(g,occ)} |prefixL(g,occ)| · |prefixR(g,occ)|
+    *                 (group-then-multiply on the two prefix frames — the
+    *                 exact pre-length-filter, pre-dedup row count of the
+    *                 prefix equi-join)
+    *   short_pairs = the short branch's exact length-bucket volume
+    *                 (short-left × all-right + short-right × long-left
+    *                 over the (2d+1)-bucket length histograms)
+    *
+    * Decision rule (route column): when total_pairs ≤ budgetPairs the
+    * exact join is affordable — run [[qgramJoin]]. When it is not, the
+    * corpus's gram spectrum is too low-entropy for the exact algorithm
+    * at this scale: route to the approximate siblings instead —
+    * Dedup.ppjoinPairs (prefix-Jaccard, x86) or minhash near-duplicates
+    * (x07) with band/row parameters chosen by LshPlanner.lshPlan (x233).
+    * Budget intuition: pairs × ~100 B shuffled + a Levenshtein verify
+    * each; 10⁸ pairs ≈ 10 GB shuffle — a sane single-job default.
+    *
+    * Output (one row, exact integers): n_long_left, n_long_right,
+    * n_short_left, n_short_right, long_pairs, short_pairs, total_pairs,
+    * budget_pairs, within_budget, route.
+    *
+    * Scale shape: identical linear prologue to qgramJoin (same helpers),
+    * then THREE metadata-sized aggregations — per-key prefix counts
+    * joined and summed (never exploded into pairs), and two length
+    * histograms. Caller epilogue: releaseCaches() after materializing. */
+  def qgramJoinPreflight(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int,
+      q: Int = 2,
+      budgetPairs: Long = 100000000L): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(q >= 1, "q must be >= 1")
+    require(budgetPairs > 0L, "budgetPairs must be positive")
+
+    val l = sideFrame(left, leftId, leftCol, "left")
+    val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
+
+    val minLenForFilter = q + maxDist * q
+    val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
+    val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
+
+    val gl = tracked(occGrams(longL, "left", q).persist())
+    val gr = tracked(occGrams(longR, "right", q).persist())
+    val dfreq = gl.unionByName(gr).groupBy("__g", "__occ")
+      .agg(count(lit(1)).as("__df"))
+    val prefixLen = maxDist * q + 1
+
+    // group-then-multiply: the prefix equi-join's output row count without
+    // producing a single pair row
+    val cl = rarestPrefix(gl, dfreq, prefixLen, "left_id")
+      .groupBy("__g", "__occ").agg(count(lit(1)).as("__ca"))
+    val cr = rarestPrefix(gr, dfreq, prefixLen, "right_id")
+      .groupBy("__g", "__occ").agg(count(lit(1)).as("__cb"))
+    val longPairs = cl.join(cr, Seq("__g", "__occ"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("long_pairs"))
+
+    // short branch volume over length histograms, mirroring qgramJoin's
+    // short-left × ALL right and short-right × LONG left unions
+    def buckets(hist: DataFrame, lenCol: String): DataFrame = hist
+      .withColumn("__bl", explode(sequence(
+        col(lenCol) - maxDist, col(lenCol) + maxDist)))
+    val histShortL = l.where(col("left_len") < minLenForFilter)
+      .groupBy("left_len").agg(count(lit(1)).as("__c"))
+    val histShortR = r.where(col("right_len") < minLenForFilter)
+      .groupBy("right_len").agg(count(lit(1)).as("__c"))
+    val histAllR = r.groupBy(col("right_len").as("__bl"))
+      .agg(count(lit(1)).as("__cr"))
+    val histLongL = longL.groupBy(col("left_len").as("__bl"))
+      .agg(count(lit(1)).as("__cl"))
+    val shortPairs = buckets(histShortL, "left_len").join(histAllR, Seq("__bl"))
+      .select((col("__c") * col("__cr")).as("__p"))
+      .unionByName(buckets(histShortR, "right_len").join(histLongL, Seq("__bl"))
+        .select((col("__c") * col("__cl")).as("__p")))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("short_pairs"))
+
+    val counts = longL.agg(count(lit(1)).as("n_long_left"))
+      .crossJoin(broadcast(longR.agg(count(lit(1)).as("n_long_right"))))
+      .crossJoin(broadcast(l.where(col("left_len") < minLenForFilter)
+        .agg(count(lit(1)).as("n_short_left"))))
+      .crossJoin(broadcast(r.where(col("right_len") < minLenForFilter)
+        .agg(count(lit(1)).as("n_short_right"))))
+
+    counts
+      .crossJoin(broadcast(longPairs))
+      .crossJoin(broadcast(shortPairs))
+      .withColumn("total_pairs", col("long_pairs") + col("short_pairs"))
+      .withColumn("budget_pairs", lit(budgetPairs))
+      .withColumn("within_budget", col("total_pairs") <= col("budget_pairs"))
+      .withColumn("route",
+        when(col("within_budget"), lit("qgram_exact"))
+          .otherwise(lit("approximate_minhash")))
   }
 }

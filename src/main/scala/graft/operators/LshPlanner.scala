@@ -14,12 +14,25 @@ import org.apache.spark.sql.functions._
   * small floods the bucket join with sub-threshold candidates, b too
   * small silently drops true near-duplicates.
   *
-  * Exactness contract: the spectrum histogram is exact-integer
-  * (s_ppm = 10⁶·|∩| div |∪| over verified pairs, binned per percent);
-  * every power in P(s) is an exact integer square-chain on the ppm grid
-  * (x ← x² div 10⁶, exponents are powers of two by construction since
-  * b·r = numPerms is a power of two), so the whole plan table replays
-  * bit-for-bit in SQL — no fp pow anywhere.
+  * Exactness contract: GIVEN the spectrum histogram, the plan arithmetic
+  * replays bit-for-bit in SQL — each verified pair's s_ppm is exact
+  * integer (10⁶·|∩| div |∪|, binned per percent) and every power in
+  * P(s) is an exact integer square-chain on the ppm grid (x ← x² div
+  * 10⁶, exponents are powers of two by construction since b·r =
+  * numPerms is a power of two) — no fp pow anywhere.
+  *
+  * Spectrum caveat (banding-conditional): the histogram is built from
+  * the banded-LSH candidate set (spectrumBands × spectrumRowsPerBand),
+  * so pairs the spectrum banding itself misses are absent — at the
+  * default 16×4 a pair at s = 0.5 has a ~36 % miss probability, and a
+  * corpus dense in borderline pairs will under-weight those bins (the
+  * sub-threshold region is analytic, not sampled, so subhalf_ppm is
+  * unaffected). An oracle computing the EXACT all-pairs spectrum agrees
+  * only when the banded candidate set contains every pair ≥ threshold;
+  * raise spectrumBands (more bands at fixed rows-per-band = higher
+  * recall, more spectrum-pass cost) when the planning corpus sits near
+  * the threshold. The plan table is a capacity estimate, not an exact
+  * recall guarantee.
   *
   * Scale shape: the pair spectrum reuses the banded-join + exact-verify
   * pipeline (only candidates pay verification; the x07 class), collapses
@@ -98,35 +111,38 @@ object LshPlanner {
           lit(shingleSize)).as("bh"))
       .where(size(col("bh")) > 0)
       .persist()
-    val banded = hashed.select(
-      col("id"),
-      posexplode(call_function("graft_minhash_bands",
-        col("bh"), lit(spectrumBands), lit(spectrumRowsPerBand))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
-    val hist = candidates
-      .join(sets.withColumnsRenamed(
-        Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
-      .join(sets.withColumnsRenamed(
-        Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
-      .withColumn("common",
-        call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
-      .withColumn("s_ppm", expr(
-        "(CAST(common AS BIGINT) * 1000000) div " +
-          "CAST(hsz_a + hsz_b - common AS BIGINT)"))
-      .where(col("s_ppm") >= thresholdPpm)
-      .groupBy(expr("s_ppm div 10000").as("bin"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    hashed.unpersist(blocking = false)
+    // finally-released: a failure anywhere in the candidate/verify path
+    // (e.g. the ANSI div in s_ppm) must not leak the cached frame
+    val hist = try {
+      val banded = hashed.select(
+        col("id"),
+        posexplode(call_function("graft_minhash_bands",
+          col("bh"), lit(spectrumBands), lit(spectrumRowsPerBand))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+      val candidates = a.join(b, Seq("band", "band_hash"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      val sets = hashed.select(col("id"), col("bh"), size(col("bh")).as("hsz"))
+      candidates
+        .join(sets.withColumnsRenamed(
+          Map("id" -> "id_a", "bh" -> "bh_a", "hsz" -> "hsz_a")), Seq("id_a"))
+        .join(sets.withColumnsRenamed(
+          Map("id" -> "id_b", "bh" -> "bh_b", "hsz" -> "hsz_b")), Seq("id_b"))
+        .withColumn("common",
+          call_function("graft_intersect_count", col("bh_a"), col("bh_b")))
+        .withColumn("s_ppm", expr(
+          "(CAST(common AS BIGINT) * 1000000) div " +
+            "CAST(hsz_a + hsz_b - common AS BIGINT)"))
+        .where(col("s_ppm") >= thresholdPpm)
+        .groupBy(expr("s_ppm div 10000").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+    } finally hashed.unpersist(blocking = false)
 
     def mid(bin: Long): Long = math.min(bin * 10000L + 5000L, 1000000L)
     val configs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numPerms)

@@ -4369,10 +4369,10 @@ object OperatorQueries {
           .orderBy("vec_id"),
       s"""WITH $pcaFitCtes
         |SELECT d.vec_id, d.label,
-        |  round(list_dot_product(d.e, (SELECT v FROM av12)), 4) AS pc1,
-        |  round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) AS pc2,
-        |  round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) AS evr1,
-        |  round((SELECT lam FROM l2) / (SELECT t FROM trc), 4) AS evr2
+        |  round(list_dot_product(d.e, (SELECT v FROM av12)), 4) + 0.0 AS pc1,
+        |  round(list_dot_product(d.e, (SELECT v FROM bv12)), 4) + 0.0 AS pc2,
+        |  round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) + 0.0 AS evr1,
+        |  round((SELECT lam FROM l2) / (SELECT t FROM trc), 4) + 0.0 AS evr2
         |FROM d ORDER BY d.vec_id""".stripMargin),
 
     // Ridge-regression linear probe on the embeddings (is `label < 5`
@@ -9527,9 +9527,12 @@ object OperatorQueries {
         |  (CASE WHEN coalesce(f.n_r, 0) > 0
         |    THEN ((g.r + 1) * coalesce(f2.n_r, 0) * 1000000) // f.n_r
         |  END)::BIGINT AS r_star_ppm,
-        |  ((coalesce(f.n_r, 0) * g.r * 1000000) // t.n_tokens)::BIGINT
-        |    AS mass_ppm,
-        |  ((t.f1 * 1000000) // t.n_tokens)::BIGINT AS p0_ppm
+        |  (CASE WHEN coalesce(t.n_tokens, 0) > 0
+        |    THEN (coalesce(f.n_r, 0) * g.r * 1000000) // t.n_tokens
+        |  END)::BIGINT AS mass_ppm,
+        |  (CASE WHEN coalesce(t.n_tokens, 0) > 0
+        |    THEN (t.f1 * 1000000) // t.n_tokens
+        |  END)::BIGINT AS p0_ppm
         |FROM grid g
         |LEFT JOIN fof f ON f.r = g.r
         |LEFT JOIN fof f2 ON f2.r = g.r + 1

@@ -28,6 +28,18 @@ class GoodTuringRecaptureSpec extends SparkSpec {
       out(3).getLong(4) == 0L)
   }
 
+  test("goodTuringTable: empty/whitespace corpus yields NULL masses, no ANSI error") {
+    // zero tokens → n_tokens is NULL (empty sum); the guarded divisions
+    // must yield NULL rows instead of an ANSI divide error
+    val df = Seq("   ", "\t", null.asInstanceOf[String]).toDF("text")
+    val out = CorpusStats.goodTuringTable(df, "text", maxR = 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L && r.isNullAt(3))
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
   test("captureRecapture: the textbook Chapman estimate") {
     // A sees {k1,k2,k3}, B sees {k2,k3,k4,k5} → m=2, union=5,
     // Chapman = (4·5) div 3 − 1 = 5 → unseen = 0

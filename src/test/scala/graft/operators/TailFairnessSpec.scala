@@ -32,6 +32,16 @@ class TailFairnessSpec extends SparkSpec {
     assert(a.getLong(1) == 8L)
   }
 
+  test("hillTailIndex: fewer than k+1 positive rows yields an all-NULL row") {
+    // 3 positive rows with k = 3 → x_(k+1) does not exist; the guarded
+    // element_at must NOT throw under ANSI, matching the oracle's
+    // NULL-propagating arr[k+1]
+    val df = Seq(16L, 8L, 4L, 0L, -2L).toDF("x")
+    val r = CorpusStats.hillTailIndex(df, col("x"), k = 3).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("hillTailIndex: a flat tail yields NULL alpha") {
     val df = Seq.fill(10)(5L).toDF("x")
     val r = CorpusStats.hillTailIndex(df, col("x"), k = 3).collect().head

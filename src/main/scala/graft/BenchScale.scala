@@ -411,7 +411,11 @@ object BenchScale {
     // explode -> map-side term counts + an 11-row spectrum frame
     "x234_good_turing" -> 1.3,
     // one keyed agg per content key + a 1-row count aggregate
-    "x235_capture_recapture" -> 1.3)
+    "x235_capture_recapture" -> 1.3,
+    // the ED-Join LINEAR prologue only (gram explode + df agg + prefix
+    // windows) + group-then-multiply counts — no pair materialization,
+    // which is the point: pricing x154's 1.8-class join at 1.4 cost
+    "x236_qgram_preflight" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

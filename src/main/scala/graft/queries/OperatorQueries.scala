@@ -9564,6 +9564,103 @@ object OperatorQueries {
         |  (((sum(in_a) + 1) * (sum(in_b) + 1))
         |    // (sum(in_a * in_b) + 1) - 1 - count(*))::BIGINT AS unseen_est
         |FROM g ORDER BY n_a""".stripMargin),
+
+    // ED-Join pre-flight (the x154 100 TB guard rail): price the exact
+    // q-gram join's quadratic phase from the df spectrum BEFORE running
+    // it — the linear prologue only, then group-then-multiply counts of
+    // the pairs each branch would generate, and the routing verdict
+    // (exact join vs approximate minhash/ppjoin siblings). Same fixture
+    // as x154; every output is an exact integer / boolean, so the whole
+    // prefix-selection pipeline (occurrence-numbered grams, union df,
+    // rarest-(df,g,occ) windows) replays in SQL.
+    "x236_qgram_preflight" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val out = FuzzyLinkage.qgramJoinPreflight(clean, dirty, "doc_id", "title",
+          "doc_id", "dirty_title", maxDist = 1, q = 3)
+          .orderBy("n_long_left")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        materialized
+      },
+      """WITH l AS (
+        |  SELECT doc_id AS id, substr(text, 1, 40) AS v,
+        |    length(substr(text, 1, 40)) AS len
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS v,
+        |    length(substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2)) AS len
+        |  FROM documents),
+        |ll AS (SELECT * FROM l WHERE len >= 6),
+        |lr AS (SELECT * FROM r WHERE len >= 6),
+        |gl0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len - 2),
+        |    i -> substr(v, i::INT, 3))) AS g
+        |  FROM ll),
+        |glm AS (SELECT id, g, count(*)::BIGINT AS m FROM gl0 GROUP BY 1, 2),
+        |gl AS (SELECT id, g, unnest(generate_series(1, m)) AS occ FROM glm),
+        |gr0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len - 2),
+        |    i -> substr(v, i::INT, 3))) AS g
+        |  FROM lr),
+        |grm AS (SELECT id, g, count(*)::BIGINT AS m FROM gr0 GROUP BY 1, 2),
+        |gr AS (SELECT id, g, unnest(generate_series(1, m)) AS occ FROM grm),
+        |dfreq AS MATERIALIZED (
+        |  SELECT g, occ, count(*)::BIGINT AS df
+        |  FROM (SELECT * FROM gl UNION ALL SELECT * FROM gr) GROUP BY 1, 2),
+        |pl AS (
+        |  SELECT g, occ FROM (
+        |    SELECT gl.g, gl.occ, row_number() OVER (
+        |      PARTITION BY gl.id ORDER BY df, gl.g, gl.occ) AS rn
+        |    FROM gl JOIN dfreq USING (g, occ))
+        |  WHERE rn <= 4),
+        |pr AS (
+        |  SELECT g, occ FROM (
+        |    SELECT gr.g, gr.occ, row_number() OVER (
+        |      PARTITION BY gr.id ORDER BY df, gr.g, gr.occ) AS rn
+        |    FROM gr JOIN dfreq USING (g, occ))
+        |  WHERE rn <= 4),
+        |cl AS (SELECT g, occ, count(*)::BIGINT AS ca FROM pl GROUP BY 1, 2),
+        |cr AS (SELECT g, occ, count(*)::BIGINT AS cb FROM pr GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT coalesce(sum(ca * cb), 0)::BIGINT AS long_pairs
+        |  FROM cl JOIN cr USING (g, occ)),
+        |har AS (SELECT len AS bl, count(*)::BIGINT AS c_r FROM r GROUP BY 1),
+        |hll AS (SELECT len AS bl, count(*)::BIGINT AS c_l FROM ll GROUP BY 1),
+        |hsl AS (SELECT len, count(*)::BIGINT AS c FROM l WHERE len < 6 GROUP BY 1),
+        |hsr AS (SELECT len, count(*)::BIGINT AS c FROM r WHERE len < 6 GROUP BY 1),
+        |sp AS (
+        |  SELECT coalesce(sum(p), 0)::BIGINT AS short_pairs FROM (
+        |    SELECT b.c * har.c_r AS p FROM (
+        |      SELECT c, unnest(generate_series(len - 1, len + 1)) AS bl
+        |      FROM hsl) b
+        |    JOIN har USING (bl)
+        |    UNION ALL
+        |    SELECT b.c * hll.c_l AS p FROM (
+        |      SELECT c, unnest(generate_series(len - 1, len + 1)) AS bl
+        |      FROM hsr) b
+        |    JOIN hll USING (bl)))
+        |SELECT
+        |  (SELECT count(*) FROM ll)::BIGINT AS n_long_left,
+        |  (SELECT count(*) FROM lr)::BIGINT AS n_long_right,
+        |  (SELECT count(*) FROM l WHERE len < 6)::BIGINT AS n_short_left,
+        |  (SELECT count(*) FROM r WHERE len < 6)::BIGINT AS n_short_right,
+        |  long_pairs, short_pairs,
+        |  (long_pairs + short_pairs)::BIGINT AS total_pairs,
+        |  100000000::BIGINT AS budget_pairs,
+        |  (long_pairs + short_pairs) <= 100000000 AS within_budget,
+        |  CASE WHEN (long_pairs + short_pairs) <= 100000000
+        |    THEN 'qgram_exact' ELSE 'approximate_minhash' END AS route
+        |FROM lp CROSS JOIN sp ORDER BY n_long_left""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

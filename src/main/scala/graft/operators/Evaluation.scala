@@ -2251,6 +2251,81 @@ object Evaluation {
     rates.crossJoin(broadcast(gaps)).orderBy("grp")
   }
 
+  /** Inverse-propensity-score off-policy evaluation (Horvitz & Thompson
+    * 1952; SNIPS: Swaminathan & Joachims 2015) of the UNIFORM target
+    * policy against the logged behavior policy — "what would the average
+    * reward have been had every action been tried equally?", plus the
+    * diagnostics that say whether the logs can answer that at all. The
+    * behavior propensity is the empirical action share p̂(a) = n_a/N (the
+    * MLE of a stationary logger), so the per-event weight is the exact
+    * rational w(a) = (1/K)/(n_a/N) = N/(K·n_a), carried as a truncated
+    * ppm integer. Output one row:
+    *   n_events, n_actions,
+    *   ips_micro    — IPS estimate of the target-policy mean reward, in
+    *                  10⁻⁶ reward units: (Σ_a sr_a·w_a) div (10⁶·N)
+    *   snips_micro  — self-normalized IPS: (Σ_a sr_a·w_a) div Σ_a n_a·w_a
+    *   ess_ppm      — effective sample share (Σw)²/(N·Σw²) as ppm: the
+    *                  "how many events actually back this estimate"
+    *                  overlap diagnostic (Owen, Monte Carlo §9)
+    *   max_w_ppm    — the largest weight: a handful of rare actions
+    *                  carrying 10⁶⁺ ppm weights means the estimate rides
+    *                  on outliers
+    * Rewards quantize to the 10⁻⁶ grid per row (⌊r·10⁶ + 0.5⌋) before
+    * integer summation, every division is a truncating integer div, and
+    * all wide products run in decimal(38,0) — exact, arrival-order-free,
+    * SQL-replayable (ESS's W1² term bounds N at ~10¹⁰ events per call;
+    * shard the audit beyond that).
+    *
+    * Scale shape: ONE keyed aggregation to the |actions| frame, then
+    * metadata-sized arithmetic — the 100 TB plan for a log audit. */
+  def ipsOffPolicy(df: DataFrame, action: Column, reward: Column): DataFrame =
+    finishIps(ipsActionCells(df, action, reward))
+
+  /** The per-action sufficient statistics under [[ipsOffPolicy]] and its
+    * streaming twin: two commutative longs per action (count, quantized
+    * reward sum) — grows under any arrival order, no watermark needed. */
+  def ipsActionCells(df: DataFrame, action: Column, reward: Column): DataFrame =
+    df.where(action.isNotNull && reward.isNotNull)
+      .select(action.cast("string").as("a"),
+        floor(reward.cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("r_micro"))
+      .groupBy("a")
+      .agg(count(lit(1)).as("n"), sum("r_micro").as("sr"))
+
+  /** The stateless report over [[ipsActionCells]] state. */
+  def finishIps(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = cells.agg(
+      coalesce(sum("n"), lit(0L)).as("n_events"),
+      count(lit(1)).as("n_actions"))
+    val weighted = cells.crossJoin(broadcast(tot))
+      .withColumn("w_ppm",
+        expr(s"(CAST(n_events AS $dec) * 1000000) div (n_actions * n)")
+          .cast("long"))
+    val sums = weighted.agg(
+      sum(expr(s"CAST(sr AS $dec) * w_ppm")).as("srw"),
+      sum(expr(s"CAST(n AS $dec) * w_ppm")).as("w1"),
+      sum(expr(s"CAST(n AS $dec) * w_ppm * w_ppm")).as("w2"),
+      max("w_ppm").as("max_w_ppm"))
+    tot.crossJoin(broadcast(sums))
+      .select(
+        col("n_events"), col("n_actions"),
+        when(col("n_events") > 0L,
+          expr(s"srw div (CAST(1000000 AS $dec) * n_events)").cast("long"))
+          .otherwise(lit(null).cast("long")).as("ips_micro"),
+        // w_ppm truncates to 0 for an action holding > 10⁶/K of all
+        // events — the degenerate-overlap case where the normalized
+        // estimators are undefined; report NULL rather than divide
+        when(col("n_events") > 0L && expr("w1 > 0"),
+          expr("srw div w1").cast("long"))
+          .otherwise(lit(null).cast("long")).as("snips_micro"),
+        when(col("n_events") > 0L && expr("w2 > 0"),
+          expr("(w1 * w1 * 1000000) div (w2 * n_events)").cast("long"))
+          .otherwise(lit(null).cast("long")).as("ess_ppm"),
+        col("max_w_ppm"))
+      .orderBy("n_events")
+  }
+
   /** Per-look A/B sufficient statistics — the bounded state under the
     * mSPRT monitor [[finishMsprt]] and its streaming twin: for each look
     * (a calendar day, an hour bucket…) the six commutative sums

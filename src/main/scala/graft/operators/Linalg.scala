@@ -133,6 +133,71 @@ object Linalg {
         lit(roundAt(lam2 / tr, 4)).as("evr2")): _*)
   }
 
+  /** Linear Centered Kernel Alignment (Kornblith et al. 2019, "Similarity
+    * of Neural Network Representations Revisited") between two PAIRED
+    * representations of the same rows:
+    *   CKA(X, Y) = ‖Cov(X,Y)‖²_F / (‖Cov(X)‖_F · ‖Cov(Y)‖_F)
+    * — the standard "how much structure survives" score for comparing an
+    * embedding against its compressed / re-trained / projected twin
+    * (1 = same geometry up to rotation+scale, 0 = unrelated).
+    *
+    * Shape: the SAME single-scan sufficient-statistics plan as
+    * [[pcaProject]] — the two vectors concatenate into one (dimA+dimB)
+    * feature vector whose one gram buffer contains the Sxx/Syy/Sxy
+    * blocks; the driver centers 6-dp moments and folds the three
+    * Frobenius sums in (i asc, j asc) order, the exact order the oracle's
+    * list_reduce replays. Output one row:
+    * (n_rows, fro_xx, fro_yy, fro_xy, cka), cka NULL when either
+    * marginal covariance is all-zero. */
+  def linearCka(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column,
+      dimA: Int,
+      dimB: Int): DataFrame = {
+    require(dimA >= 1 && dimB >= 1 && dimA + dimB <= 512,
+      "linearCka: dimA, dimB >= 1 and dimA + dimB <= 512")
+    val dim = dimA + dimB
+    val g = gramSums(df.select(concat(aCol, bCol).as("__ab")), "__ab", lit(0.0), dim)
+    val n = g(0)
+    require(n > 0, "linearCka: empty input")
+    val mu = Array.tabulate(dim)(i => round6(g(1 + i) / n))
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n) - mu(i) * mu(j)
+        c(i)(j) = v
+        c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    // Frobenius block sums, (i asc, j asc) fold over ALL cells of the
+    // block — the list_reduce(list(c*c ORDER BY i, j)) evaluation order
+    def frob(i0: Int, i1: Int, j0: Int, j1: Int): Double = {
+      var s = 0.0
+      var ii = i0
+      while (ii < i1) {
+        var jj = j0
+        while (jj < j1) { s += c(ii)(jj) * c(ii)(jj); jj += 1 }
+        ii += 1
+      }
+      s
+    }
+    val fxx = frob(0, dimA, 0, dimA)
+    val fyy = frob(dimA, dim, dimA, dim)
+    val fxy = frob(0, dimA, dimA, dim)
+    val cka: Option[Double] =
+      if (fxx > 0.0 && fyy > 0.0) Some(roundAt(fxy / math.sqrt(fxx * fyy), 6))
+      else None
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((n.toLong, roundAt(fxx, 6), roundAt(fyy, 6), roundAt(fxy, 6), cka))
+      .toDF("n_rows", "fro_xx", "fro_yy", "fro_xy", "cka")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString

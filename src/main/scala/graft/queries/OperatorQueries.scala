@@ -9661,6 +9661,105 @@ object OperatorQueries {
         |  CASE WHEN (long_pairs + short_pairs) <= 100000000
         |    THEN 'qgram_exact' ELSE 'approximate_minhash' END AS route
         |FROM lp CROSS JOIN sp ORDER BY n_long_left""".stripMargin),
+
+    // Linear CKA (Kornblith 2019) between the embedding corpus and its
+    // int8-grid quantized twin — "how much representation geometry
+    // survives quantization", the go/no-go audit before shipping a
+    // compressed embedding table. One 128-dim gram scan (the x109
+    // kernel); the oracle replays the quantizer, the 2^-20 grid, the 6-dp
+    // centered moments and the (i,j)-ordered Frobenius folds exactly.
+    // k/32 grids are dyadic, so the Spark-side float cast is lossless and
+    // the oracle can stay in DOUBLE.
+    "x237_cka_quant" -> sql(
+      (s, dir) =>
+        Linalg.linearCka(
+          Tables.embeddings(s, dir),
+          col("embedding"),
+          expr("transform(embedding, v -> CAST(greatest(least(" +
+            "floor(CAST(v AS DOUBLE) * 32.0D + 0.5D), 127.0D), -127.0D)" +
+            " / 32.0D AS FLOAT))"),
+          dimA = 64, dimB = 64)
+          .orderBy("n_rows"),
+      """WITH d AS MATERIALIZED (
+        |  SELECT list_concat(embedding::DOUBLE[],
+        |    list_transform(embedding::DOUBLE[],
+        |      v -> greatest(least(floor(v * 32.0 + 0.5), 127.0), -127.0)
+        |        / 32.0)) AS e
+        |  FROM embeddings),
+        |nn AS MATERIALIZED (
+        |  SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS nr FROM d),
+        |idx AS (SELECT i FROM range(0, 128) t(i)),
+        |mu AS MATERIALIZED (
+        |  SELECT i.i AS i,
+        |    round((sum(floor(d.e[i.i + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        |           / 1048576.0) / (SELECT n FROM nn), 6) AS m
+        |  FROM d CROSS JOIN idx i GROUP BY i.i),
+        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        |s2 AS MATERIALIZED (
+        |  SELECT prx.i, prx.j,
+        |    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        |           / 1048576.0) / (SELECT n FROM nn), 6) AS s
+        |  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+        |cov AS MATERIALIZED (
+        |  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS c
+        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+        |  UNION ALL
+        |  SELECT s2.j, s2.i, s2.s - mi.m * mj.m
+        |  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+        |  WHERE s2.i <> s2.j),
+        |fxx AS (
+        |  SELECT list_reduce(list(c * c ORDER BY i, j), (x, y) -> x + y) AS f
+        |  FROM cov WHERE i < 64 AND j < 64),
+        |fyy AS (
+        |  SELECT list_reduce(list(c * c ORDER BY i, j), (x, y) -> x + y) AS f
+        |  FROM cov WHERE i >= 64 AND j >= 64),
+        |fxy AS (
+        |  SELECT list_reduce(list(c * c ORDER BY i, j), (x, y) -> x + y) AS f
+        |  FROM cov WHERE i < 64 AND j >= 64)
+        |SELECT (SELECT nr FROM nn) AS n_rows,
+        |  round((SELECT f FROM fxx), 6) AS fro_xx,
+        |  round((SELECT f FROM fyy), 6) AS fro_yy,
+        |  round((SELECT f FROM fxy), 6) AS fro_xy,
+        |  CASE WHEN (SELECT f FROM fxx) > 0 AND (SELECT f FROM fyy) > 0
+        |    THEN round((SELECT f FROM fxy)
+        |      / sqrt((SELECT f FROM fxx) * (SELECT f FROM fyy)), 6)
+        |  END AS cka
+        |ORDER BY n_rows""".stripMargin),
+
+    // IPS/SNIPS off-policy evaluation of the uniform target policy over
+    // the event log (+ the ESS / max-weight overlap diagnostics) — "can
+    // these logs price a different policy at all?". One keyed aggregation
+    // to the |actions| frame; exact integer micro/ppm arithmetic.
+    "x238_ips_offpolicy" -> sql(
+      (s, dir) => Evaluation.ipsOffPolicy(
+        Tables.events(s, dir), col("event_type"), col("value")),
+      """WITH b AS (
+        |  SELECT event_type AS a, floor(value * 1000000.0 + 0.5)::BIGINT AS r
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pa AS (SELECT a, count(*)::BIGINT AS n, sum(r)::BIGINT AS sr
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS nev,
+        |  count(*)::BIGINT AS k FROM pa),
+        |w AS (
+        |  SELECT pa.n, pa.sr,
+        |    ((1000000::HUGEINT * t.nev) // (t.k * pa.n))::BIGINT AS w_ppm
+        |  FROM pa CROSS JOIN tot t),
+        |s AS (
+        |  SELECT sum(sr::HUGEINT * w_ppm) AS srw,
+        |    sum(n::HUGEINT * w_ppm) AS w1,
+        |    sum(n::HUGEINT * w_ppm * w_ppm) AS w2,
+        |    max(w_ppm)::BIGINT AS max_w_ppm
+        |  FROM w)
+        |SELECT t.nev AS n_events, t.k AS n_actions,
+        |  (CASE WHEN t.nev > 0
+        |    THEN s.srw // (1000000::HUGEINT * t.nev) END)::BIGINT AS ips_micro,
+        |  (CASE WHEN t.nev > 0 AND s.w1 > 0
+        |    THEN s.srw // s.w1 END)::BIGINT AS snips_micro,
+        |  (CASE WHEN t.nev > 0 AND s.w2 > 0
+        |    THEN (s.w1 * s.w1 * 1000000) // (s.w2 * t.nev) END)::BIGINT
+        |    AS ess_ppm,
+        |  s.max_w_ppm
+        |FROM tot t CROSS JOIN s ORDER BY n_events""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

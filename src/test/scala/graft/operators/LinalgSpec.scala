@@ -200,6 +200,46 @@ class LinalgSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("linearCka: identical views score exactly 1, scaled views too") {
+    // dyadic values on the 2^-20 grid with n = 4 → every moment is exact
+    // at 6 dp, so CKA computes to exactly 1.0 for b = a and b = 2a
+    val rows = Seq(
+      (1L, vec(0.25, 0.5)), (2L, vec(-0.5, 0.25)),
+      (3L, vec(0.75, -0.25)), (4L, vec(-0.25, -0.5)))
+    val df = rows.toDF("id", "a")
+    val same = Linalg.linearCka(df, col("a"), col("a"), 2, 2).collect().head
+    assert(same.getLong(0) == 4L)
+    assert(same.getDouble(1) == same.getDouble(2)) // fro_xx == fro_yy
+    assert(same.getDouble(4) == 1.0d)
+    val scaled = Linalg.linearCka(df, col("a"),
+      expr("transform(a, v -> CAST(v * 2.0 AS FLOAT))"), 2, 2).collect().head
+    assert(scaled.getDouble(4) == 1.0d)
+  }
+
+  test("linearCka: a constant second view yields NULL (zero covariance)") {
+    val df = Seq((1L, vec(0.25, 0.5)), (2L, vec(-0.5, 0.25)),
+      (3L, vec(0.75, -0.25))).toDF("id", "a")
+    val r = Linalg.linearCka(df, col("a"),
+      expr("transform(a, v -> CAST(1.0 AS FLOAT))"), 2, 2).collect().head
+    assert(r.getDouble(2) == 0.0d) // fro_yy
+    assert(r.isNullAt(4))
+  }
+
+  test("linearCka: partition-layout invariant") {
+    val df = synth.toDF("id", "a")
+    val a = Linalg.linearCka(df, col("a"),
+      expr("transform(a, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) " +
+        "* 32.0D + 0.5D), 127.0D), -127.0D) / 32.0D AS FLOAT))"), 4, 4)
+      .collect().head
+    val b = Linalg.linearCka(df.repartition(13), col("a"),
+      expr("transform(a, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) " +
+        "* 32.0D + 0.5D), 127.0D), -127.0D) / 32.0D AS FLOAT))"), 4, 4)
+      .collect().head
+    assert(a == b)
+    // a 1/32 grid barely dents this geometry: high but not perfect CKA
+    assert(a.getDouble(4) > 0.9 && a.getDouble(4) <= 1.0)
+  }
+
   test("guards: empty input and bad iteration counts fail loudly") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     assertThrows[IllegalArgumentException] {

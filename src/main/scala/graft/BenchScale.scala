@@ -415,7 +415,15 @@ object BenchScale {
     // the ED-Join LINEAR prologue only (gram explode + df agg + prefix
     // windows) + group-then-multiply counts — no pair materialization,
     // which is the point: pricing x154's 1.8-class join at 1.4 cost
-    "x236_qgram_preflight" -> 1.4)
+    "x236_qgram_preflight" -> 1.4,
+    // one 128-dim gram scan (x109's kernel at 4x state) + driver folds
+    "x237_cka_quant" -> 1.2,
+    // one keyed agg to the |actions| frame + metadata arithmetic
+    "x238_ips_offpolicy" -> 1.2,
+    // one keyed agg to the |domains| frame; MW rounds on driver metadata
+    "x239_mixture_mw" -> 1.2,
+    // 3-covariate explode collapsing map-side to 2·|covariates| cells
+    "x240_smd_balance" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2326,6 +2326,71 @@ object Evaluation {
       .orderBy("n_events")
   }
 
+  /** Covariate-balance audit between two experiment arms via the
+    * standardized mean difference (Austin 2009, "Balance diagnostics for
+    * comparing the distribution of baseline covariates"):
+    *   SMD = (μ₁ − μ₀) / √((σ₁² + σ₀²)/2)
+    * per covariate — the pre-readout sanity table that catches a broken
+    * randomizer or a skewed trigger condition BEFORE anyone interprets
+    * the treatment effect (|SMD| ≳ 0.1 is the conventional imbalance
+    * flag). Moments come from exact per-arm integer sums (each value
+    * quantized to the 10⁻⁶ grid per row, squares summed in
+    * decimal(38,0) — the lookArmStats discipline), so the doubles both
+    * engines derive them from are identical; σ² is the biased MLE
+    * variance. Output per covariate:
+    * (covariate, n0, n1, mean0, mean1, var0, var1, smd), means/vars
+    * rounded to 6 dp, smd to 4; NULL where an arm is empty or both
+    * variances vanish.
+    *
+    * Scale shape: one explode to |covariates|·N rows that collapses
+    * map-side into the 2·|covariates| sufficient-statistics cells —
+    * nothing row-sized moves. */
+  def smdBalance(
+      df: DataFrame,
+      treatment: Column,
+      covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty, "smdBalance: at least one covariate")
+    val dec = "decimal(38,0)"
+    val t = treatment.cast("boolean")
+    val cells = df.where(t.isNotNull)
+      .select(t.as("t"), array(covariates.map { case (nm, c) =>
+        struct(lit(nm).as("cov"), c.cast("double").as("v"))
+      }: _*).as("cs"))
+      .select(col("t"), explode(col("cs")).as("x"))
+      .select(col("t"), col("x.cov").as("cov"), col("x.v").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("q",
+        floor(col("v") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .groupBy("cov")
+      .agg(
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("t"), col("q"))).as("s0"),
+        sum(when(col("t"), col("q"))).as("s1"),
+        sum(when(!col("t"), expr(s"CAST(q AS $dec) * q"))).as("ss0"),
+        sum(when(col("t"), expr(s"CAST(q AS $dec) * q"))).as("ss1"))
+    def mean(s: String, n: String): Column =
+      expr(s"(CAST($s AS DOUBLE) / 1000000.0D) / $n")
+    def vr(ss: String, s: String, n: String): Column =
+      expr(s"(CAST($ss AS DOUBLE) / 1000000000000.0D) / $n") -
+        mean(s, n) * mean(s, n)
+    cells.select(
+      col("cov").as("covariate"), col("n0"), col("n1"),
+      when(col("n0") > 0L, round(mean("s0", "n0"), 6)).as("mean0"),
+      when(col("n1") > 0L, round(mean("s1", "n1"), 6)).as("mean1"),
+      when(col("n0") > 0L, round(vr("ss0", "s0", "n0"), 6)).as("var0"),
+      when(col("n1") > 0L, round(vr("ss1", "s1", "n1"), 6)).as("var1"),
+      // nested whens: the variance expressions divide by n0/n1, so they
+      // must stay unevaluated (not merely unreturned) when an arm is
+      // empty — a single And condition could be reordered under ANSI
+      when(col("n0") > 0L && col("n1") > 0L,
+        when(vr("ss0", "s0", "n0") + vr("ss1", "s1", "n1") > 0.0d,
+          round((mean("s1", "n1") - mean("s0", "n0")) /
+            sqrt((vr("ss1", "s1", "n1") + vr("ss0", "s0", "n0")) / 2.0d), 4)))
+        .as("smd"))
+      .orderBy("covariate")
+  }
+
   /** Per-look A/B sufficient statistics — the bounded state under the
     * mSPRT monitor [[finishMsprt]] and its streaming twin: for each look
     * (a calendar day, an hour bucket…) the six commutative sums

@@ -478,4 +478,71 @@ object MixtureSampling {
     val top = raw.values.max
     raw.map { case (k, v) => k -> math.min(1.0, v / top * maxRate) }
   }
+
+  /** Domain-mixture reweighting by multiplicative weights (the
+    * polynomial-weights update of Arora, Hazan & Kale 2012's MW survey;
+    * the DoReMi-style "upweight the domains the proxy still loses on"
+    * recipe of Xie et al. 2023, with MW's linear payoff in place of
+    * exponentiated gradient so every step is EXACT INTEGER ppm — no
+    * transcendental anywhere, the x232 Sinkhorn discipline):
+    *
+    *   payoff_d  = ℓ̄_d − ℓ̄_mix        (excess loss vs the current mixture)
+    *   w_d      ←  w_d · (1 + η·payoff_d),  then renormalize to Σ = 10⁶
+    *
+    * `loss` must be a per-row rate in [0, 1] (quantized to ppm with
+    * ⌊ℓ·10⁶ + 0.5⌋ and clamped — out-of-range inputs saturate rather
+    * than destabilize the update; η ≤ 0.5 then keeps every factor
+    * positive). Fixed `iters` rounds from the uniform mixture; all
+    * arithmetic is truncating integer division, so the whole trajectory
+    * replays bit-for-bit in SQL. Output per domain:
+    * (domain, n, loss_ppm, w_ppm, boost_ppm) with boost = w·K, the
+    * final weight as ppm of the uniform share.
+    *
+    * Scale shape: ONE keyed aggregation to the |domains| frame, the
+    * iterations run on that metadata-sized frame driver-side, and the
+    * result is the weight table a sampler ([[sampleByRates]],
+    * [[budgetCappedQuotas]]) consumes — corpus rows are touched once. */
+  def mixtureMwWeights(
+      df: DataFrame,
+      domain: Column,
+      loss: Column,
+      etaPpm: Long = 300000L,
+      iters: Int = 8): DataFrame = {
+    require(etaPpm > 0L && etaPpm <= 500000L,
+      "mixtureMwWeights: etaPpm in (0, 500000] keeps every MW factor positive")
+    require(iters >= 1 && iters <= 64, "mixtureMwWeights: iters in [1, 64]")
+    val cells = df.where(domain.isNotNull && loss.isNotNull)
+      .groupBy(domain.cast("string").as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(greatest(least(
+          floor(loss.cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long"),
+          lit(1000000L)), lit(0L))).as("sl"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val k = cells.length.toLong
+    require(k >= 1L && k <= 100000L,
+      "mixtureMwWeights: needs 1..1e5 non-empty domains")
+    val lbar = cells.map { case (_, n, sl) => sl / n }
+    var w = Array.fill(cells.length)(1000000L / k)
+    var t = 0
+    while (t < iters) {
+      val sw = w.sum
+      val swl = w.zip(lbar).map { case (wi, li) => wi * li }.sum
+      val m = swl / sw
+      val u = w.zip(lbar).map { case (wi, li) =>
+        wi * (1000000L + etaPpm * (li - m) / 1000000L) / 1000000L
+      }
+      val s = u.sum
+      w = u.map(_ * 1000000L / s)
+      t += 1
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    cells.zipWithIndex.map { case ((d, n, _), i) =>
+      (d, n, lbar(i), w(i), w(i) * k)
+    }.toSeq.toDF("domain", "n", "loss_ppm", "w_ppm", "boost_ppm")
+      .orderBy("domain")
+  }
 }

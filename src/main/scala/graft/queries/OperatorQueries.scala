@@ -9760,6 +9760,90 @@ object OperatorQueries {
         |    AS ess_ppm,
         |  s.max_w_ppm
         |FROM tot t CROSS JOIN s ORDER BY n_events""".stripMargin),
+
+    // Multiplicative-weights domain reweighting (DoReMi-style, with MW's
+    // linear payoff so every step is exact integer ppm): upweight the
+    // sources whose short-doc loss rate exceeds the mixture's — the
+    // weight table the samplers consume. 8 unrolled MW rounds replay
+    // bit-for-bit as integer CTEs.
+    "x239_mixture_mw" -> sql(
+      (s, dir) => MixtureSampling.mixtureMwWeights(
+        Tables.documents(s, dir),
+        domain = col("source"),
+        loss = lit(1.0d) - least(col("n_chars"), lit(2000L)).cast("double")
+          / lit(2000.0d),
+        etaPpm = 300000L, iters = 8),
+      s"""WITH c AS MATERIALIZED (
+        |  SELECT source AS d, count(*)::BIGINT AS n,
+        |    sum(greatest(least(
+        |      floor((1.0 - least(n_chars, 2000) / 2000.0) * 1000000.0
+        |        + 0.5)::BIGINT,
+        |      1000000), 0))::BIGINT AS sl
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |k AS (SELECT count(*)::BIGINT AS kk FROM c),
+        |w0 AS MATERIALIZED (
+        |  SELECT d, n, sl // n AS lbar,
+        |    (1000000 // (SELECT kk FROM k))::BIGINT AS w
+        |  FROM c),
+        |${mwIterCtes(8, 300000L)}
+        |SELECT d AS domain, n, lbar AS loss_ppm, w AS w_ppm,
+        |  (w * (SELECT kk FROM k))::BIGINT AS boost_ppm
+        |FROM w8 ORDER BY domain""".stripMargin),
+
+    // Covariate-balance audit (standardized mean differences, Austin
+    // 2009) between the deterministic A/B arms over the event log — the
+    // "is the randomizer actually balanced?" table read BEFORE x172/x219.
+    // Exact per-arm integer moment cells; rounded doubles carry the
+    // signed-zero normalization (+ 0.0) on the oracle side.
+    "x240_smd_balance" -> sql(
+      (s, dir) => Evaluation.smdBalance(
+        Tables.events(s, dir),
+        treatment = col("user_id") % 2 === 1,
+        covariates = Seq(
+          "hour" -> hour(col("ts")).cast("double"),
+          "props_len" -> length(col("props")).cast("double"),
+          "value" -> col("value"))),
+      """WITH raw AS (
+        |  SELECT (user_id % 2 = 1) AS t, 'hour' AS cov, hour(ts)::DOUBLE AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT (user_id % 2 = 1), 'props_len', length(props)::DOUBLE
+        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL
+        |  UNION ALL
+        |  SELECT (user_id % 2 = 1), 'value', value
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |q AS (SELECT t, cov, floor(v * 1000000.0 + 0.5)::BIGINT AS q FROM raw),
+        |g AS (
+        |  SELECT cov,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN NOT t THEN q END)::BIGINT AS s0,
+        |    sum(CASE WHEN t THEN q END)::BIGINT AS s1,
+        |    sum(CASE WHEN NOT t THEN q::HUGEINT * q END) AS ss0,
+        |    sum(CASE WHEN t THEN q::HUGEINT * q END) AS ss1
+        |  FROM q GROUP BY 1),
+        |m AS (
+        |  SELECT cov, n0, n1,
+        |    (s0::DOUBLE / 1000000.0) / n0 AS m0,
+        |    (s1::DOUBLE / 1000000.0) / n1 AS m1,
+        |    (ss0::DOUBLE / 1000000000000.0) / n0
+        |      - ((s0::DOUBLE / 1000000.0) / n0)
+        |        * ((s0::DOUBLE / 1000000.0) / n0) AS v0,
+        |    (ss1::DOUBLE / 1000000000000.0) / n1
+        |      - ((s1::DOUBLE / 1000000.0) / n1)
+        |        * ((s1::DOUBLE / 1000000.0) / n1) AS v1
+        |  FROM g)
+        |SELECT cov AS covariate, n0, n1,
+        |  (CASE WHEN n0 > 0 THEN round(m0, 6) + 0.0 END) AS mean0,
+        |  (CASE WHEN n1 > 0 THEN round(m1, 6) + 0.0 END) AS mean1,
+        |  (CASE WHEN n0 > 0 THEN round(v0, 6) + 0.0 END) AS var0,
+        |  (CASE WHEN n1 > 0 THEN round(v1, 6) + 0.0 END) AS var1,
+        |  (CASE WHEN n0 > 0 AND n1 > 0 AND v0 + v1 > 0
+        |    THEN round((m1 - m0) / sqrt((v1 + v0) / 2.0), 4) + 0.0
+        |  END) AS smd
+        |FROM m ORDER BY covariate""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer
@@ -9772,6 +9856,25 @@ object OperatorQueries {
       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),"""
       .stripMargin
+
+  /** x239's multiplicative-weights rounds unrolled: mixture mean m as a
+    * truncating integer div of exact sums, the linear-payoff update
+    * w·(10⁶ + η·(ℓ̄−m) // 10⁶) // 10⁶, then renormalization to Σ ≈ 10⁶ —
+    * MixtureSampling.mixtureMwWeights' Long arithmetic verbatim (both
+    * `//` and Scala `/` truncate toward zero on signed operands). */
+  private def mwIterCtes(iters: Int, etaPpm: Long): String =
+    (1 to iters).map { t =>
+      s"""|m$t AS (SELECT (sum(w * lbar) // sum(w))::BIGINT AS m FROM w${t - 1}),
+          #|u$t AS (
+          #|  SELECT d, n, lbar,
+          #|    ((w * (1000000 + ($etaPpm * (lbar - (SELECT m FROM m$t)))
+          #|      // 1000000)) // 1000000)::BIGINT AS w
+          #|  FROM w${t - 1}),
+          #|s$t AS (SELECT sum(w)::BIGINT AS s FROM u$t),
+          #|w$t AS MATERIALIZED (
+          #|  SELECT d, n, lbar, ((w * 1000000) // (SELECT s FROM s$t))::BIGINT AS w
+          #|  FROM u$t)""".stripMargin('#')
+    }.mkString(",\n").stripPrefix("|")
 
   /** x221's fixed-point supersteps unrolled: share = r div n_out along
     * every observed transition weighted by its count; dangling mass

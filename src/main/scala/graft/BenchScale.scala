@@ -423,7 +423,11 @@ object BenchScale {
     // one keyed agg to the |domains| frame; MW rounds on driver metadata
     "x239_mixture_mw" -> 1.2,
     // 3-covariate explode collapsing map-side to 2·|covariates| cells
-    "x240_smd_balance" -> 1.2)
+    "x240_smd_balance" -> 1.2,
+    // two keyed aggs to the split |actions| frames + metadata arithmetic
+    "x241_dr_offpolicy" -> 1.2,
+    // row-grain pair-agreement agg + m·N explode to the |categories| frame
+    "x242_fleiss_kappa" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2391,6 +2391,79 @@ object Evaluation {
       .orderBy("covariate")
   }
 
+  /** Cross-fitted doubly-robust off-policy evaluation (Dudík, Langford &
+    * Li 2011) of the uniform target policy — [[ipsOffPolicy]]'s
+    * variance-reduced sibling: a direct-method baseline q̂(a) (per-action
+    * mean reward) absorbs most of the value, and the IPS term only
+    * corrects the baseline's residuals. q̂ is fit on the `fitSplit` half
+    * and evaluated on the other (cross-fitting — fitting q̂ on the same
+    * rows would cancel the correction identically and overfit in
+    * general); eval-half actions unseen in the fit half fall back to the
+    * fit half's global mean. Output one row:
+    *   n_eval, n_fit, n_actions (eval-half action count),
+    *   dm_micro   — the direct-method estimate: uniform average of q̂
+    *                over eval-half actions
+    *   corr_micro — the IPS-weighted residual correction
+    *   dr_micro   — dm + corr, the DR estimate
+    *   ips_micro  — plain IPS on the eval half, for comparison
+    * Same exact micro/ppm integer discipline as [[ipsOffPolicy]]; every
+    * division truncates, decimal(38,0) for wide products.
+    *
+    * Scale shape: TWO keyed aggregations (one per split) to |actions|
+    * frames, then metadata arithmetic. */
+  def drOffPolicy(
+      df: DataFrame,
+      action: Column,
+      reward: Column,
+      fitSplit: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val f = fitSplit.cast("boolean")
+    val base = df.where(action.isNotNull && reward.isNotNull && f.isNotNull)
+      .select(action.cast("string").as("a"),
+        floor(reward.cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("r_micro"),
+        f.as("fit"))
+    val cells = base.groupBy("a").agg(
+      sum(when(col("fit"), 1L).otherwise(0L)).as("n_fit"),
+      sum(when(col("fit"), col("r_micro"))).as("sr_fit"),
+      sum(when(!col("fit"), 1L).otherwise(0L)).as("n_ev"),
+      sum(when(!col("fit"), col("r_micro"))).as("sr_ev"))
+    val tot = cells.agg(
+      coalesce(sum("n_ev"), lit(0L)).as("n_eval"),
+      coalesce(sum("n_fit"), lit(0L)).as("n_fit_total"),
+      coalesce(sum(when(col("n_ev") > 0L, 1L).otherwise(0L)), lit(0L))
+        .as("n_actions"),
+      coalesce(sum("sr_fit"), lit(0L)).as("sr_fit_total"))
+    val withQ = cells.where(col("n_ev") > 0L).crossJoin(broadcast(tot))
+      .withColumn("qhat",
+        when(col("n_fit") > 0L, expr("sr_fit div n_fit"))
+          .otherwise(when(col("n_fit_total") > 0L,
+            expr("sr_fit_total div n_fit_total")).otherwise(lit(0L))))
+      .withColumn("w_ppm",
+        expr(s"(CAST(n_eval AS $dec) * 1000000) div (n_actions * n_ev)")
+          .cast("long"))
+    val sums = withQ.agg(
+      sum("qhat").as("sum_qhat"),
+      sum(expr(s"CAST(sr_ev - n_ev * qhat AS $dec) * w_ppm")).as("resw"),
+      sum(expr(s"CAST(sr_ev AS $dec) * w_ppm")).as("srw"))
+    tot.crossJoin(broadcast(sums))
+      .select(
+        col("n_eval"), col("n_fit_total").as("n_fit"), col("n_actions"),
+        when(col("n_actions") > 0L, expr("sum_qhat div n_actions"))
+          .otherwise(lit(null).cast("long")).as("dm_micro"),
+        when(col("n_eval") > 0L,
+          expr(s"resw div (CAST(1000000 AS $dec) * n_eval)").cast("long"))
+          .otherwise(lit(null).cast("long")).as("corr_micro"),
+        when(col("n_eval") > 0L && col("n_actions") > 0L,
+          (expr("sum_qhat div n_actions") +
+            expr(s"resw div (CAST(1000000 AS $dec) * n_eval)").cast("long")))
+          .otherwise(lit(null).cast("long")).as("dr_micro"),
+        when(col("n_eval") > 0L,
+          expr(s"srw div (CAST(1000000 AS $dec) * n_eval)").cast("long"))
+          .otherwise(lit(null).cast("long")).as("ips_micro"))
+      .orderBy("n_eval")
+  }
+
   /** Per-look A/B sufficient statistics — the bounded state under the
     * mSPRT monitor [[finishMsprt]] and its streaming twin: for each look
     * (a calendar day, an hour bucket…) the six commutative sums

@@ -112,4 +112,63 @@ object LabelQa {
         col("w1_ppm"), col("w2_ppm"), col("w3_ppm"))
       .orderBy("id")
   }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among m ≥ 2
+    * raters on categorical labels, the multi-rater generalization of
+    * x120's two-rater Cohen κ and the standard "are these annotators /
+    * weak labelers even consistent?" gate before [[weakLabelModel]]
+    * merges them. Per item, Σⱼ n_ij² = m + 2·(agreeing pairs), so the
+    * whole statistic reduces to exact integer sums:
+    *   P̄  = S / D          S = Σᵢ(Σⱼ n_ij² − m),  D = N·m·(m−1)
+    *   P̄e = E / F          E = Σⱼ cⱼ²,            F = (N·m)²
+    *   κ  = (P̄ − P̄e)/(1 − P̄e) = (S·F − E·D) / (D·(F − E))
+    * carried in decimal(38,0) and emitted as truncated ppm (exact for
+    * N ≲ 10¹¹ items at m ≤ 16; shard the audit beyond that). Output one
+    * row: (n_items, n_raters, p_bar_ppm, p_e_ppm, kappa_ppm), κ NULL
+    * when every rating lands in one category (F = E).
+    *
+    * Scale shape: two keyed aggregations over the rated rows — one at
+    * row grain for the pair-agreement sum, one exploded to m·N label
+    * rows that collapse map-side into the |categories| frame. */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    val m = raters.size
+    require(m >= 2 && m <= 16, "fleissKappa: 2..16 raters")
+    val dec = "decimal(38,0)"
+    val rs = raters.map(_.cast("string"))
+    val rated = df.where(rs.map(_.isNotNull).reduce(_ && _))
+      .select(rs.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*)
+    val pairAgree = (for {
+      i <- 0 until m; j <- (i + 1) until m
+    } yield when(col(s"r$i") === col(s"r$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rowStats = rated.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(pairAgree * lit(2L)), lit(0L)).as("s"))
+    val catCounts = rated
+      .select(explode(array((0 until m).map(i => col(s"r$i")): _*)).as("lab"))
+      .groupBy("lab").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr(s"CAST(c AS $dec) * c")),
+        lit(0L).cast(dec)).as("e"))
+    rowStats.crossJoin(broadcast(catCounts))
+      .select(
+        col("n_items"), lit(m.toLong).as("n_raters"),
+        when(col("n_items") > 0L,
+          expr(s"(CAST(s AS $dec) * 1000000) div " +
+            s"(CAST(n_items AS $dec) * ${m.toLong * (m - 1)})").cast("long"))
+          .otherwise(lit(null).cast("long")).as("p_bar_ppm"),
+        when(col("n_items") > 0L,
+          expr(s"(e * 1000000) div (CAST(n_items AS $dec) * n_items * ${m.toLong * m})")
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("p_e_ppm"),
+        when(col("n_items") > 0L &&
+          expr(s"CAST(n_items AS $dec) * n_items * ${m.toLong * m} <> e"),
+          expr(
+            s"""((CAST(s AS $dec) * (CAST(n_items AS $dec) * n_items * ${m.toLong * m})
+               |  - e * (CAST(n_items AS $dec) * ${m.toLong * (m - 1)})) * 1000000)
+               |div ((CAST(n_items AS $dec) * ${m.toLong * (m - 1)})
+               |  * (CAST(n_items AS $dec) * n_items * ${m.toLong * m} - e))"""
+              .stripMargin.replace("\n", " ")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("kappa_ppm"))
+      .orderBy("n_items")
+  }
 }

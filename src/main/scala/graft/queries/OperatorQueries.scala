@@ -9844,6 +9844,120 @@ object OperatorQueries {
         |    THEN round((m1 - m0) / sqrt((v1 + v0) / 2.0), 4) + 0.0
         |  END) AS smd
         |FROM m ORDER BY covariate""".stripMargin),
+
+    // Cross-fitted doubly-robust off-policy estimate (Dudik 2011): the
+    // per-action direct-method baseline is fit on even event_ids and the
+    // IPS term corrects only its residuals on the odd half — x238's
+    // variance-reduced sibling, same exact integer discipline.
+    "x241_dr_offpolicy" -> sql(
+      (s, dir) => Evaluation.drOffPolicy(
+        Tables.events(s, dir), col("event_type"), col("value"),
+        fitSplit = col("event_id") % 2 === 0),
+      """WITH b AS (
+        |  SELECT event_type AS a, floor(value * 1000000.0 + 0.5)::BIGINT AS r,
+        |    (event_id % 2 = 0) AS fit
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |c AS (
+        |  SELECT a,
+        |    sum(CASE WHEN fit THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+        |    sum(CASE WHEN fit THEN r END)::BIGINT AS sr_fit,
+        |    sum(CASE WHEN NOT fit THEN 1 ELSE 0 END)::BIGINT AS n_ev,
+        |    sum(CASE WHEN NOT fit THEN r END)::BIGINT AS sr_ev
+        |  FROM b GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(n_ev), 0)::BIGINT AS n_eval,
+        |    coalesce(sum(n_fit), 0)::BIGINT AS n_fit_total,
+        |    coalesce(sum(CASE WHEN n_ev > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+        |      AS n_actions,
+        |    coalesce(sum(sr_fit), 0)::BIGINT AS sr_fit_total
+        |  FROM c),
+        |w AS (
+        |  SELECT c.n_ev, c.sr_ev,
+        |    (CASE WHEN c.n_fit > 0 THEN c.sr_fit // c.n_fit
+        |      WHEN t.n_fit_total > 0 THEN t.sr_fit_total // t.n_fit_total
+        |      ELSE 0 END)::BIGINT AS qhat,
+        |    ((1000000::HUGEINT * t.n_eval) // (t.n_actions * c.n_ev))::BIGINT
+        |      AS w_ppm
+        |  FROM c CROSS JOIN tot t WHERE c.n_ev > 0),
+        |s AS (
+        |  SELECT coalesce(sum(qhat), 0)::BIGINT AS sum_qhat,
+        |    sum((sr_ev - n_ev * qhat)::HUGEINT * w_ppm) AS resw,
+        |    sum(sr_ev::HUGEINT * w_ppm) AS srw
+        |  FROM w)
+        |SELECT t.n_eval, t.n_fit_total AS n_fit, t.n_actions,
+        |  (CASE WHEN t.n_actions > 0
+        |    THEN s.sum_qhat // t.n_actions END)::BIGINT AS dm_micro,
+        |  (CASE WHEN t.n_eval > 0
+        |    THEN s.resw // (1000000::HUGEINT * t.n_eval) END)::BIGINT
+        |    AS corr_micro,
+        |  (CASE WHEN t.n_eval > 0 AND t.n_actions > 0
+        |    THEN s.sum_qhat // t.n_actions
+        |      + s.resw // (1000000::HUGEINT * t.n_eval) END)::BIGINT
+        |    AS dr_micro,
+        |  (CASE WHEN t.n_eval > 0
+        |    THEN s.srw // (1000000::HUGEINT * t.n_eval) END)::BIGINT
+        |    AS ips_micro
+        |FROM tot t CROSS JOIN s ORDER BY n_eval""".stripMargin),
+
+    // Fleiss' kappa across three deterministic raters (char/space/digit
+    // bucketers) — the multi-rater agreement gate in front of the weak-
+    // label merge (x225); x120's Cohen kappa generalized. Exact integer
+    // ppm via the pair-agreement identity.
+    "x242_fleiss_kappa" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .where(col("text").isNotNull && col("n_chars").isNotNull)
+        val sp = length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))
+        val dg = length(regexp_replace(col("text"), "[^0-9]", ""))
+        LabelQa.fleissKappa(d, Seq(
+          when(col("n_chars") < 216, "short")
+            .when(col("n_chars") < 379, "mid").otherwise("long"),
+          when(sp < 38, "short").when(sp < 68, "mid").otherwise("long"),
+          when(dg < 5, "short").when(dg < 12, "mid").otherwise("long")))
+      },
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 216 THEN 'short'
+        |      WHEN n_chars < 379 THEN 'mid' ELSE 'long' END AS r0,
+        |    CASE WHEN sp < 38 THEN 'short'
+        |      WHEN sp < 68 THEN 'mid' ELSE 'long' END AS r1,
+        |    CASE WHEN dg < 5 THEN 'short'
+        |      WHEN dg < 12 THEN 'mid' ELSE 'long' END AS r2
+        |  FROM (SELECT n_chars,
+        |      length(text) - length(replace(text, ' ', '')) AS sp,
+        |      length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND n_chars IS NOT NULL)),
+        |row_s AS (
+        |  SELECT count(*)::BIGINT AS n_items,
+        |    coalesce(sum(2 * ((CASE WHEN r0 = r1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r0 = r2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r1 = r2 THEN 1 ELSE 0 END))), 0)::BIGINT AS s
+        |  FROM r),
+        |cc AS (
+        |  SELECT lab, count(*)::BIGINT AS c FROM (
+        |    SELECT r0 AS lab FROM r
+        |    UNION ALL SELECT r1 FROM r
+        |    UNION ALL SELECT r2 FROM r)
+        |  GROUP BY 1),
+        |e AS (SELECT coalesce(sum(c::HUGEINT * c), 0::HUGEINT) AS e FROM cc)
+        |SELECT n_items, 3::BIGINT AS n_raters,
+        |  (CASE WHEN n_items > 0
+        |    THEN (s::HUGEINT * 1000000) // (n_items::HUGEINT * 6)
+        |  END)::BIGINT AS p_bar_ppm,
+        |  (CASE WHEN n_items > 0
+        |    THEN (e.e * 1000000) // (n_items::HUGEINT * n_items * 9)
+        |  END)::BIGINT AS p_e_ppm,
+        |  (CASE WHEN n_items > 0 AND n_items::HUGEINT * n_items * 9 <> e.e
+        |    THEN ((s::HUGEINT * (n_items::HUGEINT * n_items * 9)
+        |        - e.e * (n_items::HUGEINT * 6)) * 1000000)
+        |      // ((n_items::HUGEINT * 6)
+        |        * (n_items::HUGEINT * n_items * 9 - e.e))
+        |  END)::BIGINT AS kappa_ppm
+        |FROM row_s CROSS JOIN e ORDER BY n_items""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

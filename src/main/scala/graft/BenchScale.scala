@@ -427,7 +427,9 @@ object BenchScale {
     // two keyed aggs to the split |actions| frames + metadata arithmetic
     "x241_dr_offpolicy" -> 1.2,
     // row-grain pair-agreement agg + m·N explode to the |categories| frame
-    "x242_fleiss_kappa" -> 1.3)
+    "x242_fleiss_kappa" -> 1.3,
+    // one gram scan + driver Newton-Schulz on 64x64 + projection scan
+    "x243_zca_whiten" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -133,6 +133,109 @@ object Linalg {
         lit(roundAt(lam2 / tr, 4)).as("evr2")): _*)
   }
 
+  /** k-ascending matrix product — every cell accumulates Σ_k X(i,k)·Y(k,j)
+    * in ascending k, the `list(x.v * y.v ORDER BY x.j)` fold order the
+    * oracle replays. */
+  private def matmulAsc(
+      x: Array[Array[Double]],
+      y: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
+    Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += x(i)(k) * y(k)(j); k += 1 }
+      s
+    }
+  }
+
+  /** ZCA whitening projection via the coupled Newton–Schulz iteration for
+    * the matrix inverse square root (Higham, "Functions of Matrices"
+    * 2008, §6.3; Schulz 1933): with A = C_ridge/tr(C_ridge) (eigenvalues
+    * in (0, 1], so the iteration contracts),
+    *   Y₀ = A, Z₀ = I;   T = (3I − Z·Y)/2;   Y ← Y·T;   Z ← T·Z
+    * gives Z → A^{−1/2} after a FIXED `iters` rounds, hence
+    * W = Z/√tr = C_ridge^{−1/2} — the whitening matrix that equalizes
+    * per-direction variance while staying closest to the identity (the
+    * "decorrelate the embedding space before cosine retrieval / linear
+    * probing" transform; ZCA = the rotation-free whitening). C_ridge =
+    * C + ε·I keeps the smallest eigenvalue off zero.
+    *
+    * Same 100 TB shape as [[pcaProject]]: ONE gram scan, all iterations
+    * on the driver's dim×dim matrix (every matmul k-ascending, so the
+    * whole trajectory replays as ordered-fold SQL on dense cell frames),
+    * then a pure projection scan. Output per row: (…carry, z1, z2,
+    * wres) — the first two whitened coordinates z_k = W_k·x − W_k·μ
+    * (computed exactly in that two-dot form) rounded to 4 dp, and the
+    * corpus-level whiteness residual ‖W·C_ridge·W − I‖_F (rounded, the
+    * "did the fixed iteration count actually whiten this spectrum?"
+    * diagnostic) repeated on every row. */
+  def zcaWhiten(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      carry: Seq[String],
+      eps: Double = 0.01,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 40, "zcaWhiten: iters in [1, 40]")
+    require(eps > 0.0, "zcaWhiten: eps must be positive")
+    val g = gramSums(df, vecCol, lit(0.0), dim)
+    val n = g(0)
+    require(n > 0, "zcaWhiten: empty input")
+    val mu = Array.tabulate(dim)(i => round6(g(1 + i) / n))
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n) - mu(i) * mu(j)
+        c(i)(j) = v
+        c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < dim) { c(i)(i) = c(i)(i) + eps; i += 1 }
+    val s = traceAsc(c)
+    require(s > 0.0, "zcaWhiten: non-positive ridged trace")
+    val a = Array.tabulate(dim, dim)((i, j) => c(i)(j) / s)
+    var y = a
+    var z = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var t = 0
+    while (t < iters) {
+      val zy = matmulAsc(z, y)
+      val tm = Array.tabulate(dim, dim)((i, j) =>
+        ((if (i == j) 3.0 else 0.0) - zy(i)(j)) * 0.5)
+      y = matmulAsc(y, tm)
+      z = matmulAsc(tm, z)
+      t += 1
+    }
+    val sq = math.sqrt(s)
+    val w = Array.tabulate(dim, dim)((i, j) => z(i)(j) / sq)
+    val r = matmulAsc(matmulAsc(w, c), w)
+    var res2 = 0.0
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        val d = r(i)(j) - (if (i == j) 1.0 else 0.0)
+        res2 += d * d
+        j += 1
+      }
+      i += 1
+    }
+    val wres = roundAt(math.sqrt(res2), 4)
+    val b0 = dotAsc(w(0), mu)
+    val b1 = dotAsc(w(1), mu)
+    df.select(
+      carry.map(col) ++ Seq(
+        round(call_function("graft_dot_fd", col(vecCol),
+          typedlit(w(0).toSeq)) - lit(b0), 4).as("z1"),
+        round(call_function("graft_dot_fd", col(vecCol),
+          typedlit(w(1).toSeq)) - lit(b1), 4).as("z2"),
+        lit(wres).as("wres")): _*)
+  }
+
   /** Linear Centered Kernel Alignment (Kornblith et al. 2019, "Similarity
     * of Neural Network Representations Revisited") between two PAIRED
     * representations of the same rows:

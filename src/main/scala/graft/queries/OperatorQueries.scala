@@ -9958,6 +9958,26 @@ object OperatorQueries {
         |        * (n_items::HUGEINT * n_items * 9 - e.e))
         |  END)::BIGINT AS kappa_ppm
         |FROM row_s CROSS JOIN e ORDER BY n_items""".stripMargin),
+
+    // ZCA whitening of the embedding corpus: C_ridge^{-1/2} via 20 coupled
+    // Newton-Schulz rounds on the trace-normalized ridged covariance (the
+    // rotation-free decorrelation before cosine retrieval / probes), fit
+    // from ONE x109-kernel gram scan and broadcast back as a projection.
+    // The oracle replays every matmul as a k-ascending ordered fold on
+    // dense 64x64 cell frames; wres certifies the achieved whiteness.
+    "x243_zca_whiten" -> sql(
+      (s, dir) =>
+        Linalg.zcaWhiten(Tables.embeddings(s, dir), "embedding", dim = 64,
+          carry = Seq("vec_id", "label"), eps = 0.01, iters = 20)
+          .orderBy("vec_id"),
+      s"""WITH ${zcaFitCtes(20, "0.01")}
+        |SELECT d.vec_id, d.label,
+        |  round(list_dot_product(d.e, (SELECT v FROM w0l))
+        |    - (SELECT b FROM b0), 4) + 0.0 AS z1,
+        |  round(list_dot_product(d.e, (SELECT v FROM w1l))
+        |    - (SELECT b FROM b1), 4) + 0.0 AS z2,
+        |  round((SELECT r FROM wres), 4) + 0.0 AS wres
+        |FROM d ORDER BY d.vec_id""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer
@@ -9970,6 +9990,92 @@ object OperatorQueries {
       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),"""
       .stripMargin
+
+  /** Dense 64×64 cell-frame matrix product for the x243 replay: every
+    * output cell folds Σ_k X(i,k)·Y(k,j) in ASCENDING k (`ORDER BY x.j`),
+    * Linalg.matmulAsc's exact evaluation order. Frames stay dense (all
+    * 4096 cells, zeros included) so the fold never skips a term. */
+  private def mmSql(xCte: String, yCte: String): String =
+    s"""|  SELECT x.i AS i, y.j AS j,
+        #|    list_reduce(list(x.v * y.v ORDER BY x.j), (p, q) -> p + q) AS v
+        #|  FROM $xCte x JOIN $yCte y ON x.j = y.i GROUP BY x.i, y.j"""
+      .stripMargin('#').stripPrefix("|")
+
+  /** x243's ZCA fit replayed: 6-dp centered moments on the 2⁻²⁰ grid (the
+    * x109 base), the ε-ridged covariance, trace normalization, `iters`
+    * coupled Newton–Schulz rounds (T = (3I − Z·Y)/2, Y ← Y·T, Z ← T·Z —
+    * every product via [[mmSql]]), the whitening matrix W = Z/√tr, and
+    * the ‖W·C_ridge·W − I‖_F whiteness residual as an (i,j)-ordered fold. */
+  private def zcaFitCtes(iters: Int, eps: String): String = {
+    val base =
+      (s"""|d AS MATERIALIZED (
+         #|  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         #|nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM d),
+         #|idx AS (SELECT i FROM range(0, 64) t(i)),
+         #|mu AS MATERIALIZED (
+         #|  SELECT i.i AS i,
+         #|    round((sum(floor(d.e[i.i + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+         #|           / 1048576.0) / (SELECT n FROM nn), 6) AS m
+         #|  FROM d CROSS JOIN idx i GROUP BY i.i),
+         #|prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+         #|s2 AS MATERIALIZED (
+         #|  SELECT prx.i, prx.j,
+         #|    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+         #|           / 1048576.0) / (SELECT n FROM nn), 6) AS s
+         #|  FROM d CROSS JOIN prx GROUP BY prx.i, prx.j),
+         #|cov AS MATERIALIZED (
+         #|  SELECT s2.i AS i, s2.j AS j, s2.s - mi.m * mj.m AS v
+         #|  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+         #|  UNION ALL
+         #|  SELECT s2.j, s2.i, s2.s - mi.m * mj.m
+         #|  FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j
+         #|  WHERE s2.i <> s2.j),
+         #|covr AS MATERIALIZED (
+         #|  SELECT i, j, v + (CASE WHEN i = j THEN $eps ELSE 0.0 END) AS v
+         #|  FROM cov),
+         #|trc AS MATERIALIZED (
+         #|  SELECT list_reduce(list(v ORDER BY i), (x, y) -> x + y) AS t
+         #|  FROM covr WHERE i = j),
+         #|y0 AS MATERIALIZED (
+         #|  SELECT i, j, v / (SELECT t FROM trc) AS v FROM covr),
+         #|z0 AS MATERIALIZED (
+         #|  SELECT a.i AS i, b.i AS j,
+         #|    CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS v
+         #|  FROM idx a CROSS JOIN idx b)""").stripMargin('#').stripPrefix("|")
+    val steps = (1 to iters).map { t =>
+      s"""|zy$t AS MATERIALIZED (
+          #|${mmSql(s"z${t - 1}", s"y${t - 1}")}),
+          #|tm$t AS MATERIALIZED (
+          #|  SELECT i, j,
+          #|    ((CASE WHEN i = j THEN 3.0 ELSE 0.0 END) - v) * 0.5 AS v
+          #|  FROM zy$t),
+          #|y$t AS MATERIALIZED (
+          #|${mmSql(s"y${t - 1}", s"tm$t")}),
+          #|z$t AS MATERIALIZED (
+          #|${mmSql(s"tm$t", s"z${t - 1}")})""".stripMargin('#').stripPrefix("|")
+    }.mkString(",\n")
+    val tail =
+      (s"""|w AS MATERIALIZED (
+         #|  SELECT i, j, v / sqrt((SELECT t FROM trc)) AS v FROM z$iters),
+         #|wc AS MATERIALIZED (
+         #|${mmSql("w", "covr")}),
+         #|rr AS MATERIALIZED (
+         #|${mmSql("wc", "w")}),
+         #|wres AS MATERIALIZED (
+         #|  SELECT sqrt(list_reduce(list(
+         #|    (v - CASE WHEN i = j THEN 1.0 ELSE 0.0 END)
+         #|      * (v - CASE WHEN i = j THEN 1.0 ELSE 0.0 END)
+         #|    ORDER BY i, j), (x, y) -> x + y)) AS r
+         #|  FROM rr),
+         #|mul AS (SELECT list(m ORDER BY i) AS v FROM mu),
+         #|w0l AS (SELECT list(v ORDER BY j) AS v FROM w WHERE i = 0),
+         #|w1l AS (SELECT list(v ORDER BY j) AS v FROM w WHERE i = 1),
+         #|b0 AS (SELECT list_dot_product((SELECT v FROM w0l),
+         #|  (SELECT v FROM mul)) AS b),
+         #|b1 AS (SELECT list_dot_product((SELECT v FROM w1l),
+         #|  (SELECT v FROM mul)) AS b)""").stripMargin('#').stripPrefix("|")
+    base + ",\n" + steps + ",\n" + tail
+  }
 
   /** x239's multiplicative-weights rounds unrolled: mixture mean m as a
     * truncating integer div of exact sums, the linear-payoff update

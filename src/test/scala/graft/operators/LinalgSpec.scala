@@ -200,6 +200,37 @@ class LinalgSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zcaWhiten: equalizes per-axis variance and reports near-zero residual") {
+    val df = synth.toDF("vec_id", "embedding")
+    val out = Linalg.zcaWhiten(df, "embedding", dim = 4,
+      carry = Seq("vec_id"), eps = 0.01, iters = 20).collect()
+    assert(out.length == synth.size)
+    // whiteness residual: the fixed 20 rounds must actually whiten this
+    // well-conditioned 4-dim spectrum
+    val wres = out.head.getDouble(3)
+    assert(out.forall(_.getDouble(3) == wres))
+    assert(wres < 0.05, s"wres=$wres")
+    // the raw axes have variances ~33 and ~0.64; whitened coordinates
+    // must both land near unit variance
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(out.map(_.getDouble(1)).toSeq)
+    val v2 = variance(out.map(_.getDouble(2)).toSeq)
+    assert(math.abs(v1 - 1.0) < 0.1, s"var(z1)=$v1")
+    assert(math.abs(v2 - 1.0) < 0.1, s"var(z2)=$v2")
+  }
+
+  test("zcaWhiten: identical results under shuffled partition layouts") {
+    val df = synth.toDF("vec_id", "embedding")
+    val a = Linalg.zcaWhiten(df, "embedding", 4, Seq("vec_id"))
+      .orderBy("vec_id").collect().toSeq
+    val b = Linalg.zcaWhiten(df.repartition(17), "embedding", 4, Seq("vec_id"))
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("linearCka: identical views score exactly 1, scaled views too") {
     // dyadic values on the 2^-20 grid with n = 4 → every moment is exact
     // at 6 dp, so CKA computes to exactly 1.0 for b = a and b = 2a

@@ -429,7 +429,11 @@ object BenchScale {
     // row-grain pair-agreement agg + m·N explode to the |categories| frame
     "x242_fleiss_kappa" -> 1.3,
     // one gram scan + driver Newton-Schulz on 64x64 + projection scan
-    "x243_zca_whiten" -> 1.2)
+    "x243_zca_whiten" -> 1.2,
+    // one grouped gram scan; the Frobenius fold is driver metadata
+    "x244_embedding_mmd" -> 1.2,
+    // one gram scan + driver power iteration on the 64x64 matrix
+    "x245_effective_rank" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

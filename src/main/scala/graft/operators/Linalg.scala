@@ -301,6 +301,120 @@ object Linalg {
       .toDF("n_rows", "fro_xx", "fro_yy", "fro_xy", "cka")
   }
 
+  /** Quadratic-kernel Maximum Mean Discrepancy between two corpus slices
+    * (Gretton et al. 2012, JMLR "A Kernel Two-Sample Test"): for the
+    * polynomial kernel k(x,y) = ⟨x,y⟩², the population MMD² reduces to
+    *   MMD² = ‖E_P[xxᵀ] − E_Q[xxᵀ]‖²_F
+    * — a CLOSED FORM in the two slices' second-moment matrices, so the
+    * entire two-sample test costs one grouped gram scan (no pairwise
+    * kernel sums, the 100 TB obstruction to the RBF variant). The
+    * embedding-drift complement to x232's transport distance: "has the
+    * representation's second-order structure moved between slices?".
+    * Moments round to 6 dp on the 2⁻²⁰ grid (the x109 contract); the
+    * Frobenius fold runs (i asc, j asc) over the dense matrix. Output
+    * one row: (n_a, n_b, mmd2, mmd). */
+  def quadMmd(
+      df: DataFrame,
+      vecCol: String,
+      sliceA: Column,
+      dim: Int): DataFrame = {
+    val a = sliceA.cast("boolean")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = df.where(a.isNotNull)
+      .groupBy(a.as("a"))
+      .agg(call_function("graft_gram_agg", col(vecCol), lit(0.0), lit(dim))
+        .as("g"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    require(rows.contains(true) && rows.contains(false),
+      "quadMmd: both slices must be non-empty")
+    def moments(g: Array[Double]): (Long, Array[Array[Double]]) = {
+      val n = g(0)
+      require(n > 0, "quadMmd: empty slice")
+      val m = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n)
+          m(i)(j) = v
+          m(j)(i) = v
+          j += 1
+        }
+        i += 1
+      }
+      (n.toLong, m)
+    }
+    val (na, ma) = moments(rows(true))
+    val (nb, mb) = moments(rows(false))
+    var mmd2 = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        val d = ma(i)(j) - mb(i)(j)
+        mmd2 += d * d
+        j += 1
+      }
+      i += 1
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((na, nb, roundAt(mmd2, 6), roundAt(math.sqrt(mmd2), 6)))
+      .toDF("n_a", "n_b", "mmd2", "mmd")
+  }
+
+  /** Effective-rank audit of the embedding covariance — the
+    * representation-collapse dashboard (Roy & Vetterli 2007's effective
+    * rank family; the participation ratio is the eigen-free member):
+    *   PR      = tr(C)² / ‖C‖²_F = (Σλ)²/Σλ²   (1 = fully collapsed,
+    *             dim = isotropic — NO eigendecomposition needed, since
+    *             ‖C‖²_F = Σλ² for symmetric C)
+    *   top_evr = λ₁/tr(C) via [[pcaProject]]'s fixed power iteration
+    * One gram scan; 6-dp moment contract; folds (i asc, j asc). Output
+    * one row: (n_rows, trace, frob2, pr, top_evr). */
+  def effectiveRank(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 64, "effectiveRank: iters in [1, 64]")
+    val g = gramSums(df, vecCol, lit(0.0), dim)
+    val n = g(0)
+    require(n > 0, "effectiveRank: empty input")
+    val mu = Array.tabulate(dim)(i => round6(g(1 + i) / n))
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = round6(g(GraftGramAgg.triIndex(dim, i, j)) / n) - mu(i) * mu(j)
+        c(i)(j) = v
+        c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val tr = traceAsc(c)
+    var frob2 = 0.0
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { frob2 += c(i)(j) * c(i)(j); j += 1 }
+      i += 1
+    }
+    val (_, lam1) = powerIteration(c, iters)
+    val pr: Option[Double] =
+      if (frob2 > 0.0) Some(roundAt(tr * tr / frob2, 4)) else None
+    val evr: Option[Double] =
+      if (tr > 0.0) Some(roundAt(lam1 / tr, 4)) else None
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((n.toLong, roundAt(tr, 6), roundAt(frob2, 6), pr, evr))
+      .toDF("n_rows", "trace", "frob2", "pr", "top_evr")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString

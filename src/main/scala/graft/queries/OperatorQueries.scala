@@ -9978,6 +9978,67 @@ object OperatorQueries {
         |    - (SELECT b FROM b1), 4) + 0.0 AS z2,
         |  round((SELECT r FROM wres), 4) + 0.0 AS wres
         |FROM d ORDER BY d.vec_id""".stripMargin),
+
+    // Quadratic-kernel MMD between the even/odd embedding slices: the
+    // kernel two-sample test whose poly-2 kernel collapses to
+    // ||E_P[xx'] - E_Q[xx']||_F — ONE grouped gram scan, no pairwise
+    // sums. The representation-drift complement to x232/x75.
+    "x244_embedding_mmd" -> sql(
+      (s, dir) => Linalg.quadMmd(Tables.embeddings(s, dir), "embedding",
+        sliceA = col("vec_id") % 2 === 0, dim = 64),
+      """WITH d AS MATERIALIZED (
+        |  SELECT (vec_id % 2 = 0) AS a, embedding::DOUBLE[] AS e
+        |  FROM embeddings WHERE vec_id IS NOT NULL),
+        |na AS (SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS nr
+        |  FROM d WHERE a),
+        |nb AS (SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS nr
+        |  FROM d WHERE NOT a),
+        |idx AS (SELECT i FROM range(0, 64) t(i)),
+        |prx AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        |sa AS MATERIALIZED (
+        |  SELECT prx.i, prx.j,
+        |    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        |           / 1048576.0) / (SELECT n FROM na), 6) AS s
+        |  FROM d CROSS JOIN prx WHERE d.a GROUP BY prx.i, prx.j),
+        |sb AS MATERIALIZED (
+        |  SELECT prx.i, prx.j,
+        |    round((sum(floor(d.e[prx.i + 1] * d.e[prx.j + 1] * 1048576.0 + 0.5)::BIGINT)::DOUBLE
+        |           / 1048576.0) / (SELECT n FROM nb), 6) AS s
+        |  FROM d CROSS JOIN prx WHERE NOT d.a GROUP BY prx.i, prx.j),
+        |ca AS (SELECT i, j, s FROM sa
+        |  UNION ALL SELECT j, i, s FROM sa WHERE i <> j),
+        |cb AS (SELECT i, j, s FROM sb
+        |  UNION ALL SELECT j, i, s FROM sb WHERE i <> j),
+        |m2 AS (
+        |  SELECT list_reduce(list((ca.s - cb.s) * (ca.s - cb.s)
+        |    ORDER BY ca.i, ca.j), (x, y) -> x + y) AS v
+        |  FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j)
+        |SELECT (SELECT nr FROM na) AS n_a, (SELECT nr FROM nb) AS n_b,
+        |  round((SELECT v FROM m2), 6) + 0.0 AS mmd2,
+        |  round(sqrt((SELECT v FROM m2)), 6) + 0.0 AS mmd
+        |ORDER BY n_a""".stripMargin),
+
+    // Effective-rank / representation-collapse audit of the embedding
+    // covariance: participation ratio tr(C)^2/||C||_F^2 (eigen-free) +
+    // the top-eigenvalue share from x109's fixed power iteration — the
+    // "is this embedding space secretly low-rank?" dashboard row.
+    "x245_effective_rank" -> sql(
+      (s, dir) => Linalg.effectiveRank(Tables.embeddings(s, dir),
+        "embedding", dim = 64, iters = 12),
+      s"""WITH $pcaFitCtes,
+        |fr AS (
+        |  SELECT list_reduce(list(c * c ORDER BY i, j), (x, y) -> x + y) AS f
+        |  FROM cov)
+        |SELECT (SELECT n FROM nn)::BIGINT AS n_rows,
+        |  round((SELECT t FROM trc), 6) + 0.0 AS trace,
+        |  round((SELECT f FROM fr), 6) + 0.0 AS frob2,
+        |  CASE WHEN (SELECT f FROM fr) > 0
+        |    THEN round((SELECT t FROM trc) * (SELECT t FROM trc)
+        |      / (SELECT f FROM fr), 4) + 0.0 END AS pr,
+        |  CASE WHEN (SELECT t FROM trc) > 0
+        |    THEN round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) + 0.0
+        |  END AS top_evr
+        |ORDER BY n_rows""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

@@ -271,6 +271,56 @@ class LinalgSpec extends SparkSpec {
     assert(a.getDouble(4) > 0.9 && a.getDouble(4) <= 1.0)
   }
 
+  test("quadMmd: identical slice distributions give exactly zero") {
+    // every vector appears once per slice → the two second-moment
+    // matrices are identical cell-for-cell → MMD² = 0.0 exactly
+    val vs = Seq(vec(0.25, 0.5, -0.75, 0.5), vec(-0.5, 0.25, 0.5, -0.25),
+      vec(0.75, -0.5, 0.25, 0.0))
+    val rows = vs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Linalg.quadMmd(df, "embedding", col("vec_id") % 2 === 0, 4)
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
+  test("quadMmd: a shifted slice separates; one-slice input fails loudly") {
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 2.0 // odd slice shifted
+      (i.toLong, vec(base + (i % 5) * 0.125, base - (i % 3) * 0.25, 0.5, 0.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Linalg.quadMmd(df, "embedding", col("vec_id") % 2 === 0, 4)
+      .collect().head
+    assert(r.getDouble(2) > 1.0)
+    val one = rows.filter(_._1 % 2 == 0L).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Linalg.quadMmd(one, "embedding", col("vec_id") % 2 === 0, 4)
+        .collect()
+    }
+  }
+
+  test("effectiveRank: isotropic vs collapsed spectra") {
+    // isotropic: two equal-variance orthogonal axes → pr ≈ 2, evr ≈ 0.5
+    val iso = (0 until 64).map { i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0,
+        if (i % 4 < 2) 1.0 else -1.0))
+    }.toDF("vec_id", "embedding")
+    val ri = Linalg.effectiveRank(iso, "embedding", 2).collect().head
+    assert(math.abs(ri.getDouble(3) - 2.0) < 0.01)
+    assert(math.abs(ri.getDouble(4) - 0.5) < 0.01)
+    // collapsed: second axis is a copy of the first → rank 1
+    val col1 = (0 until 64).map { i =>
+      val x = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, vec(x, x))
+    }.toDF("vec_id", "embedding")
+    val rc = Linalg.effectiveRank(col1, "embedding", 2).collect().head
+    assert(math.abs(rc.getDouble(3) - 1.0) < 0.01)
+    assert(math.abs(rc.getDouble(4) - 1.0) < 0.01)
+  }
+
   test("guards: empty input and bad iteration counts fail loudly") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     assertThrows[IllegalArgumentException] {

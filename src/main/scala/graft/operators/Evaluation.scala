@@ -2348,11 +2348,21 @@ object Evaluation {
   def smdBalance(
       df: DataFrame,
       treatment: Column,
+      covariates: Seq[(String, Column)]): DataFrame =
+    finishSmd(smdCells(df, treatment, covariates))
+
+  /** The per-covariate sufficient statistics under [[smdBalance]] and its
+    * streaming twin: six commutative per-arm sums per covariate (counts,
+    * quantized value sums, decimal squares) — grows under any arrival
+    * order, no watermark needed. */
+  def smdCells(
+      df: DataFrame,
+      treatment: Column,
       covariates: Seq[(String, Column)]): DataFrame = {
     require(covariates.nonEmpty, "smdBalance: at least one covariate")
     val dec = "decimal(38,0)"
     val t = treatment.cast("boolean")
-    val cells = df.where(t.isNotNull)
+    df.where(t.isNotNull)
       .select(t.as("t"), array(covariates.map { case (nm, c) =>
         struct(lit(nm).as("cov"), c.cast("double").as("v"))
       }: _*).as("cs"))
@@ -2369,6 +2379,10 @@ object Evaluation {
         sum(when(col("t"), col("q"))).as("s1"),
         sum(when(!col("t"), expr(s"CAST(q AS $dec) * q"))).as("ss0"),
         sum(when(col("t"), expr(s"CAST(q AS $dec) * q"))).as("ss1"))
+  }
+
+  /** The stateless SMD view over [[smdCells]] state. */
+  def finishSmd(cells: DataFrame): DataFrame = {
     def mean(s: String, n: String): Column =
       expr(s"(CAST($s AS DOUBLE) / 1000000.0D) / $n")
     def vr(ss: String, s: String, n: String): Column =

@@ -178,6 +178,7 @@ object Linalg {
       iters: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 40, "zcaWhiten: iters in [1, 40]")
     require(eps > 0.0, "zcaWhiten: eps must be positive")
+    require(dim >= 2, "zcaWhiten: dim >= 2 (z1/z2 need two coordinates)")
     val g = gramSums(df, vecCol, lit(0.0), dim)
     val n = g(0)
     require(n > 0, "zcaWhiten: empty input")
@@ -404,11 +405,15 @@ object Linalg {
       while (j < dim) { frob2 += c(i)(j) * c(i)(j); j += 1 }
       i += 1
     }
-    val (_, lam1) = powerIteration(c, iters)
     val pr: Option[Double] =
       if (frob2 > 0.0) Some(roundAt(tr * tr / frob2, 4)) else None
+    // an all-constant corpus has a zero covariance — every spectral
+    // summary is NULL, and the power iteration (which would fail loudly
+    // on a zero iterate) must not run at all
     val evr: Option[Double] =
-      if (tr > 0.0) Some(roundAt(lam1 / tr, 4)) else None
+      if (tr > 0.0 && frob2 > 0.0)
+        Some(roundAt(powerIteration(c, iters)._2 / tr, 4))
+      else None
     val s = df.sparkSession
     import s.implicits._
     Seq((n.toLong, roundAt(tr, 6), roundAt(frob2, 6), pr, evr))

@@ -10035,7 +10035,7 @@ object OperatorQueries {
         |  CASE WHEN (SELECT f FROM fr) > 0
         |    THEN round((SELECT t FROM trc) * (SELECT t FROM trc)
         |      / (SELECT f FROM fr), 4) + 0.0 END AS pr,
-        |  CASE WHEN (SELECT t FROM trc) > 0
+        |  CASE WHEN (SELECT t FROM trc) > 0 AND (SELECT f FROM fr) > 0
         |    THEN round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) + 0.0
         |  END AS top_evr
         |ORDER BY n_rows""".stripMargin),

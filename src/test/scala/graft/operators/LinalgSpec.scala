@@ -321,6 +321,13 @@ class LinalgSpec extends SparkSpec {
     assert(math.abs(rc.getDouble(4) - 1.0) < 0.01)
   }
 
+  test("effectiveRank: an all-constant corpus reports NULL pr/evr, no crash") {
+    val df = (0 until 8).map(i => (i.toLong, vec(1.5, 1.5))).toDF("vec_id", "embedding")
+    val r = Linalg.effectiveRank(df, "embedding", 2).collect().head
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("guards: empty input and bad iteration counts fail loudly") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     assertThrows[IllegalArgumentException] {

@@ -4391,7 +4391,7 @@ object OperatorQueries {
           .orderBy("vec_id"),
       s"""WITH ${ridgeFitCtes}
         |SELECT d.vec_id, d.label, d.y,
-        |  round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS score,
+        |  round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) + 0.0 AS score,
         |  CASE WHEN round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) >= 0.5
         |    THEN 1 ELSE 0 END AS pred
         |FROM d ORDER BY d.vec_id""".stripMargin),
@@ -4477,7 +4477,7 @@ object OperatorQueries {
       },
       s"""WITH ${ridgeFitCtes},
         |sc AS MATERIALIZED (
-        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS s,
+        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) + 0.0 AS s,
         |    (d.y = 1.0) AS yy
         |  FROM d),
         |bys AS MATERIALIZED (
@@ -4521,7 +4521,7 @@ object OperatorQueries {
       },
       s"""WITH ${ridgeFitCtes},
         |sc AS MATERIALIZED (
-        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) AS s,
+        |  SELECT round(list_dot_product(d.e, (SELECT w FROM gw48)), 4) + 0.0 AS s,
         |    (d.y = 1.0) AS yy
         |  FROM d),
         |binned AS (
@@ -6356,7 +6356,7 @@ object OperatorQueries {
         |  FROM range(0, 16) t(j)),
         |p AS (
         |  SELECT d.vec_id, d.label, g.j,
-        |    round(list_dot_product(d.e, g.sgn), 4) AS v
+        |    round(list_dot_product(d.e, g.sgn), 4) + 0.0 AS v
         |  FROM d CROSS JOIN sg g)
         |SELECT vec_id, label,
         |${(0 until 16).map(j => s"  max(CASE WHEN j = $j THEN v END) AS p${f"$j%02d"}").mkString(",\n")}

@@ -2315,13 +2315,17 @@ object Evaluation {
           .otherwise(lit(null).cast("long")).as("ips_micro"),
         // w_ppm truncates to 0 for an action holding > 10⁶/K of all
         // events — the degenerate-overlap case where the normalized
-        // estimators are undefined; report NULL rather than divide
-        when(col("n_events") > 0L && expr("w1 > 0"),
-          expr("srw div w1").cast("long"))
-          .otherwise(lit(null).cast("long")).as("snips_micro"),
-        when(col("n_events") > 0L && expr("w2 > 0"),
-          expr("(w1 * w1 * 1000000) div (w2 * n_events)").cast("long"))
-          .otherwise(lit(null).cast("long")).as("ess_ppm"),
+        // estimators are undefined; report NULL rather than divide.
+        // Nested whens (the finishSmd discipline): a single And can be
+        // reordered under ANSI and leave the div evaluated on
+        // degenerate groups, so the outer guard gates the inner compute
+        when(col("n_events") > 0L,
+          when(expr("w1 > 0"), expr("srw div w1").cast("long")))
+          .as("snips_micro"),
+        when(col("n_events") > 0L,
+          when(expr("w2 > 0"),
+            expr("(w1 * w1 * 1000000) div (w2 * n_events)").cast("long")))
+          .as("ess_ppm"),
         col("max_w_ppm"))
       .orderBy("n_events")
   }
@@ -2468,10 +2472,14 @@ object Evaluation {
         when(col("n_eval") > 0L,
           expr(s"resw div (CAST(1000000 AS $dec) * n_eval)").cast("long"))
           .otherwise(lit(null).cast("long")).as("corr_micro"),
-        when(col("n_eval") > 0L && col("n_actions") > 0L,
-          (expr("sum_qhat div n_actions") +
-            expr(s"resw div (CAST(1000000 AS $dec) * n_eval)").cast("long")))
-          .otherwise(lit(null).cast("long")).as("dr_micro"),
+        // nested whens (finishSmd discipline): the sum divides by BOTH
+        // n_actions and n_eval — a single conjunction can be reordered
+        // under ANSI, so each guard stays outside the compute
+        when(col("n_eval") > 0L,
+          when(col("n_actions") > 0L,
+            expr("sum_qhat div n_actions") +
+              expr(s"resw div (CAST(1000000 AS $dec) * n_eval)").cast("long")))
+          .as("dr_micro"),
         when(col("n_eval") > 0L,
           expr(s"srw div (CAST(1000000 AS $dec) * n_eval)").cast("long"))
           .otherwise(lit(null).cast("long")).as("ips_micro"))

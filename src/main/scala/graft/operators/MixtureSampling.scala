@@ -494,7 +494,11 @@ object MixtureSampling {
     * than destabilize the update; η ≤ 0.5 then keeps every factor
     * positive). Fixed `iters` rounds from the uniform mixture; all
     * arithmetic is truncating integer division, so the whole trajectory
-    * replays bit-for-bit in SQL. Output per domain:
+    * replays bit-for-bit in SQL. Every weight is floored at 1 ppm after
+    * both the update and the renormalization — truncation alone could
+    * zero a small weight permanently (MW can never multiply a domain
+    * back from 0), violating the all-weights-positive invariant of the
+    * algorithm as published. Output per domain:
     * (domain, n, loss_ppm, w_ppm, boost_ppm) with boost = w·K, the
     * final weight as ppm of the uniform share.
     *
@@ -532,10 +536,14 @@ object MixtureSampling {
       val swl = w.zip(lbar).map { case (wi, li) => wi * li }.sum
       val m = swl / sw
       val u = w.zip(lbar).map { case (wi, li) =>
-        wi * (1000000L + etaPpm * (li - m) / 1000000L) / 1000000L
+        // floor at 1 ppm: truncation could zero a small weight (e.g.
+        // w=1 with a below-mean factor), after which the multiplicative
+        // update can never recover that domain — the textbook MW
+        // invariant is that every weight stays positive
+        math.max(1L, wi * (1000000L + etaPpm * (li - m) / 1000000L) / 1000000L)
       }
       val s = u.sum
-      w = u.map(_ * 1000000L / s)
+      w = u.map(ui => math.max(1L, ui * 1000000L / s))
       t += 1
     }
     val s = df.sparkSession

@@ -10148,12 +10148,13 @@ object OperatorQueries {
       s"""|m$t AS (SELECT (sum(w * lbar) // sum(w))::BIGINT AS m FROM w${t - 1}),
           #|u$t AS (
           #|  SELECT d, n, lbar,
-          #|    ((w * (1000000 + ($etaPpm * (lbar - (SELECT m FROM m$t)))
+          #|    greatest(1, (w * (1000000 + ($etaPpm * (lbar - (SELECT m FROM m$t)))
           #|      // 1000000)) // 1000000)::BIGINT AS w
           #|  FROM w${t - 1}),
           #|s$t AS (SELECT sum(w)::BIGINT AS s FROM u$t),
           #|w$t AS MATERIALIZED (
-          #|  SELECT d, n, lbar, ((w * 1000000) // (SELECT s FROM s$t))::BIGINT AS w
+          #|  SELECT d, n, lbar,
+          #|    greatest(1, (w * 1000000) // (SELECT s FROM s$t))::BIGINT AS w
           #|  FROM u$t)""".stripMargin('#')
     }.mkString(",\n").stripPrefix("|")
 

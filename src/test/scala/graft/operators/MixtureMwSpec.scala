@@ -40,6 +40,20 @@ class MixtureMwSpec extends SparkSpec {
     assert(rows(1).getLong(2) == 0L)
   }
 
+  test("a tiny weight floors at 1 ppm instead of dropping out permanently") {
+    // two high-loss domains starve the zero-loss one: the unfloored
+    // truncating update zeroes c's weight by iteration 64, after which
+    // the multiplicative update could never recover it. The 1 ppm floor
+    // (applied after both the update and the renormalization) keeps
+    // every weight positive, as the MW algorithm requires.
+    val df = Seq(("a", 1.0), ("b", 1.0), ("c", 0.0)).toDF("d", "l")
+    val rows = MixtureSampling.mixtureMwWeights(df, col("d"), col("l"),
+      etaPpm = 300000L, iters = 64).collect()
+    val w = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w("c") == 1L, s"expected the starved domain floored at 1, got $w")
+    assert(w("a") == 499999L && w("b") == 499999L)
+  }
+
   test("partition-layout invariant; monotone: lossier domain ends heavier") {
     val rows = (0 until 90).map { i =>
       val d = "s" + (i % 3)

@@ -152,27 +152,38 @@ object FuzzyLinkage {
       .where(abs(col("left_len") - col("right_len")) <= maxDist)
       .select("left_id", "left_val", "right_id", "right_val")
 
-    // short branch: either side below the filter floor joins by exact
-    // length bucket (2d+1 buckets per row) — candidates bounded, no grams
-    val shortL = l.where(col("left_len") < minLenForFilter)
-    val shortR = r.where(col("right_len") < minLenForFilter)
-    def lenBuckets(df: DataFrame, lenCol: String): DataFrame = df
-      .withColumn("__bl", explode(sequence(
-        col(lenCol) - maxDist, col(lenCol) + maxDist)))
-    val shortCand =
-      lenBuckets(shortL, "left_len").join(r.withColumn("__bl", col("right_len")),
-        Seq("__bl"))
-        .select("left_id", "left_val", "right_id", "right_val")
-        .unionByName(
-          lenBuckets(shortR, "right_len")
-            .join(longL.withColumn("__bl", col("left_len")), Seq("__bl"))
-            .select("left_id", "left_val", "right_id", "right_val"))
+    val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter)
 
     longCand.unionByName(shortCand)
       .dropDuplicates("left_id", "right_id")
       .withColumn("dist", levenshtein(col("left_val"), col("right_val")).cast("long"))
       .where(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
+  }
+
+  // short branch, shared by qgramJoin and both similarityJoinAuto routes:
+  // either side below the filter floor joins by exact length bucket
+  // (2d+1 buckets per row) — candidates bounded, no grams. Short-left
+  // buckets against ALL right; short-right against LONG left only, so no
+  // short-short pair is generated twice.
+  private def shortBranchCandidates(
+      l: DataFrame,
+      r: DataFrame,
+      longL: DataFrame,
+      maxDist: Int,
+      minLenForFilter: Int): DataFrame = {
+    val shortL = l.where(col("left_len") < minLenForFilter)
+    val shortR = r.where(col("right_len") < minLenForFilter)
+    def lenBuckets(df: DataFrame, lenCol: String): DataFrame = df
+      .withColumn("__bl", explode(sequence(
+        col(lenCol) - maxDist, col(lenCol) + maxDist)))
+    lenBuckets(shortL, "left_len").join(r.withColumn("__bl", col("right_len")),
+      Seq("__bl"))
+      .select("left_id", "left_val", "right_id", "right_val")
+      .unionByName(
+        lenBuckets(shortR, "right_len")
+          .join(longL.withColumn("__bl", col("left_len")), Seq("__bl"))
+          .select("left_id", "left_val", "right_id", "right_val"))
   }
 
   private def sideFrame(df: DataFrame, id: String, v: String, tag: String): DataFrame =
@@ -313,5 +324,154 @@ object FuzzyLinkage {
       .withColumn("route",
         when(col("within_budget"), lit("qgram_exact"))
           .otherwise(lit("approximate_minhash")))
+  }
+
+  /** Analytic (bands, rowsPerBand) plan for the approximate edit-distance
+    * route — the [[LshPlanner.lshPlan]] scoring rule fed by a DERIVED
+    * similarity floor instead of a measured spectrum: a pair at edit
+    * distance ≤ d whose shorter side has ≥ `lMinLong` chars shares at
+    * least g − d·q of its g = lMinLong − q + 1 q-grams (each edit
+    * destroys at most q grams; Gravano 2001 / Xiao ED-Join 2008), so its
+    * q-gram Jaccard is at least
+    *   (g − d·q) / (g + d·q + d)
+    * The floor gets a 10 % haircut because the engine hashes DISTINCT
+    * grams (a bag-count bound applied to sets — repeated-gram strings can
+    * sit slightly below it). P(s) = 1 − (1 − s^r)^b is increasing in s,
+    * so any config with P(floor) ≥ targetRecallPpm detects every such
+    * pair with at least that probability; among qualifying configs the
+    * FEWEST bands (= least bucket-join shuffle) wins, the x233 economics.
+    * When no config qualifies (floor too low for the signature budget)
+    * the max-recall split (numPerms bands × 1 row) ships — documented
+    * best-effort, visible via the returned threshold.
+    *
+    * Returns (bands, rowsPerBand, thresholdPpm). */
+  private[operators] def planBandsForEditDistance(
+      lMinLong: Int,
+      maxDist: Int,
+      q: Int,
+      numPerms: Int,
+      targetRecallPpm: Long): (Int, Int, Long) = {
+    require(numPerms >= 2 && Integer.bitCount(numPerms) == 1,
+      "planBandsForEditDistance: numPerms must be a power of two")
+    val g = lMinLong - q + 1
+    val interMin = g.toLong - maxDist.toLong * q
+    val unionMax = g.toLong + maxDist.toLong * q + maxDist
+    val boundPpm =
+      if (interMin <= 0L || unionMax <= 0L) 1L
+      else interMin * 1000000L / unionMax
+    val thresholdPpm = math.max(1L, boundPpm * 9L / 10L)
+    val configs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numPerms)
+      .map(r => (numPerms / r, r)).toSeq
+    val qualifying = configs.filter { case (b, r) =>
+      LshPlanner.detectPpm(thresholdPpm, b, r) >= targetRecallPpm
+    }
+    val (b, r) =
+      if (qualifying.nonEmpty) qualifying.minBy(_._1) else (numPerms, 1)
+    (b, r, thresholdPpm)
+  }
+
+  /** Budget-gated AUTO-ROUTED edit-distance similarity join — the
+    * operator a 100 TB user actually calls: run [[qgramJoinPreflight]]
+    * first (linear cost, one metadata row), then execute whichever plan
+    * the verdict routes to, tagging every output row with the route
+    * taken.
+    *
+    *   - within budget  → [[qgramJoin]], the exact ED-Join
+    *                      (route = 'qgram_exact')
+    *   - over budget    → banded char-q-gram MinHash-LSH candidates
+    *                      across the two sides with
+    *                      [[planBandsForEditDistance]]-chosen (b, r),
+    *                      verified by exact Levenshtein
+    *                      (route = 'approximate_minhash')
+    *
+    * Both routes share the exact SHORT-string branch (bounded
+    * length-bucket equi-join — it is never the quadratic term the
+    * preflight guards against) and the same verify predicate, so the
+    * approximate route's output is always a SUBSET of the exact route's
+    * (precision 1 by construction; recall ≥ the planned floor for pairs
+    * at/above the corpus's minimum long-string length). The reference
+    * applies the same guard-before-ingest philosophy at download time
+    * (udata_hydra utils/file.py:48-65 aborts oversized payloads before
+    * paying for them); here the guarded resource is the candidate-pair
+    * shuffle.
+    *
+    * Scale shape: the preflight is the linear prologue + metadata
+    * aggregations (collected: ONE row). The exact route is qgramJoin's
+    * documented shape. The approximate route explodes b band keys per
+    * long string (b rows, linear), equi-joins band buckets across sides
+    * (never within — no self-join), joins values back by id, and only
+    * candidates pay Levenshtein. Driver state: the preflight row and two
+    * length minima.
+    *
+    * Output: (left_id, right_id, dist, route). Caller epilogue:
+    * releaseCaches() after materializing, as with qgramJoin. */
+  def similarityJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int,
+      q: Int = 2,
+      budgetPairs: Long = 100000000L,
+      numPerms: Int = 64,
+      targetRecallPpm: Long = 950000L): DataFrame = {
+    require(targetRecallPpm >= 1L && targetRecallPpm <= 1000000L,
+      "similarityJoinAuto: targetRecallPpm in [1, 1e6]")
+    val pf = qgramJoinPreflight(left, right, leftId, leftCol,
+      rightId, rightCol, maxDist, q, budgetPairs).collect()(0)
+    if (pf.getAs[Boolean]("within_budget")) {
+      qgramJoin(left, right, leftId, leftCol, rightId, rightCol, maxDist, q)
+        .withColumn("route", lit("qgram_exact"))
+    } else {
+      graft.functions.GraftFunctions.register(left.sparkSession)
+      val l = sideFrame(left, leftId, leftCol, "left")
+      val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
+      val minLenForFilter = q + maxDist * q
+      val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
+      val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
+
+      // the similarity floor anchors at the shortest LONG string across
+      // both sides (two metadata aggregations); when either side has no
+      // long strings the long branch is empty and any split works
+      val lMinLong = (longL.agg(min("left_len")).collect()(0),
+        longR.agg(min("right_len")).collect()(0)) match {
+        case (a, b) if a.isNullAt(0) || b.isNullAt(0) => None
+        case (a, b) => Some(math.min(a.getInt(0), b.getInt(0)))
+      }
+      val (bands, rowsPerBand, _) = lMinLong
+        .map(planBandsForEditDistance(_, maxDist, q, numPerms, targetRecallPpm))
+        .getOrElse((numPerms, 1, 1L))
+
+      def banded(df: DataFrame, tag: String): DataFrame = df
+        .select(col(s"${tag}_id"),
+          posexplode(call_function("graft_minhash_bands",
+            call_function("graft_ngram_hashes", col(s"${tag}_val"), lit(q)),
+            lit(bands), lit(rowsPerBand))))
+        .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bh"))
+        .select(col("__band"), col("__bh"), col(s"${tag}_id"))
+
+      // band-bucket equi-join ACROSS sides — only (band, hash, id) travel;
+      // values join back by id exactly as qgramJoin's long branch does
+      val longCand = banded(longL, "left")
+        .join(banded(longR, "right"), Seq("__band", "__bh"))
+        .select("left_id", "right_id")
+        .dropDuplicates("left_id", "right_id")
+        .join(longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
+        .join(longR.select("right_id", "right_val", "right_len"), Seq("right_id"))
+        .where(abs(col("left_len") - col("right_len")) <= maxDist)
+        .select("left_id", "left_val", "right_id", "right_val")
+
+      val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter)
+
+      longCand.unionByName(shortCand)
+        .dropDuplicates("left_id", "right_id")
+        .withColumn("dist",
+          levenshtein(col("left_val"), col("right_val")).cast("long"))
+        .where(col("dist") <= maxDist)
+        .select("left_id", "right_id", "dist")
+        .withColumn("route", lit("approximate_minhash"))
+    }
   }
 }

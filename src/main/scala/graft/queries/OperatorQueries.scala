@@ -10039,6 +10039,104 @@ object OperatorQueries {
         |    THEN round((SELECT lam FROM l1) / (SELECT t FROM trc), 4) + 0.0
         |  END AS top_evr
         |ORDER BY n_rows""".stripMargin),
+
+    // x15's cosine near-dup at the FULL-RECALL parameter point (the x14
+    // precedent): nCentroids=1 puts every vector in one Voronoi cell, so
+    // cell blocking degenerates to the exact all-pairs scan and the output
+    // is precisely {(a, b) : cos(a, b) >= 0.3, a < b} — which DuckDB
+    // recomputes directly. This shrinks the no-oracle floor to x36 alone:
+    // the x15 OPERATOR is now oracle-checked end-to-end (kernel cosine,
+    // threshold, pair orientation), and the production-parameter x15
+    // remains the recall-floor exhibit for the blocked scale path.
+    "x246_embedding_neardup_full" -> sql(
+      (s, dir) =>
+        Similarity.cellBlockedPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, nCentroids = 1, passes = 1)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b"),
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // The EXECUTABLE routing loop the x236 preflight only recommended:
+    // similarityJoinAuto runs the preflight, then executes the routed
+    // plan, tagging rows with the route taken. At the default budget the
+    // x154 fixture prices within budget, so the exact ED-Join runs — the
+    // oracle is x154's pair set plus the route tag.
+    "x247_similarity_join_auto" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val out = FuzzyLinkage.similarityJoinAuto(clean, dirty, "doc_id", "title",
+          "doc_id", "dirty_title", maxDist = 1, q = 3)
+          .withColumnsRenamed(Map("left_id" -> "clean_id", "right_id" -> "dirty_id"))
+          .orderBy("clean_id", "dirty_id")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        materialized
+      },
+      """WITH clean AS (
+        |  SELECT doc_id AS clean_id, substr(text, 1, 40) AS val FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS val
+        |  FROM documents)
+        |SELECT c.clean_id, d.dirty_id,
+        |  levenshtein(c.val, d.val)::BIGINT AS dist,
+        |  'qgram_exact' AS route
+        |FROM clean c JOIN dirty d ON levenshtein(c.val, d.val) <= 1
+        |ORDER BY clean_id, dirty_id""".stripMargin),
+
+    // The same join FORCED over budget (budgetPairs = 1): the preflight
+    // flips the route and the banded char-3-gram MinHash plan executes
+    // with planBandsForEditDistance-chosen (b, r). targetRecallPpm 999999
+    // makes the planner pick (32, 2) — per-pair detection is 1 - ~6e-17
+    // on this fixture's >= 0.74 Jaccard floor and the hashing is
+    // deterministic, so the routed pair set equals the exact one and the
+    // SAME pair oracle checks it (the x14 full-recall-point philosophy:
+    // recall at these parameters is part of the replayed contract).
+    "x248_similarity_join_routed" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val out = FuzzyLinkage.similarityJoinAuto(clean, dirty, "doc_id", "title",
+          "doc_id", "dirty_title", maxDist = 1, q = 3,
+          budgetPairs = 1L, numPerms = 64, targetRecallPpm = 999999L)
+          .withColumnsRenamed(Map("left_id" -> "clean_id", "right_id" -> "dirty_id"))
+          .orderBy("clean_id", "dirty_id")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        materialized
+      },
+      """WITH clean AS (
+        |  SELECT doc_id AS clean_id, substr(text, 1, 40) AS val FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS val
+        |  FROM documents)
+        |SELECT c.clean_id, d.dirty_id,
+        |  levenshtein(c.val, d.val)::BIGINT AS dist,
+        |  'approximate_minhash' AS route
+        |FROM clean c JOIN dirty d ON levenshtein(c.val, d.val) <= 1
+        |ORDER BY clean_id, dirty_id""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

@@ -433,7 +433,46 @@ object BenchScale {
     // one grouped gram scan; the Frobenius fold is driver metadata
     "x244_embedding_mmd" -> 1.2,
     // one gram scan + driver power iteration on the 64x64 matrix
-    "x245_effective_rank" -> 1.2)
+    "x245_effective_rank" -> 1.2,
+    // exact all-pairs cosine at the full-recall parameter point — the
+    // quadratic exhibit BY CONSTRUCTION (choose-2 exact sims, its
+    // oracle-checkability is the point); the scale path is x15's
+    // occupancy-constant blocking. The fixed-knob noise-band rationale
+    // applies: ceiling 2.1 over the 2.0 expectation
+    "x246_embedding_neardup_full" -> 2.1,
+    // preflight + routed execution; prices WITHIN the 1e8 default budget
+    // at sf0.1/sf1 so the exact ED-Join runs — the x154 class (+ the
+    // linear preflight prologue)
+    "x247_similarity_join_auto" -> 1.8,
+    // forced minhash route at the full-recall (32,2) point: banded
+    // cross-side equi-join + Levenshtein verify — bucket candidate
+    // volume tracks occupancy; same exact-recall-regime ceiling
+    "x248_similarity_join_routed" -> 1.8,
+    // one codec scan to 8-byte hashes + pigeonhole band self-join:
+    // candidate volume Σ bucket² over the 4 band tables — the banded
+    // exact-recall regime (recall 1 by construction)
+    "x249_phash_neardup" -> 1.8)
+
+  /** Second-decade spot audit (sf1 → sf10, 100× the driver's sf0.1):
+    * the five most expensive queries re-measured one decade further up,
+    * turning the 10× exponents into a trend line. Enabled with
+    * SPARK_GRAFT_DECADE2=1 (args supply the sf1/sf10 dirs).
+    *
+    * x154's EXACT join is deliberately absent: at sf10 the x236
+    * preflight prices 6.79e9 candidate pairs — 68× the 1e8 default
+    * budget (sf1 prices 6.88e7, within) — so the library's own routing
+    * rule forbids the exact plan there (projected wall ≈ 306 s × the
+    * measured 1.66-exponent growth ≈ hours). x247, which EXECUTES that
+    * rule, is audited in its place: it runs the exact join at sf1 and
+    * the banded minhash route at sf10, so its cross-decade "exponent"
+    * is the routing rule's headline number — wall time stays bounded
+    * across the decade BECAUSE the plan flips. */
+  val decade2Audited: Seq[(String, Double)] = Seq(
+    "x100_curation_flagship" -> 1.4,
+    "x108_pagerank_trade" -> 1.4,
+    "x117_personalized_pagerank" -> 1.4,
+    "x136_bfs_levels" -> 1.4,
+    "x247_similarity_join_auto" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -480,6 +519,8 @@ object BenchScale {
       def ok: Boolean = exponent <= budget
     }
 
+    val decade2 = sys.env.get("SPARK_GRAFT_DECADE2").contains("1")
+    val auditSource = if (decade2) decade2Audited else audited
     val sel = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def report(r: Row): Row = {
@@ -488,7 +529,7 @@ object BenchScale {
         (if (r.ok) "OK" else "BREACH"))
       r
     }
-    val fixedRows = audited
+    val fixedRows = auditSource
       .filter { case (n, _) => sel.forall(p => p.exists(n.startsWith)) }
       .map { case (name, budget) =>
         report(Row(name, budget, time(name, smallDir), time(name, bigDir)))
@@ -500,7 +541,8 @@ object BenchScale {
     // (RecallSpec pins the shipped setting; more centroids = fewer
     // candidates = lower recall floor).
     val knobRows =
-      if (sel.forall(p => p.exists("x15_fixed_ncentroids8".startsWith))) {
+      if (!decade2 &&
+        sel.forall(p => p.exists("x15_fixed_ncentroids8".startsWith))) {
         def run(dir: String, nCentroids: Int): Double = {
           val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
@@ -528,17 +570,19 @@ object BenchScale {
       } else Seq.empty
     val rows = fixedRows ++ knobRows
 
+    val smallLbl = new java.io.File(smallDir).getName
+    val bigLbl = new java.io.File(bigDir).getName
     val md = new StringBuilder
-    md ++= "# BENCH_scale — 10× scale sweep (sf0.1 → sf1)\n\n"
+    md ++= s"# BENCH_scale — 10× scale sweep ($smallLbl → $bigLbl)\n\n"
     md ++= s"Inputs: `$smallDir` vs `$bigDir` (10× rows per table, built by\n"
     md ++= "`scripts/gen_scale.py`: key cardinalities scale 10×, marginal\n"
     md ++= "distributions preserved, document copies token-perturbed to mean\n"
     md ++= "shingle-Jaccard ≈ 0.19 so near-dup rates stay collision-driven).\n"
     md ++= s"Host: local[$cpus], min of $reps reps per point. Growth exponent\n"
-    md ++= "e = log10(t_sf1 / t_sf0.1): 1.0 = linear in data, < 1 =\n"
+    md ++= s"e = log10(t_$bigLbl / t_$smallLbl): 1.0 = linear in data, < 1 =\n"
     md ++= "latency-amortized, budget column = the documented ceiling for the\n"
     md ++= "query's plan class (see `graft.BenchScale.audited`).\n\n"
-    md ++= "| query | sf0.1 s | sf1 s | ratio | exponent | budget | verdict |\n"
+    md ++= s"| query | $smallLbl s | $bigLbl s | ratio | exponent | budget | verdict |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2f " +

@@ -10137,6 +10137,74 @@ object OperatorQueries {
         |  'approximate_minhash' AS route
         |FROM clean c JOIN dirty d ON levenshtein(c.val, d.val) <= 1
         |ORDER BY clean_id, dirty_id""".stripMargin),
+
+    // Perceptual-hash near-dup over the multimodal byte column: 64-bit
+    // aHash per blob (64 contiguous byte blocks, bit = block mean >
+    // global mean via integer cross-multiplication), then Hamming pairs
+    // <= 3 via pigeonhole banding — 4 disjoint 16-bit bands, so a pair
+    // differing in <= 3 bits shares >= 1 band verbatim and recall is
+    // EXACTLY 1 (not probabilistic). Fixture = the x154 dirty-twin
+    // philosophy on bytes: each blob plus a case-flipped-first-byte twin
+    // (one byte value shifts by 32 — measured twin distance 0-4, so the
+    // radius catches ~498/500 twins while the corpus's unrelated pairs
+    // sit at Hamming >= 9). The oracle replays the per-block bit
+    // construction in SQL and counts differing bits over exact
+    // all-pairs, so banding recall, the bit rule and the popcount verify
+    // are all under test.
+    "x249_phash_neardup" -> sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .where(col("text").isNotNull && length(col("text")) > 0)
+        val texts = base.select(col("doc_id").as("media_id"), col("text"))
+          .unionByName(base.select(
+            (col("doc_id") + 1000000000L).as("media_id"),
+            concat(upper(substring(col("text"), 1, 1)),
+              expr("substring(text, 2)")).as("text")))
+        val media = texts.select(col("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("bytes"),
+          struct(lit(null).cast("string").as("format"),
+            lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms")).as("meta"))
+        val out = Multimodal.perceptualNearDuplicates(media, maxDist = 3)
+          .orderBy("id_a", "id_b")
+        val materialized = out.cache()
+        materialized.count()
+        Multimodal.releaseCaches()
+        materialized
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |m AS (
+        |  SELECT doc_id AS mid, text AS mv FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    upper(substr(text, 1, 1)) || substr(text, 2) FROM src),
+        |t AS (SELECT mid AS doc_id, mv AS text, length(mv) AS n FROM m),
+        |cv AS (
+        |  SELECT doc_id, n, ((j - 1)::BIGINT * 64) // n AS b,
+        |    ascii(substring(text, j::INT, 1))::BIGINT AS v
+        |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS j FROM t)),
+        |blk AS MATERIALIZED (
+        |  SELECT doc_id, b, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM cv GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT doc_id, sum(v)::BIGINT AS tt, max(n)::BIGINT AS n
+        |  FROM cv GROUP BY 1),
+        |bits AS MATERIALIZED (
+        |  SELECT g.doc_id, g.b,
+        |    CASE WHEN coalesce(blk.s, 0) * tot.n > tot.tt * coalesce(blk.c, 0)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT t.doc_id, r.b FROM t, range(0, 64) r(b)) g
+        |  JOIN tot ON tot.doc_id = g.doc_id
+        |  LEFT JOIN blk ON blk.doc_id = g.doc_id AND blk.b = g.b),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS dist
+        |  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dist FROM pr WHERE dist <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

@@ -453,13 +453,40 @@ object FuzzyLinkage {
         .select(col("__band"), col("__bh"), col(s"${tag}_id"))
 
       // band-bucket equi-join ACROSS sides — only (band, hash, id) travel;
-      // values join back by id exactly as qgramJoin's long branch does
-      val longCand = banded(longL, "left")
-        .join(banded(longR, "right"), Seq("__band", "__bh"))
+      // values join back by id exactly as qgramJoin's long branch does.
+      // SALTED (the Skew.saltedJoin discipline, inlined for the two-column
+      // key): a skewed gram spectrum concentrates a large share of the
+      // corpus on one (band, hash) bucket, and an unsalted join makes ONE
+      // task emit and partially dedup that bucket's entire c_l x c_r
+      // candidate block (measured: a 20+ min single-thread straggler at
+      // sf10 while 31 cores idled). The left side salts by id hash (ids
+      // are unique per bucket, so a hot bucket spreads across all salts);
+      // the right side replicates into every salt — 16x a frame of
+      // ~28-byte rows, a fixed parallel cost that buys bucket emission
+      // parallelism. AQE can't fix this one: its skew split looks at the
+      // join INPUT partition sizes, and a hot band bucket's inputs are
+      // small — only its OUTPUT is quadratic.
+      val salts = 16
+      val bl = banded(longL, "left")
+        .withColumn("__salt",
+          pmod(xxhash64(col("left_id")), lit(salts)).cast("int"))
+      val br = banded(longR, "right")
+        .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      // every frame in this join tree is ROW-SCALED (band keys, candidate
+      // pairs, the long-string sides), so none may ever become a
+      // broadcast build side: AQE's compressed-size estimate can dip
+      // under the autoBroadcast threshold while the deserialized rows
+      // run to GBs (observed at sf10: a 1 GiB BroadcastExchange collect
+      // aborted on spark.driver.maxResultSize). shuffle_hash hints pin
+      // shuffled joins — the 100 TB-safe plan — at every step.
+      val longCand = bl.hint("shuffle_hash")
+        .join(br, Seq("__band", "__bh", "__salt"))
         .select("left_id", "right_id")
         .dropDuplicates("left_id", "right_id")
-        .join(longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
-        .join(longR.select("right_id", "right_val", "right_len"), Seq("right_id"))
+        .join(longL.select("left_id", "left_val", "left_len")
+          .hint("shuffle_hash"), Seq("left_id"))
+        .join(longR.select("right_id", "right_val", "right_len")
+          .hint("shuffle_hash"), Seq("right_id"))
         .where(abs(col("left_len") - col("right_len")) <= maxDist)
         .select("left_id", "left_val", "right_id", "right_val")
 

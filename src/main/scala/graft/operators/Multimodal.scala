@@ -208,14 +208,17 @@ object Multimodal {
         col("bk.bits").as("bits"))
     val a = banded.select(col("band"), col("bits"), col("media_id").as("id_a"))
     val b = banded.select(col("band"), col("bits"), col("media_id").as("id_b"))
-    a.join(b, Seq("band", "bits"))
+    // corpus-scaled frames throughout — pin shuffled joins so no AQE
+    // compressed-size estimate ever turns a row-scaled side into a
+    // broadcast build (the FuzzyLinkage.similarityJoinAuto sf10 lesson)
+    a.hint("shuffle_hash").join(b, Seq("band", "bits"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(hashed.select(col("media_id").as("id_a"), col("phash").as("ph_a")),
-        Seq("id_a"))
-      .join(hashed.select(col("media_id").as("id_b"), col("phash").as("ph_b")),
-        Seq("id_b"))
+      .join(hashed.select(col("media_id").as("id_a"), col("phash").as("ph_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(hashed.select(col("media_id").as("id_b"), col("phash").as("ph_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("dist",
         expr("bit_count(ph_a ^ ph_b)").cast("long"))
       .where(col("dist") <= maxDist)

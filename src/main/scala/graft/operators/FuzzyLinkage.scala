@@ -378,8 +378,12 @@ object FuzzyLinkage {
     *
     *   - within budget  → [[qgramJoin]], the exact ED-Join
     *                      (route = 'qgram_exact')
-    *   - over budget    → banded char-q-gram MinHash-LSH candidates
-    *                      across the two sides with
+    *   - over budget    → banded char-gram MinHash-LSH candidates
+    *                      across the two sides (SIGNATURE grams of size
+    *                      max(q+2, 5) — longer than the verification
+    *                      grams, the ED-Join signature/verification
+    *                      split, so minhash minima keep their entropy
+    *                      on common-gram corpora) with
     *                      [[planBandsForEditDistance]]-chosen (b, r),
     *                      verified by exact Levenshtein
     *                      (route = 'approximate_minhash')
@@ -428,7 +432,19 @@ object FuzzyLinkage {
       graft.functions.GraftFunctions.register(left.sparkSession)
       val l = sideFrame(left, leftId, leftCol, "left")
       val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
-      val minLenForFilter = q + maxDist * q
+      // SIGNATURE grams are LONGER than the verification grams (Xiao
+      // ED-Join 2008 separates signature from verification granularity):
+      // the q-gram bound loses almost nothing from a larger gram — for
+      // L=39, d=1: (g−3q')/(g+3) barely moves from q'=3 to q'=5 — but the
+      // gram UNIVERSE grows combinatorially, so the corpus-wide minhash
+      // minima stop concentrating on a handful of ubiquitous trigrams
+      // (measured at sf10: 3-gram signatures put ~10⁹ candidate pairs
+      // into a few hot buckets; 5-gram signatures restore entropy).
+      val sigQ = math.max(q + 2, 5)
+      // strings too short for a positive SIGNATURE bound go through the
+      // exact short branch below — a larger set than the exact route's
+      // short branch, still bounded by the length-bucket equi-join shape
+      val minLenForFilter = sigQ + maxDist * sigQ
       val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
       val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
 
@@ -441,13 +457,13 @@ object FuzzyLinkage {
         case (a, b) => Some(math.min(a.getInt(0), b.getInt(0)))
       }
       val (bands, rowsPerBand, _) = lMinLong
-        .map(planBandsForEditDistance(_, maxDist, q, numPerms, targetRecallPpm))
+        .map(planBandsForEditDistance(_, maxDist, sigQ, numPerms, targetRecallPpm))
         .getOrElse((numPerms, 1, 1L))
 
       def banded(df: DataFrame, tag: String): DataFrame = df
         .select(col(s"${tag}_id"),
           posexplode(call_function("graft_minhash_bands",
-            call_function("graft_ngram_hashes", col(s"${tag}_val"), lit(q)),
+            call_function("graft_ngram_hashes", col(s"${tag}_val"), lit(sigQ)),
             lit(bands), lit(rowsPerBand))))
         .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bh"))
         .select(col("__band"), col("__bh"), col(s"${tag}_id"))

@@ -10100,13 +10100,14 @@ object OperatorQueries {
         |ORDER BY clean_id, dirty_id""".stripMargin),
 
     // The same join FORCED over budget (budgetPairs = 1): the preflight
-    // flips the route and the banded char-3-gram MinHash plan executes
-    // with planBandsForEditDistance-chosen (b, r). targetRecallPpm 999999
-    // makes the planner pick (32, 2) — per-pair detection is 1 - ~6e-17
-    // on this fixture's >= 0.74 Jaccard floor and the hashing is
-    // deterministic, so the routed pair set equals the exact one and the
-    // SAME pair oracle checks it (the x14 full-recall-point philosophy:
-    // recall at these parameters is part of the replayed contract).
+    // flips the route and the banded char-5-gram-signature MinHash plan
+    // executes with planBandsForEditDistance-chosen (b, r).
+    // targetRecallPpm 999999 makes the planner pick (32, 2) — per-pair
+    // detection is 1 minus ~1e-16 on this fixture's >= 0.73 signature
+    // Jaccard floor and the hashing is deterministic, so the routed pair
+    // set equals the exact one and the SAME pair oracle checks it (the
+    // x14 full-recall-point philosophy: recall at these parameters is
+    // part of the replayed contract).
     "x248_similarity_join_routed" -> sql(
       (s, dir) => {
         val d = Tables.documents(s, dir)

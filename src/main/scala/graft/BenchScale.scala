@@ -460,7 +460,7 @@ object BenchScale {
     "x249_phash_neardup" -> 1.8)
 
   /** Second-decade spot audit (sf1 → sf10, 100× the driver's sf0.1):
-    * the five most expensive queries re-measured one decade further up,
+    * the most expensive queries re-measured one decade further up,
     * turning the 10× exponents into a trend line. Enabled with
     * SPARK_GRAFT_DECADE2=1 (args supply the sf1/sf10 dirs).
     *
@@ -472,13 +472,23 @@ object BenchScale {
     * rule, is audited in its place: it runs the exact join at sf1 and
     * the banded minhash route at sf10, so its cross-decade "exponent"
     * is the routing rule's headline number — wall time stays bounded
-    * across the decade BECAUSE the plan flips. */
+    * across the decade BECAUSE the plan flips.
+    *
+    * Round-13 additions: the three operators the routing rule SENDS
+    * 100 TB users toward carry the same two-decade trend line as the
+    * guard rail itself — x07 (banded minhash near-dup) and x86 (ppjoin
+    * prefix-Jaccard), the approximate siblings named by qgramJoin's
+    * routing guidance, and x249 (the perceptual-hash media dedup, now
+    * pre-collapsed + salt-pinned). */
   val decade2Audited: Seq[(String, Double)] = Seq(
     "x100_curation_flagship" -> 1.4,
     "x108_pagerank_trade" -> 1.4,
     "x117_personalized_pagerank" -> 1.4,
     "x136_bfs_levels" -> 1.4,
-    "x247_similarity_join_auto" -> 1.8)
+    "x247_similarity_join_auto" -> 1.8,
+    "x07_minhash_neardup" -> 1.8,
+    "x86_prefix_jaccard" -> 1.8,
+    "x249_phash_neardup" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

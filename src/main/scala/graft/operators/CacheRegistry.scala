@@ -32,6 +32,25 @@ private[operators] final class CacheRegistry {
 
   def tracked(df: DataFrame): DataFrame = { local.get().add(df); df }
 
+  /** Position marker for [[releaseSince]]: everything tracked by this
+    * thread AFTER the mark can be released as a scoped group while
+    * earlier frames (the caller's) stay pinned. */
+  def mark(): Int = local.get().size()
+
+  /** Unpersist and forget every frame this thread tracked after `mark`,
+    * newest portion only — the scoped-release primitive for operators
+    * whose PROLOGUE (e.g. a preflight) fully consumes its caches before
+    * the main plan executes: releasing them early halves peak cache
+    * memory without touching frames the caller still owns. */
+  def releaseSince(mark: Int): Unit = {
+    val l = local.get()
+    var i = l.size() - 1
+    while (i >= mark && i >= 0) {
+      l.remove(i).unpersist(blocking = false)
+      i -= 1
+    }
+  }
+
   /** Unpersist every frame tracked by the current thread since its last
     * release, oldest first. Safe while other threads run: only this
     * thread's frames are touched. */

@@ -393,7 +393,12 @@ object FuzzyLinkage {
     * preflight guards against) and the same verify predicate, so the
     * approximate route's output is always a SUBSET of the exact route's
     * (precision 1 by construction; recall ≥ the planned floor for pairs
-    * at/above the corpus's minimum long-string length). The reference
+    * at/above the corpus's minimum long-string length, for corpora
+    * where repeated grams are a small fraction of each string's grams —
+    * the planner's floor converts a bag-count gram bound to distinct-
+    * gram Jaccard with a 10 % haircut, which strings DOMINATED by
+    * repeated grams can undershoot; see [[planBandsForEditDistance]]).
+    * The reference
     * applies the same guard-before-ingest philosophy at download time
     * (udata_hydra utils/file.py:48-65 aborts oversized payloads before
     * paying for them); here the guarded resource is the candidate-pair
@@ -423,8 +428,15 @@ object FuzzyLinkage {
       targetRecallPpm: Long = 950000L): DataFrame = {
     require(targetRecallPpm >= 1L && targetRecallPpm <= 1000000L,
       "similarityJoinAuto: targetRecallPpm in [1, 1e6]")
+    // the preflight's persisted frames (side projections, occ-gram
+    // frames) are fully consumed by its single collect — release them
+    // BEFORE the routed join executes, exactly when memory pressure
+    // peaks (the round-12 hygiene note): scoped release, so frames the
+    // caller tracked earlier on this thread stay pinned
+    val preflightMark = caches.mark()
     val pf = qgramJoinPreflight(left, right, leftId, leftCol,
       rightId, rightCol, maxDist, q, budgetPairs).collect()(0)
+    caches.releaseSince(preflightMark)
     if (pf.getAs[Boolean]("within_budget")) {
       qgramJoin(left, right, leftId, leftCol, rightId, rightCol, maxDist, q)
         .withColumn("route", lit("qgram_exact"))

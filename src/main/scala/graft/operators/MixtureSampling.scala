@@ -498,7 +498,11 @@ object MixtureSampling {
     * both the update and the renormalization — truncation alone could
     * zero a small weight permanently (MW can never multiply a domain
     * back from 0), violating the all-weights-positive invariant of the
-    * algorithm as published. Output per domain:
+    * algorithm as published. The post-renormalization floor RELAXES the
+    * sum invariant: Σ w_ppm lands in [10⁶ − K + 1, 10⁶ + K − 1] rather
+    * than exactly 10⁶ (truncation loses up to 1 ppm per domain; the
+    * floor adds up to 1 ppm per starved domain) — consumers needing an
+    * exact simplex must renormalize on read. Output per domain:
     * (domain, n, loss_ppm, w_ppm, boost_ppm) with boost = w·K, the
     * final weight as ppm of the uniform share.
     *

@@ -10108,6 +10108,17 @@ object OperatorQueries {
     // set equals the exact one and the SAME pair oracle checks it (the
     // x14 full-recall-point philosophy: recall at these parameters is
     // part of the replayed contract).
+    //
+    // REGENERATION HAZARD (documented per the round-12 advisory): the
+    // pair-set equality this oracle asserts is probabilistic-made-
+    // deterministic — it holds because the fixture, the gram-hash seeds
+    // and sigQ are all FIXED (detection ~1e-11 per-pair short of certain
+    // at (32, 2)). Regenerating the documents fixtures, reseeding
+    // graft_ngram_hashes, or changing sigQ can flip this oracle red with
+    // NO engine bug; when that happens, re-derive the expectation (the
+    // SimilarityJoinAutoSpec subset + recall-floor assertions are the
+    // parameter-independent contract) rather than hunting a phantom
+    // regression. Excluded from the scale audit for the same reason.
     "x248_similarity_join_routed" -> sql(
       (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -10148,14 +10159,21 @@ object OperatorQueries {
     // philosophy on bytes: each blob plus a case-flipped-first-byte twin
     // (one byte value shifts by 32 — measured twin distance 0-4, so the
     // radius catches ~498/500 twins while the corpus's unrelated pairs
-    // sit at Hamming >= 9). The oracle replays the per-block bit
-    // construction in SQL and counts differing bits over exact
-    // all-pairs, so banding recall, the bit rule and the popcount verify
-    // are all under test.
+    // sit at Hamming >= 9), PLUS one synthetic NON-ASCII document (and
+    // its twin): the operator hashes the UTF-8 BYTES of the blob, and
+    // the oracle replays the same bytes via hex(encode(..)) — byte
+    // count, block assignment and values all byte-faithful, so a
+    // multi-byte corpus can never silently diverge the two sides (the
+    // round-12 char-vs-byte advisory). The oracle counts differing bits
+    // over exact all-pairs, so banding recall, the bit rule and the
+    // popcount verify are all under test.
     "x249_phash_neardup" -> sql(
       (s, dir) => {
         val base = Tables.documents(s, dir)
           .where(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(s.range(1).select(lit(999999999L).as("doc_id"),
+            lit("hèllo wörld — größte Straße №42 naïve café").as("text")))
         val texts = base.select(col("doc_id").as("media_id"), col("text"))
           .unionByName(base.select(
             (col("doc_id") + 1000000000L).as("media_id"),
@@ -10175,17 +10193,21 @@ object OperatorQueries {
       },
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |  UNION ALL
+        |  SELECT 999999999, 'hèllo wörld — größte Straße №42 naïve café'),
         |m AS (
         |  SELECT doc_id AS mid, text AS mv FROM src
         |  UNION ALL
         |  SELECT doc_id + 1000000000,
         |    upper(substr(text, 1, 1)) || substr(text, 2) FROM src),
-        |t AS (SELECT mid AS doc_id, mv AS text, length(mv) AS n FROM m),
+        |t AS (SELECT mid AS doc_id, hex(encode(mv)) AS hx,
+        |  octet_length(encode(mv)) AS n FROM m),
         |cv AS (
         |  SELECT doc_id, n, ((j - 1)::BIGINT * 64) // n AS b,
-        |    ascii(substring(text, j::INT, 1))::BIGINT AS v
-        |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS j FROM t)),
+        |    (16 * (strpos('0123456789ABCDEF', substr(hx, (2*j-1)::INT, 1)) - 1)
+        |       + (strpos('0123456789ABCDEF', substr(hx, (2*j)::INT, 1)) - 1))::BIGINT AS v
+        |  FROM (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS j FROM t)),
         |blk AS MATERIALIZED (
         |  SELECT doc_id, b, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
         |  FROM cv GROUP BY 1, 2),
@@ -10206,6 +10228,81 @@ object OperatorQueries {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, dist FROM pr WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Exact-duplicate clustering over the multimodal byte column — the
+    // SCALE-SAFE output of the perceptual-dedup family (the round-12
+    // verdict's pre-collapse): identical aHash values collapse into one
+    // cluster with a canonical representative (min media_id) and a size,
+    // so a duplicate-heavy media corpus emits LINEAR cluster rows, never
+    // quadratic pairs. Fixture = each document three ways: the base
+    // bytes, an EXACT byte copy under a new id (a guaranteed >= 2
+    // cluster per doc), and the case-flipped twin (which clusters with
+    // the base exactly when the flip moves no block bit — the oracle
+    // replays that rule bit-for-bit, byte-faithfully via hex(encode())).
+    "x250_phash_clusters" -> sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .where(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("doc_id"), col("text"))
+        val texts = base.select(col("doc_id").as("media_id"), col("text"))
+          .unionByName(base.select(
+            (col("doc_id") + 1000000000L).as("media_id"), col("text")))
+          .unionByName(base.select(
+            (col("doc_id") + 2000000000L).as("media_id"),
+            concat(upper(substring(col("text"), 1, 1)),
+              expr("substring(text, 2)")).as("text")))
+        val media = texts.select(col("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("bytes"),
+          struct(lit(null).cast("string").as("format"),
+            lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms")).as("meta"))
+        val out = Multimodal.perceptualClusters(media)
+          .select(col("media_id"), col("cluster_rep"), col("cluster_size"))
+          .orderBy("media_id")
+        val materialized = out.cache()
+        materialized.count()
+        Multimodal.releaseCaches()
+        materialized
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |m AS (
+        |  SELECT doc_id AS mid, text AS mv FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000,
+        |    upper(substr(text, 1, 1)) || substr(text, 2) FROM src),
+        |t AS (SELECT mid AS doc_id, hex(encode(mv)) AS hx,
+        |  octet_length(encode(mv)) AS n FROM m),
+        |cv AS (
+        |  SELECT doc_id, n, ((j - 1)::BIGINT * 64) // n AS b,
+        |    (16 * (strpos('0123456789ABCDEF', substr(hx, (2*j-1)::INT, 1)) - 1)
+        |       + (strpos('0123456789ABCDEF', substr(hx, (2*j)::INT, 1)) - 1))::BIGINT AS v
+        |  FROM (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS j FROM t)),
+        |blk AS MATERIALIZED (
+        |  SELECT doc_id, b, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM cv GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT doc_id, sum(v)::BIGINT AS tt, max(n)::BIGINT AS n
+        |  FROM cv GROUP BY 1),
+        |bits AS MATERIALIZED (
+        |  SELECT g.doc_id, g.b,
+        |    CASE WHEN coalesce(blk.s, 0) * tot.n > tot.tt * coalesce(blk.c, 0)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT t.doc_id, r.b FROM t, range(0, 64) r(b)) g
+        |  JOIN tot ON tot.doc_id = g.doc_id
+        |  LEFT JOIN blk ON blk.doc_id = g.doc_id AND blk.b = g.b),
+        |key AS (
+        |  SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY b) AS k
+        |  FROM bits GROUP BY 1),
+        |cl AS (SELECT k, min(doc_id) AS rep, count(*)::BIGINT AS sz
+        |  FROM key GROUP BY 1)
+        |SELECT key.doc_id AS media_id, cl.rep AS cluster_rep,
+        |  cl.sz AS cluster_size
+        |FROM key JOIN cl USING (k)
+        |ORDER BY media_id""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

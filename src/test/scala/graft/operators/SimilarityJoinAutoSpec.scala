@@ -23,6 +23,12 @@ class SimilarityJoinAutoSpec extends SparkSpec {
     (clean, dirty)
   }
 
+  // each of these executes the full fixture join end-to-end — compute
+  // once per suite (the round-12 suite-wall-time item: the previous
+  // per-test recomputation ran the join ~6× across 5 tests)
+  private lazy val exact: Seq[(Long, Long, Long)] = exactPairs
+  private lazy val autoApprox: Seq[(Long, Long, Long, String)] = runAuto(budget = 1L)
+
   private def runAuto(budget: Long, target: Long = 950000L): Seq[(Long, Long, Long, String)] = {
     val (clean, dirty) = fixture
     val out = FuzzyLinkage.similarityJoinAuto(clean, dirty, "doc_id", "title",
@@ -56,24 +62,23 @@ class SimilarityJoinAutoSpec extends SparkSpec {
     val auto = runAuto(budget = 100000000L)
     assert(auto.nonEmpty)
     assert(auto.forall(_._4 == "qgram_exact"))
-    assert(auto.map(t => (t._1, t._2, t._3)) == exactPairs)
+    assert(auto.map(t => (t._1, t._2, t._3)) == exact)
   }
 
   test("a one-pair budget flips the executed plan to the minhash route") {
-    val auto = runAuto(budget = 1L)
-    assert(auto.nonEmpty)
-    assert(auto.forall(_._4 == "approximate_minhash"))
+    assert(autoApprox.nonEmpty)
+    assert(autoApprox.forall(_._4 == "approximate_minhash"))
   }
 
   test("approximate route: subset of exact, recall >= the planned floor") {
-    val exact = exactPairs.map(t => (t._1, t._2)).toSet
-    val auto = runAuto(budget = 1L).map(t => (t._1, t._2)).toSet
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val auto = autoApprox.map(t => (t._1, t._2)).toSet
     // precision 1 by construction: every survivor passed the same
     // Levenshtein predicate the exact route applies
-    assert(auto.subsetOf(exact),
-      s"approximate route emitted ${ (auto -- exact).take(3) } outside the exact set")
-    val recall = auto.size.toDouble / exact.size
-    assert(recall >= 0.95, s"recall $recall below floor (|exact|=${exact.size})")
+    assert(auto.subsetOf(exactSet),
+      s"approximate route emitted ${ (auto -- exactSet).take(3) } outside the exact set")
+    val recall = auto.size.toDouble / exactSet.size
+    assert(recall >= 0.95, s"recall $recall below floor (|exact|=${exactSet.size})")
   }
 
   test("full-recall parameter point reproduces the exact pair set verbatim") {
@@ -81,10 +86,37 @@ class SimilarityJoinAutoSpec extends SparkSpec {
     // fixture — per-pair detection ~1-6e-17 short of certain, and the
     // hashing is deterministic: the routed pair set equals the exact one
     // (the declared x248 oracle relies on exactly this)
-    val exact = exactPairs
     val auto = runAuto(budget = 1L, target = 999999L)
     assert(auto.forall(_._4 == "approximate_minhash"))
     assert(auto.map(t => (t._1, t._2, t._3)) == exact)
+  }
+
+  test("preflight caches release before the routed join executes") {
+    // the round-12 hygiene item: the preflight's corpus-scaled gram
+    // frames are fully consumed by its one collect, so none of them may
+    // stay pinned through the routed join — the persistent-RDD set after
+    // the auto join must equal the directly-invoked route's own set
+    def reset(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val (clean, dirty) = fixture
+    reset()
+    FuzzyLinkage.qgramJoin(clean, dirty, "doc_id", "title",
+      "doc_id", "dirty_title", maxDist = 1, q = 3).count()
+    val directCached = spark.sparkContext.getPersistentRDDs.size
+    FuzzyLinkage.releaseCaches()
+    reset()
+    FuzzyLinkage.similarityJoinAuto(clean, dirty, "doc_id", "title",
+      "doc_id", "dirty_title", maxDist = 1, q = 3,
+      budgetPairs = 100000000L).count()
+    val autoCached = spark.sparkContext.getPersistentRDDs.size
+    FuzzyLinkage.releaseCaches()
+    reset()
+    assert(autoCached == directCached,
+      s"$autoCached RDDs cached after auto vs $directCached after direct " +
+        "qgramJoin — preflight frames leaked into the routed join's execution")
   }
 
   test("the analytic band planner scores and picks like x233's rule") {

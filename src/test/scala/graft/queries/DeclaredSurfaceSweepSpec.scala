@@ -131,10 +131,20 @@ class DeclaredSurfaceSweepSpec extends SparkSpec {
   // drawn subset rotates with the code, not with the wall clock: a failure
   // observed at any commit replays at that commit, forever. Override via
   // SPARK_GRAFT_INVARIANCE_SEED to audit any other subset.
-  private val rotationSeed = 202612L // round 12
+  private val rotationSeed = 202613L // round 13
+
+  /** Declared-hot oracle fixtures excluded from the EXTRA-layout draws
+    * (they still run the base pass, so the window/zero audits keep full
+    * coverage) — the BenchScale documented-exclusion rule: x246 is the
+    * exact all-pairs full-recall exhibit and x248 executes the
+    * deliberately-hot (32, 2) banding point; each costs multiple full
+    * fixture joins per extra layout while their layout sensitivity is
+    * already pinned by SimilarityJoinAutoSpec / their declared oracles. */
+  private val rotationExcluded =
+    Set("x246_embedding_neardup_full", "x248_similarity_join_routed")
 
   private lazy val rotatingSubset: Seq[String] = {
-    val fixed = invarianceMembers.toSet
+    val fixed = invarianceMembers.toSet ++ rotationExcluded
     val pool = graft.SparkEntry.queries.keys.filterNot(fixed).toSeq.sorted
     val seed = sys.env.get("SPARK_GRAFT_INVARIANCE_SEED").map(_.toLong)
       .getOrElse(rotationSeed)

@@ -152,7 +152,7 @@ object FuzzyLinkage {
       .where(abs(col("left_len") - col("right_len")) <= maxDist)
       .select("left_id", "left_val", "right_id", "right_val")
 
-    val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter)
+    val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter, minLenForFilter)
 
     longCand.unionByName(shortCand)
       .dropDuplicates("left_id", "right_id")
@@ -161,19 +161,23 @@ object FuzzyLinkage {
       .select("left_id", "right_id", "dist")
   }
 
-  // short branch, shared by qgramJoin and both similarityJoinAuto routes:
-  // either side below the filter floor joins by exact length bucket
-  // (2d+1 buckets per row) — candidates bounded, no grams. Short-left
-  // buckets against ALL right; short-right against LONG left only, so no
-  // short-short pair is generated twice.
+  // short branch, shared by qgramJoin, both similarityJoinAuto routes and
+  // the incremental matcher: either side below its filter floor joins by
+  // exact length bucket (2d+1 buckets per row) — candidates bounded, no
+  // grams. Short-left buckets against ALL right; short-right against LONG
+  // left only, so no short-short pair is generated twice. The two floors
+  // may differ (the incremental matcher routes batch strings shorter than
+  // the INDEX's planned floor anchor through this branch so the pinned
+  // banding keeps its planned recall floor exactly).
   private def shortBranchCandidates(
       l: DataFrame,
       r: DataFrame,
       longL: DataFrame,
       maxDist: Int,
-      minLenForFilter: Int): DataFrame = {
-    val shortL = l.where(col("left_len") < minLenForFilter)
-    val shortR = r.where(col("right_len") < minLenForFilter)
+      minLenLeft: Int,
+      minLenRight: Int): DataFrame = {
+    val shortL = l.where(col("left_len") < minLenLeft)
+    val shortR = r.where(col("right_len") < minLenRight)
     def lenBuckets(df: DataFrame, lenCol: String): DataFrame = df
       .withColumn("__bl", explode(sequence(
         col(lenCol) - maxDist, col(lenCol) + maxDist)))
@@ -353,13 +357,7 @@ object FuzzyLinkage {
       targetRecallPpm: Long): (Int, Int, Long) = {
     require(numPerms >= 2 && Integer.bitCount(numPerms) == 1,
       "planBandsForEditDistance: numPerms must be a power of two")
-    val g = lMinLong - q + 1
-    val interMin = g.toLong - maxDist.toLong * q
-    val unionMax = g.toLong + maxDist.toLong * q + maxDist
-    val boundPpm =
-      if (interMin <= 0L || unionMax <= 0L) 1L
-      else interMin * 1000000L / unionMax
-    val thresholdPpm = math.max(1L, boundPpm * 9L / 10L)
+    val thresholdPpm = editFloorPpm(lMinLong, maxDist, q)
     val configs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numPerms)
       .map(r => (numPerms / r, r)).toSeq
     val qualifying = configs.filter { case (b, r) =>
@@ -368,6 +366,20 @@ object FuzzyLinkage {
     val (b, r) =
       if (qualifying.nonEmpty) qualifying.minBy(_._1) else (numPerms, 1)
     (b, r, thresholdPpm)
+  }
+
+  /** The derived q-gram Jaccard floor (ppm, incl. the distinct-gram
+    * haircut — see [[planBandsForEditDistance]]) for a pair whose shorter
+    * side has `len` chars at edit distance ≤ maxDist. Monotone
+    * non-decreasing in `len`. */
+  private def editFloorPpm(len: Int, maxDist: Int, q: Int): Long = {
+    val g = len - q + 1
+    val interMin = g.toLong - maxDist.toLong * q
+    val unionMax = g.toLong + maxDist.toLong * q + maxDist
+    val boundPpm =
+      if (interMin <= 0L || unionMax <= 0L) 1L
+      else interMin * 1000000L / unionMax
+    math.max(1L, boundPpm * 9L / 10L)
   }
 
   /** Budget-gated AUTO-ROUTED edit-distance similarity join — the
@@ -518,7 +530,7 @@ object FuzzyLinkage {
         .where(abs(col("left_len") - col("right_len")) <= maxDist)
         .select("left_id", "left_val", "right_id", "right_val")
 
-      val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter)
+      val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter, minLenForFilter)
 
       longCand.unionByName(shortCand)
         .dropDuplicates("left_id", "right_id")
@@ -527,6 +539,288 @@ object FuzzyLinkage {
         .where(col("dist") <= maxDist)
         .select("left_id", "right_id", "dist")
         .withColumn("route", lit("approximate_minhash"))
+    }
+  }
+
+  /** Pre-built corpus-side index for [[incrementalSimilarityJoin]] — the
+    * CONTINUOUS form of the [[similarityJoinAuto]] guard rail: everything
+    * corpus-scaled (the side projection, the corpus df spectrum, the
+    * rarest-gram prefixes and their per-key counts, the planned-banding
+    * signature table, the pricing histogram) is computed ONCE and
+    * persisted, so each arriving batch pays only batch-linear work to be
+    * priced AND matched. Release with [[QgramIndex.release]] when the
+    * maintenance loop retires the index (deliberately NOT on the
+    * thread-local releaseCaches contract — the index outlives batches). */
+  final case class QgramIndex private[operators] (
+      side: DataFrame,
+      dfreq: DataFrame,
+      prefix: DataFrame,
+      prefixCounts: DataFrame,
+      bandedSig: DataFrame,
+      lenHist: DataFrame,
+      maxDist: Int,
+      q: Int,
+      sigQ: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      thresholdPpm: Long,
+      lMinLong: Option[Int],
+      anchorLen: Int,
+      private val cached: Seq[DataFrame]) {
+    /** Unpersist every frame this index pinned. */
+    def release(): Unit = cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Build a [[QgramIndex]] over the stored (clean) corpus — ONE corpus
+    * scan amortized over every future batch:
+    *
+    *   - `side`          (right_id, right_val, right_len), the verify side
+    *   - `dfreq`         the CORPUS-ONLY (gram, occ) document frequencies.
+    *                     Batch prefixes rank under this same order with
+    *                     unseen grams at df 0 — the ED-Join prefix lemma
+    *                     holds under ANY total order shared by both sides
+    *                     of a pair, and a shared gram is by definition in
+    *                     the corpus universe, so corpus-df order is a
+    *                     valid (and batch-independent) global order.
+    *   - `prefix`        each corpus string's d·q+1 rarest (gram, occ)
+    *                     elements; `prefixCounts` their per-key counts
+    *                     (the group-then-multiply pricing operand)
+    *   - `bandedSig`     minhash band keys of the sigQ-gram signatures at
+    *                     (bands, rowsPerBand) PLANNED AT BUILD TIME from
+    *                     the corpus's min long-string length — pinned, so
+    *                     the per-batch recall floor stays exactly the
+    *                     planned one (batches route shorter strings
+    *                     through the exact length-bucket branch instead
+    *                     of diluting the floor)
+    *   - `lenHist`       the corpus length histogram (pricing + metadata)
+    */
+  def buildQgramIndex(
+      right: DataFrame,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int,
+      q: Int = 2,
+      numPerms: Int = 64,
+      targetRecallPpm: Long = 950000L): QgramIndex = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(q >= 1, "q must be >= 1")
+    graft.functions.GraftFunctions.register(right.sparkSession)
+    val r = sideFrame(right, rightId, rightCol, "right").persist()
+    val minLenExact = q + maxDist * q
+    val longR = r.where(col("right_len") >= minLenExact)
+    val gr = occGrams(longR, "right", q).persist()
+    val dfreq = gr.groupBy("__g", "__occ").agg(count(lit(1)).as("__df")).persist()
+    val prefixLen = maxDist * q + 1
+    val prefix = rarestPrefix(gr, dfreq, prefixLen, "right_id").persist()
+    val prefixCounts = prefix.groupBy("__g", "__occ")
+      .agg(count(lit(1)).as("__cb")).persist()
+    val lenHist = r.groupBy(col("right_len").as("__bl"))
+      .agg(count(lit(1)).as("__cr")).persist()
+
+    val sigQ = math.max(q + 2, 5)
+    val sigMinLen = sigQ + maxDist * sigQ
+    val longSigR = r.where(col("right_len") >= sigMinLen)
+    val lMinLong = longSigR.agg(min("right_len")).collect()(0) match {
+      case row if row.isNullAt(0) => None
+      case row => Some(row.getInt(0))
+    }
+    val (bands, rowsPerBand, thresholdPpm) = lMinLong
+      .map(planBandsForEditDistance(_, maxDist, sigQ, numPerms, targetRecallPpm))
+      .getOrElse((numPerms, 1, 1L))
+    // the shortest batch string the PINNED (bands, rowsPerBand) still
+    // detects at >= targetRecallPpm on its length's similarity floor —
+    // batch strings below it take the exact length-bucket branch instead
+    // of diluting the planned recall. When planning succeeded this is
+    // <= lMinLong (floor is monotone in length), so every corpus-banded
+    // string clears it by construction; when no config qualified even at
+    // lMinLong, it can exceed lMinLong (banding can't meet the target
+    // there — exactness-by-bucket is the honest fallback) and caps at
+    // sigMinLen + 4096 ~ "no length qualifies".
+    val anchorLen = (sigMinLen to (sigMinLen + 4096)).find { len =>
+      LshPlanner.detectPpm(editFloorPpm(len, maxDist, sigQ),
+        bands, rowsPerBand) >= targetRecallPpm
+    }.getOrElse(Int.MaxValue)
+    val bandedSig = longSigR
+      .select(col("right_id"),
+        posexplode(call_function("graft_minhash_bands",
+          call_function("graft_ngram_hashes", col("right_val"), lit(sigQ)),
+          lit(bands), lit(rowsPerBand))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bh"))
+      .select(col("__band"), col("__bh"), col("right_id"))
+      .persist()
+
+    // materialize the query-time frames now (the build-time scan), then
+    // retire the gram frame — prefix/prefixCounts fully consumed it
+    Seq(r, dfreq, prefix, prefixCounts, lenHist, bandedSig).foreach(_.count())
+    gr.unpersist(blocking = false)
+
+    QgramIndex(r, dfreq, prefix, prefixCounts, bandedSig, lenHist,
+      maxDist, q, sigQ, bands, rowsPerBand, thresholdPpm, lMinLong, anchorLen,
+      cached = Seq(r, dfreq, prefix, prefixCounts, lenHist, bandedSig))
+  }
+
+  /** Budget-gated ROUTED matching of one batch against a [[QgramIndex]] —
+    * [[similarityJoinAuto]] made continuous: every micro-batch of a
+    * maintenance loop is priced (batch-linear: batch grams + prefix
+    * counts joined against the index's pre-aggregated counts, batch
+    * length histogram against the corpus one — ONE collected row) and
+    * then executes the routed plan against the index, so the 100 TB
+    * guard rail holds per batch, not once per job.
+    *
+    *   - within budget  → exact ED-Join of batch prefixes against the
+    *                      index's stored prefixes (route = 'qgram_exact')
+    *   - over budget    → batch signature bands against the index's
+    *                      PINNED banding (route = 'approximate_minhash');
+    *                      batch strings shorter than the planned floor
+    *                      anchor take the exact length-bucket branch, so
+    *                      recall ≥ the floor planned at BUILD time (same
+    *                      repeated-gram caveat as similarityJoinAuto)
+    *
+    * Both routes share the exact short branch and the Levenshtein verify
+    * (approximate ⊆ exact, precision 1). With `broadcastBatch` (default)
+    * the batch side of the candidate joins broadcasts, so the index's
+    * band/prefix tables never shuffle — the incrementalNearDuplicates
+    * posture; the id-keyed verify fetches against `index.side` stay
+    * shuffled (store the corpus bucketed by id to co-locate them at
+    * 100 TB). Output: (left_id, right_id, dist, route). Caller epilogue:
+    * releaseCaches() after materializing each batch's result. */
+  // the per-batch projections every incremental entry point starts from:
+  // side frame, its exact-route long split, and the batch prefixes ranked
+  // under the INDEX's corpus-df order (unseen grams at df 0 — any order
+  // extension is valid, see buildQgramIndex). All three persisted +
+  // tracked on the calling thread.
+  private def batchFrames(
+      batch: DataFrame,
+      index: QgramIndex,
+      leftId: String,
+      leftCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = index.maxDist
+    val q = index.q
+    val minLenExact = q + d * q
+    val l = tracked(sideFrame(batch, leftId, leftCol, "left").persist())
+    val longL = tracked(l.where(col("left_len") >= minLenExact).persist())
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__df"), col("__g"), col("__occ"))
+    val lPrefix = tracked(occGrams(longL, "left", q)
+      .join(index.dfreq, Seq("__g", "__occ"), "left")
+      .na.fill(0L, Seq("__df"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= d * q + 1)
+      .select(col("__g"), col("__occ"), col("__id").as("left_id"))
+      .persist())
+    (l, longL, lPrefix)
+  }
+
+  // the qgramJoinPreflight arithmetic against PRE-AGGREGATED index
+  // operands: batch prefix counts × stored prefix counts (long branch)
+  // plus the two length-histogram products (short branch) — batch-linear,
+  // ONE collected row
+  private def priceAgainst(
+      l: DataFrame,
+      longL: DataFrame,
+      lPrefix: DataFrame,
+      index: QgramIndex): Long = {
+    val d = index.maxDist
+    val minLenExact = index.q + d * index.q
+    val longPairs = lPrefix.groupBy("__g", "__occ")
+      .agg(count(lit(1)).as("__ca"))
+      .join(index.prefixCounts, Seq("__g", "__occ"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("lp"))
+    val histShortL = l.where(col("left_len") < minLenExact)
+      .groupBy("left_len").agg(count(lit(1)).as("__c"))
+      .withColumn("__bl", explode(sequence(
+        col("left_len") - d, col("left_len") + d)))
+    val histLongL = longL.groupBy(col("left_len").as("__bl"))
+      .agg(count(lit(1)).as("__cl"))
+    val shortPairs = histShortL
+      .join(index.lenHist, Seq("__bl"))
+      .select((col("__c") * col("__cr")).as("__p"))
+      .unionByName(index.lenHist.where(col("__bl") < minLenExact)
+        .withColumnRenamed("__bl", "__rl")
+        .withColumn("__bl", explode(sequence(col("__rl") - d, col("__rl") + d)))
+        .join(histLongL, Seq("__bl"))
+        .select((col("__cr") * col("__cl")).as("__p")))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("sp"))
+    longPairs.crossJoin(broadcast(shortPairs))
+      .select((col("lp") + col("sp")).as("total")).collect()(0).getLong(0)
+  }
+
+  /** Price ONE batch against a [[QgramIndex]] without executing any join:
+    * the exact route's projected candidate volume (pre-dedup), the same
+    * number [[incrementalSimilarityJoin]] gates on — exposed so a
+    * maintenance loop can observe/log the guard rail's verdicts. Cost is
+    * batch-linear; its scratch caches release before returning. */
+  def incrementalPreflight(
+      batch: DataFrame,
+      index: QgramIndex,
+      leftId: String,
+      leftCol: String): Long = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val m = caches.mark()
+    val (l, longL, lPrefix) = batchFrames(batch, index, leftId, leftCol)
+    val priced = priceAgainst(l, longL, lPrefix, index)
+    caches.releaseSince(m)
+    priced
+  }
+
+  def incrementalSimilarityJoin(
+      batch: DataFrame,
+      index: QgramIndex,
+      leftId: String,
+      leftCol: String,
+      budgetPairs: Long = 100000000L,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(budgetPairs > 0L, "budgetPairs must be positive")
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val d = index.maxDist
+    val (l, longL, lPrefix) = batchFrames(batch, index, leftId, leftCol)
+    val priced = priceAgainst(l, longL, lPrefix, index)
+
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df.hint("shuffle_hash")
+    def verify(cands: DataFrame, route: String): DataFrame = cands
+      .dropDuplicates("left_id", "right_id")
+      .join(l.select("left_id", "left_val", "left_len"), Seq("left_id"))
+      .join(index.side.select("right_id", "right_val", "right_len")
+        .hint("shuffle_hash"), Seq("right_id"))
+      .where(abs(col("left_len") - col("right_len")) <= d)
+      .withColumn("dist",
+        levenshtein(col("left_val"), col("right_val")).cast("long"))
+      .where(col("dist") <= d)
+      .select("left_id", "right_id", "dist")
+      .withColumn("route", lit(route))
+
+    if (priced <= budgetPairs) {
+      val longCand = index.prefix
+        .join(maybeBroadcast(lPrefix), Seq("__g", "__occ"))
+        .select("left_id", "right_id")
+      val minLenExact = index.q + d * index.q
+      val shortCand = shortBranchCandidates(l, index.side, longL,
+        d, minLenExact, minLenExact).select("left_id", "right_id")
+      verify(longCand.unionByName(shortCand), "qgram_exact")
+    } else {
+      // floor anchor: batch strings shorter than the length at which the
+      // PINNED banding still meets the recall target take the exact
+      // bucket branch (see buildQgramIndex's anchorLen derivation);
+      // corpus-banded strings clear the anchor by construction, so every
+      // BANDED pair detects at >= the planned target
+      val anchor = index.anchorLen
+      val sigMinLenR = index.sigQ + d * index.sigQ
+      val bandedL = l.where(col("left_len") >= anchor)
+        .select(col("left_id"),
+          posexplode(call_function("graft_minhash_bands",
+            call_function("graft_ngram_hashes", col("left_val"),
+              lit(index.sigQ)),
+            lit(index.bands), lit(index.rowsPerBand))))
+        .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bh"))
+        .select(col("__band"), col("__bh"), col("left_id"))
+      val longCand = index.bandedSig
+        .join(maybeBroadcast(bandedL), Seq("__band", "__bh"))
+        .select("left_id", "right_id")
+      val longAnchorL = tracked(l.where(col("left_len") >= anchor).persist())
+      val shortCand = shortBranchCandidates(l, index.side, longAnchorL,
+        d, anchor, sigMinLenR).select("left_id", "right_id")
+      verify(longCand.unionByName(shortCand), "approximate_minhash")
     }
   }
 }

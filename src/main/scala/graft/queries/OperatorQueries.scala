@@ -10303,6 +10303,93 @@ object OperatorQueries {
         |  cl.sz AS cluster_size
         |FROM key JOIN cl USING (k)
         |ORDER BY media_id""".stripMargin),
+
+    // The similarityJoinAuto guard rail made CONTINUOUS (the round-12
+    // verdict's item 7): a QgramIndex built once over the clean corpus
+    // (side projection, corpus-df spectrum, rarest-gram prefixes +
+    // counts, planned banding, length histogram — all persisted), then
+    // the dirty batch priced batch-linearly against the pre-aggregated
+    // counts and routed. Here the batch prices within the default budget
+    // so the exact ED-Join of batch prefixes against STORED prefixes
+    // runs — corpus-df prefix order is valid for both sides (the prefix
+    // lemma holds under any shared total order; unseen batch grams rank
+    // at df 0), so the pair set equals the from-scratch x154/x247 one.
+    "x251_incremental_linkage" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val idx = FuzzyLinkage.buildQgramIndex(clean, "doc_id", "title",
+          maxDist = 1, q = 3)
+        val out = FuzzyLinkage.incrementalSimilarityJoin(dirty, idx,
+          "doc_id", "dirty_title")
+          .withColumnsRenamed(Map("left_id" -> "dirty_id", "right_id" -> "clean_id"))
+          .orderBy("dirty_id", "clean_id")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        idx.release()
+        materialized
+      },
+      """WITH clean AS (
+        |  SELECT doc_id AS clean_id, substr(text, 1, 40) AS val FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS val
+        |  FROM documents)
+        |SELECT d.dirty_id, c.clean_id,
+        |  levenshtein(d.val, c.val)::BIGINT AS dist,
+        |  'qgram_exact' AS route
+        |FROM dirty d JOIN clean c ON levenshtein(d.val, c.val) <= 1
+        |ORDER BY dirty_id, clean_id""".stripMargin),
+
+    // The incremental matcher FORCED over budget (budgetPairs = 1) with
+    // the index built at targetRecallPpm 999999: the pinned banding is
+    // the (32, 2) full-recall point (planned at the corpus's min
+    // long-title length), batch strings below the anchor length take the
+    // exact bucket branch, and — exactly as x248 — per-pair detection on
+    // this fixture's signature-Jaccard floor is deterministic-in-practice
+    // (~1e-11 short of certain), so the routed pair set replays the
+    // exact one VERBATIM. Same REGENERATION HAZARD as x248 (see there):
+    // fixture/seed/sigQ changes can flip this red with no engine bug —
+    // StreamingLinkageSpec's subset + recall-floor assertions are the
+    // parameter-independent contract.
+    "x252_incremental_routed" -> sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+        val dirty = d.select(col("doc_id"),
+          expr("concat(substr(substr(text, 1, 40), 1, CAST(doc_id % 31 AS INT)), " +
+            "substr(substr(text, 1, 40), CAST(doc_id % 31 AS INT) + 2))")
+            .as("dirty_title"))
+        val idx = FuzzyLinkage.buildQgramIndex(clean, "doc_id", "title",
+          maxDist = 1, q = 3, targetRecallPpm = 999999L)
+        val out = FuzzyLinkage.incrementalSimilarityJoin(dirty, idx,
+          "doc_id", "dirty_title", budgetPairs = 1L)
+          .withColumnsRenamed(Map("left_id" -> "dirty_id", "right_id" -> "clean_id"))
+          .orderBy("dirty_id", "clean_id")
+        val materialized = out.cache()
+        materialized.count()
+        FuzzyLinkage.releaseCaches()
+        idx.release()
+        materialized
+      },
+      """WITH clean AS (
+        |  SELECT doc_id AS clean_id, substr(text, 1, 40) AS val FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(substr(text, 1, 40), 1, (doc_id % 31)::INT)
+        |      || substr(substr(text, 1, 40), (doc_id % 31)::INT + 2) AS val
+        |  FROM documents)
+        |SELECT d.dirty_id, c.clean_id,
+        |  levenshtein(d.val, c.val)::BIGINT AS dist,
+        |  'approximate_minhash' AS route
+        |FROM dirty d JOIN clean c ON levenshtein(d.val, c.val) <= 1
+        |ORDER BY dirty_id, clean_id""".stripMargin),
   )
 
   /** Shared base CTE for the x226/x227 outlier oracles: the three integer

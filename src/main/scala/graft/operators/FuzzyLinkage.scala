@@ -128,34 +128,89 @@ object FuzzyLinkage {
       q: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "q must be >= 1")
+    joinFromProlog(prologue(left, right, leftId, leftCol, rightId, rightCol,
+      maxDist, q, persistPrefix = false), maxDist)
+  }
 
+  /** The LINEAR prologue shared verbatim by [[qgramJoin]],
+    * [[qgramJoinPreflight]] and [[similarityJoinAuto]]: side projections,
+    * long/short split, occurrence-numbered gram frames, the union df
+    * spectrum and the per-string rarest-gram prefixes. Everything
+    * corpus-scaled persists + tracks ONCE here, so an operator needing
+    * both the preflight arithmetic AND the join (the auto route) never
+    * computes or caches the prologue twice — before this was shared, the
+    * auto route's exact leg re-ran the gram explode, the df aggregation
+    * and both prefix windows from scratch after the preflight had already
+    * paid for them (guide §2.4: remove recomputed passes before tuning
+    * anything inside them). */
+  private final case class Prolog(
+      l: DataFrame,
+      r: DataFrame,
+      longL: DataFrame,
+      longR: DataFrame,
+      gl: DataFrame,
+      gr: DataFrame,
+      dfreq: DataFrame,
+      prefixL: DataFrame,
+      prefixR: DataFrame,
+      minLen: Int)
+
+  private def prologue(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int,
+      q: Int,
+      persistPrefix: Boolean): Prolog = {
     val l = sideFrame(left, leftId, leftCol, "left")
-    val r = sideFrame(right, rightId, rightCol, "right")
-
+    val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
     val minLenForFilter = q + maxDist * q // |s| ≥ this ⇒ count threshold ≥ 1
     val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
     val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
-
     val gl = tracked(occGrams(longL, "left", q).persist())
     val gr = tracked(occGrams(longR, "right", q).persist())
     // one global element order for both sides: df asc over the UNION
-    // (rarest first), then (gram, occ) for determinism
-    val dfreq = gl.unionByName(gr).groupBy("__g", "__occ")
-      .agg(count(lit(1)).as("__df"))
+    // (rarest first), then (gram, occ) for determinism. Persisted: BOTH
+    // prefix windows read it (it was recomputed once per side before).
+    val dfreq = tracked(gl.unionByName(gr).groupBy("__g", "__occ")
+      .agg(count(lit(1)).as("__df")).persist())
     val prefixLen = maxDist * q + 1
-    val longCand = rarestPrefix(gl, dfreq, prefixLen, "left_id")
-      .join(rarestPrefix(gr, dfreq, prefixLen, "right_id"),
-        Seq("__g", "__occ"))
+    // the prefix frames persist only when a caller consumes them twice
+    // (the auto route: preflight counts + the exact join)
+    def maybe(df: DataFrame): DataFrame =
+      if (persistPrefix) tracked(df.persist()) else df
+    Prolog(l, r, longL, longR, gl, gr, dfreq,
+      maybe(rarestPrefix(gl, dfreq, prefixLen, "left_id")),
+      maybe(rarestPrefix(gr, dfreq, prefixLen, "right_id")),
+      minLenForFilter)
+  }
+
+  // qgramJoin's candidate + verify plan over a prologue's frames.
+  // Dedup placement (guide §2.3 — shuffle fewer bytes): the prefix join
+  // emits a pair once per shared rare (gram, occ), so its ID pairs dedup
+  // FIRST (16-byte rows) and only then join the values; the previous
+  // shape joined values onto the duplicated pairs and deduped the full
+  // (id, id, val, val) rows after the union. No dedup is needed across
+  // the union at all: the long branch (both sides ≥ minLen) and the two
+  // short legs (left < minLen × all; right < minLen × long left) are
+  // pairwise disjoint by the length split, and each short leg emits a
+  // pair at most once (the bucket key equals one side's exact length).
+  private def joinFromProlog(p: Prolog, maxDist: Int): DataFrame = {
+    val longCand = p.prefixL
+      .join(p.prefixR, Seq("__g", "__occ"))
       .select("left_id", "right_id")
-      .join(longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
-      .join(longR.select("right_id", "right_val", "right_len"), Seq("right_id"))
+      .dropDuplicates("left_id", "right_id")
+      .join(p.longL.select("left_id", "left_val", "left_len"), Seq("left_id"))
+      .join(p.longR.select("right_id", "right_val", "right_len"), Seq("right_id"))
       .where(abs(col("left_len") - col("right_len")) <= maxDist)
       .select("left_id", "left_val", "right_id", "right_val")
 
-    val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter, minLenForFilter)
+    val shortCand = shortBranchCandidates(p.l, p.r, p.longL, maxDist, p.minLen, p.minLen)
 
     longCand.unionByName(shortCand)
-      .dropDuplicates("left_id", "right_id")
       .withColumn("dist", levenshtein(col("left_val"), col("right_val")).cast("long"))
       .where(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
@@ -270,25 +325,28 @@ object FuzzyLinkage {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "q must be >= 1")
     require(budgetPairs > 0L, "budgetPairs must be positive")
+    preflightFromProlog(prologue(left, right, leftId, leftCol,
+      rightId, rightCol, maxDist, q, persistPrefix = false),
+      maxDist, budgetPairs)
+  }
 
-    val l = sideFrame(left, leftId, leftCol, "left")
-    val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
-
-    val minLenForFilter = q + maxDist * q
-    val longL = tracked(l.where(col("left_len") >= minLenForFilter).persist())
-    val longR = tracked(r.where(col("right_len") >= minLenForFilter).persist())
-
-    val gl = tracked(occGrams(longL, "left", q).persist())
-    val gr = tracked(occGrams(longR, "right", q).persist())
-    val dfreq = gl.unionByName(gr).groupBy("__g", "__occ")
-      .agg(count(lit(1)).as("__df"))
-    val prefixLen = maxDist * q + 1
+  // the preflight arithmetic over a prologue's frames: three
+  // metadata-sized aggregations, never a pair row
+  private def preflightFromProlog(
+      p: Prolog,
+      maxDist: Int,
+      budgetPairs: Long): DataFrame = {
+    val minLenForFilter = p.minLen
+    val l = p.l
+    val r = p.r
+    val longL = p.longL
+    val longR = p.longR
 
     // group-then-multiply: the prefix equi-join's output row count without
     // producing a single pair row
-    val cl = rarestPrefix(gl, dfreq, prefixLen, "left_id")
+    val cl = p.prefixL
       .groupBy("__g", "__occ").agg(count(lit(1)).as("__ca"))
-    val cr = rarestPrefix(gr, dfreq, prefixLen, "right_id")
+    val cr = p.prefixR
       .groupBy("__g", "__occ").agg(count(lit(1)).as("__cb"))
     val longPairs = cl.join(cr, Seq("__g", "__occ"))
       .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("long_pairs"))
@@ -440,22 +498,34 @@ object FuzzyLinkage {
       targetRecallPpm: Long = 950000L): DataFrame = {
     require(targetRecallPpm >= 1L && targetRecallPpm <= 1000000L,
       "similarityJoinAuto: targetRecallPpm in [1, 1e6]")
-    // the preflight's persisted frames (side projections, occ-gram
-    // frames) are fully consumed by its single collect — release them
-    // BEFORE the routed join executes, exactly when memory pressure
-    // peaks (the round-12 hygiene note): scoped release, so frames the
-    // caller tracked earlier on this thread stay pinned
-    val preflightMark = caches.mark()
-    val pf = qgramJoinPreflight(left, right, leftId, leftCol,
-      rightId, rightCol, maxDist, q, budgetPairs).collect()(0)
-    caches.releaseSince(preflightMark)
+    // ONE shared prologue (guide §2.4): the preflight prices from the
+    // same persisted frames the exact route then joins — with the
+    // prefix frames persisted too, the verdict's group-counts
+    // materialize exactly the frames the join consumes, so the exact
+    // route pays zero recomputation. The round-12 hygiene rule (the
+    // preflight's scratch must not stay pinned through the routed
+    // join) survives in sharper form: frames the ROUTE no longer needs
+    // (the gram + df spectrum once the prefixes are materialized; the
+    // whole q-gram prologue on the approximate route) release right
+    // after the verdict row lands, and only frames the join actually
+    // reads stay cached.
+    val p = prologue(left, right, leftId, leftCol, rightId, rightCol,
+      maxDist, q, persistPrefix = true)
+    val pf = preflightFromProlog(p, maxDist, budgetPairs).collect()(0)
     if (pf.getAs[Boolean]("within_budget")) {
-      qgramJoin(left, right, leftId, leftCol, rightId, rightCol, maxDist, q)
+      // the persisted prefixes were materialized by the preflight's
+      // group-counts; the gram/df frames are fully consumed
+      Seq(p.gl, p.gr, p.dfreq).foreach(_.unpersist(blocking = false))
+      joinFromProlog(p, maxDist)
         .withColumn("route", lit("qgram_exact"))
     } else {
+      // the signature route regrams at sigQ — only the side projections
+      // survive; everything q-gram-scaled releases now
+      Seq(p.longL, p.longR, p.gl, p.gr, p.dfreq, p.prefixL, p.prefixR)
+        .foreach(_.unpersist(blocking = false))
       graft.functions.GraftFunctions.register(left.sparkSession)
-      val l = sideFrame(left, leftId, leftCol, "left")
-      val r = tracked(sideFrame(right, rightId, rightCol, "right").persist())
+      val l = p.l
+      val r = p.r
       // SIGNATURE grams are LONGER than the verification grams (Xiao
       // ED-Join 2008 separates signature from verification granularity):
       // the q-gram bound loses almost nothing from a larger gram — for
@@ -532,8 +602,11 @@ object FuzzyLinkage {
 
       val shortCand = shortBranchCandidates(l, r, longL, maxDist, minLenForFilter, minLenForFilter)
 
+      // no dedup across the union (the joinFromProlog argument): the
+      // banded branch (both sides ≥ sigMinLen, deduped above) and the
+      // two short legs are pairwise disjoint by the length split, and
+      // each short leg emits a pair at most once
       longCand.unionByName(shortCand)
-        .dropDuplicates("left_id", "right_id")
         .withColumn("dist",
           levenshtein(col("left_val"), col("right_val")).cast("long"))
         .where(col("dist") <= maxDist)

@@ -92,10 +92,13 @@ class SimilarityJoinAutoSpec extends SparkSpec {
   }
 
   test("preflight caches release before the routed join executes") {
-    // the round-12 hygiene item: the preflight's corpus-scaled gram
-    // frames are fully consumed by its one collect, so none of them may
-    // stay pinned through the routed join — the persistent-RDD set after
-    // the auto join must equal the directly-invoked route's own set
+    // the round-12 hygiene item, sharpened by the round-13 shared
+    // prologue: the preflight prices from the SAME persisted frames the
+    // exact route then joins (nothing is computed or cached twice), and
+    // frames the route no longer needs (gram + df spectrum) release
+    // right after the verdict row lands — so the auto join may pin AT
+    // MOST as many RDDs as the directly-invoked route (it pins fewer:
+    // the prefix frames replace the gram/df frames)
     def reset(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -114,7 +117,7 @@ class SimilarityJoinAutoSpec extends SparkSpec {
     val autoCached = spark.sparkContext.getPersistentRDDs.size
     FuzzyLinkage.releaseCaches()
     reset()
-    assert(autoCached == directCached,
+    assert(autoCached <= directCached,
       s"$autoCached RDDs cached after auto vs $directCached after direct " +
         "qgramJoin — preflight frames leaked into the routed join's execution")
   }

@@ -723,7 +723,12 @@ object FuzzyLinkage {
       .persist()
 
     // materialize the query-time frames now (the build-time scan), then
-    // retire the gram frame — prefix/prefixCounts fully consumed it
+    // retire the gram frame — prefix/prefixCounts fully consumed it.
+    // Deliberately SEQUENTIAL: concurrent fills (guide §2.6) were tried
+    // in round 13 and measured 2× slower end-to-end here — the six
+    // frames form a dependency CHAIN (prefixCounts → prefix → dfreq →
+    // gr → r), so concurrent jobs mostly contend on the same cache
+    // blocks instead of overlapping independent work.
     Seq(r, dfreq, prefix, prefixCounts, lenHist, bandedSig).foreach(_.count())
     gr.unpersist(blocking = false)
 

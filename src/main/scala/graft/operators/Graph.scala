@@ -338,12 +338,22 @@ object Graph {
         .distinct()
         .repartition(col("src"))
         .persist())
-    var state = seeds.distinct.map(s => (s, 0L, s)).toDF("node", "dist", "seed")
-      .localCheckpoint(true)
-    var frontier = state
+    // the accumulated state is the UNION of the (checkpointed) per-round
+    // frontiers — never re-materialized: the old shape localCheckpointed
+    // state ∪ fresh every round, an O(|state|) eager write per round on
+    // top of the frontier's own checkpoint (guide §2.4: a re-materialized
+    // pass is a removable pass). Each frontier is already a flat
+    // LogicalRDD, so the union plan stays shallow (≤ maxIters legs), the
+    // per-round anti-join reads exactly the same rows it did before, and
+    // total pinned blocks equal the old final-state checkpoint's.
+    var frames = List(
+      seeds.distinct.map(s => (s, 0L, s)).toDF("node", "dist", "seed")
+        .localCheckpoint(true))
+    var frontier = frames.head
     var t = 0
     var done = false
     while (t < maxIters && !done) {
+      val stateNodes = frames.map(_.select(col("node"))).reduce(_ unionAll _)
       val cand = e
         .join(frontier.select(col("node").as("src"), col("dist"), col("seed")),
           Seq("src"))
@@ -351,24 +361,20 @@ object Graph {
         .groupBy("node")
         .agg(min(struct(col("dist"), col("seed"))).as("m"))
       val fresh = cand
-        .join(state.select(col("node")), Seq("node"), "left_anti")
+        .join(stateNodes, Seq("node"), "left_anti")
         .select(col("node"), col("m.dist").as("dist"), col("m.seed").as("seed"))
         .localCheckpoint(true)
       done = fresh.limit(1).isEmpty
       if (!done) {
-        val next = state.unionAll(fresh).localCheckpoint(true)
-        val (oldState, oldFrontier) = (state, frontier)
-        state = next
+        frames = fresh :: frames
         frontier = fresh
-        releaseCheckpoint(oldState)
-        if (!(oldFrontier eq oldState)) releaseCheckpoint(oldFrontier)
       } else {
         releaseCheckpoint(fresh)
       }
       t += 1
     }
     require(done, s"bfsLevels: frontier still growing after $maxIters rounds")
-    state.select(col("node"), col("dist"), col("seed"))
+    frames.reverse.reduce(_ unionAll _).select(col("node"), col("dist"), col("seed"))
   }
 
   /** Resource-allocation shared-neighbor similarity between LEFT nodes of
@@ -435,7 +441,11 @@ object Graph {
         col(rightCol).cast("long").as("r"))
         .distinct()
         .persist())
-    val sims = sharedNeighborScores(e, "l", "r", scale)
+    // the pair-score frame feeds BOTH symmetrization branches — persisted,
+    // or the Σ deg² wedge self-join (the expensive phase) runs twice
+    // (guide §2.4; rows are 32-byte integers, so the cache is cheap where
+    // a full-text cache was not — see the x100 experiment)
+    val sims = caches.tracked(sharedNeighborScores(e, "l", "r", scale).persist())
     val sym = sims.select(col("a").as("c"), col("b").as("peer"), col("ra_fp"))
       .unionAll(sims.select(col("b").as("c"), col("a").as("peer"), col("ra_fp")))
     val contrib = sym

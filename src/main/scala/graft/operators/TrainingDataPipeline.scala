@@ -234,12 +234,15 @@ object TrainingDataPipeline {
   /** The whole-pipeline text-curation flagship (x100): C4 line rules →
     * corpus-wide keep-first paragraph dedup → exact dedup → benchmark
     * decontamination → per-source mixture downsampling → HRW shard
-    * manifest, composed as ONE plan with exactly TWO documented caches:
-    * the paragraph-dedup survivors (consumed by five later stages — the
-    * funnel rows and every downstream filter re-read it) and the final
-    * mixture corpus (read by its funnel row AND the shard manifest).
-    * Everything between the caches is filter/projection/broadcast riding
-    * the cached scan — no other stage boundary materializes.
+    * manifest, composed as ONE plan with exactly THREE documented caches:
+    * the C4 survivors (ParagraphDedup reads its input twice by
+    * construction, plus the 1_c4 funnel row), the paragraph-dedup
+    * survivors (consumed by five later stages — the funnel rows and every
+    * downstream filter re-read it) and the final mixture corpus (read by
+    * its funnel row AND the shard manifest). Everything between the
+    * caches is filter/projection/broadcast riding the cached scans — no
+    * other stage boundary materializes (caching nd/dc as well was
+    * measured SLOWER; see OPTIMIZATION_r13.md).
     *
     * `docs` must already be line-structured in `textCol` (lines joined
     * with '\n'); `benchmark` supplies the decontamination gram source.
@@ -269,10 +272,20 @@ object TrainingDataPipeline {
         .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
 
     val base = docs.select(col(idCol), col(sourceCol), col(textCol).as("text"))
-    val c4 = C4Filters.c4Report(base, "text",
+    // the C4 survivors are read THREE times — ParagraphDedup references
+    // its input twice by construction (the narrow occurrence projection
+    // AND the rebuild join), plus the 1_c4 funnel row — so an uncached c4
+    // re-ran the whole line-rule kernel pipeline three times (measured:
+    // the pd fill alone dropped 7.0 s → 2.5 s at sf0.1 with this cache,
+    // and the 1_c4 stat 1.5 s → 0.2 s; guide §2.4). Contrast with the
+    // nd/dc stages, where the same experiment measured SLOWER (their
+    // recomputes are cheap projections off this cache) — see
+    // OPTIMIZATION_r13.md.
+    val c4 = trackedF(C4Filters.c4Report(base, "text",
         minWordsPerLine, minKeptLines, badPhrases, lineSep = "\n")
       .where(col("keep"))
       .select(col(idCol), col(sourceCol), col("clean_text").as("text"))
+      .cache())
 
     val pd = trackedF(ParagraphDedup
       .keepFirstParagraphs(c4, "text", idCol, sep = "\n")

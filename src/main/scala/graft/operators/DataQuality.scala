@@ -25,30 +25,36 @@ object DataQuality {
     * with both rates in exact ppm. NULL child keys count as orphans
     * (a reference that points nowhere is broken, whatever the reason).
     *
-    * Scale shape: per relationship, the child side is ONE projection
-    * feeding a left-anti hash join against the distinct parent-key set
-    * (broadcast when the parent is dimension-sized, shuffled otherwise —
-    * Catalyst's choice), plus one distinct-anti in the other direction;
-    * counts partial-aggregate map-side. The report is |rels| rows built
-    * by unionAll of 1-row aggregates — nothing row-sized reaches the
-    * driver. */
+    * Scale shape: per relationship, ONE scan of each side — the child
+    * projects to per-key counts (map-side-combining aggregation), the
+    * parent to its distinct key set — then ONE full-outer hash join on
+    * the key and ONE 1-row aggregation read off all four numbers: a
+    * child key group with no parent row is orphaned mass (NULL child
+    * keys never equal a parent key, so the null group lands there too,
+    * preserving the nulls-are-orphans contract), a parent key with no
+    * child group is childless. The previous shape scanned the child
+    * three times and the parent's distinct set three times across two
+    * anti-joins and four separate aggregations (guide §2.4). The report
+    * is |rels| rows built by unionAll of 1-row aggregates — nothing
+    * row-sized reaches the driver. */
   def referentialAudit(rels: Seq[Rel]): DataFrame = {
     require(rels.nonEmpty, "referentialAudit: at least one relationship")
     require(rels.map(_.name).distinct.size == rels.size,
       "referentialAudit: relationship names must be unique")
     val reports = rels.map { r =>
-      val ck = r.child.select(r.childKey.cast("long").as("k"))
+      val cg = r.child.select(r.childKey.cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("__c"))
       val pk = r.parent.select(r.parentKey.cast("long").as("k"))
         .where(col("k").isNotNull).distinct()
-      val nChild = ck.agg(count(lit(1)).as("n_child"))
-      val orphans = ck
-        .join(pk, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val nParent = pk.agg(count(lit(1)).as("n_parent"))
-      val childless = pk
-        .join(ck.where(col("k").isNotNull).distinct(), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_childless"))
-      nChild.crossJoin(orphans).crossJoin(nParent).crossJoin(childless)
+        .withColumn("__p", lit(1))
+      cg.join(pk, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(col("__c")), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("__p").isNull, col("__c"))), lit(0L))
+            .as("n_orphans"),
+          count(col("__p")).as("n_parent"),
+          count(when(col("__p").isNotNull && col("__c").isNull, 1))
+            .as("n_childless"))
         .select(
           lit(r.name).as("rel"),
           col("n_child"), col("n_orphans"),

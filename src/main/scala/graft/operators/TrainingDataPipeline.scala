@@ -199,7 +199,14 @@ object TrainingDataPipeline {
       seed: String = "v1",
       passes: Int = 2): DataFrame = {
     val cos = Similarity.labelCentroidCosines(emb, idCol, vecCol, labelCol)
-    val keptIds = cos.where(col("cos_centroid") >= minCosCentroid).select(col(idCol))
+    // `kept` is referenced five times downstream (the isEmpty probe, the
+    // dup-cluster blocking, the anti-join, and two funnel aggregations);
+    // unpersisted, EVERY reference re-ran the centroid aggregation +
+    // cosine scan behind keptIds. The id frame is 8-byte rows — the
+    // cheap-cache side of the x100 lesson. Caller epilogue:
+    // releaseFlagshipCaches() after materializing.
+    val keptIds = trackedF(
+      cos.where(col("cos_centroid") >= minCosCentroid).select(col(idCol)).persist())
     val kept = emb.join(keptIds, Seq(idCol), "left_semi")
     // the pivot quantizer refuses an empty corpus by contract; a fully
     // trimmed (or empty) input short-circuits to an empty funnel instead

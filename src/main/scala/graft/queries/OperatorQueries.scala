@@ -3547,12 +3547,17 @@ object OperatorQueries {
     // per-pass pivot draw over the trimmed set, cell blocking, exact
     // cosine pairs, recursive-CTE components, and the three counts.
     "x99_embedding_curation" -> sql(
-      (s, dir) =>
-        TrainingDataPipeline.curateEmbeddings(Tables.embeddings(s, dir),
+      (s, dir) => {
+        val out = TrainingDataPipeline.curateEmbeddings(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label",
           minCosCentroid = 0.0, dupThreshold = 0.35,
           nCells = 16, seed = "v1", passes = 2)
-          .orderBy("label"),
+          .orderBy("label")
+        val materialized = out.cache()
+        materialized.count()
+        TrainingDataPipeline.releaseFlagshipCaches()
+        materialized
+      },
       """WITH RECURSIVE
         |d AS (
         |  SELECT label, unnest(embedding::DOUBLE[]) AS v,

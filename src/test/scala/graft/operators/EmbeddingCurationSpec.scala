@@ -25,6 +25,7 @@ class EmbeddingCurationSpec extends SparkSpec {
       .orderBy("label").collect().toSeq
     assert(out == Seq(Row(1, 4L, 3L, 1L), Row(2, 1L, 1L, 0L)), out.toString)
     Dedup.releaseCaches()
+    TrainingDataPipeline.releaseFlagshipCaches()
   }
 
   test("funnel is monotone per label on the real fixture") {
@@ -37,5 +38,6 @@ class EmbeddingCurationSpec extends SparkSpec {
       assert(t >= a && a >= b && b >= 0, r.toString)
     }
     Dedup.releaseCaches()
+    TrainingDataPipeline.releaseFlagshipCaches()
   }
 }

@@ -184,6 +184,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(funnel.isEmpty && funnel.columns.toSeq ==
       Seq("label", "n_total", "n_after_trim", "n_after_dedup"))
     Dedup.releaseCaches()
+    TrainingDataPipeline.releaseFlagshipCaches()
   }
 
   test("round-9 reports: empty inputs → empty reports, right schemas") {

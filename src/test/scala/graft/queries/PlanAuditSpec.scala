@@ -600,7 +600,7 @@ class PlanAuditSpec extends SparkSpec {
       "no window over the hash stream — the sketch aggregate IS the state")
   }
 
-  test("x100: the flagship composes with exactly two documented caches and " +
+  test("x100: the flagship composes with exactly three documented caches and " +
     "no sort-merge join — every stage boundary between them is filter/projection/broadcast") {
     import org.apache.spark.sql.functions._
     val toksRaw = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
@@ -626,18 +626,19 @@ class PlanAuditSpec extends SparkSpec {
       "the decontamination gram set and the HRW manifest must never sort-merge")
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
       "the benchmark gram set must broadcast into the corpus scan")
-    // exactly the two documented caches (paragraph-dedup survivors + final
-    // mixture corpus) appear as cache boundaries; distinct cached RELATIONS,
-    // not scan count — the funnel's union legs re-read each cache several
-    // times, which is the point of caching them
+    // exactly the three documented caches (C4 survivors — ParagraphDedup
+    // reads its input twice by construction — + paragraph-dedup survivors
+    // + final mixture corpus) appear as cache boundaries; distinct cached
+    // RELATIONS, not scan count — the funnel's union legs re-read each
+    // cache several times, which is the point of caching them
     val cachedRelations = nodes.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         // the CachedRDDBuilder is shared by every scan of one cached plan,
         // so its identity distinguishes the two same-schema caches
         System.identityHashCode(s.relation.cacheBuilder)
     }.toSet
-    assert(cachedRelations.size == 2,
-      s"expected exactly 2 documented cache boundaries, got ${cachedRelations.size}")
+    assert(cachedRelations.size == 3,
+      s"expected exactly 3 documented cache boundaries, got ${cachedRelations.size}")
   }
 
   test("x97: each coreset round evaluates exactly ONE new kernel arm above the cache boundary") {

@@ -128,8 +128,19 @@ object FuzzyLinkage {
       q: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "q must be >= 1")
-    joinFromProlog(prologue(left, right, leftId, leftCol, rightId, rightCol,
-      maxDist, q, persistPrefix = false), maxDist)
+    val p = prologue(left, right, leftId, leftCol, rightId, rightCol,
+      maxDist, q, persistPrefix = true)
+    // materialize the persisted prefix frames NOW and release the
+    // gram/df spectrum they fully consume (the similarityJoinAuto
+    // treatment, guide §5): with everything lazy, all six prologue
+    // frames stayed pinned through the caller's one action, and the
+    // candidate join ran at peak cache pressure — measured in the full
+    // sf0.1 sweep, the auto route (which releases early after its
+    // preflight) ran the SAME join in 6.9 s while this stayed at 14.7 s.
+    // Two metadata-sized eager jobs buy the early release.
+    Seq(p.prefixL, p.prefixR).foreach(_.count())
+    Seq(p.gl, p.gr, p.dfreq).foreach(_.unpersist(blocking = false))
+    joinFromProlog(p, maxDist)
   }
 
   /** The LINEAR prologue shared verbatim by [[qgramJoin]],

@@ -108,6 +108,14 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query JVM telemetry (diagnosis only, never part of the timing):
+    // heap-in-use sampled right after the between-query cleanup+GC below,
+    // so a query whose number is inflated by accumulated JVM pressure is
+    // diagnosable from the artifact alone — this box has measured the
+    // same query at 14.6 s vs 61.2 s on identical code depending on sweep
+    // position, and without a pressure trace every such swing indicts
+    // whatever round happened to be measured
+    val jvmUsed = scala.collection.mutable.LinkedHashMap[String, Long]()
     // run in NAME order, not hash-map order: adding one query otherwise
     // reshuffles the whole run and JIT/page-cache attribution moves between
     // neighbors, making per-query numbers incomparable across rounds
@@ -136,6 +144,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
+      val rt = Runtime.getRuntime
+      jvmUsed(name) = (rt.totalMemory() - rt.freeMemory()) >> 20
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -145,8 +155,11 @@ object Bench {
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val jvmJson = jvmUsed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
+        s""""jvm_used_mb":$jvmJson,""" +
         s""""schemas":${BenchGuard.schemasJson(liveSchemas)},"sf":"$sfDir"}"""
     println(json)
     // EXACTLY ONE marker line, and it is COMPACT (~200 bytes): rounds 7-9's
@@ -165,6 +178,21 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outFile: ${e.getMessage}") }
+    // $outFile is OVERWRITTEN by every run, which cost round 13 its
+    // per-query PERF comparison (the r12 profile survived only because a
+    // snapshot commit happened to catch it). Keep every full run's profile
+    // in an append-only sibling so cross-round per-query comparison never
+    // depends on driver log retention again. Subset runs (SPARK_GRAFT_ONLY)
+    // are iteration noise and stay out of the history.
+    if (only.isEmpty) {
+      val histFile = outFile.stripSuffix(".json") + "_history.jsonl"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(histFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"bench: could not append $histFile: ${e.getMessage}") }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

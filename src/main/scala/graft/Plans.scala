@@ -37,9 +37,15 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     Files.createDirectories(outDir)
-    names.foreach { name =>
+    // a typo'd query name must FAIL the invocation (a missing plan file
+    // with a green exit reads as evidence that was never produced), and
+    // the session must stop even when a query builder throws
+    var failed = false
+    try names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"plans: no such query: $name")
+        case None =>
+          failed = true
+          System.err.println(s"plans: no such query: $name")
         case Some(fn) =>
           spark.sparkContext.setJobDescription(s"plans: $name")
           val df = fn(spark, sfDir)
@@ -51,7 +57,7 @@ object Plans {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
       }
-    }
-    spark.stop()
+    } finally spark.stop()
+    if (failed) sys.exit(1)
   }
 }

@@ -25,10 +25,14 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
       only.forall(keys => keys.contains(name) || keys.contains(name.takeWhile(_ != '_')))
+    var nRun = 0
+    var nFailed = 0
     SparkEntry.queries.filter { case (n, _) => selected(n) }.foreach { case (name, fn) =>
+      nRun += 1
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Backstop for queries that cache their OUTPUT frame (x81/x87/x96/
@@ -56,6 +60,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // one compact, grep-able completion line (the Bench marker discipline):
+    // a truncated driver log can still prove the dump finished and how many
+    // query writes failed before the DuckDB compare even runs
+    println("VERIFY_JSON: " +
+      s"""{"n_queries":$nRun,"n_write_failed":$nFailed,"sf":"$sfDir","out":"$outDir"}""")
     spark.stop()
   }
 }

@@ -27,8 +27,15 @@ object C4Filters {
     val endsPunct = TerminalPunct
       .map(p => t.endsWith(p))
       .reduce(_ || _)
+    // word count = number of maximal \S runs — identical to the
+    // size(filter(split(t, "\s+"), _ =!= "")) it replaces (split tokens
+    // ARE the \S+ runs; the filter only dropped a leading-separator
+    // artifact). regexp_count plans as ONE size(regexp_extract_all(…))
+    // where the old chain was split + a per-element lambda filter —
+    // one expression pass instead of three inside a predicate that runs
+    // once per LINE of every document (guide §1.2 per-task work)
     val enoughWords =
-      size(filter(split(t, "\\s+"), w => w =!= "")) >= minWordsPerLine
+      regexp_count(t, lit("\\S+")) >= minWordsPerLine
     endsPunct && enoughWords
   }
 

@@ -116,7 +116,16 @@ object FuzzyLinkage {
     * count exceeds budget, use the approximate siblings — ppjoin
     * (prefix-Jaccard) or minhash near-duplicates with
     * [[LshPlanner.lshPlan]]-chosen parameters — and verify survivors
-    * with exact Levenshtein instead of running the exact join. */
+    * with exact Levenshtein instead of running the exact join.
+    *
+    * ID contract: `leftId` / `rightId` must be UNIQUE KEYS of their
+    * frames. The output's per-pair single-emission guarantee (the
+    * disjointness of the long branch and the two short legs, and each
+    * short leg's at-most-once emission) is stated over id pairs —
+    * duplicate (id, value) input rows produce duplicate output rows
+    * where a pre-r13 shape's final dropDuplicates collapsed them. Every
+    * engine caller feeds key-projected frames; external callers on dirty
+    * data should dropDuplicates(id) first. */
   def qgramJoin(
       left: DataFrame,
       right: DataFrame,

@@ -50,6 +50,19 @@ object Graph {
       case _ => ()
     }
 
+  /** Symmetrize a (src, dst) edge projection in ONE scan of its input:
+    * `dir.unionAll(dir.swap)` evaluates the underlying derivation once PER
+    * LEG inside the edge-cache fill job (Spark does not dedup common
+    * subexpressions across union legs — for callers whose edge frame is an
+    * uncached join+distinct, that ran the join twice), while a 2-struct
+    * explode emits both directions from a single pass (guide §2.4). Same
+    * row multiset, so every downstream distinct/aggregation is unchanged. */
+  private def symmetrized(dir: DataFrame): DataFrame =
+    dir.select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** Executed superstep plans, captured for the audit spec that pins "every
     * superstep reads the cached edge projection and broadcasts the 1-row
     * dangling aggregate". OFF by default (same opt-in contract as
@@ -68,10 +81,12 @@ object Graph {
     * Scale shape: edges are projected to 16 bytes/row, hash-partitioned by
     * src ONCE and persisted — every superstep's join reuses that exchange;
     * only the rank table (one long per node) reshuffles per round. Each
-    * round materializes its rank table with `localCheckpoint(eager)` and
-    * releases the previous round's checkpoint RDD, so exactly two rank
-    * tables are alive at any time. The dangling mass rides a broadcast
-    * 1-row aggregate (never a driver collect of node rows).
+    * round materializes its rank table with ONE job — the dangling-mass
+    * aggregate is the action that materializes the lazily-marked
+    * localCheckpoint — and releases the previous round's checkpoint RDD,
+    * so exactly two rank tables are alive at any time. The dangling mass
+    * reaches the driver as one exact long (never a collect of node rows)
+    * and enters the next superstep as a literal.
     *
     * Why checkpoint and not persist: each superstep references the rank
     * table TWICE (shares + dangling mass), so with persist-only rounds the
@@ -139,7 +154,7 @@ object Graph {
     val dir = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e = caches.tracked(
-      dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      symmetrized(dir)
         .distinct()
         .repartition(col("src"))
         .persist())
@@ -157,8 +172,12 @@ object Graph {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (col("comp") =!= least(col("comp"), coalesce(col("nmin"), col("comp"))))
             .as("__chg"))
-      val next = step.localCheckpoint(true)
-      converged = next.where(col("__chg")).limit(1).isEmpty
+      // ONE job per round: the checkpoint is marked lazy and the
+      // changed-row count is the action that materializes it (the old
+      // shape paid the eager-count job AND a separate limit-probe job —
+      // Dedup.duplicateClusters' convergence discipline, guide §2.6)
+      val next = step.localCheckpoint(false)
+      converged = next.where(col("__chg")).count() == 0L
       releaseCheckpoint(labels)
       labels = next
       t += 1
@@ -334,7 +353,7 @@ object Graph {
     val dir = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e = caches.tracked(
-      dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      symmetrized(dir)
         .distinct()
         .repartition(col("src"))
         .persist())
@@ -346,6 +365,11 @@ object Graph {
     // LogicalRDD, so the union plan stays shallow (≤ maxIters legs), the
     // per-round anti-join reads exactly the same rows it did before, and
     // total pinned blocks equal the old final-state checkpoint's.
+    // GUARD: plan width is bounded by the maxIters ≤ 200 require above —
+    // round t's state union carries t flat legs, so cumulative planning
+    // cost is O(maxIters²) cheap leg visits. Acceptable at the 200-round
+    // cap; if that cap is ever raised past a few thousand, fold frontiers
+    // into a periodically re-checkpointed state instead.
     var frames = List(
       seeds.distinct.map(s => (s, 0L, s)).toDF("node", "dist", "seed")
         .localCheckpoint(true))
@@ -360,11 +384,15 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"), col("seed"))
         .groupBy("node")
         .agg(min(struct(col("dist"), col("seed"))).as("m"))
+      // ONE job per round: the frontier checkpoint is marked lazy and the
+      // emptiness count is the action that materializes it (the old shape
+      // paid the eager-count job AND a separate limit-probe job whose
+      // executeTake scanned every partition on the final empty round)
       val fresh = cand
         .join(stateNodes, Seq("node"), "left_anti")
         .select(col("node"), col("m.dist").as("dist"), col("m.seed").as("seed"))
-        .localCheckpoint(true)
-      done = fresh.limit(1).isEmpty
+        .localCheckpoint(false)
+      done = fresh.count() == 0L
       if (!done) {
         frames = fresh :: frames
         frontier = fresh
@@ -529,10 +557,13 @@ object Graph {
     require(k >= 1, "kCore: k must be >= 1")
     require(maxIters >= 1 && maxIters <= 200, "kCore: maxIters in [1, 200]")
     val a = col(srcCol).cast("long"); val b = col(dstCol).cast("long")
+    // lazy checkpoints: the edge counts below are the materializing
+    // actions, so each round (and the init) is ONE job — the old eager
+    // flag paid an internal count job and then ran the same count again
     var cur = edges.where(a =!= b)
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var nEdges = cur.count()
     var t = 0
     var converged = false
@@ -546,7 +577,7 @@ object Graph {
         .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nNext = next.count()
       converged = nNext == nEdges
       releaseCheckpoint(cur)
@@ -657,32 +688,46 @@ object Graph {
         .persist())
     require(!e.isEmpty, "hitsBipartite: empty edge list")
     val dec = "decimal(38,0)"
-    def renorm(raw: DataFrame): DataFrame = {
-      // raw: (node, rv); max is a 1-row broadcast — v·scale div max
-      val m = raw.agg(max("rv").as("m"))
-      raw.crossJoin(broadcast(m))
-        .select(col("node"),
-          expr(s"(cast(rv as $dec) * $scale) div cast(m as $dec)").as("v"))
+    // ONE job per half-step: the raw-score checkpoint is marked lazy and
+    // the max aggregate is the action that materializes it — the max then
+    // enters the normalization as an exact decimal LITERAL (the old shape
+    // paid a broadcast-build job for the 1-row max plus the eager-count
+    // job per half-step). The normalized view is a lazy projection over
+    // the checkpoint (`v·scale div max` — recomputed on each of its two
+    // reads, trivially cheap); returns (normalized view, checkpoint to
+    // release). The string round-trip is exact: decimal(38,0).toPlainString
+    // is the integer's digits and the cast back is lossless, so the
+    // division is bit-identical to the broadcast shape.
+    def renorm(raw: DataFrame): (DataFrame, DataFrame) = {
+      val ck = raw.localCheckpoint(false)
+      val m = ck.agg(max("rv").as("m")).collect()(0).getDecimal(0)
+      (ck.select(col("node"),
+        expr(s"(cast(rv as $dec) * $scale) div cast('${m.toPlainString}' as $dec)")
+          .as("v")), ck)
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("v"))
       .localCheckpoint(true)
+    var hubsCk: DataFrame = hubs
     var auths: DataFrame = null
+    var authsCk: DataFrame = null
     (1 to iters).foreach { _ =>
       // partials sum in decimal(38,0): Σ over a 10⁷-degree hub of
       // scale-sized longs would overflow int64
       val rawA = e.join(hubs.select(col("node").as("src"), col("v")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("v").cast("decimal(38,0)")).as("rv"))
-      val nextA = renorm(rawA).localCheckpoint(true)
-      if (auths != null) releaseCheckpoint(auths)
+      val (nextA, ckA) = renorm(rawA)
+      if (authsCk != null) releaseCheckpoint(authsCk)
       auths = nextA
+      authsCk = ckA
       val rawH = e.join(auths.select(col("node").as("dst"), col("v")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("v").cast("decimal(38,0)")).as("rv"))
-      val nextH = renorm(rawH).localCheckpoint(true)
-      releaseCheckpoint(hubs)
+      val (nextH, ckH) = renorm(rawH)
+      releaseCheckpoint(hubsCk)
       hubs = nextH
+      hubsCk = ckH
     }
     hubs.select(col("node"), lit("hub").as("side"), col("v").as("score_fp"))
       .unionAll(auths.select(col("node"), lit("auth").as("side"),
@@ -726,32 +771,45 @@ object Graph {
       case None => lit(true)
     }
 
-    // free a round's localCheckpoint RDD once the next round is live
-    var ranks = nd.select(col("node"), col("deg"),
-        when(isTele, lit(tUnit)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint(true)
+    // ONE job per round (was two): the rank checkpoint is marked lazy and
+    // the NEXT round's dangling-mass aggregate is the action that
+    // materializes it — the dangling sum rides the same job that persists
+    // the rank table, replacing the old shape's separate broadcast-build
+    // job and its extra full scan of the rank state. Only one exact long
+    // reaches the driver (never node rows), and it re-enters the next
+    // superstep as a LITERAL; `dang ≥ 0` and `m > 0` make driver Long
+    // division equal SQL `div`, so every rank is bit-identical to the
+    // broadcast shape. Free a round's localCheckpoint RDD once the next
+    // round is live.
+    def matWithDang(df: DataFrame): (DataFrame, Long) = {
+      val ck = df.localCheckpoint(false)
+      val d = ck.where(col("deg") === 0)
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+        .collect()(0).getLong(0)
+      (ck, d)
+    }
+    var (ranks, dang) = matWithDang(nd.select(col("node"), col("deg"),
+      when(isTele, lit(tUnit)).otherwise(lit(0L)).as("r")))
     var t = 0
     while (t < iters) {
       val shares = ranks.where(col("deg") > 0)
         .select(col("node").as("src"), expr("r div deg").as("share"))
       val contrib = e.join(shares, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("share").as("c"))
-      val dang = ranks.where(col("deg") === 0)
-        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       val step = nd.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
         .withColumn("__ds",
-          when(isTele, expr(s"dang div ${m}L")).otherwise(lit(0L)))
+          when(isTele, lit(dang / m)).otherwise(lit(0L)))
         .select(col("node"), col("deg"),
           (when(isTele, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * (coalesce(c, 0L) + __ds)) div 100")).as("r"))
-      val next = step.localCheckpoint(true)
+      val (next, dangNext) = matWithDang(step)
       if (capturePlans) {
         if (t == 0) lastStepPlans.clear()
         lastStepPlans += step.queryExecution.executedPlan.toString
       }
       releaseCheckpoint(ranks)
       ranks = next
+      dang = dangNext
       t += 1
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
@@ -782,7 +840,7 @@ object Graph {
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
     val sym = caches.tracked(
-      dirE.unionAll(dirE.select(col("dst").as("src"), col("src").as("dst")))
+      symmetrized(dirE)
         .distinct()
         .persist())
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
@@ -831,7 +889,7 @@ object Graph {
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
     val e = caches.tracked(
-      dirE.unionAll(dirE.select(col("dst").as("src"), col("src").as("dst")))
+      symmetrized(dirE)
         .distinct()
         .repartition(col("src"))
         .persist())

@@ -65,10 +65,17 @@ object MarketBasket {
         round(col("n_pair") / col("cb"), roundTo).as("confidence_ba"),
         round((col("n_pair") * lit(nBaskets)) / (col("ca") * col("cb")), roundTo)
           .as("lift"))
+    // top-K epilogue (the x47/x117 pattern): distributed TakeOrdered FIRST
+    // (orderBy+limit → per-partition heaps), then the rank window runs on
+    // the ≤ topK-row result — the old global row_number pushed EVERY
+    // qualifying pair through one partition. (lift, item_a, item_b) is a
+    // total order (pair ids are unique), so "global row_number ≤ K" and
+    // "take K by the same order, then number" select and rank identically.
     enriched
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      .limit(topK)
       .withColumn("rank", row_number()
         .over(Window.orderBy(desc("lift"), col("item_a"), col("item_b")))
         .cast("long"))
-      .where(col("rank") <= topK)
   }
 }

@@ -47,7 +47,12 @@ object SignalFusion {
 
     var cur = df
     signals.foreach { case (s, _) =>
-      val byVal = cur.groupBy(col(s)).agg(count(lit(1)).as("__nv"))
+      // the value→rank table reads the ORIGINAL frame, not `cur`: each
+      // broadcast join below maps every row exactly once (the rank table
+      // covers every distinct value), so df and cur carry the same
+      // multiset of s values — building byVal off cur re-executed every
+      // previously-attached join once per remaining signal (guide §2.4)
+      val byVal = df.groupBy(col(s)).agg(count(lit(1)).as("__nv"))
       val w = Window.orderBy(col(s))
         .rowsBetween(Window.unboundedPreceding, -1)
       val ranked = byVal

@@ -271,8 +271,20 @@ object TrainingDataPipeline {
       defaultRate: Double = 1.0,
       nShards: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // token count = number of maximal \S runs — identical to
+    // size(filter(split(trim(c), "\s+"), _ =!= "")) for every string
+    // (split-on-\s+ tokens ARE the \S+ runs; the filter only drops the
+    // empty artifact of a leading separator). regexp_count plans as ONE
+    // size(regexp_extract_all(…)) instead of the trim→split→HOF-filter
+    // chain (three expression layers, two array passes) — measured
+    // faster on the token-count queries in same-position A/B (guide
+    // §1.2 per-task work).
+    // The 0_input row itself stays a full raw-text pass: it is the one
+    // stage NOTHING else consumes, so the only alternative — caching raw
+    // tokenization — is the exact full-text-cache shape measured slower
+    // in r13 (see the nd/dc experiment in OPTIMIZATION_r13.md).
     def ntok(c: Column): Column =
-      size(filter(split(trim(c), "\\s+"), t => t =!= "")).cast("long")
+      regexp_count(c, lit("\\S+")).cast("long")
     def stat(stage: String, df: DataFrame, tc: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(ntok(col(tc))), lit(0L)).as("n_tokens"))

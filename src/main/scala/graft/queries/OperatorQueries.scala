@@ -2937,10 +2937,12 @@ object OperatorQueries {
     // flip a boundary) and the per-source ranking exactly.
     "x83_weighted_reservoir" -> sql(
       (s, dir) => {
+        // token count via regexp_count(\S+) — value-identical to the
+        // size(filter(split(...))) form (tokens ARE the \S+ runs; lower/
+        // trim cannot change the count); plans as one size(regexp_extract_all)
         val docs = Tables.documents(s, dir)
           .withColumn("w",
-            (size(filter(split(lower(trim(col("text"))), "\\s+"),
-              t => t =!= "")) + 1).cast("long"))
+            (regexp_count(col("text"), lit("\\S+")) + 1).cast("long"))
         MixtureSampling.weightedReservoirPerCategory(
           docs, "source", "doc_id", "w", k = 10, seed = "v1")
           .select(col("source"), col("doc_id"), col("w"), col("priority"),
@@ -4318,9 +4320,14 @@ object OperatorQueries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
           .distinct()
+        // both edge directions from ONE scan of the (uncached) join+distinct
+        // — the unionAll shape evaluated it once per leg (guide §2.4)
         val edges = pairs
-          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-          .unionAll(pairs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+          .select(explode(array(
+            struct((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst")),
+            struct((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+            .as("__e"))
+          .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         val out = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
           .select(
             when(col("node") % 2 === 0, lit("customer"))
@@ -4747,9 +4754,14 @@ object OperatorQueries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
           .distinct()
+        // both edge directions from ONE scan of the (uncached) join+distinct
+        // — the unionAll shape evaluated it once per leg (guide §2.4)
         val edges = pairs
-          .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-          .unionAll(pairs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+          .select(explode(array(
+            struct((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst")),
+            struct((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+            .as("__e"))
+          .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         val ranked = Graph.personalizedPageRank(edges, "src", "dst", seeds,
           iters = 5)
           .select(
@@ -5206,8 +5218,12 @@ object OperatorQueries {
           .agg(countDistinct(o("o_orderkey")).as("cnt"))
           .where(col("cnt") >= 2)
           .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-        val sym = strong.unionAll(
-          strong.select(col("dst").as("src"), col("src").as("dst")))
+        // both directions from ONE scan of the (uncached) strong-edge
+        // aggregation — the unionAll shape evaluated it once per leg
+        val sym = strong.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+          .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         val out = Graph.deterministicWalks(sym, "src", "dst",
           steps = 4, walksPerNode = 2)
           .orderBy("start", "widx", "step")
@@ -6719,8 +6735,10 @@ object OperatorQueries {
     "x167_spearman_rho" -> sql(
       (s, dir) => {
         val t = Tables.documents(s, dir)
+          // regexp_count(\S+) ≡ the size(filter(split)) token count — one
+          // expression pass instead of the split+HOF-filter chain
           .select(col("n_chars").cast("long").as("x"),
-            expr("size(filter(split(trim(text), '\\\\s+'), w -> w != ''))")
+            expr("regexp_count(text, '\\\\S+')")
               .cast("long").as("y"))
         val out = Evaluation.spearmanRho(t, col("x"), col("y"))
         val materialized = out.cache()
@@ -6770,8 +6788,10 @@ object OperatorQueries {
     "x168_kendall_tau" -> sql(
       (s, dir) => {
         val t = Tables.documents(s, dir)
+          // regexp_count(\S+) ≡ the size(filter(split)) token count — one
+          // expression pass instead of the split+HOF-filter chain
           .select(expr("n_chars div 200").cast("long").as("xb"),
-            expr("size(filter(split(trim(text), '\\\\s+'), w -> w != '')) div 40")
+            expr("regexp_count(text, '\\\\S+') div 40")
               .cast("long").as("yb"))
         val out = Evaluation.kendallTauB(t, col("xb"), col("yb"))
         val materialized = out.cache()

@@ -530,7 +530,8 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("every superstep reads the cached edges and broadcasts the dangling row") {
+  test("every superstep reads the cached edges; the dangling mass enters " +
+    "as a literal (no per-round broadcast or cartesian)") {
     Graph.capturePlans = true
     try {
       Graph.pageRankFixedPoint(diamond.toDF("src", "dst"), "src", "dst", iters = 3)
@@ -541,7 +542,10 @@ class GraphSpec extends SparkSpec {
         assert(p.contains("InMemoryTableScan"),
           "superstep must read the persisted edge/rank state, not recompute lineage")
         assert(!p.contains("CartesianProduct"),
-          "the 1-row dangling aggregate must broadcast, never cartesian")
+          "no cartesian may appear in a superstep")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          "the dangling mass rides the materializing job as a driver literal — " +
+            "a per-round broadcast join would mean the old two-job shape is back")
       }
     } finally {
       Graph.capturePlans = false

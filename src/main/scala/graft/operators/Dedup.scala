@@ -397,11 +397,16 @@ object Dedup {
       .where(size(col("bh")) > 0)
       .persist())
 
-    val banded = gramsDf.select(
+    // persisted like minhashNearDuplicates' banded frame: the bucket
+    // self-join scans it from BOTH legs, and without the persist each leg
+    // re-ran the banding kernel (bands×rowsPerBand hashes per doc) over
+    // the cached gram sets — one kernel pass, two cache scans (guide §2.4)
+    val banded = tracked(gramsDf.select(
       col("id"), size(col("bh")).as("sz"),
       posexplode(call_function("graft_minhash_bands",
         col("bh"), lit(bands), lit(rowsPerBand))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .persist())
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sz").as("sz_b"))
@@ -682,7 +687,10 @@ object Dedup {
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFrequency)
       .select("fp")
-    val kept = fps.join(keep, Seq("fp"), "left_semi")
+    // persisted: the pair self-join scans `kept` from BOTH legs, and
+    // without the persist each leg re-ran the winnow kernel AND the
+    // df semi-join (guide §2.4) — 16-byte rows, the cheap-cache side
+    val kept = tracked(fps.join(keep, Seq("fp"), "left_semi").persist())
     val a = kept.select(col("fp"), col("id").as("id_a"))
     val b = kept.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp"))
@@ -737,12 +745,17 @@ object Dedup {
       explode(col("bh")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
 
-    // global order = (df asc, tok asc); prefix keeps |T| - ceil(t*|T|) + 1
+    // global order = (df asc, tok asc); prefix keeps |T| - ceil(t*|T|) + 1.
+    // Persisted: the candidate self-join scans the prefix from BOTH legs,
+    // and without the persist each leg re-ran the df aggregation and the
+    // per-doc prefix window (guide §2.4) — 24-byte rows, ~(1−t)·|T|+1 per
+    // doc, the cheap-cache side
     val w = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
-    val prefix = toks.join(dfreq, Seq("tok"))
+    val prefix = tracked(toks.join(dfreq, Seq("tok"))
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("tok"), col("id"), col("sz"))
+      .persist())
 
     val a = prefix.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
